@@ -1,0 +1,118 @@
+"""Force-field composition: all force terms -> total forces, energies, virial.
+
+The TPU analog of Verlet::run's force phase (verlet.cpp:300-337): pair term
+(LJ + real-space Ewald), reciprocal Ewald, and the polarization module run as
+one fused jitted computation; LAMMPS "styles" become composable pure functions
+whose results are summed here.
+
+Energy bookkeeping mirrors the reference tallies so thermo columns match:
+evdwl/ecoul from the pair kernel (ev_tally, pair.cpp:854), elong from kspace,
+epol = u_self + u_ef + u_dd from the polarization module
+(force->pair->eng_pol, ...polarization.cpp:641).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from lidp_tpu.ops import ewald as ewald_ops
+from lidp_tpu.ops import pair as pair_ops
+from lidp_tpu.ops import polarization as pol_ops
+from lidp_tpu.ops.neighbor import NeighborList, neighbor_pair_forces
+from lidp_tpu.state import System
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ForceField:
+    pair: Optional[pair_ops.PairParams]
+    ewald: Optional[ewald_ops.EwaldParams] = None
+    polar: Optional[pol_ops.PolarizationSettings] = dataclasses.field(
+        metadata=dict(static=True), default=None)
+    sp_code: Optional[jax.Array] = None     # (N,N) int8 special-bond level codes
+    qqrd2e: float = dataclasses.field(metadata=dict(static=True), default=1.0)
+    # validation switch: serial Gauss-Seidel reference solver instead of Jacobi
+    reference_gs: bool = dataclasses.field(metadata=dict(static=True), default=False)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ForceResult:
+    f: jax.Array
+    evdwl: jax.Array
+    ecoul: jax.Array
+    elong: jax.Array
+    epol: jax.Array
+    virial: jax.Array       # (6,) xx yy zz xy xz yz
+    mu: jax.Array           # induced dipoles after SCF
+    scf_iters: jax.Array
+    scf_diverged: jax.Array
+
+    @property
+    def epair(self):
+        """Thermo E_pair = evdwl + ecoul + elong + epol (thermo.cpp pe terms)."""
+        return self.evdwl + self.ecoul + self.elong + self.epol
+
+
+def compute_forces(sys: System, ff: ForceField,
+                   nlist: Optional[NeighborList] = None) -> ForceResult:
+    """Evaluate every force term. Uses the dense all-pairs path when no
+    neighbor list is given (small systems / validation)."""
+    dtype = sys.x.dtype
+    zero = jnp.zeros((), dtype)
+    f = jnp.zeros_like(sys.x)
+    evdwl = ecoul = elong = epol = zero
+    virial = jnp.zeros((6,), dtype)
+    mu = sys.mu
+    scf_iters = jnp.zeros((), jnp.int32)
+    scf_diverged = jnp.zeros((), bool)
+
+    if ff.pair is not None:
+        if nlist is not None:
+            fp, ev, ec, vir = neighbor_pair_forces(
+                sys.x, sys.q, sys.type, sys.mask, nlist, sys.box, ff.pair,
+                sp_code_dense=ff.sp_code)
+        else:
+            sp = ff.sp_code if ff.sp_code is not None else 0
+            fp, ev, ec, vir = pair_ops.dense_pair_forces(
+                sys.x, sys.q, sys.type, sp, sys.mask, sys.box, ff.pair)
+        f = f + fp
+        evdwl, ecoul = evdwl + ev, ecoul + ec
+        virial = virial + vir
+
+    if ff.ewald is not None:
+        fk, el, vk = ewald_ops.ewald_forces(sys.x, sys.q, sys.box.volume, ff.ewald)
+        f = f + fk
+        elong = elong + el
+        virial = virial + vk
+
+    if ff.polar is not None:
+        s = ff.polar
+        e0 = pol_ops.static_field_wolf(
+            sys.x, sys.q, sys.mol, sys.mask, sys.box,
+            ff.pair.cut_coulsq, ff.qqrd2e)
+        tensor = pol_ops.dipole_field_tensor(sys.x, sys.alpha, sys.mask, sys.box, s)
+        mu_init = sys.mu if s.use_previous else None
+        if ff.reference_gs and (s.polar_gs or s.polar_gs_ranked):
+            rank = pol_ops.rank_metric_compute(
+                sys.x, sys.alpha, sys.mol, sys.mask, sys.box)
+            mu, scf_iters, scf_diverged = pol_ops.scf_solve_gauss_seidel(
+                e0, sys.alpha, tensor, s, rank_metric=rank, mu_init=mu_init)
+        else:
+            mu, scf_iters, scf_diverged = pol_ops.scf_solve(
+                e0, sys.alpha, tensor, s, mu_init=mu_init)
+        fpol, upol, vpol = pol_ops.dipole_forces_energy(
+            sys.x, sys.q, sys.mol, sys.alpha, mu, sys.mask, sys.box,
+            ff.pair.cut_coulsq, ff.qqrd2e, s)
+        f = f + fpol
+        epol = epol + upol
+        virial = virial + vpol
+
+    return ForceResult(
+        f=f, evdwl=evdwl, ecoul=ecoul, elong=elong, epol=epol,
+        virial=virial, mu=mu, scf_iters=scf_iters, scf_diverged=scf_diverged,
+    )

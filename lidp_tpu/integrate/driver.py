@@ -1,0 +1,129 @@
+"""Run driver: the MD timestep as a jitted lax.scan.
+
+TPU analog of Verlet::setup + Verlet::run (verlet.cpp:88,223): per step
+  1. integrator initial_integrate (half-kick/drift or rigid-body update)
+  2. neighbor decide/rebuild (fixed interval, `neigh_modify every N check no`
+     semantics; dense mode skips lists entirely)
+  3. force evaluation (pair + kspace + polarization)
+  4. integrator final_integrate
+Thermo sampling happens on the host between scan chunks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from lidp_tpu import box as box_mod
+from lidp_tpu.forcefield import ForceField, ForceResult, compute_forces
+from lidp_tpu.ops.neighbor import NeighborConfig, NeighborList, build_neighbor_list
+from lidp_tpu.state import System
+
+
+@dataclasses.dataclass(frozen=True)
+class Integrator:
+    """Bundle of pure functions + their (pytree) params/state."""
+
+    initial: Callable  # (sys, f, params, istate) -> (sys, istate)
+    final: Callable    # (sys, f, params, istate) -> (sys, istate)
+    params: Any
+    # setup-time hook (Modify::setup): may adjust sys (e.g. rigid set_v)
+    init_state: Callable = lambda sys, f, params: (sys, ())
+
+
+def nve_integrator(nve_params) -> Integrator:
+    from lidp_tpu.integrate import nve
+
+    return Integrator(
+        initial=lambda s, f, p, st: (nve.initial_integrate(s, f, p), st),
+        final=lambda s, f, p, st: (nve.final_integrate(s, f, p), st),
+        params=nve_params,
+    )
+
+
+def rigid_nve_integrator(rigid_params, mass_atom) -> Integrator:
+    from lidp_tpu.integrate import rigid
+
+    return Integrator(
+        initial=rigid.initial_integrate,
+        final=rigid.final_integrate,
+        params=rigid_params,
+        init_state=lambda s, f, p: rigid.init_rigid_state(s, f, p, mass_atom),
+    )
+
+
+@dataclasses.dataclass
+class Runner:
+    """Owns the jitted step/scan functions for one simulation setup."""
+
+    ff: ForceField
+    integ: Integrator
+    neighbor_cfg: Optional[NeighborConfig] = None
+    rebuild_every: int = 1
+
+    def __post_init__(self):
+        self._scan = jax.jit(
+            functools.partial(_run_chunk,
+                              initial=self.integ.initial, final=self.integ.final,
+                              neighbor_cfg=self.neighbor_cfg,
+                              rebuild_every=self.rebuild_every),
+            static_argnames=("nsteps",),
+        )
+        self._force = jax.jit(_setup_forces, static_argnames=("neighbor_cfg",))
+
+    def setup(self, sys: System):
+        """Initial force evaluation (Verlet::setup). Returns (sys, res, nlist, istate)."""
+        sys, res, nlist = self._force(sys, self.ff, neighbor_cfg=self.neighbor_cfg)
+        sys, istate = self.integ.init_state(sys, res.f, self.integ.params)
+        return sys, res, nlist, istate
+
+    def run(self, sys, res, nlist, istate, nsteps: int):
+        """Advance nsteps inside one jitted scan; returns updated carry + last result."""
+        return self._scan(sys, res, nlist, istate, self.ff, self.integ.params,
+                          nsteps=nsteps)
+
+
+def _setup_forces(sys, ff, *, neighbor_cfg):
+    if neighbor_cfg is not None:
+        sys_x, image = box_mod.wrap(sys.x, sys.box, sys.image)
+        sys = sys.replace(x=sys_x, image=image)
+        nlist = build_neighbor_list(sys.x, sys.mask, sys.box, neighbor_cfg)
+    else:
+        nlist = None
+    res = compute_forces(sys, ff, nlist)
+    sys = sys.replace(mu=res.mu)
+    return sys, res, nlist
+
+
+def _run_chunk(sys, res, nlist, istate, ff, iparams, *, nsteps,
+               initial, final, neighbor_cfg, rebuild_every):
+    def body(carry, _):
+        sys, res, nlist, istate = carry
+        sys, istate = initial(sys, res.f, iparams, istate)
+        sys = sys.replace(step=sys.step + 1)
+
+        if neighbor_cfg is not None:
+            def rebuild(sys, nlist):
+                x, image = box_mod.wrap(sys.x, sys.box, sys.image)
+                sys = sys.replace(x=x, image=image)
+                return sys, build_neighbor_list(sys.x, sys.mask, sys.box, neighbor_cfg)
+
+            def keep(sys, nlist):
+                return sys, NeighborList(idx=nlist.idx, count=nlist.count,
+                                         overflow=nlist.overflow)
+
+            need = (sys.step % rebuild_every) == 0
+            sys, nlist = jax.lax.cond(need, rebuild, keep, sys, nlist)
+
+        res = compute_forces(sys, ff, nlist)
+        sys = sys.replace(mu=res.mu)
+        sys, istate = final(sys, res.f, iparams, istate)
+        return (sys, res, nlist, istate), None
+
+    (sys, res, nlist, istate), _ = jax.lax.scan(
+        body, (sys, res, nlist, istate), None, length=nsteps)
+    return sys, res, nlist, istate

@@ -1,0 +1,45 @@
+"""fix nve — velocity-Verlet point-particle integration.
+
+Matches FixNVE (fix_nve.cpp:65,109): half-kick + drift, then half-kick, with
+dtf = 0.5 * dt * ftm2v.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from lidp_tpu.state import System
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class NVEParams:
+    dtv: jax.Array        # dt
+    dtf: jax.Array        # 0.5 * dt * ftm2v
+    mass_atom: jax.Array  # (N,)
+
+    @staticmethod
+    def create(dt: float, ftm2v: float, mass_atom, dtype=jnp.float64):
+        return NVEParams(
+            dtv=jnp.asarray(dt, dtype),
+            dtf=jnp.asarray(0.5 * dt * ftm2v, dtype),
+            mass_atom=jnp.asarray(mass_atom, dtype),
+        )
+
+
+def initial_integrate(sys: System, f, p: NVEParams) -> System:
+    minv = jnp.where(p.mass_atom > 0, 1.0 / jnp.where(p.mass_atom > 0, p.mass_atom, 1.0), 0.0)
+    v = sys.v + (p.dtf * minv)[:, None] * f
+    v = jnp.where(sys.mask[:, None], v, 0.0)
+    x = sys.x + p.dtv * v
+    return sys.replace(x=x, v=v)
+
+
+def final_integrate(sys: System, f, p: NVEParams) -> System:
+    minv = jnp.where(p.mass_atom > 0, 1.0 / jnp.where(p.mass_atom > 0, p.mass_atom, 1.0), 0.0)
+    v = sys.v + (p.dtf * minv)[:, None] * f
+    v = jnp.where(sys.mask[:, None], v, 0.0)
+    return sys.replace(v=v)

@@ -1,0 +1,174 @@
+"""LAMMPS data-file reader (``read_data`` command).
+
+Parses the subset used by the reference's examples and benchmarks
+(read_data.cpp:119): header (counts, types, box bounds), Masses, Atoms
+(``full``: id mol type q x y z [ix iy iz]; ``atomic``: id type x y z),
+Bonds, and Velocities sections.  Atom rows are sorted by id so array index ==
+id-1 (the reference keeps arbitrary order plus a tag->index map; a fixed
+order is the TPU-native equivalent).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class DataFile:
+    natoms: int
+    ntypes: int
+    box_lo: np.ndarray          # (3,)
+    box_hi: np.ndarray          # (3,)
+    x: np.ndarray               # (N,3)
+    q: np.ndarray               # (N,)
+    type: np.ndarray            # (N,) int, 1-based
+    mol: np.ndarray             # (N,) int
+    image: np.ndarray           # (N,3) int
+    v: np.ndarray | None        # (N,3) or None
+    mass: np.ndarray | None     # (ntypes+1,) or None (Masses section)
+    bonds: np.ndarray           # (NB,2) int atom ids (1-based), empty ok
+    nbondtypes: int = 0
+
+
+_HEADER_KEYS = (
+    "atoms", "bonds", "angles", "dihedrals", "impropers",
+    "atom types", "bond types", "angle types", "dihedral types",
+    "improper types",
+)
+
+_SECTIONS = {
+    "Masses", "Atoms", "Velocities", "Bonds", "Angles", "Dihedrals",
+    "Impropers", "Pair Coeffs", "Bond Coeffs", "Angle Coeffs",
+    "PairIJ Coeffs",
+}
+
+
+def _strip(line: str) -> str:
+    i = line.find("#")
+    if i >= 0:
+        line = line[:i]
+    return line.strip()
+
+
+def read_data(path: str, atom_style: str = "full") -> DataFile:
+    with open(path) as fh:
+        lines = fh.readlines()
+
+    counts = {k: 0 for k in _HEADER_KEYS}
+    box_lo = np.zeros(3)
+    box_hi = np.zeros(3)
+
+    # header: first line is a title; header ends at the first section keyword
+    i = 1
+    while i < len(lines):
+        raw = lines[i]
+        s = _strip(raw)
+        if not s:
+            i += 1
+            continue
+        first_words = s.split()
+        section = None
+        for name in _SECTIONS:
+            if s == name or s.startswith(name + " "):
+                section = name
+        if section or (first_words and first_words[0] in _SECTIONS):
+            break
+        toks = s.split()
+        matched = False
+        for key in _HEADER_KEYS:
+            kt = key.split()
+            if toks[len(toks) - len(kt):] == kt:
+                counts[key] = int(toks[0])
+                matched = True
+                break
+        if not matched:
+            if s.endswith("xlo xhi"):
+                box_lo[0], box_hi[0] = float(toks[0]), float(toks[1])
+            elif s.endswith("ylo yhi"):
+                box_lo[1], box_hi[1] = float(toks[0]), float(toks[1])
+            elif s.endswith("zlo zhi"):
+                box_lo[2], box_hi[2] = float(toks[0]), float(toks[1])
+            elif s.endswith("xy xz yz"):
+                if any(float(t) != 0.0 for t in toks[:3]):
+                    raise ValueError("triclinic boxes are not supported")
+        i += 1
+
+    n = counts["atoms"]
+    ntypes = counts["atom types"]
+    x = np.zeros((n, 3))
+    q = np.zeros(n)
+    typ = np.zeros(n, np.int32)
+    mol = np.zeros(n, np.int32)
+    image = np.zeros((n, 3), np.int32)
+    v = None
+    mass = None
+    bonds = np.zeros((counts["bonds"], 2), np.int64)
+
+    def read_section(start: int, nrows: int):
+        rows = []
+        j = start
+        while len(rows) < nrows and j < len(lines):
+            s = _strip(lines[j])
+            j += 1
+            if not s:
+                continue
+            rows.append(s.split())
+        return rows, j
+
+    while i < len(lines):
+        s = _strip(lines[i])
+        if not s:
+            i += 1
+            continue
+        name = s
+        if name.startswith("Atoms"):
+            rows, i = read_section(i + 1, n)
+            for r in rows:
+                aid = int(r[0])
+                k = aid - 1
+                if atom_style == "full":
+                    mol[k] = int(r[1])
+                    typ[k] = int(r[2])
+                    q[k] = float(r[3])
+                    x[k] = [float(r[4]), float(r[5]), float(r[6])]
+                    if len(r) >= 10:
+                        image[k] = [int(r[7]), int(r[8]), int(r[9])]
+                elif atom_style == "atomic":
+                    typ[k] = int(r[1])
+                    x[k] = [float(r[2]), float(r[3]), float(r[4])]
+                    if len(r) >= 8:
+                        image[k] = [int(r[5]), int(r[6]), int(r[7])]
+                else:
+                    raise ValueError(f"unsupported atom_style {atom_style}")
+        elif name.startswith("Velocities"):
+            rows, i = read_section(i + 1, n)
+            v = np.zeros((n, 3))
+            for r in rows:
+                v[int(r[0]) - 1] = [float(r[1]), float(r[2]), float(r[3])]
+        elif name.startswith("Masses"):
+            rows, i = read_section(i + 1, ntypes)
+            mass = np.zeros(ntypes + 1)
+            for r in rows:
+                mass[int(r[0])] = float(r[1])
+        elif name.startswith("Bonds"):
+            rows, i = read_section(i + 1, counts["bonds"])
+            for r in rows:
+                bonds[int(r[0]) - 1] = [int(r[2]), int(r[3])]
+        else:
+            # skip unknown section: its row count is unknown; consume until
+            # the next recognized section header (coeff sections etc.)
+            i += 1
+            while i < len(lines):
+                s2 = _strip(lines[i])
+                if s2 and any(s2 == k or s2.startswith(k + " ") for k in _SECTIONS):
+                    break
+                i += 1
+            continue
+
+    return DataFile(
+        natoms=n, ntypes=ntypes, box_lo=box_lo, box_hi=box_hi,
+        x=x, q=q, type=typ, mol=mol, image=image, v=v, mass=mass,
+        bonds=bonds, nbondtypes=counts["bond types"],
+    )

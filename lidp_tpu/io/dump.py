@@ -1,0 +1,45 @@
+"""Trajectory dump writer (``dump custom`` format).
+
+Matches the reference Dump::write (dump.cpp:302) / DumpCustom text layout used
+by the examples (columns like ``x y z type mol``), with ``dump_modify sort id``
+ordering (our arrays are already id-ordered).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def write_dump_frame(spec, sys, script, gmask):
+    x = np.asarray(sys.x)
+    # wrap into the box for output (the engine may keep rigid coords unwrapped)
+    lo, hi = np.asarray(sys.box.lo), np.asarray(sys.box.hi)
+    L = hi - lo
+    xw = x - np.floor((x - lo) / L) * L
+    ids = np.nonzero(gmask)[0]
+    colmap = {
+        "id": lambda i: i + 1,
+        "x": lambda i: xw[i, 0], "y": lambda i: xw[i, 1], "z": lambda i: xw[i, 2],
+        "xu": lambda i: x[i, 0], "yu": lambda i: x[i, 1], "zu": lambda i: x[i, 2],
+        "type": lambda i: script.type[i], "mol": lambda i: script.mol[i],
+        "vx": lambda i: float(sys.v[i, 0]), "vy": lambda i: float(sys.v[i, 1]),
+        "vz": lambda i: float(sys.v[i, 2]),
+    }
+    mode = "a" if getattr(spec, "_started", False) else "w"
+    with open(spec.path, mode) as fh:
+        fh.write("ITEM: TIMESTEP\n%d\n" % int(sys.step))
+        fh.write("ITEM: NUMBER OF ATOMS\n%d\n" % len(ids))
+        fh.write("ITEM: BOX BOUNDS pp pp pp\n")
+        for d in range(3):
+            fh.write("%-1.16e %-1.16e\n" % (lo[d], hi[d]))
+        fh.write("ITEM: ATOMS " + " ".join(spec.columns) + "\n")
+        for i in ids:
+            vals = []
+            for c in spec.columns:
+                v = colmap[c](i)
+                if c in ("type", "mol", "id"):
+                    vals.append(str(int(v)))
+                else:
+                    vals.append("%g" % v)
+            fh.write(" ".join(vals) + "\n")
+    spec._started = True

@@ -1,0 +1,479 @@
+"""LAMMPS input-script interpreter.
+
+Executes the command subset used by the reference's bundled inputs
+(bench/in.lj, polarization/examples/*): the reference's Input::file/one
+dispatch (input.cpp:151,286,761) with $-substitution (input.cpp:330) and
+simple equal-style variable arithmetic (variable.cpp).
+
+Command-order semantics are preserved — notably `units` resets the timestep
+to the style default (update.cpp set_units), which is why the polarization
+examples (where `timestep 2` precedes `units real`) effectively run dt=1.
+
+The interpreter accumulates configuration host-side; `run N` assembles the
+jitted simulation (System + ForceField + integrator + thermo) and advances it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+import re
+from typing import Optional
+
+import numpy as np
+
+from lidp_tpu import topology as topo_mod
+from lidp_tpu import units as units_mod
+from lidp_tpu import velocity as velocity_mod
+from lidp_tpu import lattice as lattice_mod
+from lidp_tpu.io.data_reader import read_data
+
+_NUM_RE = re.compile(r"^[\d eE+\-*/().]+$")
+
+
+def _evaluate(expr: str) -> float:
+    if not _NUM_RE.match(expr):
+        raise ValueError(f"unsupported expression: {expr!r}")
+    return float(eval(expr, {"__builtins__": {}}, {}))  # noqa: S307
+
+
+def _yesno(tok: str) -> bool:
+    if tok == "yes":
+        return True
+    if tok == "no":
+        return False
+    raise ValueError(f"expected yes/no, got {tok!r}")
+
+
+@dataclasses.dataclass
+class PairStyleSpec:
+    name: str = ""
+    cut_lj_global: float = 0.0
+    cut_coul: float = 0.0
+    # polarization keywords, defaults per constructor (...polarization.cpp:63-79)
+    iterations_max: int = 50
+    damping_type: str = "none"
+    polar_damp: float = 2.1304
+    zodid: bool = False
+    polar_precision: float = 1e-11
+    fixed_iteration: bool = False
+    polar_gs: bool = False
+    polar_gs_ranked: bool = True
+    polar_gamma: float = 1.03
+    use_previous: bool = False
+    debug: bool = False
+
+
+@dataclasses.dataclass
+class FixSpec:
+    fid: str
+    group: str
+    style: str
+    args: list
+
+
+@dataclasses.dataclass
+class DumpSpec:
+    did: str
+    group: str
+    style: str
+    every: int
+    path: str
+    columns: list
+    sort_id: bool = False
+
+
+class LammpsScript:
+    """Host-side interpreter state + executor."""
+
+    def __init__(self, root: str = ".", dtype=None, log=None,
+                 thermo_callback=None, speed_mode: bool = False):
+        import jax.numpy as jnp
+
+        self.root = root
+        self.dtype = dtype if dtype is not None else jnp.float64
+        self.log = log or (lambda *a: None)
+        self.thermo_callback = thermo_callback
+        self.speed_mode = speed_mode  # allow f32/neighbor-list fast paths
+
+        self.variables: dict[str, str] = {}
+        self.units = units_mod.LJ
+        self.dt: float = self.units.dt
+        self.skin: float = self.units.skin
+        self.atom_style = "atomic"
+        self.boundary = "p p p"
+        self.data = None             # DataFile
+        self.lattice_style = None
+        self.lattice_spacing = 0.0
+        self.regions: dict[str, tuple] = {}
+        self.box_lo = None
+        self.box_hi = None
+        self.x = None                # (N,3) numpy
+        self.v = None
+        self.q = None
+        self.type = None
+        self.mol = None
+        self.image = None
+        self.ntypes = 0
+        self.mass_type = None        # (T+1,)
+        self.alpha_type = None       # (T+1,)
+        self.pair = PairStyleSpec()
+        self.pair_coeffs: dict[tuple, tuple] = {}
+        self.kspace: Optional[tuple] = None      # (style, accuracy)
+        # index 0 = factor for non-special pairs, always 1.0 (force.h special_lj)
+        self.special_lj = [1.0, 0.0, 0.0, 0.0]
+        self.special_coul = [1.0, 0.0, 0.0, 0.0]
+        self.groups: dict[str, np.ndarray] = {}
+        self.computes: dict[str, tuple] = {}
+        self.fixes: dict[str, FixSpec] = {}
+        self.dumps: dict[str, DumpSpec] = {}
+        self.thermo_every = 0
+        self.thermo_columns = ["step", "temp", "epair", "emol", "etotal", "press"]
+        self.neigh_every = 1
+        self.neigh_delay = 10
+        self.neigh_check = True
+        self.step = 0
+        self.thermo_rows: list[dict] = []
+        self._sim = None             # live Simulation between run commands
+
+    # ------------------------------ parsing ------------------------------
+
+    def file(self, path: str):
+        self.root = os.path.dirname(os.path.abspath(path))
+        with open(path) as fh:
+            for raw in fh:
+                self.one(raw)
+
+    def one(self, line: str):
+        line = line.split("#", 1)[0].strip()
+        if not line:
+            return
+        line = self._substitute(line)
+        toks = line.split()
+        cmd, args = toks[0], toks[1:]
+        handler = getattr(self, "cmd_" + cmd, None)
+        if handler is None:
+            raise ValueError(f"unsupported command: {cmd}")
+        handler(args)
+
+    def _substitute(self, line: str) -> str:
+        out = []
+        i = 0
+        while i < len(line):
+            c = line[i]
+            if c == "$":
+                if line[i + 1] == "{":
+                    j = line.index("}", i)
+                    name = line[i + 2:j]
+                    i = j + 1
+                else:
+                    name = line[i + 1]
+                    i += 2
+                out.append(self.variables[name])
+            else:
+                out.append(c)
+                i += 1
+        return "".join(out)
+
+    # ----------------------------- commands ------------------------------
+
+    def cmd_variable(self, a):
+        name, style = a[0], a[1]
+        if style == "index":
+            if name not in self.variables:
+                self.variables[name] = a[2]
+        elif style == "equal":
+            val = _evaluate(" ".join(a[2:]))
+            self.variables[name] = repr(val) if val != int(val) else str(int(val))
+        elif style == "string":
+            self.variables[name] = a[2]
+        else:
+            raise ValueError(f"unsupported variable style {style}")
+
+    def cmd_units(self, a):
+        self.units = units_mod.get(a[0])
+        self.dt = self.units.dt        # units resets dt (update.cpp:147 etc.)
+        self.skin = self.units.skin
+
+    def cmd_timestep(self, a):
+        self.dt = float(a[0])
+
+    def cmd_boundary(self, a):
+        self.boundary = " ".join(a)
+        if set(a) != {"p"}:
+            raise ValueError("only fully periodic boundaries supported")
+
+    def cmd_atom_style(self, a):
+        self.atom_style = a[0]
+
+    def cmd_dimension(self, a):
+        if a[0] != "3":
+            raise ValueError("only 3d supported")
+
+    def cmd_processors(self, a):
+        pass
+
+    def cmd_log(self, a):
+        pass
+
+    def cmd_echo(self, a):
+        pass
+
+    def cmd_neighbor(self, a):
+        self.skin = float(a[0])
+
+    def cmd_neigh_modify(self, a):
+        i = 0
+        while i < len(a):
+            k = a[i]
+            if k == "every":
+                self.neigh_every = int(a[i + 1]); i += 2
+            elif k == "delay":
+                self.neigh_delay = int(a[i + 1]); i += 2
+            elif k == "check":
+                self.neigh_check = _yesno(a[i + 1]); i += 2
+            elif k == "exclude":
+                i = len(a)  # commented out in examples; ignore if present
+            else:
+                i += 2
+
+    def cmd_lattice(self, a):
+        self.lattice_style = a[0]
+        self.lattice_spacing = lattice_mod.lattice_spacing(
+            a[0], float(a[1]), self.units.name)
+
+    def cmd_region(self, a):
+        name, style = a[0], a[1]
+        if style != "block":
+            raise ValueError("only block regions supported")
+        vals = [float(v) for v in a[2:8]]
+        self.regions[name] = tuple(vals)
+
+    def cmd_create_box(self, a):
+        self.ntypes = int(a[0])
+        lo_hi = self.regions[a[1]]
+        s = self.lattice_spacing or 1.0
+        self.box_lo = np.array([lo_hi[0], lo_hi[2], lo_hi[4]]) * s
+        self.box_hi = np.array([lo_hi[1], lo_hi[3], lo_hi[5]]) * s
+        self.mass_type = np.zeros(self.ntypes + 1)
+        self.alpha_type = np.zeros(self.ntypes + 1)
+
+    def cmd_create_atoms(self, a):
+        ty = int(a[0])
+        assert a[1] == "box"
+        L = self.box_hi - self.box_lo
+        s = self.lattice_spacing
+        nx, ny, nz = (int(round(l / s)) for l in L)
+        x, _ = lattice_mod.create_atoms_box(self.lattice_style, s, nx, ny, nz)
+        x = x + self.box_lo
+        n = x.shape[0]
+        self.x = x
+        self.v = np.zeros((n, 3))
+        self.q = np.zeros(n)
+        self.type = np.full(n, ty, np.int32)
+        self.mol = np.zeros(n, np.int32)
+        self.image = np.zeros((n, 3), np.int32)
+        self._bonds = np.zeros((0, 2), np.int64)
+        self.groups["all"] = np.ones(n, bool)
+
+    def cmd_read_data(self, a):
+        path = os.path.join(self.root, a[0])
+        d = read_data(path, atom_style=self.atom_style)
+        self.data = d
+        self.ntypes = d.ntypes
+        self.box_lo, self.box_hi = d.box_lo, d.box_hi
+        self.x, self.q = d.x, d.q
+        self.type, self.mol, self.image = d.type, d.mol, d.image
+        self.v = d.v if d.v is not None else np.zeros_like(d.x)
+        self.mass_type = d.mass if d.mass is not None else np.zeros(d.ntypes + 1)
+        self.alpha_type = np.zeros(d.ntypes + 1)
+        self._bonds = d.bonds
+        self.groups["all"] = np.ones(d.natoms, bool)
+
+    def cmd_mass(self, a):
+        self.mass_type[int(a[0])] = float(a[1])
+
+    def cmd_set(self, a):
+        if a[0] == "type" and a[2] == "static_polarizability":
+            val = float(a[3])
+            if val < 0:
+                raise ValueError("static_polarizability must be >= 0 (set.cpp:178)")
+            self.alpha_type[int(a[1])] = val
+        else:
+            raise ValueError(f"unsupported set command: {a}")
+
+    def cmd_pair_style(self, a):
+        p = PairStyleSpec(name=a[0])
+        if a[0] == "lj/cut":
+            p.cut_lj_global = float(a[1])
+        elif a[0] in ("lj/cut/coul/long", "lj/cut/coul/long/polarization"):
+            p.cut_lj_global = float(a[1])
+            p.cut_coul = float(a[2]) if len(a) > 2 and _NUM_RE.match(a[2]) \
+                else p.cut_lj_global
+            i = 3 if (len(a) > 2 and _NUM_RE.match(a[2])) else 2
+            while i < len(a):
+                k, v = a[i], a[i + 1]
+                if k == "precision":
+                    p.polar_precision = float(v)
+                elif k == "zodid":
+                    if p.polar_gs or p.polar_gs_ranked:
+                        raise ValueError(
+                            "Zodid doesn't work with polar_gs or polar_gs_ranked")
+                    p.zodid = _yesno(v)
+                elif k == "fixed_iteration":
+                    p.fixed_iteration = _yesno(v)
+                elif k == "damp":
+                    p.polar_damp = float(v)
+                elif k == "max_iterations":
+                    p.iterations_max = int(v)
+                elif k == "damp_type":
+                    p.damping_type = v
+                elif k == "polar_gs":
+                    if p.polar_gs_ranked:
+                        raise ValueError(
+                            "polar_gs and polar_gs_ranked are mutually exclusive")
+                    p.polar_gs = _yesno(v)
+                elif k == "polar_gs_ranked":
+                    if p.polar_gs:
+                        raise ValueError(
+                            "polar_gs and polar_gs_ranked are mutually exclusive")
+                    p.polar_gs_ranked = _yesno(v)
+                elif k == "polar_gamma":
+                    p.polar_gamma = float(v)
+                elif k == "debug":
+                    p.debug = _yesno(v)
+                elif k == "use_previous":
+                    p.use_previous = _yesno(v)
+                else:
+                    raise ValueError(f"Illegal pair_style keyword {k}")
+                i += 2
+        else:
+            raise ValueError(f"unsupported pair_style {a[0]}")
+        self.pair = p
+
+    def cmd_pair_coeff(self, a):
+        i, j = int(a[0]), int(a[1])
+        eps, sig = float(a[2]), float(a[3])
+        cut = float(a[4]) if len(a) > 4 else self.pair.cut_lj_global
+        self.pair_coeffs[(min(i, j), max(i, j))] = (eps, sig, cut)
+
+    def cmd_kspace_style(self, a):
+        if a[0] == "none":
+            self.kspace = None
+        else:
+            self.kspace = (a[0], float(a[1]))
+
+    def cmd_special_bonds(self, a):
+        if a[0] == "lj/coul":
+            vals = [float(v) for v in a[1:4]]
+            self.special_lj[1:] = vals
+            self.special_coul[1:] = vals
+        elif a[0] == "lj":
+            self.special_lj[1:] = [float(v) for v in a[1:4]]
+        elif a[0] == "coul":
+            self.special_coul[1:] = [float(v) for v in a[1:4]]
+        else:
+            raise ValueError(f"unsupported special_bonds {a}")
+
+    def cmd_group(self, a):
+        name = a[0]
+        n = self.x.shape[0]
+        if a[1] == "molecule":
+            op, val = a[2], float(a[3])
+            m = self.mol.astype(float)
+            sel = {
+                ">": m > val, "<": m < val, ">=": m >= val,
+                "<=": m <= val, "==": m == val, "!=": m != val,
+            }[op]
+        elif a[1] == "type":
+            sel = np.isin(self.type, [int(v) for v in a[2:]])
+        elif a[1] == "id":
+            sel = np.isin(np.arange(1, n + 1), [int(v) for v in a[2:]])
+        else:
+            raise ValueError(f"unsupported group style {a[1]}")
+        self.groups[name] = sel
+
+    def cmd_compute(self, a):
+        cid, group, style = a[0], a[1], a[2]
+        if style != "temp":
+            raise ValueError(f"unsupported compute style {style}")
+        self.computes[cid] = (group, style)
+
+    def cmd_thermo_style(self, a):
+        assert a[0] == "custom"
+        self.thermo_columns = a[1:]
+
+    def cmd_thermo(self, a):
+        self.thermo_every = int(a[0])
+
+    def cmd_thermo_modify(self, a):
+        pass
+
+    def cmd_dump(self, a):
+        did, group, style, every = a[0], a[1], a[2], int(a[3])
+        path = os.path.join(self.root, a[4])
+        self.dumps[did] = DumpSpec(did=did, group=group, style=style,
+                                   every=every, path=path, columns=a[5:])
+
+    def cmd_dump_modify(self, a):
+        if a[0] in self.dumps and "sort" in a:
+            self.dumps[a[0]].sort_id = True
+
+    def cmd_undump(self, a):
+        self.dumps.pop(a[0], None)
+
+    def cmd_velocity(self, a):
+        group = a[0]
+        assert a[1] == "create"
+        t_desired = float(a[2])
+        seed = int(a[3])
+        kw = dict(dist="uniform", loop="all", momentum=False, rotation=False)
+        i = 4
+        while i < len(a):
+            k, v = a[i], a[i + 1]
+            if k == "dist":
+                kw["dist"] = v
+            elif k == "loop":
+                kw["loop"] = v
+            elif k == "mom":
+                kw["momentum"] = _yesno(v)
+            elif k == "rot":
+                kw["rotation"] = _yesno(v)
+            elif k == "units":
+                pass
+            i += 2
+        if group != "all":
+            raise ValueError("velocity on sub-groups not supported yet")
+        mass_atom = self.mass_type[self.type]
+        self.v = velocity_mod.create(
+            self.x, mass_atom, t_desired, seed, units=self.units,
+            image=self.image, box_lengths=self.box_hi - self.box_lo, **kw)
+        self._sim = None   # state changed; rebuild simulation lazily
+
+    def cmd_fix(self, a):
+        fid, group, style = a[0], a[1], a[2]
+        if style not in ("nve", "rigid/nve", "rigid/nvt"):
+            raise ValueError(f"unsupported fix style {style}")
+        self.fixes[fid] = FixSpec(fid=fid, group=group, style=style, args=a[3:])
+        self._sim = None
+
+    def cmd_unfix(self, a):
+        self.fixes.pop(a[0], None)
+        self._sim = None
+
+    def cmd_run(self, a):
+        nsteps = int(a[0])
+        self._run(nsteps)
+
+    def cmd_reset_timestep(self, a):
+        self.step = int(a[0])
+
+    # ------------------------- simulation assembly -------------------------
+
+    def _run(self, nsteps: int):
+        from lidp_tpu.sim import Simulation
+
+        if self._sim is None:
+            self._sim = Simulation.from_script(self)
+        self._sim.run(nsteps)

@@ -1,0 +1,66 @@
+"""The bench/in.lj configuration: 32k-atom LJ melt, NVE.
+
+Mirrors the reference benchmark input (bench/in.lj): fcc lattice at reduced
+density 0.8442, 20x20x20 cells (x scale factors supported), T*=1.44 velocities
+seeded geometrically (seed 87287), lj/cut 2.5, neighbor skin 0.3 rebuilt every
+20 steps without checking.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from lidp_tpu import lattice, units, velocity
+from lidp_tpu.box import Box
+from lidp_tpu.forcefield import ForceField
+from lidp_tpu.integrate import nve
+from lidp_tpu.integrate.driver import Runner, nve_integrator
+from lidp_tpu.ops.neighbor import NeighborConfig
+from lidp_tpu.ops.pair import make_pair_params
+from lidp_tpu.state import System, make_system
+from lidp_tpu.thermo import ThermoParams
+
+
+@dataclasses.dataclass
+class LJMelt:
+    system: System
+    runner: Runner
+    thermo: ThermoParams
+    natoms: int
+
+
+def build(scale: int = 1, dtype=jnp.float64, *,
+          use_neighbor_list: bool = True,
+          max_neighbors: int = 96, bin_cap: int = 40) -> LJMelt:
+    u = units.LJ
+    rho, nx = 0.8442, 20 * scale
+    a = lattice.lattice_spacing("fcc", rho)
+    x_np, hi = lattice.create_atoms_box("fcc", a, nx, nx, nx)
+    n = x_np.shape[0]
+
+    v_np = velocity.create(
+        x_np, np.ones(n), 1.44, 87287, units=u, dist="uniform", loop="geom")
+
+    box = Box.create(np.zeros(3), hi, dtype=dtype)
+    sys = make_system(x_np, box=box, v=v_np, dtype=dtype)
+
+    T = 1
+    eps = np.zeros((T + 1, T + 1)); eps[1, 1] = 1.0
+    sig = np.zeros((T + 1, T + 1)); sig[1, 1] = 1.0
+    cut = np.zeros((T + 1, T + 1)); cut[1, 1] = 2.5
+    pair = make_pair_params(eps, sig, cut, coul=False, dtype=dtype)
+    ff = ForceField(pair=pair)
+
+    ncfg = None
+    if use_neighbor_list:
+        ncfg = NeighborConfig.for_box(hi, 2.5 + u.skin, bin_cap=bin_cap,
+                                      max_neighbors=max_neighbors)
+
+    nvep = nve.NVEParams.create(u.dt, u.ftm2v, np.ones(n), dtype=dtype)
+    runner = Runner(ff=ff, integ=nve_integrator(nvep),
+                    neighbor_cfg=ncfg, rebuild_every=20)
+    tp = ThermoParams.create(np.ones(n), dof=3 * n - 3, units=u, norm=True, natoms=n)
+    return LJMelt(system=sys, runner=runner, thermo=tp, natoms=n)

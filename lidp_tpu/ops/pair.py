@@ -1,0 +1,227 @@
+"""Short-range pair interactions: LJ + real-space Ewald Coulomb.
+
+Reproduces the neighbor-list kernel of the reference pair styles
+``lj/cut`` (pair_lj_cut.cpp) and the LJ+coulomb part of
+``lj/cut/coul/long/polarization`` (pair_lj_cut_coul_long_polarization.cpp:232-321)
+as masked all-pairs tensor ops:
+
+  * erfc via the same 5-term Abramowitz-Stegun polynomial
+    (constants EWALD_F/P, A1..A5, ...polarization.cpp:43-49) so real-space
+    Coulomb matches bit-close;
+  * special-bond scaling: ``forcecoul -= (1-factor_coul)*prefactor``
+    (...polarization.cpp:266) — the kspace-present convention where excluded
+    pairs keep ``-q_i q_j erf(g r)/r`` to cancel the reciprocal sum;
+  * energies/virial are half-sums over the full (i,j) matrix, numerically
+    identical to the reference's Newton half-list ``ev_tally`` totals.
+
+The dense (N,N) form is used for N up to a few thousand (the polarization
+examples); the row-blocked scan form handles larger N (bench/in.lj at 32k)
+without materializing (N,N,3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from lidp_tpu.box import Box, minimum_image
+
+# Abramowitz & Stegun 7.1.26 erfc approximation, constants identical to the
+# reference (pair_lj_cut_coul_long_polarization.cpp:43-49).
+EWALD_F = 1.12837917
+EWALD_P = 0.3275911
+A1 = 0.254829592
+A2 = -0.284496736
+A3 = 1.421413741
+A4 = -1.453152027
+A5 = 1.061405429
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PairParams:
+    """Type-pair tables, index [type_i, type_j], row/col 0 unused (LAMMPS 1-based).
+
+    lj1 = 48 eps sigma^12, lj2 = 24 eps sigma^6 (force), lj3 = 4 eps sigma^12,
+    lj4 = 4 eps sigma^6 (energy), offset = energy shift at cutoff
+    (Pair::init_one convention).
+    """
+
+    lj1: jax.Array
+    lj2: jax.Array
+    lj3: jax.Array
+    lj4: jax.Array
+    offset: jax.Array
+    cut_ljsq: jax.Array     # (T+1,T+1)
+    cutsq: jax.Array        # (T+1,T+1) max(cut_lj, cut_coul)^2
+    cut_coulsq: jax.Array   # () scalar
+    special_lj: jax.Array   # (4,) [1.0, s12, s13, s14]
+    special_coul: jax.Array
+    qqrd2e: jax.Array       # () scalar
+    g_ewald: jax.Array      # () scalar; 0 => no coulomb
+    coul: bool = dataclasses.field(metadata=dict(static=True), default=True)
+
+
+def make_pair_params(
+    epsilon, sigma, cut_lj, *, cut_coul=0.0, special_lj=(1.0, 0.0, 0.0, 0.0),
+    special_coul=(1.0, 0.0, 0.0, 0.0), qqrd2e=1.0, g_ewald=0.0, coul=False,
+    shift=False, dtype=jnp.float64,
+):
+    """Build PairParams from per-type-pair (T+1,T+1) epsilon/sigma/cut arrays."""
+    epsilon = jnp.asarray(epsilon, dtype)
+    sigma = jnp.asarray(sigma, dtype)
+    cut_lj = jnp.asarray(cut_lj, dtype)
+    s6 = sigma**6
+    lj1 = 48.0 * epsilon * s6 * s6
+    lj2 = 24.0 * epsilon * s6
+    lj3 = 4.0 * epsilon * s6 * s6
+    lj4 = 4.0 * epsilon * s6
+    if shift:
+        ratio6 = jnp.where(cut_lj > 0, (sigma / jnp.where(cut_lj > 0, cut_lj, 1.0)) ** 6, 0.0)
+        offset = 4.0 * epsilon * (ratio6**2 - ratio6)
+    else:
+        offset = jnp.zeros_like(epsilon)
+    cut_ljsq = cut_lj**2
+    cutsq = jnp.maximum(cut_lj, cut_coul if coul else 0.0) ** 2
+    return PairParams(
+        lj1=lj1, lj2=lj2, lj3=lj3, lj4=lj4, offset=offset,
+        cut_ljsq=cut_ljsq, cutsq=cutsq,
+        cut_coulsq=jnp.asarray(cut_coul, dtype) ** 2,
+        special_lj=jnp.asarray(special_lj, dtype),
+        special_coul=jnp.asarray(special_coul, dtype),
+        qqrd2e=jnp.asarray(qqrd2e, dtype),
+        g_ewald=jnp.asarray(g_ewald, dtype),
+        coul=coul,
+    )
+
+
+def _pair_terms(rsq, qi, qj, ti, tj, sp_code, p: PairParams, pair_mask):
+    """Per-pair LJ + Coulomb force magnitude (fpair / r == F.delta/r^2 factor)
+    and energies. Shapes broadcast; rsq must be masked nonzero."""
+    dtype = rsq.dtype
+    r2inv = 1.0 / rsq
+    factor_lj = p.special_lj[sp_code]
+    cutsq_ij = p.cutsq[ti, tj]
+    cut_ljsq_ij = p.cut_ljsq[ti, tj]
+
+    in_range = (rsq < cutsq_ij) & pair_mask
+    lj_mask = in_range & (rsq < cut_ljsq_ij)
+
+    r6inv = r2inv * r2inv * r2inv
+    forcelj = r6inv * (p.lj1[ti, tj] * r6inv - p.lj2[ti, tj])
+    evdwl = (r6inv * (p.lj3[ti, tj] * r6inv - p.lj4[ti, tj])
+             - p.offset[ti, tj]) * factor_lj
+    forcelj = jnp.where(lj_mask, forcelj * factor_lj, 0.0)
+    evdwl = jnp.where(lj_mask, evdwl, 0.0)
+
+    if p.coul:
+        factor_coul = p.special_coul[sp_code]
+        coul_mask = in_range & (rsq < p.cut_coulsq)
+        r = jnp.sqrt(rsq)
+        grij = p.g_ewald * r
+        expm2 = jnp.exp(-grij * grij)
+        t = 1.0 / (1.0 + EWALD_P * grij)
+        erfc = t * (A1 + t * (A2 + t * (A3 + t * (A4 + t * A5)))) * expm2
+        prefactor = p.qqrd2e * qi * qj / r
+        forcecoul = prefactor * (erfc + EWALD_F * grij * expm2)
+        forcecoul = forcecoul - (1.0 - factor_coul) * prefactor
+        ecoul = prefactor * erfc - (1.0 - factor_coul) * prefactor
+        forcecoul = jnp.where(coul_mask, forcecoul, 0.0)
+        ecoul = jnp.where(coul_mask, ecoul, 0.0)
+    else:
+        forcecoul = jnp.zeros_like(forcelj)
+        ecoul = jnp.zeros_like(evdwl)
+
+    fpair = (forcecoul + forcelj) * r2inv
+    return fpair.astype(dtype), evdwl, ecoul
+
+
+def dense_pair_forces(x, q, type_, sp_code, mask, box: Box, p: PairParams):
+    """All-pairs (N,N) evaluation. Returns (f, evdwl, ecoul, virial6).
+
+    virial6 ordering: xx yy zz xy xz yz (LAMMPS convention, pair.cpp:854).
+    """
+    n = x.shape[0]
+    L = box.lengths
+    delta = minimum_image(x[:, None, :] - x[None, :, :], L)  # (N,N,3)
+    rsq = jnp.sum(delta * delta, axis=-1)
+    eye = jnp.eye(n, dtype=bool)
+    pair_mask = (~eye) & mask[:, None] & mask[None, :]
+    rsq = jnp.where(pair_mask, rsq, 1.0)
+
+    fpair, evdwl, ecoul = _pair_terms(
+        rsq, q[:, None], q[None, :], type_[:, None], type_[None, :],
+        sp_code, p, pair_mask,
+    )
+    f = jnp.sum(fpair[:, :, None] * delta, axis=1)
+    evdwl_tot = 0.5 * jnp.sum(evdwl)
+    ecoul_tot = 0.5 * jnp.sum(ecoul)
+    w = 0.5 * fpair
+    virial = jnp.stack([
+        jnp.sum(w * delta[:, :, 0] * delta[:, :, 0]),
+        jnp.sum(w * delta[:, :, 1] * delta[:, :, 1]),
+        jnp.sum(w * delta[:, :, 2] * delta[:, :, 2]),
+        jnp.sum(w * delta[:, :, 0] * delta[:, :, 1]),
+        jnp.sum(w * delta[:, :, 0] * delta[:, :, 2]),
+        jnp.sum(w * delta[:, :, 1] * delta[:, :, 2]),
+    ])
+    return f, evdwl_tot, ecoul_tot, virial
+
+
+def blocked_pair_forces(x, q, type_, mask, box: Box, p: PairParams,
+                        block: int = 512):
+    """Row-blocked all-pairs evaluation for large N (no special bonds).
+
+    Scans over row blocks so peak memory is O(block * N); XLA fuses the
+    elementwise pair math inside the scan body. Suitable for bench/in.lj-scale
+    systems without a neighbor list.
+    """
+    n = x.shape[0]
+    nb = -(-n // block)
+    npad = nb * block
+    pad = npad - n
+
+    def pad0(a, fill=0):
+        return jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1),
+                       constant_values=fill)
+
+    xp = pad0(x)
+    qp = pad0(q)
+    tp = pad0(type_)
+    mp = pad0(mask, False)
+    L = box.lengths
+
+    xb = xp.reshape(nb, block, 3)
+    qb = qp.reshape(nb, block)
+    tb = tp.reshape(nb, block)
+    mb = mp.reshape(nb, block)
+    row_ids = jnp.arange(npad).reshape(nb, block)
+
+    def body(carry, blk):
+        xi, qi, ti, mi, rid = blk
+        delta = minimum_image(xi[:, None, :] - xp[None, :, :], L)  # (B,N,3)
+        rsq = jnp.sum(delta * delta, axis=-1)
+        not_self = rid[:, None] != jnp.arange(npad)[None, :]
+        pm = not_self & mi[:, None] & mp[None, :]
+        rsq = jnp.where(pm, rsq, 1.0)
+        fpair, evdwl, ecoul = _pair_terms(
+            rsq, qi[:, None], qp[None, :], ti[:, None], tp[None, :],
+            0, p, pm,
+        )
+        fblk = jnp.sum(fpair[:, :, None] * delta, axis=1)
+        w = 0.5 * fpair
+        vir = jnp.stack([
+            jnp.sum(w * delta[:, :, 0] * delta[:, :, 0]),
+            jnp.sum(w * delta[:, :, 1] * delta[:, :, 1]),
+            jnp.sum(w * delta[:, :, 2] * delta[:, :, 2]),
+            jnp.sum(w * delta[:, :, 0] * delta[:, :, 1]),
+            jnp.sum(w * delta[:, :, 0] * delta[:, :, 2]),
+            jnp.sum(w * delta[:, :, 1] * delta[:, :, 2]),
+        ])
+        return carry, (fblk, 0.5 * jnp.sum(evdwl), 0.5 * jnp.sum(ecoul), vir)
+
+    _, (fb, ev, ec, vir) = jax.lax.scan(body, None, (xb, qb, tb, mb, row_ids))
+    f = fb.reshape(npad, 3)[:n]
+    return f, jnp.sum(ev), jnp.sum(ec), jnp.sum(vir, axis=0)

@@ -1,0 +1,265 @@
+"""Simulation assembly: interpreter state -> jitted runnable system.
+
+The analog of LAMMPS init phase (Run::command -> LAMMPS::init, run.cpp:38):
+builds the System pytree, force-field parameter tables (with Lorentz-Berthelot
+mixing for unset type pairs, Pair::init_one pair.cpp:660,676), Ewald k-space
+setup, integrator params (fix nve / fix rigid), temperature dof bookkeeping
+(including FixRigid::dof removal, fix_rigid.cpp:1181), thermo columns and
+dump writers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from lidp_tpu import topology as topo_mod
+from lidp_tpu.box import Box
+from lidp_tpu.forcefield import ForceField
+from lidp_tpu.integrate import nve as nve_mod
+from lidp_tpu.integrate import rigid as rigid_mod
+from lidp_tpu.integrate.driver import (Runner, nve_integrator,
+                                       rigid_nve_integrator)
+from lidp_tpu.ops import polarization as pol_ops
+from lidp_tpu.ops.ewald import EwaldParams, setup_ewald_disp
+from lidp_tpu.ops.neighbor import NeighborConfig
+from lidp_tpu.ops.pair import make_pair_params
+from lidp_tpu.state import make_system
+from lidp_tpu.thermo import ThermoParams, ke_total, pressure, temperature
+
+DENSE_PATH_MAX_ATOMS = 4096
+
+
+def _mix_pair_tables(script):
+    """Per-type-pair eps/sigma/cut tables with geometric mixing for unset
+    pairs (Pair::mix_energy/mix_distance defaults for lj/cut styles)."""
+    T = script.ntypes
+    eps = np.zeros((T + 1, T + 1))
+    sig = np.zeros((T + 1, T + 1))
+    cut = np.full((T + 1, T + 1), script.pair.cut_lj_global)
+    seen = np.zeros((T + 1, T + 1), bool)
+    for (i, j), (e, s, c) in script.pair_coeffs.items():
+        eps[i, j] = eps[j, i] = e
+        sig[i, j] = sig[j, i] = s
+        cut[i, j] = cut[j, i] = c
+        seen[i, j] = seen[j, i] = True
+    for i in range(1, T + 1):
+        for j in range(i + 1, T + 1):
+            if not seen[i, j]:
+                if not (seen[i, i] and seen[j, j]):
+                    continue
+                eps[i, j] = eps[j, i] = np.sqrt(eps[i, i] * eps[j, j])
+                sig[i, j] = sig[j, i] = np.sqrt(sig[i, i] * sig[j, j])
+                cut[i, j] = cut[j, i] = 0.5 * (cut[i, i] + cut[j, j])
+    return eps, sig, cut
+
+
+@dataclasses.dataclass
+class Simulation:
+    script: object
+    sys: object
+    runner: Runner
+    thermo_params: ThermoParams
+    group_thermo: dict           # compute id -> ThermoParams (temp computes)
+    res: object = None
+    nlist: object = None
+    istate: object = None
+    natoms: int = 0
+
+    @staticmethod
+    def from_script(script) -> "Simulation":
+        import jax.numpy as jnp
+
+        u = script.units
+        dtype = script.dtype
+        n = script.x.shape[0]
+        mass_atom = script.mass_type[script.type]
+        alpha = script.alpha_type[script.type]
+
+        box = Box.create(script.box_lo, script.box_hi, dtype=dtype)
+        sys = make_system(
+            script.x, box=box, v=script.v, q=script.q, type=script.type,
+            mol=script.mol, alpha=alpha, image=script.image, dtype=dtype)
+        sys = sys.replace(step=jnp.asarray(script.step, jnp.int32))
+
+        # ---- pair tables ----
+        eps, sig, cut = _mix_pair_tables(script)
+        coul = "coul" in script.pair.name
+        pair = make_pair_params(
+            eps, sig, cut,
+            cut_coul=script.pair.cut_coul if coul else 0.0,
+            special_lj=np.array(script.special_lj),
+            special_coul=np.array(script.special_coul),
+            qqrd2e=u.qqr2e, coul=coul, dtype=dtype)
+
+        # ---- kspace ----
+        ew = None
+        es = None
+        if script.kspace is not None:
+            style, acc = script.kspace
+            es = setup_ewald_disp(
+                accuracy_rel=acc, qqrd2e=u.qqr2e, q=script.q, natoms=n,
+                cutoff=script.pair.cut_coul,
+                box_lengths=script.box_hi - script.box_lo)
+            pair = dataclasses.replace(
+                pair, g_ewald=jnp.asarray(es.g_ewald, dtype))
+            ew = EwaldParams.from_setup(es, u.qqr2e, dtype=dtype)
+
+        # ---- polarization ----
+        pol = None
+        if script.pair.name.endswith("/polarization"):
+            p = script.pair
+            pol = pol_ops.PolarizationSettings(
+                iterations_max=p.iterations_max,
+                damping_type=(pol_ops.DAMPING_EXPONENTIAL
+                              if p.damping_type == "exponential"
+                              else pol_ops.DAMPING_NONE),
+                polar_damp=p.polar_damp, zodid=p.zodid,
+                polar_precision=p.polar_precision,
+                fixed_iteration=p.fixed_iteration, polar_gs=p.polar_gs,
+                polar_gs_ranked=p.polar_gs_ranked, polar_gamma=p.polar_gamma,
+                use_previous=p.use_previous)
+
+        sp_code = None
+        if getattr(script, "_bonds", None) is not None and len(script._bonds):
+            sp_code = jnp.asarray(topo_mod.special_codes_dense(n, script._bonds))
+
+        ff = ForceField(pair=pair, ewald=ew, polar=pol, sp_code=sp_code,
+                        qqrd2e=u.qqr2e)
+
+        # ---- integrator from fixes ----
+        integ = None
+        dof_removed = 0.0
+        rigid_groups = []
+        if len(script.fixes) > 1:
+            raise NotImplementedError("multiple simultaneous fixes")
+        for spec in script.fixes.values():
+            gmask = script.groups[spec.group]
+            if spec.style == "nve":
+                nvep = nve_mod.NVEParams.create(
+                    script.dt, u.ftm2v, mass_atom, dtype=dtype)
+                if not gmask.all():
+                    raise NotImplementedError("fix nve on sub-group")
+                integ = nve_integrator(nvep)
+            elif spec.style == "rigid/nve":
+                x_unwrap = script.x + script.image * (script.box_hi - script.box_lo)
+                rsetup = rigid_mod.setup_bodies(x_unwrap, mass_atom,
+                                                script.mol, gmask)
+                rp = rigid_mod.make_rigid_params(rsetup, script.dt, u.ftm2v,
+                                                 dtype=dtype)
+                integ = rigid_nve_integrator(rp, jnp.asarray(mass_atom, dtype))
+                dof_removed += rsetup.dof_removed
+                rigid_groups.append((spec.group, rsetup))
+            else:
+                raise NotImplementedError(f"fix style {spec.style}")
+        if integ is None:
+            nvep = nve_mod.NVEParams.create(0.0, u.ftm2v, mass_atom, dtype=dtype)
+            integ = nve_integrator(nvep)   # no integration fix: atoms frozen
+
+        # ---- neighbor strategy ----
+        ncfg = None
+        rebuild_every = 1
+        if n > DENSE_PATH_MAX_ATOMS or script.speed_mode:
+            cutmax = float(np.max(cut))
+            if coul:
+                cutmax = max(cutmax, script.pair.cut_coul)
+            ncfg = NeighborConfig.for_box(
+                script.box_hi - script.box_lo, cutmax + script.skin)
+            rebuild_every = script.neigh_every if not script.neigh_check else 1
+
+        runner = Runner(ff=ff, integ=integ, neighbor_cfg=ncfg,
+                        rebuild_every=rebuild_every)
+
+        # ---- thermo ----
+        dof = 3 * n - 3 - dof_removed
+        tp = ThermoParams.create(mass_atom, dof=dof, units=u,
+                                 norm=(u.name == "lj"), natoms=n)
+        group_tp = {}
+        for cid, (gname, style) in script.computes.items():
+            gmask = script.groups[gname]
+            ng = int(gmask.sum())
+            gdof = 3 * ng - 3
+            for gsp, rsetup in rigid_groups:
+                # bodies wholly inside the compute group lose constrained dof
+                inb = rsetup.body_of_atom >= 0
+                if np.all(gmask[inb] == True):  # noqa: E712
+                    gdof -= rsetup.dof_removed
+            gm = np.where(gmask, mass_atom, 0.0)
+            group_tp[cid] = ThermoParams.create(
+                gm, dof=gdof, units=u, norm=False, natoms=ng)
+
+        return Simulation(script=script, sys=sys, runner=runner,
+                          thermo_params=tp, group_thermo=group_tp, natoms=n)
+
+    # ------------------------------- running -------------------------------
+
+    def _thermo_row(self):
+        from lidp_tpu.thermo import thermo_row
+
+        row = {k: float(v) for k, v in
+               thermo_row(self.sys, self.res, self.thermo_params).items()}
+        for cid, tp in self.group_thermo.items():
+            row["c_" + cid] = float(temperature(self.sys, tp))
+        row["epair"] = row["pe"]
+        row["emol"] = 0.0
+        return row
+
+    def _emit(self):
+        row = self._thermo_row()
+        self.script.thermo_rows.append(row)
+        if self.script.thermo_callback:
+            self.script.thermo_callback(row)
+        cb_cols = self.script.thermo_columns
+        vals = []
+        for c in cb_cols:
+            key = {"etotal": "etotal", "ke": "ke", "pe": "pe",
+                   "evdwl": "evdwl", "ecoul": "ecoul", "elong": "elong",
+                   "epol": "epol", "temp": "temp", "press": "press",
+                   "step": "step", "epair": "epair", "emol": "emol",
+                   }.get(c, c)
+            vals.append(row.get(key, float("nan")))
+        self.script.log(" ".join(
+            f"{int(v)}" if c == "step" else f"{v:.8g}"
+            for c, v in zip(cb_cols, vals)))
+
+    _HEADER = {"step": "Step", "etotal": "TotEng", "ke": "KinEng",
+               "pe": "PotEng", "evdwl": "E_vdwl", "ecoul": "E_coul",
+               "elong": "E_long", "epol": "E_pol", "temp": "Temp",
+               "press": "Press", "epair": "E_pair", "emol": "E_mol"}
+
+    def run(self, nsteps: int):
+        if self.res is None:
+            self.sys, self.res, self.nlist, self.istate = \
+                self.runner.setup(self.sys)
+        self.script.log(" ".join(
+            self._HEADER.get(c, c) for c in self.script.thermo_columns))
+        self._emit()
+        self._dump()
+        remaining = nsteps
+        every = self.script.thermo_every or nsteps
+        dump_every = min([d.every for d in self.script.dumps.values()],
+                         default=0)
+        chunk_opts = [every]
+        if dump_every:
+            chunk_opts.append(dump_every)
+        chunk = int(np.gcd.reduce(chunk_opts)) if chunk_opts else nsteps
+        while remaining > 0:
+            todo = min(chunk, remaining)
+            self.sys, self.res, self.nlist, self.istate = self.runner.run(
+                self.sys, self.res, self.nlist, self.istate, todo)
+            remaining -= todo
+            step = int(self.sys.step)
+            if every and step % every == 0 or remaining == 0:
+                self._emit()
+            self._dump()
+        self.script.step = int(self.sys.step)
+
+    def _dump(self):
+        from lidp_tpu.io.dump import write_dump_frame
+
+        step = int(self.sys.step)
+        for d in self.script.dumps.values():
+            if d.every and step % d.every == 0:
+                gmask = self.script.groups[d.group]
+                write_dump_frame(d, self.sys, self.script, gmask)

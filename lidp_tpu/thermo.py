@@ -1,0 +1,74 @@
+"""Thermodynamic observables (thermo_style custom columns).
+
+Matches the reference computes: temperature (compute_temp.cpp:74 — dof =
+dim*N - extra_dof - fix_dof), pressure (compute_pressure.cpp:178 — kinetic
+trace + virial over 3V, nktv2p), potential energy incl. polarization
+(compute_pe.cpp:80, thermo.cpp:2224 epol keyword).  In lj units thermo values
+are normalized per atom (thermo_modify norm default), in real units they are
+extensive — as in Thermo::compute (thermo.cpp:332).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from lidp_tpu.forcefield import ForceResult
+from lidp_tpu.state import System
+from lidp_tpu.units import Units
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ThermoParams:
+    mass_atom: jax.Array   # (N,) per-atom mass
+    dof: float             # temperature degrees of freedom (after fix adjustments)
+    boltz: float = dataclasses.field(metadata=dict(static=True), default=1.0)
+    mvv2e: float = dataclasses.field(metadata=dict(static=True), default=1.0)
+    nktv2p: float = dataclasses.field(metadata=dict(static=True), default=1.0)
+    norm: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    natoms: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+    @staticmethod
+    def create(mass_atom, dof, units: Units, norm: bool, natoms: int):
+        return ThermoParams(
+            mass_atom=jnp.asarray(mass_atom),
+            dof=float(dof), boltz=units.boltz, mvv2e=units.mvv2e,
+            nktv2p=units.nktv2p, norm=norm, natoms=natoms,
+        )
+
+
+def ke_total(sys: System, tp: ThermoParams):
+    msum = jnp.sum(tp.mass_atom[:, None] * sys.v * sys.v * sys.mask[:, None])
+    return 0.5 * msum * tp.mvv2e
+
+
+def temperature(sys: System, tp: ThermoParams):
+    return 2.0 * ke_total(sys, tp) / (tp.dof * tp.boltz)
+
+
+def pressure(sys: System, tp: ThermoParams, virial6):
+    mvv = 2.0 * ke_total(sys, tp)       # = dof*boltz*T
+    w = virial6[0] + virial6[1] + virial6[2]
+    return (mvv + w) / (3.0 * sys.box.volume) * tp.nktv2p
+
+
+def thermo_row(sys: System, res: ForceResult, tp: ThermoParams) -> dict:
+    """All standard columns used by the bundled inputs."""
+    ke = ke_total(sys, tp)
+    pe = res.epair   # no bonded terms in any bundled input
+    norm = float(tp.natoms) if tp.norm else 1.0
+    return {
+        "step": sys.step,
+        "temp": temperature(sys, tp),
+        "ke": ke / norm,
+        "pe": pe / norm,
+        "etotal": (ke + pe) / norm,
+        "evdwl": res.evdwl / norm,
+        "ecoul": res.ecoul / norm,
+        "elong": res.elong / norm,
+        "epol": res.epol / norm,
+        "press": pressure(sys, tp, res.virial),
+    }

@@ -1,0 +1,99 @@
+"""`velocity ... create` — initial velocity generation.
+
+Bit-compatible with the reference Velocity::create (velocity.cpp:165-410):
+  * ``loop all``  — one sequential RanPark stream over global atom ids;
+  * ``loop geom`` — per-atom streams seeded by the Jenkins hash of (seed, x);
+  * ``mom yes`` / ``rot yes`` zeroing and rescale to the target temperature
+    using the group temperature with dof = dim*N - dim (no fixes defined yet
+    at velocity-command time in all bundled inputs).
+
+Host-side numpy; runs once at setup.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from lidp_tpu import rng
+from lidp_tpu.units import Units
+
+
+def _temperature(v, mass_per_atom, units: Units, dof: float) -> float:
+    ke2 = float(np.sum(mass_per_atom[:, None] * v * v)) * units.mvv2e
+    return ke2 / (dof * units.boltz)
+
+
+def create(
+    x: np.ndarray,
+    mass_per_atom: np.ndarray,
+    t_desired: float,
+    seed: int,
+    *,
+    units: Units,
+    dist: str = "uniform",
+    loop: str = "all",
+    momentum: bool = False,
+    rotation: bool = False,
+    dim: int = 3,
+    image: np.ndarray | None = None,
+    box_lengths: np.ndarray | None = None,
+) -> np.ndarray:
+    n = x.shape[0]
+    v = np.zeros((n, 3))
+    factor = 1.0 / np.sqrt(mass_per_atom)
+
+    if loop == "all":
+        r = rng.RanPark(seed)
+        for i in range(n):
+            if dist == "uniform":
+                vx = r.uniform() - 0.5
+                vy = r.uniform() - 0.5
+                vz = r.uniform() - 0.5
+            else:
+                vx = r.gaussian()
+                vy = r.gaussian()
+                vz = r.gaussian()
+            v[i] = (vx, vy, vz)
+        v *= factor[:, None]
+    elif loop == "geom":
+        streams = rng.park_geom_streams(seed, x)
+        if dist == "uniform":
+            g = np.stack(streams.uniform3(), axis=-1) - 0.5
+        else:
+            g = np.stack(streams.gaussian3(), axis=-1)
+        v = g * factor[:, None]
+    else:
+        raise ValueError(f"unsupported velocity loop style: {loop}")
+
+    if dim == 2:
+        v[:, 2] = 0.0
+
+    xu = x
+    if image is not None and box_lengths is not None:
+        xu = x + image * box_lengths
+
+    if momentum:
+        m = mass_per_atom
+        vcm = (m[:, None] * v).sum(0) / m.sum()
+        v -= vcm
+    if rotation:
+        m = mass_per_atom
+        xcm = (m[:, None] * xu).sum(0) / m.sum()
+        d = xu - xcm
+        L = (m[:, None] * np.cross(d, v)).sum(0)
+        inertia = np.zeros((3, 3))
+        inertia[0, 0] = np.sum(m * (d[:, 1] ** 2 + d[:, 2] ** 2))
+        inertia[1, 1] = np.sum(m * (d[:, 0] ** 2 + d[:, 2] ** 2))
+        inertia[2, 2] = np.sum(m * (d[:, 0] ** 2 + d[:, 1] ** 2))
+        inertia[0, 1] = inertia[1, 0] = -np.sum(m * d[:, 0] * d[:, 1])
+        inertia[0, 2] = inertia[2, 0] = -np.sum(m * d[:, 0] * d[:, 2])
+        inertia[1, 2] = inertia[2, 1] = -np.sum(m * d[:, 1] * d[:, 2])
+        omega = np.linalg.solve(inertia, L)
+        v -= np.cross(omega, d)
+
+    dof = dim * n - dim  # ComputeTemp: extra_dof = dim, no fixes yet
+    t_current = _temperature(v, mass_per_atom, units, dof)
+    if t_current == 0.0:
+        raise ValueError("Attempting to rescale a 0.0 temperature")
+    v *= np.sqrt(t_desired / t_current)
+    return v

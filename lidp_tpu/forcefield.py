@@ -72,7 +72,12 @@ def compute_forces(sys: System, ff: ForceField,
     scf_diverged = jnp.zeros((), bool)
 
     if ff.pair is not None:
-        if nlist is not None:
+        from lidp_tpu.ops.cells import Cells, cell_pair_forces
+
+        if isinstance(nlist, Cells):
+            fp, ev, ec, vir = cell_pair_forces(
+                sys.x, sys.q, sys.type, sys.mask, nlist, sys.box, ff.pair)
+        elif nlist is not None:
             fp, ev, ec, vir = neighbor_pair_forces(
                 sys.x, sys.q, sys.type, sys.mask, nlist, sys.box, ff.pair,
                 sp_code_dense=ff.sp_code)

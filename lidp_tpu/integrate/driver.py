@@ -87,11 +87,19 @@ class Runner:
                           nsteps=nsteps)
 
 
+def _build_struct(sys, neighbor_cfg):
+    from lidp_tpu.ops.cells import CellConfig, build_cells
+
+    if isinstance(neighbor_cfg, CellConfig):
+        return build_cells(sys.x, sys.mask, sys.box, neighbor_cfg)
+    return build_neighbor_list(sys.x, sys.mask, sys.box, neighbor_cfg)
+
+
 def _setup_forces(sys, ff, *, neighbor_cfg):
     if neighbor_cfg is not None:
         sys_x, image = box_mod.wrap(sys.x, sys.box, sys.image)
         sys = sys.replace(x=sys_x, image=image)
-        nlist = build_neighbor_list(sys.x, sys.mask, sys.box, neighbor_cfg)
+        nlist = _build_struct(sys, neighbor_cfg)
     else:
         nlist = None
     res = compute_forces(sys, ff, nlist)
@@ -110,11 +118,10 @@ def _run_chunk(sys, res, nlist, istate, ff, iparams, *, nsteps,
             def rebuild(sys, nlist):
                 x, image = box_mod.wrap(sys.x, sys.box, sys.image)
                 sys = sys.replace(x=x, image=image)
-                return sys, build_neighbor_list(sys.x, sys.mask, sys.box, neighbor_cfg)
+                return sys, _build_struct(sys, neighbor_cfg)
 
             def keep(sys, nlist):
-                return sys, NeighborList(idx=nlist.idx, count=nlist.count,
-                                         overflow=nlist.overflow)
+                return sys, nlist
 
             need = (sys.step % rebuild_every) == 0
             sys, nlist = jax.lax.cond(need, rebuild, keep, sys, nlist)

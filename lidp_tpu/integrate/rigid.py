@@ -208,6 +208,7 @@ class RigidParams:
     inertia: jax.Array        # (B,3)
     displace: jax.Array       # (N,3)
     quat0: jax.Array          # (B,4) initial orientation from body setup
+    mass_atom: jax.Array      # (N,) per-atom mass (constraint-virial tally)
     nbody: int = dataclasses.field(metadata=dict(static=True), default=0)
 
 
@@ -220,11 +221,14 @@ class RigidState:
     quat: jax.Array    # (B,4)
     fcm: jax.Array
     torque: jax.Array
+    virial: jax.Array  # (6,) constraint virial of the current step (set_xv+set_v)
 
 
 def make_rigid_params(setup: RigidSetup, dt: float, ftm2v: float,
-                      dtype=jnp.float64) -> RigidParams:
+                      mass_atom=None, dtype=jnp.float64) -> RigidParams:
     body = np.where(setup.body_of_atom < 0, setup.nbody, setup.body_of_atom)
+    if mass_atom is None:
+        mass_atom = np.zeros(setup.body_of_atom.shape[0])
     return RigidParams(
         dtv=jnp.asarray(dt, dtype),
         dtf=jnp.asarray(0.5 * dt * ftm2v, dtype),
@@ -235,6 +239,7 @@ def make_rigid_params(setup: RigidSetup, dt: float, ftm2v: float,
         inertia=jnp.asarray(setup.inertia, dtype),
         displace=jnp.asarray(setup.displace, dtype),
         quat0=jnp.asarray(setup.quat0, dtype),
+        mass_atom=jnp.asarray(mass_atom, dtype),
         nbody=setup.nbody,
     )
 
@@ -252,17 +257,31 @@ def init_rigid_state(sys: System, f, p: RigidParams, mass_atom):
     d = sys.x - xcm[jnp.clip(b, 0, nb - 1)]
     angmom = jax.ops.segment_sum(m * jnp.cross(d, sys.v), b, nb)
     fcm, torque = _force_torque(sys.x, f, xcm, p)
-    st = RigidState(xcm=xcm, vcm=vcm, angmom=angmom, quat=p.quat0,
-                    fcm=fcm, torque=torque)
 
-    R = q_to_matrix(st.quat)
+    R = q_to_matrix(p.quat0)
     w = _omega_from_R(angmom, R, p.inertia)
     bidx = jnp.clip(p.body, 0, nb - 1)
     d_space = jnp.einsum("nij,nj->ni", R[bidx], p.displace)
     v_new = vcm[bidx] + jnp.cross(w[bidx], d_space)
     inb = p.in_body[:, None]
+    # setup virial guesstimate = 2x the set_v tally (FixRigid::setup :880-889)
+    vir = 2.0 * _constraint_virial(sys.x, sys.v, v_new, f, p)
     sys = sys.replace(v=jnp.where(inb, v_new, sys.v))
+    st = RigidState(xcm=xcm, vcm=vcm, angmom=angmom, quat=p.quat0,
+                    fcm=fcm, torque=torque, virial=vir)
     return sys, st
+
+
+def _constraint_virial(x, v_old, v_new, f, p: RigidParams):
+    """0.5 * sum_i x_i (x) fc_i with fc = m dv/dtf - f (set_xv/set_v tallies,
+    fix_rigid.cpp:1383-1399, :1520-1545). Coordinates here are unwrapped."""
+    inb = p.in_body[:, None]
+    fc = jnp.where(inb, p.mass_atom[:, None] * (v_new - v_old) / p.dtf - f, 0.0)
+    return 0.5 * jnp.stack([
+        jnp.sum(x[:, 0] * fc[:, 0]), jnp.sum(x[:, 1] * fc[:, 1]),
+        jnp.sum(x[:, 2] * fc[:, 2]), jnp.sum(x[:, 0] * fc[:, 1]),
+        jnp.sum(x[:, 0] * fc[:, 2]), jnp.sum(x[:, 1] * fc[:, 2]),
+    ])
 
 
 def _force_torque(x, f, xcm, p: RigidParams):
@@ -292,12 +311,14 @@ def initial_integrate(sys: System, f, p: RigidParams, st: RigidState):
     x_new = d_space + xcm[bidx]
     v_new = vcm[bidx] + jnp.cross(w[bidx], d_space)
     inb = p.in_body[:, None]
+    # set_xv half of the constraint virial, tallied with pre-update coords
+    vir = _constraint_virial(sys.x, sys.v, v_new, f, p)
     sys = sys.replace(
         x=jnp.where(inb, x_new, sys.x),
         v=jnp.where(inb, v_new, sys.v),
     )
     return sys, RigidState(xcm=xcm, vcm=vcm, angmom=angmom, quat=quat,
-                           fcm=st.fcm, torque=st.torque)
+                           fcm=st.fcm, torque=st.torque, virial=vir)
 
 
 def final_integrate(sys: System, f, p: RigidParams, st: RigidState):
@@ -313,6 +334,8 @@ def final_integrate(sys: System, f, p: RigidParams, st: RigidState):
     d_space = jnp.einsum("nij,nj->ni", R[bidx], p.displace)
     v_new = vcm[bidx] + jnp.cross(w[bidx], d_space)
     inb = p.in_body[:, None]
+    # set_v half of the constraint virial (current coords)
+    vir = st.virial + _constraint_virial(sys.x, sys.v, v_new, f, p)
     sys = sys.replace(v=jnp.where(inb, v_new, sys.v))
     return sys, RigidState(xcm=st.xcm, vcm=vcm, angmom=angmom, quat=st.quat,
-                           fcm=fcm, torque=torque)
+                           fcm=fcm, torque=torque, virial=vir)

@@ -33,8 +33,10 @@ class LJMelt:
 
 
 def build(scale: int = 1, dtype=jnp.float64, *,
-          use_neighbor_list: bool = True,
+          neighbor: str = "list",
           max_neighbors: int = 96, bin_cap: int = 40) -> LJMelt:
+    """neighbor: 'list' (LAMMPS-stale-list parity), 'cells' (TPU roll kernel),
+    or 'none' (dense all-pairs)."""
     u = units.LJ
     rho, nx = 0.8442, 20 * scale
     a = lattice.lattice_spacing("fcc", rho)
@@ -55,9 +57,12 @@ def build(scale: int = 1, dtype=jnp.float64, *,
     ff = ForceField(pair=pair)
 
     ncfg = None
-    if use_neighbor_list:
+    if neighbor == "list":
         ncfg = NeighborConfig.for_box(hi, 2.5 + u.skin, bin_cap=bin_cap,
                                       max_neighbors=max_neighbors)
+    elif neighbor == "cells":
+        from lidp_tpu.ops.cells import CellConfig
+        ncfg = CellConfig.for_box(hi, 2.5 + u.skin, density=rho)
 
     nvep = nve.NVEParams.create(u.dt, u.ftm2v, np.ones(n), dtype=dtype)
     runner = Runner(ff=ff, integ=nve_integrator(nvep),

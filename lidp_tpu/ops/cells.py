@@ -1,0 +1,207 @@
+"""Roll-based cell-pair force kernel — the TPU-native neighbor strategy.
+
+The reference's binned neighbor lists (npair_half_bin_newton.cpp:36) are a
+sparse, gather-heavy structure; on TPU, per-pair gathers cost ~100x the
+arithmetic.  This kernel replaces lists entirely with a *regular stencil*
+computation:
+
+  * atoms are bucketed into a dense (nbx, nby, nbz, cap) slot grid once per
+    rebuild (one argsort + small scatters);
+  * each step, per-slot coordinates are gathered once (O(slots), not
+    O(pairs)), and the 27 neighbor-cell interactions are computed by
+    jnp.roll-ing the whole grid — periodic wrap included — as
+    (cells, cap, cap) elementwise blocks: no gathers in the pair loop at all;
+  * forces return in slot space and map back with one O(N) gather.
+
+Each pair is evaluated twice (i-block x j-block and vice versa), so energies
+and virials carry 0.5 factors, numerically identical to the reference's
+half-list Newton tallies.  Overdraw (evaluating out-of-cutoff candidates) is
+~4-20x arithmetic, which the VPU absorbs; regularity wins over sparsity.
+
+Requires >= 3 bins per dimension (otherwise the dense path applies).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lidp_tpu.box import Box, minimum_image
+from lidp_tpu.ops.pair import EWALD_F, EWALD_P, A1, A2, A3, A4, A5
+
+
+@dataclasses.dataclass(frozen=True)
+class CellConfig:
+    nbins: tuple[int, int, int]
+    cap: int
+    cutneigh: float
+
+    @staticmethod
+    def for_box(box_lengths, cutneigh: float, density: float,
+                cap_slack: float = 2.0) -> "CellConfig":
+        L = np.asarray(box_lengths, float)
+        nb = tuple(int(max(1, np.floor(l / cutneigh))) for l in L)
+        if min(nb) < 3:
+            raise ValueError("cell kernel needs >= 3 bins per dim")
+        vol_bin = float(np.prod(L / np.array(nb)))
+        cap = int(np.ceil(density * vol_bin * cap_slack / 8.0) * 8)
+        return CellConfig(nbins=nb, cap=max(cap, 8), cutneigh=float(cutneigh))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Cells:
+    atom_of_slot: jax.Array   # (nbx,nby,nbz,cap) int32, == n for empty
+    slot_of_atom: jax.Array   # (N,) int32 linear slot index
+    overflow: jax.Array       # () bool
+
+
+def build_cells(x, mask, box: Box, cfg: CellConfig) -> Cells:
+    n = x.shape[0]
+    nbx, nby, nbz = cfg.nbins
+    nbins = nbx * nby * nbz
+    dims = jnp.array(cfg.nbins, jnp.int32)
+    L = box.lengths
+
+    frac = (x - box.lo) / L
+    frac = frac - jnp.floor(frac)
+    b3 = jnp.clip((frac * dims).astype(jnp.int32), 0, dims - 1)
+    bin_id = (b3[:, 0] * nby + b3[:, 1]) * nbz + b3[:, 2]
+    bin_id = jnp.where(mask, bin_id, nbins)
+
+    order = jnp.argsort(bin_id)
+    sb = bin_id[order]
+    pos = jnp.arange(n)
+    first = jnp.searchsorted(sb, sb, side="left")
+    rank = (pos - first).astype(jnp.int32)
+    overflow = jnp.any((rank >= cfg.cap) & (sb < nbins))
+    rank_c = jnp.minimum(rank, cfg.cap - 1)
+
+    slot_sorted = jnp.where(sb < nbins, sb * cfg.cap + rank_c, nbins * cfg.cap)
+    slot_of_atom = jnp.zeros((n,), jnp.int32).at[order].set(
+        slot_sorted.astype(jnp.int32))
+    atom_of_slot = jnp.full((nbins * cfg.cap + 1,), n, jnp.int32).at[
+        slot_sorted].set(order.astype(jnp.int32), mode="drop")
+    atom_of_slot = atom_of_slot[:-1].reshape(nbx, nby, nbz, cfg.cap)
+    return Cells(atom_of_slot=atom_of_slot, slot_of_atom=slot_of_atom,
+                 overflow=overflow)
+
+
+_OFFSETS = [(i, j, k) for i in (-1, 0, 1) for j in (-1, 0, 1) for k in (-1, 0, 1)]
+
+
+def cell_pair_forces(x, q, type_, mask, cells: Cells, box: Box, p,
+                     coul: bool | None = None):
+    """LJ (+ real-space Ewald coulomb) forces via the rolled cell grid.
+
+    `p` is a PairParams.  Multi-type tables are applied per-slot (one gather
+    per slot pair table row).  Special bonds are not supported on this path.
+    Returns (f (N,3), evdwl, ecoul, virial6) in atom order.
+    """
+    n = x.shape[0]
+    dtype = x.dtype
+    if coul is None:
+        coul = p.coul
+    aos = cells.atom_of_slot                        # (bx,by,bz,cap)
+    L = box.lengths
+    cap = aos.shape[-1]
+
+    amax = jnp.minimum(aos, n - 1)
+    valid = aos < n
+
+    def slotify(a, pad):
+        return jnp.where(valid, a[amax], pad)
+
+    xs = [slotify(x[:, d], jnp.zeros((), dtype)) for d in range(3)]
+    qs = slotify(q, jnp.zeros((), dtype)) if coul else None
+    ntypes = p.lj1.shape[0] - 1
+    multi_type = ntypes > 1
+    if multi_type:
+        ts = slotify(type_, jnp.zeros((), jnp.int32))
+
+    # center-atom views: (..., cap, 1); neighbor views via roll: (..., 1, cap)
+    def ctr(a):
+        return a[..., :, None]
+
+    def nbr(a, off):
+        r = a
+        for ax, sh in enumerate(off):
+            if sh:
+                r = jnp.roll(r, -sh, axis=ax)
+        return r[..., None, :]
+
+    fx = jnp.zeros(aos.shape + (1,), dtype)
+    fy = jnp.zeros_like(fx)
+    fz = jnp.zeros_like(fx)
+    evdwl = jnp.zeros((), dtype)
+    ecoul = jnp.zeros((), dtype)
+    vir = [jnp.zeros((), dtype) for _ in range(6)]
+
+    if multi_type:
+        lj1t, lj2t, lj3t, lj4t = p.lj1, p.lj2, p.lj3, p.lj4
+        offt, cljsqt, cutsqt = p.offset, p.cut_ljsq, p.cutsq
+    else:
+        lj1 = p.lj1[1, 1]; lj2 = p.lj2[1, 1]
+        lj3 = p.lj3[1, 1]; lj4 = p.lj4[1, 1]
+        off11 = p.offset[1, 1]
+        cut_ljsq = p.cut_ljsq[1, 1]; cutsq = p.cutsq[1, 1]
+
+    same = jnp.eye(cap, dtype=bool)
+
+    for off in _OFFSETS:
+        dx = minimum_image(ctr(xs[0]) - nbr(xs[0], off), L[0])
+        dy = minimum_image(ctr(xs[1]) - nbr(xs[1], off), L[1])
+        dz = minimum_image(ctr(xs[2]) - nbr(xs[2], off), L[2])
+        rsq = dx * dx + dy * dy + dz * dz
+        pair_ok = ctr(valid) & nbr(valid, off)
+        if off == (0, 0, 0):
+            pair_ok = pair_ok & ~same
+        rsq = jnp.where(pair_ok, rsq, 1.0e12)
+        r2inv = 1.0 / rsq
+
+        if multi_type:
+            ti = ctr(ts); tj = nbr(ts, off)
+            lj1 = lj1t[ti, tj]; lj2 = lj2t[ti, tj]
+            lj3 = lj3t[ti, tj]; lj4 = lj4t[ti, tj]
+            off11 = offt[ti, tj]
+            cut_ljsq = cljsqt[ti, tj]; cutsq = cutsqt[ti, tj]
+
+        in_rng = rsq < cutsq
+        lj_m = in_rng & (rsq < cut_ljsq)
+        r6inv = r2inv * r2inv * r2inv
+        forcelj = jnp.where(lj_m, r6inv * (lj1 * r6inv - lj2), 0.0)
+        evdwl += 0.5 * jnp.sum(jnp.where(lj_m, r6inv * (lj3 * r6inv - lj4) - off11, 0.0))
+
+        if coul:
+            qi = ctr(qs); qj = nbr(qs, off)
+            cm = in_rng & (rsq < p.cut_coulsq)
+            r = jnp.sqrt(rsq)
+            grij = p.g_ewald * r
+            expm2 = jnp.exp(-grij * grij)
+            t = 1.0 / (1.0 + EWALD_P * grij)
+            erfc = t * (A1 + t * (A2 + t * (A3 + t * (A4 + t * A5)))) * expm2
+            prefactor = p.qqrd2e * qi * qj / r
+            forcecoul = jnp.where(cm, prefactor * (erfc + EWALD_F * grij * expm2), 0.0)
+            ecoul += 0.5 * jnp.sum(jnp.where(cm, prefactor * erfc, 0.0))
+        else:
+            forcecoul = 0.0
+
+        fpair = (forcelj + forcecoul) * r2inv
+        fx += jnp.sum(fpair * dx, axis=-1, keepdims=True)
+        fy += jnp.sum(fpair * dy, axis=-1, keepdims=True)
+        fz += jnp.sum(fpair * dz, axis=-1, keepdims=True)
+        w = 0.5 * fpair
+        vir[0] += jnp.sum(w * dx * dx); vir[1] += jnp.sum(w * dy * dy)
+        vir[2] += jnp.sum(w * dz * dz); vir[3] += jnp.sum(w * dx * dy)
+        vir[4] += jnp.sum(w * dx * dz); vir[5] += jnp.sum(w * dy * dz)
+
+    # slot-space -> atom-space (one O(N) gather)
+    fxf = fx.reshape(-1)[cells.slot_of_atom]
+    fyf = fy.reshape(-1)[cells.slot_of_atom]
+    fzf = fz.reshape(-1)[cells.slot_of_atom]
+    f = jnp.stack([fxf, fyf, fzf], axis=-1)
+    f = jnp.where(mask[:, None], f, 0.0)
+    return f, evdwl, ecoul, jnp.stack(vir)

@@ -91,9 +91,13 @@ def build_neighbor_list(x, mask, box: Box, cfg: NeighborConfig) -> NeighborList:
     nb_id = (nb3[..., 0] * nby + nb3[..., 1]) * nbz + nb3[..., 2]
     cand = bins[nb_id].reshape(n, -1)                            # (N, 27*cap)
 
-    xj = jnp.concatenate([x, jnp.zeros((1, 3), x.dtype)], axis=0)[cand]
-    delta = minimum_image(x[:, None, :] - xj, L)
-    rsq = jnp.sum(delta * delta, axis=-1)
+    # Per-component (N, K) arrays: a (N, K, 3) layout would tile the trailing
+    # dim of 3 up to 128 lanes on TPU and waste 42x HBM.
+    xpad = jnp.concatenate([x, jnp.zeros((1, 3), x.dtype)], axis=0)
+    rsq = jnp.zeros(cand.shape, x.dtype)
+    for d in range(3):
+        dd = minimum_image(x[:, d:d + 1] - xpad[:, d][cand], L[d])
+        rsq = rsq + dd * dd
     valid = (cand < n) & (cand != pos[:, None]) & (rsq < cfg.cutneigh**2)
     valid &= mask[:, None]
 
@@ -128,12 +132,15 @@ def neighbor_pair_forces(x, q, type_, mask, nlist: NeighborList, box: Box, p,
     from lidp_tpu.ops.pair import _pair_terms
 
     n = x.shape[0]
+    L = box.lengths
     j = nlist.idx                                    # (N,K)
     jv = j < n
     jc = jnp.minimum(j, n - 1)
-    xj = x[jc]
-    delta = minimum_image(x[:, None, :] - xj, box.lengths)
-    rsq = jnp.sum(delta * delta, axis=-1)
+    # per-component (N,K) displacement arrays (TPU lane-tiling friendly)
+    dx = minimum_image(x[:, 0:1] - x[:, 0][jc], L[0])
+    dy = minimum_image(x[:, 1:2] - x[:, 1][jc], L[1])
+    dz = minimum_image(x[:, 2:3] - x[:, 2][jc], L[2])
+    rsq = dx * dx + dy * dy + dz * dz
     pm = jv & mask[:, None]
     rsq = jnp.where(pm, rsq, 1.0)
 
@@ -144,14 +151,12 @@ def neighbor_pair_forces(x, q, type_, mask, nlist: NeighborList, box: Box, p,
     fpair, evdwl, ecoul = _pair_terms(
         rsq, q[:, None], q[jc], type_[:, None], type_[jc], sp, p, pm
     )
-    f = jnp.sum(fpair[..., None] * delta, axis=1)
+    f = jnp.stack([jnp.sum(fpair * dx, axis=1),
+                   jnp.sum(fpair * dy, axis=1),
+                   jnp.sum(fpair * dz, axis=1)], axis=-1)
     w = 0.5 * fpair
     virial = jnp.stack([
-        jnp.sum(w * delta[..., 0] * delta[..., 0]),
-        jnp.sum(w * delta[..., 1] * delta[..., 1]),
-        jnp.sum(w * delta[..., 2] * delta[..., 2]),
-        jnp.sum(w * delta[..., 0] * delta[..., 1]),
-        jnp.sum(w * delta[..., 0] * delta[..., 2]),
-        jnp.sum(w * delta[..., 1] * delta[..., 2]),
+        jnp.sum(w * dx * dx), jnp.sum(w * dy * dy), jnp.sum(w * dz * dz),
+        jnp.sum(w * dx * dy), jnp.sum(w * dx * dz), jnp.sum(w * dy * dz),
     ])
     return f, 0.5 * jnp.sum(evdwl), 0.5 * jnp.sum(ecoul), virial

@@ -147,6 +147,7 @@ class Simulation:
                 rsetup = rigid_mod.setup_bodies(x_unwrap, mass_atom,
                                                 script.mol, gmask)
                 rp = rigid_mod.make_rigid_params(rsetup, script.dt, u.ftm2v,
+                                                 mass_atom=mass_atom,
                                                  dtype=dtype)
                 integ = rigid_nve_integrator(rp, jnp.asarray(mass_atom, dtype))
                 dof_removed += rsetup.dof_removed
@@ -197,8 +198,10 @@ class Simulation:
     def _thermo_row(self):
         from lidp_tpu.thermo import thermo_row
 
+        extra = getattr(self.istate, "virial", None)
         row = {k: float(v) for k, v in
-               thermo_row(self.sys, self.res, self.thermo_params).items()}
+               thermo_row(self.sys, self.res, self.thermo_params,
+                          extra_virial=extra).items()}
         for cid, tp in self.group_thermo.items():
             row["c_" + cid] = float(temperature(self.sys, tp))
         row["epair"] = row["pe"]

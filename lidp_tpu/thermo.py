@@ -55,10 +55,16 @@ def pressure(sys: System, tp: ThermoParams, virial6):
     return (mvv + w) / (3.0 * sys.box.volume) * tp.nktv2p
 
 
-def thermo_row(sys: System, res: ForceResult, tp: ThermoParams) -> dict:
-    """All standard columns used by the bundled inputs."""
+def thermo_row(sys: System, res: ForceResult, tp: ThermoParams,
+               extra_virial=None) -> dict:
+    """All standard columns used by the bundled inputs.
+
+    extra_virial: fix contributions (e.g. rigid constraint virial) added to
+    the pair/kspace virial for the pressure, as in Modify's virial hooks.
+    """
     ke = ke_total(sys, tp)
     pe = res.epair   # no bonded terms in any bundled input
+    virial = res.virial if extra_virial is None else res.virial + extra_virial
     norm = float(tp.natoms) if tp.norm else 1.0
     return {
         "step": sys.step,
@@ -70,5 +76,5 @@ def thermo_row(sys: System, res: ForceResult, tp: ThermoParams) -> dict:
         "ecoul": res.ecoul / norm,
         "elong": res.elong / norm,
         "epol": res.epol / norm,
-        "press": pressure(sys, tp, res.virial),
+        "press": pressure(sys, tp, virial),
     }

@@ -91,7 +91,7 @@ def h2():
 
     rsetup = rigid.setup_bodies(data.x, mass_atom, data.mol,
                                 np.ones(n, bool))
-    rp = rigid.make_rigid_params(rsetup, dt=1.0, ftm2v=u.ftm2v)  # `timestep 2` precedes `units real`, which resets dt to 1.0
+    rp = rigid.make_rigid_params(rsetup, dt=1.0, ftm2v=u.ftm2v, mass_atom=mass_atom)  # `timestep 2` precedes `units real`, which resets dt to 1.0
     runner = Runner(ff=ff, integ=rigid_nve_integrator(rp, jnp.asarray(mass_atom)),
                     neighbor_cfg=None)
 

@@ -1,19 +1,27 @@
-"""fix rigid/nve — rigid-body velocity-Verlet integration.
+"""fix rigid/nve + rigid/nvt — rigid-body integration (no-squish + NH chains).
 
-Reimplements FixRigid (reference RIGID/fix_rigid.cpp) batched over bodies:
+In the reference, rigid/nve and rigid/nvt are FixRigidNH (fix_rigid_nve.h:27
+subclasses it): the symplectic NO-SQUISH quaternion integrator of Kamberaj et
+al. (conjugate quaternion momentum + 5 permutation rotations,
+math_extra.cpp no_squish_rotate, fix_rigid_nh.cpp:430-589,592-790), with
+optional Nose-Hoover thermostat chains on the translational and rotational
+kinetic energies (nhc_temp_integrate, fix_rigid_nh.cpp:829-917).  This module
+reimplements exactly that, batched over bodies:
 
-  * body setup (setup_bodies_static :1605-2118): per-body mass/COM, inertia
-    tensor diagonalization (numpy eigh instead of the reference's Jacobi
-    rotations — any right-handed principal basis yields identical dynamics),
-    EPSILON=1e-7 zeroing of small principal moments (linear molecules,
-    :1915-1921), body-frame atom displacements;
-  * per step (initial_integrate :891, final_integrate :1011): vcm half-kick,
-    xcm drift, angular-momentum half-kick, Richardson quaternion update
-    (math_extra.cpp richardson), atom x/v reconstruction (set_xv :1289,
-    set_v :1465).  The reference's MPI_Allreduce of per-body force/torque sums
-    (:1063) becomes a segment_sum over body ids;
-  * dof accounting (dof() :1181): 3n-6 removed per fully-counted body, +1 per
-    linear body.
+  * body setup (FixRigid::setup_bodies_static :1605-2118): per-body mass/COM,
+    inertia diagonalization (numpy eigh instead of Jacobi rotations — any
+    right-handed principal basis yields identical dynamics), EPSILON=1e-7
+    zeroing of small principal moments (linear molecules), body-frame
+    displacements;
+  * per step: vcm half-kick (+thermostat scale), xcm drift, torque ->
+    quaternion force, conjqm update, no-squish 3-2-1-2-3 rotation sequence,
+    atom x/v reconstruction (set_xv :1289, set_v :1465); per-body force/torque
+    MPI_Allreduce (:1063) becomes a segment_sum over body ids;
+  * NH chains: Yoshida-Suzuki w coefficients (t_order 3/5, :244-258),
+    per-chain masses q_t/q_r, the reference's update order, and the
+    kinetic-energy accumulations akin_t/akin_r;
+  * dof accounting (FixRigid::dof :1181): 3n-6 per fully-counted body, +1 per
+    linear body; nf_t/nf_r per FixRigidNH::init (:225-237).
 
 Unlike the reference we keep rigid-atom coordinates unwrapped (x = R d + xcm);
 all force kernels are minimum-image/phase-periodic so wrapped and unwrapped
@@ -76,7 +84,10 @@ def _omega_from_R(m, R, inertia):
 
 
 def richardson(q, m, w, inertia, dtq):
-    """Quaternion full-step Richardson update (math_extra.cpp richardson)."""
+    """Quaternion full-step Richardson update (math_extra.cpp richardson).
+
+    Kept for the plain `fix rigid` style; rigid/nve+nvt use no-squish below.
+    """
     wq = vecquat(w, q)
     qfull = qnormalize(q + dtq * wq)
     qhalf = qnormalize(q + 0.5 * dtq * wq)
@@ -85,6 +96,44 @@ def richardson(q, m, w, inertia, dtq):
     wq2 = vecquat(w2, qhalf)
     qhalf = qnormalize(qhalf + 0.5 * dtq * wq2)
     return qnormalize(2.0 * qhalf - qfull), w2
+
+
+def quatvec(a, b):
+    """c = a (x) (0,b): quaternion times pure-vector (math_extra.h:609)."""
+    c0 = -a[..., 1] * b[..., 0] - a[..., 2] * b[..., 1] - a[..., 3] * b[..., 2]
+    c1 = a[..., 0] * b[..., 0] + a[..., 2] * b[..., 2] - a[..., 3] * b[..., 1]
+    c2 = a[..., 0] * b[..., 1] + a[..., 3] * b[..., 0] - a[..., 1] * b[..., 2]
+    c3 = a[..., 0] * b[..., 2] + a[..., 1] * b[..., 1] - a[..., 2] * b[..., 0]
+    return jnp.stack([c0, c1, c2, c3], axis=-1)
+
+
+def invquatvec(a, b):
+    """c = vector part of conj(a) (x) b (math_extra.h:636)."""
+    c0 = -a[..., 1] * b[..., 0] + a[..., 0] * b[..., 1] + a[..., 3] * b[..., 2] - a[..., 2] * b[..., 3]
+    c1 = -a[..., 2] * b[..., 0] - a[..., 3] * b[..., 1] + a[..., 0] * b[..., 2] + a[..., 1] * b[..., 3]
+    c2 = -a[..., 3] * b[..., 0] + a[..., 2] * b[..., 1] - a[..., 1] * b[..., 2] + a[..., 0] * b[..., 3]
+    return jnp.stack([c0, c1, c2], axis=-1)
+
+
+def no_squish_rotate(k, p, q, inertia, dt):
+    """Evolution operator on (conjqm, quat), Miller et al. 2002
+    (math_extra.cpp no_squish_rotate), batched over bodies.
+
+    k indexes the permutation (1..3); inertia components < 1e-6 freeze the
+    rotation (phi = 0), matching the reference's linear-body handling.
+    """
+    sgn_fix = {1: ((-1.0, 1), (1.0, 0), (1.0, 3), (-1.0, 2)),
+               2: ((-1.0, 2), (-1.0, 3), (1.0, 0), (1.0, 1)),
+               3: ((-1.0, 3), (1.0, 2), (-1.0, 1), (1.0, 0))}[k]
+    kq = jnp.stack([s * q[..., i] for s, i in sgn_fix], axis=-1)
+    kp = jnp.stack([s * p[..., i] for s, i in sgn_fix], axis=-1)
+    phi = jnp.sum(p * kq, axis=-1)
+    inert = inertia[..., k - 1]
+    phi = jnp.where(jnp.abs(inert) < 1e-6, 0.0,
+                    phi / jnp.where(jnp.abs(inert) < 1e-6, 1.0, 4.0 * inert))
+    c = jnp.cos(dt * phi)[..., None]
+    s = jnp.sin(dt * phi)[..., None]
+    return c * p + s * kp, c * q + s * kq
 
 
 # ------------------------------- body setup --------------------------------
@@ -209,26 +258,47 @@ class RigidParams:
     displace: jax.Array       # (N,3)
     quat0: jax.Array          # (B,4) initial orientation from body setup
     mass_atom: jax.Array      # (N,) per-atom mass (constraint-virial tally)
+    # thermostat (fix rigid/nvt); tstat False -> plain no-squish NVE
+    t_start: jax.Array = None
+    t_stop: jax.Array = None
+    t_freq: jax.Array = None      # 1/Tdamp
     nbody: int = dataclasses.field(metadata=dict(static=True), default=0)
+    tstat: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    t_chain: int = dataclasses.field(metadata=dict(static=True), default=10)
+    t_iter: int = dataclasses.field(metadata=dict(static=True), default=1)
+    t_order: int = dataclasses.field(metadata=dict(static=True), default=3)
+    nf_t: float = dataclasses.field(metadata=dict(static=True), default=0.0)
+    nf_r: float = dataclasses.field(metadata=dict(static=True), default=0.0)
+    boltz: float = dataclasses.field(metadata=dict(static=True), default=1.0)
+    mvv2e: float = dataclasses.field(metadata=dict(static=True), default=1.0)
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class RigidState:
-    xcm: jax.Array     # (B,3)
+    xcm: jax.Array      # (B,3)
     vcm: jax.Array
     angmom: jax.Array
-    quat: jax.Array    # (B,4)
+    quat: jax.Array     # (B,4)
+    conjqm: jax.Array   # (B,4) conjugate quaternion momentum (no-squish)
     fcm: jax.Array
     torque: jax.Array
-    virial: jax.Array  # (6,) constraint virial of the current step (set_xv+set_v)
+    virial: jax.Array   # (6,) constraint virial of the current step
+    eta_dot_t: jax.Array  # (chain,) thermostat velocities (translational)
+    eta_dot_r: jax.Array  # (chain,) rotational
 
 
 def make_rigid_params(setup: RigidSetup, dt: float, ftm2v: float,
-                      mass_atom=None, dtype=jnp.float64) -> RigidParams:
+                      mass_atom=None, dtype=jnp.float64, *,
+                      tstat=False, t_start=0.0, t_stop=0.0, t_period=1.0,
+                      t_chain=10, t_iter=1, t_order=3,
+                      boltz=1.0, mvv2e=1.0) -> RigidParams:
     body = np.where(setup.body_of_atom < 0, setup.nbody, setup.body_of_atom)
     if mass_atom is None:
         mass_atom = np.zeros(setup.body_of_atom.shape[0])
+    # nf_t/nf_r per FixRigidNH::init (:225-237)
+    nf_t = 3.0 * setup.nbody
+    nf_r = 3.0 * setup.nbody - float(np.sum(np.abs(setup.inertia) < EPSILON))
     return RigidParams(
         dtv=jnp.asarray(dt, dtype),
         dtf=jnp.asarray(0.5 * dt * ftm2v, dtype),
@@ -240,15 +310,75 @@ def make_rigid_params(setup: RigidSetup, dt: float, ftm2v: float,
         displace=jnp.asarray(setup.displace, dtype),
         quat0=jnp.asarray(setup.quat0, dtype),
         mass_atom=jnp.asarray(mass_atom, dtype),
-        nbody=setup.nbody,
+        t_start=jnp.asarray(t_start, dtype),
+        t_stop=jnp.asarray(t_stop, dtype),
+        t_freq=jnp.asarray(1.0 / t_period if t_period else 0.0, dtype),
+        nbody=setup.nbody, tstat=tstat,
+        t_chain=t_chain, t_iter=t_iter, t_order=t_order,
+        nf_t=nf_t, nf_r=nf_r, boltz=boltz, mvv2e=mvv2e,
     )
 
 
+def _yoshida_w(order):
+    if order == 3:
+        w0 = 1.0 / (2.0 - 2.0 ** (1.0 / 3.0))
+        return (w0, 1.0 - 2.0 * w0, w0)
+    if order == 5:
+        w0 = 1.0 / (4.0 - 4.0 ** (1.0 / 3.0))
+        return (w0, w0, 1.0 - 4.0 * w0, w0, w0)
+    raise ValueError("t_order must be 3 or 5 (fix_rigid_nh.cpp:244)")
+
+
+def _maclaurin(x):
+    x2 = x * x
+    x4 = x2 * x2
+    return (1.0 + x2 / 6.0 + x4 / 120.0 + x2 * x4 / 5040.0 + x4 * x4 / 362880.0)
+
+
+def _nhc_integrate(eta_dot, akin, nf, p: RigidParams):
+    """One nhc_temp_integrate chain update (fix_rigid_nh.cpp:829-917) for one
+    sub-thermostat (translational or rotational). Returns new eta_dot."""
+    kt = p.boltz * p.t_start       # constant target (ramp not yet supported)
+    gfkt = nf * kt
+    t_mass = kt / (p.t_freq * p.t_freq)
+    q = [nf * t_mass] + [t_mass] * (p.t_chain - 1)
+
+    eta = [eta_dot[i] for i in range(p.t_chain)]
+    f = [jnp.zeros((), eta_dot.dtype) for _ in range(p.t_chain)]
+    f[0] = (akin * p.mvv2e - gfkt) / q[0]
+    for k in range(1, p.t_chain):
+        f[k] = (q[k - 1] * eta[k - 1] * eta[k - 1] - kt) / q[k]
+
+    w = _yoshida_w(p.t_order)
+    C = p.t_chain
+    for _ in range(p.t_iter):
+        for j in range(p.t_order):
+            wdti1 = w[j] * p.dtv / p.t_iter
+            wdti2 = wdti1 / 2.0
+            wdti4 = wdti1 / 4.0
+            eta[C - 1] = eta[C - 1] + wdti2 * f[C - 1]
+            for k in range(1, C):
+                tmp = wdti4 * eta[C - k]
+                s = jnp.exp(-tmp)
+                eta[C - k - 1] = eta[C - k - 1] * s * s + \
+                    wdti2 * f[C - k - 1] * s * _maclaurin(tmp)
+            # thermostat positions advance eta (not tracked: only eta_dot
+            # feeds back into the dynamics; conserved-quantity bookkeeping TBD)
+            for k in range(1, C):
+                f[k] = (q[k - 1] * eta[k - 1] * eta[k - 1] - kt) / q[k]
+            for k in range(0, C - 1):
+                tmp = wdti4 * eta[k + 1]
+                s = jnp.exp(-tmp)
+                eta[k] = eta[k] * s * s + wdti2 * f[k] * s * _maclaurin(tmp)
+                f[k + 1] = (q[k] * eta[k] * eta[k] - kt) / q[k + 1]
+            eta[C - 1] = eta[C - 1] + wdti2 * f[C - 1]
+    return jnp.stack(eta)
+
+
 def init_rigid_state(sys: System, f, p: RigidParams, mass_atom):
-    """setup_bodies_dynamic (:2120) + FixRigid::setup (:782): vcm/angmom from
-    atom velocities, initial fcm/torque from current forces, then set_v —
-    atom velocities are projected onto rigid motion (removes intra-body
-    components created by `velocity create`). Returns (sys, state)."""
+    """FixRigid::setup (:782) + FixRigidNH::setup (:323): vcm/angmom from atom
+    velocities, fcm/torque from forces, conjqm = 2 q (x) (0, R^T L), then
+    set_v projects atom velocities onto rigid motion. Returns (sys, state)."""
     b = p.body
     nb = p.nbody
     m = mass_atom[:, None] * p.in_body[:, None]
@@ -258,17 +388,26 @@ def init_rigid_state(sys: System, f, p: RigidParams, mass_atom):
     angmom = jax.ops.segment_sum(m * jnp.cross(d, sys.v), b, nb)
     fcm, torque = _force_torque(sys.x, f, xcm, p)
 
-    R = q_to_matrix(p.quat0)
+    quat = p.quat0
+    R = q_to_matrix(quat)
+    mbody = jnp.einsum("bij,bi->bj", R, angmom)       # R^T L
+    conjqm = 2.0 * quatvec(quat, mbody)
+
     w = _omega_from_R(angmom, R, p.inertia)
     bidx = jnp.clip(p.body, 0, nb - 1)
     d_space = jnp.einsum("nij,nj->ni", R[bidx], p.displace)
     v_new = vcm[bidx] + jnp.cross(w[bidx], d_space)
     inb = p.in_body[:, None]
-    # setup virial guesstimate = 2x the set_v tally (FixRigid::setup :880-889)
     vir = 2.0 * _constraint_virial(sys.x, sys.v, v_new, f, p)
     sys = sys.replace(v=jnp.where(inb, v_new, sys.v))
-    st = RigidState(xcm=xcm, vcm=vcm, angmom=angmom, quat=p.quat0,
-                    fcm=fcm, torque=torque, virial=vir)
+
+    dtype = sys.x.dtype
+    st = RigidState(
+        xcm=xcm, vcm=vcm, angmom=angmom, quat=quat, conjqm=conjqm,
+        fcm=fcm, torque=torque, virial=vir,
+        eta_dot_t=jnp.zeros((p.t_chain,), dtype),
+        eta_dot_r=jnp.zeros((p.t_chain,), dtype),
+    )
     return sys, st
 
 
@@ -295,14 +434,47 @@ def _force_torque(x, f, xcm, p: RigidParams):
 
 
 def initial_integrate(sys: System, f, p: RigidParams, st: RigidState):
+    """FixRigidNH::initial_integrate (:430-589)."""
+    dtf2 = p.dtf * 2.0
+    if p.tstat:
+        scale_t = jnp.exp(-p.dtq * st.eta_dot_t[0])
+        scale_r = jnp.exp(-p.dtq * st.eta_dot_r[0])
+    else:
+        scale_t = scale_r = None
+
     dtfm = (p.dtf / p.masstotal)[:, None]
     vcm = st.vcm + dtfm * st.fcm
+    if p.tstat:
+        vcm = vcm * scale_t
+        akin_t = jnp.sum(p.masstotal * jnp.sum(vcm * vcm, axis=1))
     xcm = st.xcm + p.dtv * vcm
-    angmom = st.angmom + p.dtf * st.torque
+
     R = q_to_matrix(st.quat)
-    w = _omega_from_R(angmom, R, p.inertia)
-    quat, w = richardson(st.quat, angmom, w, p.inertia, p.dtq)
+    tbody = jnp.einsum("bij,bi->bj", R, st.torque)
+    fquat = quatvec(st.quat, tbody)
+    conjqm = st.conjqm + dtf2 * fquat
+    if p.tstat:
+        conjqm = conjqm * scale_r
+
+    q = st.quat
+    cq = conjqm
+    cq, q = no_squish_rotate(3, cq, q, p.inertia, p.dtq)
+    cq, q = no_squish_rotate(2, cq, q, p.inertia, p.dtq)
+    cq, q = no_squish_rotate(1, cq, q, p.inertia, p.dtv)
+    cq, q = no_squish_rotate(2, cq, q, p.inertia, p.dtq)
+    cq, q = no_squish_rotate(3, cq, q, p.inertia, p.dtq)
+    quat, conjqm = q, cq
+
     R = q_to_matrix(quat)
+    mbody = invquatvec(quat, conjqm)
+    angmom = 0.5 * jnp.einsum("bij,bj->bi", R, mbody)
+    w = _omega_from_R(angmom, R, p.inertia)
+
+    eta_dot_t, eta_dot_r = st.eta_dot_t, st.eta_dot_r
+    if p.tstat:
+        akin_r = jnp.sum(jnp.sum(angmom * w, axis=1))
+        eta_dot_t = _nhc_integrate(eta_dot_t, akin_t, p.nf_t, p)
+        eta_dot_r = _nhc_integrate(eta_dot_r, akin_r, p.nf_r, p)
 
     # set_xv (:1289): x = R d + xcm (unwrapped), v = vcm + omega x (R d)
     bidx = jnp.clip(p.body, 0, p.nbody - 1)
@@ -311,22 +483,37 @@ def initial_integrate(sys: System, f, p: RigidParams, st: RigidState):
     x_new = d_space + xcm[bidx]
     v_new = vcm[bidx] + jnp.cross(w[bidx], d_space)
     inb = p.in_body[:, None]
-    # set_xv half of the constraint virial, tallied with pre-update coords
     vir = _constraint_virial(sys.x, sys.v, v_new, f, p)
     sys = sys.replace(
         x=jnp.where(inb, x_new, sys.x),
         v=jnp.where(inb, v_new, sys.v),
     )
-    return sys, RigidState(xcm=xcm, vcm=vcm, angmom=angmom, quat=quat,
-                           fcm=st.fcm, torque=st.torque, virial=vir)
+    return sys, RigidState(
+        xcm=xcm, vcm=vcm, angmom=angmom, quat=quat, conjqm=conjqm,
+        fcm=st.fcm, torque=st.torque, virial=vir,
+        eta_dot_t=eta_dot_t, eta_dot_r=eta_dot_r)
 
 
 def final_integrate(sys: System, f, p: RigidParams, st: RigidState):
+    """FixRigidNH::final_integrate (:592-790)."""
+    dtf2 = p.dtf * 2.0
     fcm, torque = _force_torque(sys.x, f, st.xcm, p)
     dtfm = (p.dtf / p.masstotal)[:, None]
-    vcm = st.vcm + dtfm * fcm
-    angmom = st.angmom + p.dtf * torque
+    vcm = st.vcm
+    if p.tstat:
+        vcm = vcm * jnp.exp(-p.dtq * st.eta_dot_t[0])
+    vcm = vcm + dtfm * fcm
+
     R = q_to_matrix(st.quat)
+    tbody = jnp.einsum("bij,bi->bj", R, torque)
+    fquat = quatvec(st.quat, tbody)
+    if p.tstat:
+        conjqm = jnp.exp(-p.dtq * st.eta_dot_r[0]) * st.conjqm + dtf2 * fquat
+    else:
+        conjqm = st.conjqm + dtf2 * fquat
+
+    mbody = invquatvec(st.quat, conjqm)
+    angmom = 0.5 * jnp.einsum("bij,bj->bi", R, mbody)
     w = _omega_from_R(angmom, R, p.inertia)
 
     # set_v (:1465)
@@ -334,8 +521,9 @@ def final_integrate(sys: System, f, p: RigidParams, st: RigidState):
     d_space = jnp.einsum("nij,nj->ni", R[bidx], p.displace)
     v_new = vcm[bidx] + jnp.cross(w[bidx], d_space)
     inb = p.in_body[:, None]
-    # set_v half of the constraint virial (current coords)
     vir = st.virial + _constraint_virial(sys.x, sys.v, v_new, f, p)
     sys = sys.replace(v=jnp.where(inb, v_new, sys.v))
-    return sys, RigidState(xcm=st.xcm, vcm=vcm, angmom=angmom, quat=st.quat,
-                           fcm=fcm, torque=torque, virial=vir)
+    return sys, RigidState(
+        xcm=st.xcm, vcm=vcm, angmom=angmom, quat=st.quat, conjqm=conjqm,
+        fcm=fcm, torque=torque, virial=vir,
+        eta_dot_t=st.eta_dot_t, eta_dot_r=st.eta_dot_r)

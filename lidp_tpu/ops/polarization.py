@@ -120,15 +120,75 @@ def induced_field(tensor, mu):
     return -jnp.einsum("ipjq,jq->ip", tensor, mu).reshape(n, 3)
 
 
+def scf_solve_cg(e0, alpha, apply_T, s: PolarizationSettings, mu_init=None,
+                 psum=None, n_total=None):
+    """Conjugate-gradient dipole solve of (diag(1/alpha) + T) mu = E0.
+
+    The reference's rank-ordered Gauss-Seidel sweep (:1145-1236) is serial and
+    its Jacobi variant (polar_gs no) can diverge (spectral radius > 1 — it
+    does on the MOF5 examples).  The interaction matrix A = diag(1/alpha) + T
+    is symmetric positive definite, so CG converges unconditionally to the
+    SAME fixed point, fully parallel.  Symmetrized: with y = mu/sqrt(alpha),
+    B = I + sqrt(a) T sqrt(a), zero-polarizability sites decouple exactly.
+
+    Stopping mirrors the reference's criterion: mean-square dipole change per
+    component <= polar_precision^2.  `psum` (optional) reduces scalars across
+    shards.  Returns (mu, iterations, diverged).
+    """
+    dtype = e0.dtype
+    n3 = 3.0 * (n_total if n_total is not None else e0.shape[0])
+    allsum = psum if psum is not None else (lambda v: v)
+    sa = jnp.sqrt(alpha)[:, None]
+
+    def B(y):
+        return y + sa * apply_T(sa * y)
+
+    b = sa * e0
+    if mu_init is not None:
+        y = jnp.where(sa > 0, mu_init / jnp.where(sa > 0, sa, 1.0), 0.0)
+    else:
+        y = s.polar_gamma * sa * e0        # = mu0 / sqrt(alpha)
+    r = b - B(y)
+    p = r
+    rs = allsum(jnp.sum(r * r))
+    prec2 = jnp.asarray(s.polar_precision**2, dtype)
+
+    def cond(c):
+        y, r, p, rs, change, it = c
+        return (change > prec2) & (it < s.iterations_max)
+
+    def body(c):
+        y, r, p, rs, _, it = c
+        Bp = B(p)
+        denom = allsum(jnp.sum(p * Bp))
+        a = rs / jnp.where(denom != 0, denom, 1.0)
+        y2 = y + a * p
+        r2 = r - a * Bp
+        rs2 = allsum(jnp.sum(r2 * r2))
+        beta = rs2 / jnp.where(rs != 0, rs, 1.0)
+        p2 = r2 + beta * p
+        change = allsum(jnp.sum((a * p * sa) ** 2)) / n3
+        return y2, r2, p2, rs2, change, it + 1
+
+    y, r, p, rs, change, it = jax.lax.while_loop(
+        cond, body,
+        (y, r, p, rs, jnp.asarray(jnp.inf, dtype), jnp.zeros((), jnp.int32)))
+    diverged = change > prec2
+    mu = sa * y
+    mu = jnp.where(diverged, alpha[:, None] * e0, mu)
+    return mu, it, diverged
+
+
 def scf_solve(
     e0, alpha, tensor, s: PolarizationSettings, mu_init=None,
 ):
     """Self-consistent dipole solve. Returns (mu, iterations, diverged).
 
-    Jacobi fixed point under lax.while_loop with the reference's stopping
-    semantics: precision mode tests mean-square change <= polar_precision^2
-    (:1194-1210); fixed mode runs iterations_max effective updates (:1211-1215);
-    divergence resets mu = alpha*E0 (:1227-1235).
+    Precision mode uses the CG solver (scf_solve_cg) — same fixed point as
+    the reference's converged GS, unconditionally convergent.  Fixed-count and
+    zodid modes keep the reference's Jacobi update semantics exactly:
+    fixed mode runs iterations_max effective updates (:1211-1215), zodid stays
+    at the gamma-preconditioned first-order guess (:389-390).
     """
     a = alpha[:, None]
     if mu_init is None:
@@ -151,22 +211,10 @@ def scf_solve(
         mu = jax.lax.fori_loop(0, s.iterations_max, body, mu0)
         return mu, jnp.asarray(s.iterations_max, jnp.int32), jnp.zeros((), bool)
 
-    def cond(carry):
-        mu, change, it = carry
-        return (change > prec2) & (it <= s.iterations_max)
+    def apply_T(m):
+        return jnp.einsum("ipjq,jq->ip", tensor, m)
 
-    def body(carry):
-        mu, _, it = carry
-        mu_new = one_sweep(mu)
-        change = jnp.sum((mu_new - mu) ** 2) / n3
-        return mu_new, change, it + 1
-
-    mu, change, it = jax.lax.while_loop(
-        cond, body, (mu0, jnp.asarray(jnp.inf, e0.dtype), jnp.zeros((), jnp.int32))
-    )
-    diverged = change > prec2
-    mu = jnp.where(diverged, a * e0, mu)
-    return mu, it, diverged
+    return scf_solve_cg(e0, alpha, apply_T, s, mu_init=mu_init)
 
 
 def scf_solve_gauss_seidel(

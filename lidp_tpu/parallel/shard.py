@@ -320,24 +320,12 @@ def build_sharded_polar_step(
                         lambda i, m: a * (e0 + e_ind_of(m)), mu0)
                     scf_iters = jnp.asarray(s.iterations_max, jnp.int32)
                 else:
-                    prec2 = jnp.asarray(s.polar_precision**2, dtype)
-                    n3 = 3.0 * n
+                    from lidp_tpu.ops.polarization import scf_solve_cg
 
-                    def cond(c):
-                        m, ch, it = c
-                        return (ch > prec2) & (it <= s.iterations_max)
-
-                    def body(c):
-                        m, _, it = c
-                        m2 = a * (e0 + e_ind_of(m))
-                        ch = jax.lax.psum(jnp.sum((m2 - m) ** 2), AXIS) / n3
-                        return m2, ch, it + 1
-
-                    mu_new, change, scf_iters = jax.lax.while_loop(
-                        cond, body,
-                        (mu0, jnp.asarray(jnp.inf, dtype),
-                         jnp.zeros((), jnp.int32)))
-                    mu_new = jnp.where(change > prec2, a * e0, mu_new)
+                    mu_new, scf_iters, _div = scf_solve_cg(
+                        e0, alpha, lambda m: -e_ind_of(m), s,
+                        mu_init=(mu_init if s.use_previous else None),
+                        psum=lambda v: jax.lax.psum(v, AXIS), n_total=n)
 
                 # dipole forces + energy
                 muf = gather(mu_new)

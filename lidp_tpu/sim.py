@@ -142,13 +142,32 @@ class Simulation:
                 if not gmask.all():
                     raise NotImplementedError("fix nve on sub-group")
                 integ = nve_integrator(nvep)
-            elif spec.style == "rigid/nve":
+            elif spec.style in ("rigid/nve", "rigid/nvt"):
                 x_unwrap = script.x + script.image * (script.box_hi - script.box_lo)
                 rsetup = rigid_mod.setup_bodies(x_unwrap, mass_atom,
                                                 script.mol, gmask)
+                kw = {}
+                if spec.style == "rigid/nvt":
+                    a = spec.args
+                    assert a[0] == "molecule"
+                    kw = dict(tstat=True, boltz=u.boltz, mvv2e=u.mvv2e)
+                    i = 1
+                    while i < len(a):
+                        if a[i] == "temp":
+                            kw["t_start"] = float(a[i + 1])
+                            kw["t_stop"] = float(a[i + 2])
+                            kw["t_period"] = float(a[i + 3])
+                            i += 4
+                        elif a[i] == "tparam":
+                            kw["t_chain"] = int(a[i + 1])
+                            kw["t_iter"] = int(a[i + 2])
+                            kw["t_order"] = int(a[i + 3])
+                            i += 4
+                        else:
+                            i += 1
                 rp = rigid_mod.make_rigid_params(rsetup, script.dt, u.ftm2v,
                                                  mass_atom=mass_atom,
-                                                 dtype=dtype)
+                                                 dtype=dtype, **kw)
                 integ = rigid_nve_integrator(rp, jnp.asarray(mass_atom, dtype))
                 dof_removed += rsetup.dof_removed
                 rigid_groups.append((spec.group, rsetup))

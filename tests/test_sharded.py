@@ -82,8 +82,10 @@ def test_sharded_matches_dense():
                                rtol=1e-9)
     np.testing.assert_allclose(float(energies["epol"]), float(res.epol),
                                rtol=1e-8)
+    # CG reduction order differs between the sharded (psum) and dense paths;
+    # converged forces agree to solver precision, not bitwise
     np.testing.assert_allclose(np.asarray(f2)[:n], np.asarray(res.f),
-                               rtol=1e-7, atol=1e-9)
+                               rtol=2e-6, atol=1e-8)
     np.testing.assert_allclose(np.asarray(mu2)[:n], np.asarray(res.mu),
                                rtol=1e-6, atol=1e-12)
     np.testing.assert_allclose(np.asarray(energies["virial"]),

@@ -291,6 +291,43 @@ class LammpsScript:
         self._bonds = d.bonds
         self.groups["all"] = np.ones(d.natoms, bool)
 
+    def cmd_replicate(self, a):
+        """Replicate the system nx x ny x nz (replicate.cpp semantics:
+        positions shifted by box vectors, molecule ids offset per replica)."""
+        nx, ny, nz = int(a[0]), int(a[1]), int(a[2])
+        if min(nx, ny, nz) < 1:
+            raise ValueError("Illegal replicate command: factors must be >= 1")
+        L = self.box_hi - self.box_lo
+        n0 = self.x.shape[0]
+        maxmol = int(self.mol.max()) if self.mol.size else 0
+        xs, vs, qs, ts, ms, ims = [], [], [], [], [], []
+        bonds = []
+        rep = 0
+        for iz in range(nz):
+            for iy in range(ny):
+                for ix in range(nx):
+                    shift = np.array([ix, iy, iz]) * L
+                    xs.append(self.x + shift)
+                    vs.append(self.v)
+                    qs.append(self.q)
+                    ts.append(self.type)
+                    ms.append(np.where(self.mol > 0, self.mol + rep * maxmol, 0))
+                    ims.append(self.image)
+                    if getattr(self, "_bonds", None) is not None and len(self._bonds):
+                        bonds.append(self._bonds + rep * n0)
+                    rep += 1
+        self.x = np.concatenate(xs)
+        self.v = np.concatenate(vs)
+        self.q = np.concatenate(qs)
+        self.type = np.concatenate(ts).astype(np.int32)
+        self.mol = np.concatenate(ms).astype(np.int32)
+        self.image = np.concatenate(ims)
+        self._bonds = (np.concatenate(bonds) if bonds
+                       else np.zeros((0, 2), np.int64))
+        self.box_hi = self.box_lo + L * np.array([nx, ny, nz])
+        self.groups = {"all": np.ones(self.x.shape[0], bool)}
+        self._sim = None
+
     def cmd_mass(self, a):
         self.mass_type[int(a[0])] = float(a[1])
 

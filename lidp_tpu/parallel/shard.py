@@ -85,64 +85,72 @@ def build_sharded_polar_step(
     dtf = 0.5 * dt * ftm2v
     has_polar = s is not None
 
-    # --- shared geometry helper over one column chunk ---
+    # --- shared geometry helpers over one column chunk ---
+    # All pair intermediates are per-component (nloc, csz) arrays: a trailing
+    # dimension of 3 would tile to 128 lanes on TPU (T(8,128)) and waste ~42x
+    # HBM/compute.
     def _geom(xl, rows, xc, cols, L):
-        delta = minimum_image(xl[:, None, :] - xc[None, :, :], L)
-        rsq = jnp.sum(delta * delta, axis=-1)
+        dx = minimum_image(xl[:, 0:1] - xc[None, :, 0], L[0])
+        dy = minimum_image(xl[:, 1:2] - xc[None, :, 1], L[1])
+        dz = minimum_image(xl[:, 2:3] - xc[None, :, 2], L[2])
+        rsq = dx * dx + dy * dy + dz * dz
         not_self = rows[:, None] != cols[None, :]
-        return delta, rsq, not_self
+        return dx, dy, dz, rsq, not_self
 
     def _pair_chunk(xl, ql, tl, rows, xc, qc, tc, mc, cols, L, acc):
         f, ev, ec, vir = acc
-        delta, rsq, ns = _geom(xl, rows, xc, cols, L)
+        dx, dy, dz, rsq, ns = _geom(xl, rows, xc, cols, L)
         pm = ns & mc[None, :]
         rsq = jnp.where(pm, rsq, 1.0)
         fpair, evdwl, ecoul = _pair_terms(
             rsq, ql[:, None], qc[None, :], tl[:, None], tc[None, :], 0,
             pair, pm)
-        f = f + jnp.sum(fpair[..., None] * delta, axis=1)
+        f = f + jnp.stack([jnp.sum(fpair * dx, axis=1),
+                           jnp.sum(fpair * dy, axis=1),
+                           jnp.sum(fpair * dz, axis=1)], axis=-1)
         w = 0.5 * fpair
         vir = vir + jnp.stack([
-            jnp.sum(w * delta[..., 0] * delta[..., 0]),
-            jnp.sum(w * delta[..., 1] * delta[..., 1]),
-            jnp.sum(w * delta[..., 2] * delta[..., 2]),
-            jnp.sum(w * delta[..., 0] * delta[..., 1]),
-            jnp.sum(w * delta[..., 0] * delta[..., 2]),
-            jnp.sum(w * delta[..., 1] * delta[..., 2]),
+            jnp.sum(w * dx * dx), jnp.sum(w * dy * dy), jnp.sum(w * dz * dz),
+            jnp.sum(w * dx * dy), jnp.sum(w * dx * dz), jnp.sum(w * dy * dz),
         ])
         return f, ev + 0.5 * jnp.sum(evdwl), ec + 0.5 * jnp.sum(ecoul), vir
 
     def _wolf_chunk(xl, ml, rows, xc, qc, molc, mc, cols, L, e0):
-        delta, rsq, ns = _geom(xl, rows, xc, cols, L)
+        dx, dy, dz, rsq, ns = _geom(xl, rows, xc, cols, L)
         cut_coulsq = pair.cut_coulsq
         f_shift = -1.0 / cut_coulsq
         include = ns & mc[None, :] & (rsq <= cut_coulsq) & (
             (ml[:, None] != molc[None, :]) | (ml[:, None] == 0))
         rsq = jnp.where(include, rsq, 1.0)
         r = jnp.sqrt(rsq)
-        ef = jnp.where(include, (1.0 / rsq + f_shift) / r, 0.0)
-        return e0 + jnp.einsum("ij,j,ijp->ip", ef, qc, delta)
+        efq = jnp.where(include, (1.0 / rsq + f_shift) / r, 0.0) * qc[None, :]
+        return e0 + jnp.stack([jnp.sum(efq * dx, axis=1),
+                               jnp.sum(efq * dy, axis=1),
+                               jnp.sum(efq * dz, axis=1)], axis=-1)
 
     def _tensor_apply_chunk(xl, al, rows, xc, ac, mc, cols, muc, L, ei):
         """ei -= T_block . mu_chunk  (matrix-free SCF contraction)."""
-        delta, rsq, ns = _geom(xl, rows, xc, cols, L)
+        dx, dy, dz, rsq, ns = _geom(xl, rows, xc, cols, L)
         pm = ns & mc[None, :] & (ac[None, :] != 0.0) & (al[:, None] != 0.0)
         rsq = jnp.where(pm, rsq, 1.0)
         r = jnp.sqrt(rsq)
         l1, l2 = _damping_terms(r, rsq, s.polar_damp, s.damping_type)
         r3inv = 1.0 / (rsq * r)
         r5inv = r3inv / rsq
-        mdotd = jnp.einsum("jq,ijq->ij", muc, delta)
-        # T.mu = -3 d (d.mu) l2 r^-5 + l1 r^-3 mu
-        term = (-3.0 * (l2 * r5inv) * mdotd)[:, :, None] * delta \
-            + (l1 * r3inv)[:, :, None] * muc[None, :, :]
-        term = jnp.where(pm[:, :, None], term, 0.0)
-        return ei - jnp.sum(term, axis=1)
+        mux, muy, muz = muc[None, :, 0], muc[None, :, 1], muc[None, :, 2]
+        mdotd = mux * dx + muy * dy + muz * dz
+        a1 = jnp.where(pm, -3.0 * (l2 * r5inv) * mdotd, 0.0)
+        a2 = jnp.where(pm, l1 * r3inv, 0.0)
+        # T.mu = a1 * d + a2 * mu
+        tx = jnp.sum(a1 * dx + a2 * mux, axis=1)
+        ty = jnp.sum(a1 * dy + a2 * muy, axis=1)
+        tz = jnp.sum(a1 * dz + a2 * muz, axis=1)
+        return ei - jnp.stack([tx, ty, tz], axis=-1)
 
     def _dipole_chunk(xl, ql, ml, al, mul, rows, xc, qc, molc, ac, mc, cols,
                       muc, L, acc):
         f, u_ef, u_dd, vir = acc
-        delta, rsq, ns = _geom(xl, rows, xc, cols, L)
+        dx, dy, dz, rsq, ns = _geom(xl, rows, xc, cols, L)
         pm = ns & mc[None, :]
         rsq = jnp.where(pm, rsq, 1.0)
         r2inv = 1.0 / rsq
@@ -152,7 +160,6 @@ def build_sharded_polar_step(
         sqrt_q = jnp.sqrt(qqrd2e)
         cut_coulsq = pair.cut_coulsq
         f_shift = -1.0 / cut_coulsq
-        dx, dy, dz = delta[..., 0], delta[..., 1], delta[..., 2]
         xsq, ysq, zsq = dx * dx, dy * dy, dz * dz
 
         cd_mask = pm & (rsq < cut_coulsq) & (
@@ -164,26 +171,28 @@ def build_sharded_polar_step(
         mxz = -3.0 * dx * dz * r2inv - f_shift * dx * dz
         myz = -3.0 * dy * dz * r2inv - f_shift * dy * dz
 
-        def matvec(mv):
-            vx = mxx * mv[..., 0] + mxy * mv[..., 1] + mxz * mv[..., 2]
-            vy = mxy * mv[..., 0] + myy * mv[..., 1] + myz * mv[..., 2]
-            vz = mxz * mv[..., 0] + myz * mv[..., 1] + mzz * mv[..., 2]
-            return jnp.stack([vx, vy, vz], axis=-1)
-
+        mlx, mly, mlz = mul[:, 0:1], mul[:, 1:2], mul[:, 2:3]
+        mcx, mcy, mcz = muc[None, :, 0], muc[None, :, 1], muc[None, :, 2]
         cf_j = jnp.where(cd_mask, qc[None, :] * sqrt_q * r3inv, 0.0)
         cf_i = jnp.where(cd_mask, ql[:, None] * sqrt_q * r3inv, 0.0)
-        f_cd = (cf_j[..., None] * matvec(mul[:, None, :])
-                - cf_i[..., None] * matvec(muc[None, :, :]))
-        ef_temp = jnp.where(cd_mask, (r2inv + f_shift) * rinv * sqrt_q, 0.0)
-        e_ij = ef_temp[..., None] * qc[None, :, None] * delta
-        u_ef = u_ef - jnp.sum(mul[:, None, :] * e_ij)
+        fcdx = cf_j * (mxx * mlx + mxy * mly + mxz * mlz) \
+            - cf_i * (mxx * mcx + mxy * mcy + mxz * mcz)
+        fcdy = cf_j * (mxy * mlx + myy * mly + myz * mlz) \
+            - cf_i * (mxy * mcx + myy * mcy + myz * mcz)
+        fcdz = cf_j * (mxz * mlx + myz * mly + mzz * mlz) \
+            - cf_i * (mxz * mcx + myz * mcy + mzz * mcz)
+
+        ef_t = jnp.where(cd_mask, (r2inv + f_shift) * rinv * sqrt_q, 0.0) \
+            * qc[None, :]
+        u_ef = u_ef - jnp.sum(mlx * ef_t * dx + mly * ef_t * dy
+                              + mlz * ef_t * dz)
 
         dd_mask = pm & (al[:, None] != 0.0) & (ac[None, :] != 0.0)
         r5inv = r3inv * r2inv
         r7inv = r5inv * r2inv
-        pdotp = jnp.einsum("ip,jp->ij", mul, muc)
-        pidotr = jnp.einsum("ip,ijp->ij", mul, delta)
-        pjdotr = jnp.einsum("jp,ijp->ij", muc, delta)
+        pdotp = mlx * mcx + mly * mcy + mlz * mcz
+        pidotr = mlx * dx + mly * dy + mlz * dz
+        pjdotr = mcx * dx + mcy * dy + mcz * dz
         if s.damping_type == DAMPING_EXPONENTIAL:
             pd = s.polar_damp
             t1 = jnp.exp(-pd * r)
@@ -193,9 +202,11 @@ def build_sharded_polar_step(
                 - 15.0 * r7inv * pidotr * pjdotr * (1.0 - t1 * t3)
             pre2 = 3.0 * r5inv * pjdotr * (1.0 - t1 * t3)
             pre3 = 3.0 * r5inv * pidotr * (1.0 - t1 * t3)
-            pre4 = -pdotp * r3inv * (-t1 * (pd * rinv + pd * pd) + t1 * pd * t2 * rinv)
+            pre4 = -pdotp * r3inv * (-t1 * (pd * rinv + pd * pd)
+                                     + t1 * pd * t2 * rinv)
             pre5 = 3.0 * pidotr * pjdotr * r5inv * (
-                -t1 * (pd * rinv + pd * pd + 0.5 * r * pd**3) + t1 * pd * t3 * rinv)
+                -t1 * (pd * rinv + pd * pd + 0.5 * r * pd**3)
+                + t1 * pd * t3 * rinv)
             u_dd_pair = r3inv * pdotp * (1.0 - t1 * t2) \
                 - 3.0 * r5inv * pidotr * pjdotr * (1.0 - t1 * t3)
             extra = pre4 + pre5
@@ -208,16 +219,16 @@ def build_sharded_polar_step(
         pre1 = jnp.where(dd_mask, pre1 + extra, 0.0)
         pre2 = jnp.where(dd_mask, pre2, 0.0)
         pre3 = jnp.where(dd_mask, pre3, 0.0)
-        f_dd = (pre1[..., None] * delta + pre2[..., None] * mul[:, None, :]
-                + pre3[..., None] * muc[None, :, :])
+        fpx = fcdx + pre1 * dx + pre2 * mlx + pre3 * mcx
+        fpy = fcdy + pre1 * dy + pre2 * mly + pre3 * mcy
+        fpz = fcdz + pre1 * dz + pre2 * mlz + pre3 * mcz
         u_dd = u_dd + 0.5 * jnp.sum(jnp.where(dd_mask, u_dd_pair, 0.0))
 
-        fp = f_cd + f_dd
-        f = f + jnp.sum(fp, axis=1)
+        f = f + jnp.stack([jnp.sum(fpx, axis=1), jnp.sum(fpy, axis=1),
+                           jnp.sum(fpz, axis=1)], axis=-1)
         vir = vir + 0.5 * jnp.stack([
-            jnp.sum(dx * fp[..., 0]), jnp.sum(dy * fp[..., 1]),
-            jnp.sum(dz * fp[..., 2]), jnp.sum(dx * fp[..., 1]),
-            jnp.sum(dx * fp[..., 2]), jnp.sum(dy * fp[..., 2]),
+            jnp.sum(dx * fpx), jnp.sum(dy * fpy), jnp.sum(dz * fpz),
+            jnp.sum(dx * fpy), jnp.sum(dx * fpz), jnp.sum(dy * fpz),
         ])
         return f, u_ef, u_dd, vir
 
@@ -234,8 +245,8 @@ def build_sharded_polar_step(
         acc, _ = jax.lax.scan(body, init, (cols0, chunked))
         return acc
 
-    def local_step(x, v, q, type_, mol, alpha, mu, mass, mask):
-        """shard_map body: all arrays are local row blocks (nloc, ...)."""
+    def _forces(x, q, type_, mol, alpha, mu_init, mask):
+        """One full force/SCF evaluation on local row blocks (nloc, ...)."""
         didx = jax.lax.axis_index(AXIS)
         rows = didx * nloc + jnp.arange(nloc)
         L = box_lengths  # closed over (static per build; box is NVE-constant)
@@ -243,9 +254,7 @@ def build_sharded_polar_step(
         def gather(a):
             return jax.lax.all_gather(a, AXIS, tiled=True)
 
-        minv = jnp.where(mass > 0, 1.0 / jnp.where(mass > 0, mass, 1.0), 0.0)
-
-        def forces(x, mu_init):
+        if True:
             xf = gather(x)
             qf, tf, molf, af, mf = (gather(q), gather(type_), gather(mol),
                                     gather(alpha), gather(mask))
@@ -260,6 +269,54 @@ def build_sharded_polar_step(
                 (f0, jnp.zeros((), dtype), jnp.zeros((), dtype), zero6),
                 (xf, qf, tf, mf))
             f, evdwl, ecoul, vir = facc
+
+            # sparse special-bond correction pass: the dense main pass treats
+            # every pair as factor 1.0; subtract the over-count for the
+            # O(N*S) special pairs (factor_lj scaling, and the kspace-present
+            # coulomb convention forcecoul -= (1-factor)*prefactor,
+            # ...polarization.cpp:262-278)
+            if special is not None:
+                sp_idx_g, sp_lvl_g = special
+                didx2 = jax.lax.axis_index(AXIS)
+                sp_idx = jax.lax.dynamic_slice_in_dim(sp_idx_g, didx2 * nloc, nloc, 0)
+                sp_lvl = jax.lax.dynamic_slice_in_dim(sp_lvl_g, didx2 * nloc, nloc, 0)
+                jvalid = sp_idx < n
+                jc = jnp.minimum(sp_idx, npad - 1)
+                sdx = minimum_image(x[:, 0:1] - xf[:, 0][jc], L[0])
+                sdy = minimum_image(x[:, 1:2] - xf[:, 1][jc], L[1])
+                sdz = minimum_image(x[:, 2:3] - xf[:, 2][jc], L[2])
+                srsq = sdx * sdx + sdy * sdy + sdz * sdz
+                srsq = jnp.where(jvalid, srsq, 1.0)
+                sr2inv = 1.0 / srsq
+                ti = type_[:, None]
+                tj = tf[jc]
+                flj = pair.special_lj[sp_lvl]
+                fcl = pair.special_coul[sp_lvl]
+                in_rng = jvalid & (srsq < pair.cutsq[ti, tj])
+                lj_m = in_rng & (srsq < pair.cut_ljsq[ti, tj])
+                r6inv = sr2inv * sr2inv * sr2inv
+                forcelj = r6inv * (pair.lj1[ti, tj] * r6inv - pair.lj2[ti, tj])
+                evdwl_full = (r6inv * (pair.lj3[ti, tj] * r6inv - pair.lj4[ti, tj])
+                              - pair.offset[ti, tj])
+                dflj = jnp.where(lj_m, (flj - 1.0) * forcelj, 0.0)
+                devd = jnp.where(lj_m, (flj - 1.0) * evdwl_full, 0.0)
+                cm = in_rng & (srsq < pair.cut_coulsq)
+                sr = jnp.sqrt(srsq)
+                prefac = pair.qqrd2e * q[:, None] * qf[jc] / sr
+                dfc = jnp.where(cm, -(1.0 - fcl) * prefac, 0.0)
+                dec = jnp.where(cm, -(1.0 - fcl) * prefac, 0.0)
+                fpair_c = (dflj + dfc) * sr2inv
+                f = f + jnp.stack([jnp.sum(fpair_c * sdx, axis=1),
+                                   jnp.sum(fpair_c * sdy, axis=1),
+                                   jnp.sum(fpair_c * sdz, axis=1)], axis=-1)
+                evdwl = evdwl + 0.5 * jnp.sum(devd)
+                ecoul = ecoul + 0.5 * jnp.sum(dec)
+                wks = 0.5 * fpair_c
+                vir = vir + jnp.stack([
+                    jnp.sum(wks * sdx * sdx), jnp.sum(wks * sdy * sdy),
+                    jnp.sum(wks * sdz * sdz), jnp.sum(wks * sdx * sdy),
+                    jnp.sum(wks * sdx * sdz), jnp.sum(wks * sdy * sdz)])
+
             evdwl = jax.lax.psum(evdwl, AXIS)
             ecoul = jax.lax.psum(ecoul, AXIS)
 
@@ -346,42 +403,73 @@ def build_sharded_polar_step(
                     / jnp.where(alpha != 0.0, alpha, 1.0), 0.0))
                 epol = jax.lax.psum(u_self + u_ef + u_dd, AXIS)
 
-            vir = jax.lax.psum(vir, AXIS)
-            return f, mu_new, dict(evdwl=evdwl, ecoul=ecoul, elong=elong,
-                                   epol=epol, virial=vir,
-                                   scf_iters=scf_iters)
+        vir = jax.lax.psum(vir, AXIS)
 
-        # velocity Verlet around the force evaluation (fix nve semantics)
-        f_prev, mu1, _ = forces(x, mu)
+        return f, mu_new, dict(evdwl=evdwl, ecoul=ecoul, elong=elong,
+                               epol=epol, virial=vir, scf_iters=scf_iters)
+
+    def local_step(x, v, f_prev, q, type_, mol, alpha, mu, mass, mask):
+        """Velocity-Verlet with force carry: ONE force evaluation per step
+        (Verlet::run semantics). Obtain the initial f_prev via the init fn."""
+        minv = jnp.where(mass > 0, 1.0 / jnp.where(mass > 0, mass, 1.0), 0.0)
         v = v + (dtf * minv)[:, None] * f_prev
         v = jnp.where(mask[:, None], v, 0.0)
         x = x + dt * v
-        f_new, mu2, energies = forces(x, mu1)
+        f_new, mu2, energies = _forces(x, q, type_, mol, alpha, mu, mask)
         v = v + (dtf * minv)[:, None] * f_new
         v = jnp.where(mask[:, None], v, 0.0)
         return x, v, mu2, f_new, energies
 
-    # capture box geometry at build time (constant-volume ensembles)
+    def local_init(x, q, type_, mol, alpha, mu, mask):
+        """Initial force evaluation (Verlet::setup analog)."""
+        return _forces(x, q, type_, mol, alpha, mu, mask)
+
+    # capture box geometry + special lists at build time
     box_lengths = None
     volume = None
+    special = None
 
     def bind_box(L):
         nonlocal box_lengths, volume
         box_lengths = jnp.asarray(L, dtype)
         volume = box_lengths[0] * box_lengths[1] * box_lengths[2]
 
+    def bind_special(idx, lvl):
+        """(npad, S) padded special lists (topology.special_lists), replicated."""
+        nonlocal special
+        pad_rows = npad - idx.shape[0]
+        if pad_rows:
+            import numpy as _np
+            idx = _np.concatenate([idx, _np.full((pad_rows, idx.shape[1]), n,
+                                                 idx.dtype)])
+            lvl = _np.concatenate([lvl, _np.zeros((pad_rows, lvl.shape[1]),
+                                                  lvl.dtype)])
+        special = (jnp.asarray(idx, jnp.int32), jnp.asarray(lvl, jnp.int32))
+
     spec = P(AXIS)
     rep = P()
 
+    energy_specs = dict(evdwl=rep, ecoul=rep, elong=rep, epol=rep,
+                        virial=rep, scf_iters=rep)
+
     def make(mesh_local):
+        """Returns (step_fn, init_fn):
+        step_fn(x, v, f_prev, q, type, mol, alpha, mu, mass, mask)
+            -> (x, v, mu, f, energies)
+        init_fn(x, q, type, mol, alpha, mu, mask) -> (f, mu, energies)
+        """
         sm = jax.shard_map(
             local_step, mesh=mesh_local,
-            in_specs=(spec,) * 9,
-            out_specs=(spec, spec, spec, spec,
-                       dict(evdwl=rep, ecoul=rep, elong=rep, epol=rep,
-                            virial=rep, scf_iters=rep)),
+            in_specs=(spec,) * 10,
+            out_specs=(spec, spec, spec, spec, energy_specs),
             check_vma=False,
         )
-        return jax.jit(sm)
+        sm_init = jax.shard_map(
+            local_init, mesh=mesh_local,
+            in_specs=(spec,) * 7,
+            out_specs=(spec, spec, energy_specs),
+            check_vma=False,
+        )
+        return jax.jit(sm), jax.jit(sm_init)
 
-    return make, bind_box, npad
+    return make, bind_box, npad, bind_special

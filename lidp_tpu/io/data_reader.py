@@ -124,6 +124,24 @@ def read_data(path: str, atom_style: str = "full") -> DataFile:
             continue
         name = s
         if name.startswith("Atoms"):
+            if atom_style == "full":
+                # fast path: hand the raw section lines to the native parser
+                raw, j = [], i + 1
+                found = 0
+                while found < n and j < len(lines):
+                    s2 = _strip(lines[j])
+                    if s2:
+                        raw.append(lines[j])
+                        found += 1
+                    j += 1
+                from lidp_tpu import native
+
+                parsed = native.parse_atoms_full("".join(raw), n)
+                if parsed is not None:
+                    x, q = parsed["x"], parsed["q"]
+                    typ, mol, image = parsed["type"], parsed["mol"], parsed["image"]
+                    i = j
+                    continue
             rows, i = read_section(i + 1, n)
             for r in rows:
                 aid = int(r[0])

@@ -24,6 +24,12 @@ def special_lists(natoms: int, bonds: np.ndarray, pad_to_multiple: int = 8):
     the over-counted interactions for exactly these pairs (each pair appears
     in both atoms' rows; energy corrections carry 0.5x).
     """
+    from lidp_tpu import native
+
+    nat = native.special_lists(natoms, bonds, pad_to_multiple)
+    if nat is not None:
+        return nat
+
     per_atom = _special_sets(natoms, bonds)
     S = max(1, max((len(a) + len(b) + len(c) for a, b, c in per_atom),
                    default=1))

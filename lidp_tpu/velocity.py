@@ -43,18 +43,19 @@ def create(
     factor = 1.0 / np.sqrt(mass_per_atom)
 
     if loop == "all":
-        r = rng.RanPark(seed)
-        for i in range(n):
-            if dist == "uniform":
-                vx = r.uniform() - 0.5
-                vy = r.uniform() - 0.5
-                vz = r.uniform() - 0.5
-            else:
-                vx = r.gaussian()
-                vy = r.gaussian()
-                vz = r.gaussian()
-            v[i] = (vx, vy, vz)
-        v *= factor[:, None]
+        from lidp_tpu import native
+
+        draws = native.velocity_stream(seed, n, dist)
+        if draws is None:
+            draws = np.zeros((n, 3))
+            r = rng.RanPark(seed)
+            for i in range(n):
+                if dist == "uniform":
+                    draws[i] = (r.uniform() - 0.5, r.uniform() - 0.5,
+                                r.uniform() - 0.5)
+                else:
+                    draws[i] = (r.gaussian(), r.gaussian(), r.gaussian())
+        v = draws * factor[:, None]
     elif loop == "geom":
         streams = rng.park_geom_streams(seed, x)
         if dist == "uniform":

@@ -1,0 +1,112 @@
+"""fix nvt — point-particle Nose-Hoover thermostat (FixNH, fix_nh.cpp).
+
+Velocity-Verlet with NH chain scaling applied before the first and after the
+second half-kick (FixNH::initial_integrate:830, final_integrate:886):
+  initial: chain update + v *= exp(-dtq*eta_dot[0]); v += dtf f/m; x += dt v
+  final:   v += dtf f/m; chain update + scale.
+Chain masses q[0] = dof*kT/freq^2, q[k>0] = kT/freq^2 (nhc_temp_integrate).
+
+No bundled input uses plain fix nvt (the polarization examples thermostat
+rigid bodies), so this provides the core-style capability with the same
+update structure; rigid NH parity lives in integrate/rigid.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from lidp_tpu.state import System
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class NVTParams:
+    dtv: jax.Array
+    dtf: jax.Array
+    dtq: jax.Array
+    mass_atom: jax.Array
+    t_target: jax.Array
+    t_freq: jax.Array
+    dof: float = dataclasses.field(metadata=dict(static=True), default=3.0)
+    boltz: float = dataclasses.field(metadata=dict(static=True), default=1.0)
+    mvv2e: float = dataclasses.field(metadata=dict(static=True), default=1.0)
+    t_chain: int = dataclasses.field(metadata=dict(static=True), default=3)
+
+    @staticmethod
+    def create(dt, ftm2v, mass_atom, t_target, t_period, *, dof, boltz,
+               mvv2e, t_chain=3, dtype=jnp.float64):
+        return NVTParams(
+            dtv=jnp.asarray(dt, dtype),
+            dtf=jnp.asarray(0.5 * dt * ftm2v, dtype),
+            dtq=jnp.asarray(0.5 * dt, dtype),
+            mass_atom=jnp.asarray(mass_atom, dtype),
+            t_target=jnp.asarray(t_target, dtype),
+            t_freq=jnp.asarray(1.0 / t_period, dtype),
+            dof=float(dof), boltz=boltz, mvv2e=mvv2e, t_chain=t_chain)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class NVTState:
+    eta_dot: jax.Array  # (chain,)
+
+
+def _ke2(sys, p):
+    return jnp.sum(p.mass_atom[:, None] * sys.v * sys.v
+                   * sys.mask[:, None]) * p.mvv2e
+
+
+def _nhc(eta_dot, ke2, p: NVTParams):
+    """Half-step NH chain update; returns (eta_dot, velocity scale)."""
+    kt = p.boltz * p.t_target
+    q0 = p.dof * kt / (p.t_freq * p.t_freq)
+    qk = kt / (p.t_freq * p.t_freq)
+    q = [q0] + [qk] * (p.t_chain - 1)
+    eta = [eta_dot[i] for i in range(p.t_chain)]
+    f = [jnp.zeros_like(kt) for _ in range(p.t_chain)]
+    f[0] = (ke2 - p.dof * kt) / q[0]
+    for k in range(1, p.t_chain):
+        f[k] = (q[k - 1] * eta[k - 1] ** 2 - kt) / q[k]
+    w = p.dtq
+    C = p.t_chain
+    eta[C - 1] = eta[C - 1] + 0.5 * w * f[C - 1]
+    for k in range(C - 2, -1, -1):
+        s = jnp.exp(-0.25 * w * eta[k + 1])
+        eta[k] = eta[k] * s * s + 0.5 * w * f[k] * s
+    scale = jnp.exp(-w * eta[0])
+    ke2 = ke2 * scale * scale
+    f[0] = (ke2 - p.dof * kt) / q[0]
+    for k in range(0, C - 1):
+        s = jnp.exp(-0.25 * w * eta[k + 1])
+        eta[k] = eta[k] * s * s + 0.5 * w * f[k] * s
+        f[k + 1] = (q[k] * eta[k] ** 2 - kt) / q[k + 1]
+    eta[C - 1] = eta[C - 1] + 0.5 * w * f[C - 1]
+    return jnp.stack(eta), scale
+
+
+def init_state(sys, f, p: NVTParams):
+    return sys, NVTState(eta_dot=jnp.zeros((p.t_chain,), sys.x.dtype))
+
+
+def initial_integrate(sys: System, f, p: NVTParams, st: NVTState):
+    eta_dot, scale = _nhc(st.eta_dot, _ke2(sys, p), p)
+    v = sys.v * scale
+    minv = jnp.where(p.mass_atom > 0,
+                     1.0 / jnp.where(p.mass_atom > 0, p.mass_atom, 1.0), 0.0)
+    v = v + (p.dtf * minv)[:, None] * f
+    v = jnp.where(sys.mask[:, None], v, 0.0)
+    x = sys.x + p.dtv * v
+    return sys.replace(x=x, v=v), NVTState(eta_dot=eta_dot)
+
+
+def final_integrate(sys: System, f, p: NVTParams, st: NVTState):
+    minv = jnp.where(p.mass_atom > 0,
+                     1.0 / jnp.where(p.mass_atom > 0, p.mass_atom, 1.0), 0.0)
+    v = sys.v + (p.dtf * minv)[:, None] * f
+    v = jnp.where(sys.mask[:, None], v, 0.0)
+    sys = sys.replace(v=v)
+    eta_dot, scale = _nhc(st.eta_dot, _ke2(sys, p), p)
+    return sys.replace(v=sys.v * scale), NVTState(eta_dot=eta_dot)

@@ -136,6 +136,9 @@ class LammpsScript:
         self.step = 0
         self.thermo_rows: list[dict] = []
         self._sim = None             # live Simulation between run commands
+        self._pair_shift = False     # pair_modify shift
+        self._pair_mix = "geometric"  # pair_modify mix
+        self._gewald_override = None  # kspace_modify gewald
 
     # ------------------------------ parsing ------------------------------
 
@@ -490,7 +493,7 @@ class LammpsScript:
 
     def cmd_fix(self, a):
         fid, group, style = a[0], a[1], a[2]
-        if style not in ("nve", "rigid/nve", "rigid/nvt"):
+        if style not in ("nve", "nvt", "rigid/nve", "rigid/nvt"):
             raise ValueError(f"unsupported fix style {style}")
         self.fixes[fid] = FixSpec(fid=fid, group=group, style=style, args=a[3:])
         self._sim = None
@@ -503,8 +506,98 @@ class LammpsScript:
         nsteps = int(a[0])
         self._run(nsteps)
 
+    def cmd_min_style(self, a):
+        if a[0] not in ("fire", "cg"):
+            raise ValueError(f"unsupported min_style {a[0]}")
+        self._min_style = a[0]
+
+    def cmd_minimize(self, a):
+        """minimize etol ftol maxiter maxeval -> FIRE relaxation."""
+        import jax
+
+        from lidp_tpu.forcefield import compute_forces
+        from lidp_tpu.integrate.minimize import fire_minimize
+        from lidp_tpu.sim import Simulation
+
+        etol, ftol, maxiter = float(a[0]), float(a[1]), int(a[2])
+        if self._sim is None:
+            self._sim = Simulation.from_script(self)
+        sim = self._sim
+        ff = sim.runner.ff
+        mass_atom = self.mass_type[self.type]
+
+        def compute(sys):
+            res = compute_forces(sys, ff)
+            return res.f, res.epair
+
+        import jax.numpy as jnp
+
+        sys2, e, it, conv = jax.jit(
+            lambda s_: fire_minimize(s_, compute, jnp.asarray(mass_atom,
+                                                              self.dtype),
+                                     etol=etol, ftol=ftol, maxiter=maxiter)
+        )(sim.sys)
+        sim.sys = sys2.replace(v=jnp.zeros_like(sys2.v))
+        sim.res = None  # force re-setup on next run
+        self.x = __import__("numpy").asarray(sys2.x)
+        self.log(f"# minimize: E = {float(e):.8g} after {int(it)} iterations")
+
     def cmd_reset_timestep(self, a):
         self.step = int(a[0])
+
+    def cmd_write_restart(self, a):
+        """Binary restart (write_restart.cpp:83) -> state-pytree checkpoint."""
+        from lidp_tpu.utils.checkpoint import save_checkpoint
+
+        if self._sim is None or self._sim.res is None:
+            from lidp_tpu.sim import Simulation
+            if self._sim is None:
+                self._sim = Simulation.from_script(self)
+            self._sim.sys, self._sim.res, self._sim.nlist, self._sim.istate = \
+                self._sim.runner.setup(self._sim.sys)
+        path = os.path.join(self.root, a[0].replace("*", str(self.step)))
+        save_checkpoint(path, self._sim.sys, istate=self._sim.istate)
+        self.log(f"# wrote restart {path}")
+
+    def cmd_read_restart(self, a):
+        """Restore positions/velocities/dipoles/step from a checkpoint.
+
+        Must follow the setup commands that define the force field (the
+        reference stores those in the restart; we re-derive them from the
+        script, which is how all bundled inputs are structured anyway)."""
+        from lidp_tpu.sim import Simulation
+        from lidp_tpu.utils.checkpoint import load_checkpoint
+
+        if self._sim is None:
+            self._sim = Simulation.from_script(self)
+        path = os.path.join(self.root, a[0])
+        sys2, _, _ = load_checkpoint(path, self._sim.sys)
+        import numpy as np
+
+        self.x = np.asarray(sys2.x)
+        self.v = np.asarray(sys2.v)
+        self.step = int(sys2.step)
+        self._sim = None
+
+    def cmd_pair_modify(self, a):
+        i = 0
+        while i < len(a):
+            if a[i] == "shift":
+                self._pair_shift = _yesno(a[i + 1]); i += 2
+            elif a[i] == "mix":
+                self._pair_mix = a[i + 1]; i += 2
+            elif a[i] == "table":
+                i += 2  # we always evaluate erfc exactly (no tables)
+            else:
+                i += 2
+
+    def cmd_kspace_modify(self, a):
+        i = 0
+        while i < len(a):
+            if a[i] == "gewald":
+                self._gewald_override = float(a[i + 1]); i += 2
+            else:
+                i += 2
 
     # ------------------------- simulation assembly -------------------------
 

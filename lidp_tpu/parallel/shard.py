@@ -46,12 +46,19 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(devs, (AXIS,))
 
 
-def _col_chunks(n: int, target: int) -> int:
-    """Column chunk count dividing n (n is already device-padded)."""
-    c = max(1, n // max(1, target))
-    while n % c:
-        c += 1
-    return c
+def _pad_and_chunk(n: int, ndev: int, target: int):
+    """Pad the atom count so the column chunk is a lane-aligned power-of-two
+    slice: npad = multiple of lcm(ndev, csz) with csz a multiple of 256.
+    Unaligned odd chunk widths (e.g. 1324) have produced wrong results on the
+    TPU backend; aligned chunks are also faster."""
+    import math
+
+    csz = max(256, (target // 256) * 256)
+    if n <= csz:
+        csz = max(256, -(-n // 256) * 256 // 1)
+    block = (ndev * csz) // math.gcd(ndev, csz)
+    npad = -(-n // block) * block
+    return npad, csz, npad // csz
 
 
 @dataclasses.dataclass(frozen=True)
@@ -74,10 +81,8 @@ def build_sharded_polar_step(
     (x, v, mu, f, energies_dict); all (N,*) arrays sharded over AXIS.
     """
     ndev = mesh.shape[AXIS]
-    npad = -(-n // ndev) * ndev
+    npad, csz, nchunks = _pad_and_chunk(n, ndev, col_chunk)
     nloc = npad // ndev
-    nchunks = _col_chunks(npad, col_chunk)
-    csz = npad // nchunks
 
     pair = ff.pair
     ew = ff.ewald

@@ -44,13 +44,17 @@ def _mix_pair_tables(script):
         sig[i, j] = sig[j, i] = s
         cut[i, j] = cut[j, i] = c
         seen[i, j] = seen[j, i] = True
+    mix = getattr(script, "_pair_mix", "geometric")
     for i in range(1, T + 1):
         for j in range(i + 1, T + 1):
             if not seen[i, j]:
                 if not (seen[i, i] and seen[j, j]):
                     continue
                 eps[i, j] = eps[j, i] = np.sqrt(eps[i, i] * eps[j, j])
-                sig[i, j] = sig[j, i] = np.sqrt(sig[i, i] * sig[j, j])
+                if mix == "arithmetic":
+                    sig[i, j] = sig[j, i] = 0.5 * (sig[i, i] + sig[j, j])
+                else:
+                    sig[i, j] = sig[j, i] = np.sqrt(sig[i, i] * sig[j, j])
                 cut[i, j] = cut[j, i] = 0.5 * (cut[i, i] + cut[j, j])
     return eps, sig, cut
 
@@ -91,7 +95,8 @@ class Simulation:
             cut_coul=script.pair.cut_coul if coul else 0.0,
             special_lj=np.array(script.special_lj),
             special_coul=np.array(script.special_coul),
-            qqrd2e=u.qqr2e, coul=coul, dtype=dtype)
+            qqrd2e=u.qqr2e, coul=coul,
+            shift=getattr(script, "_pair_shift", False), dtype=dtype)
 
         # ---- kspace ----
         ew = None
@@ -101,7 +106,8 @@ class Simulation:
             es = setup_ewald_disp(
                 accuracy_rel=acc, qqrd2e=u.qqr2e, q=script.q, natoms=n,
                 cutoff=script.pair.cut_coul,
-                box_lengths=script.box_hi - script.box_lo)
+                box_lengths=script.box_hi - script.box_lo,
+                g_ewald=getattr(script, "_gewald_override", None))
             pair = dataclasses.replace(
                 pair, g_ewald=jnp.asarray(es.g_ewald, dtype))
             ew = EwaldParams.from_setup(es, u.qqr2e, dtype=dtype)
@@ -142,6 +148,34 @@ class Simulation:
                 if not gmask.all():
                     raise NotImplementedError("fix nve on sub-group")
                 integ = nve_integrator(nvep)
+            elif spec.style == "nvt":
+                from lidp_tpu.integrate import nvt as nvt_mod
+                from lidp_tpu.integrate.driver import Integrator
+
+                a = spec.args
+                kw = dict(t_chain=3)
+                i = 0
+                while i < len(a):
+                    if a[i] == "temp":
+                        t_start_, t_stop_, t_damp = (float(a[i + 1]),
+                                                     float(a[i + 2]),
+                                                     float(a[i + 3]))
+                        i += 4
+                    elif a[i] == "tchain":
+                        kw["t_chain"] = int(a[i + 1]); i += 2
+                    else:
+                        i += 1
+                if not gmask.all():
+                    raise NotImplementedError("fix nvt on sub-group")
+                nvtp = nvt_mod.NVTParams.create(
+                    script.dt, u.ftm2v, mass_atom, t_start_, t_damp,
+                    dof=3 * n - 3, boltz=u.boltz, mvv2e=u.mvv2e,
+                    dtype=dtype, **kw)
+                integ = Integrator(
+                    initial=nvt_mod.initial_integrate,
+                    final=nvt_mod.final_integrate,
+                    params=nvtp,
+                    init_state=lambda s_, f_, p_: nvt_mod.init_state(s_, f_, p_))
             elif spec.style in ("rigid/nve", "rigid/nvt"):
                 x_unwrap = script.x + script.image * (script.box_hi - script.box_lo)
                 rsetup = rigid_mod.setup_bodies(x_unwrap, mass_atom,
@@ -251,6 +285,9 @@ class Simulation:
                "press": "Press", "epair": "E_pair", "emol": "E_mol"}
 
     def run(self, nsteps: int):
+        import time
+
+        t_start = time.perf_counter()
         if self.res is None:
             self.sys, self.res, self.nlist, self.istate = \
                 self.runner.setup(self.sys)
@@ -276,6 +313,21 @@ class Simulation:
                 self._emit()
             self._dump()
         self.script.step = int(self.sys.step)
+
+        # end-of-run summary (Finish::end, finish.cpp:64)
+        import jax
+
+        jax.block_until_ready(self.sys.x)
+        wall = time.perf_counter() - t_start
+        if nsteps > 0 and wall > 0:
+            rate = nsteps / wall
+            dt_ns = self.script.dt * self.script.units.femtosecond * 1e-6
+            self.script.log(
+                f"Loop time of {wall:.6g} on 1 procs for {nsteps} steps "
+                f"with {self.natoms} atoms")
+            self.script.log(
+                f"Performance: {rate * dt_ns * 86400:.3f} ns/day, "
+                f"{rate:.3f} timesteps/s")
 
     def _dump(self):
         from lidp_tpu.io.dump import write_dump_frame

@@ -1,0 +1,75 @@
+"""Unit tests: fix nvt thermostatting and FIRE minimization."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lidp_tpu import units
+from lidp_tpu.box import Box
+from lidp_tpu.forcefield import ForceField, compute_forces
+from lidp_tpu.integrate import nvt
+from lidp_tpu.integrate.driver import Integrator, Runner
+from lidp_tpu.integrate.minimize import fire_minimize
+from lidp_tpu.ops.pair import make_pair_params
+from lidp_tpu.state import make_system
+from lidp_tpu.thermo import ThermoParams, temperature
+
+
+def _small_lj(n_side=4, rho=0.8, T=1.0, seed=0):
+    rs = np.random.RandomState(seed)
+    a = (1.0 / rho) ** (1 / 3)
+    g = np.arange(n_side)
+    x = np.stack(np.meshgrid(g, g, g, indexing="ij"), -1).reshape(-1, 3) * a
+    n = x.shape[0]
+    L = n_side * a
+    v = rs.normal(scale=np.sqrt(T), size=(n, 3))
+    v -= v.mean(0)
+    eps = np.zeros((2, 2)); eps[1, 1] = 1.0
+    sig = np.zeros((2, 2)); sig[1, 1] = 1.0
+    cut = np.zeros((2, 2)); cut[1, 1] = 2.5
+    pair = make_pair_params(eps, sig, cut)
+    ff = ForceField(pair=pair)
+    box = Box.create([0, 0, 0], [L, L, L])
+    sys = make_system(x, box=box, v=v)
+    return sys, ff, n
+
+
+def test_nvt_thermostats_to_target():
+    u = units.LJ
+    sys, ff, n = _small_lj(T=0.5)
+    t_target = 1.2
+    p = nvt.NVTParams.create(0.005, 1.0, np.ones(n), t_target, 0.25,
+                             dof=3 * n - 3, boltz=1.0, mvv2e=1.0)
+    integ = Integrator(initial=nvt.initial_integrate,
+                       final=nvt.final_integrate, params=p,
+                       init_state=nvt.init_state)
+    runner = Runner(ff=ff, integ=integ)
+    st = runner.setup(sys)
+    tp = ThermoParams.create(np.ones(n), dof=3 * n - 3, units=u, norm=False,
+                             natoms=n)
+    temps = []
+    for _ in range(10):
+        st = runner.run(*st, 50)
+        temps.append(float(temperature(st[0], tp)))
+    # time-averaged temperature near target after equilibration
+    avg = np.mean(temps[4:])
+    assert abs(avg - t_target) / t_target < 0.25, temps
+
+
+def test_fire_minimize_perturbed_lattice():
+    sys, ff, n = _small_lj(T=0.0, seed=1)
+    rs = np.random.RandomState(2)
+    sys = sys.replace(x=sys.x + 0.05 * rs.normal(size=(n, 3)))
+
+    def compute(s):
+        res = compute_forces(s, ff)
+        return res.f, res.epair
+
+    e_start = float(compute(sys)[1])
+    sys2, e, it, conv = jax.jit(lambda s: fire_minimize(
+        s, compute, jnp.ones(n), ftol=1e-8, maxiter=2000))(sys)
+    assert float(e) < e_start
+    fnorm = float(jnp.linalg.norm(compute(sys2)[0]))
+    assert fnorm < 1e-6

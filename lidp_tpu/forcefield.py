@@ -34,6 +34,9 @@ class ForceField:
     polar: Optional[pol_ops.PolarizationSettings] = dataclasses.field(
         metadata=dict(static=True), default=None)
     sp_code: Optional[jax.Array] = None     # (N,N) int8 special-bond level codes
+    bond: Optional[object] = None           # ops.bonded.BondParams
+    sp_idx: Optional[jax.Array] = None      # (N,S) sparse special lists
+    sp_lvl: Optional[jax.Array] = None      # (N,S)
     qqrd2e: float = dataclasses.field(metadata=dict(static=True), default=1.0)
     # validation switch: serial Gauss-Seidel reference solver instead of Jacobi
     reference_gs: bool = dataclasses.field(metadata=dict(static=True), default=False)
@@ -47,6 +50,7 @@ class ForceResult:
     ecoul: jax.Array
     elong: jax.Array
     epol: jax.Array
+    ebond: jax.Array
     virial: jax.Array       # (6,) xx yy zz xy xz yz
     mu: jax.Array           # induced dipoles after SCF
     scf_iters: jax.Array
@@ -54,8 +58,13 @@ class ForceResult:
 
     @property
     def epair(self):
-        """Thermo E_pair = evdwl + ecoul + elong + epol (thermo.cpp pe terms)."""
+        """Thermo E_pair = evdwl + ecoul + elong + epol (pair + kspace)."""
         return self.evdwl + self.ecoul + self.elong + self.epol
+
+    @property
+    def pe(self):
+        """Total potential: E_pair + E_mol (compute_pe.cpp)."""
+        return self.epair + self.ebond
 
 
 def compute_forces(sys: System, ff: ForceField,
@@ -65,7 +74,7 @@ def compute_forces(sys: System, ff: ForceField,
     dtype = sys.x.dtype
     zero = jnp.zeros((), dtype)
     f = jnp.zeros_like(sys.x)
-    evdwl = ecoul = elong = epol = zero
+    evdwl = ecoul = elong = epol = ebond = zero
     virial = jnp.zeros((6,), dtype)
     mu = sys.mu
     scf_iters = jnp.zeros((), jnp.int32)
@@ -77,6 +86,14 @@ def compute_forces(sys: System, ff: ForceField,
         if isinstance(nlist, Cells):
             fp, ev, ec, vir = cell_pair_forces(
                 sys.x, sys.q, sys.type, sys.mask, nlist, sys.box, ff.pair)
+            if ff.sp_idx is not None:
+                from lidp_tpu.ops.bonded import special_correction_sparse
+
+                fc, dev_, dec_, dvir = special_correction_sparse(
+                    sys.x, sys.q, sys.type, ff.sp_idx, ff.sp_lvl, sys.mask,
+                    sys.box, ff.pair)
+                fp = fp + fc
+                ev, ec, vir = ev + dev_, ec + dec_, vir + dvir
         elif nlist is not None:
             fp, ev, ec, vir = neighbor_pair_forces(
                 sys.x, sys.q, sys.type, sys.mask, nlist, sys.box, ff.pair,
@@ -88,6 +105,14 @@ def compute_forces(sys: System, ff: ForceField,
         f = f + fp
         evdwl, ecoul = evdwl + ev, ecoul + ec
         virial = virial + vir
+
+    if ff.bond is not None:
+        from lidp_tpu.ops.bonded import bond_forces
+
+        fb, eb, vb = bond_forces(sys.x, sys.box, ff.bond)
+        f = f + fb
+        ebond = ebond + eb
+        virial = virial + vb
 
     if ff.ewald is not None:
         fk, el, vk = ewald_ops.ewald_forces(sys.x, sys.q, sys.box.volume, ff.ewald)
@@ -118,6 +143,6 @@ def compute_forces(sys: System, ff: ForceField,
         virial = virial + vpol
 
     return ForceResult(
-        f=f, evdwl=evdwl, ecoul=ecoul, elong=elong, epol=epol,
+        f=f, evdwl=evdwl, ecoul=ecoul, elong=elong, epol=epol, ebond=ebond,
         virial=virial, mu=mu, scf_iters=scf_iters, scf_diverged=scf_diverged,
     )

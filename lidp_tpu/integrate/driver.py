@@ -64,16 +64,20 @@ class Runner:
     integ: Integrator
     neighbor_cfg: Optional[NeighborConfig] = None
     rebuild_every: int = 1
+    post_force: Optional[Callable] = None   # (sys, f) -> f  (e.g. fix langevin)
 
     def __post_init__(self):
         self._scan = jax.jit(
             functools.partial(_run_chunk,
                               initial=self.integ.initial, final=self.integ.final,
                               neighbor_cfg=self.neighbor_cfg,
-                              rebuild_every=self.rebuild_every),
+                              rebuild_every=self.rebuild_every,
+                              post_force=self.post_force),
             static_argnames=("nsteps",),
         )
-        self._force = jax.jit(_setup_forces, static_argnames=("neighbor_cfg",))
+        self._force = jax.jit(
+            functools.partial(_setup_forces, post_force=self.post_force),
+            static_argnames=("neighbor_cfg",))
 
     def setup(self, sys: System):
         """Initial force evaluation (Verlet::setup). Returns (sys, res, nlist, istate)."""
@@ -95,7 +99,7 @@ def _build_struct(sys, neighbor_cfg):
     return build_neighbor_list(sys.x, sys.mask, sys.box, neighbor_cfg)
 
 
-def _setup_forces(sys, ff, *, neighbor_cfg):
+def _setup_forces(sys, ff, *, neighbor_cfg, post_force=None):
     if neighbor_cfg is not None:
         sys_x, image = box_mod.wrap(sys.x, sys.box, sys.image)
         sys = sys.replace(x=sys_x, image=image)
@@ -103,12 +107,14 @@ def _setup_forces(sys, ff, *, neighbor_cfg):
     else:
         nlist = None
     res = compute_forces(sys, ff, nlist)
+    if post_force is not None:
+        res = dataclasses.replace(res, f=post_force(sys, res.f))
     sys = sys.replace(mu=res.mu)
     return sys, res, nlist
 
 
 def _run_chunk(sys, res, nlist, istate, ff, iparams, *, nsteps,
-               initial, final, neighbor_cfg, rebuild_every):
+               initial, final, neighbor_cfg, rebuild_every, post_force=None):
     def body(carry, _):
         sys, res, nlist, istate = carry
         sys, istate = initial(sys, res.f, iparams, istate)
@@ -127,6 +133,8 @@ def _run_chunk(sys, res, nlist, istate, ff, iparams, *, nsteps,
             sys, nlist = jax.lax.cond(need, rebuild, keep, sys, nlist)
 
         res = compute_forces(sys, ff, nlist)
+        if post_force is not None:
+            res = dataclasses.replace(res, f=post_force(sys, res.f))
         sys = sys.replace(mu=res.mu)
         sys, istate = final(sys, res.f, iparams, istate)
         return (sys, res, nlist, istate), None

@@ -29,6 +29,7 @@ class DataFile:
     v: np.ndarray | None        # (N,3) or None
     mass: np.ndarray | None     # (ntypes+1,) or None (Masses section)
     bonds: np.ndarray           # (NB,2) int atom ids (1-based), empty ok
+    bond_types: np.ndarray = None   # (NB,) int bond types (1-based)
     nbondtypes: int = 0
 
 
@@ -105,6 +106,7 @@ def read_data(path: str, atom_style: str = "full") -> DataFile:
     v = None
     mass = None
     bonds = np.zeros((counts["bonds"], 2), np.int64)
+    bond_types = np.zeros(counts["bonds"], np.int32)
 
     def read_section(start: int, nrows: int):
         rows = []
@@ -158,6 +160,12 @@ def read_data(path: str, atom_style: str = "full") -> DataFile:
                     x[k] = [float(r[2]), float(r[3]), float(r[4])]
                     if len(r) >= 8:
                         image[k] = [int(r[5]), int(r[6]), int(r[7])]
+                elif atom_style == "bond":
+                    mol[k] = int(r[1])
+                    typ[k] = int(r[2])
+                    x[k] = [float(r[3]), float(r[4]), float(r[5])]
+                    if len(r) >= 9:
+                        image[k] = [int(r[6]), int(r[7]), int(r[8])]
                 else:
                     raise ValueError(f"unsupported atom_style {atom_style}")
         elif name.startswith("Velocities"):
@@ -173,7 +181,9 @@ def read_data(path: str, atom_style: str = "full") -> DataFile:
         elif name.startswith("Bonds"):
             rows, i = read_section(i + 1, counts["bonds"])
             for r in rows:
-                bonds[int(r[0]) - 1] = [int(r[2]), int(r[3])]
+                k = int(r[0]) - 1
+                bond_types[k] = int(r[1])
+                bonds[k] = [int(r[2]), int(r[3])]
         else:
             # skip unknown section: its row count is unknown; consume until
             # the next recognized section header (coeff sections etc.)
@@ -188,5 +198,5 @@ def read_data(path: str, atom_style: str = "full") -> DataFile:
     return DataFile(
         natoms=n, ntypes=ntypes, box_lo=box_lo, box_hi=box_hi,
         x=x, q=q, type=typ, mol=mol, image=image, v=v, mass=mass,
-        bonds=bonds, nbondtypes=counts["bond types"],
+        bonds=bonds, bond_types=bond_types, nbondtypes=counts["bond types"],
     )

@@ -136,6 +136,8 @@ class LammpsScript:
         self.step = 0
         self.thermo_rows: list[dict] = []
         self._sim = None             # live Simulation between run commands
+        self.bond_style = None
+        self.bond_coeffs = {}
         self._pair_shift = False     # pair_modify shift
         self._pair_mix = "geometric"  # pair_modify mix
         self._gewald_override = None  # kspace_modify gewald
@@ -292,6 +294,8 @@ class LammpsScript:
         self.mass_type = d.mass if d.mass is not None else np.zeros(d.ntypes + 1)
         self.alpha_type = np.zeros(d.ntypes + 1)
         self._bonds = d.bonds
+        self._bond_types = d.bond_types
+        self.nbondtypes = d.nbondtypes
         self.groups["all"] = np.ones(d.natoms, bool)
 
     def cmd_replicate(self, a):
@@ -327,6 +331,8 @@ class LammpsScript:
         self.image = np.concatenate(ims)
         self._bonds = (np.concatenate(bonds) if bonds
                        else np.zeros((0, 2), np.int64))
+        if getattr(self, "_bond_types", None) is not None and len(self._bonds):
+            self._bond_types = np.tile(self._bond_types, rep)
         self.box_hi = self.box_lo + L * np.array([nx, ny, nz])
         self.groups = {"all": np.ones(self.x.shape[0], bool)}
         self._sim = None
@@ -398,6 +404,15 @@ class LammpsScript:
         cut = float(a[4]) if len(a) > 4 else self.pair.cut_lj_global
         self.pair_coeffs[(min(i, j), max(i, j))] = (eps, sig, cut)
 
+    def cmd_bond_style(self, a):
+        if a[0] not in ("harmonic", "fene"):
+            raise ValueError(f"unsupported bond_style {a[0]}")
+        self.bond_style = a[0]
+        self.bond_coeffs = {}
+
+    def cmd_bond_coeff(self, a):
+        self.bond_coeffs[int(a[0])] = [float(v) for v in a[1:]]
+
     def cmd_kspace_style(self, a):
         if a[0] == "none":
             self.kspace = None
@@ -413,6 +428,13 @@ class LammpsScript:
             self.special_lj[1:] = [float(v) for v in a[1:4]]
         elif a[0] == "coul":
             self.special_coul[1:] = [float(v) for v in a[1:4]]
+        elif a[0] == "fene":
+            # special_bonds fene = lj/coul 0 1 1 (special_bonds doc)
+            self.special_lj[1:] = [0.0, 1.0, 1.0]
+            self.special_coul[1:] = [0.0, 1.0, 1.0]
+        elif a[0] == "amber":
+            self.special_lj[1:] = [0.0, 0.0, 0.5]
+            self.special_coul[1:] = [0.0, 0.0, 1.0 / 1.2]
         else:
             raise ValueError(f"unsupported special_bonds {a}")
 
@@ -493,7 +515,7 @@ class LammpsScript:
 
     def cmd_fix(self, a):
         fid, group, style = a[0], a[1], a[2]
-        if style not in ("nve", "nvt", "rigid/nve", "rigid/nvt"):
+        if style not in ("nve", "nvt", "rigid/nve", "rigid/nvt", "langevin"):
             raise ValueError(f"unsupported fix style {style}")
         self.fixes[fid] = FixSpec(fid=fid, group=group, style=style, args=a[3:])
         self._sim = None

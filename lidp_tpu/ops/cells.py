@@ -151,19 +151,32 @@ def cell_pair_forces(x, q, type_, mask, cells: Cells, box: Box, p,
 
     same = jnp.eye(cap, dtype=bool)
 
-    for off in _OFFSETS:
-        dx = minimum_image(ctr(xs[0]) - nbr(xs[0], off), L[0])
-        dy = minimum_image(ctr(xs[1]) - nbr(xs[1], off), L[1])
-        dz = minimum_image(ctr(xs[2]) - nbr(xs[2], off), L[2])
+    # Process stencil offsets in groups: concatenating G rolled neighbor
+    # grids along the j axis makes the lane dimension G*cap wide (~512),
+    # cutting the 128-lane tile padding from ~2.3x to ~2%.
+    group_size = max(1, min(9, 512 // cap))
+    groups = [_OFFSETS[i:i + group_size]
+              for i in range(0, len(_OFFSETS), group_size)]
+
+    def nbr_group(a, offs):
+        return jnp.concatenate([nbr(a, o) for o in offs], axis=-1)
+
+    for offs in groups:
+        dx = minimum_image(ctr(xs[0]) - nbr_group(xs[0], offs), L[0])
+        dy = minimum_image(ctr(xs[1]) - nbr_group(xs[1], offs), L[1])
+        dz = minimum_image(ctr(xs[2]) - nbr_group(xs[2], offs), L[2])
         rsq = dx * dx + dy * dy + dz * dz
-        pair_ok = ctr(valid) & nbr(valid, off)
-        if off == (0, 0, 0):
-            pair_ok = pair_ok & ~same
+        pair_ok = ctr(valid) & nbr_group(valid, offs)
+        if (0, 0, 0) in offs:
+            gi = offs.index((0, 0, 0))
+            self_blk = jnp.pad(
+                same, ((0, 0), (gi * cap, (len(offs) - gi - 1) * cap)))
+            pair_ok = pair_ok & ~self_blk
         rsq = jnp.where(pair_ok, rsq, 1.0e12)
         r2inv = 1.0 / rsq
 
         if multi_type:
-            ti = ctr(ts); tj = nbr(ts, off)
+            ti = ctr(ts); tj = nbr_group(ts, offs)
             lj1 = lj1t[ti, tj]; lj2 = lj2t[ti, tj]
             lj3 = lj3t[ti, tj]; lj4 = lj4t[ti, tj]
             off11 = offt[ti, tj]
@@ -176,7 +189,7 @@ def cell_pair_forces(x, q, type_, mask, cells: Cells, box: Box, p,
         evdwl += 0.5 * jnp.sum(jnp.where(lj_m, r6inv * (lj3 * r6inv - lj4) - off11, 0.0))
 
         if coul:
-            qi = ctr(qs); qj = nbr(qs, off)
+            qi = ctr(qs); qj = nbr_group(qs, offs)
             cm = in_rng & (rsq < p.cut_coulsq)
             r = jnp.sqrt(rsq)
             grij = p.g_ewald * r

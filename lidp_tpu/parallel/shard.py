@@ -80,9 +80,31 @@ def build_sharded_polar_step(
     (x, v, q, type, mol, alpha, mu, mass, mask, box_lo, box_hi) ->
     (x, v, mu, f, energies_dict); all (N,*) arrays sharded over AXIS.
     """
-    ndev = mesh.shape[AXIS]
+    single = mesh is None or mesh.shape[AXIS] == 1
+    ndev = 1 if single else mesh.shape[AXIS]
     npad, csz, nchunks = _pad_and_chunk(n, ndev, col_chunk)
     nloc = npad // ndev
+
+    # collective layer: identity on a single chip (plain jit, no shard_map —
+    # collectives through the axon tunnel backend cost seconds per step)
+    if single:
+        def _axidx():
+            return jnp.zeros((), jnp.int32)
+
+        def _gather(a):
+            return a
+
+        def _preduce(v):
+            return v
+    else:
+        def _axidx():
+            return jax.lax.axis_index(AXIS)
+
+        def _gather(a):
+            return jax.lax.all_gather(a, AXIS, tiled=True)
+
+        def _preduce(v):
+            return jax.lax.psum(v, AXIS)
 
     pair = ff.pair
     ew = ff.ewald
@@ -252,12 +274,11 @@ def build_sharded_polar_step(
 
     def _forces(x, q, type_, mol, alpha, mu_init, mask):
         """One full force/SCF evaluation on local row blocks (nloc, ...)."""
-        didx = jax.lax.axis_index(AXIS)
+        didx = _axidx()
         rows = didx * nloc + jnp.arange(nloc)
         L = box_lengths  # closed over (static per build; box is NVE-constant)
 
-        def gather(a):
-            return jax.lax.all_gather(a, AXIS, tiled=True)
+        gather = _gather
 
         if True:
             xf = gather(x)
@@ -282,7 +303,7 @@ def build_sharded_polar_step(
             # ...polarization.cpp:262-278)
             if special is not None:
                 sp_idx_g, sp_lvl_g = special
-                didx2 = jax.lax.axis_index(AXIS)
+                didx2 = _axidx()
                 sp_idx = jax.lax.dynamic_slice_in_dim(sp_idx_g, didx2 * nloc, nloc, 0)
                 sp_lvl = jax.lax.dynamic_slice_in_dim(sp_lvl_g, didx2 * nloc, nloc, 0)
                 jvalid = sp_idx < n
@@ -322,16 +343,16 @@ def build_sharded_polar_step(
                     jnp.sum(wks * sdz * sdz), jnp.sum(wks * sdx * sdy),
                     jnp.sum(wks * sdx * sdz), jnp.sum(wks * sdy * sdz)])
 
-            evdwl = jax.lax.psum(evdwl, AXIS)
-            ecoul = jax.lax.psum(ecoul, AXIS)
+            evdwl = _preduce(evdwl)
+            ecoul = _preduce(ecoul)
 
             # reciprocal Ewald
             elong = jnp.zeros((), dtype)
             if ew is not None:
                 phases = x @ ew.hvecs.T.astype(dtype)
                 cph, sph = jnp.cos(phases), jnp.sin(phases)
-                sre = jax.lax.psum(q @ cph, AXIS)
-                sim = jax.lax.psum(q @ sph, AXIS)
+                sre = _preduce(q @ cph)
+                sim = _preduce(q @ sph)
                 sk2 = sre * sre + sim * sim
                 c0 = 4.0 * jnp.pi * ew.qscale / volume
                 eself = (ew.qsqsum * ew.qscale * ew.g_ewald / jnp.sqrt(jnp.pi)
@@ -348,7 +369,7 @@ def build_sharded_polar_step(
                 # closing psum counts it once
                 vk = c0 * (sk2 @ ew.kvirial.astype(dtype)) \
                     - vself_bg * jnp.array([1, 1, 1, 0, 0, 0], dtype)
-                vir = vir + jnp.where(jax.lax.axis_index(AXIS) == 0, vk, 0.0)
+                vir = vir + jnp.where(_axidx() == 0, vk, 0.0)
 
             epol = jnp.zeros((), dtype)
             mu_new = mu_init
@@ -387,7 +408,7 @@ def build_sharded_polar_step(
                     mu_new, scf_iters, _div = scf_solve_cg(
                         e0, alpha, lambda m: -e_ind_of(m), s,
                         mu_init=(mu_init if s.use_previous else None),
-                        psum=lambda v: jax.lax.psum(v, AXIS), n_total=n)
+                        psum=_preduce, n_total=n)
 
                 # dipole forces + energy
                 muf = gather(mu_new)
@@ -406,9 +427,9 @@ def build_sharded_polar_step(
                     alpha != 0.0,
                     jnp.sum(mu_new * mu_new, axis=1)
                     / jnp.where(alpha != 0.0, alpha, 1.0), 0.0))
-                epol = jax.lax.psum(u_self + u_ef + u_dd, AXIS)
+                epol = _preduce(u_self + u_ef + u_dd)
 
-        vir = jax.lax.psum(vir, AXIS)
+        vir = _preduce(vir)
 
         return f, mu_new, dict(evdwl=evdwl, ecoul=ecoul, elong=elong,
                                epol=epol, virial=vir, scf_iters=scf_iters)
@@ -463,6 +484,8 @@ def build_sharded_polar_step(
             -> (x, v, mu, f, energies)
         init_fn(x, q, type, mol, alpha, mu, mask) -> (f, mu, energies)
         """
+        if single:
+            return jax.jit(local_step), jax.jit(local_init)
         sm = jax.shard_map(
             local_step, mesh=mesh_local,
             in_specs=(spec,) * 10,

@@ -128,19 +128,77 @@ class Simulation:
                 use_previous=p.use_previous)
 
         sp_code = None
-        if getattr(script, "_bonds", None) is not None and len(script._bonds):
-            sp_code = jnp.asarray(topo_mod.special_codes_dense(n, script._bonds))
+        sp_idx = sp_lvl = None
+        has_bonds = (getattr(script, "_bonds", None) is not None
+                     and len(script._bonds))
+        if has_bonds:
+            if n <= DENSE_PATH_MAX_ATOMS:
+                sp_code = jnp.asarray(
+                    topo_mod.special_codes_dense(n, script._bonds))
+            si, sl = topo_mod.special_lists(n, script._bonds)
+            sp_idx = jnp.asarray(si)
+            sp_lvl = jnp.asarray(sl, jnp.int32)
+
+        # ---- bonded term ----
+        bondp = None
+        if has_bonds and script.bond_style is not None:
+            from lidp_tpu.ops.bonded import BondParams
+
+            TB = max(script.bond_coeffs.keys(), default=0)
+            k_t = np.zeros(TB + 1); r0_t = np.zeros(TB + 1)
+            eps_t = np.zeros(TB + 1); sig_t = np.zeros(TB + 1)
+            for bt, co in script.bond_coeffs.items():
+                k_t[bt] = co[0]
+                r0_t[bt] = co[1]
+                if script.bond_style == "fene" and len(co) >= 4:
+                    eps_t[bt], sig_t[bt] = co[2], co[3]
+            bondp = BondParams(
+                idx=jnp.asarray(script._bonds - 1, jnp.int32),
+                btype=jnp.asarray(getattr(script, "_bond_types",
+                                          np.ones(len(script._bonds))),
+                                  jnp.int32),
+                k=jnp.asarray(k_t, dtype), r0=jnp.asarray(r0_t, dtype),
+                eps=jnp.asarray(eps_t, dtype), sigma=jnp.asarray(sig_t, dtype),
+                style=script.bond_style)
 
         ff = ForceField(pair=pair, ewald=ew, polar=pol, sp_code=sp_code,
+                        bond=bondp, sp_idx=sp_idx, sp_lvl=sp_lvl,
                         qqrd2e=u.qqr2e)
 
         # ---- integrator from fixes ----
         integ = None
         dof_removed = 0.0
         rigid_groups = []
-        if len(script.fixes) > 1:
-            raise NotImplementedError("multiple simultaneous fixes")
+        post_force = None
+        integrator_fixes = [f for f in script.fixes.values()
+                            if f.style != "langevin"]
+        if len(integrator_fixes) > 1:
+            raise NotImplementedError("multiple simultaneous integrator fixes")
         for spec in script.fixes.values():
+            if spec.style == "langevin":
+                # FixLangevin::post_force (fix_langevin.cpp): friction + noise
+                t_l, _t2, damp_l, seed_l = (float(spec.args[0]),
+                                            float(spec.args[1]),
+                                            float(spec.args[2]),
+                                            int(spec.args[3]))
+                gmask_l = jnp.asarray(script.groups[spec.group])
+                m_l = jnp.asarray(mass_atom, dtype)
+                gamma1 = -m_l / damp_l / u.ftm2v
+                gamma2 = jnp.sqrt(24.0 * u.boltz * t_l * m_l
+                                  / (damp_l * script.dt * u.mvv2e)) / u.ftm2v
+                seed_arr = jnp.asarray(seed_l, jnp.uint32)
+
+                def post_force(sys, f, _g1=gamma1, _g2=gamma2,
+                               _gm=gmask_l, _seed=seed_arr):
+                    import jax as _jax
+
+                    key = _jax.random.fold_in(
+                        _jax.random.PRNGKey(_seed), sys.step)
+                    u01 = _jax.random.uniform(key, sys.v.shape,
+                                              dtype=sys.v.dtype)
+                    fl = _g1[:, None] * sys.v + _g2[:, None] * (u01 - 0.5)
+                    return f + jnp.where((_gm & sys.mask)[:, None], fl, 0.0)
+                continue
             gmask = script.groups[spec.group]
             if spec.style == "nve":
                 nvep = nve_mod.NVEParams.create(
@@ -218,12 +276,18 @@ class Simulation:
             cutmax = float(np.max(cut))
             if coul:
                 cutmax = max(cutmax, script.pair.cut_coul)
-            ncfg = NeighborConfig.for_box(
-                script.box_hi - script.box_lo, cutmax + script.skin)
+            L = script.box_hi - script.box_lo
+            try:
+                from lidp_tpu.ops.cells import CellConfig
+
+                ncfg = CellConfig.for_box(L, cutmax + script.skin,
+                                          density=n / float(np.prod(L)))
+            except ValueError:
+                ncfg = NeighborConfig.for_box(L, cutmax + script.skin)
             rebuild_every = script.neigh_every if not script.neigh_check else 1
 
         runner = Runner(ff=ff, integ=integ, neighbor_cfg=ncfg,
-                        rebuild_every=rebuild_every)
+                        rebuild_every=rebuild_every, post_force=post_force)
 
         # ---- thermo ----
         dof = 3 * n - 3 - dof_removed
@@ -257,8 +321,6 @@ class Simulation:
                           extra_virial=extra).items()}
         for cid, tp in self.group_thermo.items():
             row["c_" + cid] = float(temperature(self.sys, tp))
-        row["epair"] = row["pe"]
-        row["emol"] = 0.0
         return row
 
     def _emit(self):

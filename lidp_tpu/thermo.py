@@ -63,7 +63,7 @@ def thermo_row(sys: System, res: ForceResult, tp: ThermoParams,
     the pair/kspace virial for the pressure, as in Modify's virial hooks.
     """
     ke = ke_total(sys, tp)
-    pe = res.epair   # no bonded terms in any bundled input
+    pe = res.pe
     virial = res.virial if extra_virial is None else res.virial + extra_virial
     norm = float(tp.natoms) if tp.norm else 1.0
     return {
@@ -76,5 +76,7 @@ def thermo_row(sys: System, res: ForceResult, tp: ThermoParams,
         "ecoul": res.ecoul / norm,
         "elong": res.elong / norm,
         "epol": res.epol / norm,
+        "epair": res.epair / norm,
+        "emol": res.ebond / norm,
         "press": pressure(sys, tp, virial),
     }

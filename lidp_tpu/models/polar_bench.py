@@ -70,7 +70,10 @@ def enable_compile_cache():
 
 
 def build(target_atoms: int = 100_000, n_devices: int = 1,
-          precision: float = 1e-6, col_chunk: int = 4096):
+          precision: float = 1e-6, col_chunk: int = 4096,
+          fixed_iterations: int | None = None):
+    """fixed_iterations: use the static-trip-count Jacobi mode instead of the
+    CG while_loop (dynamic trip counts sync through the axon tunnel)."""
     import jax
     import jax.numpy as jnp
 
@@ -103,7 +106,9 @@ def build(target_atoms: int = 100_000, n_devices: int = 1,
     ew = EwaldParams.from_setup(es, u.qqr2e, dtype=dtype)
     p = script.pair
     s = pol_ops.PolarizationSettings(
-        iterations_max=p.iterations_max,
+        iterations_max=(fixed_iterations if fixed_iterations
+                        else p.iterations_max),
+        fixed_iteration=fixed_iterations is not None,
         damping_type=pol_ops.DAMPING_EXPONENTIAL,
         polar_damp=p.polar_damp, polar_precision=precision,
         use_previous=True)

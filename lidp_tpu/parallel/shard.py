@@ -124,14 +124,66 @@ def build_sharded_polar_step(
         not_self = rows[:, None] != cols[None, :]
         return dx, dy, dz, rsq, not_self
 
+    ntypes1 = pair.lj1.shape[0]
+
+    def _type_tables_mm(tl, tc):
+        """Per-pair type tables via one-hot MXU matmuls.
+
+        Direct `table[ti, tj]` indexing costs ~1e9 scalar gathers per step at
+        10k atoms x 10 types (~10 s/step on TPU); as row-gather + one-hot
+        matmul it is ~0.1 ms.  Returns (lj3, lj4, offset, cut_ljsq, cutsq);
+        lj1 = 12*lj3 and lj2 = 6*lj4 are derived by the caller.
+        """
+        oh = (tc[None, :] == jnp.arange(ntypes1)[:, None]).astype(dtype)  # (T1,csz)
+
+        def tab(M):
+            # HIGHEST precision: the default TPU matmul rounds operands to
+            # bf16, which corrupts the coefficient tables (~0.2% in evdwl)
+            return jnp.dot(M.astype(dtype)[tl], oh,
+                           preferred_element_type=dtype,
+                           precision=jax.lax.Precision.HIGHEST)
+
+        return (tab(pair.lj3), tab(pair.lj4), tab(pair.offset),
+                tab(pair.cut_ljsq), tab(pair.cutsq))
+
+    def _pair_terms_chunk(rsq, qi, qj, tl, tc, pm):
+        """LJ + coulomb per-pair terms with matmul-derived type tables
+        (numerically identical to ops.pair._pair_terms with factor 1)."""
+        lj3, lj4, off, cut_ljsq_ij, cutsq_ij = _type_tables_mm(tl, tc)
+        r2inv = 1.0 / rsq
+        in_range = (rsq < cutsq_ij) & pm
+        lj_mask = in_range & (rsq < cut_ljsq_ij)
+        r6inv = r2inv * r2inv * r2inv
+        forcelj = r6inv * (12.0 * lj3 * r6inv - 6.0 * lj4)
+        evdwl = r6inv * (lj3 * r6inv - lj4) - off
+        forcelj = jnp.where(lj_mask, forcelj, 0.0)
+        evdwl = jnp.where(lj_mask, evdwl, 0.0)
+        if pair.coul:
+            from lidp_tpu.ops.pair import (A1, A2, A3, A4, A5, EWALD_F,
+                                           EWALD_P)
+
+            coul_mask = in_range & (rsq < pair.cut_coulsq)
+            r = jnp.sqrt(rsq)
+            grij = pair.g_ewald * r
+            expm2 = jnp.exp(-grij * grij)
+            t = 1.0 / (1.0 + EWALD_P * grij)
+            erfc = t * (A1 + t * (A2 + t * (A3 + t * (A4 + t * A5)))) * expm2
+            prefactor = pair.qqrd2e * qi * qj / r
+            forcecoul = jnp.where(
+                coul_mask, prefactor * (erfc + EWALD_F * grij * expm2), 0.0)
+            ecoul = jnp.where(coul_mask, prefactor * erfc, 0.0)
+        else:
+            forcecoul = jnp.zeros_like(forcelj)
+            ecoul = jnp.zeros_like(evdwl)
+        return (forcecoul + forcelj) * r2inv, evdwl, ecoul
+
     def _pair_chunk(xl, ql, tl, rows, xc, qc, tc, mc, cols, L, acc):
         f, ev, ec, vir = acc
         dx, dy, dz, rsq, ns = _geom(xl, rows, xc, cols, L)
         pm = ns & mc[None, :]
         rsq = jnp.where(pm, rsq, 1.0)
-        fpair, evdwl, ecoul = _pair_terms(
-            rsq, ql[:, None], qc[None, :], tl[:, None], tc[None, :], 0,
-            pair, pm)
+        fpair, evdwl, ecoul = _pair_terms_chunk(
+            rsq, ql[:, None], qc[None, :], tl, tc, pm)
         f = f + jnp.stack([jnp.sum(fpair * dx, axis=1),
                            jnp.sum(fpair * dy, axis=1),
                            jnp.sum(fpair * dz, axis=1)], axis=-1)
@@ -314,16 +366,32 @@ def build_sharded_polar_step(
                 srsq = sdx * sdx + sdy * sdy + sdz * sdz
                 srsq = jnp.where(jvalid, srsq, 1.0)
                 sr2inv = 1.0 / srsq
-                ti = type_[:, None]
                 tj = tf[jc]
-                flj = pair.special_lj[sp_lvl]
-                fcl = pair.special_coul[sp_lvl]
-                in_rng = jvalid & (srsq < pair.cutsq[ti, tj])
-                lj_m = in_rng & (srsq < pair.cut_ljsq[ti, tj])
+                # per-pair tables via row-gather + one-hot einsum (avoids
+                # (nloc,S) scalar table gathers)
+                ohS = (tj[..., None]
+                       == jnp.arange(ntypes1)[None, None, :]).astype(dtype)
+
+                def stab(M, _oh=ohS):
+                    return jnp.einsum("nt,nst->ns",
+                                      M.astype(dtype)[type_], _oh,
+                                      precision=jax.lax.Precision.HIGHEST)
+
+                def lvl_factor(tbl, lvl=sp_lvl):
+                    return jnp.where(lvl == 1, tbl[1],
+                                     jnp.where(lvl == 2, tbl[2],
+                                               jnp.where(lvl == 3, tbl[3],
+                                                         tbl[0])))
+
+                flj = lvl_factor(pair.special_lj)
+                fcl = lvl_factor(pair.special_coul)
+                in_rng = jvalid & (srsq < stab(pair.cutsq))
+                lj_m = in_rng & (srsq < stab(pair.cut_ljsq))
                 r6inv = sr2inv * sr2inv * sr2inv
-                forcelj = r6inv * (pair.lj1[ti, tj] * r6inv - pair.lj2[ti, tj])
-                evdwl_full = (r6inv * (pair.lj3[ti, tj] * r6inv - pair.lj4[ti, tj])
-                              - pair.offset[ti, tj])
+                lj3s, lj4s = stab(pair.lj3), stab(pair.lj4)
+                forcelj = r6inv * (12.0 * lj3s * r6inv - 6.0 * lj4s)
+                evdwl_full = (r6inv * (lj3s * r6inv - lj4s)
+                              - stab(pair.offset))
                 dflj = jnp.where(lj_m, (flj - 1.0) * forcelj, 0.0)
                 devd = jnp.where(lj_m, (flj - 1.0) * evdwl_full, 0.0)
                 cm = in_rng & (srsq < pair.cut_coulsq)

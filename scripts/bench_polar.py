@@ -1,0 +1,21 @@
+"""Polarizable-MD benchmark runner (dev tool). Usage: python scripts/bench_polar.py [natoms]"""
+import sys, time
+import jax
+from lidp_tpu.models import polar_bench
+
+target = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
+b = polar_bench.build(target_atoms=target, n_devices=1, col_chunk=2048)
+print("natoms", b.natoms, "npad", b.npad, flush=True)
+t0 = time.perf_counter()
+f, en = polar_bench.run_step(b, zero_init=True)
+jax.block_until_ready(f)
+print("step compile+run", round(time.perf_counter() - t0, 1), flush=True)
+print({k: round(float(v), 2) for k, v in en.items() if v.ndim == 0}, flush=True)
+nrep = 10 if target <= 20000 else 3
+t0 = time.perf_counter()
+for _ in range(nrep):
+    f, en = polar_bench.run_step(b)
+jax.block_until_ready(f)
+dt = (time.perf_counter() - t0) / nrep
+print("steady ms/step", round(dt * 1000, 1), "steps/s", round(1 / dt, 3),
+      "scf", float(en["scf_iters"]), flush=True)

@@ -55,8 +55,49 @@ def main():
         "n_atoms": melt.natoms,
         "device": str(jax.devices()[0]),
     }
+
+    # secondary headline: the polarizable MOF workload (BASELINE config 4/5).
+    # Runs in a subprocess with a hard timeout so a cold remote compile can
+    # never prevent the JSON line from printing.
+    polar = _try_polar_bench(timeout_s=540)
+    if polar:
+        out.update(polar)
     print(json.dumps(out))
     return 0
+
+
+def _try_polar_bench(timeout_s: int):
+    """10.6k-atom replicated MOF5+Methane full-SCF step (sharded path).
+
+    Reference anchor: 0.91 steps/s at 1,324 atoms on one core
+    (MOF5+Methane log, Pair 99.7%); the solver is O(N^2) per sweep, so the
+    single-core reference extrapolates to ~0.0142 steps/s at this size.
+    """
+    import os
+    import re
+    import subprocess
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/.axon_site:/root/repo:" + env.get("PYTHONPATH", "")
+    try:
+        r = subprocess.run(
+            ["python", "scripts/bench_polar.py", "10000"],
+            capture_output=True, text=True, timeout=timeout_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)), env=env)
+    except subprocess.TimeoutExpired:
+        return {"polar_mof_10k_steps_per_s": None,
+                "polar_note": "compile timeout (cold cache)"}
+    m = re.search(r"steps/s ([0-9.]+)", r.stdout)
+    if not m:
+        return {"polar_mof_10k_steps_per_s": None,
+                "polar_note": "failed: " + r.stdout[-200:].replace("\n", " ")}
+    v = float(m.group(1))
+    lammps_extrapolated = 0.91 / (10592 / 1324.0) ** 2
+    return {
+        "polar_mof_10k_steps_per_s": v,
+        "polar_mof_10k_n_atoms": 10592,
+        "polar_vs_reference_extrapolated": round(v / lammps_extrapolated, 1),
+    }
 
 
 if __name__ == "__main__":

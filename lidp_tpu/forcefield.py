@@ -35,6 +35,8 @@ class ForceField:
         metadata=dict(static=True), default=None)
     sp_code: Optional[jax.Array] = None     # (N,N) int8 special-bond level codes
     bond: Optional[object] = None           # ops.bonded.BondParams
+    angle: Optional[object] = None          # ops.bonded.AngleParams
+    dihedral: Optional[object] = None       # ops.bonded.DihedralParams
     sp_idx: Optional[jax.Array] = None      # (N,S) sparse special lists
     sp_lvl: Optional[jax.Array] = None      # (N,S)
     qqrd2e: float = dataclasses.field(metadata=dict(static=True), default=1.0)
@@ -113,6 +115,22 @@ def compute_forces(sys: System, ff: ForceField,
         f = f + fb
         ebond = ebond + eb
         virial = virial + vb
+
+    if ff.angle is not None:
+        from lidp_tpu.ops.bonded import angle_forces
+
+        fa, ea, va = angle_forces(sys.x, sys.box, ff.angle)
+        f = f + fa
+        ebond = ebond + ea
+        virial = virial + va
+
+    if ff.dihedral is not None:
+        from lidp_tpu.ops.bonded import dihedral_forces
+
+        fd, ed, vd = dihedral_forces(sys.x, sys.box, ff.dihedral)
+        f = f + fd
+        ebond = ebond + ed
+        virial = virial + vd
 
     if ff.ewald is not None:
         fk, el, vk = ewald_ops.ewald_forces(sys.x, sys.q, sys.box.volume, ff.ewald)

@@ -31,6 +31,10 @@ class DataFile:
     bonds: np.ndarray           # (NB,2) int atom ids (1-based), empty ok
     bond_types: np.ndarray = None   # (NB,) int bond types (1-based)
     nbondtypes: int = 0
+    angles: np.ndarray = None       # (NA,3) atom ids
+    angle_types: np.ndarray = None
+    dihedrals: np.ndarray = None    # (ND,4) atom ids
+    dihedral_types: np.ndarray = None
 
 
 _HEADER_KEYS = (
@@ -107,6 +111,10 @@ def read_data(path: str, atom_style: str = "full") -> DataFile:
     mass = None
     bonds = np.zeros((counts["bonds"], 2), np.int64)
     bond_types = np.zeros(counts["bonds"], np.int32)
+    angles = np.zeros((counts["angles"], 3), np.int64)
+    angle_types = np.zeros(counts["angles"], np.int32)
+    dihedrals = np.zeros((counts["dihedrals"], 4), np.int64)
+    dihedral_types = np.zeros(counts["dihedrals"], np.int32)
 
     def read_section(start: int, nrows: int):
         rows = []
@@ -184,6 +192,18 @@ def read_data(path: str, atom_style: str = "full") -> DataFile:
                 k = int(r[0]) - 1
                 bond_types[k] = int(r[1])
                 bonds[k] = [int(r[2]), int(r[3])]
+        elif name.startswith("Angles"):
+            rows, i = read_section(i + 1, counts["angles"])
+            for r in rows:
+                k = int(r[0]) - 1
+                angle_types[k] = int(r[1])
+                angles[k] = [int(r[2]), int(r[3]), int(r[4])]
+        elif name.startswith("Dihedrals"):
+            rows, i = read_section(i + 1, counts["dihedrals"])
+            for r in rows:
+                k = int(r[0]) - 1
+                dihedral_types[k] = int(r[1])
+                dihedrals[k] = [int(r[2]), int(r[3]), int(r[4]), int(r[5])]
         else:
             # skip unknown section: its row count is unknown; consume until
             # the next recognized section header (coeff sections etc.)
@@ -199,4 +219,6 @@ def read_data(path: str, atom_style: str = "full") -> DataFile:
         natoms=n, ntypes=ntypes, box_lo=box_lo, box_hi=box_hi,
         x=x, q=q, type=typ, mol=mol, image=image, v=v, mass=mass,
         bonds=bonds, bond_types=bond_types, nbondtypes=counts["bond types"],
+        angles=angles, angle_types=angle_types,
+        dihedrals=dihedrals, dihedral_types=dihedral_types,
     )

@@ -138,6 +138,10 @@ class LammpsScript:
         self._sim = None             # live Simulation between run commands
         self.bond_style = None
         self.bond_coeffs = {}
+        self.angle_style = None
+        self.angle_coeffs = {}
+        self.dihedral_style = None
+        self.dihedral_coeffs = {}
         self._pair_shift = False     # pair_modify shift
         self._pair_mix = "geometric"  # pair_modify mix
         self._gewald_override = None  # kspace_modify gewald
@@ -296,6 +300,10 @@ class LammpsScript:
         self._bonds = d.bonds
         self._bond_types = d.bond_types
         self.nbondtypes = d.nbondtypes
+        self._angles = d.angles
+        self._angle_types = d.angle_types
+        self._dihedrals = d.dihedrals
+        self._dihedral_types = d.dihedral_types
         self.groups["all"] = np.ones(d.natoms, bool)
 
     def cmd_replicate(self, a):
@@ -403,6 +411,24 @@ class LammpsScript:
         eps, sig = float(a[2]), float(a[3])
         cut = float(a[4]) if len(a) > 4 else self.pair.cut_lj_global
         self.pair_coeffs[(min(i, j), max(i, j))] = (eps, sig, cut)
+
+    def cmd_angle_style(self, a):
+        if a[0] != "harmonic":
+            raise ValueError(f"unsupported angle_style {a[0]}")
+        self.angle_style = a[0]
+        self.angle_coeffs = {}
+
+    def cmd_angle_coeff(self, a):
+        self.angle_coeffs[int(a[0])] = [float(v) for v in a[1:]]
+
+    def cmd_dihedral_style(self, a):
+        if a[0] not in ("opls", "harmonic"):
+            raise ValueError(f"unsupported dihedral_style {a[0]}")
+        self.dihedral_style = a[0]
+        self.dihedral_coeffs = {}
+
+    def cmd_dihedral_coeff(self, a):
+        self.dihedral_coeffs[int(a[0])] = [float(v) for v in a[1:]]
 
     def cmd_bond_style(self, a):
         if a[0] not in ("harmonic", "fene"):

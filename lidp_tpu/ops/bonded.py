@@ -124,3 +124,117 @@ def special_correction_sparse(x, q, type_, sp_idx, sp_lvl, mask, box: Box, p):
         jnp.sum(w * dx * dx), jnp.sum(w * dy * dy), jnp.sum(w * dz * dz),
         jnp.sum(w * dx * dy), jnp.sum(w * dx * dz), jnp.sum(w * dy * dz)])
     return f, 0.5 * jnp.sum(devd), 0.5 * jnp.sum(dec), vir
+
+
+# --------------------------- angles / dihedrals ----------------------------
+#
+# Multi-body bonded terms are expressed as pure energy functions of the
+# min-imaged displacement vectors; forces come from jax.grad (exact, and the
+# TPU-idiomatic way to avoid hand-derived force kernels), and the virial from
+# the strain derivative dE/d(eps) of an affine deformation of the
+# displacements (equals the standard per-term virial tally).
+
+import dataclasses as _dc
+
+
+@jax.tree_util.register_dataclass
+@_dc.dataclass(frozen=True)
+class AngleParams:
+    idx: jax.Array      # (NA,3) int32: i-j-k with j the center
+    atype: jax.Array    # (NA,) int32 1-based
+    k: jax.Array        # (T+1,)
+    theta0: jax.Array   # (T+1,) radians
+    style: str = _dc.field(metadata=dict(static=True), default="harmonic")
+
+
+@jax.tree_util.register_dataclass
+@_dc.dataclass(frozen=True)
+class DihedralParams:
+    idx: jax.Array      # (ND,4) int32 i-j-k-l
+    dtype_: jax.Array   # (ND,) int32 1-based
+    # opls: k1..k4 tables; harmonic: k, d(+-1), n
+    c1: jax.Array
+    c2: jax.Array
+    c3: jax.Array
+    c4: jax.Array
+    style: str = _dc.field(metadata=dict(static=True), default="opls")
+
+
+def _angle_energy(d1, d2, p: AngleParams):
+    """d1 = x_i - x_j, d2 = x_k - x_j (angle_harmonic.cpp energy)."""
+    r1 = jnp.linalg.norm(d1, axis=1)
+    r2 = jnp.linalg.norm(d2, axis=1)
+    c = jnp.sum(d1 * d2, axis=1) / (r1 * r2)
+    c = jnp.clip(c, -1.0, 1.0)
+    theta = jnp.arccos(c)
+    k = p.k[p.atype]
+    t0 = p.theta0[p.atype]
+    return jnp.sum(k * (theta - t0) ** 2)
+
+
+def _dihedral_energy(b1, b2, b3, p: DihedralParams):
+    """b1 = x_j - x_i, b2 = x_k - x_j, b3 = x_l - x_k."""
+    n1 = jnp.cross(b1, b2)
+    n2 = jnp.cross(b2, b3)
+    n1n = jnp.linalg.norm(n1, axis=1)
+    n2n = jnp.linalg.norm(n2, axis=1)
+    cphi = jnp.sum(n1 * n2, axis=1) / jnp.maximum(n1n * n2n, 1e-30)
+    cphi = jnp.clip(cphi, -1.0, 1.0)
+    sphi = jnp.sum(jnp.cross(n1, n2) * b2, axis=1) / (
+        jnp.maximum(n1n * n2n, 1e-30) * jnp.linalg.norm(b2, axis=1))
+    phi = jnp.arctan2(sphi, cphi)
+    t = p.dtype_
+    if p.style == "opls":
+        # E = 0.5[k1(1+cos p) + k2(1-cos 2p) + k3(1+cos 3p) + k4(1-cos 4p)]
+        return 0.5 * jnp.sum(
+            p.c1[t] * (1 + jnp.cos(phi)) + p.c2[t] * (1 - jnp.cos(2 * phi))
+            + p.c3[t] * (1 + jnp.cos(3 * phi))
+            + p.c4[t] * (1 - jnp.cos(4 * phi)))
+    if p.style == "harmonic":
+        # E = K[1 + d cos(n phi)]; c1=K, c2=d, c3=n
+        return jnp.sum(p.c1[t] * (1 + p.c2[t] * jnp.cos(p.c3[t] * phi)))
+    raise ValueError(p.style)
+
+
+def angle_forces(x, box: Box, p: AngleParams):
+    """Returns (f, eangle, virial6) via autodiff + strain derivative."""
+    i, j, k = p.idx[:, 0], p.idx[:, 1], p.idx[:, 2]
+
+    def with_strain(eps_flat):
+        eps = jnp.eye(3, dtype=x.dtype) + eps_flat.reshape(3, 3)
+        d1 = minimum_image(x[i] - x[j], box.lengths) @ eps.T
+        d2 = minimum_image(x[k] - x[j], box.lengths) @ eps.T
+        return _angle_energy(d1, d2, p)
+
+    e = with_strain(jnp.zeros(9, x.dtype))
+    f = -jax.grad(lambda xx: _angle_energy(
+        minimum_image(xx[i] - xx[j], box.lengths),
+        minimum_image(xx[k] - xx[j], box.lengths), p))(x)
+    dEdeps = jax.grad(with_strain)(jnp.zeros(9, x.dtype)).reshape(3, 3)
+    w = -dEdeps
+    virial = jnp.stack([w[0, 0], w[1, 1], w[2, 2], w[0, 1], w[0, 2], w[1, 2]])
+    return f, e, virial
+
+
+def dihedral_forces(x, box: Box, p: DihedralParams):
+    i, j, k, l = (p.idx[:, 0], p.idx[:, 1], p.idx[:, 2], p.idx[:, 3])
+
+    def energy_of(xx):
+        b1 = minimum_image(xx[j] - xx[i], box.lengths)
+        b2 = minimum_image(xx[k] - xx[j], box.lengths)
+        b3 = minimum_image(xx[l] - xx[k], box.lengths)
+        return _dihedral_energy(b1, b2, b3, p)
+
+    def with_strain(eps_flat):
+        eps = jnp.eye(3, dtype=x.dtype) + eps_flat.reshape(3, 3)
+        b1 = minimum_image(x[j] - x[i], box.lengths) @ eps.T
+        b2 = minimum_image(x[k] - x[j], box.lengths) @ eps.T
+        b3 = minimum_image(x[l] - x[k], box.lengths) @ eps.T
+        return _dihedral_energy(b1, b2, b3, p)
+
+    e = energy_of(x)
+    f = -jax.grad(energy_of)(x)
+    dEdeps = jax.grad(with_strain)(jnp.zeros(9, x.dtype)).reshape(3, 3)
+    w = -dEdeps
+    virial = jnp.stack([w[0, 0], w[1, 1], w[2, 2], w[0, 1], w[0, 2], w[1, 2]])
+    return f, e, virial

@@ -161,8 +161,41 @@ class Simulation:
                 eps=jnp.asarray(eps_t, dtype), sigma=jnp.asarray(sig_t, dtype),
                 style=script.bond_style)
 
+        anglep = None
+        if (getattr(script, "_angles", None) is not None
+                and len(script._angles) and script.angle_style is not None):
+            from lidp_tpu.ops.bonded import AngleParams
+
+            TA = max(script.angle_coeffs.keys(), default=0)
+            ka = np.zeros(TA + 1); th0 = np.zeros(TA + 1)
+            for at, co in script.angle_coeffs.items():
+                ka[at] = co[0]
+                th0[at] = np.deg2rad(co[1])
+            anglep = AngleParams(
+                idx=jnp.asarray(script._angles - 1, jnp.int32),
+                atype=jnp.asarray(script._angle_types, jnp.int32),
+                k=jnp.asarray(ka, dtype), theta0=jnp.asarray(th0, dtype))
+
+        dihedralp = None
+        if (getattr(script, "_dihedrals", None) is not None
+                and len(script._dihedrals) and script.dihedral_style is not None):
+            from lidp_tpu.ops.bonded import DihedralParams
+
+            TD = max(script.dihedral_coeffs.keys(), default=0)
+            cs = np.zeros((4, TD + 1))
+            for dt_, co in script.dihedral_coeffs.items():
+                for ci, val in enumerate(co[:4]):
+                    cs[ci, dt_] = val
+            dihedralp = DihedralParams(
+                idx=jnp.asarray(script._dihedrals - 1, jnp.int32),
+                dtype_=jnp.asarray(script._dihedral_types, jnp.int32),
+                c1=jnp.asarray(cs[0], dtype), c2=jnp.asarray(cs[1], dtype),
+                c3=jnp.asarray(cs[2], dtype), c4=jnp.asarray(cs[3], dtype),
+                style=script.dihedral_style)
+
         ff = ForceField(pair=pair, ewald=ew, polar=pol, sp_code=sp_code,
-                        bond=bondp, sp_idx=sp_idx, sp_lvl=sp_lvl,
+                        bond=bondp, angle=anglep, dihedral=dihedralp,
+                        sp_idx=sp_idx, sp_lvl=sp_lvl,
                         qqrd2e=u.qqr2e)
 
         # ---- integrator from fixes ----

@@ -37,6 +37,7 @@ class ForceField:
     bond: Optional[object] = None           # ops.bonded.BondParams
     angle: Optional[object] = None          # ops.bonded.AngleParams
     dihedral: Optional[object] = None       # ops.bonded.DihedralParams
+    pppm: Optional[object] = None           # ops.pppm.PPPMParams
     sp_idx: Optional[jax.Array] = None      # (N,S) sparse special lists
     sp_lvl: Optional[jax.Array] = None      # (N,S)
     qqrd2e: float = dataclasses.field(metadata=dict(static=True), default=1.0)
@@ -137,6 +138,13 @@ def compute_forces(sys: System, ff: ForceField,
         f = f + fk
         elong = elong + el
         virial = virial + vk
+    elif ff.pppm is not None:
+        from lidp_tpu.ops.pppm import pppm_forces_params
+
+        fk, el, _ = pppm_forces_params(sys.x - sys.box.lo, sys.q,
+                                       sys.box.lengths, ff.pppm)
+        f = f + fk
+        elong = elong + el
 
     if ff.polar is not None:
         s = ff.polar

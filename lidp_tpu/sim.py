@@ -101,7 +101,22 @@ class Simulation:
         # ---- kspace ----
         ew = None
         es = None
-        if script.kspace is not None:
+        pppmp = None
+        if script.kspace is not None and script.kspace[0].startswith("pppm"):
+            from lidp_tpu.ops.pppm import PPPMParams, setup_pppm
+
+            style, acc = script.kspace
+            ps = setup_pppm(
+                accuracy_rel=acc, qqrd2e=u.qqr2e, q=script.q, natoms=n,
+                cutoff=script.pair.cut_coul,
+                box_lengths=script.box_hi - script.box_lo,
+                g_ewald=getattr(script, "_gewald_override", None))
+            pair = dataclasses.replace(
+                pair, g_ewald=jnp.asarray(ps.g_ewald, dtype))
+            pppmp = PPPMParams.from_setup(
+                ps, u.qqr2e, float(np.sum(script.q ** 2)),
+                float(np.sum(script.q)), dtype=dtype)
+        elif script.kspace is not None:
             style, acc = script.kspace
             es = setup_ewald_disp(
                 accuracy_rel=acc, qqrd2e=u.qqr2e, q=script.q, natoms=n,
@@ -195,7 +210,7 @@ class Simulation:
 
         ff = ForceField(pair=pair, ewald=ew, polar=pol, sp_code=sp_code,
                         bond=bondp, angle=anglep, dihedral=dihedralp,
-                        sp_idx=sp_idx, sp_lvl=sp_lvl,
+                        pppm=pppmp, sp_idx=sp_idx, sp_lvl=sp_lvl,
                         qqrd2e=u.qqr2e)
 
         # ---- integrator from fixes ----

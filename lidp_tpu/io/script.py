@@ -98,6 +98,8 @@ class LammpsScript:
         self.speed_mode = speed_mode  # allow f32/neighbor-list fast paths
 
         self.variables: dict[str, str] = {}
+        self._index_values: dict[str, list] = {}
+        self._skip_next_jump = False
         self.units = units_mod.LJ
         self.dt: float = self.units.dt
         self.skin: float = self.units.skin
@@ -151,8 +153,51 @@ class LammpsScript:
     def file(self, path: str):
         self.root = os.path.dirname(os.path.abspath(path))
         with open(path) as fh:
-            for raw in fh:
-                self.one(raw)
+            self.execute(fh.readlines())
+
+    def execute(self, lines):
+        """Run a command list with control flow (label/jump/next/if —
+        Input::file + jump/next/label commands, input.cpp)."""
+        pc = 0
+        self._skip_next_jump = False
+        while pc < len(lines):
+            line = lines[pc]
+            stripped = line.split("#", 1)[0].strip()
+            toks = stripped.split()
+            if toks and toks[0] == "label":
+                pc += 1
+                continue
+            if toks and toks[0] == "jump":
+                if self._skip_next_jump:
+                    self._skip_next_jump = False
+                    pc += 1
+                    continue
+                target = toks[2] if len(toks) > 2 else None
+                if toks[1] not in ("SELF",):
+                    raise ValueError("jump supports SELF only")
+                pc = self._find_label(lines, target)
+                continue
+            if toks and toks[0] == "next":
+                name = toks[1]
+                seq = self._index_values.get(name)
+                if seq is not None and self.variables.get(name) in seq[:-1]:
+                    i = seq.index(self.variables[name])
+                    self.variables[name] = seq[i + 1]
+                else:
+                    self.variables.pop(name, None)
+                    self._index_values.pop(name, None)
+                    self._skip_next_jump = True
+                pc += 1
+                continue
+            self.one(line)
+            pc += 1
+
+    def _find_label(self, lines, target):
+        for i, line in enumerate(lines):
+            toks = line.split("#", 1)[0].split()
+            if len(toks) >= 2 and toks[0] == "label" and toks[1] == target:
+                return i
+        raise ValueError(f"label {target} not found")
 
     def one(self, line: str):
         line = line.split("#", 1)[0].strip()
@@ -187,11 +232,41 @@ class LammpsScript:
 
     # ----------------------------- commands ------------------------------
 
+    def cmd_print(self, a):
+        self.log(" ".join(a).strip('"'))
+
+    def cmd_include(self, a):
+        path = os.path.join(self.root, a[0])
+        with open(path) as fh:
+            self.execute(fh.readlines())
+
+    def cmd_if(self, a):
+        """if "expr" then "cmd" [else "cmd"] (numeric/boolean expressions)."""
+        import shlex
+
+        toks = shlex.split(" ".join(a))
+        cond = toks[0].replace("&&", " and ").replace("||", " or ")
+        if not re.match(r"^[\d eE+\-*/().<>=!androt]+$", cond):
+            raise ValueError(f"unsupported if expression: {toks[0]!r}")
+        ok = bool(eval(cond, {"__builtins__": {}}, {}))  # noqa: S307
+        then_i = toks.index("then")
+        else_i = toks.index("else") if "else" in toks else len(toks)
+        for c in (toks[then_i + 1:else_i] if ok else toks[else_i + 1:]):
+            self.one(c)
+
     def cmd_variable(self, a):
         name, style = a[0], a[1]
+        if not hasattr(self, "_index_values"):
+            self._index_values = {}
         if style == "index":
             if name not in self.variables:
                 self.variables[name] = a[2]
+                self._index_values[name] = list(a[2:])
+        elif style == "loop":
+            if name not in self.variables:
+                vals = [str(i) for i in range(1, int(a[2]) + 1)]
+                self.variables[name] = vals[0]
+                self._index_values[name] = vals
         elif style == "equal":
             val = _evaluate(" ".join(a[2:]))
             self.variables[name] = repr(val) if val != int(val) else str(int(val))

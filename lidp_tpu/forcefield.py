@@ -38,6 +38,7 @@ class ForceField:
     angle: Optional[object] = None          # ops.bonded.AngleParams
     dihedral: Optional[object] = None       # ops.bonded.DihedralParams
     pppm: Optional[object] = None           # ops.pppm.PPPMParams
+    eam: Optional[object] = None            # ops.eam.EAMParams
     sp_idx: Optional[jax.Array] = None      # (N,S) sparse special lists
     sp_lvl: Optional[jax.Array] = None      # (N,S)
     qqrd2e: float = dataclasses.field(metadata=dict(static=True), default=1.0)
@@ -108,6 +109,17 @@ def compute_forces(sys: System, ff: ForceField,
         f = f + fp
         evdwl, ecoul = evdwl + ev, ecoul + ec
         virial = virial + vir
+
+    if ff.eam is not None:
+        from lidp_tpu.ops.cells import Cells
+        from lidp_tpu.ops.eam import eam_cell_forces
+
+        if not isinstance(nlist, Cells):
+            raise NotImplementedError("pair_style eam requires the cell path")
+        fe_, ev, vir_ = eam_cell_forces(sys.x, sys.mask, nlist, sys.box, ff.eam)
+        f = f + fe_
+        evdwl = evdwl + ev
+        virial = virial + vir_
 
     if ff.bond is not None:
         from lidp_tpu.ops.bonded import bond_forces

@@ -138,6 +138,7 @@ class LammpsScript:
         self.step = 0
         self.thermo_rows: list[dict] = []
         self._sim = None             # live Simulation between run commands
+        self.eam_file = None
         self.bond_style = None
         self.bond_coeffs = {}
         self.angle_style = None
@@ -434,7 +435,9 @@ class LammpsScript:
 
     def cmd_pair_style(self, a):
         p = PairStyleSpec(name=a[0])
-        if a[0] == "lj/cut":
+        if a[0] == "eam":
+            pass   # per-pair coeff gives the funcfl file; cutoff from file
+        elif a[0] == "lj/cut":
             p.cut_lj_global = float(a[1])
         elif a[0] in ("lj/cut/coul/long", "lj/cut/coul/long/polarization"):
             p.cut_lj_global = float(a[1])
@@ -482,6 +485,18 @@ class LammpsScript:
         self.pair = p
 
     def cmd_pair_coeff(self, a):
+        if self.pair.name == "eam":
+            self.eam_file = os.path.join(self.root, a[2])
+            # mass comes from the funcfl header (pair_eam.cpp coeff/read_file)
+            from lidp_tpu.ops.eam import read_funcfl
+
+            mass = read_funcfl(self.eam_file)["mass"]
+            if self.mass_type is None:
+                self.mass_type = np.zeros(self.ntypes + 1)
+            for t in range(1, self.ntypes + 1):
+                if self.mass_type[t] == 0.0:
+                    self.mass_type[t] = mass
+            return
         i, j = int(a[0]), int(a[1])
         eps, sig = float(a[2]), float(a[3])
         cut = float(a[4]) if len(a) > 4 else self.pair.cut_lj_global

@@ -1,0 +1,262 @@
+"""EAM (embedded atom method) pair style — funcfl single-element variant.
+
+The reference's MANYBODY/pair_eam.cpp as a TPU-native two-pass cell kernel:
+
+  pass 1: rho_i = sum_j rho(r_ij)          (density accumulation)
+  embed:  F'(rho_i), E_embed = F(rho_i)    (per-atom spline)
+  pass 2: fpair = -(F'_i rho'(r) + F'_j rho'(r) + phi'(r))/r, evdwl = phi(r)
+
+Tabulated functions are built exactly like the reference: funcfl reading
+(read_file, pair_eam.cpp:480-510), z2r = 27.2*0.529*Z_i(r)*Z_j(r) (:683), and
+the same finite-difference cubic spline (interpolate(), :720-750).  On
+device, per-pair table lookups would be scalar gathers (the TPU-killer, see
+parallel/shard.py); instead the splined r-functions are refit to K uniform
+segments of degree-7 polynomials evaluated via one-hot MXU matmuls (fit
+residual ~1e-9 of scale, far below the reference's own spline error).  The
+per-atom embedding keeps the exact reference spline (N gathers, cheap).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lidp_tpu.box import Box, minimum_image
+from lidp_tpu.ops.cells import _OFFSETS, Cells
+
+
+def read_funcfl(path: str):
+    with open(path) as fh:
+        fh.readline()                       # comment
+        parts = fh.readline().split()
+        mass = float(parts[1])
+        nums = []
+        for line in fh:
+            nums.extend(float(v) for v in line.split())
+    it = iter(nums)
+    nrho = int(next(it)); drho = next(it)
+    nr = int(next(it)); dr = next(it); cut = next(it)
+    rest = list(it)
+    frho = np.array(rest[:nrho])
+    zr = np.array(rest[nrho:nrho + nr])
+    rhor = np.array(rest[nrho + nr:nrho + 2 * nr])
+    return dict(nrho=nrho, drho=drho, nr=nr, dr=dr, cut=cut,
+                frho=frho, zr=zr, rhor=rhor, mass=mass)
+
+
+def lammps_spline(f: np.ndarray, delta: float) -> np.ndarray:
+    """Exact PairEAM::interpolate coefficients; returns (n+1, 7), 1-indexed."""
+    n = len(f)
+    sp = np.zeros((n + 1, 7))
+    sp[1:, 6] = f
+    sp[1, 5] = sp[2, 6] - sp[1, 6]
+    sp[2, 5] = 0.5 * (sp[3, 6] - sp[1, 6])
+    sp[n - 1, 5] = 0.5 * (sp[n, 6] - sp[n - 2, 6])
+    sp[n, 5] = sp[n, 6] - sp[n - 1, 6]
+    for m in range(3, n - 1):
+        sp[m, 5] = ((sp[m - 2, 6] - sp[m + 2, 6])
+                    + 8.0 * (sp[m + 1, 6] - sp[m - 1, 6])) / 12.0
+    for m in range(1, n):
+        sp[m, 4] = 3.0 * (sp[m + 1, 6] - sp[m, 6]) - 2.0 * sp[m, 5] - sp[m + 1, 5]
+        sp[m, 3] = sp[m, 5] + sp[m + 1, 5] - 2.0 * (sp[m + 1, 6] - sp[m, 6])
+    sp[n, 4] = 0.0
+    sp[n, 3] = 0.0
+    sp[:, 2] = sp[:, 5] / delta
+    sp[:, 1] = 2.0 * sp[:, 4] / delta
+    sp[:, 0] = 3.0 * sp[:, 3] / delta
+    return sp
+
+
+def spline_value(sp: np.ndarray, delta: float, x: np.ndarray):
+    """Evaluate value exactly like the reference kernel (p = x/delta + 1)."""
+    n = sp.shape[0] - 1
+    p = x / delta + 1.0
+    m = np.minimum(np.maximum(p.astype(int), 1), n - 1)
+    p = np.minimum(p - m, 1.0)
+    c = sp[m]
+    return ((c[:, 3] * p + c[:, 4]) * p + c[:, 5]) * p + c[:, 6]
+
+
+def spline_deriv(sp: np.ndarray, delta: float, x: np.ndarray):
+    n = sp.shape[0] - 1
+    p = x / delta + 1.0
+    m = np.minimum(np.maximum(p.astype(int), 1), n - 1)
+    p = np.minimum(p - m, 1.0)
+    c = sp[m]
+    return (c[:, 0] * p + c[:, 1]) * p + c[:, 2]
+
+
+def _fit_segments(xs, ys, nseg, deg, xmax):
+    """Least-squares degree-`deg` polynomials per uniform segment of [0,xmax]."""
+    coeffs = np.zeros((nseg, deg + 1))
+    seg = np.minimum((xs / xmax * nseg).astype(int), nseg - 1)
+    for s in range(nseg):
+        m = seg == s
+        xi = xs[m] / xmax * nseg - s          # [0,1)
+        V = np.vander(xi, deg + 1, increasing=True)
+        coeffs[s] = np.linalg.lstsq(V, ys[m], rcond=None)[0]
+    return coeffs
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EAMParams:
+    # per-pair r-functions as segment polynomials over [0, cut]
+    seg_coeffs: jax.Array    # (K, 4*(D+1)): rho, rhop, z2, z2p stacked
+    frho_spline: jax.Array   # (nrho+1, 7) exact embedding spline
+    cut: jax.Array
+    cutsq: jax.Array
+    drho: jax.Array
+    rhomax: jax.Array
+    nseg: int = dataclasses.field(metadata=dict(static=True), default=64)
+    deg: int = dataclasses.field(metadata=dict(static=True), default=7)
+    nrho: int = dataclasses.field(metadata=dict(static=True), default=500)
+
+
+def build_eam_params(path: str, dtype=jnp.float32, nseg=64, deg=7) -> EAMParams:
+    d = read_funcfl(path)
+    z2r = 27.2 * 0.529 * d["zr"] * d["zr"]
+    sp_rho = lammps_spline(d["rhor"], d["dr"])
+    sp_z2 = lammps_spline(z2r, d["dr"])
+    sp_f = lammps_spline(d["frho"], d["drho"])
+
+    cut = d["cut"]
+    xs = np.linspace(0.0, cut, 20000, endpoint=False) + cut / 40000.0
+    funcs = [spline_value(sp_rho, d["dr"], xs), spline_deriv(sp_rho, d["dr"], xs),
+             spline_value(sp_z2, d["dr"], xs), spline_deriv(sp_z2, d["dr"], xs)]
+    coeffs = np.concatenate(
+        [_fit_segments(xs, f, nseg, deg, cut) for f in funcs], axis=1)
+    return EAMParams(
+        seg_coeffs=jnp.asarray(coeffs, dtype),
+        frho_spline=jnp.asarray(sp_f, dtype),
+        cut=jnp.asarray(cut, dtype), cutsq=jnp.asarray(cut * cut, dtype),
+        drho=jnp.asarray(d["drho"], dtype),
+        rhomax=jnp.asarray((d["nrho"] - 1) * d["drho"], dtype),
+        nseg=nseg, deg=deg, nrho=d["nrho"],
+    ), d["mass"]
+
+
+def _eval_segments(r, p: EAMParams):
+    """Evaluate (rho, rhop, z2, z2p) at r via one-hot matmul (no gathers)."""
+    dtype = r.dtype
+    s = jnp.clip((r / p.cut * p.nseg).astype(jnp.int32), 0, p.nseg - 1)
+    xi = r / p.cut * p.nseg - s.astype(dtype)
+    oh = (s[..., None] == jnp.arange(p.nseg)).astype(dtype)
+    flat = oh.reshape(-1, p.nseg)
+    c = jnp.dot(flat, p.seg_coeffs, preferred_element_type=dtype,
+                precision=jax.lax.Precision.HIGHEST)
+    c = c.reshape(r.shape + (4 * (p.deg + 1),))
+    out = []
+    for k in range(4):
+        ck = c[..., k * (p.deg + 1):(k + 1) * (p.deg + 1)]
+        acc = ck[..., p.deg]
+        for j in range(p.deg - 1, -1, -1):
+            acc = acc * xi + ck[..., j]
+        out.append(acc)
+    return out
+
+
+def eam_cell_forces(x, mask, cells: Cells, box: Box, p: EAMParams):
+    """Two-pass EAM via the rolled cell grid. Returns (f, evdwl, virial6)."""
+    n = x.shape[0]
+    dtype = x.dtype
+    aos = cells.atom_of_slot
+    cap = aos.shape[-1]
+    L = box.lengths
+    amax = jnp.minimum(aos, n - 1)
+    valid = aos < n
+
+    def slotify(a):
+        return jnp.where(valid, a[amax], 0.0)
+
+    xs = [slotify(x[:, d_]) for d_ in range(3)]
+
+    def ctr(a):
+        return a[..., :, None]
+
+    def nbr(a, off):
+        r = a
+        for ax, sh in enumerate(off):
+            if sh:
+                r = jnp.roll(r, -sh, axis=ax)
+        return r[..., None, :]
+
+    group_size = max(1, min(9, 512 // cap))
+    groups = [_OFFSETS[i:i + group_size]
+              for i in range(0, len(_OFFSETS), group_size)]
+
+    def nbr_group(a, offs):
+        return jnp.concatenate([nbr(a, o) for o in offs], axis=-1)
+
+    same = jnp.eye(cap, dtype=bool)
+
+    def pair_geometry(offs):
+        dx = minimum_image(ctr(xs[0]) - nbr_group(xs[0], offs), L[0])
+        dy = minimum_image(ctr(xs[1]) - nbr_group(xs[1], offs), L[1])
+        dz = minimum_image(ctr(xs[2]) - nbr_group(xs[2], offs), L[2])
+        rsq = dx * dx + dy * dy + dz * dz
+        ok = ctr(valid) & nbr_group(valid, offs)
+        if (0, 0, 0) in offs:
+            gi = offs.index((0, 0, 0))
+            ok = ok & ~jnp.pad(same, ((0, 0), (gi * cap,
+                                               (len(offs) - gi - 1) * cap)))
+        ok = ok & (rsq < p.cutsq)
+        rsq = jnp.where(ok, rsq, 1.0)
+        return dx, dy, dz, rsq, ok
+
+    # ---- pass 1: densities ----
+    rho_slots = jnp.zeros(aos.shape + (1,), dtype)
+    for offs in groups:
+        dx, dy, dz, rsq, ok = pair_geometry(offs)
+        r = jnp.sqrt(rsq)
+        rho_r, _, _, _ = _eval_segments(r, p)
+        rho_slots += jnp.sum(jnp.where(ok, rho_r, 0.0), axis=-1,
+                             keepdims=True)
+
+    rho_atom = rho_slots.reshape(-1)[cells.slot_of_atom]
+
+    # ---- embedding (exact reference spline, per-atom gathers) ----
+    pr = rho_atom / p.drho + 1.0
+    m = jnp.clip(pr.astype(jnp.int32), 1, p.nrho - 1)
+    frac = jnp.minimum(pr - m.astype(dtype), 1.0)
+    c = p.frho_spline[m]
+    fp_atom = (c[:, 0] * frac + c[:, 1]) * frac + c[:, 2]
+    phi_embed = ((c[:, 3] * frac + c[:, 4]) * frac + c[:, 5]) * frac + c[:, 6]
+    phi_embed = phi_embed + jnp.where(rho_atom > p.rhomax,
+                                      fp_atom * (rho_atom - p.rhomax), 0.0)
+    e_embed = jnp.sum(jnp.where(mask, phi_embed, 0.0))
+
+    fp_slots = jnp.where(valid, fp_atom[amax], 0.0)
+
+    # ---- pass 2: forces + pair energy ----
+    fx = jnp.zeros(aos.shape + (1,), dtype)
+    fy = jnp.zeros_like(fx)
+    fz = jnp.zeros_like(fx)
+    evdwl = jnp.zeros((), dtype)
+    vir = [jnp.zeros((), dtype) for _ in range(6)]
+    for offs in groups:
+        dx, dy, dz, rsq, ok = pair_geometry(offs)
+        r = jnp.sqrt(rsq)
+        _, rhop, z2, z2p = _eval_segments(r, p)
+        recip = 1.0 / r
+        phi = z2 * recip
+        phip = z2p * recip - phi * recip
+        psip = (ctr(fp_slots) + nbr_group(fp_slots, offs)) * rhop + phip
+        fpair = jnp.where(ok, -psip * recip, 0.0)
+        evdwl += 0.5 * jnp.sum(jnp.where(ok, phi, 0.0))
+        fx += jnp.sum(fpair * dx, axis=-1, keepdims=True)
+        fy += jnp.sum(fpair * dy, axis=-1, keepdims=True)
+        fz += jnp.sum(fpair * dz, axis=-1, keepdims=True)
+        w = 0.5 * fpair
+        vir[0] += jnp.sum(w * dx * dx); vir[1] += jnp.sum(w * dy * dy)
+        vir[2] += jnp.sum(w * dz * dz); vir[3] += jnp.sum(w * dx * dy)
+        vir[4] += jnp.sum(w * dx * dz); vir[5] += jnp.sum(w * dy * dz)
+
+    f = jnp.stack([fx.reshape(-1)[cells.slot_of_atom],
+                   fy.reshape(-1)[cells.slot_of_atom],
+                   fz.reshape(-1)[cells.slot_of_atom]], axis=-1)
+    f = jnp.where(mask[:, None], f, 0.0)
+    return f, evdwl + e_embed, jnp.stack(vir)

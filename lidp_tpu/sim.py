@@ -88,6 +88,16 @@ class Simulation:
         sys = sys.replace(step=jnp.asarray(script.step, jnp.int32))
 
         # ---- pair tables ----
+        eamp = None
+        if script.pair.name == "eam":
+            from lidp_tpu.ops.eam import build_eam_params
+
+            eamp, eam_mass = build_eam_params(script.eam_file, dtype=dtype)
+            if script.mass_type is None or script.mass_type[1] == 0.0:
+                if script.mass_type is None:
+                    script.mass_type = np.zeros(script.ntypes + 1)
+                script.mass_type[1:] = eam_mass   # mass from funcfl (pair_eam.cpp)
+                mass_atom = script.mass_type[script.type]
         eps, sig, cut = _mix_pair_tables(script)
         coul = "coul" in script.pair.name
         pair = make_pair_params(
@@ -208,9 +218,10 @@ class Simulation:
                 c3=jnp.asarray(cs[2], dtype), c4=jnp.asarray(cs[3], dtype),
                 style=script.dihedral_style)
 
-        ff = ForceField(pair=pair, ewald=ew, polar=pol, sp_code=sp_code,
+        ff = ForceField(pair=None if eamp is not None else pair,
+                        ewald=ew, polar=pol, sp_code=sp_code,
                         bond=bondp, angle=anglep, dihedral=dihedralp,
-                        pppm=pppmp, sp_idx=sp_idx, sp_lvl=sp_lvl,
+                        pppm=pppmp, eam=eamp, sp_idx=sp_idx, sp_lvl=sp_lvl,
                         qqrd2e=u.qqr2e)
 
         # ---- integrator from fixes ----
@@ -320,10 +331,12 @@ class Simulation:
         # ---- neighbor strategy ----
         ncfg = None
         rebuild_every = 1
-        if n > DENSE_PATH_MAX_ATOMS or script.speed_mode:
+        if n > DENSE_PATH_MAX_ATOMS or script.speed_mode or eamp is not None:
             cutmax = float(np.max(cut))
             if coul:
                 cutmax = max(cutmax, script.pair.cut_coul)
+            if eamp is not None:
+                cutmax = float(eamp.cut)
             L = script.box_hi - script.box_lo
             try:
                 from lidp_tpu.ops.cells import CellConfig

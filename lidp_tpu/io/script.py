@@ -586,7 +586,15 @@ class LammpsScript:
         self.thermo_every = int(a[0])
 
     def cmd_thermo_modify(self, a):
-        pass
+        i = 0
+        while i < len(a):
+            if a[i] == "norm":
+                self._thermo_norm = _yesno(a[i + 1]); i += 2
+            else:
+                i += 2
+
+    def cmd_timer(self, a):
+        self._timer_mode = a[0] if a else "normal"
 
     def cmd_dump(self, a):
         did, group, style, every = a[0], a[1], a[2], int(a[3])
@@ -631,7 +639,7 @@ class LammpsScript:
 
     def cmd_fix(self, a):
         fid, group, style = a[0], a[1], a[2]
-        if style not in ("nve", "nvt", "rigid/nve", "rigid/nvt", "langevin"):
+        if style not in ("nve", "nvt", "rigid", "rigid/nve", "rigid/nvt", "langevin"):
             raise ValueError(f"unsupported fix style {style}")
         self.fixes[fid] = FixSpec(fid=fid, group=group, style=style, args=a[3:])
         self._sim = None

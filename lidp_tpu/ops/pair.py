@@ -15,8 +15,8 @@ as masked all-pairs tensor ops:
     identical to the reference's Newton half-list ``ev_tally`` totals.
 
 The dense (N,N) form is used for N up to a few thousand (the polarization
-examples); the row-blocked scan form handles larger N (bench/in.lj at 32k)
-without materializing (N,N,3).
+examples); larger systems use the roll-based cell kernel (ops/cells.py) or
+the sharded row-block path (parallel/shard.py).
 """
 
 from __future__ import annotations
@@ -168,60 +168,3 @@ def dense_pair_forces(x, q, type_, sp_code, mask, box: Box, p: PairParams):
         jnp.sum(w * delta[:, :, 1] * delta[:, :, 2]),
     ])
     return f, evdwl_tot, ecoul_tot, virial
-
-
-def blocked_pair_forces(x, q, type_, mask, box: Box, p: PairParams,
-                        block: int = 512):
-    """Row-blocked all-pairs evaluation for large N (no special bonds).
-
-    Scans over row blocks so peak memory is O(block * N); XLA fuses the
-    elementwise pair math inside the scan body. Suitable for bench/in.lj-scale
-    systems without a neighbor list.
-    """
-    n = x.shape[0]
-    nb = -(-n // block)
-    npad = nb * block
-    pad = npad - n
-
-    def pad0(a, fill=0):
-        return jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1),
-                       constant_values=fill)
-
-    xp = pad0(x)
-    qp = pad0(q)
-    tp = pad0(type_)
-    mp = pad0(mask, False)
-    L = box.lengths
-
-    xb = xp.reshape(nb, block, 3)
-    qb = qp.reshape(nb, block)
-    tb = tp.reshape(nb, block)
-    mb = mp.reshape(nb, block)
-    row_ids = jnp.arange(npad).reshape(nb, block)
-
-    def body(carry, blk):
-        xi, qi, ti, mi, rid = blk
-        delta = minimum_image(xi[:, None, :] - xp[None, :, :], L)  # (B,N,3)
-        rsq = jnp.sum(delta * delta, axis=-1)
-        not_self = rid[:, None] != jnp.arange(npad)[None, :]
-        pm = not_self & mi[:, None] & mp[None, :]
-        rsq = jnp.where(pm, rsq, 1.0)
-        fpair, evdwl, ecoul = _pair_terms(
-            rsq, qi[:, None], qp[None, :], ti[:, None], tp[None, :],
-            0, p, pm,
-        )
-        fblk = jnp.sum(fpair[:, :, None] * delta, axis=1)
-        w = 0.5 * fpair
-        vir = jnp.stack([
-            jnp.sum(w * delta[:, :, 0] * delta[:, :, 0]),
-            jnp.sum(w * delta[:, :, 1] * delta[:, :, 1]),
-            jnp.sum(w * delta[:, :, 2] * delta[:, :, 2]),
-            jnp.sum(w * delta[:, :, 0] * delta[:, :, 1]),
-            jnp.sum(w * delta[:, :, 0] * delta[:, :, 2]),
-            jnp.sum(w * delta[:, :, 1] * delta[:, :, 2]),
-        ])
-        return carry, (fblk, 0.5 * jnp.sum(evdwl), 0.5 * jnp.sum(ecoul), vir)
-
-    _, (fb, ev, ec, vir) = jax.lax.scan(body, None, (xb, qb, tb, mb, row_ids))
-    f = fb.reshape(npad, 3)[:n]
-    return f, jnp.sum(ev), jnp.sum(ec), jnp.sum(vir, axis=0)

@@ -23,14 +23,13 @@ that is ~50 MB of f32 intermediates, HBM-friendly.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from lidp_tpu.box import Box, minimum_image
+from lidp_tpu.box import minimum_image
 from lidp_tpu.forcefield import ForceField
 from lidp_tpu.ops.pair import _pair_terms
 from lidp_tpu.ops.polarization import (DAMPING_EXPONENTIAL, PolarizationSettings,

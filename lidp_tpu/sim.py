@@ -293,7 +293,7 @@ class Simulation:
                     final=nvt_mod.final_integrate,
                     params=nvtp,
                     init_state=lambda s_, f_, p_: nvt_mod.init_state(s_, f_, p_))
-            elif spec.style in ("rigid/nve", "rigid/nvt"):
+            elif spec.style in ("rigid", "rigid/nve", "rigid/nvt"):
                 x_unwrap = script.x + script.image * (script.box_hi - script.box_lo)
                 rsetup = rigid_mod.setup_bodies(x_unwrap, mass_atom,
                                                 script.mol, gmask)
@@ -451,6 +451,13 @@ class Simulation:
             self.script.log(
                 f"Performance: {rate * dt_ns * 86400:.3f} ns/day, "
                 f"{rate:.3f} timesteps/s")
+            if getattr(self.script, "_timer_mode", None) == "full":
+                # per-phase breakdown (Timer categories, timer.h:25-28) via
+                # unfused re-evaluation of each force term
+                from lidp_tpu.utils.timing import profile_forces
+
+                profile_forces(self.sys, self.runner.ff, self.nlist,
+                               log=self.script.log)
 
     def _dump(self):
         from lidp_tpu.io.dump import write_dump_frame

@@ -30,6 +30,7 @@ class ThermoParams:
     nktv2p: float = dataclasses.field(metadata=dict(static=True), default=1.0)
     norm: bool = dataclasses.field(metadata=dict(static=True), default=False)
     natoms: int = dataclasses.field(metadata=dict(static=True), default=0)
+    mv2d: float = dataclasses.field(metadata=dict(static=True), default=1.0)
 
     @staticmethod
     def create(mass_atom, dof, units: Units, norm: bool, natoms: int):
@@ -37,6 +38,7 @@ class ThermoParams:
             mass_atom=jnp.asarray(mass_atom),
             dof=float(dof), boltz=units.boltz, mvv2e=units.mvv2e,
             nktv2p=units.nktv2p, norm=norm, natoms=natoms,
+            mv2d=getattr(units, "mv2d", 1.0),
         )
 
 
@@ -79,4 +81,6 @@ def thermo_row(sys: System, res: ForceResult, tp: ThermoParams,
         "epair": res.epair / norm,
         "emol": res.ebond / norm,
         "press": pressure(sys, tp, virial),
+        "vol": sys.box.volume,
+        "density": tp.mv2d * jnp.sum(tp.mass_atom * sys.mask) / sys.box.volume,
     }

@@ -20,13 +20,13 @@ def rows(tmp_path_factory):
     tmp = str(tmp_path_factory.mktemp("eam"))
     shutil.copy("/root/reference/bench/Cu_u3.eam", tmp)
     text = open("/root/reference/bench/in.eam").read()
-    text = re.sub(r"^run.*$", "run    3", text, flags=re.M)
+    text = re.sub(r"^run.*$", "run    2", text, flags=re.M)
     text = re.sub(r"^thermo\s+50$", "thermo 1", text, flags=re.M)
-    # shrink to an 8^3-cell crystal: a perfect periodic fcc lattice has
+    # shrink to an 6^3-cell crystal: a perfect periodic fcc lattice has
     # exactly intensive E_pair/atom and Press, so the 32k golden values
     # scale by N (CPU runtime for the f64 parity test)
-    text = text.replace("equal 20*$x", "equal 8*$x").replace(
-        "equal 20*$y", "equal 8*$y").replace("equal 20*$z", "equal 8*$z")
+    text = text.replace("equal 20*$x", "equal 6*$x").replace(
+        "equal 20*$y", "equal 6*$y").replace("equal 20*$z", "equal 6*$z")
     path = os.path.join(tmp, "in.eam")
     open(path, "w").write(text)
     s = LammpsScript(dtype=jnp.float64)
@@ -36,12 +36,12 @@ def rows(tmp_path_factory):
 
 def test_step0_golden(rows):
     r0 = rows[0]
-    scale = 2048.0 / 32000.0
+    scale = 864.0 / 32000.0
     assert r0["temp"] == pytest.approx(1600.0, rel=1e-9)
     assert r0["epair"] == pytest.approx(-113280.0 * scale, rel=2e-5)
     # TotEng differs from a pure scale by the dof (3N-3) KE term; recompute:
     # KE = 0.5*(3N-3)*kB*T
-    ke = 0.5 * (3 * 2048 - 3) * 8.617343e-5 * 1600.0
+    ke = 0.5 * (3 * 864 - 3) * 8.617343e-5 * 1600.0
     assert r0["etotal"] == pytest.approx(-113280.0 * scale + ke, rel=2e-5)
     assert r0["press"] == pytest.approx(18703.573, rel=2e-3)
 

@@ -37,6 +37,7 @@ class ForceField:
     bond: Optional[object] = None           # ops.bonded.BondParams
     angle: Optional[object] = None          # ops.bonded.AngleParams
     dihedral: Optional[object] = None       # ops.bonded.DihedralParams
+    improper: Optional[object] = None       # ops.bonded.ImproperParams
     pppm: Optional[object] = None           # ops.pppm.PPPMParams
     eam: Optional[object] = None            # ops.eam.EAMParams
     sp_idx: Optional[jax.Array] = None      # (N,S) sparse special lists
@@ -144,6 +145,14 @@ def compute_forces(sys: System, ff: ForceField,
         f = f + fd
         ebond = ebond + ed
         virial = virial + vd
+
+    if ff.improper is not None:
+        from lidp_tpu.ops.bonded import improper_forces
+
+        fi_, ei_, vi_ = improper_forces(sys.x, sys.box, ff.improper)
+        f = f + fi_
+        ebond = ebond + ei_
+        virial = virial + vi_
 
     if ff.ewald is not None:
         fk, el, vk = ewald_ops.ewald_forces(sys.x, sys.q, sys.box.volume, ff.ewald)

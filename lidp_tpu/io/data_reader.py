@@ -35,6 +35,8 @@ class DataFile:
     angle_types: np.ndarray = None
     dihedrals: np.ndarray = None    # (ND,4) atom ids
     dihedral_types: np.ndarray = None
+    impropers: np.ndarray = None
+    improper_types: np.ndarray = None
 
 
 _HEADER_KEYS = (
@@ -115,6 +117,8 @@ def read_data(path: str, atom_style: str = "full") -> DataFile:
     angle_types = np.zeros(counts["angles"], np.int32)
     dihedrals = np.zeros((counts["dihedrals"], 4), np.int64)
     dihedral_types = np.zeros(counts["dihedrals"], np.int32)
+    impropers = np.zeros((counts["impropers"], 4), np.int64)
+    improper_types = np.zeros(counts["impropers"], np.int32)
 
     def read_section(start: int, nrows: int):
         rows = []
@@ -204,6 +208,12 @@ def read_data(path: str, atom_style: str = "full") -> DataFile:
                 k = int(r[0]) - 1
                 dihedral_types[k] = int(r[1])
                 dihedrals[k] = [int(r[2]), int(r[3]), int(r[4]), int(r[5])]
+        elif name.startswith("Impropers"):
+            rows, i = read_section(i + 1, counts["impropers"])
+            for r in rows:
+                k = int(r[0]) - 1
+                improper_types[k] = int(r[1])
+                impropers[k] = [int(r[2]), int(r[3]), int(r[4]), int(r[5])]
         else:
             # skip unknown section: its row count is unknown; consume until
             # the next recognized section header (coeff sections etc.)
@@ -221,4 +231,5 @@ def read_data(path: str, atom_style: str = "full") -> DataFile:
         bonds=bonds, bond_types=bond_types, nbondtypes=counts["bond types"],
         angles=angles, angle_types=angle_types,
         dihedrals=dihedrals, dihedral_types=dihedral_types,
+        impropers=impropers, improper_types=improper_types,
     )

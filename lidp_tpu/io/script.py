@@ -145,6 +145,8 @@ class LammpsScript:
         self.angle_coeffs = {}
         self.dihedral_style = None
         self.dihedral_coeffs = {}
+        self.improper_style = None
+        self.improper_coeffs = {}
         self._pair_shift = False     # pair_modify shift
         self._pair_mix = "geometric"  # pair_modify mix
         self._gewald_override = None  # kspace_modify gewald
@@ -380,6 +382,8 @@ class LammpsScript:
         self._angle_types = d.angle_types
         self._dihedrals = d.dihedrals
         self._dihedral_types = d.dihedral_types
+        self._impropers = d.impropers
+        self._improper_types = d.improper_types
         self.groups["all"] = np.ones(d.natoms, bool)
 
     def cmd_replicate(self, a):
@@ -519,6 +523,15 @@ class LammpsScript:
 
     def cmd_dihedral_coeff(self, a):
         self.dihedral_coeffs[int(a[0])] = [float(v) for v in a[1:]]
+
+    def cmd_improper_style(self, a):
+        if a[0] != "harmonic":
+            raise ValueError(f"unsupported improper_style {a[0]}")
+        self.improper_style = a[0]
+        self.improper_coeffs = {}
+
+    def cmd_improper_coeff(self, a):
+        self.improper_coeffs[int(a[0])] = [float(v) for v in a[1:]]
 
     def cmd_bond_style(self, a):
         if a[0] not in ("harmonic", "fene"):

@@ -238,3 +238,54 @@ def dihedral_forces(x, box: Box, p: DihedralParams):
     w = -dEdeps
     virial = jnp.stack([w[0, 0], w[1, 1], w[2, 2], w[0, 1], w[0, 2], w[1, 2]])
     return f, e, virial
+
+
+@jax.tree_util.register_dataclass
+@_dc.dataclass(frozen=True)
+class ImproperParams:
+    idx: jax.Array      # (NI,4) int32 i-j-k-l
+    itype: jax.Array    # (NI,) int32 1-based
+    k: jax.Array        # (T+1,)
+    chi0: jax.Array     # (T+1,) radians
+    # improper_harmonic.cpp: E = K (chi - chi0)^2 with chi the i-j-k-l
+    # out-of-plane angle (same geometric phi as a dihedral)
+
+
+def improper_forces(x, box: Box, p: ImproperParams):
+    i, j, k, l = (p.idx[:, 0], p.idx[:, 1], p.idx[:, 2], p.idx[:, 3])
+
+    def chi_of(b1, b2, b3):
+        n1 = jnp.cross(b1, b2)
+        n2 = jnp.cross(b2, b3)
+        n1n = jnp.linalg.norm(n1, axis=1)
+        n2n = jnp.linalg.norm(n2, axis=1)
+        c = jnp.sum(n1 * n2, axis=1) / jnp.maximum(n1n * n2n, 1e-30)
+        s = jnp.sum(jnp.cross(n1, n2) * b2, axis=1) / (
+            jnp.maximum(n1n * n2n, 1e-30) * jnp.linalg.norm(b2, axis=1))
+        return jnp.arctan2(s, jnp.clip(c, -1.0, 1.0))
+
+    def energy_of(xx):
+        b1 = minimum_image(xx[j] - xx[i], box.lengths)
+        b2 = minimum_image(xx[k] - xx[j], box.lengths)
+        b3 = minimum_image(xx[l] - xx[k], box.lengths)
+        chi = chi_of(b1, b2, b3)
+        dchi = chi - p.chi0[p.itype]
+        # wrap into (-pi, pi] like the reference's acos-based branch logic
+        dchi = dchi - 2 * jnp.pi * jnp.round(dchi / (2 * jnp.pi))
+        return jnp.sum(p.k[p.itype] * dchi * dchi)
+
+    def with_strain(eps_flat):
+        eps = jnp.eye(3, dtype=x.dtype) + eps_flat.reshape(3, 3)
+        b1 = minimum_image(x[j] - x[i], box.lengths) @ eps.T
+        b2 = minimum_image(x[k] - x[j], box.lengths) @ eps.T
+        b3 = minimum_image(x[l] - x[k], box.lengths) @ eps.T
+        chi = chi_of(b1, b2, b3)
+        dchi = chi - p.chi0[p.itype]
+        dchi = dchi - 2 * jnp.pi * jnp.round(dchi / (2 * jnp.pi))
+        return jnp.sum(p.k[p.itype] * dchi * dchi)
+
+    e = energy_of(x)
+    f = -jax.grad(energy_of)(x)
+    w = -jax.grad(with_strain)(jnp.zeros(9, x.dtype)).reshape(3, 3)
+    virial = jnp.stack([w[0, 0], w[1, 1], w[2, 2], w[0, 1], w[0, 2], w[1, 2]])
+    return f, e, virial

@@ -218,9 +218,26 @@ class Simulation:
                 c3=jnp.asarray(cs[2], dtype), c4=jnp.asarray(cs[3], dtype),
                 style=script.dihedral_style)
 
+        improperp = None
+        if (getattr(script, "_impropers", None) is not None
+                and len(script._impropers)
+                and script.improper_style is not None):
+            from lidp_tpu.ops.bonded import ImproperParams
+
+            TI = max(script.improper_coeffs.keys(), default=0)
+            ki = np.zeros(TI + 1); chi0 = np.zeros(TI + 1)
+            for it_, co in script.improper_coeffs.items():
+                ki[it_] = co[0]
+                chi0[it_] = np.deg2rad(co[1])
+            improperp = ImproperParams(
+                idx=jnp.asarray(script._impropers - 1, jnp.int32),
+                itype=jnp.asarray(script._improper_types, jnp.int32),
+                k=jnp.asarray(ki, dtype), chi0=jnp.asarray(chi0, dtype))
+
         ff = ForceField(pair=None if eamp is not None else pair,
                         ewald=ew, polar=pol, sp_code=sp_code,
                         bond=bondp, angle=anglep, dihedral=dihedralp,
+                        improper=improperp,
                         pppm=pppmp, eam=eamp, sp_idx=sp_idx, sp_lvl=sp_lvl,
                         qqrd2e=u.qqr2e)
 

@@ -16,11 +16,10 @@ import functools
 from typing import Any, Callable, Optional
 
 import jax
-import jax.numpy as jnp
 
 from lidp_tpu import box as box_mod
-from lidp_tpu.forcefield import ForceField, ForceResult, compute_forces
-from lidp_tpu.ops.neighbor import NeighborConfig, NeighborList, build_neighbor_list
+from lidp_tpu.forcefield import ForceField, compute_forces
+from lidp_tpu.ops.neighbor import NeighborConfig, build_neighbor_list
 from lidp_tpu.state import System
 
 

@@ -16,14 +16,12 @@ jitted simulation (System + ForceField + integrator + thermo) and advances it.
 from __future__ import annotations
 
 import dataclasses
-import math
 import os
 import re
 from typing import Optional
 
 import numpy as np
 
-from lidp_tpu import topology as topo_mod
 from lidp_tpu import units as units_mod
 from lidp_tpu import velocity as velocity_mod
 from lidp_tpu import lattice as lattice_mod

@@ -31,7 +31,6 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from lidp_tpu.box import minimum_image
 from lidp_tpu.forcefield import ForceField
-from lidp_tpu.ops.pair import _pair_terms
 from lidp_tpu.ops.polarization import (DAMPING_EXPONENTIAL, PolarizationSettings,
                                        _damping_terms)
 

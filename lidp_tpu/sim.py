@@ -26,7 +26,7 @@ from lidp_tpu.ops.ewald import EwaldParams, setup_ewald_disp
 from lidp_tpu.ops.neighbor import NeighborConfig
 from lidp_tpu.ops.pair import make_pair_params
 from lidp_tpu.state import make_system
-from lidp_tpu.thermo import ThermoParams, ke_total, pressure, temperature
+from lidp_tpu.thermo import ThermoParams, temperature
 
 DENSE_PATH_MAX_ATOMS = 4096
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 import numpy as np
 
 
-def write_dump_frame(spec, sys, script, gmask):
+def write_dump_frame(spec, sys, script, gmask, f=None):
     x = np.asarray(sys.x)
     # wrap into the box for output (the engine may keep rigid coords unwrapped)
     lo, hi = np.asarray(sys.box.lo), np.asarray(sys.box.hi)
@@ -24,6 +24,13 @@ def write_dump_frame(spec, sys, script, gmask):
         "type": lambda i: script.type[i], "mol": lambda i: script.mol[i],
         "vx": lambda i: float(sys.v[i, 0]), "vy": lambda i: float(sys.v[i, 1]),
         "vz": lambda i: float(sys.v[i, 2]),
+        "q": lambda i: float(sys.q[i]),
+        "fx": lambda i: float(f[i, 0]) if f is not None else 0.0,
+        "fy": lambda i: float(f[i, 1]) if f is not None else 0.0,
+        "fz": lambda i: float(f[i, 2]) if f is not None else 0.0,
+        "mux": lambda i: float(sys.mu[i, 0]),
+        "muy": lambda i: float(sys.mu[i, 1]),
+        "muz": lambda i: float(sys.mu[i, 2]),
     }
     mode = "a" if getattr(spec, "_started", False) else "w"
     with open(spec.path, mode) as fh:

@@ -483,4 +483,5 @@ class Simulation:
         for d in self.script.dumps.values():
             if d.every and step % d.every == 0:
                 gmask = self.script.groups[d.group]
-                write_dump_frame(d, self.sys, self.script, gmask)
+                fcur = None if self.res is None else self.res.f
+                write_dump_frame(d, self.sys, self.script, gmask, f=fcur)

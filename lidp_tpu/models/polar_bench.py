@@ -126,9 +126,22 @@ def build(target_atoms: int = 100_000, n_devices: int = 1,
         bind_special(sp_idx, sp_lvl)
     step, init = make(mesh)
 
+    # freeze the framework (the example's `fix rigid/nve moving` integrates
+    # only molecules > 1; atoms outside any fix never move in the reference):
+    # framework molecules are the large ones (424 atoms vs <=9 per sorbate)
+    mol_ids, counts = np.unique(script.mol, return_counts=True)
+    framework_mols = set(mol_ids[counts > 50])
+    frozen = np.isin(script.mol, list(framework_mols))
+    # the example integrates sorbates as rigid bodies; their 1e-6-amu virtual
+    # sites explode under free NVE.  The benchmark measures force/SCF cost,
+    # not trajectories, so floor moving-atom masses instead of porting the
+    # rigid machinery into the sharded step (future round).
+    mass_eff = np.where(frozen, 1e30, np.maximum(mass_atom, 10.0))
+
     rng = np.random.RandomState(7)
     v0 = rng.normal(scale=1e-4, size=(n, 3)) / np.sqrt(
         np.maximum(mass_atom, 1e-6))[:, None]
+    v0[frozen] = 0.0
 
     def pad(a, fill=0.0):
         a = np.asarray(a)
@@ -146,7 +159,7 @@ def build(target_atoms: int = 100_000, n_devices: int = 1,
         mol=put(pad(script.mol, 0)),
         alpha=put(pad(alpha.astype(np.float32))),
         mu=put(pad(np.zeros((n, 3), np.float32))),
-        mass=put(pad(np.where(mass_atom > 0, mass_atom, 1.0).astype(np.float32), 1.0)),
+        mass=put(pad(mass_eff.astype(np.float32), 1.0)),
         mask=put(pad(np.ones(n, bool), False)),
     )
     return PolarBench(step=step, init=init, arrays=arrays, natoms=n, npad=npad)

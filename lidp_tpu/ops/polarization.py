@@ -155,7 +155,10 @@ def scf_solve_cg(e0, alpha, apply_T, s: PolarizationSettings, mu_init=None,
 
     def cond(c):
         y, r, p, rs, change, it = c
-        return (change > prec2) & (it < s.iterations_max)
+        # NaN-safe: ~(change <= prec2) keeps iterating on NaN (overflowed
+        # inputs) until iterations_max, which then triggers the reference's
+        # divergence fallback instead of silently returning poisoned dipoles
+        return (~(change <= prec2)) & (it < s.iterations_max)
 
     def body(c):
         y, r, p, rs, _, it = c
@@ -173,7 +176,7 @@ def scf_solve_cg(e0, alpha, apply_T, s: PolarizationSettings, mu_init=None,
     y, r, p, rs, change, it = jax.lax.while_loop(
         cond, body,
         (y, r, p, rs, jnp.asarray(jnp.inf, dtype), jnp.zeros((), jnp.int32)))
-    diverged = change > prec2
+    diverged = ~(change <= prec2)
     mu = sa * y
     mu = jnp.where(diverged, alpha[:, None] * e0, mu)
     return mu, it, diverged

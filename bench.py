@@ -87,15 +87,19 @@ def _try_polar_bench(timeout_s: int):
     except subprocess.TimeoutExpired:
         return {"polar_mof_10k_steps_per_s": None,
                 "polar_note": "compile timeout (cold cache)"}
-    m = re.search(r"steps/s ([0-9.]+)", r.stdout)
+    m = re.search(r"steps/s ([0-9.]+) scf ([0-9.]+)", r.stdout)
     if not m:
         return {"polar_mof_10k_steps_per_s": None,
                 "polar_note": "failed: " + r.stdout[-200:].replace("\n", " ")}
-    v = float(m.group(1))
+    v, scf = float(m.group(1)), float(m.group(2))
+    if scf >= 100.0:   # SCF hit iterations_max — timing would be meaningless
+        return {"polar_mof_10k_steps_per_s": None,
+                "polar_note": "SCF did not converge (scf=%g)" % scf}
     lammps_extrapolated = 0.91 / (10592 / 1324.0) ** 2
     return {
         "polar_mof_10k_steps_per_s": v,
         "polar_mof_10k_n_atoms": 10592,
+        "polar_mof_10k_scf_iters": scf,
         "polar_vs_reference_extrapolated": round(v / lammps_extrapolated, 1),
     }
 

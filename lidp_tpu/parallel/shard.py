@@ -415,10 +415,14 @@ def build_sharded_polar_step(
             # reciprocal Ewald
             elong = jnp.zeros((), dtype)
             if ew is not None:
-                phases = x @ ew.hvecs.T.astype(dtype)
+                # HIGHEST: the default TPU matmul rounds operands to bf16 —
+                # phases span tens of radians, so 0.4% rounding of x would put
+                # O(0.1 rad) errors into every structure factor
+                hp = jax.lax.Precision.HIGHEST
+                phases = jnp.dot(x, ew.hvecs.T.astype(dtype), precision=hp)
                 cph, sph = jnp.cos(phases), jnp.sin(phases)
-                sre = _preduce(q @ cph)
-                sim = _preduce(q @ sph)
+                sre = _preduce(jnp.dot(q, cph, precision=hp))
+                sim = _preduce(jnp.dot(q, sph, precision=hp))
                 sk2 = sre * sre + sim * sim
                 c0 = 4.0 * jnp.pi * ew.qscale / volume
                 eself = (ew.qsqsum * ew.qscale * ew.g_ewald / jnp.sqrt(jnp.pi)
@@ -427,13 +431,15 @@ def build_sharded_polar_step(
                 elong = c0 * jnp.sum(ew.kcoeff * sk2) - eself
                 w1 = ew.kcoeff * sre * 2.0 * c0
                 w2 = ew.kcoeff * sim * 2.0 * c0
-                f = f + ((sph * w1[None, :] - cph * w2[None, :])
-                         @ ew.hvecs.astype(dtype)) * q[:, None]
+                f = f + jnp.dot(sph * w1[None, :] - cph * w2[None, :],
+                                ew.hvecs.astype(dtype),
+                                precision=hp) * q[:, None]
                 vself_bg = (-0.5 * jnp.pi * ew.qscale
                             / (ew.g_ewald**2 * volume) * ew.qsum * ew.qsum)
                 # replicated k-space virial: add on one device only so the
                 # closing psum counts it once
-                vk = c0 * (sk2 @ ew.kvirial.astype(dtype)) \
+                vk = c0 * jnp.dot(sk2, ew.kvirial.astype(dtype),
+                                  precision=hp) \
                     - vself_bg * jnp.array([1, 1, 1, 0, 0, 0], dtype)
                 vir = vir + jnp.where(_axidx() == 0, vk, 0.0)
 

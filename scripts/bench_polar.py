@@ -11,10 +11,21 @@ f, en = polar_bench.run_step(b, zero_init=True)
 jax.block_until_ready(f)
 print("step compile+run", round(time.perf_counter() - t0, 1), flush=True)
 print({k: round(float(v), 2) for k, v in en.items() if v.ndim == 0}, flush=True)
+import jax.numpy as jnp
+
+diag = len(sys.argv) > 2 and sys.argv[2] == "diag"
 nrep = 10 if target <= 20000 else 3
 t0 = time.perf_counter()
-for _ in range(nrep):
+for i in range(nrep):
     f, en = polar_bench.run_step(b)
+    if diag:
+        jax.block_until_ready(f)
+        a = b.arrays
+        print("step", i,
+              {k: round(float(v), 2) for k, v in en.items() if v.ndim == 0},
+              "max|f|", float(jnp.max(jnp.abs(f))),
+              "max|v|", float(jnp.max(jnp.abs(a["v"]))),
+              "max|mu|", float(jnp.max(jnp.abs(a["mu"]))), flush=True)
 jax.block_until_ready(f)
 dt = (time.perf_counter() - t0) / nrep
 print("steady ms/step", round(dt * 1000, 1), "steps/s", round(1 / dt, 3),

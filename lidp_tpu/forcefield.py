@@ -113,11 +113,17 @@ def compute_forces(sys: System, ff: ForceField,
 
     if ff.eam is not None:
         from lidp_tpu.ops.cells import Cells
-        from lidp_tpu.ops.eam import eam_cell_forces
+        from lidp_tpu.ops.eam import (EAMAlloyParams, eam_alloy_cell_forces,
+                                      eam_cell_forces)
 
         if not isinstance(nlist, Cells):
             raise NotImplementedError("pair_style eam requires the cell path")
-        fe_, ev, vir_ = eam_cell_forces(sys.x, sys.mask, nlist, sys.box, ff.eam)
+        if isinstance(ff.eam, EAMAlloyParams):
+            fe_, ev, vir_ = eam_alloy_cell_forces(
+                sys.x, sys.type, sys.mask, nlist, sys.box, ff.eam)
+        else:
+            fe_, ev, vir_ = eam_cell_forces(
+                sys.x, sys.mask, nlist, sys.box, ff.eam)
         f = f + fe_
         evdwl = evdwl + ev
         virial = virial + vir_

@@ -137,6 +137,7 @@ class LammpsScript:
         self.thermo_rows: list[dict] = []
         self._sim = None             # live Simulation between run commands
         self.eam_file = None
+        self.eam_type_elems = None   # eam/alloy: element name per type
         self.bond_style = None
         self.bond_coeffs = {}
         self.angle_style = None
@@ -432,13 +433,30 @@ class LammpsScript:
             if val < 0:
                 raise ValueError("static_polarizability must be >= 0 (set.cpp:178)")
             self.alpha_type[int(a[1])] = val
+        elif a[2] == "type/fraction":
+            # set type|group X type/fraction newtype frac seed — set.cpp:947:
+            # per-atom RanPark reset from (seed, coords) geometry hash, then
+            # one uniform; <= fraction switches the type
+            from lidp_tpu.rng import park_geom_streams
+
+            newtype, frac, seed = int(a[3]), float(a[4]), int(a[5])
+            if a[0] == "type":
+                select = self.type == int(a[1])
+            elif a[0] == "group":
+                select = self.groups[a[1]].copy()
+            else:
+                raise ValueError(f"unsupported set selector {a[0]}")
+            streams = park_geom_streams(seed, self.x)
+            hit = select & (streams.uniform() <= frac)
+            self.type = np.where(hit, newtype, self.type)
+            self._sim = None
         else:
             raise ValueError(f"unsupported set command: {a}")
 
     def cmd_pair_style(self, a):
         p = PairStyleSpec(name=a[0])
-        if a[0] == "eam":
-            pass   # per-pair coeff gives the funcfl file; cutoff from file
+        if a[0] in ("eam", "eam/alloy"):
+            pass   # per-pair coeff gives the potential file; cutoff from file
         elif a[0] == "lj/cut":
             p.cut_lj_global = float(a[1])
         elif a[0] in ("lj/cut/coul/long", "lj/cut/coul/long/polarization"):
@@ -487,6 +505,32 @@ class LammpsScript:
         self.pair = p
 
     def cmd_pair_coeff(self, a):
+        if self.pair.name == "eam/alloy":
+            # pair_coeff * * file.alloy El1 El2 ... [NULL] — one element name
+            # per type (pair_eam_alloy.cpp::coeff); mass from the setfl header
+            if a[0] != "*" or a[1] != "*":
+                raise ValueError("eam/alloy pair_coeff must be * *")
+            self.eam_file = os.path.join(self.root, a[2])
+            names = a[3:3 + self.ntypes]
+            if len(names) != self.ntypes:
+                raise ValueError(
+                    f"eam/alloy needs {self.ntypes} element names, "
+                    f"got {len(names)}")
+            self.eam_type_elems = [None if s == "NULL" else s for s in names]
+            from lidp_tpu.ops.eam import read_setfl
+
+            d = read_setfl(self.eam_file)
+            if self.mass_type is None:
+                self.mass_type = np.zeros(self.ntypes + 1)
+            for t, name in enumerate(self.eam_type_elems, start=1):
+                if name is None:
+                    continue
+                if name not in d["names"]:
+                    raise ValueError(f"element {name} not found in "
+                                     f"{self.eam_file}: has {d['names']}")
+                if self.mass_type[t] == 0.0:
+                    self.mass_type[t] = d["mass"][d["names"].index(name)]
+            return
         if self.pair.name == "eam":
             self.eam_file = os.path.join(self.root, a[2])
             # mass comes from the funcfl header (pair_eam.cpp coeff/read_file)

@@ -47,6 +47,38 @@ def read_funcfl(path: str):
                 frho=frho, zr=zr, rhor=rhor, mass=mass)
 
 
+def read_setfl(path: str):
+    """Parse a setfl (eam/alloy) file — pair_eam_alloy.cpp::read_file.
+
+    Layout: 3 comment lines; `Nelem name1..nameN`; `nrho drho nr dr cut`;
+    per element: header (atomic number, mass, lattice const, structure),
+    nrho F(rho) values, nr rho(r) values; then nr r*phi values for each
+    element pair i>=j (lower triangle, row-major)."""
+    with open(path) as fh:
+        for _ in range(3):
+            fh.readline()
+        parts = fh.readline().split()
+        nelem = int(parts[0])
+        names = parts[1:1 + nelem]
+        toks = fh.read().split()
+    it = iter(toks)
+    nrho = int(next(it)); drho = float(next(it))
+    nr = int(next(it)); dr = float(next(it)); cut = float(next(it))
+    mass, frho, rhor = [], [], []
+    for _ in range(nelem):
+        next(it)                       # atomic number
+        mass.append(float(next(it)))
+        next(it); next(it)             # lattice constant, structure
+        frho.append(np.array([float(next(it)) for _ in range(nrho)]))
+        rhor.append(np.array([float(next(it)) for _ in range(nr)]))
+    z2r = {}
+    for i in range(nelem):
+        for j in range(i + 1):
+            z2r[(i, j)] = np.array([float(next(it)) for _ in range(nr)])
+    return dict(nelem=nelem, names=names, nrho=nrho, drho=drho, nr=nr, dr=dr,
+                cut=cut, mass=mass, frho=frho, rhor=rhor, z2r=z2r)
+
+
 def lammps_spline(f: np.ndarray, delta: float) -> np.ndarray:
     """Exact PairEAM::interpolate coefficients; returns (n+1, 7), 1-indexed."""
     n = len(f)
@@ -139,24 +171,101 @@ def build_eam_params(path: str, dtype=jnp.float32, nseg=64, deg=7) -> EAMParams:
     ), d["mass"]
 
 
-def _eval_segments(r, p: EAMParams):
-    """Evaluate (rho, rhop, z2, z2p) at r via one-hot matmul (no gathers)."""
+def _segment_onehot(r, cut, nseg):
     dtype = r.dtype
-    s = jnp.clip((r / p.cut * p.nseg).astype(jnp.int32), 0, p.nseg - 1)
-    xi = r / p.cut * p.nseg - s.astype(dtype)
-    oh = (s[..., None] == jnp.arange(p.nseg)).astype(dtype)
-    flat = oh.reshape(-1, p.nseg)
-    c = jnp.dot(flat, p.seg_coeffs, preferred_element_type=dtype,
-                precision=jax.lax.Precision.HIGHEST)
-    c = c.reshape(r.shape + (4 * (p.deg + 1),))
+    s = jnp.clip((r / cut * nseg).astype(jnp.int32), 0, nseg - 1)
+    xi = r / cut * nseg - s.astype(dtype)
+    oh = (s[..., None] == jnp.arange(nseg)).astype(dtype)
+    return oh.reshape(-1, nseg), xi
+
+
+def _horner(c, xi, deg, nfun):
     out = []
-    for k in range(4):
-        ck = c[..., k * (p.deg + 1):(k + 1) * (p.deg + 1)]
-        acc = ck[..., p.deg]
-        for j in range(p.deg - 1, -1, -1):
+    for k in range(nfun):
+        ck = c[..., k * (deg + 1):(k + 1) * (deg + 1)]
+        acc = ck[..., deg]
+        for j in range(deg - 1, -1, -1):
             acc = acc * xi + ck[..., j]
         out.append(acc)
     return out
+
+
+def _eval_segments(r, p: EAMParams):
+    """Evaluate (rho, rhop, z2, z2p) at r via one-hot matmul (no gathers)."""
+    flat, xi = _segment_onehot(r, p.cut, p.nseg)
+    c = jnp.dot(flat, p.seg_coeffs, preferred_element_type=r.dtype,
+                precision=jax.lax.Precision.HIGHEST)
+    c = c.reshape(r.shape + (4 * (p.deg + 1),))
+    return _horner(c, xi, p.deg, 4)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EAMAlloyParams:
+    """setfl (eam/alloy) tables — pair_eam_alloy.cpp.
+
+    Per-element rho/rho' and per-element-pair z2/z2' segment polynomials;
+    per-element embedding splines; LAMMPS-type -> element map from the
+    `pair_coeff * * file El1 El2 ... [NULL]` grammar (coeff(), setfl files
+    are NOT mixed — z2r is tabulated per pair, unlike funcfl's sqrt rule)."""
+    seg_rho: jax.Array       # (nelem, K, 2*(D+1)): rho, rhop
+    seg_z2: jax.Array        # (npair, K, 2*(D+1)): z2, z2p; idx i*(i+1)/2+j
+    frho_spline: jax.Array   # (nelem, nrho+1, 7)
+    type2elem: jax.Array     # (ntypes+1,) int32
+    cut: jax.Array
+    cutsq: jax.Array
+    drho: jax.Array
+    rhomax: jax.Array
+    nseg: int = dataclasses.field(metadata=dict(static=True), default=64)
+    deg: int = dataclasses.field(metadata=dict(static=True), default=7)
+    nrho: int = dataclasses.field(metadata=dict(static=True), default=500)
+    nelem: int = dataclasses.field(metadata=dict(static=True), default=1)
+
+
+def build_eam_alloy_params(path: str, elem_for_type, dtype=jnp.float32,
+                           nseg=64, deg=7):
+    """elem_for_type: list of element names (or None for NULL), one per
+    LAMMPS type 1..ntypes.  Returns (EAMAlloyParams, mass_per_type[T+1])."""
+    d = read_setfl(path)
+    cut, dr = d["cut"], d["dr"]
+    xs = np.linspace(0.0, cut, 20000, endpoint=False) + cut / 40000.0
+
+    seg_rho, frho = [], []
+    for e in range(d["nelem"]):
+        sp_rho = lammps_spline(d["rhor"][e], dr)
+        fr = [spline_value(sp_rho, dr, xs), spline_deriv(sp_rho, dr, xs)]
+        seg_rho.append(np.concatenate(
+            [_fit_segments(xs, f, nseg, deg, cut) for f in fr], axis=1))
+        frho.append(lammps_spline(d["frho"][e], d["drho"]))
+    seg_z2 = []
+    for i in range(d["nelem"]):
+        for j in range(i + 1):
+            sp_z2 = lammps_spline(d["z2r"][(i, j)], dr)
+            fz = [spline_value(sp_z2, dr, xs), spline_deriv(sp_z2, dr, xs)]
+            seg_z2.append(np.concatenate(
+                [_fit_segments(xs, f, nseg, deg, cut) for f in fz], axis=1))
+
+    t2e = np.zeros(len(elem_for_type) + 1, np.int32)
+    mass_t = np.zeros(len(elem_for_type) + 1)
+    for t, name in enumerate(elem_for_type, start=1):
+        if name is None or name == "NULL":
+            t2e[t] = 0
+            continue
+        if name not in d["names"]:
+            raise ValueError(f"element {name} not in {path}: {d['names']}")
+        e = d["names"].index(name)
+        t2e[t] = e
+        mass_t[t] = d["mass"][e]
+    return EAMAlloyParams(
+        seg_rho=jnp.asarray(np.stack(seg_rho), dtype),
+        seg_z2=jnp.asarray(np.stack(seg_z2), dtype),
+        frho_spline=jnp.asarray(np.stack(frho), dtype),
+        type2elem=jnp.asarray(t2e),
+        cut=jnp.asarray(cut, dtype), cutsq=jnp.asarray(cut * cut, dtype),
+        drho=jnp.asarray(d["drho"], dtype),
+        rhomax=jnp.asarray((d["nrho"] - 1) * d["drho"], dtype),
+        nseg=nseg, deg=deg, nrho=d["nrho"], nelem=d["nelem"],
+    ), mass_t
 
 
 def eam_cell_forces(x, mask, cells: Cells, box: Box, p: EAMParams):
@@ -245,6 +354,149 @@ def eam_cell_forces(x, mask, cells: Cells, box: Box, p: EAMParams):
         phi = z2 * recip
         phip = z2p * recip - phi * recip
         psip = (ctr(fp_slots) + nbr_group(fp_slots, offs)) * rhop + phip
+        fpair = jnp.where(ok, -psip * recip, 0.0)
+        evdwl += 0.5 * jnp.sum(jnp.where(ok, phi, 0.0))
+        fx += jnp.sum(fpair * dx, axis=-1, keepdims=True)
+        fy += jnp.sum(fpair * dy, axis=-1, keepdims=True)
+        fz += jnp.sum(fpair * dz, axis=-1, keepdims=True)
+        w = 0.5 * fpair
+        vir[0] += jnp.sum(w * dx * dx); vir[1] += jnp.sum(w * dy * dy)
+        vir[2] += jnp.sum(w * dz * dz); vir[3] += jnp.sum(w * dx * dy)
+        vir[4] += jnp.sum(w * dx * dz); vir[5] += jnp.sum(w * dy * dz)
+
+    f = jnp.stack([fx.reshape(-1)[cells.slot_of_atom],
+                   fy.reshape(-1)[cells.slot_of_atom],
+                   fz.reshape(-1)[cells.slot_of_atom]], axis=-1)
+    f = jnp.where(mask[:, None], f, 0.0)
+    return f, evdwl + e_embed, jnp.stack(vir)
+
+
+def eam_alloy_cell_forces(x, type_, mask, cells: Cells, box: Box,
+                          p: EAMAlloyParams):
+    """Multi-element setfl EAM via the rolled cell grid.
+
+    Same two-pass structure as eam_cell_forces; element dependence is handled
+    by evaluating each element's (and element-pair's) segment polynomials on
+    the SHARED segment one-hot and masking by slot element — nelem static
+    Python loops, no per-pair gathers (pair_eam_alloy.cpp's type2rhor/
+    type2z2r indirection becomes select masks)."""
+    n = x.shape[0]
+    dtype = x.dtype
+    aos = cells.atom_of_slot
+    cap = aos.shape[-1]
+    L = box.lengths
+    amax = jnp.minimum(aos, n - 1)
+    valid = aos < n
+
+    elem_atom = p.type2elem[type_]
+
+    def slotify(a, fill=0.0):
+        return jnp.where(valid, a[amax], fill)
+
+    xs = [slotify(x[:, d_]) for d_ in range(3)]
+    esl = slotify(elem_atom, 0)
+
+    def ctr(a):
+        return a[..., :, None]
+
+    def nbr(a, off):
+        r = a
+        for ax, sh in enumerate(off):
+            if sh:
+                r = jnp.roll(r, -sh, axis=ax)
+        return r[..., None, :]
+
+    group_size = max(1, min(9, 512 // cap))
+    groups = [_OFFSETS[i:i + group_size]
+              for i in range(0, len(_OFFSETS), group_size)]
+
+    def nbr_group(a, offs):
+        return jnp.concatenate([nbr(a, o) for o in offs], axis=-1)
+
+    same = jnp.eye(cap, dtype=bool)
+
+    def pair_geometry(offs):
+        dx = minimum_image(ctr(xs[0]) - nbr_group(xs[0], offs), L[0])
+        dy = minimum_image(ctr(xs[1]) - nbr_group(xs[1], offs), L[1])
+        dz = minimum_image(ctr(xs[2]) - nbr_group(xs[2], offs), L[2])
+        rsq = dx * dx + dy * dy + dz * dz
+        ok = ctr(valid) & nbr_group(valid, offs)
+        if (0, 0, 0) in offs:
+            gi = offs.index((0, 0, 0))
+            ok = ok & ~jnp.pad(same, ((0, 0), (gi * cap,
+                                               (len(offs) - gi - 1) * cap)))
+        ok = ok & (rsq < p.cutsq)
+        rsq = jnp.where(ok, rsq, 1.0)
+        return dx, dy, dz, rsq, ok
+
+    def eval_tables(r, ei, ej, want_z2):
+        flat, xi = _segment_onehot(r, p.cut, p.nseg)
+
+        def ev(coeffs):
+            c = jnp.dot(flat, coeffs, preferred_element_type=dtype,
+                        precision=jax.lax.Precision.HIGHEST)
+            return _horner(c.reshape(r.shape + (-1,)), xi, p.deg, 2)
+
+        zero = jnp.zeros_like(r)
+        rho_j = rhop_j = rhop_i = zero
+        for e in range(p.nelem):
+            re_, rpe = ev(p.seg_rho[e])
+            sj = ej == e
+            rho_j = rho_j + jnp.where(sj, re_, 0.0)
+            rhop_j = rhop_j + jnp.where(sj, rpe, 0.0)
+            rhop_i = rhop_i + jnp.where(ei == e, rpe, 0.0)
+        z2 = z2p = zero
+        if want_z2:
+            for a in range(p.nelem):
+                for b in range(a + 1):
+                    z, zp = ev(p.seg_z2[a * (a + 1) // 2 + b])
+                    sel = ((ei == a) & (ej == b)) | ((ei == b) & (ej == a))
+                    z2 = z2 + jnp.where(sel, z, 0.0)
+                    z2p = z2p + jnp.where(sel, zp, 0.0)
+        return rho_j, rhop_j, rhop_i, z2, z2p
+
+    # ---- pass 1: densities ----
+    rho_slots = jnp.zeros(aos.shape + (1,), dtype)
+    for offs in groups:
+        dx, dy, dz, rsq, ok = pair_geometry(offs)
+        r = jnp.sqrt(rsq)
+        rho_r, _, _, _, _ = eval_tables(r, ctr(esl), nbr_group(esl, offs),
+                                        want_z2=False)
+        rho_slots += jnp.sum(jnp.where(ok, rho_r, 0.0), axis=-1,
+                             keepdims=True)
+
+    rho_atom = rho_slots.reshape(-1)[cells.slot_of_atom]
+
+    # ---- embedding: per-element spline (2-level gather, N rows) ----
+    pr = rho_atom / p.drho + 1.0
+    m = jnp.clip(pr.astype(jnp.int32), 1, p.nrho - 1)
+    frac = jnp.minimum(pr - m.astype(dtype), 1.0)
+    c = p.frho_spline[elem_atom, m]
+    fp_atom = (c[:, 0] * frac + c[:, 1]) * frac + c[:, 2]
+    phi_embed = ((c[:, 3] * frac + c[:, 4]) * frac + c[:, 5]) * frac + c[:, 6]
+    phi_embed = phi_embed + jnp.where(rho_atom > p.rhomax,
+                                      fp_atom * (rho_atom - p.rhomax), 0.0)
+    e_embed = jnp.sum(jnp.where(mask, phi_embed, 0.0))
+
+    fp_slots = slotify(fp_atom)
+
+    # ---- pass 2: forces + pair energy ----
+    fx = jnp.zeros(aos.shape + (1,), dtype)
+    fy = jnp.zeros_like(fx)
+    fz = jnp.zeros_like(fx)
+    evdwl = jnp.zeros((), dtype)
+    vir = [jnp.zeros((), dtype) for _ in range(6)]
+    for offs in groups:
+        dx, dy, dz, rsq, ok = pair_geometry(offs)
+        r = jnp.sqrt(rsq)
+        ei, ej = ctr(esl), nbr_group(esl, offs)
+        _, rhop_j, rhop_i, z2, z2p = eval_tables(r, ei, ej, want_z2=True)
+        recip = 1.0 / r
+        phi = z2 * recip
+        phip = z2p * recip - phi * recip
+        # pair_eam.cpp:286-292: psip = fp_i*rhop_j + fp_j*rhop_i + phip
+        psip = (ctr(fp_slots) * rhop_j + nbr_group(fp_slots, offs) * rhop_i
+                + phip)
         fpair = jnp.where(ok, -psip * recip, 0.0)
         evdwl += 0.5 * jnp.sum(jnp.where(ok, phi, 0.0))
         fx += jnp.sum(fpair * dx, axis=-1, keepdims=True)

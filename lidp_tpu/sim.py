@@ -98,6 +98,14 @@ class Simulation:
                     script.mass_type = np.zeros(script.ntypes + 1)
                 script.mass_type[1:] = eam_mass   # mass from funcfl (pair_eam.cpp)
                 mass_atom = script.mass_type[script.type]
+        elif script.pair.name == "eam/alloy":
+            from lidp_tpu.ops.eam import build_eam_alloy_params
+
+            eamp, alloy_mass = build_eam_alloy_params(
+                script.eam_file, script.eam_type_elems, dtype=dtype)
+            if script.mass_type is None:
+                script.mass_type = alloy_mass
+                mass_atom = script.mass_type[script.type]
         eps, sig, cut = _mix_pair_tables(script)
         coul = "coul" in script.pair.name
         pair = make_pair_params(

@@ -274,6 +274,14 @@ class LammpsScript:
             self.variables[name] = repr(val) if val != int(val) else str(int(val))
         elif style == "string":
             self.variables[name] = a[2]
+        elif style == "world":
+            # one value per partition (variable.cpp WORLD); single-process
+            # emulation keeps the full list (used by `temper`) and
+            # substitutes world 0's value
+            if not hasattr(self, "_world_vars"):
+                self._world_vars = {}
+            self._world_vars[name] = list(a[2:])
+            self.variables[name] = a[2]
         else:
             raise ValueError(f"unsupported variable style {style}")
 
@@ -706,6 +714,29 @@ class LammpsScript:
     def cmd_run(self, a):
         nsteps = int(a[0])
         self._run(nsteps)
+
+    def cmd_temper(self, a):
+        """temper N M temp fix-ID seed_swap seed_boltz — REPLICA/temper.cpp.
+
+        `temp` arrives $-substituted to world 0's value; the replica ladder
+        is the full value list of the (unique) world-style variable.  One
+        replica per ladder entry, all batched in one vmapped program."""
+        from lidp_tpu.replica import temper_run
+        from lidp_tpu.sim import Simulation
+
+        nsteps, nevery = int(a[0]), int(a[1])
+        seed_swap, seed_boltz = int(a[4]), int(a[5])
+        wv = getattr(self, "_world_vars", {})
+        if len(wv) != 1:
+            raise ValueError("temper needs exactly one world-style variable "
+                             "holding the temperature ladder")
+        temps = [float(v) for v in next(iter(wv.values()))]
+        if self._sim is None:
+            self._sim = Simulation.from_script(self)
+        result = temper_run(self._sim, temps, nsteps, nevery,
+                            seed_swap, seed_boltz, log=self.log)
+        self._temper_result = result
+        self.step += nsteps
 
     def cmd_min_style(self, a):
         if a[0] not in ("fire", "cg"):

@@ -25,10 +25,13 @@ from lidp_tpu.state import System
 
 @dataclasses.dataclass(frozen=True)
 class Integrator:
-    """Bundle of pure functions + their (pytree) params/state."""
+    """Bundle of pure functions + their (pytree) params/state.
 
-    initial: Callable  # (sys, f, params, istate) -> (sys, istate)
-    final: Callable    # (sys, f, params, istate) -> (sys, istate)
+    initial/final receive the full ForceResult (res) — barostats (fix npt)
+    need the virial, not just res.f."""
+
+    initial: Callable  # (sys, res, params, istate) -> (sys, istate)
+    final: Callable    # (sys, res, params, istate) -> (sys, istate)
     params: Any
     # setup-time hook (Modify::setup): may adjust sys (e.g. rigid set_v)
     init_state: Callable = lambda sys, f, params: (sys, ())
@@ -38,8 +41,8 @@ def nve_integrator(nve_params) -> Integrator:
     from lidp_tpu.integrate import nve
 
     return Integrator(
-        initial=lambda s, f, p, st: (nve.initial_integrate(s, f, p), st),
-        final=lambda s, f, p, st: (nve.final_integrate(s, f, p), st),
+        initial=lambda s, r, p, st: (nve.initial_integrate(s, r.f, p), st),
+        final=lambda s, r, p, st: (nve.final_integrate(s, r.f, p), st),
         params=nve_params,
     )
 
@@ -48,8 +51,8 @@ def rigid_nve_integrator(rigid_params, mass_atom) -> Integrator:
     from lidp_tpu.integrate import rigid
 
     return Integrator(
-        initial=rigid.initial_integrate,
-        final=rigid.final_integrate,
+        initial=lambda s, r, p, st: rigid.initial_integrate(s, r.f, p, st),
+        final=lambda s, r, p, st: rigid.final_integrate(s, r.f, p, st),
         params=rigid_params,
         init_state=lambda s, f, p: rigid.init_rigid_state(s, f, p, mass_atom),
     )
@@ -116,7 +119,7 @@ def _run_chunk(sys, res, nlist, istate, ff, iparams, *, nsteps,
                initial, final, neighbor_cfg, rebuild_every, post_force=None):
     def body(carry, _):
         sys, res, nlist, istate = carry
-        sys, istate = initial(sys, res.f, iparams, istate)
+        sys, istate = initial(sys, res, iparams, istate)
         sys = sys.replace(step=sys.step + 1)
 
         if neighbor_cfg is not None:
@@ -135,7 +138,7 @@ def _run_chunk(sys, res, nlist, istate, ff, iparams, *, nsteps,
         if post_force is not None:
             res = dataclasses.replace(res, f=post_force(sys, res.f))
         sys = sys.replace(mu=res.mu)
-        sys, istate = final(sys, res.f, iparams, istate)
+        sys, istate = final(sys, res, iparams, istate)
         return (sys, res, nlist, istate), None
 
     (sys, res, nlist, istate), _ = jax.lax.scan(

@@ -159,7 +159,19 @@ class LammpsScript:
 
     def execute(self, lines):
         """Run a command list with control flow (label/jump/next/if —
-        Input::file + jump/next/label commands, input.cpp)."""
+        Input::file + jump/next/label commands, input.cpp).  Lines ending
+        in '&' continue onto the next line (Input::parse)."""
+        merged, buf = [], ""
+        for line in lines:
+            body = line.split("#", 1)[0].rstrip()
+            if body.endswith("&"):
+                buf += body[:-1] + " "
+                continue
+            merged.append(buf + line)
+            buf = ""
+        if buf:
+            merged.append(buf)
+        lines = merged
         pc = 0
         self._skip_next_jump = False
         while pc < len(lines):
@@ -702,7 +714,8 @@ class LammpsScript:
 
     def cmd_fix(self, a):
         fid, group, style = a[0], a[1], a[2]
-        if style not in ("nve", "nvt", "rigid", "rigid/nve", "rigid/nvt", "langevin"):
+        if style not in ("nve", "nvt", "npt", "nph", "rigid", "rigid/nve",
+                         "rigid/nvt", "langevin"):
             raise ValueError(f"unsupported fix style {style}")
         self.fixes[fid] = FixSpec(fid=fid, group=group, style=style, args=a[3:])
         self._sim = None

@@ -314,10 +314,76 @@ class Simulation:
                     dof=3 * n - 3, boltz=u.boltz, mvv2e=u.mvv2e,
                     dtype=dtype, **kw)
                 integ = Integrator(
-                    initial=nvt_mod.initial_integrate,
-                    final=nvt_mod.final_integrate,
+                    initial=lambda s_, r_, p_, st_: nvt_mod.initial_integrate(
+                        s_, r_.f, p_, st_),
+                    final=lambda s_, r_, p_, st_: nvt_mod.final_integrate(
+                        s_, r_.f, p_, st_),
                     params=nvtp,
                     init_state=lambda s_, f_, p_: nvt_mod.init_state(s_, f_, p_))
+            elif spec.style in ("npt", "nph"):
+                from lidp_tpu.integrate import npt as npt_mod
+                from lidp_tpu.integrate.driver import Integrator
+
+                if script.kspace is not None:
+                    raise NotImplementedError(
+                        "fix npt with a kspace style needs per-step kspace "
+                        "re-setup (fix_nh.cpp:877) — not supported yet")
+                if not gmask.all():
+                    raise NotImplementedError("fix npt on sub-group")
+                a = spec.args
+                tgt = dict(t=None, tdamp=None, mtk=True, tchain=3, pchain=3,
+                           iso=False, p=[None] * 3, pdamp=[1000.0] * 3)
+                i = 0
+                while i < len(a):
+                    k = a[i]
+                    if k == "temp":
+                        tgt["t"], tgt["tdamp"] = float(a[i + 1]), float(a[i + 3])
+                        i += 4
+                    elif k in ("iso", "aniso"):
+                        tgt["iso"] = k == "iso"
+                        tgt["p"] = [float(a[i + 1])] * 3
+                        tgt["pdamp"] = [float(a[i + 3])] * 3
+                        i += 4
+                    elif k in ("x", "y", "z"):
+                        d = "xyz".index(k)
+                        tgt["p"][d] = float(a[i + 1])
+                        tgt["pdamp"][d] = float(a[i + 3])
+                        i += 4
+                    elif k == "mtk":
+                        tgt["mtk"] = a[i + 1] == "yes"; i += 2
+                    elif k == "tchain":
+                        tgt["tchain"] = int(a[i + 1]); i += 2
+                    elif k == "pchain":
+                        tgt["pchain"] = int(a[i + 1]); i += 2
+                    else:
+                        i += 2
+                p_flag = tuple(v is not None for v in tgt["p"])
+                if not any(p_flag):
+                    raise ValueError("fix npt needs a pressure keyword")
+                had_temp = tgt["t"] is not None
+                if tgt["t"] is None:
+                    # nph: barostat masses use t_target = t0, the current
+                    # temperature, floored at 1.0 (lj) / 300 (fix_nh.cpp
+                    # setup t0 fallback)
+                    ke = float(np.sum(mass_atom * np.sum(
+                        np.asarray(script.v)**2, axis=1))) * u.mvv2e
+                    t0 = ke / ((3 * n - 3) * u.boltz)
+                    tgt["t"] = t0 if t0 > 0 else (1.0 if u.name == "lj"
+                                                  else 300.0)
+                nptp = npt_mod.NPTParams.create(
+                    script.dt, u.ftm2v, mass_atom,
+                    tgt["t"],
+                    tgt["tdamp"] if tgt["tdamp"] is not None else 1.0,
+                    [v if v is not None else 0.0 for v in tgt["p"]],
+                    tgt["pdamp"], natoms=n, dof=3 * n - 3, boltz=u.boltz,
+                    mvv2e=u.mvv2e, nktv2p=u.nktv2p, tchain=tgt["tchain"],
+                    pchain=tgt["pchain"], mtk=tgt["mtk"],
+                    tstat=spec.style == "npt" and had_temp,
+                    p_flag=p_flag, iso=tgt["iso"], dtype=dtype)
+                integ = Integrator(
+                    initial=npt_mod.initial_integrate,
+                    final=npt_mod.final_integrate,
+                    params=nptp, init_state=npt_mod.init_state)
             elif spec.style in ("rigid", "rigid/nve", "rigid/nvt"):
                 x_unwrap = script.x + script.image * (script.box_hi - script.box_lo)
                 rsetup = rigid_mod.setup_bodies(x_unwrap, mass_atom,

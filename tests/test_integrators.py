@@ -42,9 +42,10 @@ def test_nvt_thermostats_to_target():
     t_target = 1.2
     p = nvt.NVTParams.create(0.005, 1.0, np.ones(n), t_target, 0.25,
                              dof=3 * n - 3, boltz=1.0, mvv2e=1.0)
-    integ = Integrator(initial=nvt.initial_integrate,
-                       final=nvt.final_integrate, params=p,
-                       init_state=nvt.init_state)
+    integ = Integrator(
+        initial=lambda s, r, p_, st: nvt.initial_integrate(s, r.f, p_, st),
+        final=lambda s, r, p_, st: nvt.final_integrate(s, r.f, p_, st),
+        params=p, init_state=nvt.init_state)
     runner = Runner(ff=ff, integ=integ)
     st = runner.setup(sys)
     tp = ThermoParams.create(np.ones(n), dof=3 * n - 3, units=u, norm=False,

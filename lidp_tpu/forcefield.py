@@ -60,6 +60,9 @@ class ForceResult:
     mu: jax.Array           # induced dipoles after SCF
     scf_iters: jax.Array
     scf_diverged: jax.Array
+    eangle: jax.Array = 0.0
+    edihed: jax.Array = 0.0
+    eimp: jax.Array = 0.0
 
     @property
     def epair(self):
@@ -67,9 +70,14 @@ class ForceResult:
         return self.evdwl + self.ecoul + self.elong + self.epol
 
     @property
+    def emol(self):
+        """Thermo E_mol = bond + angle + dihedral + improper."""
+        return self.ebond + self.eangle + self.edihed + self.eimp
+
+    @property
     def pe(self):
         """Total potential: E_pair + E_mol (compute_pe.cpp)."""
-        return self.epair + self.ebond
+        return self.epair + self.emol
 
 
 def compute_forces(sys: System, ff: ForceField,
@@ -136,12 +144,13 @@ def compute_forces(sys: System, ff: ForceField,
         ebond = ebond + eb
         virial = virial + vb
 
+    eangle = edihed = eimp = jnp.zeros((), sys.x.dtype)
     if ff.angle is not None:
         from lidp_tpu.ops.bonded import angle_forces
 
         fa, ea, va = angle_forces(sys.x, sys.box, ff.angle)
         f = f + fa
-        ebond = ebond + ea
+        eangle = eangle + ea
         virial = virial + va
 
     if ff.dihedral is not None:
@@ -149,7 +158,7 @@ def compute_forces(sys: System, ff: ForceField,
 
         fd, ed, vd = dihedral_forces(sys.x, sys.box, ff.dihedral)
         f = f + fd
-        ebond = ebond + ed
+        edihed = edihed + ed
         virial = virial + vd
 
     if ff.improper is not None:
@@ -157,7 +166,7 @@ def compute_forces(sys: System, ff: ForceField,
 
         fi_, ei_, vi_ = improper_forces(sys.x, sys.box, ff.improper)
         f = f + fi_
-        ebond = ebond + ei_
+        eimp = eimp + ei_
         virial = virial + vi_
 
     if ff.ewald is not None:
@@ -198,4 +207,5 @@ def compute_forces(sys: System, ff: ForceField,
     return ForceResult(
         f=f, evdwl=evdwl, ecoul=ecoul, elong=elong, epol=epol, ebond=ebond,
         virial=virial, mu=mu, scf_iters=scf_iters, scf_diverged=scf_diverged,
+        eangle=eangle, edihed=edihed, eimp=eimp,
     )

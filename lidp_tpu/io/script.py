@@ -49,6 +49,7 @@ class PairStyleSpec:
     name: str = ""
     cut_lj_global: float = 0.0
     cut_coul: float = 0.0
+    cut_lj_inner: float = 0.0   # CHARMM switching inner cutoff
     # polarization keywords, defaults per constructor (...polarization.cpp:63-79)
     iterations_max: int = 50
     damping_type: str = "none"
@@ -479,6 +480,11 @@ class LammpsScript:
             pass   # per-pair coeff gives the potential file; cutoff from file
         elif a[0] == "lj/cut":
             p.cut_lj_global = float(a[1])
+        elif a[0] in ("lj/charmm/coul/long", "lj/charmm/coul/charmm"):
+            # inner outer [coul-outer] (pair_lj_charmm_coul_long.cpp settings)
+            p.cut_lj_inner = float(a[1])
+            p.cut_lj_global = float(a[2])
+            p.cut_coul = float(a[3]) if len(a) > 3 else p.cut_lj_global
         elif a[0] in ("lj/cut/coul/long", "lj/cut/coul/long/polarization"):
             p.cut_lj_global = float(a[1])
             p.cut_coul = float(a[2]) if len(a) > 2 and _NUM_RE.match(a[2]) \
@@ -565,11 +571,22 @@ class LammpsScript:
             return
         i, j = int(a[0]), int(a[1])
         eps, sig = float(a[2]), float(a[3])
+        if "charmm" in self.pair.name:
+            # i j eps sigma [eps14 sigma14]; cutoffs are global
+            # (pair_lj_charmm_coul_long.cpp::coeff)
+            if not hasattr(self, "pair_coeffs14"):
+                self.pair_coeffs14 = {}
+            if len(a) > 4:
+                self.pair_coeffs14[(min(i, j), max(i, j))] = (
+                    float(a[4]), float(a[5]))
+            self.pair_coeffs[(min(i, j), max(i, j))] = (
+                eps, sig, self.pair.cut_lj_global)
+            return
         cut = float(a[4]) if len(a) > 4 else self.pair.cut_lj_global
         self.pair_coeffs[(min(i, j), max(i, j))] = (eps, sig, cut)
 
     def cmd_angle_style(self, a):
-        if a[0] != "harmonic":
+        if a[0] not in ("harmonic", "charmm"):
             raise ValueError(f"unsupported angle_style {a[0]}")
         self.angle_style = a[0]
         self.angle_coeffs = {}
@@ -578,7 +595,7 @@ class LammpsScript:
         self.angle_coeffs[int(a[0])] = [float(v) for v in a[1:]]
 
     def cmd_dihedral_style(self, a):
-        if a[0] not in ("opls", "harmonic"):
+        if a[0] not in ("opls", "harmonic", "charmm"):
             raise ValueError(f"unsupported dihedral_style {a[0]}")
         self.dihedral_style = a[0]
         self.dihedral_coeffs = {}
@@ -626,6 +643,10 @@ class LammpsScript:
         elif a[0] == "amber":
             self.special_lj[1:] = [0.0, 0.0, 0.5]
             self.special_coul[1:] = [0.0, 0.0, 1.0 / 1.2]
+        elif a[0] == "charmm":
+            # the charmm dihedral's weighted 1-4 term replaces the pair 1-4
+            self.special_lj[1:] = [0.0, 0.0, 0.0]
+            self.special_coul[1:] = [0.0, 0.0, 0.0]
         else:
             raise ValueError(f"unsupported special_bonds {a}")
 
@@ -654,6 +675,17 @@ class LammpsScript:
         self.computes[cid] = (group, style)
 
     def cmd_thermo_style(self, a):
+        if a[0] == "multi":
+            # thermo.cpp MULTI field set (one row per step here, not the
+            # reference's 4-line block)
+            self.thermo_columns = [
+                "step", "etotal", "ke", "temp", "pe", "ebond", "eangle",
+                "edihed", "eimp", "evdwl", "ecoul", "elong", "press"]
+            return
+        if a[0] == "one":
+            self.thermo_columns = ["step", "temp", "epair", "emol",
+                                   "etotal", "press"]
+            return
         assert a[0] == "custom"
         self.thermo_columns = a[1:]
 

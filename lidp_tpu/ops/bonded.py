@@ -144,6 +144,9 @@ class AngleParams:
     atype: jax.Array    # (NA,) int32 1-based
     k: jax.Array        # (T+1,)
     theta0: jax.Array   # (T+1,) radians
+    # charmm (angle_charmm.cpp): + Urey-Bradley K_ub (r_13 - r_ub)^2
+    k_ub: jax.Array = None     # (T+1,)
+    r_ub: jax.Array = None     # (T+1,)
     style: str = _dc.field(metadata=dict(static=True), default="harmonic")
 
 
@@ -152,11 +155,20 @@ class AngleParams:
 class DihedralParams:
     idx: jax.Array      # (ND,4) int32 i-j-k-l
     dtype_: jax.Array   # (ND,) int32 1-based
-    # opls: k1..k4 tables; harmonic: k, d(+-1), n
+    # opls: k1..k4 tables; harmonic: k, d(+-1), n;
+    # charmm: c1=K, c2=n, c3=d(rad), c4=weight (dihedral_charmm.cpp)
     c1: jax.Array
     c2: jax.Array
     c3: jax.Array
     c4: jax.Array
+    # charmm 1-4 weighted pair term: q (N,), lj14 energy tables (T+1,T+1)
+    # built from the pair style's eps14/sig14 (pair lj/charmm extract),
+    # atom types (N,), and qqrd2e
+    q: jax.Array = None
+    lj14_3: jax.Array = None
+    lj14_4: jax.Array = None
+    type_: jax.Array = None
+    qqrd2e: float = _dc.field(metadata=dict(static=True), default=0.0)
     style: str = _dc.field(metadata=dict(static=True), default="opls")
 
 
@@ -169,7 +181,13 @@ def _angle_energy(d1, d2, p: AngleParams):
     theta = jnp.arccos(c)
     k = p.k[p.atype]
     t0 = p.theta0[p.atype]
-    return jnp.sum(k * (theta - t0) ** 2)
+    e = jnp.sum(k * (theta - t0) ** 2)
+    if p.style == "charmm":
+        # Urey-Bradley 1-3 harmonic (angle_charmm.cpp:95-115); r13 = d2 - d1
+        r13 = jnp.linalg.norm(d2 - d1, axis=1)
+        kub = p.k_ub[p.atype]
+        e = e + jnp.sum(kub * (r13 - p.r_ub[p.atype]) ** 2)
+    return e
 
 
 def _dihedral_energy(b1, b2, b3, p: DihedralParams):
@@ -193,7 +211,24 @@ def _dihedral_energy(b1, b2, b3, p: DihedralParams):
     if p.style == "harmonic":
         # E = K[1 + d cos(n phi)]; c1=K, c2=d, c3=n
         return jnp.sum(p.c1[t] * (1 + p.c2[t] * jnp.cos(p.c3[t] * phi)))
+    if p.style == "charmm":
+        # E = K[1 + cos(n phi - d)] (dihedral_charmm.cpp)
+        return jnp.sum(p.c1[t] * (1 + jnp.cos(p.c2[t] * phi - p.c3[t])))
     raise ValueError(p.style)
+
+
+def _charmm_14_energy(d14, p: DihedralParams):
+    """Weighted 1-4 LJ + Coulomb between dihedral end atoms
+    (dihedral_charmm.cpp:231-268, weightflag branch; no cutoff)."""
+    i1, i4 = p.idx[:, 0], p.idx[:, 3]
+    w = p.c4[p.dtype_]
+    rsq = jnp.sum(d14 * d14, axis=1)
+    rinv = 1.0 / jnp.sqrt(rsq)
+    r6inv = (rinv * rinv)**3
+    t1, t4 = p.type_[i1], p.type_[i4]
+    elj = r6inv * (p.lj14_3[t1, t4] * r6inv - p.lj14_4[t1, t4])
+    ecoul = p.qqrd2e * p.q[i1] * p.q[i4] * rinv
+    return jnp.sum(w * (elj + ecoul))
 
 
 def angle_forces(x, box: Box, p: AngleParams):
@@ -218,19 +253,28 @@ def angle_forces(x, box: Box, p: AngleParams):
 
 def dihedral_forces(x, box: Box, p: DihedralParams):
     i, j, k, l = (p.idx[:, 0], p.idx[:, 1], p.idx[:, 2], p.idx[:, 3])
+    has14 = p.style == "charmm" and p.q is not None
 
     def energy_of(xx):
         b1 = minimum_image(xx[j] - xx[i], box.lengths)
         b2 = minimum_image(xx[k] - xx[j], box.lengths)
         b3 = minimum_image(xx[l] - xx[k], box.lengths)
-        return _dihedral_energy(b1, b2, b3, p)
+        e = _dihedral_energy(b1, b2, b3, p)
+        if has14:
+            e = e + _charmm_14_energy(
+                minimum_image(xx[i] - xx[l], box.lengths), p)
+        return e
 
     def with_strain(eps_flat):
         eps = jnp.eye(3, dtype=x.dtype) + eps_flat.reshape(3, 3)
         b1 = minimum_image(x[j] - x[i], box.lengths) @ eps.T
         b2 = minimum_image(x[k] - x[j], box.lengths) @ eps.T
         b3 = minimum_image(x[l] - x[k], box.lengths) @ eps.T
-        return _dihedral_energy(b1, b2, b3, p)
+        e = _dihedral_energy(b1, b2, b3, p)
+        if has14:
+            e = e + _charmm_14_energy(
+                minimum_image(x[i] - x[l], box.lengths) @ eps.T, p)
+        return e
 
     e = energy_of(x)
     f = -jax.grad(energy_of)(x)

@@ -61,13 +61,18 @@ class PairParams:
     special_coul: jax.Array
     qqrd2e: jax.Array       # () scalar
     g_ewald: jax.Array      # () scalar; 0 => no coulomb
+    cut_lj_innersq: jax.Array  # () scalar; CHARMM switching inner cutoff^2
+    denom_lj: jax.Array        # () (cut_ljsq - cut_lj_innersq)^3
     coul: bool = dataclasses.field(metadata=dict(static=True), default=True)
+    # CHARMM energy-switching between inner and outer LJ cutoffs
+    # (pair_lj_charmm_coul_long.cpp:110-125)
+    charmm: bool = dataclasses.field(metadata=dict(static=True), default=False)
 
 
 def make_pair_params(
     epsilon, sigma, cut_lj, *, cut_coul=0.0, special_lj=(1.0, 0.0, 0.0, 0.0),
     special_coul=(1.0, 0.0, 0.0, 0.0), qqrd2e=1.0, g_ewald=0.0, coul=False,
-    shift=False, dtype=jnp.float64,
+    shift=False, cut_lj_inner=0.0, charmm=False, dtype=jnp.float64,
 ):
     """Build PairParams from per-type-pair (T+1,T+1) epsilon/sigma/cut arrays."""
     epsilon = jnp.asarray(epsilon, dtype)
@@ -93,7 +98,11 @@ def make_pair_params(
         special_coul=jnp.asarray(special_coul, dtype),
         qqrd2e=jnp.asarray(qqrd2e, dtype),
         g_ewald=jnp.asarray(g_ewald, dtype),
-        coul=coul,
+        cut_lj_innersq=jnp.asarray(cut_lj_inner, dtype) ** 2,
+        denom_lj=jnp.asarray(
+            (float(jnp.max(cut_lj))**2 - cut_lj_inner**2) ** 3
+            if charmm else 1.0, dtype),
+        coul=coul, charmm=charmm,
     )
 
 
@@ -111,8 +120,20 @@ def _pair_terms(rsq, qi, qj, ti, tj, sp_code, p: PairParams, pair_mask):
 
     r6inv = r2inv * r2inv * r2inv
     forcelj = r6inv * (p.lj1[ti, tj] * r6inv - p.lj2[ti, tj])
-    evdwl = (r6inv * (p.lj3[ti, tj] * r6inv - p.lj4[ti, tj])
-             - p.offset[ti, tj]) * factor_lj
+    philj = r6inv * (p.lj3[ti, tj] * r6inv - p.lj4[ti, tj])
+    if p.charmm:
+        # energy switching between inner/outer LJ cutoffs
+        # (pair_lj_charmm_coul_long.cpp:110-125); cutoffs are global
+        switch1 = ((cut_ljsq_ij - rsq) ** 2
+                   * (cut_ljsq_ij + 2.0 * rsq - 3.0 * p.cut_lj_innersq)
+                   / p.denom_lj)
+        switch2 = (12.0 * rsq * (cut_ljsq_ij - rsq)
+                   * (rsq - p.cut_lj_innersq) / p.denom_lj)
+        outer = rsq > p.cut_lj_innersq
+        forcelj = jnp.where(outer, forcelj * switch1 + philj * switch2,
+                            forcelj)
+        philj = jnp.where(outer, philj * switch1, philj)
+    evdwl = (philj - p.offset[ti, tj]) * factor_lj
     forcelj = jnp.where(lj_mask, forcelj * factor_lj, 0.0)
     evdwl = jnp.where(lj_mask, evdwl, 0.0)
 

@@ -108,13 +108,16 @@ class Simulation:
                 mass_atom = script.mass_type[script.type]
         eps, sig, cut = _mix_pair_tables(script)
         coul = "coul" in script.pair.name
+        charmm = "charmm" in script.pair.name
         pair = make_pair_params(
             eps, sig, cut,
             cut_coul=script.pair.cut_coul if coul else 0.0,
             special_lj=np.array(script.special_lj),
             special_coul=np.array(script.special_coul),
             qqrd2e=u.qqr2e, coul=coul,
-            shift=getattr(script, "_pair_shift", False), dtype=dtype)
+            shift=getattr(script, "_pair_shift", False),
+            cut_lj_inner=script.pair.cut_lj_inner, charmm=charmm,
+            dtype=dtype)
 
         # ---- kspace ----
         ew = None
@@ -201,13 +204,20 @@ class Simulation:
 
             TA = max(script.angle_coeffs.keys(), default=0)
             ka = np.zeros(TA + 1); th0 = np.zeros(TA + 1)
+            kub = np.zeros(TA + 1); rub = np.zeros(TA + 1)
             for at, co in script.angle_coeffs.items():
                 ka[at] = co[0]
                 th0[at] = np.deg2rad(co[1])
+                if script.angle_style == "charmm":
+                    kub[at], rub[at] = co[2], co[3]   # angle_charmm.cpp coeff
+            ub = (dict(k_ub=jnp.asarray(kub, dtype),
+                       r_ub=jnp.asarray(rub, dtype))
+                  if script.angle_style == "charmm" else {})
             anglep = AngleParams(
                 idx=jnp.asarray(script._angles - 1, jnp.int32),
                 atype=jnp.asarray(script._angle_types, jnp.int32),
-                k=jnp.asarray(ka, dtype), theta0=jnp.asarray(th0, dtype))
+                k=jnp.asarray(ka, dtype), theta0=jnp.asarray(th0, dtype),
+                style=script.angle_style, **ub)
 
         dihedralp = None
         if (getattr(script, "_dihedrals", None) is not None
@@ -219,12 +229,30 @@ class Simulation:
             for dt_, co in script.dihedral_coeffs.items():
                 for ci, val in enumerate(co[:4]):
                     cs[ci, dt_] = val
+            extra = {}
+            if script.dihedral_style == "charmm":
+                # K n d(deg) weight; weighted 1-4 pair term needs q, types,
+                # and the pair style's 14 tables (dihedral_charmm.cpp::coeff
+                # + init_style pair extract)
+                cs[2] = np.deg2rad(cs[2])
+                eps14 = eps.copy(); sig14 = sig.copy()
+                for (i14, j14), (e14, s14) in getattr(
+                        script, "pair_coeffs14", {}).items():
+                    eps14[i14, j14] = eps14[j14, i14] = e14
+                    sig14[i14, j14] = sig14[j14, i14] = s14
+                s6 = sig14**6
+                extra = dict(
+                    q=jnp.asarray(script.q, dtype),
+                    lj14_3=jnp.asarray(4.0 * eps14 * s6 * s6, dtype),
+                    lj14_4=jnp.asarray(4.0 * eps14 * s6, dtype),
+                    type_=jnp.asarray(script.type, jnp.int32),
+                    qqrd2e=u.qqr2e)
             dihedralp = DihedralParams(
                 idx=jnp.asarray(script._dihedrals - 1, jnp.int32),
                 dtype_=jnp.asarray(script._dihedral_types, jnp.int32),
                 c1=jnp.asarray(cs[0], dtype), c2=jnp.asarray(cs[1], dtype),
                 c3=jnp.asarray(cs[2], dtype), c4=jnp.asarray(cs[3], dtype),
-                style=script.dihedral_style)
+                style=script.dihedral_style, **extra)
 
         improperp = None
         if (getattr(script, "_impropers", None) is not None
@@ -496,7 +524,9 @@ class Simulation:
     _HEADER = {"step": "Step", "etotal": "TotEng", "ke": "KinEng",
                "pe": "PotEng", "evdwl": "E_vdwl", "ecoul": "E_coul",
                "elong": "E_long", "epol": "E_pol", "temp": "Temp",
-               "press": "Press", "epair": "E_pair", "emol": "E_mol"}
+               "press": "Press", "epair": "E_pair", "emol": "E_mol",
+               "ebond": "E_bond", "eangle": "E_angle", "edihed": "E_dihed",
+               "eimp": "E_impro", "vol": "Volume", "density": "Density"}
 
     def run(self, nsteps: int):
         import time

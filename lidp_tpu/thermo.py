@@ -79,7 +79,11 @@ def thermo_row(sys: System, res: ForceResult, tp: ThermoParams,
         "elong": res.elong / norm,
         "epol": res.epol / norm,
         "epair": res.epair / norm,
-        "emol": res.ebond / norm,
+        "emol": res.emol / norm,
+        "ebond": res.ebond / norm,
+        "eangle": res.eangle / norm,
+        "edihed": res.edihed / norm,
+        "eimp": res.eimp / norm,
         "press": pressure(sys, tp, virial),
         "vol": sys.box.volume,
         "density": tp.mv2d * jnp.sum(tp.mass_atom * sys.mask) / sys.box.volume,

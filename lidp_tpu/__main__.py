@@ -20,10 +20,16 @@ def main(argv=None):
     ap.add_argument("--f32", dest="x64", action="store_false")
     args = ap.parse_args(argv)
 
+    import os
+
     import jax
 
     if args.x64:
         jax.config.update("jax_enable_x64", True)
+    # honor JAX_PLATFORMS even when a platform plugin ignores the env var
+    # (f64 parity runs belong on the CPU backend)
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     from lidp_tpu.io.script import LammpsScript
 

@@ -747,7 +747,7 @@ class LammpsScript:
     def cmd_fix(self, a):
         fid, group, style = a[0], a[1], a[2]
         if style not in ("nve", "nvt", "npt", "nph", "rigid", "rigid/nve",
-                         "rigid/nvt", "langevin"):
+                         "rigid/nvt", "langevin", "shake"):
             raise ValueError(f"unsupported fix style {style}")
         self.fixes[fid] = FixSpec(fid=fid, group=group, style=style, args=a[3:])
         self._sim = None

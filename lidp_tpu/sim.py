@@ -175,6 +175,53 @@ class Simulation:
             sp_idx = jnp.asarray(si)
             sp_lvl = jnp.asarray(sl, jnp.int32)
 
+        # ---- fix shake pre-pass: find clusters and disable the constrained
+        # bonds/angles from the bonded force terms (find_clusters negates
+        # their types in the reference, fix_shake.cpp:681)
+        shake_found = None
+        shake_cfg = None
+        bond_keep = None
+        angle_keep = None
+        spec_sh = next((f_ for f_ in script.fixes.values()
+                        if f_.style == "shake"), None)
+        if spec_sh is not None and has_bonds:
+            from lidp_tpu.ops import shake as shake_mod
+
+            a_sh = spec_sh.args
+            shake_cfg = (float(a_sh[0]), int(a_sh[1]))
+            lists = {"b": [], "a": [], "m": [], "t": []}
+            key = None
+            for tok in a_sh[3:]:
+                if tok in lists:
+                    key = tok
+                elif key == "m":
+                    lists[key].append(float(tok))
+                elif key is not None:
+                    lists[key].append(int(tok))
+            TBs = max(script.bond_coeffs.keys(), default=0)
+            br0 = np.zeros(TBs + 1)
+            for bt_, co in script.bond_coeffs.items():
+                br0[bt_] = co[1]
+            TAs = max(script.angle_coeffs.keys(), default=0)
+            ath0 = np.zeros(TAs + 1)
+            for at_, co in script.angle_coeffs.items():
+                ath0[at_] = np.deg2rad(co[1])
+            has_ang = (getattr(script, "_angles", None) is not None
+                       and len(script._angles))
+            shake_found = shake_mod.find_clusters(
+                n, script._bonds - 1, script._bond_types,
+                script._angles - 1 if has_ang else None,
+                getattr(script, "_angle_types", None), mass_atom,
+                b_types=lists["b"], a_types=lists["a"], masses=lists["m"],
+                t_types=lists["t"], type_atom=script.type,
+                bond_r0=br0, angle_theta0=ath0)
+            if shake_found is not None:
+                bond_keep = np.ones(len(script._bonds), bool)
+                bond_keep[shake_found[5]] = False
+                if has_ang:
+                    angle_keep = np.ones(len(script._angles), bool)
+                    angle_keep[shake_found[6]] = False
+
         # ---- bonded term ----
         bondp = None
         if has_bonds and script.bond_style is not None:
@@ -188,14 +235,19 @@ class Simulation:
                 r0_t[bt] = co[1]
                 if script.bond_style == "fene" and len(co) >= 4:
                     eps_t[bt], sig_t[bt] = co[2], co[3]
-            bondp = BondParams(
-                idx=jnp.asarray(script._bonds - 1, jnp.int32),
-                btype=jnp.asarray(getattr(script, "_bond_types",
-                                          np.ones(len(script._bonds))),
-                                  jnp.int32),
-                k=jnp.asarray(k_t, dtype), r0=jnp.asarray(r0_t, dtype),
-                eps=jnp.asarray(eps_t, dtype), sigma=jnp.asarray(sig_t, dtype),
-                style=script.bond_style)
+            bidx = script._bonds - 1
+            btyp = np.asarray(getattr(script, "_bond_types",
+                                      np.ones(len(script._bonds))))
+            if bond_keep is not None:
+                bidx, btyp = bidx[bond_keep], btyp[bond_keep]
+            if len(bidx):
+                bondp = BondParams(
+                    idx=jnp.asarray(bidx, jnp.int32),
+                    btype=jnp.asarray(btyp, jnp.int32),
+                    k=jnp.asarray(k_t, dtype), r0=jnp.asarray(r0_t, dtype),
+                    eps=jnp.asarray(eps_t, dtype),
+                    sigma=jnp.asarray(sig_t, dtype),
+                    style=script.bond_style)
 
         anglep = None
         if (getattr(script, "_angles", None) is not None
@@ -213,11 +265,16 @@ class Simulation:
             ub = (dict(k_ub=jnp.asarray(kub, dtype),
                        r_ub=jnp.asarray(rub, dtype))
                   if script.angle_style == "charmm" else {})
-            anglep = AngleParams(
-                idx=jnp.asarray(script._angles - 1, jnp.int32),
-                atype=jnp.asarray(script._angle_types, jnp.int32),
-                k=jnp.asarray(ka, dtype), theta0=jnp.asarray(th0, dtype),
-                style=script.angle_style, **ub)
+            aidx = script._angles - 1
+            atyp = np.asarray(script._angle_types)
+            if angle_keep is not None:
+                aidx, atyp = aidx[angle_keep], atyp[angle_keep]
+            if len(aidx):
+                anglep = AngleParams(
+                    idx=jnp.asarray(aidx, jnp.int32),
+                    atype=jnp.asarray(atyp, jnp.int32),
+                    k=jnp.asarray(ka, dtype), theta0=jnp.asarray(th0, dtype),
+                    style=script.angle_style, **ub)
 
         dihedralp = None
         if (getattr(script, "_dihedrals", None) is not None
@@ -283,10 +340,26 @@ class Simulation:
         rigid_groups = []
         post_force = None
         integrator_fixes = [f for f in script.fixes.values()
-                            if f.style != "langevin"]
+                            if f.style not in ("langevin", "shake")]
         if len(integrator_fixes) > 1:
             raise NotImplementedError("multiple simultaneous integrator fixes")
         for spec in script.fixes.values():
+            if spec.style == "shake":
+                from lidp_tpu.ops import shake as shake_mod
+
+                if shake_found is not None:
+                    shakep = shake_mod.build_shake_params(
+                        n, script.dt, u.ftm2v, mass_atom, shake_found,
+                        tolerance=shake_cfg[0], max_iter=shake_cfg[1],
+                        dtype=dtype)
+                    dof_removed += shakep.nconstraints
+                    prev_pf = post_force
+                    post_force = (
+                        lambda sys_, f_, _p=shakep, _prev=prev_pf:
+                        shake_mod.shake_post_force(
+                            sys_, f_ if _prev is None else _prev(sys_, f_),
+                            _p))
+                continue
             if spec.style == "langevin":
                 # FixLangevin::post_force (fix_langevin.cpp): friction + noise
                 t_l, _t2, damp_l, seed_l = (float(spec.args[0]),

@@ -181,6 +181,40 @@ def setup_forces(bench: PolarBench):
     return f, energies
 
 
+def make_scan_runner(bench: PolarBench, k: int):
+    """K MD steps inside one dispatch (lax.scan over the jitted step) — the
+    per-call tunnel/dispatch overhead (~40 ms via axon) otherwise dominates:
+    89.7 -> 47.5 ms/step at 10.6k atoms.  Mirrors the production driver,
+    which also scans between thermo outputs (integrate/driver.py)."""
+    import jax
+
+    step = bench.step
+
+    def scan_steps(x, v, f, q, t, mol, al, mu, mass, mask):
+        def body(c, _):
+            x, v, mu, f = c
+            x2, v2, mu2, f2, en = step(x, v, f, q, t, mol, al, mu, mass, mask)
+            return (x2, v2, mu2, f2), en["scf_iters"]
+        (x, v, mu, f), scf = jax.lax.scan(body, (x, v, mu, f), None, length=k)
+        return x, v, mu, f, scf
+
+    js = jax.jit(scan_steps)
+
+    def run(bench: PolarBench):
+        a = bench.arrays
+        if "f" not in a:
+            import jax.numpy as jnp
+
+            a["f"] = jnp.zeros_like(a["x"])
+        x, v, mu, f, scf = js(a["x"], a["v"], a["f"], a["q"], a["type"],
+                              a["mol"], a["alpha"], a["mu"], a["mass"],
+                              a["mask"])
+        a["x"], a["v"], a["mu"], a["f"] = x, v, mu, f
+        return f, scf
+
+    return run
+
+
 def run_step(bench: PolarBench, zero_init: bool = False):
     """zero_init: start with f=0 instead of compiling the separate init
     program (benchmarking only — halves compile time; the first step's kick

@@ -45,6 +45,10 @@ class ForceField:
     qqrd2e: float = dataclasses.field(metadata=dict(static=True), default=1.0)
     # validation switch: serial Gauss-Seidel reference solver instead of Jacobi
     reference_gs: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    # recompute k-space coefficients from the (traced) box every call —
+    # needed under a barostat (fix_nh.cpp:877 force->kspace->setup())
+    kspace_dynamic: bool = dataclasses.field(metadata=dict(static=True),
+                                             default=False)
 
 
 @jax.tree_util.register_dataclass
@@ -170,7 +174,10 @@ def compute_forces(sys: System, ff: ForceField,
         virial = virial + vi_
 
     if ff.ewald is not None:
-        fk, el, vk = ewald_ops.ewald_forces(sys.x, sys.q, sys.box.volume, ff.ewald)
+        ewp = ff.ewald
+        if ff.kspace_dynamic:
+            ewp = ewald_ops.rescale_coeffs(ewp, sys.box.lengths)
+        fk, el, vk = ewald_ops.ewald_forces(sys.x, sys.q, sys.box.volume, ewp)
         f = f + fk
         elong = elong + el
         virial = virial + vk

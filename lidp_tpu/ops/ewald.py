@@ -43,6 +43,7 @@ class EwaldSetup:
     qsum: float
     qsqsum: float
     volume: float
+    kints: np.ndarray = None   # (K,3) integer wave indices (NPT rescaling)
 
 
 def estimate_g_ewald(accuracy_rel: float, qqrd2e: float, qsqsum: float,
@@ -96,6 +97,7 @@ def setup_ewald_disp(
 
     # half-space enumeration, same order/symmetry rules as reallocate()
     hvecs = []
+    kints = []
     for ix in range(0, nbox + 1):
         for iy in range(-nbox, nbox + 1):
             for iz in range(-nbox, nbox + 1):
@@ -108,7 +110,9 @@ def setup_ewald_disp(
                 h = (unit[0] * ix, unit[1] * iy, unit[2] * iz)
                 if h[0] ** 2 + h[1] ** 2 + h[2] ** 2 <= gsqmx:
                     hvecs.append(h)
+                    kints.append((ix, iy, iz))
     hvecs = np.array(hvecs, np.float64).reshape(-1, 3)
+    kints = np.array(kints, np.int32).reshape(-1, 3)
 
     eta2 = 0.25 / (g_ewald * g_ewald)
     h2 = np.sum(hvecs**2, axis=1)
@@ -128,7 +132,7 @@ def setup_ewald_disp(
     return EwaldSetup(
         g_ewald=float(g_ewald), accuracy=accuracy, nbox=nbox,
         hvecs=hvecs, kcoeff=c1, kvirial=kvirial,
-        qsum=qsum, qsqsum=qsqsum, volume=volume,
+        qsum=qsum, qsqsum=qsqsum, volume=volume, kints=kints,
     )
 
 
@@ -144,6 +148,7 @@ class EwaldParams:
     qscale: jax.Array   # () qqrd2e * scale
     qsum: jax.Array
     qsqsum: jax.Array
+    kints: jax.Array = None   # (K,3) integer indices for in-jit rescaling
 
     @staticmethod
     def from_setup(s: EwaldSetup, qqrd2e: float, dtype=jnp.float64) -> "EwaldParams":
@@ -155,7 +160,32 @@ class EwaldParams:
             qscale=jnp.asarray(qqrd2e, dtype),
             qsum=jnp.asarray(s.qsum, dtype),
             qsqsum=jnp.asarray(s.qsqsum, dtype),
+            kints=(jnp.asarray(s.kints) if s.kints is not None else None),
         )
+
+
+def rescale_coeffs(p: EwaldParams, box_lengths):
+    """Recompute box-dependent k-space tables in-jit (the analog of
+    force->kspace->setup() after a barostat box change, fix_nh.cpp:877).
+    The integer k-SET stays the one enumerated at setup — exact for modest
+    volume changes (the reference re-prunes on large ones)."""
+    dtype = p.hvecs.dtype
+    unit = (2.0 * jnp.pi / jnp.asarray(box_lengths, dtype))
+    hvecs = p.kints.astype(dtype) * unit[None, :]
+    eta2 = 0.25 / (p.g_ewald * p.g_ewald)
+    h2 = jnp.sum(hvecs * hvecs, axis=1)
+    b2 = h2 * eta2
+    c1 = jnp.exp(-b2) / h2
+    c2 = 2.0 * c1 * (1.0 + b2) / h2
+    kvirial = jnp.stack([
+        c1 - c2 * hvecs[:, 0] * hvecs[:, 0],
+        c1 - c2 * hvecs[:, 1] * hvecs[:, 1],
+        c1 - c2 * hvecs[:, 2] * hvecs[:, 2],
+        -c2 * hvecs[:, 1] * hvecs[:, 0],
+        -c2 * hvecs[:, 2] * hvecs[:, 0],
+        -c2 * hvecs[:, 2] * hvecs[:, 1],
+    ], axis=1)
+    return dataclasses.replace(p, hvecs=hvecs, kcoeff=c1, kvirial=kvirial)
 
 
 def ewald_forces(x, q, volume, p: EwaldParams):

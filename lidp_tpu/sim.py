@@ -327,12 +327,15 @@ class Simulation:
                 itype=jnp.asarray(script._improper_types, jnp.int32),
                 k=jnp.asarray(ki, dtype), chi0=jnp.asarray(chi0, dtype))
 
+        has_baro = any(f_.style in ("npt", "nph")
+                       for f_ in script.fixes.values())
         ff = ForceField(pair=None if eamp is not None else pair,
                         ewald=ew, polar=pol, sp_code=sp_code,
                         bond=bondp, angle=anglep, dihedral=dihedralp,
                         improper=improperp,
                         pppm=pppmp, eam=eamp, sp_idx=sp_idx, sp_lvl=sp_lvl,
-                        qqrd2e=u.qqr2e)
+                        qqrd2e=u.qqr2e,
+                        kspace_dynamic=has_baro and ew is not None)
 
         # ---- integrator from fixes ----
         integ = None
@@ -425,10 +428,11 @@ class Simulation:
                 from lidp_tpu.integrate import npt as npt_mod
                 from lidp_tpu.integrate.driver import Integrator
 
-                if script.kspace is not None:
+                if pppmp is not None:
                     raise NotImplementedError(
-                        "fix npt with a kspace style needs per-step kspace "
-                        "re-setup (fix_nh.cpp:877) — not supported yet")
+                        "fix npt with pppm needs per-step grid re-setup "
+                        "(fix_nh.cpp:877) — use kspace_style ewald under a "
+                        "barostat for now")
                 if not gmask.all():
                     raise NotImplementedError("fix npt on sub-group")
                 a = spec.args

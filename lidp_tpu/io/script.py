@@ -760,6 +760,57 @@ class LammpsScript:
         nsteps = int(a[0])
         self._run(nsteps)
 
+    def cmd_pair_write(self, a):
+        """pair_write itype jtype N r|rsq inner outer file keyword [qi qj] —
+        Pair::write_file (pair.cpp:1549): table of (i, r, E, F) rows from
+        single(); appends in pair_style-table format."""
+        import numpy as np_
+
+        from lidp_tpu.ops.pair import pair_single
+        from lidp_tpu.sim import Simulation
+
+        itype, jtype, n = int(a[0]), int(a[1]), int(a[2])
+        style = a[3]
+        inner, outer = float(a[4]), float(a[5])
+        if inner <= 0.0 or inner >= outer:
+            raise ValueError("Invalid cutoffs in pair_write command")
+        if style not in ("r", "rsq"):
+            raise ValueError(f"Invalid style in pair_write command: {style}")
+        path = os.path.join(self.root, a[6])
+        keyword = a[7] if len(a) > 7 else "TABLE"
+        qi = float(a[8]) if len(a) > 8 else 1.0
+        qj = float(a[9]) if len(a) > 9 else 1.0
+        if self._sim is None:
+            self._sim = Simulation.from_script(self)
+        pp = self._sim.runner.ff.pair
+        if pp is None:
+            raise ValueError("Pair style does not support pair_write")
+        i_ = np_.arange(n)
+        if style == "r":
+            r = inner + (outer - inner) * i_ / (n - 1)
+            rsq = r * r
+        else:
+            rsq = inner**2 + (outer**2 - inner**2) * i_ / (n - 1)
+            r = np_.sqrt(rsq)
+        e, ff_ = pair_single(rsq, itype, jtype, qi, qj, pp)
+        e, ff_ = np_.asarray(e), np_.asarray(ff_) * r
+        incut = rsq < float(np_.asarray(pp.cutsq)[itype, jtype])
+        e = np_.where(incut, e, 0.0)
+        ff_ = np_.where(incut, ff_, 0.0)
+        with open(path, "a") as fh:
+            fh.write(f"# Pair potential {self.pair.name} for atom types "
+                     f"{itype} {jtype}: i,r,energy,force\n")
+            fh.write(f"\n{keyword}\nN {n} {'R' if style == 'r' else 'RSQ'} "
+                     f"{inner:.15g} {outer:.15g}\n\n")
+            for k in range(n):
+                fh.write(f"{k+1} {r[k]:.15g} {e[k]:.15g} {ff_[k]:.15g}\n")
+
+    def cmd_write_data(self, a):
+        """write_data file — inverse of read_data (write_data.cpp)."""
+        from lidp_tpu.io.data_writer import write_data
+
+        write_data(os.path.join(self.root, a[0]), self)
+
     def cmd_temper(self, a):
         """temper N M temp fix-ID seed_swap seed_boltz — REPLICA/temper.cpp.
 

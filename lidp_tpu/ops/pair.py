@@ -106,6 +106,55 @@ def make_pair_params(
     )
 
 
+def pair_single(rsq, itype, jtype, qi, qj, p: PairParams,
+                factor_coul=1.0, factor_lj=1.0):
+    """Pair::single analog — (eng, fforce) for one pair at distance^2 rsq.
+
+    Mirrors PairLJCutCoulLongPolarization::single (:1035-1097): LJ + erfc
+    real-space Coulomb, NO polarization contribution (same omission as the
+    reference — affects pair_write / compute group/group only).  CHARMM
+    variants apply the energy switching.  fforce is the force/r factor, as
+    in the reference (callers multiply by r for |F|)."""
+    rsq = jnp.asarray(rsq)
+    r2inv = 1.0 / rsq
+    forcecoul = phicoul = 0.0
+    if p.coul:
+        r = jnp.sqrt(rsq)
+        grij = p.g_ewald * r
+        expm2 = jnp.exp(-grij * grij)
+        t = 1.0 / (1.0 + EWALD_P * grij)
+        erfc = t * (A1 + t * (A2 + t * (A3 + t * (A4 + t * A5)))) * expm2
+        prefactor = p.qqrd2e * qi * qj / r
+        forcecoul = prefactor * (erfc + EWALD_F * grij * expm2) \
+            - (1.0 - factor_coul) * prefactor
+        phicoul = prefactor * erfc - (1.0 - factor_coul) * prefactor
+        incoul = rsq < p.cut_coulsq
+        forcecoul = jnp.where(incoul, forcecoul, 0.0)
+        phicoul = jnp.where(incoul, phicoul, 0.0)
+    r6inv = r2inv * r2inv * r2inv
+    forcelj = r6inv * (p.lj1[itype, jtype] * r6inv - p.lj2[itype, jtype])
+    philj = r6inv * (p.lj3[itype, jtype] * r6inv - p.lj4[itype, jtype]) \
+        - p.offset[itype, jtype]
+    if p.charmm:
+        cut_ljsq = p.cut_ljsq[itype, jtype]
+        switch1 = ((cut_ljsq - rsq) ** 2
+                   * (cut_ljsq + 2.0 * rsq - 3.0 * p.cut_lj_innersq)
+                   / p.denom_lj)
+        switch2 = (12.0 * rsq * (cut_ljsq - rsq)
+                   * (rsq - p.cut_lj_innersq) / p.denom_lj)
+        outer = rsq > p.cut_lj_innersq
+        philj_raw = r6inv * (p.lj3[itype, jtype] * r6inv - p.lj4[itype, jtype])
+        forcelj = jnp.where(outer, forcelj * switch1 + philj_raw * switch2,
+                            forcelj)
+        philj = jnp.where(outer, philj_raw * switch1, philj)
+    inlj = rsq < p.cut_ljsq[itype, jtype]
+    forcelj = jnp.where(inlj, forcelj, 0.0)
+    philj = jnp.where(inlj, philj, 0.0)
+    fforce = (forcecoul + factor_lj * forcelj) * r2inv
+    eng = phicoul + factor_lj * philj
+    return eng, fforce
+
+
 def _pair_terms(rsq, qi, qj, ti, tj, sp_code, p: PairParams, pair_mask):
     """Per-pair LJ + Coulomb force magnitude (fpair / r == F.delta/r^2 factor)
     and energies. Shapes broadcast; rsq must be masked nonzero."""

@@ -670,6 +670,11 @@ class LammpsScript:
 
     def cmd_compute(self, a):
         cid, group, style = a[0], a[1], a[2]
+        if style == "group/group":
+            # compute ID group1 group/group group2 — pairwise LJ+coul energy
+            # between groups via single() (compute_group_group.cpp)
+            self.computes[cid] = (group, style, a[3])
+            return
         if style != "temp":
             raise ValueError(f"unsupported compute style {style}")
         self.computes[cid] = (group, style)
@@ -718,6 +723,34 @@ class LammpsScript:
 
     def cmd_velocity(self, a):
         group = a[0]
+        if a[1] == "set":
+            # velocity group set vx vy vz (velocity.cpp::set; NULL keeps)
+            gm = self.groups[group]
+            for d, tok in enumerate(a[2:5]):
+                if tok != "NULL":
+                    self.v[gm, d] = float(tok)
+            self._sim = None
+            return
+        if a[1] == "zero":
+            # velocity group zero linear|angular (velocity.cpp::zero_momentum)
+            gm = self.groups[group]
+            m = self.mass_type[self.type][gm]
+            if a[2] == "linear":
+                self.v[gm] -= (m[:, None] * self.v[gm]).sum(0) / m.sum()
+            else:
+                raise ValueError("velocity zero angular not supported yet")
+            self._sim = None
+            return
+        if a[1] == "scale":
+            # velocity group scale T (velocity.cpp::scale)
+            gm = self.groups[group]
+            m = self.mass_type[self.type][gm]
+            ke2 = float((m[:, None] * self.v[gm] ** 2).sum()) * self.units.mvv2e
+            dof = 3 * int(gm.sum()) - 3
+            t_cur = ke2 / (dof * self.units.boltz)
+            self.v[gm] *= np.sqrt(float(a[2]) / t_cur)
+            self._sim = None
+            return
         assert a[1] == "create"
         t_desired = float(a[2])
         seed = int(a[3])

@@ -551,7 +551,14 @@ class Simulation:
         tp = ThermoParams.create(mass_atom, dof=dof, units=u,
                                  norm=(u.name == "lj"), natoms=n)
         group_tp = {}
-        for cid, (gname, style) in script.computes.items():
+        gg_computes = {}
+        for cid, spec_c in script.computes.items():
+            if len(spec_c) == 3:        # (groupA, "group/group", groupB)
+                gg_computes[cid] = (
+                    jnp.asarray(script.groups[spec_c[0]]),
+                    jnp.asarray(script.groups[spec_c[2]]))
+                continue
+            gname, style = spec_c
             gmask = script.groups[gname]
             ng = int(gmask.sum())
             gdof = 3 * ng - 3
@@ -564,8 +571,11 @@ class Simulation:
             group_tp[cid] = ThermoParams.create(
                 gm, dof=gdof, units=u, norm=False, natoms=ng)
 
-        return Simulation(script=script, sys=sys, runner=runner,
-                          thermo_params=tp, group_thermo=group_tp, natoms=n)
+        sim_obj = Simulation(script=script, sys=sys, runner=runner,
+                             thermo_params=tp, group_thermo=group_tp,
+                             natoms=n)
+        sim_obj.gg_computes = gg_computes
+        return sim_obj
 
     # ------------------------------- running -------------------------------
 
@@ -578,7 +588,41 @@ class Simulation:
                           extra_virial=extra).items()}
         for cid, tp in self.group_thermo.items():
             row["c_" + cid] = float(temperature(self.sys, tp))
+        for cid, (ma, mb) in getattr(self, "gg_computes", {}).items():
+            row["c_" + cid] = float(self._group_group_energy(ma, mb))
         return row
+
+    def _group_group_energy(self, maska, maskb):
+        """compute group/group: pairwise LJ+coul energy between two groups
+        via single() (compute_group_group.cpp — polarization omitted like
+        the reference's single())."""
+        import jax
+        import jax.numpy as jnp
+
+        from lidp_tpu.box import minimum_image
+        from lidp_tpu.ops.pair import pair_single
+
+        pp = self.runner.ff.pair
+
+        @jax.jit
+        def gg(x, q, t, ma, mb):
+            d = minimum_image(x[:, None, :] - x[None, :, :],
+                              self.sys.box.lengths)
+            rsq = jnp.sum(d * d, axis=-1)
+            pairm = (ma[:, None] & mb[None, :]
+                     & ~jnp.eye(x.shape[0], dtype=bool))
+            # count each unordered pair once even if both in both groups
+            both = ma & mb
+            dbl = both[:, None] & both[None, :]
+            w = jnp.where(pairm, jnp.where(dbl, 0.5, 1.0), 0.0)
+            rsq = jnp.where(pairm, rsq, 1.0)
+            e, _ = pair_single(rsq, t[:, None], t[None, :],
+                               q[:, None], q[None, :], pp)
+            incut = rsq < pp.cutsq[t[:, None], t[None, :]]
+            return jnp.sum(jnp.where(incut, e * w, 0.0))
+
+        return gg(self.sys.x, self.sys.q,
+                  jnp.asarray(self.script.type, jnp.int32), maska, maskb)
 
     def _emit(self):
         row = self._thermo_row()

@@ -49,11 +49,17 @@ def profile_forces(sys, ff, nlist=None, repeats: int = 3, log=print):
 
     from lidp_tpu.forcefield import compute_forces
 
+    bonded_off = dict(bond=None, angle=None, dihedral=None, improper=None)
     variants = OrderedDict()
-    if ff.pair is not None:
-        variants["Pair"] = dataclasses.replace(ff, ewald=None, polar=None)
-    if ff.ewald is not None:
-        variants["Kspce"] = dataclasses.replace(ff, pair=None, polar=None)
+    if ff.pair is not None or ff.eam is not None:
+        variants["Pair"] = dataclasses.replace(
+            ff, ewald=None, pppm=None, polar=None, **bonded_off)
+    if ff.ewald is not None or ff.pppm is not None:
+        variants["Kspce"] = dataclasses.replace(
+            ff, pair=None, eam=None, polar=None, **bonded_off)
+    if any(getattr(ff, k) is not None for k in bonded_off):
+        variants["Bond"] = dataclasses.replace(
+            ff, pair=None, eam=None, ewald=None, pppm=None, polar=None)
     if ff.polar is not None:
         variants["Polar"] = ff  # includes everything; subtract below
 
@@ -70,6 +76,8 @@ def profile_forces(sys, ff, nlist=None, repeats: int = 3, log=print):
     for k in timer.t:
         timer.t[k] /= repeats
     if "Polar" in timer.t:
-        timer.t["Polar"] -= timer.t.get("Pair", 0.0) + timer.t.get("Kspce", 0.0)
+        timer.t["Polar"] -= (timer.t.get("Pair", 0.0)
+                             + timer.t.get("Kspce", 0.0)
+                             + timer.t.get("Bond", 0.0))
     timer.report(log=log)
     return timer

@@ -241,9 +241,21 @@ class lammps:
         return 0
 
     def extract_compute(self, cid: str, style=None, _type=None):
-        """Group temperature computes (compute ID group temp) —
-        lammps_extract_compute."""
+        """lammps_extract_compute: scalars (temp, group/group), vectors
+        (msd: 4 components), arrays (rdf: (Nbin,3) r/g(r)/coord)."""
+        sim = self._sim()
+        if cid in getattr(sim, "rdf_computes", {}):
+            if sim.res is None:
+                sim.run(0)
+            return sim.compute_rdf(cid)
         row = self._thermo()
+        if f"c_{cid}[1]" in row:            # vector compute (msd)
+            out = []
+            k = 1
+            while f"c_{cid}[{k}]" in row:
+                out.append(float(row[f"c_{cid}[{k}]"]))
+                k += 1
+            return np.asarray(out)
         key = "c_" + cid
         if key not in row:
             raise KeyError(f"no compute {cid!r}")

@@ -67,6 +67,7 @@ class Runner:
     neighbor_cfg: Optional[NeighborConfig] = None
     rebuild_every: int = 1
     post_force: Optional[Callable] = None   # (sys, f) -> f  (e.g. fix langevin)
+    end_of_step: Optional[Callable] = None  # (sys) -> sys (e.g. temp/rescale)
 
     def __post_init__(self):
         self._scan = jax.jit(
@@ -74,7 +75,8 @@ class Runner:
                               initial=self.integ.initial, final=self.integ.final,
                               neighbor_cfg=self.neighbor_cfg,
                               rebuild_every=self.rebuild_every,
-                              post_force=self.post_force),
+                              post_force=self.post_force,
+                              end_of_step=self.end_of_step),
             static_argnames=("nsteps",),
         )
         self._force = jax.jit(
@@ -116,7 +118,8 @@ def _setup_forces(sys, ff, *, neighbor_cfg, post_force=None):
 
 
 def _run_chunk(sys, res, nlist, istate, ff, iparams, *, nsteps,
-               initial, final, neighbor_cfg, rebuild_every, post_force=None):
+               initial, final, neighbor_cfg, rebuild_every, post_force=None,
+               end_of_step=None):
     def body(carry, _):
         sys, res, nlist, istate = carry
         sys, istate = initial(sys, res, iparams, istate)
@@ -139,6 +142,8 @@ def _run_chunk(sys, res, nlist, istate, ff, iparams, *, nsteps,
             res = dataclasses.replace(res, f=post_force(sys, res.f))
         sys = sys.replace(mu=res.mu)
         sys, istate = final(sys, res, iparams, istate)
+        if end_of_step is not None:
+            sys = end_of_step(sys)
         return (sys, res, nlist, istate), None
 
     (sys, res, nlist, istate), _ = jax.lax.scan(

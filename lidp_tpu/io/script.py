@@ -675,6 +675,15 @@ class LammpsScript:
             # between groups via single() (compute_group_group.cpp)
             self.computes[cid] = (group, style, a[3])
             return
+        if style == "msd":
+            # reference positions captured at definition (compute_msd.cpp)
+            self.computes[cid] = (group, style,
+                                  (self.x + self.image
+                                   * (self.box_hi - self.box_lo)).copy())
+            return
+        if style == "rdf":
+            self.computes[cid] = (group, style, int(a[3]))
+            return
         if style != "temp":
             raise ValueError(f"unsupported compute style {style}")
         self.computes[cid] = (group, style)
@@ -780,7 +789,8 @@ class LammpsScript:
     def cmd_fix(self, a):
         fid, group, style = a[0], a[1], a[2]
         if style not in ("nve", "nvt", "npt", "nph", "rigid", "rigid/nve",
-                         "rigid/nvt", "langevin", "shake"):
+                         "rigid/nvt", "langevin", "shake", "temp/rescale",
+                         "temp/berendsen"):
             raise ValueError(f"unsupported fix style {style}")
         self.fixes[fid] = FixSpec(fid=fid, group=group, style=style, args=a[3:])
         self._sim = None

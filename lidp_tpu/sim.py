@@ -342,8 +342,11 @@ class Simulation:
         dof_removed = 0.0
         rigid_groups = []
         post_force = None
+        pending_temp_fix = None
         integrator_fixes = [f for f in script.fixes.values()
-                            if f.style not in ("langevin", "shake")]
+                            if f.style not in ("langevin", "shake",
+                                               "temp/rescale",
+                                               "temp/berendsen")]
         if len(integrator_fixes) > 1:
             raise NotImplementedError("multiple simultaneous integrator fixes")
         for spec in script.fixes.values():
@@ -362,6 +365,11 @@ class Simulation:
                         shake_mod.shake_post_force(
                             sys_, f_ if _prev is None else _prev(sys_, f_),
                             _p))
+                continue
+            if spec.style in ("temp/rescale", "temp/berendsen"):
+                if not script.groups[spec.group].all():
+                    raise NotImplementedError(f"{spec.style} on sub-group")
+                pending_temp_fix = spec
                 continue
             if spec.style == "langevin":
                 # FixLangevin::post_force (fix_langevin.cpp): friction + noise
@@ -543,8 +551,45 @@ class Simulation:
                 ncfg = NeighborConfig.for_box(L, cutmax + script.skin)
             rebuild_every = script.neigh_every if not script.neigh_check else 1
 
+        end_of_step = None
+        if pending_temp_fix is not None:
+            # fix temp/rescale (fix_temp_rescale.cpp end_of_step) and
+            # temp/berendsen (fix_temp_berendsen.cpp); dof includes all
+            # constraint removals, hence built after the fixes loop
+            spec_t = pending_temp_fix
+            a_t = spec_t.args
+            dof_t = 3 * n - 3 - dof_removed
+            m_t = jnp.asarray(mass_atom, dtype)
+
+            def _temp_of(sys_):
+                ke2 = u.mvv2e * jnp.sum(
+                    jnp.where(sys_.mask, m_t, 0.0)[:, None]
+                    * sys_.v * sys_.v)
+                return ke2 / (dof_t * u.boltz)
+
+            if spec_t.style == "temp/rescale":
+                nev_t, t_tgt = int(a_t[0]), float(a_t[1])
+                window, fraction = float(a_t[3]), float(a_t[4])
+
+                def end_of_step(sys_):
+                    t_cur = _temp_of(sys_)
+                    lam = jnp.sqrt(1.0 + fraction * (t_tgt / t_cur - 1.0))
+                    apply = ((sys_.step % nev_t) == 0) \
+                        & (jnp.abs(t_cur - t_tgt) > window)
+                    return sys_.replace(
+                        v=sys_.v * jnp.where(apply, lam, 1.0))
+            else:
+                t_tgt, t_damp = float(a_t[0]), float(a_t[2])
+
+                def end_of_step(sys_):
+                    t_cur = _temp_of(sys_)
+                    lam = jnp.sqrt(
+                        1.0 + script.dt / t_damp * (t_tgt / t_cur - 1.0))
+                    return sys_.replace(v=sys_.v * lam)
+
         runner = Runner(ff=ff, integ=integ, neighbor_cfg=ncfg,
-                        rebuild_every=rebuild_every, post_force=post_force)
+                        rebuild_every=rebuild_every, post_force=post_force,
+                        end_of_step=end_of_step)
 
         # ---- thermo ----
         dof = 3 * n - 3 - dof_removed
@@ -552,11 +597,21 @@ class Simulation:
                                  norm=(u.name == "lj"), natoms=n)
         group_tp = {}
         gg_computes = {}
+        msd_computes = {}
+        rdf_computes = {}
         for cid, spec_c in script.computes.items():
-            if len(spec_c) == 3:        # (groupA, "group/group", groupB)
+            if len(spec_c) == 3 and spec_c[1] == "group/group":
                 gg_computes[cid] = (
                     jnp.asarray(script.groups[spec_c[0]]),
                     jnp.asarray(script.groups[spec_c[2]]))
+                continue
+            if len(spec_c) == 3 and spec_c[1] == "msd":
+                msd_computes[cid] = (script.groups[spec_c[0]].copy(),
+                                     np.asarray(spec_c[2]))
+                continue
+            if len(spec_c) == 3 and spec_c[1] == "rdf":
+                rdf_computes[cid] = (script.groups[spec_c[0]].copy(),
+                                     int(spec_c[2]))
                 continue
             gname, style = spec_c
             gmask = script.groups[gname]
@@ -575,6 +630,8 @@ class Simulation:
                              thermo_params=tp, group_thermo=group_tp,
                              natoms=n)
         sim_obj.gg_computes = gg_computes
+        sim_obj.msd_computes = msd_computes
+        sim_obj.rdf_computes = rdf_computes
         return sim_obj
 
     # ------------------------------- running -------------------------------
@@ -590,7 +647,38 @@ class Simulation:
             row["c_" + cid] = float(temperature(self.sys, tp))
         for cid, (ma, mb) in getattr(self, "gg_computes", {}).items():
             row["c_" + cid] = float(self._group_group_energy(ma, mb))
+        for cid, (gmask, x0) in getattr(self, "msd_computes", {}).items():
+            # compute_msd.cpp: mean square displacement of unwrapped coords
+            L = np.asarray(self.sys.box.lengths)
+            xu = np.asarray(self.sys.x) + np.asarray(self.sys.image) * L
+            d = (xu - x0)[gmask]
+            comps = (d * d).mean(axis=0)
+            row[f"c_{cid}[1]"], row[f"c_{cid}[2]"], row[f"c_{cid}[3]"] = comps
+            row[f"c_{cid}[4]"] = comps.sum()
         return row
+
+    def compute_rdf(self, cid):
+        """compute rdf (compute_rdf.cpp): returns (Nbin, 3) [r, g(r), coord]
+        over the group, binned to the pair cutoff."""
+        gmask, nbin = self.rdf_computes[cid]
+        x = np.asarray(self.sys.x)[gmask]
+        L = np.asarray(self.sys.box.lengths)
+        cut = float(np.sqrt(np.max(np.asarray(self.runner.ff.pair.cutsq)))
+                    if self.runner.ff.pair is not None
+                    else np.asarray(self.runner.ff.eam.cut))
+        d = x[:, None, :] - x[None, :, :]
+        d -= L * np.round(d / L)
+        r = np.sqrt((d * d).sum(-1))
+        iu = np.triu_indices(len(x), 1)
+        rr = r[iu]
+        rr = rr[rr < cut]
+        hist, edges = np.histogram(rr, bins=nbin, range=(0.0, cut))
+        rc = 0.5 * (edges[1:] + edges[:-1])
+        npairs_density = len(x) * (len(x) - 1) / 2 / float(np.prod(L))
+        shell = 4.0 / 3.0 * np.pi * (edges[1:]**3 - edges[:-1]**3)
+        g = hist / (shell * npairs_density)
+        coord = np.cumsum(hist) * 2.0 / len(x)
+        return np.stack([rc, g, coord], axis=1)
 
     def _group_group_energy(self, maska, maskb):
         """compute group/group: pairwise LJ+coul energy between two groups

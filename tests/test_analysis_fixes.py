@@ -1,0 +1,66 @@
+"""compute msd / rdf (compute_msd.cpp, compute_rdf.cpp) and
+fix temp/rescale / temp/berendsen (end_of_step thermostats)."""
+
+import numpy as np
+import pytest
+
+BASE = """
+units lj
+atom_style atomic
+lattice fcc 0.8442
+region box block 0 3 0 3 0 3
+create_box 1 box
+create_atoms 1 box
+mass 1 1.0
+pair_style lj/cut 2.5
+pair_coeff 1 1 1.0 1.0 2.5
+velocity all create 1.44 87287 loop geom
+"""
+
+
+def _lmp(extra):
+    from lidp_tpu.api import lammps
+
+    L = lammps()
+    L.commands_string(BASE + extra)
+    return L
+
+
+def test_msd_grows_from_zero():
+    L = _lmp("compute m all msd\nfix 1 all nve\n")
+    m0 = L.extract_compute("m")
+    assert m0.shape == (4,) and np.allclose(m0, 0.0)
+    L.command("run 50")
+    m1 = L.extract_compute("m")
+    assert m1[3] > 1e-3                      # liquid: atoms moved
+    assert abs(m1[3] - m1[:3].sum()) < 1e-12
+    L.close()
+
+
+def test_rdf_structure():
+    L = _lmp("compute r all rdf 50\nfix 1 all nve\nrun 20\n")
+    rdf = L.extract_compute("r")
+    assert rdf.shape == (50, 3)
+    r, g, coord = rdf[:, 0], rdf[:, 1], rdf[:, 2]
+    # excluded core, first LJ peak near 2^(1/6), normalization ~1 at cutoff
+    assert g[r < 0.85].max() == 0.0
+    assert g[(r > 1.0) & (r < 1.25)].max() > 1.5
+    assert 0.5 < g[-5:].mean() < 1.5
+    assert np.all(np.diff(coord) >= 0)
+    L.close()
+
+
+def test_temp_rescale_controls():
+    L = _lmp("fix 1 all nve\nfix 2 all temp/rescale 5 0.7 0.7 0.02 0.8\n")
+    L.command("run 120")
+    t = L.get_thermo("temp")
+    assert abs(t - 0.7) < 0.1, t
+    L.close()
+
+
+def test_temp_berendsen_controls():
+    L = _lmp("fix 1 all nve\nfix 2 all temp/berendsen 0.7 0.7 0.5\n")
+    L.command("run 150")
+    t = L.get_thermo("temp")
+    assert abs(t - 0.7) < 0.08, t
+    L.close()

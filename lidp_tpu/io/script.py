@@ -103,6 +103,7 @@ class LammpsScript:
         self.dt: float = self.units.dt
         self.skin: float = self.units.skin
         self.atom_style = "atomic"
+        self.dimension = 3
         self.boundary = "p p p"
         self.data = None             # DataFile
         self.lattice_style = None
@@ -315,8 +316,9 @@ class LammpsScript:
         self.atom_style = a[0]
 
     def cmd_dimension(self, a):
-        if a[0] != "3":
-            raise ValueError("only 3d supported")
+        self.dimension = int(a[0])
+        if self.dimension not in (2, 3):
+            raise ValueError("dimension must be 2 or 3")
 
     def cmd_processors(self, a):
         pass
@@ -348,7 +350,7 @@ class LammpsScript:
     def cmd_lattice(self, a):
         self.lattice_style = a[0]
         self.lattice_spacing = lattice_mod.lattice_spacing(
-            a[0], float(a[1]), self.units.name)
+            a[0], float(a[1]), self.units.name, dim=self.dimension)
 
     def cmd_region(self, a):
         name, style = a[0], a[1]
@@ -372,8 +374,12 @@ class LammpsScript:
         L = self.box_hi - self.box_lo
         s = self.lattice_spacing
         nx, ny, nz = (int(round(l / s)) for l in L)
+        if self.dimension == 2:
+            nz = 1          # single z=0 plane (create_atoms 2d)
         x, _ = lattice_mod.create_atoms_box(self.lattice_style, s, nx, ny, nz)
         x = x + self.box_lo
+        if self.dimension == 2:
+            x[:, 2] = 0.0   # 2d atoms live on the z=0 plane
         n = x.shape[0]
         self.x = x
         self.v = np.zeros((n, 3))
@@ -783,14 +789,15 @@ class LammpsScript:
         mass_atom = self.mass_type[self.type]
         self.v = velocity_mod.create(
             self.x, mass_atom, t_desired, seed, units=self.units,
-            image=self.image, box_lengths=self.box_hi - self.box_lo, **kw)
+            image=self.image, box_lengths=self.box_hi - self.box_lo,
+            dim=self.dimension, **kw)
         self._sim = None   # state changed; rebuild simulation lazily
 
     def cmd_fix(self, a):
         fid, group, style = a[0], a[1], a[2]
         if style not in ("nve", "nvt", "npt", "nph", "rigid", "rigid/nve",
                          "rigid/nvt", "langevin", "shake", "temp/rescale",
-                         "temp/berendsen"):
+                         "temp/berendsen", "enforce2d"):
             raise ValueError(f"unsupported fix style {style}")
         self.fixes[fid] = FixSpec(fid=fid, group=group, style=style, args=a[3:])
         self._sim = None

@@ -16,14 +16,18 @@ _BASES = {
     ),
     "bcc": np.array([[0.0, 0.0, 0.0], [0.5, 0.5, 0.5]]),
     "sc": np.array([[0.0, 0.0, 0.0]]),
+    # 2d styles (lattice.cpp: sq, sq2)
+    "sq": np.array([[0.0, 0.0, 0.0]]),
+    "sq2": np.array([[0.0, 0.0, 0.0], [0.5, 0.5, 0.0]]),
 }
 
 
-def lattice_spacing(style: str, scale: float, units: str = "lj") -> float:
+def lattice_spacing(style: str, scale: float, units: str = "lj",
+                    dim: int = 3) -> float:
     basis = _BASES[style]
     if units == "lj":
-        # scale = reduced density rho*; a^3 * rho = nbasis (3d)
-        return (len(basis) / scale) ** (1.0 / 3.0)
+        # scale = reduced density rho*; a^dim * rho = nbasis (lattice.cpp)
+        return (len(basis) / scale) ** (1.0 / dim)
     # non-lj units: scale IS the lattice constant
     return float(scale)
 
@@ -34,6 +38,7 @@ def create_atoms_box(style: str, spacing: float, nx: int, ny: int, nz: int):
     Returns (positions (N,3) float64, box_hi (3,)). Box lo is the origin.
     Iteration order is (k, j, i, basis) like create_atoms, though downstream
     consumers here do not depend on atom order (velocities are geometry-seeded).
+    For 2d lattices pass nz=1; basis z components are all 0.
     """
     basis = _BASES[style]
     k, j, i = np.meshgrid(np.arange(nz), np.arange(ny), np.arange(nx), indexing="ij")

@@ -78,6 +78,7 @@ class Simulation:
         u = script.units
         dtype = script.dtype
         n = script.x.shape[0]
+        dim_ = getattr(script, "dimension", 3)
         mass_atom = script.mass_type[script.type]
         alpha = script.alpha_type[script.type]
 
@@ -346,7 +347,8 @@ class Simulation:
         integrator_fixes = [f for f in script.fixes.values()
                             if f.style not in ("langevin", "shake",
                                                "temp/rescale",
-                                               "temp/berendsen")]
+                                               "temp/berendsen",
+                                               "enforce2d")]
         if len(integrator_fixes) > 1:
             raise NotImplementedError("multiple simultaneous integrator fixes")
         for spec in script.fixes.values():
@@ -365,6 +367,14 @@ class Simulation:
                         shake_mod.shake_post_force(
                             sys_, f_ if _prev is None else _prev(sys_, f_),
                             _p))
+                continue
+            if spec.style == "enforce2d":
+                # fix_enforce2d.cpp: zero z force (z velocity stays 0)
+                prev_pf2 = post_force
+                post_force = (
+                    lambda sys_, f_, _prev=prev_pf2:
+                    (f_ if _prev is None else _prev(sys_, f_))
+                    * jnp.array([1.0, 1.0, 0.0], f_.dtype))
                 continue
             if spec.style in ("temp/rescale", "temp/berendsen"):
                 if not script.groups[spec.group].all():
@@ -423,7 +433,7 @@ class Simulation:
                     raise NotImplementedError("fix nvt on sub-group")
                 nvtp = nvt_mod.NVTParams.create(
                     script.dt, u.ftm2v, mass_atom, t_start_, t_damp,
-                    dof=3 * n - 3, boltz=u.boltz, mvv2e=u.mvv2e,
+                    dof=dim_ * n - dim_, boltz=u.boltz, mvv2e=u.mvv2e,
                     dtype=dtype, **kw)
                 integ = Integrator(
                     initial=lambda s_, r_, p_, st_: nvt_mod.initial_integrate(
@@ -480,7 +490,7 @@ class Simulation:
                     # setup t0 fallback)
                     ke = float(np.sum(mass_atom * np.sum(
                         np.asarray(script.v)**2, axis=1))) * u.mvv2e
-                    t0 = ke / ((3 * n - 3) * u.boltz)
+                    t0 = ke / ((dim_ * n - dim_) * u.boltz)
                     tgt["t"] = t0 if t0 > 0 else (1.0 if u.name == "lj"
                                                   else 300.0)
                 nptp = npt_mod.NPTParams.create(
@@ -488,7 +498,7 @@ class Simulation:
                     tgt["t"],
                     tgt["tdamp"] if tgt["tdamp"] is not None else 1.0,
                     [v if v is not None else 0.0 for v in tgt["p"]],
-                    tgt["pdamp"], natoms=n, dof=3 * n - 3, boltz=u.boltz,
+                    tgt["pdamp"], natoms=n, dof=dim_ * n - dim_, boltz=u.boltz,
                     mvv2e=u.mvv2e, nktv2p=u.nktv2p, tchain=tgt["tchain"],
                     pchain=tgt["pchain"], mtk=tgt["mtk"],
                     tstat=spec.style == "npt" and had_temp,
@@ -558,7 +568,7 @@ class Simulation:
             # constraint removals, hence built after the fixes loop
             spec_t = pending_temp_fix
             a_t = spec_t.args
-            dof_t = 3 * n - 3 - dof_removed
+            dof_t = dim_ * n - dim_ - dof_removed
             m_t = jnp.asarray(mass_atom, dtype)
 
             def _temp_of(sys_):
@@ -592,9 +602,9 @@ class Simulation:
                         end_of_step=end_of_step)
 
         # ---- thermo ----
-        dof = 3 * n - 3 - dof_removed
+        dof = dim_ * n - dim_ - dof_removed
         tp = ThermoParams.create(mass_atom, dof=dof, units=u,
-                                 norm=(u.name == "lj"), natoms=n)
+                                 norm=(u.name == "lj"), natoms=n, dim=dim_)
         group_tp = {}
         gg_computes = {}
         msd_computes = {}

@@ -31,14 +31,16 @@ class ThermoParams:
     norm: bool = dataclasses.field(metadata=dict(static=True), default=False)
     natoms: int = dataclasses.field(metadata=dict(static=True), default=0)
     mv2d: float = dataclasses.field(metadata=dict(static=True), default=1.0)
+    dim: int = dataclasses.field(metadata=dict(static=True), default=3)
 
     @staticmethod
-    def create(mass_atom, dof, units: Units, norm: bool, natoms: int):
+    def create(mass_atom, dof, units: Units, norm: bool, natoms: int,
+               dim: int = 3):
         return ThermoParams(
             mass_atom=jnp.asarray(mass_atom),
             dof=float(dof), boltz=units.boltz, mvv2e=units.mvv2e,
             nktv2p=units.nktv2p, norm=norm, natoms=natoms,
-            mv2d=getattr(units, "mv2d", 1.0),
+            mv2d=getattr(units, "mv2d", 1.0), dim=dim,
         )
 
 
@@ -52,7 +54,14 @@ def temperature(sys: System, tp: ThermoParams):
 
 
 def pressure(sys: System, tp: ThermoParams, virial6):
+    """compute_pressure.cpp: 2d uses area (xprd*yprd) and averages over the
+    first `dim` diagonal components; mvv here is the FULL kinetic trace,
+    which equals the in-plane trace in 2d (v_z == 0)."""
     mvv = 2.0 * ke_total(sys, tp)       # = dof*boltz*T
+    if tp.dim == 2:
+        w = virial6[0] + virial6[1]
+        L = sys.box.lengths
+        return (mvv + w) / (2.0 * L[0] * L[1]) * tp.nktv2p
     w = virial6[0] + virial6[1] + virial6[2]
     return (mvv + w) / (3.0 * sys.box.volume) * tp.nktv2p
 

@@ -158,12 +158,21 @@ def compute_forces(sys: System, ff: ForceField,
         virial = virial + va
 
     if ff.dihedral is not None:
-        from lidp_tpu.ops.bonded import dihedral_forces
+        from lidp_tpu.ops.bonded import charmm_14_forces, dihedral_forces
 
         fd, ed, vd = dihedral_forces(sys.x, sys.box, ff.dihedral)
         f = f + fd
         edihed = edihed + ed
         virial = virial + vd
+        if ff.dihedral.style == "charmm" and ff.dihedral.q is not None:
+            # weighted 1-4 pair term tallies into the PAIR accumulators
+            # (dihedral_charmm.cpp ev_tally evdwl/ecoul)
+            f14, ev14, ec14, v14 = charmm_14_forces(sys.x, sys.box,
+                                                    ff.dihedral)
+            f = f + f14
+            evdwl = evdwl + ev14
+            ecoul = ecoul + ec14
+            virial = virial + v14
 
     if ff.improper is not None:
         from lidp_tpu.ops.bonded import improper_forces
@@ -184,10 +193,11 @@ def compute_forces(sys: System, ff: ForceField,
     elif ff.pppm is not None:
         from lidp_tpu.ops.pppm import pppm_forces_params
 
-        fk, el, _ = pppm_forces_params(sys.x - sys.box.lo, sys.q,
-                                       sys.box.lengths, ff.pppm)
+        fk, el, vk = pppm_forces_params(sys.x - sys.box.lo, sys.q,
+                                        sys.box.lengths, ff.pppm)
         f = f + fk
         elong = elong + el
+        virial = virial + vk
 
     if ff.polar is not None:
         s = ff.polar

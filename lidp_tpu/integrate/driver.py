@@ -68,6 +68,10 @@ class Runner:
     rebuild_every: int = 1
     post_force: Optional[Callable] = None   # (sys, f) -> f  (e.g. fix langevin)
     end_of_step: Optional[Callable] = None  # (sys) -> sys (e.g. temp/rescale)
+    # setup-time variant: the first Verlet step's position prediction is a
+    # HALF kick, so constraint fixes need dtfsq/2 there (FixShake::
+    # shake_end_of_step, fix_shake.cpp:2734-2741)
+    post_force_setup: Optional[Callable] = None
 
     def __post_init__(self):
         self._scan = jax.jit(
@@ -80,7 +84,9 @@ class Runner:
             static_argnames=("nsteps",),
         )
         self._force = jax.jit(
-            functools.partial(_setup_forces, post_force=self.post_force),
+            functools.partial(_setup_forces,
+                              post_force=(self.post_force_setup
+                                          or self.post_force)),
             static_argnames=("neighbor_cfg",))
 
     def setup(self, sys: System):
@@ -103,6 +109,16 @@ def _build_struct(sys, neighbor_cfg):
     return build_neighbor_list(sys.x, sys.mask, sys.box, neighbor_cfg)
 
 
+def _apply_post_force(sys, res, post_force):
+    """post_force may return f or (f, extra_virial6) — constraint fixes
+    (shake) tally a virial (Fix::v_tally) that pressure must include."""
+    out = post_force(sys, res.f)
+    if isinstance(out, tuple):
+        f2, vir = out
+        return dataclasses.replace(res, f=f2, virial=res.virial + vir)
+    return dataclasses.replace(res, f=out)
+
+
 def _setup_forces(sys, ff, *, neighbor_cfg, post_force=None):
     if neighbor_cfg is not None:
         sys_x, image = box_mod.wrap(sys.x, sys.box, sys.image)
@@ -112,7 +128,7 @@ def _setup_forces(sys, ff, *, neighbor_cfg, post_force=None):
         nlist = None
     res = compute_forces(sys, ff, nlist)
     if post_force is not None:
-        res = dataclasses.replace(res, f=post_force(sys, res.f))
+        res = _apply_post_force(sys, res, post_force)
     sys = sys.replace(mu=res.mu)
     return sys, res, nlist
 
@@ -139,7 +155,7 @@ def _run_chunk(sys, res, nlist, istate, ff, iparams, *, nsteps,
 
         res = compute_forces(sys, ff, nlist)
         if post_force is not None:
-            res = dataclasses.replace(res, f=post_force(sys, res.f))
+            res = _apply_post_force(sys, res, post_force)
         sys = sys.replace(mu=res.mu)
         sys, istate = final(sys, res, iparams, istate)
         if end_of_step is not None:

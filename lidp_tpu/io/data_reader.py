@@ -37,6 +37,13 @@ class DataFile:
     dihedral_types: np.ndarray = None
     impropers: np.ndarray = None
     improper_types: np.ndarray = None
+    # coeff sections embedded in the data file (read_data.cpp coeff blocks):
+    # type -> [values...]
+    pair_coeffs: dict = None
+    bond_coeffs: dict = None
+    angle_coeffs: dict = None
+    dihedral_coeffs: dict = None
+    improper_coeffs: dict = None
 
 
 _HEADER_KEYS = (
@@ -119,6 +126,7 @@ def read_data(path: str, atom_style: str = "full") -> DataFile:
     dihedral_types = np.zeros(counts["dihedrals"], np.int32)
     impropers = np.zeros((counts["impropers"], 4), np.int64)
     improper_types = np.zeros(counts["impropers"], np.int32)
+    coeff_sections: dict = {}
 
     def read_section(start: int, nrows: int):
         rows = []
@@ -214,6 +222,15 @@ def read_data(path: str, atom_style: str = "full") -> DataFile:
                 k = int(r[0]) - 1
                 improper_types[k] = int(r[1])
                 impropers[k] = [int(r[2]), int(r[3]), int(r[4]), int(r[5])]
+        elif name.endswith("Coeffs") and not name.startswith("PairIJ"):
+            nrow = {"Pair Coeffs": ntypes,
+                    "Bond Coeffs": counts.get("bond types", 0),
+                    "Angle Coeffs": counts.get("angle types", 0),
+                    "Dihedral Coeffs": counts.get("dihedral types", 0),
+                    "Improper Coeffs": counts.get("improper types", 0)}[name]
+            rows, i = read_section(i + 1, nrow)
+            coeff_sections[name] = {
+                int(r[0]): [float(v) for v in r[1:]] for r in rows}
         else:
             # skip unknown section: its row count is unknown; consume until
             # the next recognized section header (coeff sections etc.)
@@ -232,4 +249,9 @@ def read_data(path: str, atom_style: str = "full") -> DataFile:
         angles=angles, angle_types=angle_types,
         dihedrals=dihedrals, dihedral_types=dihedral_types,
         impropers=impropers, improper_types=improper_types,
+        pair_coeffs=coeff_sections.get("Pair Coeffs"),
+        bond_coeffs=coeff_sections.get("Bond Coeffs"),
+        angle_coeffs=coeff_sections.get("Angle Coeffs"),
+        dihedral_coeffs=coeff_sections.get("Dihedral Coeffs"),
+        improper_coeffs=coeff_sections.get("Improper Coeffs"),
     )

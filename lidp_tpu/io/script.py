@@ -411,6 +411,25 @@ class LammpsScript:
         self._impropers = d.impropers
         self._improper_types = d.improper_types
         self.groups["all"] = np.ones(d.natoms, bool)
+        # coeff sections embedded in the data file (read_data.cpp):
+        # Pair Coeffs rows are per-type i==j; CHARMM styles carry
+        # eps14/sigma14 as columns 3-4
+        if d.pair_coeffs:
+            for t, vals in d.pair_coeffs.items():
+                self.pair_coeffs[(t, t)] = (vals[0], vals[1],
+                                            self.pair.cut_lj_global)
+                if len(vals) >= 4 and "charmm" in self.pair.name:
+                    if not hasattr(self, "pair_coeffs14"):
+                        self.pair_coeffs14 = {}
+                    self.pair_coeffs14[(t, t)] = (vals[2], vals[3])
+        if d.bond_coeffs:
+            self.bond_coeffs.update(d.bond_coeffs)
+        if d.angle_coeffs:
+            self.angle_coeffs.update(d.angle_coeffs)
+        if d.dihedral_coeffs:
+            self.dihedral_coeffs.update(d.dihedral_coeffs)
+        if d.improper_coeffs:
+            self.improper_coeffs.update(d.improper_coeffs)
 
     def cmd_replicate(self, a):
         """Replicate the system nx x ny x nz (replicate.cpp semantics:
@@ -491,6 +510,7 @@ class LammpsScript:
             p.cut_lj_inner = float(a[1])
             p.cut_lj_global = float(a[2])
             p.cut_coul = float(a[3]) if len(a) > 3 else p.cut_lj_global
+            self._pair_mix = "arithmetic"   # CHARMM mixes arithmetic
         elif a[0] in ("lj/cut/coul/long", "lj/cut/coul/long/polarization"):
             p.cut_lj_global = float(a[1])
             p.cut_coul = float(a[2]) if len(a) > 2 and _NUM_RE.match(a[2]) \
@@ -667,7 +687,13 @@ class LammpsScript:
                 "<=": m <= val, "==": m == val, "!=": m != val,
             }[op]
         elif a[1] == "type":
-            sel = np.isin(self.type, [int(v) for v in a[2:]])
+            if a[2] in (">", "<", ">=", "<=", "==", "!="):
+                t = self.type.astype(int)
+                val = int(a[3])
+                sel = {">": t > val, "<": t < val, ">=": t >= val,
+                       "<=": t <= val, "==": t == val, "!=": t != val}[a[2]]
+            else:
+                sel = np.isin(self.type, [int(v) for v in a[2:]])
         elif a[1] == "id":
             sel = np.isin(np.arange(1, n + 1), [int(v) for v in a[2:]])
         else:

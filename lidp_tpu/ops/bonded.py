@@ -217,9 +217,11 @@ def _dihedral_energy(b1, b2, b3, p: DihedralParams):
     raise ValueError(p.style)
 
 
-def _charmm_14_energy(d14, p: DihedralParams):
-    """Weighted 1-4 LJ + Coulomb between dihedral end atoms
-    (dihedral_charmm.cpp:231-268, weightflag branch; no cutoff)."""
+def _charmm_14_energies(d14, p: DihedralParams):
+    """Weighted 1-4 LJ and Coulomb between dihedral end atoms
+    (dihedral_charmm.cpp:231-268, weightflag branch; no cutoff).
+    Returns (evdwl14, ecoul14) — the reference tallies these into the PAIR
+    accumulators (ev_tally with evdwl/ecoul), NOT into E_dihed."""
     i1, i4 = p.idx[:, 0], p.idx[:, 3]
     w = p.c4[p.dtype_]
     rsq = jnp.sum(d14 * d14, axis=1)
@@ -228,7 +230,31 @@ def _charmm_14_energy(d14, p: DihedralParams):
     t1, t4 = p.type_[i1], p.type_[i4]
     elj = r6inv * (p.lj14_3[t1, t4] * r6inv - p.lj14_4[t1, t4])
     ecoul = p.qqrd2e * p.q[i1] * p.q[i4] * rinv
-    return jnp.sum(w * (elj + ecoul))
+    return jnp.sum(w * elj), jnp.sum(w * ecoul)
+
+
+def charmm_14_forces(x, box: Box, p: DihedralParams):
+    """Standalone weighted 1-4 pair term for dihedral charmm.
+    Returns (f, evdwl14, ecoul14, virial6)."""
+    i, l = p.idx[:, 0], p.idx[:, 3]
+
+    def etot(xx):
+        ev, ec = _charmm_14_energies(
+            minimum_image(xx[i] - xx[l], box.lengths), p)
+        return ev + ec
+
+    def with_strain(eps_flat):
+        eps = jnp.eye(3, dtype=x.dtype) + eps_flat.reshape(3, 3)
+        ev, ec = _charmm_14_energies(
+            minimum_image(x[i] - x[l], box.lengths) @ eps.T, p)
+        return ev + ec
+
+    ev, ec = _charmm_14_energies(minimum_image(x[i] - x[l], box.lengths), p)
+    f = -jax.grad(etot)(x)
+    dEdeps = jax.grad(with_strain)(jnp.zeros(9, x.dtype)).reshape(3, 3)
+    w = -dEdeps
+    virial = jnp.stack([w[0, 0], w[1, 1], w[2, 2], w[0, 1], w[0, 2], w[1, 2]])
+    return f, ev, ec, virial
 
 
 def angle_forces(x, box: Box, p: AngleParams):
@@ -253,28 +279,19 @@ def angle_forces(x, box: Box, p: AngleParams):
 
 def dihedral_forces(x, box: Box, p: DihedralParams):
     i, j, k, l = (p.idx[:, 0], p.idx[:, 1], p.idx[:, 2], p.idx[:, 3])
-    has14 = p.style == "charmm" and p.q is not None
 
     def energy_of(xx):
         b1 = minimum_image(xx[j] - xx[i], box.lengths)
         b2 = minimum_image(xx[k] - xx[j], box.lengths)
         b3 = minimum_image(xx[l] - xx[k], box.lengths)
-        e = _dihedral_energy(b1, b2, b3, p)
-        if has14:
-            e = e + _charmm_14_energy(
-                minimum_image(xx[i] - xx[l], box.lengths), p)
-        return e
+        return _dihedral_energy(b1, b2, b3, p)
 
     def with_strain(eps_flat):
         eps = jnp.eye(3, dtype=x.dtype) + eps_flat.reshape(3, 3)
         b1 = minimum_image(x[j] - x[i], box.lengths) @ eps.T
         b2 = minimum_image(x[k] - x[j], box.lengths) @ eps.T
         b3 = minimum_image(x[l] - x[k], box.lengths) @ eps.T
-        e = _dihedral_energy(b1, b2, b3, p)
-        if has14:
-            e = e + _charmm_14_energy(
-                minimum_image(x[i] - x[l], box.lengths) @ eps.T, p)
-        return e
+        return _dihedral_energy(b1, b2, b3, p)
 
     e = energy_of(x)
     f = -jax.grad(energy_of)(x)

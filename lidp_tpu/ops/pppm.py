@@ -31,43 +31,96 @@ class PPPMSetup:
     order: int
 
 
+# charge-assignment error constants, Deserno & Holm JCP 109, 7698 (1998)
+# (pppm.cpp compute_acons); index [order][m]
+_ACONS = {
+    1: [2.0 / 3.0],
+    2: [1.0 / 50.0, 5.0 / 294.0],
+    3: [1.0 / 588.0, 7.0 / 1440.0, 21.0 / 3872.0],
+    4: [1.0 / 4320.0, 3.0 / 1936.0, 7601.0 / 2271360.0, 143.0 / 28800.0],
+    5: [1.0 / 23232.0, 7601.0 / 13628160.0, 143.0 / 69120.0,
+        517231.0 / 106536960.0, 106640677.0 / 11737571328.0],
+    6: [691.0 / 68140800.0, 13.0 / 57600.0, 47021.0 / 35512320.0,
+        9694607.0 / 2095994880.0, 733191589.0 / 59609088000.0,
+        326190917.0 / 11700633600.0],
+    7: [1.0 / 345600.0, 3617.0 / 35512320.0, 745739.0 / 838397952.0,
+        56399353.0 / 12773376000.0, 25091609.0 / 1560084480.0,
+        1755948832039.0 / 36229939200000.0, 4887769399.0 / 37838389248.0],
+}
+
+
+def _ik_error(h, prd, natoms, g, order, q2):
+    """estimate_ik_error (pppm.cpp): per-dim ik-differentiation RMS error."""
+    s = sum(_ACONS[order][m] * (h * g) ** (2 * m) for m in range(order))
+    return (q2 * (h * g) ** order
+            * math.sqrt(g * prd * math.sqrt(2.0 * math.pi) * s / natoms)
+            / (prd * prd))
+
+
+def _factorable(n):
+    for f in (2, 3, 5):
+        while n % f == 0:
+            n //= f
+    return n == 1
+
+
 def setup_pppm(*, accuracy_rel: float, qqrd2e: float, q, natoms: int,
                cutoff: float, box_lengths, order: int = 5,
                g_ewald: float | None = None) -> PPPMSetup:
-    """Grid sizing: double until the k-space RMS error estimate (same bound
-    as ewald's per-dim rms) is below the target at ~2 grid points per
-    real-space std dev.  Simpler than the reference's set_grid (pppm.cpp) but
-    produces comparable grids."""
-    from lidp_tpu.ops.ewald import estimate_g_ewald
-
+    """Grid + g_ewald selection exactly as PPPM::set_grid_global +
+    adjust_gewald (pppm.cpp:985,1287, ik-differentiation path): initial
+    g from the Ewald formula, per-dim grid grown until the ik error bound
+    meets the accuracy (including the reference's one-extra-step loop
+    semantics), grid boosted to 2/3/5-factorable sizes, then Newton-solve
+    g so real-space and k-space RMS errors balance."""
     L = np.asarray(box_lengths, float)
     qsqsum = float(np.sum(np.asarray(q) ** 2))
-    if g_ewald is None:
-        g_ewald = estimate_g_ewald(accuracy_rel, qqrd2e, qsqsum, natoms,
-                                   cutoff, float(np.prod(L)))
-    # heuristic: h <= pi / (g * acc_factor); refine with the Ewald rms bound
-    grid = []
-    accuracy = accuracy_rel * qqrd2e
+    accuracy = accuracy_rel * qqrd2e      # two_charge_force (kspace.cpp)
     q2 = qsqsum * qqrd2e
+    vol = float(np.prod(L))
+
+    if g_ewald is None:
+        g0 = accuracy * math.sqrt(natoms * cutoff * vol) / (2.0 * q2)
+        if g0 >= 1.0:
+            g = (1.35 - 0.15 * math.log(accuracy)) / cutoff
+        else:
+            g = math.sqrt(-math.log(g0)) / cutoff
+    else:
+        g = float(g_ewald)
+
+    grid = []
+    hs = []
     for prd in L:
-        km = 1
-        while True:
-            g2 = g_ewald * g_ewald
-            err = (2.0 * q2 * g_ewald / prd
-                   * math.sqrt(1.0 / (math.pi * km * natoms))
-                   * math.exp(-math.pi**2 * km * km / (g2 * prd * prd)))
-            if err <= accuracy:
+        h = 1.0 / g                       # first error uses h = 1/g verbatim
+        n = int(prd / h) + 1
+        err = _ik_error(h, prd, natoms, g, order, q2)
+        while err > accuracy:
+            err = _ik_error(h, prd, natoms, g, order, q2)
+            n += 1
+            h = prd / n
+        while not _factorable(n):
+            n += 1
+        grid.append(n)
+        hs.append(prd / n)
+
+    if g_ewald is None:
+        # adjust_gewald: balance df_rspace(g) == df_kspace(g) by Newton
+        def f_of(gv):
+            df_r = (2.0 * q2 * math.exp(-gv * gv * cutoff * cutoff)
+                    / math.sqrt(natoms * cutoff * L[0] * L[1] * L[2]))
+            lpr = [_ik_error(hs[d], L[d], natoms, gv, order, q2)
+                   for d in range(3)]
+            df_k = math.sqrt(sum(v * v for v in lpr)) / math.sqrt(3.0)
+            return df_r - df_k
+
+        for _ in range(80):
+            dg = g * 1e-6
+            deriv = (f_of(g + dg) - f_of(g)) / dg
+            g -= f_of(g) / deriv
+            if abs(f_of(g)) < 1e-5:
                 break
-            km += 1
-        # mesh needs ~2x the max k to resolve it; round to fft-friendly size
-        n = 2 * km + order
-        size = 8
-        while size < n:
-            size *= 2 if size < 32 else 1
-            if size >= 32 and size < n:
-                size += 16
-        grid.append(max(8, int(size)))
-    return PPPMSetup(g_ewald=float(g_ewald), grid=tuple(grid), order=order)
+
+    return PPPMSetup(g_ewald=float(g), grid=tuple(grid), order=order)
 
 
 def _assignment_weights(frac, order):
@@ -197,5 +250,19 @@ def pppm_forces(x, q, box_lengths, setup: PPPMSetup, qqrd2e, qsqsum, qsum):
 
     f = qqrd2e * q[:, None] * jnp.stack(
         [interp(ex), interp(ey), interp(ez)], axis=-1)
-    virial = jnp.zeros((6,), dtype)   # mesh virial: future round
+
+    # mesh virial (pppm.cpp vg coefficients + poisson_ik virial branch):
+    # per-mode energy density e_k = (2pi/V) G|rho_k|^2/W^2, tensor weight
+    # v_ab = delta_ab - 2 k_a k_b (1/k^2 + 1/(4g^2)); self/background terms
+    # subtract isotropically like Ewald's
+    ek = (2 * jnp.pi / vol) * green * jnp.abs(rho_k) ** 2 / wk2
+    vfac = 2.0 * (1.0 / k2 + 1.0 / (4.0 * g * g))
+    vself_bg = qqrd2e * jnp.pi / (2 * g * g * vol) * qsum * qsum
+    def vcomp(ka, kb, diag):
+        w = (1.0 if diag else 0.0) - vfac * ka * kb
+        v = qqrd2e * jnp.sum(ek * w)
+        return v - vself_bg if diag else v
+    virial = jnp.stack([
+        vcomp(KX, KX, True), vcomp(KY, KY, True), vcomp(KZ, KZ, True),
+        vcomp(KX, KY, False), vcomp(KX, KZ, False), vcomp(KY, KZ, False)])
     return f, elong, virial

@@ -119,7 +119,12 @@ def shake_post_force(sys, f, p: ShakeParams):
     contrib = lam[:, :, None] * r                       # (M,3,3)
     f = f.at[pa.reshape(-1)].add(contrib.reshape(-1, 3))
     f = f.at[qa.reshape(-1)].add(-contrib.reshape(-1, 3))
-    return f
+    # constraint virial (v_tally in shake/shake3/...: lamda_c r_c (x) r_c)
+    rx, ry, rz = r[..., 0], r[..., 1], r[..., 2]
+    vir = jnp.stack([jnp.sum(lam * rx * rx), jnp.sum(lam * ry * ry),
+                     jnp.sum(lam * rz * rz), jnp.sum(lam * rx * ry),
+                     jnp.sum(lam * rx * rz), jnp.sum(lam * ry * rz)])
+    return f, vir.astype(f.dtype)
 
 
 def find_clusters(n, bonds, bond_types, angles, angle_types, mass_atom,

@@ -291,9 +291,18 @@ class Simulation:
             if script.dihedral_style == "charmm":
                 # K n d(deg) weight; weighted 1-4 pair term needs q, types,
                 # and the pair style's 14 tables (dihedral_charmm.cpp::coeff
-                # + init_style pair extract)
+                # + init_style pair extract).  Per-type eps14/sig14 mix with
+                # the same rule as the main tables (arithmetic for charmm).
                 cs[2] = np.deg2rad(cs[2])
-                eps14 = eps.copy(); sig14 = sig.copy()
+                T14 = script.ntypes
+                e14_t = np.array([eps[t, t] for t in range(T14 + 1)])
+                s14_t = np.array([sig[t, t] for t in range(T14 + 1)])
+                for (i14, j14), (e14, s14) in getattr(
+                        script, "pair_coeffs14", {}).items():
+                    if i14 == j14:
+                        e14_t[i14], s14_t[i14] = e14, s14
+                eps14 = np.sqrt(np.outer(e14_t, e14_t))
+                sig14 = 0.5 * (s14_t[:, None] + s14_t[None, :])
                 for (i14, j14), (e14, s14) in getattr(
                         script, "pair_coeffs14", {}).items():
                     eps14[i14, j14] = eps14[j14, i14] = e14
@@ -343,7 +352,9 @@ class Simulation:
         dof_removed = 0.0
         rigid_groups = []
         post_force = None
+        post_force_setup = None
         pending_temp_fix = None
+        shake_dof_removed = 0
         integrator_fixes = [f for f in script.fixes.values()
                             if f.style not in ("langevin", "shake",
                                                "temp/rescale",
@@ -360,10 +371,29 @@ class Simulation:
                         n, script.dt, u.ftm2v, mass_atom, shake_found,
                         tolerance=shake_cfg[0], max_iter=shake_cfg[1],
                         dtype=dtype)
+                    # setup variant: dtfsq/2 for the first (half-kick) step
+                    # (fix_shake.cpp:2734-2741)
+                    shakep_half = dataclasses.replace(
+                        shakep, dtfsq=shakep.dtfsq * 0.5)
+                    # correct_coordinates (:2769): project the data-file
+                    # geometry onto the constraint manifold once (v=f=0)
+                    zsys = sys.replace(v=jnp.zeros_like(sys.v))
+                    fc, _ = shake_mod.shake_post_force(
+                        zsys, jnp.zeros_like(sys.x), shakep_half)
+                    dx = (np.asarray(shakep_half.dtfsq)
+                          * np.asarray(shakep_half.invmass)[:, None]
+                          * np.asarray(fc))
+                    sys = sys.replace(x=sys.x + jnp.asarray(dx, dtype))
                     dof_removed += shakep.nconstraints
+                    shake_dof_removed = shakep.nconstraints
                     prev_pf = post_force
                     post_force = (
                         lambda sys_, f_, _p=shakep, _prev=prev_pf:
+                        shake_mod.shake_post_force(
+                            sys_, f_ if _prev is None else _prev(sys_, f_),
+                            _p))
+                    post_force_setup = (
+                        lambda sys_, f_, _p=shakep_half, _prev=prev_pf:
                         shake_mod.shake_post_force(
                             sys_, f_ if _prev is None else _prev(sys_, f_),
                             _p))
@@ -561,6 +591,16 @@ class Simulation:
                 ncfg = NeighborConfig.for_box(L, cutmax + script.skin)
             rebuild_every = script.neigh_every if not script.neigh_check else 1
 
+        # thermostats parsed BEFORE a constraint fix must still see the
+        # constrained dof (the reference's temperature computes query
+        # fix_dof at run time, fix 1 nvt + fix 2 shake ordering works)
+        if (shake_dof_removed and integ is not None
+                and hasattr(integ.params, "dof")):
+            newp = dataclasses.replace(
+                integ.params,
+                dof=float(integ.params.dof) - shake_dof_removed)
+            integ = dataclasses.replace(integ, params=newp)
+
         end_of_step = None
         if pending_temp_fix is not None:
             # fix temp/rescale (fix_temp_rescale.cpp end_of_step) and
@@ -599,7 +639,8 @@ class Simulation:
 
         runner = Runner(ff=ff, integ=integ, neighbor_cfg=ncfg,
                         rebuild_every=rebuild_every, post_force=post_force,
-                        end_of_step=end_of_step)
+                        end_of_step=end_of_step,
+                        post_force_setup=post_force_setup)
 
         # ---- thermo ----
         dof = dim_ * n - dim_ - dof_removed

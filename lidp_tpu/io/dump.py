@@ -20,6 +20,10 @@ def write_dump_frame(spec, sys, script, gmask, f=None):
     colmap = {
         "id": lambda i: i + 1,
         "x": lambda i: xw[i, 0], "y": lambda i: xw[i, 1], "z": lambda i: xw[i, 2],
+        # scaled coords (dump atom default)
+        "xs": lambda i: (xw[i, 0] - lo[0]) / L[0],
+        "ys": lambda i: (xw[i, 1] - lo[1]) / L[1],
+        "zs": lambda i: (xw[i, 2] - lo[2]) / L[2],
         "xu": lambda i: x[i, 0], "yu": lambda i: x[i, 1], "zu": lambda i: x[i, 2],
         "type": lambda i: script.type[i], "mol": lambda i: script.mol[i],
         "vx": lambda i: float(sys.v[i, 0]), "vy": lambda i: float(sys.v[i, 1]),

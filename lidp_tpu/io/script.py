@@ -696,6 +696,25 @@ class LammpsScript:
                 sel = np.isin(self.type, [int(v) for v in a[2:]])
         elif a[1] == "id":
             sel = np.isin(np.arange(1, n + 1), [int(v) for v in a[2:]])
+        elif a[1] == "region":
+            # region bounds are in lattice units (region default units);
+            # INF on a lo bound extends to -infinity (region.cpp)
+            lo_hi = np.asarray(self.regions[a[2]], float) \
+                * (self.lattice_spacing or 1.0)
+            sel = np.ones(n, bool)
+            for d in range(3):
+                lo_b, hi_b = lo_hi[2 * d], lo_hi[2 * d + 1]
+                if np.isinf(lo_b):
+                    lo_b = -np.inf
+                sel &= (self.x[:, d] >= lo_b) & (self.x[:, d] <= hi_b)
+        elif a[1] == "union":
+            sel = np.zeros(n, bool)
+            for gname in a[2:]:
+                sel |= self.groups[gname]
+        elif a[1] == "subtract":
+            sel = self.groups[a[2]].copy()
+            for gname in a[3:]:
+                sel &= ~self.groups[gname]
         else:
             raise ValueError(f"unsupported group style {a[1]}")
         self.groups[name] = sel
@@ -752,8 +771,15 @@ class LammpsScript:
     def cmd_dump(self, a):
         did, group, style, every = a[0], a[1], a[2], int(a[3])
         path = os.path.join(self.root, a[4])
+        if style == "atom":
+            # dump_atom.cpp default columns: id type xs ys zs (scaled coords)
+            cols = ["id", "type", "xs", "ys", "zs"]
+        elif style == "custom":
+            cols = a[5:]
+        else:
+            raise ValueError(f"unsupported dump style {style}")
         self.dumps[did] = DumpSpec(did=did, group=group, style=style,
-                                   every=every, path=path, columns=a[5:])
+                                   every=every, path=path, columns=cols)
 
     def cmd_dump_modify(self, a):
         if a[0] in self.dumps and "sort" in a:
@@ -823,7 +849,7 @@ class LammpsScript:
         fid, group, style = a[0], a[1], a[2]
         if style not in ("nve", "nvt", "npt", "nph", "rigid", "rigid/nve",
                          "rigid/nvt", "langevin", "shake", "temp/rescale",
-                         "temp/berendsen", "enforce2d"):
+                         "temp/berendsen", "enforce2d", "setforce"):
             raise ValueError(f"unsupported fix style {style}")
         self.fixes[fid] = FixSpec(fid=fid, group=group, style=style, args=a[3:])
         self._sim = None
@@ -834,6 +860,8 @@ class LammpsScript:
 
     def cmd_run(self, a):
         nsteps = int(a[0])
+        if len(a) > 1 and a[1] == "upto":
+            nsteps = max(0, nsteps - int(self.step))
         self._run(nsteps)
 
     def cmd_pair_write(self, a):

@@ -359,7 +359,7 @@ class Simulation:
                             if f.style not in ("langevin", "shake",
                                                "temp/rescale",
                                                "temp/berendsen",
-                                               "enforce2d")]
+                                               "enforce2d", "setforce")]
         if len(integrator_fixes) > 1:
             raise NotImplementedError("multiple simultaneous integrator fixes")
         for spec in script.fixes.values():
@@ -397,6 +397,24 @@ class Simulation:
                         shake_mod.shake_post_force(
                             sys_, f_ if _prev is None else _prev(sys_, f_),
                             _p))
+                continue
+            if spec.style == "setforce":
+                # fix_setforce.cpp: overwrite force components on the group
+                # each step (NULL keeps the computed component)
+                gm_sf = jnp.asarray(script.groups[spec.group])[:, None]
+                vals = [None if t == "NULL" else float(t)
+                        for t in spec.args[:3]]
+                keep = jnp.asarray([v is None for v in vals])
+                tgt_f = jnp.asarray([0.0 if v is None else v for v in vals],
+                                    dtype)
+                prev_sf = post_force
+
+                def _setforce_pf(sys_, f_, _prev=prev_sf, _g=gm_sf,
+                                 _k=keep, _t=tgt_f):
+                    fb = f_ if _prev is None else _prev(sys_, f_)
+                    return jnp.where(_g & ~_k[None, :], _t[None, :], fb)
+
+                post_force = _setforce_pf
                 continue
             if spec.style == "enforce2d":
                 # fix_enforce2d.cpp: zero z force (z velocity stays 0)

@@ -18,6 +18,8 @@ def main(argv=None):
     ap.add_argument("-echo", dest="echo", default="none")
     ap.add_argument("--x64", action="store_true", default=True)
     ap.add_argument("--f32", dest="x64", action="store_false")
+    ap.add_argument("-sharding", dest="sharding", type=int, default=0,
+                    help="shard the engine over N devices (mpirun -np analog)")
     args = ap.parse_args(argv)
 
     import os
@@ -45,6 +47,8 @@ def main(argv=None):
 
     script = LammpsScript(dtype=jnp.float64 if args.x64 else jnp.float32,
                           log=log)
+    if args.sharding:
+        script.n_shard_devices = args.sharding
     for k, v in args.vars:
         script.variables[k] = v
 

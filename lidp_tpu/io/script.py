@@ -151,6 +151,9 @@ class LammpsScript:
         self._pair_shift = False     # pair_modify shift
         self._pair_mix = "geometric"  # pair_modify mix
         self._gewald_override = None  # kspace_modify gewald
+        # `processors` analog: shard the engine over this many devices
+        # (GSPMD atom-axis sharding; 0/1 = single-device fast path)
+        self.n_shard_devices = 0
 
     # ------------------------------ parsing ------------------------------
 
@@ -466,8 +469,31 @@ class LammpsScript:
                        else np.zeros((0, 2), np.int64))
         if getattr(self, "_bond_types", None) is not None and len(self._bonds):
             self._bond_types = np.tile(self._bond_types, rep)
+        # replicate.cpp copies ALL topology sections with per-replica
+        # atom-index offsets, not just bonds
+        for sec, tsec in (("_angles", "_angle_types"),
+                          ("_dihedrals", "_dihedral_types"),
+                          ("_impropers", "_improper_types")):
+            arr = getattr(self, sec, None)
+            if arr is not None and len(arr):
+                setattr(self, sec, np.concatenate(
+                    [arr + r * n0 for r in range(rep)]))
+                tarr = getattr(self, tsec, None)
+                if tarr is not None:
+                    setattr(self, tsec, np.tile(tarr, rep))
         self.box_hi = self.box_lo + L * np.array([nx, ny, nz])
         self.groups = {"all": np.ones(self.x.shape[0], bool)}
+        self._sim = None
+
+    def cmd_processors(self, a):
+        """processors Px Py Pz — the MPI rank-grid command (comm.cpp
+        set_proc_grid).  TPU analog: the product selects the device-mesh
+        size for GSPMD atom-axis sharding ('*' counts as 1)."""
+        total = 1
+        for tok in a[:3]:
+            if tok != "*":
+                total *= int(tok)
+        self.n_shard_devices = total
         self._sim = None
 
     def cmd_mass(self, a):

@@ -71,7 +71,8 @@ def enable_compile_cache():
 
 def build(target_atoms: int = 100_000, n_devices: int = 1,
           precision: float = 1e-6, col_chunk: int = 4096,
-          fixed_iterations: int | None = None, dt: float = 0.1):
+          fixed_iterations: int | None = None, dt: float = 0.1,
+          dtype=None):
     """fixed_iterations: use the static-trip-count Jacobi mode instead of the
     CG while_loop (dynamic trip counts sync through the axon tunnel).
 
@@ -96,7 +97,9 @@ def build(target_atoms: int = 100_000, n_devices: int = 1,
     from lidp_tpu.parallel import shard as pshard
     from lidp_tpu.sim import _mix_pair_tables
 
-    dtype = jnp.float32
+    if dtype is None:
+        dtype = jnp.float32
+    np_dtype = np.dtype(str(jnp.zeros((), dtype).dtype))
     u = units.REAL
     script = build_script(target_atoms, precision)
     n = script.x.shape[0]
@@ -160,14 +163,14 @@ def build(target_atoms: int = 100_000, n_devices: int = 1,
     sharding = NamedSharding(mesh, P(pshard.AXIS))
     put = lambda a: jax.device_put(jnp.asarray(a), sharding)
     arrays = dict(
-        x=put(pad(script.x.astype(np.float32))),
-        v=put(pad(v0.astype(np.float32))),
-        q=put(pad(script.q.astype(np.float32))),
+        x=put(pad(script.x.astype(np_dtype))),
+        v=put(pad(v0.astype(np_dtype))),
+        q=put(pad(script.q.astype(np_dtype))),
         type=put(pad(script.type, 0)),
         mol=put(pad(script.mol, 0)),
-        alpha=put(pad(alpha.astype(np.float32))),
-        mu=put(pad(np.zeros((n, 3), np.float32))),
-        mass=put(pad(mass_eff.astype(np.float32), 1.0)),
+        alpha=put(pad(alpha.astype(np_dtype))),
+        mu=put(pad(np.zeros((n, 3), np_dtype))),
+        mass=put(pad(mass_eff.astype(np_dtype), 1.0)),
         mask=put(pad(np.ones(n, bool), False)),
     )
     return PolarBench(step=step, init=init, arrays=arrays, natoms=n, npad=npad)

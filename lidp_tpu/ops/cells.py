@@ -185,8 +185,22 @@ def cell_pair_forces(x, q, type_, mask, cells: Cells, box: Box, p,
         in_rng = rsq < cutsq
         lj_m = in_rng & (rsq < cut_ljsq)
         r6inv = r2inv * r2inv * r2inv
-        forcelj = jnp.where(lj_m, r6inv * (lj1 * r6inv - lj2), 0.0)
-        evdwl += 0.5 * jnp.sum(jnp.where(lj_m, r6inv * (lj3 * r6inv - lj4) - off11, 0.0))
+        forcelj = r6inv * (lj1 * r6inv - lj2)
+        philj = r6inv * (lj3 * r6inv - lj4)
+        if p.charmm:
+            # CHARMM inner/outer energy switching, same branch as
+            # _pair_terms (pair_lj_charmm_coul_long.cpp:110-125)
+            switch1 = ((cut_ljsq - rsq) ** 2
+                       * (cut_ljsq + 2.0 * rsq - 3.0 * p.cut_lj_innersq)
+                       / p.denom_lj)
+            switch2 = (12.0 * rsq * (cut_ljsq - rsq)
+                       * (rsq - p.cut_lj_innersq) / p.denom_lj)
+            outer = rsq > p.cut_lj_innersq
+            forcelj = jnp.where(outer, forcelj * switch1 + philj * switch2,
+                                forcelj)
+            philj = jnp.where(outer, philj * switch1, philj)
+        forcelj = jnp.where(lj_m, forcelj, 0.0)
+        evdwl += 0.5 * jnp.sum(jnp.where(lj_m, philj - off11, 0.0))
 
         if coul:
             qi = ctr(qs); qj = nbr_group(qs, offs)

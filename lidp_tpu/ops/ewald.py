@@ -212,8 +212,8 @@ def ewald_forces(x, q, volume, p: EwaldParams):
     coef = s * w[None, :] - c * w2[None, :]       # (N,K)
     f = (coef @ p.hvecs) * q[:, None]
 
-    virial_self_bg = -0.5 * jnp.pi * p.qscale / (p.g_ewald**2 * volume) * p.qsum * p.qsum
+    # reference ewald.cpp:466-474 tallies only the per-k terms into the
+    # global virial — no self/background contribution (even for non-neutral
+    # systems); match it so Ewald and PPPM pressures agree
     virial = c0 * (sk2 @ p.kvirial)
-    virial = virial - virial_self_bg * jnp.array([1.0, 1.0, 1.0, 0.0, 0.0, 0.0],
-                                                 x.dtype)
     return f, elong, virial

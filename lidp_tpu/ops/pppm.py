@@ -253,15 +253,15 @@ def pppm_forces(x, q, box_lengths, setup: PPPMSetup, qqrd2e, qsqsum, qsum):
 
     # mesh virial (pppm.cpp vg coefficients + poisson_ik virial branch):
     # per-mode energy density e_k = (2pi/V) G|rho_k|^2/W^2, tensor weight
-    # v_ab = delta_ab - 2 k_a k_b (1/k^2 + 1/(4g^2)); self/background terms
-    # subtract isotropically like Ewald's
+    # v_ab = delta_ab - 2 k_a k_b (1/k^2 + 1/(4g^2))
     ek = (2 * jnp.pi / vol) * green * jnp.abs(rho_k) ** 2 / wk2
     vfac = 2.0 * (1.0 / k2 + 1.0 / (4.0 * g * g))
-    vself_bg = qqrd2e * jnp.pi / (2 * g * g * vol) * qsum * qsum
+
+    # per-mode terms only — the reference's global virial carries no
+    # self/background correction (pppm.cpp poisson_ik / ewald.cpp:466-474)
     def vcomp(ka, kb, diag):
         w = (1.0 if diag else 0.0) - vfac * ka * kb
-        v = qqrd2e * jnp.sum(ek * w)
-        return v - vself_bg if diag else v
+        return qqrd2e * jnp.sum(ek * w)
     virial = jnp.stack([
         vcomp(KX, KX, True), vcomp(KY, KY, True), vcomp(KZ, KZ, True),
         vcomp(KX, KY, False), vcomp(KX, KZ, False), vcomp(KY, KZ, False)])

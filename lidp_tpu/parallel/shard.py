@@ -434,13 +434,10 @@ def build_sharded_polar_step(
                 f = f + jnp.dot(sph * w1[None, :] - cph * w2[None, :],
                                 ew.hvecs.astype(dtype),
                                 precision=hp) * q[:, None]
-                vself_bg = (-0.5 * jnp.pi * ew.qscale
-                            / (ew.g_ewald**2 * volume) * ew.qsum * ew.qsum)
-                # replicated k-space virial: add on one device only so the
-                # closing psum counts it once
-                vk = c0 * jnp.dot(sk2, ew.kvirial.astype(dtype),
-                                  precision=hp) \
-                    - vself_bg * jnp.array([1, 1, 1, 0, 0, 0], dtype)
+                # replicated k-space virial (per-k terms only, no self/bg —
+                # ewald.cpp:466-474): add on one device only so the closing
+                # psum counts it once
+                vk = c0 * jnp.dot(sk2, ew.kvirial.astype(dtype), precision=hp)
                 vir = vir + jnp.where(_axidx() == 0, vk, 0.0)
 
             epol = jnp.zeros((), dtype)

@@ -82,10 +82,46 @@ class Simulation:
         mass_atom = script.mass_type[script.type]
         alpha = script.alpha_type[script.type]
 
+        # ---- multi-chip sharding (GSPMD): pad the atom axis to a multiple
+        # of the mesh size, then device_put the state over the mesh and let
+        # XLA partition the existing jitted step (SPMD sharding-in-types) —
+        # the TPU-native replacement for comm_brick.cpp's halo machinery.
+        # Opt in via the `processors` command / -sharding CLI flag.
+        ndev = int(getattr(script, "n_shard_devices", 0) or 0)
+        mesh = None
+        npad = n
+        if ndev > 1:
+            import jax as _jax
+
+            from lidp_tpu.parallel.shard import AXIS, make_mesh
+
+            avail = len(_jax.devices())
+            if ndev > avail:
+                raise ValueError(
+                    f"processors/{ndev=} exceeds available devices ({avail})")
+            mesh = make_mesh(ndev)
+            npad = -(-n // ndev) * ndev
+
+        def _padA(a, fill=0.0):
+            if a is None:
+                return None
+            a = np.asarray(a)
+            if npad == a.shape[0]:
+                return a
+            out = np.full((npad,) + a.shape[1:], fill, a.dtype)
+            out[:n] = a
+            return out
+
+        # group masks padded False; real-count checks keep script.groups
+        groups = {k: _padA(v, False) for k, v in script.groups.items()}
+        mask_pad = np.arange(npad) < n
+        alpha = _padA(alpha)
+
         box = Box.create(script.box_lo, script.box_hi, dtype=dtype)
         sys = make_system(
-            script.x, box=box, v=script.v, q=script.q, type=script.type,
-            mol=script.mol, alpha=alpha, image=script.image, dtype=dtype)
+            _padA(script.x), box=box, v=_padA(script.v), q=_padA(script.q),
+            type=_padA(script.type, 0), mol=_padA(script.mol, 0), alpha=alpha,
+            image=_padA(script.image, 0), mask=mask_pad, dtype=dtype)
         sys = sys.replace(step=jnp.asarray(script.step, jnp.int32))
 
         # ---- pair tables ----
@@ -107,6 +143,8 @@ class Simulation:
             if script.mass_type is None:
                 script.mass_type = alloy_mass
                 mass_atom = script.mass_type[script.type]
+        # padded atoms get unit mass so 1/m stays finite (f == 0 keeps v == 0)
+        mass_atom = _padA(mass_atom, 1.0)
         eps, sig, cut = _mix_pair_tables(script)
         coul = "coul" in script.pair.name
         charmm = "charmm" in script.pair.name
@@ -170,9 +208,18 @@ class Simulation:
                      and len(script._bonds))
         if has_bonds:
             if n <= DENSE_PATH_MAX_ATOMS:
-                sp_code = jnp.asarray(
-                    topo_mod.special_codes_dense(n, script._bonds))
+                code = topo_mod.special_codes_dense(n, script._bonds)
+                if npad != n:
+                    code = np.pad(code, ((0, npad - n), (0, npad - n)))
+                sp_code = jnp.asarray(code)
             si, sl = topo_mod.special_lists(n, script._bonds)
+            if npad != n:
+                # remap the "invalid" fill (== n) past the padding, then pad
+                si = np.where(si == n, npad, si)
+                si = np.concatenate(
+                    [si, np.full((npad - n, si.shape[1]), npad, si.dtype)])
+                sl = np.concatenate(
+                    [sl, np.zeros((npad - n, sl.shape[1]), sl.dtype)])
             sp_idx = jnp.asarray(si)
             sp_lvl = jnp.asarray(sl, jnp.int32)
 
@@ -351,8 +398,12 @@ class Simulation:
         integ = None
         dof_removed = 0.0
         rigid_groups = []
-        post_force = None
-        post_force_setup = None
+        # post_force hooks use one normalized protocol: fn(sys, f) ->
+        # (f', extra_virial6), applied in fix-declaration order like
+        # Modify::post_force (modify.cpp:454). pf_hooks_setup mirrors
+        # pf_hooks but shake uses its half-dtfsq setup variant.
+        pf_hooks = []
+        pf_hooks_setup = []
         pending_temp_fix = None
         shake_dof_removed = 0
         integrator_fixes = [f for f in script.fixes.values()
@@ -368,7 +419,7 @@ class Simulation:
 
                 if shake_found is not None:
                     shakep = shake_mod.build_shake_params(
-                        n, script.dt, u.ftm2v, mass_atom, shake_found,
+                        npad, script.dt, u.ftm2v, mass_atom, shake_found,
                         tolerance=shake_cfg[0], max_iter=shake_cfg[1],
                         dtype=dtype)
                     # setup variant: dtfsq/2 for the first (half-kick) step
@@ -386,43 +437,38 @@ class Simulation:
                     sys = sys.replace(x=sys.x + jnp.asarray(dx, dtype))
                     dof_removed += shakep.nconstraints
                     shake_dof_removed = shakep.nconstraints
-                    prev_pf = post_force
-                    post_force = (
-                        lambda sys_, f_, _p=shakep, _prev=prev_pf:
-                        shake_mod.shake_post_force(
-                            sys_, f_ if _prev is None else _prev(sys_, f_),
-                            _p))
-                    post_force_setup = (
-                        lambda sys_, f_, _p=shakep_half, _prev=prev_pf:
-                        shake_mod.shake_post_force(
-                            sys_, f_ if _prev is None else _prev(sys_, f_),
-                            _p))
+                    pf_hooks.append(
+                        lambda sys_, f_, _p=shakep:
+                        shake_mod.shake_post_force(sys_, f_, _p))
+                    pf_hooks_setup.append(
+                        lambda sys_, f_, _p=shakep_half:
+                        shake_mod.shake_post_force(sys_, f_, _p))
                 continue
             if spec.style == "setforce":
                 # fix_setforce.cpp: overwrite force components on the group
                 # each step (NULL keeps the computed component)
-                gm_sf = jnp.asarray(script.groups[spec.group])[:, None]
+                gm_sf = jnp.asarray(groups[spec.group])[:, None]
                 vals = [None if t == "NULL" else float(t)
                         for t in spec.args[:3]]
                 keep = jnp.asarray([v is None for v in vals])
                 tgt_f = jnp.asarray([0.0 if v is None else v for v in vals],
                                     dtype)
-                prev_sf = post_force
 
-                def _setforce_pf(sys_, f_, _prev=prev_sf, _g=gm_sf,
-                                 _k=keep, _t=tgt_f):
-                    fb = f_ if _prev is None else _prev(sys_, f_)
-                    return jnp.where(_g & ~_k[None, :], _t[None, :], fb)
+                def _setforce_pf(sys_, f_, _g=gm_sf, _k=keep, _t=tgt_f):
+                    f2 = jnp.where(_g & ~_k[None, :], _t[None, :], f_)
+                    return f2, jnp.zeros(6, f_.dtype)
 
-                post_force = _setforce_pf
+                pf_hooks.append(_setforce_pf)
+                pf_hooks_setup.append(_setforce_pf)
                 continue
             if spec.style == "enforce2d":
                 # fix_enforce2d.cpp: zero z force (z velocity stays 0)
-                prev_pf2 = post_force
-                post_force = (
-                    lambda sys_, f_, _prev=prev_pf2:
-                    (f_ if _prev is None else _prev(sys_, f_))
-                    * jnp.array([1.0, 1.0, 0.0], f_.dtype))
+                def _e2d_pf(sys_, f_):
+                    return (f_ * jnp.array([1.0, 1.0, 0.0], f_.dtype),
+                            jnp.zeros(6, f_.dtype))
+
+                pf_hooks.append(_e2d_pf)
+                pf_hooks_setup.append(_e2d_pf)
                 continue
             if spec.style in ("temp/rescale", "temp/berendsen"):
                 if not script.groups[spec.group].all():
@@ -435,15 +481,15 @@ class Simulation:
                                             float(spec.args[1]),
                                             float(spec.args[2]),
                                             int(spec.args[3]))
-                gmask_l = jnp.asarray(script.groups[spec.group])
+                gmask_l = jnp.asarray(groups[spec.group])
                 m_l = jnp.asarray(mass_atom, dtype)
                 gamma1 = -m_l / damp_l / u.ftm2v
                 gamma2 = jnp.sqrt(24.0 * u.boltz * t_l * m_l
                                   / (damp_l * script.dt * u.mvv2e)) / u.ftm2v
                 seed_arr = jnp.asarray(seed_l, jnp.uint32)
 
-                def post_force(sys, f, _g1=gamma1, _g2=gamma2,
-                               _gm=gmask_l, _seed=seed_arr):
+                def _langevin_pf(sys, f, _g1=gamma1, _g2=gamma2,
+                                 _gm=gmask_l, _seed=seed_arr):
                     import jax as _jax
 
                     key = _jax.random.fold_in(
@@ -451,13 +497,18 @@ class Simulation:
                     u01 = _jax.random.uniform(key, sys.v.shape,
                                               dtype=sys.v.dtype)
                     fl = _g1[:, None] * sys.v + _g2[:, None] * (u01 - 0.5)
-                    return f + jnp.where((_gm & sys.mask)[:, None], fl, 0.0)
+                    f2 = f + jnp.where((_gm & sys.mask)[:, None], fl, 0.0)
+                    return f2, jnp.zeros(6, f.dtype)
+
+                pf_hooks.append(_langevin_pf)
+                pf_hooks_setup.append(_langevin_pf)
                 continue
-            gmask = script.groups[spec.group]
+            gmask = groups[spec.group]
+            gmask_real = script.groups[spec.group]
             if spec.style == "nve":
                 nvep = nve_mod.NVEParams.create(
                     script.dt, u.ftm2v, mass_atom, dtype=dtype)
-                if not gmask.all():
+                if not gmask_real.all():
                     raise NotImplementedError("fix nve on sub-group")
                 integ = nve_integrator(nvep)
             elif spec.style == "nvt":
@@ -477,7 +528,7 @@ class Simulation:
                         kw["t_chain"] = int(a[i + 1]); i += 2
                     else:
                         i += 1
-                if not gmask.all():
+                if not gmask_real.all():
                     raise NotImplementedError("fix nvt on sub-group")
                 nvtp = nvt_mod.NVTParams.create(
                     script.dt, u.ftm2v, mass_atom, t_start_, t_damp,
@@ -499,7 +550,7 @@ class Simulation:
                         "fix npt with pppm needs per-step grid re-setup "
                         "(fix_nh.cpp:877) — use kspace_style ewald under a "
                         "barostat for now")
-                if not gmask.all():
+                if not gmask_real.all():
                     raise NotImplementedError("fix npt on sub-group")
                 a = spec.args
                 tgt = dict(t=None, tdamp=None, mtk=True, tchain=3, pchain=3,
@@ -556,9 +607,11 @@ class Simulation:
                     final=npt_mod.final_integrate,
                     params=nptp, init_state=npt_mod.init_state)
             elif spec.style in ("rigid", "rigid/nve", "rigid/nvt"):
-                x_unwrap = script.x + script.image * (script.box_hi - script.box_lo)
+                x_unwrap = (_padA(script.x)
+                            + _padA(script.image, 0)
+                            * (script.box_hi - script.box_lo))
                 rsetup = rigid_mod.setup_bodies(x_unwrap, mass_atom,
-                                                script.mol, gmask)
+                                                _padA(script.mol, 0), gmask)
                 kw = {}
                 if spec.style == "rigid/nvt":
                     a = spec.args
@@ -655,6 +708,23 @@ class Simulation:
                         1.0 + script.dt / t_damp * (t_tgt / t_cur - 1.0))
                     return sys_.replace(v=sys_.v * lam)
 
+        def _compose_pf(hooks):
+            if not hooks:
+                return None
+
+            def composed(sys_, f_, _hooks=tuple(hooks)):
+                vtot = jnp.zeros(6, f_.dtype)
+                for h in _hooks:
+                    f_, v6 = h(sys_, f_)
+                    vtot = vtot + v6
+                return f_, vtot
+
+            return composed
+
+        post_force = _compose_pf(pf_hooks)
+        post_force_setup = (_compose_pf(pf_hooks_setup)
+                            if pf_hooks_setup != pf_hooks else None)
+
         runner = Runner(ff=ff, integ=integ, neighbor_cfg=ncfg,
                         rebuild_every=rebuild_every, post_force=post_force,
                         end_of_step=end_of_step,
@@ -671,8 +741,8 @@ class Simulation:
         for cid, spec_c in script.computes.items():
             if len(spec_c) == 3 and spec_c[1] == "group/group":
                 gg_computes[cid] = (
-                    jnp.asarray(script.groups[spec_c[0]]),
-                    jnp.asarray(script.groups[spec_c[2]]))
+                    jnp.asarray(groups[spec_c[0]]),
+                    jnp.asarray(groups[spec_c[2]]))
                 continue
             if len(spec_c) == 3 and spec_c[1] == "msd":
                 msd_computes[cid] = (script.groups[spec_c[0]].copy(),
@@ -683,7 +753,7 @@ class Simulation:
                                      int(spec_c[2]))
                 continue
             gname, style = spec_c
-            gmask = script.groups[gname]
+            gmask = groups[gname]
             ng = int(gmask.sum())
             gdof = 3 * ng - 3
             for gsp, rsetup in rigid_groups:
@@ -701,6 +771,39 @@ class Simulation:
         sim_obj.gg_computes = gg_computes
         sim_obj.msd_computes = msd_computes
         sim_obj.rdf_computes = rdf_computes
+        sim_obj.mesh = mesh
+        sim_obj.n_padded = npad
+
+        if mesh is not None:
+            # lay every device array onto the mesh: (npad, ...) leaves are
+            # sharded over the atom axis, everything else replicated; the
+            # jitted step then runs SPMD with XLA-inserted collectives
+            import jax as _jax
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as _P
+
+            sh_atoms = NamedSharding(mesh, _P(AXIS))
+            sh_repl = NamedSharding(mesh, _P())
+
+            def _put(leaf):
+                if not (hasattr(leaf, "shape") and hasattr(leaf, "dtype")):
+                    return leaf
+                sh = (sh_atoms if leaf.ndim >= 1 and leaf.shape[0] == npad
+                      else sh_repl)
+                return _jax.device_put(leaf, sh)
+
+            def _put_tree(t):
+                return _jax.tree.map(_put, t)
+
+            sim_obj.sys = _put_tree(sim_obj.sys)
+            runner.ff = _put_tree(runner.ff)
+            runner.integ = dataclasses.replace(
+                runner.integ, params=_put_tree(runner.integ.params))
+            sim_obj.thermo_params = _put_tree(sim_obj.thermo_params)
+            sim_obj.group_thermo = {k: _put_tree(v)
+                                    for k, v in group_tp.items()}
+            sim_obj.gg_computes = {k: (_put(a), _put(b))
+                                   for k, (a, b) in gg_computes.items()}
         return sim_obj
 
     # ------------------------------- running -------------------------------
@@ -719,7 +822,8 @@ class Simulation:
         for cid, (gmask, x0) in getattr(self, "msd_computes", {}).items():
             # compute_msd.cpp: mean square displacement of unwrapped coords
             L = np.asarray(self.sys.box.lengths)
-            xu = np.asarray(self.sys.x) + np.asarray(self.sys.image) * L
+            xu = (np.asarray(self.sys.x)
+                  + np.asarray(self.sys.image) * L)[:self.natoms]
             d = (xu - x0)[gmask]
             comps = (d * d).mean(axis=0)
             row[f"c_{cid}[1]"], row[f"c_{cid}[2]"], row[f"c_{cid}[3]"] = comps
@@ -730,7 +834,7 @@ class Simulation:
         """compute rdf (compute_rdf.cpp): returns (Nbin, 3) [r, g(r), coord]
         over the group, binned to the pair cutoff."""
         gmask, nbin = self.rdf_computes[cid]
-        x = np.asarray(self.sys.x)[gmask]
+        x = np.asarray(self.sys.x)[:self.natoms][gmask]
         L = np.asarray(self.sys.box.lengths)
         cut = float(np.sqrt(np.max(np.asarray(self.runner.ff.pair.cutsq)))
                     if self.runner.ff.pair is not None
@@ -778,8 +882,7 @@ class Simulation:
             incut = rsq < pp.cutsq[t[:, None], t[None, :]]
             return jnp.sum(jnp.where(incut, e * w, 0.0))
 
-        return gg(self.sys.x, self.sys.q,
-                  jnp.asarray(self.script.type, jnp.int32), maska, maskb)
+        return gg(self.sys.x, self.sys.q, self.sys.type, maska, maskb)
 
     def _emit(self):
         row = self._thermo_row()

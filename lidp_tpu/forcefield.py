@@ -85,9 +85,14 @@ class ForceResult:
 
 
 def compute_forces(sys: System, ff: ForceField,
-                   nlist: Optional[NeighborList] = None) -> ForceResult:
+                   nlist: Optional[NeighborList] = None,
+                   need_ev: bool = True) -> ForceResult:
     """Evaluate every force term. Uses the dense all-pairs path when no
-    neighbor list is given (small systems / validation)."""
+    neighbor list is given (small systems / validation).
+
+    need_ev=False (the LAMMPS eflag/vflag=0 analog, Pair::ev_setup
+    pair.cpp:752) skips energy/virial math on the cell-kernel hot path;
+    scan-internal steps don't consume them."""
     dtype = sys.x.dtype
     zero = jnp.zeros((), dtype)
     f = jnp.zeros_like(sys.x)
@@ -102,7 +107,8 @@ def compute_forces(sys: System, ff: ForceField,
 
         if isinstance(nlist, Cells):
             fp, ev, ec, vir = cell_pair_forces(
-                sys.x, sys.q, sys.type, sys.mask, nlist, sys.box, ff.pair)
+                sys.x, sys.q, sys.type, sys.mask, nlist, sys.box, ff.pair,
+                need_ev=need_ev)
             if ff.sp_idx is not None:
                 from lidp_tpu.ops.bonded import special_correction_sparse
 

@@ -72,6 +72,11 @@ class Runner:
     # HALF kick, so constraint fixes need dtfsq/2 there (FixShake::
     # shake_end_of_step, fix_shake.cpp:2734-2741)
     post_force_setup: Optional[Callable] = None
+    # True when the integrator consumes per-step energies/virials (fix
+    # npt/nph needs the virial every step); False runs the quiet force path
+    # inside the scan and re-tallies energies once at the chunk end
+    # (LAMMPS' ev_setup eflag/vflag gating, pair.cpp:752)
+    every_step_ev: bool = False
 
     def __post_init__(self):
         self._scan = jax.jit(
@@ -80,7 +85,8 @@ class Runner:
                               neighbor_cfg=self.neighbor_cfg,
                               rebuild_every=self.rebuild_every,
                               post_force=self.post_force,
-                              end_of_step=self.end_of_step),
+                              end_of_step=self.end_of_step,
+                              every_step_ev=self.every_step_ev),
             static_argnames=("nsteps",),
         )
         self._force = jax.jit(
@@ -135,7 +141,7 @@ def _setup_forces(sys, ff, *, neighbor_cfg, post_force=None):
 
 def _run_chunk(sys, res, nlist, istate, ff, iparams, *, nsteps,
                initial, final, neighbor_cfg, rebuild_every, post_force=None,
-               end_of_step=None):
+               end_of_step=None, every_step_ev=True):
     def body(carry, _):
         sys, res, nlist, istate = carry
         sys, istate = initial(sys, res, iparams, istate)
@@ -153,7 +159,7 @@ def _run_chunk(sys, res, nlist, istate, ff, iparams, *, nsteps,
             need = (sys.step % rebuild_every) == 0
             sys, nlist = jax.lax.cond(need, rebuild, keep, sys, nlist)
 
-        res = compute_forces(sys, ff, nlist)
+        res = compute_forces(sys, ff, nlist, need_ev=every_step_ev)
         if post_force is not None:
             res = _apply_post_force(sys, res, post_force)
         sys = sys.replace(mu=res.mu)
@@ -164,4 +170,10 @@ def _run_chunk(sys, res, nlist, istate, ff, iparams, *, nsteps,
 
     (sys, res, nlist, istate), _ = jax.lax.scan(
         body, (sys, res, nlist, istate), None, length=nsteps)
+    if not every_step_ev:
+        # one energy-bearing re-tally at the chunk boundary (forces at the
+        # final positions are unchanged; thermo samples between chunks)
+        res = compute_forces(sys, ff, nlist, need_ev=True)
+        if post_force is not None:
+            res = _apply_post_force(sys, res, post_force)
     return sys, res, nlist, istate

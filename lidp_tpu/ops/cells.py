@@ -8,15 +8,21 @@ computation:
   * atoms are bucketed into a dense (nbx, nby, nbz, cap) slot grid once per
     rebuild (one argsort + small scatters);
   * each step, per-slot coordinates are gathered once (O(slots), not
-    O(pairs)), and the 27 neighbor-cell interactions are computed by
+    O(pairs)), and the neighbor-cell interactions are computed by
     jnp.roll-ing the whole grid — periodic wrap included — as
     (cells, cap, cap) elementwise blocks: no gathers in the pair loop at all;
   * forces return in slot space and map back with one O(N) gather.
 
-Each pair is evaluated twice (i-block x j-block and vice versa), so energies
-and virials carry 0.5 factors, numerically identical to the reference's
-half-list Newton tallies.  Overdraw (evaluating out-of-cutoff candidates) is
-~4-20x arithmetic, which the VPU absorbs; regularity wins over sparsity.
+Newton's third law is exploited exactly like the reference's half lists
+(npair_half_bin_newton.cpp): only 13 of the 27 stencil offsets are evaluated
+plus the upper triangle of the self cell, and each pair tallies +f to the
+center atom and -f to the neighbor (the neighbor-side sum rolls back to its
+home cell).  Energies/virials carry full weight (each pair seen once).
+
+Energy/virial work is gated by `need_ev`: inside a lax.scan run chunk nothing
+consumes per-step energies (thermo samples between chunks), so the quiet path
+skips the evdwl/ecoul/virial math entirely (LAMMPS' eflag/vflag analog,
+ev_setup pair.cpp:752).
 
 Requires >= 3 bins per dimension (otherwise the dense path applies).
 """
@@ -91,14 +97,27 @@ def build_cells(x, mask, box: Box, cfg: CellConfig) -> Cells:
 
 
 _OFFSETS = [(i, j, k) for i in (-1, 0, 1) for j in (-1, 0, 1) for k in (-1, 0, 1)]
+# Newton half stencil: the 13 lexicographically-positive offsets; the self
+# cell (0,0,0) is handled with an upper-triangular slot mask.
+_HALF_OFFSETS = [o for o in _OFFSETS
+                 if o > (0, 0, 0)]
+
+
+def _roll(a, off, sign=-1):
+    for ax, sh in enumerate(off):
+        if sh:
+            a = jnp.roll(a, sign * sh, axis=ax)
+    return a
 
 
 def cell_pair_forces(x, q, type_, mask, cells: Cells, box: Box, p,
-                     coul: bool | None = None):
+                     coul: bool | None = None, need_ev: bool = True):
     """LJ (+ real-space Ewald coulomb) forces via the rolled cell grid.
 
     `p` is a PairParams.  Multi-type tables are applied per-slot (one gather
     per slot pair table row).  Special bonds are not supported on this path.
+    When need_ev is False, the returned energies/virial are zeros and their
+    computation is skipped (the scan-internal fast path).
     Returns (f (N,3), evdwl, ecoul, virial6) in atom order.
     """
     n = x.shape[0]
@@ -127,13 +146,9 @@ def cell_pair_forces(x, q, type_, mask, cells: Cells, box: Box, p,
         return a[..., :, None]
 
     def nbr(a, off):
-        r = a
-        for ax, sh in enumerate(off):
-            if sh:
-                r = jnp.roll(r, -sh, axis=ax)
-        return r[..., None, :]
+        return _roll(a, off, -1)[..., None, :]
 
-    fx = jnp.zeros(aos.shape + (1,), dtype)
+    fx = jnp.zeros(aos.shape, dtype)
     fy = jnp.zeros_like(fx)
     fz = jnp.zeros_like(fx)
     evdwl = jnp.zeros((), dtype)
@@ -149,19 +164,22 @@ def cell_pair_forces(x, q, type_, mask, cells: Cells, box: Box, p,
         off11 = p.offset[1, 1]
         cut_ljsq = p.cut_ljsq[1, 1]; cutsq = p.cutsq[1, 1]
 
-    same = jnp.eye(cap, dtype=bool)
+    # upper triangle (i<j) for the self-cell block
+    tri = jnp.arange(cap)[:, None] < jnp.arange(cap)[None, :]
 
     # Process stencil offsets in groups: concatenating G rolled neighbor
     # grids along the j axis makes the lane dimension G*cap wide (~512),
-    # cutting the 128-lane tile padding from ~2.3x to ~2%.
-    group_size = max(1, min(9, 512 // cap))
-    groups = [_OFFSETS[i:i + group_size]
-              for i in range(0, len(_OFFSETS), group_size)]
+    # cutting the 128-lane tile padding.  Group 0 carries the self cell.
+    group_size = max(1, min(14, 512 // cap))
+    all_offs = [(0, 0, 0)] + _HALF_OFFSETS
+    groups = [all_offs[i:i + group_size]
+              for i in range(0, len(all_offs), group_size)]
 
     def nbr_group(a, offs):
         return jnp.concatenate([nbr(a, o) for o in offs], axis=-1)
 
     for offs in groups:
+        G = len(offs)
         dx = minimum_image(ctr(xs[0]) - nbr_group(xs[0], offs), L[0])
         dy = minimum_image(ctr(xs[1]) - nbr_group(xs[1], offs), L[1])
         dz = minimum_image(ctr(xs[2]) - nbr_group(xs[2], offs), L[2])
@@ -169,9 +187,10 @@ def cell_pair_forces(x, q, type_, mask, cells: Cells, box: Box, p,
         pair_ok = ctr(valid) & nbr_group(valid, offs)
         if (0, 0, 0) in offs:
             gi = offs.index((0, 0, 0))
-            self_blk = jnp.pad(
-                same, ((0, 0), (gi * cap, (len(offs) - gi - 1) * cap)))
-            pair_ok = pair_ok & ~self_blk
+            tri_blk = jnp.pad(
+                tri, ((0, 0), (gi * cap, (G - gi - 1) * cap)),
+                constant_values=True)
+            pair_ok = pair_ok & tri_blk
         rsq = jnp.where(pair_ok, rsq, 1.0e12)
         r2inv = 1.0 / rsq
 
@@ -186,7 +205,9 @@ def cell_pair_forces(x, q, type_, mask, cells: Cells, box: Box, p,
         lj_m = in_rng & (rsq < cut_ljsq)
         r6inv = r2inv * r2inv * r2inv
         forcelj = r6inv * (lj1 * r6inv - lj2)
-        philj = r6inv * (lj3 * r6inv - lj4)
+        need_philj = need_ev or p.charmm
+        if need_philj:
+            philj = r6inv * (lj3 * r6inv - lj4)
         if p.charmm:
             # CHARMM inner/outer energy switching, same branch as
             # _pair_terms (pair_lj_charmm_coul_long.cpp:110-125)
@@ -200,7 +221,8 @@ def cell_pair_forces(x, q, type_, mask, cells: Cells, box: Box, p,
                                 forcelj)
             philj = jnp.where(outer, philj * switch1, philj)
         forcelj = jnp.where(lj_m, forcelj, 0.0)
-        evdwl += 0.5 * jnp.sum(jnp.where(lj_m, philj - off11, 0.0))
+        if need_ev:
+            evdwl += jnp.sum(jnp.where(lj_m, philj - off11, 0.0))
 
         if coul:
             qi = ctr(qs); qj = nbr_group(qs, offs)
@@ -212,18 +234,32 @@ def cell_pair_forces(x, q, type_, mask, cells: Cells, box: Box, p,
             erfc = t * (A1 + t * (A2 + t * (A3 + t * (A4 + t * A5)))) * expm2
             prefactor = p.qqrd2e * qi * qj / r
             forcecoul = jnp.where(cm, prefactor * (erfc + EWALD_F * grij * expm2), 0.0)
-            ecoul += 0.5 * jnp.sum(jnp.where(cm, prefactor * erfc, 0.0))
+            if need_ev:
+                ecoul += jnp.sum(jnp.where(cm, prefactor * erfc, 0.0))
         else:
             forcecoul = 0.0
 
         fpair = (forcelj + forcecoul) * r2inv
-        fx += jnp.sum(fpair * dx, axis=-1, keepdims=True)
-        fy += jnp.sum(fpair * dy, axis=-1, keepdims=True)
-        fz += jnp.sum(fpair * dz, axis=-1, keepdims=True)
-        w = 0.5 * fpair
-        vir[0] += jnp.sum(w * dx * dx); vir[1] += jnp.sum(w * dy * dy)
-        vir[2] += jnp.sum(w * dz * dz); vir[3] += jnp.sum(w * dx * dy)
-        vir[4] += jnp.sum(w * dx * dz); vir[5] += jnp.sum(w * dy * dz)
+        px = fpair * dx; py = fpair * dy; pz = fpair * dz
+        # Newton: +f on the center atom, -f rolled back onto the neighbor
+        fx += jnp.sum(px, axis=-1).reshape(aos.shape)
+        fy += jnp.sum(py, axis=-1).reshape(aos.shape)
+        fz += jnp.sum(pz, axis=-1).reshape(aos.shape)
+        sx = jnp.sum(px, axis=-2)    # (bx,by,bz,G*cap)
+        sy = jnp.sum(py, axis=-2)
+        sz = jnp.sum(pz, axis=-2)
+        for g, o in enumerate(offs):
+            sl = slice(g * cap, (g + 1) * cap)
+            fx -= _roll(sx[..., sl], o, +1)
+            fy -= _roll(sy[..., sl], o, +1)
+            fz -= _roll(sz[..., sl], o, +1)
+        if need_ev:
+            vir[0] += jnp.sum(fpair * dx * dx)
+            vir[1] += jnp.sum(fpair * dy * dy)
+            vir[2] += jnp.sum(fpair * dz * dz)
+            vir[3] += jnp.sum(fpair * dx * dy)
+            vir[4] += jnp.sum(fpair * dx * dz)
+            vir[5] += jnp.sum(fpair * dy * dz)
 
     # slot-space -> atom-space (one O(N) gather)
     fxf = fx.reshape(-1)[cells.slot_of_atom]

@@ -1,18 +1,25 @@
-"""Pallas TPU kernel for the blocked LJ pair force (experimental).
+"""Tiled Pallas LJ cell-pair kernel — the speed-of-light path for bench/in.lj.
 
-A hand-tiled version of the row-block x column-chunk pair computation used by
-parallel/shard.py: grid over (row blocks, column chunks), per-program VMEM
-tiles of the per-component coordinate arrays, accumulation into the row-block
-force components across the column grid dimension.
+Why the XLA roll kernel (ops/cells.py) is memory-bound: the broadcasted
+(cells, cap, G*cap) candidate blocks are consumed by several reductions
+(i-side force, j-side force, energy, virial), and XLA materializes them in
+HBM between fusions (~150 MB per intermediate at 32k atoms).  This kernel
+keeps each (cap, K) candidate block in VMEM for its whole lifetime:
 
-Status (round 1): numerically validated against the jnp path on real TPU
-(rel err ~1e-17), but SLOW as written — the (1, N) input layouts give
-sublane-1 tiles (8x padding) and the in-kernel transposes defeat the VPU.
-Measured 4.4 s for a 32k all-pairs pass vs ~5 ms for the XLA cell kernel.
-Not used in production paths; kept as the starting point for a properly
-(BM, BN)-tiled fused pair+field pipeline in later rounds.  The XLA roll-based
-cell kernel (ops/cells.py) and column-chunked shard path (parallel/shard.py)
-are the production kernels.
+  * precompute (cheap, O(slots)): slotified coordinates with *unique
+    far-away sentinels* for empty slots (no validity masks in the kernel),
+    and the 13 half-stencil neighbor grids pre-rolled with the periodic
+    image shift folded into the coordinates (no minimum-image in the
+    kernel);
+  * kernel: grid over cell rows; per program a (BC, cap, K) block computes
+    rsq -> LJ force once per pair (Newton), reduces the i-side over K and
+    the j-side over cap, optionally tallies evdwl + virial;
+  * post (cheap): roll the 13 j-side partial grids back home, one O(N)
+    gather from slot space to atom order.
+
+Reference hot loop analog: npair_half_bin_newton.cpp:36 + pair_lj_cut.cpp
+compute.  Single LJ type, no coulomb (the polar/coulomb systems use the
+dense/sharded paths); falls back to ops/cells.py otherwise.
 """
 
 from __future__ import annotations
@@ -21,67 +28,202 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from lidp_tpu.box import Box
+from lidp_tpu.ops.cells import _HALF_OFFSETS, Cells
 
-def _lj_kernel(xr, yr, zr, xc, yc, zc, rowid, colid, fx, fy, fz,
-               *, lj1, lj2, cutsq, Lx, Ly, Lz):
-    j = pl.program_id(1)
+_SENTINEL = 1.0e4
 
-    @pl.when(j == 0)
-    def _init():
-        fx[:] = jnp.zeros_like(fx)
-        fy[:] = jnp.zeros_like(fy)
-        fz[:] = jnp.zeros_like(fz)
 
-    def mi(d, L):
-        return d - L * jnp.round(d / L)
+def _wrap_shift_np(nbins, off):
+    """Per-cell coordinate shift (in box lengths) the periodic roll implies."""
+    idx = np.indices(nbins)  # (3, nbx, nby, nbz)
+    out = []
+    for ax, o in enumerate(off):
+        n = nbins[ax]
+        s = np.zeros(nbins, np.float32)
+        if o:
+            s[...] = ((idx[ax] + o) >= n).astype(np.float32) - \
+                     ((idx[ax] + o) < 0).astype(np.float32)
+        out.append(s)
+    return np.stack(out)  # (3, nbx, nby, nbz): -1/0/+1 per dim
 
-    dx = mi(xr[:].T - xc[:], Lx)          # (BM,1) - (1,BN) -> (BM,BN)
-    dy = mi(yr[:].T - yc[:], Ly)
-    dz = mi(zr[:].T - zc[:], Lz)
+
+@functools.lru_cache(maxsize=None)
+def _shift_table(nbins):
+    """(13, 3, cells) static wrap shifts for the half stencil.
+
+    Cached as numpy (a jnp constant would leak tracers across jit traces)."""
+    t = np.stack([_wrap_shift_np(nbins, o) for o in _HALF_OFFSETS])
+    return t.reshape(len(_HALF_OFFSETS), 3, -1)
+
+
+def _lj_kernel(par_ref, cx_ref, cy_ref, cz_ref, nx_ref, ny_ref, nz_ref,
+               fix_ref, fiy_ref, fiz_ref, fjx_ref, fjy_ref, fjz_ref, ev_ref,
+               *, cap, need_ev):
+    lj1 = par_ref[0]
+    lj2 = par_ref[1]
+    cutsq = par_ref[5]
+    dx = cx_ref[...][:, :, None] - nx_ref[...][:, None, :]   # (BC, cap, K)
+    dy = cy_ref[...][:, :, None] - ny_ref[...][:, None, :]
+    dz = cz_ref[...][:, :, None] - nz_ref[...][:, None, :]
     rsq = dx * dx + dy * dy + dz * dz
-    ok = (rowid[:].T != colid[:]) & (rsq < cutsq)
+    ok = rsq < cutsq
+    # self cell occupies the first `cap` columns: strict upper triangle
+    rows = jax.lax.broadcasted_iota(jnp.int32, rsq.shape, 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, rsq.shape, 2)
+    ok &= (cols >= cap) | (cols > rows)
     rsq = jnp.where(ok, rsq, 1.0)
     r2inv = 1.0 / rsq
-    r6 = r2inv * r2inv * r2inv
-    fpair = jnp.where(ok, r6 * (lj1 * r6 - lj2) * r2inv, 0.0)
-    fx[:] = fx[:] + jnp.sum(fpair * dx, axis=1, keepdims=True).T
-    fy[:] = fy[:] + jnp.sum(fpair * dy, axis=1, keepdims=True).T
-    fz[:] = fz[:] + jnp.sum(fpair * dz, axis=1, keepdims=True).T
+    r6inv = r2inv * r2inv * r2inv
+    fpair = jnp.where(ok, r6inv * (lj1 * r6inv - lj2) * r2inv, 0.0)
+    px = fpair * dx
+    py = fpair * dy
+    pz = fpair * dz
+    fix_ref[...] = jnp.sum(px, axis=2)
+    fiy_ref[...] = jnp.sum(py, axis=2)
+    fiz_ref[...] = jnp.sum(pz, axis=2)
+    fjx_ref[...] = -jnp.sum(px, axis=1)
+    fjy_ref[...] = -jnp.sum(py, axis=1)
+    fjz_ref[...] = -jnp.sum(pz, axis=1)
+    # ev accumulator block is shared across the (sequential) grid
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        ev_ref[...] = jnp.zeros_like(ev_ref)
+
+    if need_ev:
+        lj3 = par_ref[2]
+        lj4 = par_ref[3]
+        off = par_ref[4]
+        philj = jnp.where(ok, r6inv * (lj3 * r6inv - lj4) - off, 0.0)
+        acc = jnp.stack([
+            jnp.sum(philj), jnp.sum(px * dx), jnp.sum(py * dy),
+            jnp.sum(pz * dz), jnp.sum(px * dy), jnp.sum(px * dz),
+            jnp.sum(py * dz)])
+        ev_ref[0, :] = ev_ref[0, :] + jnp.pad(acc, (0, 121))
 
 
-def pallas_lj_forces(x, box_lengths, lj1, lj2, cutsq,
-                     block_m: int = 512, block_n: int = 2048):
-    """Single-type LJ all-pairs forces via a Pallas grid. x: (N,3), N must be
-    a multiple of block sizes (pad+mask upstream)."""
+def supported(p, ntypes_gt_one: bool, coul: bool) -> bool:
+    return (not ntypes_gt_one) and (not coul) and (not p.charmm)
+
+
+def cell_pair_forces_pallas(x, mask, cells: Cells, box: Box, p,
+                            need_ev: bool = True):
+    """Drop-in LJ replacement for cell_pair_forces (single type, no coul)."""
     n = x.shape[0]
-    dtype = x.dtype
-    assert n % block_m == 0 and n % block_n == 0
-    comps = [jnp.asarray(x[:, d]).reshape(1, n) for d in range(3)]
-    ids = jnp.arange(n, dtype=jnp.int32).reshape(1, n)
-    L = jnp.asarray(box_lengths, dtype)
+    aos = cells.atom_of_slot
+    nbins = aos.shape[:3]
+    cap = aos.shape[-1]
+    C = int(np.prod(nbins))
+    noff = len(_HALF_OFFSETS)
+    K = (1 + noff) * cap
+    K_pad = ((K + 127) // 128) * 128
+    L = box.lengths.astype(jnp.float32)
 
-    grid = (n // block_m, n // block_n)
-    row_spec = pl.BlockSpec((1, block_m), lambda i, j: (0, i),
-                            memory_space=pltpu.VMEM)
-    col_spec = pl.BlockSpec((1, block_n), lambda i, j: (0, j),
-                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, block_m), lambda i, j: (0, i),
-                            memory_space=pltpu.VMEM)
+    amax = jnp.minimum(aos, n - 1)
+    valid = (aos < n).reshape(C, cap)
+    lin = jnp.arange(C * cap, dtype=jnp.float32).reshape(C, cap)
+    sent = _SENTINEL + 10.0 * lin
 
-    kernel = functools.partial(
-        _lj_kernel, lj1=float(lj1), lj2=float(lj2), cutsq=float(cutsq),
-        Lx=float(box_lengths[0]), Ly=float(box_lengths[1]),
-        Lz=float(box_lengths[2]))
-    fx, fy, fz = pl.pallas_call(
+    def slotgrid(vals, d):
+        g = vals.astype(jnp.float32)[amax].reshape(C, cap)
+        pad = sent if d == 0 else jnp.zeros_like(g)
+        return jnp.where(valid, g, pad)
+
+    ctr = [slotgrid(x[:, d], d) for d in range(3)]
+
+    # neighbor grids: self + 13 pre-rolled/pre-shifted copies, concatenated
+    # along the lane axis; padded lanes get their own distant sentinels
+    shifts = _shift_table(nbins)  # (13, 3, C)
+    nbr = []
+    for d in range(3):
+        g4 = ctr[d].reshape(*nbins, cap)
+        blocks = [ctr[d]]
+        for i, off in enumerate(_HALF_OFFSETS):
+            r = g4
+            for ax, sh in enumerate(off):
+                if sh:
+                    r = jnp.roll(r, -sh, axis=ax)
+            blocks.append(r.reshape(C, cap)
+                          + jnp.asarray(shifts[i, d])[:, None] * L[d])
+        col = jnp.concatenate(blocks, axis=1)
+        if K_pad > K:
+            if d == 0:
+                padlane = jnp.broadcast_to(
+                    2.0e6 + 10.0 * jnp.arange(K_pad - K, dtype=jnp.float32),
+                    (C, K_pad - K))
+            else:
+                padlane = jnp.zeros((C, K_pad - K), jnp.float32)
+            col = jnp.concatenate([col, padlane], axis=1)
+        nbr.append(col)
+
+    # pad the cell axis so the block leading dim divides by 8 (Mosaic
+    # requires last-two block dims to be (8k, 128k) or full); padded cells
+    # hold only sentinel slots and contribute nothing
+    BC = 8
+    C_pad = ((C + BC - 1) // BC) * BC
+    if C_pad > C:
+        rpad = C_pad - C
+        csent = (_SENTINEL + 10.0 * C * cap
+                 + 10.0 * jnp.arange(rpad * cap, dtype=jnp.float32)
+                 ).reshape(rpad, cap)
+        ctr[0] = jnp.concatenate([ctr[0], csent], axis=0)
+        nsent = jnp.broadcast_to(
+            2.0e6 + 7.0 * jnp.arange(K_pad, dtype=jnp.float32),
+            (rpad, K_pad))
+        nbr[0] = jnp.concatenate([nbr[0], nsent], axis=0)
+        for d in (1, 2):
+            ctr[d] = jnp.pad(ctr[d], ((0, rpad), (0, 0)))
+            nbr[d] = jnp.pad(nbr[d], ((0, rpad), (0, 0)))
+    grid = (C_pad // BC,)
+    par = jnp.array([p.lj1[1, 1], p.lj2[1, 1], p.lj3[1, 1], p.lj4[1, 1],
+                     p.offset[1, 1], p.cut_ljsq[1, 1]], jnp.float32)
+    kernel = functools.partial(_lj_kernel, cap=cap, need_ev=need_ev)
+    spec_c = pl.BlockSpec((BC, cap), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    spec_n = pl.BlockSpec((BC, K_pad), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    fix, fiy, fiz, fjx, fjy, fjz, ev = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[row_spec, row_spec, row_spec,
-                  col_spec, col_spec, col_spec,
-                  row_spec, col_spec],
-        out_specs=(out_spec, out_spec, out_spec),
-        out_shape=(jax.ShapeDtypeStruct((1, n), dtype),) * 3,
-    )(comps[0], comps[1], comps[2], comps[0], comps[1], comps[2], ids, ids)
-    return jnp.stack([fx[0], fy[0], fz[0]], axis=-1)
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  spec_c, spec_c, spec_c, spec_n, spec_n, spec_n],
+        out_specs=[spec_c, spec_c, spec_c, spec_n, spec_n, spec_n,
+                   pl.BlockSpec((8, 128), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((C_pad, cap), jnp.float32)] * 3 +
+                  [jax.ShapeDtypeStruct((C_pad, K_pad), jnp.float32)] * 3 +
+                  [jax.ShapeDtypeStruct((8, 128), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=C_pad * cap * K_pad * 25,
+            bytes_accessed=(C_pad * cap * 4 + C_pad * K_pad * 4) * 8,
+            transcendentals=0,
+        ),
+    )(par, ctr[0], ctr[1], ctr[2], nbr[0], nbr[1], nbr[2])
+
+    # j-side partials roll back home
+    fs = []
+    for d, (fi, fj) in enumerate(zip((fix, fiy, fiz), (fjx, fjy, fjz))):
+        fi, fj = fi[:C], fj[:C]
+        tot = fi + fj[:, :cap]
+        fj4 = fj[:, cap:K].reshape(*nbins, noff, cap)
+        for i, off in enumerate(_HALF_OFFSETS):
+            r = fj4[..., i, :]
+            for ax, sh in enumerate(off):
+                if sh:
+                    r = jnp.roll(r, sh, axis=ax)
+            tot = tot + r.reshape(C, cap)
+        fs.append(tot.reshape(C * cap))
+
+    f = jnp.stack([fs[0][cells.slot_of_atom],
+                   fs[1][cells.slot_of_atom],
+                   fs[2][cells.slot_of_atom]], axis=-1)
+    f = jnp.where(mask[:, None], f, 0.0).astype(x.dtype)
+    evs = ev[0]
+    dtype = x.dtype
+    evdwl = evs[0].astype(dtype)
+    vir = evs[1:7].astype(dtype)
+    return f, evdwl, jnp.zeros((), dtype), vir

@@ -728,7 +728,10 @@ class Simulation:
         runner = Runner(ff=ff, integ=integ, neighbor_cfg=ncfg,
                         rebuild_every=rebuild_every, post_force=post_force,
                         end_of_step=end_of_step,
-                        post_force_setup=post_force_setup)
+                        post_force_setup=post_force_setup,
+                        # barostats consume the virial every step; everything
+                        # else samples energies at chunk (thermo) boundaries
+                        every_step_ev=has_baro)
 
         # ---- thermo ----
         dof = dim_ * n - dim_ - dof_removed

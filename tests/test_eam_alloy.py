@@ -10,6 +10,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 CU_FUNCFL = "/root/reference/bench/Cu_u3.eam"
 ALCU_SETFL = "/root/reference/potentials/AlCu.eam.alloy"
 

@@ -15,6 +15,8 @@ import jax.numpy as jnp
 from lidp_tpu.io.script import LammpsScript
 
 
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(scope="module")
 def rows(tmp_path_factory):
     tmp = str(tmp_path_factory.mktemp("eam"))

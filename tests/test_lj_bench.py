@@ -11,6 +11,8 @@ from lidp_tpu.models import lj_melt
 from lidp_tpu.thermo import thermo_row
 
 
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(scope="module")
 def melt():
     return lj_melt.build(scale=1)

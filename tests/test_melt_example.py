@@ -8,6 +8,8 @@ match to all printed digits; later rows to chaos-growth tolerance.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 GOLD = {
     0: (3.0, -6.7733681, -2.2744931, -3.7033504),
     50: (1.6758903, -4.7955425, -2.2823355, 5.670064),

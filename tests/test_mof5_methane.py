@@ -2,13 +2,30 @@
 the LAMMPS-script interpreter (the full stack: data file, groups, computes,
 frozen framework, rigid sub-group, SCF polarization).
 
-Golden rows from log.lammps (LAMMPS 2 Feb 2013 build, 5 steps, 1324 atoms,
-Pair time 99.73%): e.g. step 0:
-  TotEng 28664530  KinEng 536.5888  E_vdwl 28709884  E_coul -33263.466
-  E_long -12621.609  E_pol -5.9227026  Temp 288.94771  movingtemp 294.67669
+Two golden tiers:
+
+1. The committed log (LAMMPS 2 Feb 2013 build, 5 steps, 1324 atoms) at
+   *erfc-table* tolerances: the reference evaluates the real-space erfc via a
+   12-bit lookup table (ncoultablebits, Pair::init_tables pair.cpp:313); we
+   evaluate the A&S polynomial exactly.  Root-caused in round 2 by rebuilding
+   the reference from this exact source (with the atom-array allocation
+   defect SURVEY.md section 0.1 patched) and rerunning: with
+   `pair_modify table 0` the rebuilt reference reproduces OUR ecoul to
+   2e-10 (step 5), while with the default table it reproduces the committed
+   2013 log to every printed digit.  So ecoul rel 3e-6 below is the
+   reference's table interpolation error, not ours.
+
+2. A full-precision golden (thermo_modify format %.15g) from that rebuilt
+   table-0 reference run, matched tightly: step-0 epol to 1e-12, step-5
+   ecoul/elong to ~1e-9.  The step-5 epol tolerance (5e-7) is the SCF
+   stopping-tolerance floor: both solvers (reference ranked Gauss-Seidel,
+   ours CG) stop at precision 1e-11 with different residual *directions*,
+   and use_previous warm-starts compound that over 5 steps; everything else
+   agrees at 1e-8 or better.
 """
 
 import os
+import re
 import shutil
 
 import numpy as np
@@ -27,8 +44,7 @@ def rows(tmp_path_factory):
     shutil.copy(os.path.join(SRC, "MOF5+PCRC.restart.pdb.data"), tmp)
     with open(os.path.join(SRC, "MOF5+PCRC.restart.pdb.input")) as fh:
         text = fh.read()
-    text = text.replace("equal  100000 # number of steps",
-                        "equal  5 # number of steps")
+    assert re.search(r"variable  nstep      equal  5\b", text)
     path = os.path.join(tmp, "in.mof5")
     with open(path, "w") as fh:
         fh.write(text)
@@ -47,10 +63,36 @@ GOLDEN = {
 }
 
 TOL = dict(
-    etotal=dict(rel=1e-6), ke=dict(rel=1e-5), evdwl=dict(rel=1e-6),
-    ecoul=dict(rel=3e-6), elong=dict(rel=1e-5), epol=dict(rel=2e-4),
-    temp=dict(rel=1e-5), c_movingtemp=dict(rel=1e-4),
+    etotal=dict(rel=1e-6), ke=dict(rel=1e-6), evdwl=dict(rel=1e-6),
+    ecoul=dict(rel=3e-6),   # reference 12-bit erfc table (see module doc)
+    elong=dict(rel=1e-6),
+    epol=dict(rel=5e-7),    # SCF 1e-11 stopping-tolerance floor over 5 steps
+    temp=dict(rel=1e-6), c_movingtemp=dict(rel=1e-5),
 )
+
+# Rebuilt-reference full-precision golden (table 0, %.15g thermo): the same
+# 2018 source tree this repo is judged against, erfc evaluated exactly.
+GOLDEN_HP = {
+    0: dict(etotal=28664529.9144434, ke=536.588802473299,
+            evdwl=28709884.3316078, ecoul=-33263.4741488414,
+            elong=-12621.6091154757, epol=-5.92270256835963,
+            temp=288.947710143389, c_movingtemp=294.676691770976),
+    5: dict(etotal=28664529.9094351, ke=534.600540956414,
+            evdwl=28709886.6244105, ecoul=-33263.7047653392,
+            elong=-12621.6123089666, epol=-5.99844199705221,
+            temp=287.877051177302, c_movingtemp=291.324829781667),
+}
+
+TOL_HP = {
+    0: dict(etotal=dict(rel=1e-9), ke=dict(rel=1e-10),
+            evdwl=dict(rel=1e-9), ecoul=dict(rel=1e-10),
+            elong=dict(rel=1e-11), epol=dict(rel=1e-12),
+            temp=dict(rel=1e-10), c_movingtemp=dict(rel=1e-10)),
+    5: dict(etotal=dict(rel=1e-8), ke=dict(rel=2e-7),
+            evdwl=dict(rel=1e-8), ecoul=dict(rel=1e-8),
+            elong=dict(rel=1e-9), epol=dict(rel=5e-7),
+            temp=dict(rel=2e-7), c_movingtemp=dict(rel=5e-7)),
+}
 
 
 def test_thermo_rows(rows):
@@ -59,4 +101,13 @@ def test_thermo_rows(rows):
     for step, golden in GOLDEN.items():
         for key, val in golden.items():
             assert by_step[step][key] == pytest.approx(val, **TOL[key]), (
-                step, key, by_step[step][key])
+                "2013-log", step, key, by_step[step][key])
+
+
+def test_thermo_rows_full_precision(rows):
+    by_step = {int(r["step"]): r for r in rows}
+    for step, golden in GOLDEN_HP.items():
+        for key, val in golden.items():
+            assert by_step[step][key] == pytest.approx(
+                val, **TOL_HP[step][key]), (
+                "rebuilt-reference", step, key, by_step[step][key])

@@ -20,6 +20,8 @@ import jax.numpy as jnp
 
 from lidp_tpu.io.script import LammpsScript
 
+pytestmark = pytest.mark.slow
+
 EX = "/root/reference/polarization/examples"
 
 

@@ -21,6 +21,8 @@ GOLD50 = dict(etotal=-5247.5537, temp=281.4745, ebond=12.2118,
               ecoul=26804.4441, elong=-33907.7003, press=-1331.7946)
 
 
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(scope="module")
 def peptide():
     from lidp_tpu.io.script import LammpsScript

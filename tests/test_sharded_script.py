@@ -25,6 +25,8 @@ from lidp_tpu.io.script import LammpsScript
 H2_DIR = "/root/reference/polarization/examples/Bulk H2"
 
 
+pytestmark = pytest.mark.slow
+
 def _run(tmp, ndev, nsteps=4):
     shutil.copy(os.path.join(H2_DIR, "h2.data"), tmp)
     text = open(os.path.join(H2_DIR, "h2.input")).read()

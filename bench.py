@@ -1,21 +1,54 @@
 """Benchmark entry point (driver-run on real TPU hardware).
 
-Reproduces the reference's headline benchmark bench/in.lj — 32,000-atom LJ
-melt, cutoff 2.5 sigma, NVE, neighbor skin 0.3 rebuilt every 20 steps — and
-reports timesteps/s against the committed single-core baseline of
-44.212 steps/s (bench/log.6Oct16.lj.fixed.icc.1:55).
+Headline: the reference's bench/in.lj — 32,000-atom LJ melt, cutoff 2.5 sigma,
+NVE, neighbor skin 0.3 rebuilt every 20 steps `check no` — timesteps/s against
+the committed single-core baseline of 44.212 steps/s
+(bench/log.6Oct16.lj.fixed.icc.1:55).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Secondary: the polarizable MOF workload (BASELINE configs 4/5) in two regimes:
+the f32 production fast path (precision 1e-6) and the reference's own
+precision regime (f64, polar_precision 1e-11 — MOF5+Methane/*.input), plus a
+measured f32-vs-f64 force/dipole error budget justifying the fast path.
+
+Energy-conservation note: in.lj with `neigh_modify every 20 check no` drifts
+BY CONSTRUCTION (stale lists miss fast atoms): the reference's own f64 log
+drifts 1.93e-3 over its 100 steps (TotEng -4.6134356 -> -4.6223613).  We
+report our 400-step f32 drift next to that anchor.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
+import os
+import re
+import subprocess
 import sys
 import time
 
 import jax
 
 BASELINE_STEPS_PER_S = 44.212   # bench/log.6Oct16.lj.fixed.icc.1
+REF_DRIFT_PER_100 = 1.93e-3     # the reference f64 log's own TotEng drift
 NSTEPS = 400
+
+# v5e VPU f32 peak: 8x128 lanes x 4 ALUs x ~0.94 GHz ~= 3.9 TFLOP/s.  The
+# cell kernel is elementwise (VPU-bound); MXU peak is not the right anchor.
+VPU_PEAK_FLOPS = 3.9e12
+FLOPS_PER_PAIR_SLOT = 40   # kernel arithmetic per stencil slot pair (lj only)
+FLOPS_PER_PAIR_USEFUL = 23  # the classic LAMMPS per-neighbor-pair count
+
+
+def _lj_flops_per_step(melt):
+    """Analytic FLOP count of one cell-kernel force evaluation."""
+    cfg = melt.runner.neighbor_cfg
+    ncells = cfg.nbins[0] * cfg.nbins[1] * cfg.nbins[2]
+    slot_pairs = ncells * 14 * cfg.cap * cfg.cap  # 13 half offsets + self
+    kernel = slot_pairs * FLOPS_PER_PAIR_SLOT
+    # pairs within cutoff 2.5 at rho=0.8442: (2*pi/3)*rho*rc^3 per atom
+    import math
+    pairs = melt.natoms * (2 * math.pi / 3) * 0.8442 * 2.5 ** 3
+    useful = pairs * FLOPS_PER_PAIR_USEFUL
+    return kernel, useful
 
 
 def main():
@@ -41,49 +74,67 @@ def main():
     jax.block_until_ready(s2.x)
     dt = time.perf_counter() - t0
     steps_per_s = NSTEPS / dt
+    if bool(n2.overflow):
+        print(json.dumps({"error": "cell capacity overflow during run"}))
+        return 1
 
-    # sanity: energy conservation in f32
+    # f32 energy conservation over the 400 timed steps (the reference's own
+    # f64 log drifts 1.93e-3 over 100 steps on this stale-list benchmark)
     row = {k: float(v) for k, v in thermo_row(s2, r2, melt.thermo).items()}
     e_drift = abs(row["etotal"] - (-4.6134356)) / 4.6134356
 
+    # step-100 golden parity vs the committed log's TotEng -4.6223613
+    s1, r1, nl1, i1 = melt.runner.run(sys_, res, nlist, istate, 100)
+    jax.block_until_ready(s1.x)
+    row100 = {k: float(v) for k, v in thermo_row(s1, r1, melt.thermo).items()}
+    step100_err = abs(row100["etotal"] - (-4.6223613)) / 4.6223613
+
+    kernel_flops, useful_flops = _lj_flops_per_step(melt)
     out = {
         "metric": "lj_32k_timesteps_per_s",
         "value": round(steps_per_s, 3),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_s / BASELINE_STEPS_PER_S, 3),
-        "etotal_rel_drift": round(e_drift, 6),
+        "etotal_rel_drift_400": round(e_drift, 6),
+        "ref_log_drift_100": REF_DRIFT_PER_100,
+        "etotal_step100_vs_log_rel": round(step100_err, 6),
         "n_atoms": melt.natoms,
+        "kernel_gflops_per_s": round(kernel_flops * steps_per_s / 1e9, 1),
+        "useful_gflops_per_s": round(useful_flops * steps_per_s / 1e9, 1),
+        "vpu_util_pct": round(100 * kernel_flops * steps_per_s
+                              / VPU_PEAK_FLOPS, 1),
         "device": str(jax.devices()[0]),
     }
 
-    # secondary headline: the polarizable MOF workload (BASELINE config 4/5).
-    # Runs in a subprocess with a hard timeout so a cold remote compile can
-    # never prevent the JSON line from printing.
-    polar = _try_polar_bench(timeout_s=540)
-    if polar:
-        out.update(polar)
+    out.update(_try_polar_bench(timeout_s=480))
+    out.update(_try_polar_1e11(timeout_s=480))
+    out.update(_try_error_budget(timeout_s=420))
     print(json.dumps(out))
     return 0
 
 
+def _env():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ("/root/.axon_site:/root/repo:"
+                         + env.get("PYTHONPATH", ""))
+    return env
+
+
+def _run_script(args, timeout_s):
+    return subprocess.run(
+        ["python"] + args, capture_output=True, text=True, timeout=timeout_s,
+        cwd=os.path.dirname(os.path.abspath(__file__)), env=_env())
+
+
 def _try_polar_bench(timeout_s: int):
-    """10.6k-atom replicated MOF5+Methane full-SCF step (sharded path).
+    """10.6k-atom replicated MOF5+Methane full-SCF step, f32 fast path.
 
     Reference anchor: 0.91 steps/s at 1,324 atoms on one core
     (MOF5+Methane log, Pair 99.7%); the solver is O(N^2) per sweep, so the
     single-core reference extrapolates to ~0.0142 steps/s at this size.
     """
-    import os
-    import re
-    import subprocess
-
-    env = dict(os.environ)
-    env["PYTHONPATH"] = "/root/.axon_site:/root/repo:" + env.get("PYTHONPATH", "")
     try:
-        r = subprocess.run(
-            ["python", "scripts/bench_polar.py", "10000"],
-            capture_output=True, text=True, timeout=timeout_s,
-            cwd=os.path.dirname(os.path.abspath(__file__)), env=env)
+        r = _run_script(["scripts/bench_polar.py", "10000"], timeout_s)
     except subprocess.TimeoutExpired:
         return {"polar_mof_10k_steps_per_s": None,
                 "polar_note": "compile timeout (cold cache)"}
@@ -101,6 +152,47 @@ def _try_polar_bench(timeout_s: int):
         "polar_mof_10k_n_atoms": 10592,
         "polar_mof_10k_scf_iters": scf,
         "polar_vs_reference_extrapolated": round(v / lammps_extrapolated, 1),
+    }
+
+
+def _try_polar_1e11(timeout_s: int):
+    """The reference's own precision regime on TPU: f64, precision 1e-11."""
+    try:
+        r = _run_script(["scripts/bench_polar.py", "10000", "--f64",
+                         "--precision", "1e-11"], timeout_s)
+    except subprocess.TimeoutExpired:
+        return {"polar_1e11_f64_steps_per_s": None,
+                "polar_1e11_note": "compile timeout (cold cache)"}
+    m = re.search(r"steps/s ([0-9.]+) scf ([0-9.]+)", r.stdout)
+    if not m:
+        return {"polar_1e11_f64_steps_per_s": None,
+                "polar_1e11_note": "failed: "
+                + (r.stdout + r.stderr)[-200:].replace("\n", " ")}
+    return {
+        "polar_1e11_f64_steps_per_s": float(m.group(1)),
+        "polar_1e11_f64_scf_iters": float(m.group(2)),
+        "polar_1e11_n_atoms": 10592,
+    }
+
+
+def _try_error_budget(timeout_s: int):
+    """Measured f32(1e-6) vs f64(1e-11) force/mu error at 1,324 atoms."""
+    try:
+        r = _run_script(["scripts/polar_error_budget.py", "1324"], timeout_s)
+    except subprocess.TimeoutExpired:
+        return {"f32_force_rms_rel_err": None,
+                "errbudget_note": "timeout"}
+    m = re.search(r"ERRBUDGET .*force_rms_rel_err=([0-9.e+-]+) "
+                  r"force_max_rel_err=([0-9.e+-]+) "
+                  r"mu_rms_rel_err=([0-9.e+-]+)", r.stdout)
+    if not m:
+        return {"f32_force_rms_rel_err": None,
+                "errbudget_note": "failed: "
+                + (r.stdout + r.stderr)[-200:].replace("\n", " ")}
+    return {
+        "f32_force_rms_rel_err": float(m.group(1)),
+        "f32_force_max_rel_err": float(m.group(2)),
+        "f32_mu_rms_rel_err": float(m.group(3)),
     }
 
 

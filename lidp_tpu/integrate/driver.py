@@ -37,9 +37,20 @@ class Integrator:
     init_state: Callable = lambda sys, f, params: (sys, ())
 
 
-def nve_integrator(nve_params) -> Integrator:
+def nve_integrator(nve_params, compensated: bool = False) -> Integrator:
     from lidp_tpu.integrate import nve
 
+    if compensated:
+        # Kahan-compensated x/v updates: restores ~f64-grade energy
+        # conservation on the f32 fast path (see nve.py)
+        return Integrator(
+            initial=lambda s, r, p, st: nve.kahan_initial_integrate(
+                s, r.f, p, st),
+            final=lambda s, r, p, st: nve.kahan_final_integrate(
+                s, r.f, p, st),
+            params=nve_params,
+            init_state=nve.kahan_init_state,
+        )
     return Integrator(
         initial=lambda s, r, p, st: (nve.initial_integrate(s, r.f, p), st),
         final=lambda s, r, p, st: (nve.final_integrate(s, r.f, p), st),
@@ -151,7 +162,13 @@ def _run_chunk(sys, res, nlist, istate, ff, iparams, *, nsteps,
             def rebuild(sys, nlist):
                 x, image = box_mod.wrap(sys.x, sys.box, sys.image)
                 sys = sys.replace(x=x, image=image)
-                return sys, _build_struct(sys, neighbor_cfg)
+                new = _build_struct(sys, neighbor_cfg)
+                # sticky overflow: a capacity overrun at ANY rebuild inside
+                # the scan must survive to the chunk boundary where the host
+                # can see it (the per-rebuild flag would be overwritten)
+                new = dataclasses.replace(
+                    new, overflow=new.overflow | nlist.overflow)
+                return sys, new
 
             def keep(sys, nlist):
                 return sys, nlist

@@ -34,7 +34,8 @@ class LJMelt:
 
 def build(scale: int = 1, dtype=jnp.float64, *,
           neighbor: str = "list",
-          max_neighbors: int = 96, bin_cap: int = 40) -> LJMelt:
+          max_neighbors: int = 96, bin_cap: int = 40,
+          compensated: bool = False) -> LJMelt:
     """neighbor: 'list' (LAMMPS-stale-list parity), 'cells' (TPU roll kernel),
     or 'none' (dense all-pairs)."""
     u = units.LJ
@@ -62,10 +63,15 @@ def build(scale: int = 1, dtype=jnp.float64, *,
                                       max_neighbors=max_neighbors)
     elif neighbor == "cells":
         from lidp_tpu.ops.cells import CellConfig
-        ncfg = CellConfig.for_box(hi, 2.5 + u.skin, density=rho)
+        # slack 1.5 (cap 40 at this density) measured 1.2x faster than the
+        # default 2.0 (cap 56); slack 1.25 (cap 32) overflows under the
+        # melt's density fluctuations.  Overflow is carried sticky through
+        # the scan and checked at chunk boundaries.
+        ncfg = CellConfig.for_box(hi, 2.5 + u.skin, density=rho,
+                                  cap_slack=1.5)
 
     nvep = nve.NVEParams.create(u.dt, u.ftm2v, np.ones(n), dtype=dtype)
-    runner = Runner(ff=ff, integ=nve_integrator(nvep),
+    runner = Runner(ff=ff, integ=nve_integrator(nvep, compensated=compensated),
                     neighbor_cfg=ncfg, rebuild_every=20)
     tp = ThermoParams.create(np.ones(n), dof=3 * n - 3, units=u, norm=True, natoms=n)
     return LJMelt(system=sys, runner=runner, thermo=tp, natoms=n)

@@ -1,21 +1,48 @@
-"""Polarizable-MD benchmark runner (dev tool). Usage: python scripts/bench_polar.py [natoms]"""
-import sys, time
+"""Polarizable-MD benchmark runner (dev tool).
+
+Usage: python scripts/bench_polar.py [natoms] [diag|--] [colchunk]
+                                     [--precision X] [--f64] [--steps K]
+
+Prints `steady ms/step ... steps/s ... scf ...` on the last line.
+"""
+import argparse
+import sys
+import time
+
+ap = argparse.ArgumentParser()
+ap.add_argument("natoms", type=int, nargs="?", default=10000)
+ap.add_argument("mode", nargs="?", default="")
+ap.add_argument("colchunk", type=int, nargs="?", default=2048)
+ap.add_argument("--precision", type=float, default=None)
+ap.add_argument("--f64", action="store_true")
+ap.add_argument("--steps", type=int, default=0)
+args = ap.parse_args()
+
 import jax
+
+if args.f64:
+    jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+
 from lidp_tpu.models import polar_bench
 
-target = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
-csz = int(sys.argv[3]) if len(sys.argv) > 3 else 2048
-b = polar_bench.build(target_atoms=target, n_devices=1, col_chunk=csz)
-print("natoms", b.natoms, "npad", b.npad, flush=True)
+dtype = jnp.float64 if args.f64 else jnp.float32
+precision = args.precision if args.precision is not None else (
+    1e-11 if args.f64 else 1e-6)
+
+b = polar_bench.build(target_atoms=args.natoms, n_devices=1,
+                      col_chunk=args.colchunk, precision=precision,
+                      dtype=dtype)
+print("natoms", b.natoms, "npad", b.npad, "precision", precision,
+      "dtype", str(dtype.__name__), flush=True)
 t0 = time.perf_counter()
 f, en = polar_bench.run_step(b, zero_init=True)
 jax.block_until_ready(f)
 print("step compile+run", round(time.perf_counter() - t0, 1), flush=True)
-print({k: round(float(v), 2) for k, v in en.items() if v.ndim == 0}, flush=True)
-import jax.numpy as jnp
+print({k: round(float(v), 2) for k, v in en.items() if v.ndim == 0},
+      flush=True)
 
-diag = len(sys.argv) > 2 and sys.argv[2] == "diag"
-if diag:
+if args.mode == "diag":
     for i in range(10):
         f, en = polar_bench.run_step(b)
         jax.block_until_ready(f)
@@ -28,7 +55,12 @@ if diag:
     sys.exit(0)
 
 # steady timing: K steps per dispatch (the per-call tunnel overhead is ~40 ms)
-K = 20 if target <= 20000 else 4
+if args.steps:
+    K = args.steps
+else:
+    K = 20 if args.natoms <= 20000 else 4
+    if args.f64:
+        K = max(2, K // 4)
 run = polar_bench.make_scan_runner(b, K)
 f, scf = run(b)          # warmup dispatch (compile; first window has cold SCF)
 jax.block_until_ready(f)

@@ -1,9 +1,17 @@
-"""Periodic orthogonal simulation box.
+"""Orthogonal simulation box with per-dimension boundary styles.
 
 TPU-native replacements for the reference's branchy geometry helpers:
 ``Domain::closest_image`` (domain.cpp:1220) becomes the vectorized
 ``delta - L * round(delta / L)`` minimum image, ``Domain::pbc`` (domain.cpp:502)
-becomes a floor-based wrap that also updates integer image flags.
+becomes a floor-based wrap that also updates integer image flags, and
+shrink-wrapped boundaries (``Domain::reset_box``, domain.cpp:358) become a
+masked min/max reduction over atom coordinates.
+
+Non-periodic dimensions are encoded as an *effective image length* of 1e30
+(``img_lengths``): ``round(delta/1e30) == 0`` so the minimum image is the
+identity there, and roll-stencil cell pairs that wrap across an open boundary
+self-reject through the cutoff test (their raw separation is ~L >= 3 cutoffs).
+Finite 1e30 rather than inf: inf * 0 would produce NaNs in masked lanes.
 
 Only orthogonal boxes are supported (all bundled reference examples and
 benchmarks are orthogonal).
@@ -16,16 +24,31 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
+_BIG = 1.0e30
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Box:
     lo: jax.Array  # (3,)
     hi: jax.Array  # (3,)
+    # static per-dim periodicity ('p' boundaries); non-periodic dims skip
+    # minimum-image folding and position wrapping
+    periodic: tuple = dataclasses.field(
+        metadata=dict(static=True), default=(True, True, True))
 
     @property
     def lengths(self) -> jax.Array:
         return self.hi - self.lo
+
+    @property
+    def img_lengths(self) -> jax.Array:
+        """Effective lengths for minimum-image math: L on periodic dims,
+        1e30 (=> identity fold) on non-periodic dims."""
+        if all(self.periodic):
+            return self.lengths
+        pm = jnp.asarray(self.periodic)
+        return jnp.where(pm, self.hi - self.lo, _BIG)
 
     @property
     def volume(self) -> jax.Array:
@@ -33,10 +56,10 @@ class Box:
         return L[0] * L[1] * L[2]
 
     @staticmethod
-    def create(lo, hi, dtype=None) -> "Box":
+    def create(lo, hi, dtype=None, periodic=(True, True, True)) -> "Box":
         lo = jnp.asarray(lo, dtype=dtype)
         hi = jnp.asarray(hi, dtype=dtype)
-        return Box(lo=lo, hi=hi)
+        return Box(lo=lo, hi=hi, periodic=tuple(bool(p) for p in periodic))
 
 
 def minimum_image(delta: jax.Array, lengths: jax.Array) -> jax.Array:
@@ -44,6 +67,7 @@ def minimum_image(delta: jax.Array, lengths: jax.Array) -> jax.Array:
 
     Matches Domain::closest_image (domain.cpp:1220) for orthogonal periodic
     boxes when |delta| < 1.5 L (always true for wrapped coordinates).
+    Pass ``box.img_lengths`` so non-periodic dims are left unfolded.
     """
     return delta - lengths * jnp.round(delta / lengths)
 
@@ -51,11 +75,14 @@ def minimum_image(delta: jax.Array, lengths: jax.Array) -> jax.Array:
 def wrap(x: jax.Array, box: Box, image: jax.Array):
     """Remap positions into the primary box, accumulating image flags.
 
-    Equivalent to Domain::pbc (domain.cpp:502) for fully periodic orthogonal
-    boxes. `image` is an int32 (N,3) array of box-crossing counts.
+    Equivalent to Domain::pbc (domain.cpp:502) for orthogonal boxes; only
+    periodic dimensions are remapped. `image` is int32 (N,3) box-crossing
+    counts.
     """
     L = box.lengths
     shift = jnp.floor((x - box.lo) / L).astype(jnp.int32)
+    if not all(box.periodic):
+        shift = shift * jnp.asarray(box.periodic, jnp.int32)
     return x - shift.astype(x.dtype) * L, image + shift
 
 
@@ -65,3 +92,46 @@ def unwrap(x: jax.Array, box: Box, image: jax.Array) -> jax.Array:
     Equivalent to Domain::unmap (used by FixRigid, fix_rigid.cpp:824).
     """
     return x + image.astype(x.dtype) * box.lengths
+
+
+@dataclasses.dataclass(frozen=True)
+class ShrinkSpec:
+    """Static shrink-wrap configuration (Domain::reset_box, domain.cpp:358).
+
+    Per face: 0 = fixed/periodic (leave), 2 = 's' (extent +- small),
+    3 = 'm' (like 's' but never tighter than the created box face).
+    `small` is frozen at SMALL * created box length (set_initial_box,
+    domain.cpp:204)."""
+
+    lo_style: tuple   # (3,) int face codes
+    hi_style: tuple
+    small: tuple      # (3,) float
+    min_lo: tuple     # (3,) created box faces, for 'm'
+    min_hi: tuple
+
+    @property
+    def active(self) -> bool:
+        return any(s in (2, 3) for s in self.lo_style + self.hi_style)
+
+
+def reset_box(x, mask, box: Box, spec: ShrinkSpec) -> Box:
+    """Shrink-wrap the box faces to the atom extent (reset_box semantics)."""
+    big = jnp.asarray(_BIG, x.dtype)
+    xm_lo = jnp.where(mask[:, None], x, big)
+    xm_hi = jnp.where(mask[:, None], x, -big)
+    ext_lo = jnp.min(xm_lo, axis=0)
+    ext_hi = jnp.max(xm_hi, axis=0)
+    los, his = [], []
+    for d in range(3):
+        lo_d, hi_d = box.lo[d], box.hi[d]
+        if spec.lo_style[d] == 2:
+            lo_d = ext_lo[d] - spec.small[d]
+        elif spec.lo_style[d] == 3:
+            lo_d = jnp.minimum(ext_lo[d] - spec.small[d], spec.min_lo[d])
+        if spec.hi_style[d] == 2:
+            hi_d = ext_hi[d] + spec.small[d]
+        elif spec.hi_style[d] == 3:
+            hi_d = jnp.maximum(ext_hi[d] + spec.small[d], spec.min_hi[d])
+        los.append(lo_d)
+        his.append(hi_d)
+    return Box(lo=jnp.stack(los), hi=jnp.stack(his), periodic=box.periodic)

@@ -88,6 +88,9 @@ class Runner:
     # inside the scan and re-tallies energies once at the chunk end
     # (LAMMPS' ev_setup eflag/vflag gating, pair.cpp:752)
     every_step_ev: bool = False
+    # shrink-wrapped boundaries: ShrinkSpec applied at setup + every rebuild
+    # (Domain::reset_box, domain.cpp:358)
+    shrink: Optional[Any] = None
 
     def __post_init__(self):
         self._scan = jax.jit(
@@ -97,13 +100,15 @@ class Runner:
                               rebuild_every=self.rebuild_every,
                               post_force=self.post_force,
                               end_of_step=self.end_of_step,
-                              every_step_ev=self.every_step_ev),
+                              every_step_ev=self.every_step_ev,
+                              shrink=self.shrink),
             static_argnames=("nsteps",),
         )
         self._force = jax.jit(
             functools.partial(_setup_forces,
                               post_force=(self.post_force_setup
-                                          or self.post_force)),
+                                          or self.post_force),
+                              shrink=self.shrink),
             static_argnames=("neighbor_cfg",))
 
     def setup(self, sys: System):
@@ -136,7 +141,10 @@ def _apply_post_force(sys, res, post_force):
     return dataclasses.replace(res, f=out)
 
 
-def _setup_forces(sys, ff, *, neighbor_cfg, post_force=None):
+def _setup_forces(sys, ff, *, neighbor_cfg, post_force=None, shrink=None):
+    if shrink is not None:
+        sys = sys.replace(box=box_mod.reset_box(
+            sys.x, sys.mask, sys.box, shrink))
     if neighbor_cfg is not None:
         sys_x, image = box_mod.wrap(sys.x, sys.box, sys.image)
         sys = sys.replace(x=sys_x, image=image)
@@ -152,7 +160,7 @@ def _setup_forces(sys, ff, *, neighbor_cfg, post_force=None):
 
 def _run_chunk(sys, res, nlist, istate, ff, iparams, *, nsteps,
                initial, final, neighbor_cfg, rebuild_every, post_force=None,
-               end_of_step=None, every_step_ev=True):
+               end_of_step=None, every_step_ev=True, shrink=None):
     def body(carry, _):
         sys, res, nlist, istate = carry
         sys, istate = initial(sys, res, iparams, istate)
@@ -160,6 +168,9 @@ def _run_chunk(sys, res, nlist, istate, ff, iparams, *, nsteps,
 
         if neighbor_cfg is not None:
             def rebuild(sys, nlist):
+                if shrink is not None:
+                    sys = sys.replace(box=box_mod.reset_box(
+                        sys.x, sys.mask, sys.box, shrink))
                 x, image = box_mod.wrap(sys.x, sys.box, sys.image)
                 sys = sys.replace(x=x, image=image)
                 new = _build_struct(sys, neighbor_cfg)

@@ -105,6 +105,10 @@ class LammpsScript:
         self.atom_style = "atomic"
         self.dimension = 3
         self.boundary = "p p p"
+        self.boundary_styles = [("p", "p")] * 3   # per-dim (lo, hi) faces
+        self._created_box = None     # (lo, hi) pre-expansion, for 'm' minima
+        self.neigh_exclude_types = []   # [(t1, t2), ...]
+        self._thermo_temp = None        # thermo_modify temp COMPUTE-ID
         self.data = None             # DataFile
         self.lattice_style = None
         self.lattice_spacing = 0.0
@@ -311,9 +315,37 @@ class LammpsScript:
         self.dt = float(a[0])
 
     def cmd_boundary(self, a):
+        # boundary X Y Z with X in {p, f, s, m} or two-letter per-face combos
+        # (domain.cpp:418-460); p must apply to both faces of a dim
         self.boundary = " ".join(a)
-        if set(a) != {"p"}:
-            raise ValueError("only fully periodic boundaries supported")
+        styles = []
+        for tok in a[:3]:
+            tok = tok if len(tok) == 2 else tok + tok
+            for c in tok:
+                if c not in "pfsm":
+                    raise ValueError(f"illegal boundary style {tok!r}")
+            if ("p" in tok) and tok != "pp":
+                raise ValueError("both faces of a dim must be periodic")
+            styles.append((tok[0], tok[1]))
+        while len(styles) < 3:
+            styles.append(("p", "p"))
+        self.boundary_styles = styles
+
+    @property
+    def periodic(self):
+        return tuple(st == ("p", "p") for st in self.boundary_styles)
+
+    def _apply_initial_box(self):
+        """Domain::set_initial_box (domain.cpp:204-224): freeze small =
+        1e-4 * created length, expand 's' faces outward by small and record
+        'm' minima at the created faces."""
+        self._created_box = (self.box_lo.copy(), self.box_hi.copy())
+        small = 1.0e-4 * (self.box_hi - self.box_lo)
+        for d, (lo_s, hi_s) in enumerate(self.boundary_styles):
+            if lo_s == "s":
+                self.box_lo[d] -= small[d]
+            if hi_s == "s":
+                self.box_hi[d] += small[d]
 
     def cmd_atom_style(self, a):
         self.atom_style = a[0]
@@ -346,14 +378,26 @@ class LammpsScript:
             elif k == "check":
                 self.neigh_check = _yesno(a[i + 1]); i += 2
             elif k == "exclude":
-                i = len(a)  # commented out in examples; ignore if present
+                if a[i + 1] == "type":
+                    # neighbor.cpp exclusion lists: drop all pairs between
+                    # these two types from force evaluation
+                    self.neigh_exclude_types.append(
+                        (int(a[i + 2]), int(a[i + 3])))
+                    self._sim = None
+                    i += 4
+                else:
+                    raise ValueError(
+                        f"unsupported neigh_modify exclude {a[i + 1]}")
             else:
                 i += 2
 
     def cmd_lattice(self, a):
         self.lattice_style = a[0]
-        self.lattice_spacing = lattice_mod.lattice_spacing(
+        self.lattice_spacing3 = lattice_mod.lattice_spacing3(
             a[0], float(a[1]), self.units.name, dim=self.dimension)
+        self.lattice_spacing = float(self.lattice_spacing3[0])
+        self.log("Lattice spacing in x,y,z = %g %g %g" % tuple(
+            self.lattice_spacing3))
 
     def cmd_region(self, a):
         name, style = a[0], a[1]
@@ -365,24 +409,22 @@ class LammpsScript:
     def cmd_create_box(self, a):
         self.ntypes = int(a[0])
         lo_hi = self.regions[a[1]]
-        s = self.lattice_spacing or 1.0
-        self.box_lo = np.array([lo_hi[0], lo_hi[2], lo_hi[4]]) * s
-        self.box_hi = np.array([lo_hi[1], lo_hi[3], lo_hi[5]]) * s
+        s3 = self._spacing3()
+        self.box_lo = np.array([lo_hi[0], lo_hi[2], lo_hi[4]]) * s3
+        self.box_hi = np.array([lo_hi[1], lo_hi[3], lo_hi[5]]) * s3
+        self._apply_initial_box()
         self.mass_type = np.zeros(self.ntypes + 1)
         self.alpha_type = np.zeros(self.ntypes + 1)
 
     def cmd_create_atoms(self, a):
         ty = int(a[0])
         assert a[1] == "box"
-        L = self.box_hi - self.box_lo
-        s = self.lattice_spacing
-        nx, ny, nz = (int(round(l / s)) for l in L)
+        x = lattice_mod.create_atoms_bounds(
+            self.lattice_style, self._spacing3(), self.box_lo, self.box_hi)
         if self.dimension == 2:
-            nz = 1          # single z=0 plane (create_atoms 2d)
-        x, _ = lattice_mod.create_atoms_box(self.lattice_style, s, nx, ny, nz)
-        x = x + self.box_lo
-        if self.dimension == 2:
+            x = x[np.abs(x[:, 2]) < 1e-12]
             x[:, 2] = 0.0   # 2d atoms live on the z=0 plane
+        self.log(f"Created {x.shape[0]} atoms")
         n = x.shape[0]
         self.x = x
         self.v = np.zeros((n, 3))
@@ -496,6 +538,12 @@ class LammpsScript:
         self.n_shard_devices = total
         self._sim = None
 
+    def _spacing3(self):
+        s3 = getattr(self, "lattice_spacing3", None)
+        if s3 is None:
+            s3 = np.full(3, self.lattice_spacing or 1.0)
+        return np.asarray(s3, float)
+
     def cmd_mass(self, a):
         self.mass_type[int(a[0])] = float(a[1])
 
@@ -521,6 +569,16 @@ class LammpsScript:
             streams = park_geom_streams(seed, self.x)
             hit = select & (streams.uniform() <= frac)
             self.type = np.where(hit, newtype, self.type)
+            self._sim = None
+        elif a[2] == "type" and len(a) == 4:
+            # set group|type|region X type N (set.cpp TYPE keyword)
+            if a[0] == "group":
+                sel = self.groups[a[1]].copy()
+            elif a[0] == "type":
+                sel = self.type == int(a[1])
+            else:
+                raise ValueError(f"unsupported set selector {a[0]}")
+            self.type = np.where(sel, int(a[3]), self.type)
             self._sim = None
         else:
             raise ValueError(f"unsupported set command: {a}")
@@ -620,6 +678,15 @@ class LammpsScript:
             for t in range(1, self.ntypes + 1):
                 if self.mass_type[t] == 0.0:
                     self.mass_type[t] = mass
+            return
+        if a[0] == "*" or a[1] == "*":
+            # pair_coeff * * ... — wildcard ranges (Force::bounds, force.cpp)
+            ii = range(1, self.ntypes + 1) if a[0] == "*" else [int(a[0])]
+            jj = range(1, self.ntypes + 1) if a[1] == "*" else [int(a[1])]
+            for i_ in ii:
+                for j_ in jj:
+                    if i_ <= j_:
+                        self.cmd_pair_coeff([str(i_), str(j_)] + list(a[2:]))
             return
         i, j = int(a[0]), int(a[1])
         eps, sig = float(a[2]), float(a[3])
@@ -725,8 +792,9 @@ class LammpsScript:
         elif a[1] == "region":
             # region bounds are in lattice units (region default units);
             # INF on a lo bound extends to -infinity (region.cpp)
+            s3 = self._spacing3()
             lo_hi = np.asarray(self.regions[a[2]], float) \
-                * (self.lattice_spacing or 1.0)
+                * np.repeat(s3, 2)
             sel = np.ones(n, bool)
             for d in range(3):
                 lo_b, hi_b = lo_hi[2 * d], lo_hi[2 * d + 1]
@@ -788,6 +856,11 @@ class LammpsScript:
         while i < len(a):
             if a[i] == "norm":
                 self._thermo_norm = _yesno(a[i + 1]); i += 2
+            elif a[i] == "temp":
+                # thermo_modify temp ID: thermo temp/ke/press use this
+                # compute's group + dof (thermo.cpp modify_params)
+                self._thermo_temp = a[i + 1]; i += 2
+                self._sim = None
             else:
                 i += 2
 
@@ -817,11 +890,15 @@ class LammpsScript:
     def cmd_velocity(self, a):
         group = a[0]
         if a[1] == "set":
-            # velocity group set vx vy vz (velocity.cpp::set; NULL keeps)
+            # velocity group set vx vy vz (velocity.cpp::set; NULL keeps).
+            # Default units are LATTICE (scale_flag=1, velocity.cpp options):
+            # components scale by the per-axis lattice spacing.
+            units_box = "units" in a and a[a.index("units") + 1] == "box"
+            s3 = np.ones(3) if units_box else self._spacing3()
             gm = self.groups[group]
             for d, tok in enumerate(a[2:5]):
                 if tok != "NULL":
-                    self.v[gm, d] = float(tok)
+                    self.v[gm, d] = float(tok) * s3[d]
             self._sim = None
             return
         if a[1] == "zero":
@@ -844,10 +921,36 @@ class LammpsScript:
             self.v[gm] *= np.sqrt(float(a[2]) / t_cur)
             self._sim = None
             return
+        if a[1] == "ramp":
+            # velocity group ramp vdim vlo vhi cdim clo chi [sum yes]
+            # (velocity.cpp:631) — lattice units scale both v and coords
+            s3 = self._spacing3()
+            v_dim = "vx vy vz".split().index(a[2])
+            c_dim = "xyz".index(a[5])
+            sum_flag = False
+            units_box = False
+            i = 8
+            while i < len(a):
+                if a[i] == "sum":
+                    sum_flag = _yesno(a[i + 1])
+                elif a[i] == "units":
+                    units_box = a[i + 1] == "box"
+                i += 2
+            vs = 1.0 if units_box else s3[v_dim]
+            cs = 1.0 if units_box else s3[c_dim]
+            self.v = velocity_mod.ramp(
+                self.x, self.v, self.groups[group], v_dim,
+                float(a[3]) * vs, float(a[4]) * vs,
+                c_dim, float(a[6]) * cs, float(a[7]) * cs, sum_flag)
+            self._sim = None
+            return
         assert a[1] == "create"
         t_desired = float(a[2])
         seed = int(a[3])
-        kw = dict(dist="uniform", loop="all", momentum=False, rotation=False)
+        # velocity.cpp options() defaults: dist uniform, loop all, mom YES,
+        # rot no
+        kw = dict(dist="uniform", loop="all", momentum=True, rotation=False)
+        temp_cid = None
         i = 4
         while i < len(a):
             k, v = a[i], a[i + 1]
@@ -859,16 +962,22 @@ class LammpsScript:
                 kw["momentum"] = _yesno(v)
             elif k == "rot":
                 kw["rotation"] = _yesno(v)
+            elif k == "temp":
+                temp_cid = v   # rescale via this compute's group
             elif k == "units":
                 pass
             i += 2
-        if group != "all":
-            raise ValueError("velocity on sub-groups not supported yet")
+        gm = self.groups[group]
+        tg = None
+        if temp_cid is not None:
+            tg = self.groups[self.computes[temp_cid][0]]
         mass_atom = self.mass_type[self.type]
         self.v = velocity_mod.create(
             self.x, mass_atom, t_desired, seed, units=self.units,
             image=self.image, box_lengths=self.box_hi - self.box_lo,
-            dim=self.dimension, **kw)
+            dim=self.dimension,
+            group=None if group == "all" else gm,
+            v_prev=self.v, temp_group=tg, **kw)
         self._sim = None   # state changed; rebuild simulation lazily
 
     def cmd_fix(self, a):

@@ -49,9 +49,16 @@ class CellConfig:
     def for_box(box_lengths, cutneigh: float, density: float,
                 cap_slack: float = 2.0) -> "CellConfig":
         L = np.asarray(box_lengths, float)
-        nb = tuple(int(max(1, np.floor(l / cutneigh))) for l in L)
-        if min(nb) < 3:
-            raise ValueError("cell kernel needs >= 3 bins per dim")
+        nb = []
+        for l in L:
+            n = int(max(1, np.floor(l / cutneigh)))
+            # a dim thinner than ~3 cutoffs collapses to a single bin (all
+            # pairs in-cell, minimum image handles the wrap); 2 bins would
+            # alias the +1/-1 rolls onto the same neighbor
+            nb.append(n if n >= 3 else 1)
+        nb = tuple(nb)
+        if max(nb) < 3:
+            raise ValueError("cell kernel needs >= 3 bins in some dim")
         vol_bin = float(np.prod(L / np.array(nb)))
         cap = int(np.ceil(density * vol_bin * cap_slack / 8.0) * 8)
         return CellConfig(nbins=nb, cap=max(cap, 8), cutneigh=float(cutneigh))
@@ -73,17 +80,30 @@ def build_cells(x, mask, box: Box, cfg: CellConfig) -> Cells:
     L = box.lengths
 
     frac = (x - box.lo) / L
-    frac = frac - jnp.floor(frac)
+    # wrap only periodic dims; non-periodic strays clamp to edge bins below
+    if all(box.periodic):
+        frac = frac - jnp.floor(frac)
+    else:
+        pm = jnp.asarray(box.periodic)
+        frac = jnp.where(pm, frac - jnp.floor(frac), frac)
     b3 = jnp.clip((frac * dims).astype(jnp.int32), 0, dims - 1)
     bin_id = (b3[:, 0] * nby + b3[:, 1]) * nbz + b3[:, 2]
     bin_id = jnp.where(mask, bin_id, nbins)
+
+    # shrink-wrapped boxes change L at run time with static nbins: flag it
+    # (sticky through the scan, like capacity overflow) if a bin drops below
+    # the neighbor cutoff so missed pairs can't pass silently
+    binsize_bad = jnp.zeros((), bool)
+    for d in range(3):
+        if cfg.nbins[d] > 1:
+            binsize_bad |= (L[d] / cfg.nbins[d]) < cfg.cutneigh
 
     order = jnp.argsort(bin_id)
     sb = bin_id[order]
     pos = jnp.arange(n)
     first = jnp.searchsorted(sb, sb, side="left")
     rank = (pos - first).astype(jnp.int32)
-    overflow = jnp.any((rank >= cfg.cap) & (sb < nbins))
+    overflow = jnp.any((rank >= cfg.cap) & (sb < nbins)) | binsize_bad
     rank_c = jnp.minimum(rank, cfg.cap - 1)
 
     slot_sorted = jnp.where(sb < nbins, sb * cfg.cap + rank_c, nbins * cfg.cap)
@@ -101,6 +121,17 @@ _OFFSETS = [(i, j, k) for i in (-1, 0, 1) for j in (-1, 0, 1) for k in (-1, 0, 1
 # cell (0,0,0) is handled with an upper-triangular slot mask.
 _HALF_OFFSETS = [o for o in _OFFSETS
                  if o > (0, 0, 0)]
+
+
+def half_offsets(nbins) -> list:
+    """Newton half stencil restricted to dims with more than one bin.
+
+    Dims collapsed to a single bin (thin 2d slabs) contribute no roll:
+    their pairs are all in-cell and minimum image covers the wrap."""
+    ranges = [(-1, 0, 1) if nb > 1 else (0,) for nb in nbins]
+    offs = [(i, j, k) for i in ranges[0] for j in ranges[1]
+            for k in ranges[2]]
+    return [o for o in offs if o > (0, 0, 0)]
 
 
 def _roll(a, off, sign=-1):
@@ -125,7 +156,7 @@ def cell_pair_forces(x, q, type_, mask, cells: Cells, box: Box, p,
     if coul is None:
         coul = p.coul
     aos = cells.atom_of_slot                        # (bx,by,bz,cap)
-    L = box.lengths
+    L = box.img_lengths
     cap = aos.shape[-1]
 
     amax = jnp.minimum(aos, n - 1)
@@ -137,7 +168,7 @@ def cell_pair_forces(x, q, type_, mask, cells: Cells, box: Box, p,
     xs = [slotify(x[:, d], jnp.zeros((), dtype)) for d in range(3)]
     qs = slotify(q, jnp.zeros((), dtype)) if coul else None
     ntypes = p.lj1.shape[0] - 1
-    multi_type = ntypes > 1
+    multi_type = ntypes > 1 or p.excl is not None
     if multi_type:
         ts = slotify(type_, jnp.zeros((), jnp.int32))
 
@@ -171,7 +202,7 @@ def cell_pair_forces(x, q, type_, mask, cells: Cells, box: Box, p,
     # grids along the j axis makes the lane dimension G*cap wide (~512),
     # cutting the 128-lane tile padding.  Group 0 carries the self cell.
     group_size = max(1, min(14, 512 // cap))
-    all_offs = [(0, 0, 0)] + _HALF_OFFSETS
+    all_offs = [(0, 0, 0)] + half_offsets(aos.shape[:3])
     groups = [all_offs[i:i + group_size]
               for i in range(0, len(all_offs), group_size)]
 
@@ -202,6 +233,8 @@ def cell_pair_forces(x, q, type_, mask, cells: Cells, box: Box, p,
             cut_ljsq = cljsqt[ti, tj]; cutsq = cutsqt[ti, tj]
 
         in_rng = rsq < cutsq
+        if p.excl is not None:
+            in_rng &= ~p.excl[ti, tj]
         lj_m = in_rng & (rsq < cut_ljsq)
         r6inv = r2inv * r2inv * r2inv
         forcelj = r6inv * (lj1 * r6inv - lj2)

@@ -274,7 +274,7 @@ def eam_cell_forces(x, mask, cells: Cells, box: Box, p: EAMParams):
     dtype = x.dtype
     aos = cells.atom_of_slot
     cap = aos.shape[-1]
-    L = box.lengths
+    L = box.img_lengths
     amax = jnp.minimum(aos, n - 1)
     valid = aos < n
 
@@ -384,7 +384,7 @@ def eam_alloy_cell_forces(x, type_, mask, cells: Cells, box: Box,
     dtype = x.dtype
     aos = cells.atom_of_slot
     cap = aos.shape[-1]
-    L = box.lengths
+    L = box.img_lengths
     amax = jnp.minimum(aos, n - 1)
     valid = aos < n
 

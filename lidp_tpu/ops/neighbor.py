@@ -63,10 +63,16 @@ def build_neighbor_list(x, mask, box: Box, cfg: NeighborConfig) -> NeighborList:
     nbx, nby, nbz = cfg.nbins
     nbins = nbx * nby * nbz
     L = box.lengths
+    Li = box.img_lengths          # min-image lengths (non-periodic -> 1e30)
     dims = jnp.array([nbx, nby, nbz], jnp.int32)
 
     frac = (x - box.lo) / L
-    frac = frac - jnp.floor(frac)                     # wrap into [0,1)
+    # wrap only periodic dims; non-periodic strays clamp to edge bins below
+    if all(box.periodic):
+        frac = frac - jnp.floor(frac)
+    else:
+        pm = jnp.asarray(box.periodic)
+        frac = jnp.where(pm, frac - jnp.floor(frac), frac)                     # wrap into [0,1)
     b3 = jnp.clip((frac * dims).astype(jnp.int32), 0, dims - 1)
     bin_id = (b3[:, 0] * nby + b3[:, 1]) * nbz + b3[:, 2]
     bin_id = jnp.where(mask, bin_id, nbins)           # padding atoms -> overflow bin
@@ -96,7 +102,7 @@ def build_neighbor_list(x, mask, box: Box, cfg: NeighborConfig) -> NeighborList:
     xpad = jnp.concatenate([x, jnp.zeros((1, 3), x.dtype)], axis=0)
     rsq = jnp.zeros(cand.shape, x.dtype)
     for d in range(3):
-        dd = minimum_image(x[:, d:d + 1] - xpad[:, d][cand], L[d])
+        dd = minimum_image(x[:, d:d + 1] - xpad[:, d][cand], Li[d])
         rsq = rsq + dd * dd
     valid = (cand < n) & (cand != pos[:, None]) & (rsq < cfg.cutneigh**2)
     valid &= mask[:, None]
@@ -132,7 +138,7 @@ def neighbor_pair_forces(x, q, type_, mask, nlist: NeighborList, box: Box, p,
     from lidp_tpu.ops.pair import _pair_terms
 
     n = x.shape[0]
-    L = box.lengths
+    L = box.img_lengths
     j = nlist.idx                                    # (N,K)
     jv = j < n
     jc = jnp.minimum(j, n - 1)

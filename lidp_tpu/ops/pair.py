@@ -67,12 +67,17 @@ class PairParams:
     # CHARMM energy-switching between inner and outer LJ cutoffs
     # (pair_lj_charmm_coul_long.cpp:110-125)
     charmm: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    # (T+1,T+1) bool: neigh_modify exclude type pairs (neighbor.cpp exclusion
+    # lists) — excluded pairs contribute nothing; None (common case) skips
+    # the per-pair table lookup entirely
+    excl: object = None
 
 
 def make_pair_params(
     epsilon, sigma, cut_lj, *, cut_coul=0.0, special_lj=(1.0, 0.0, 0.0, 0.0),
     special_coul=(1.0, 0.0, 0.0, 0.0), qqrd2e=1.0, g_ewald=0.0, coul=False,
-    shift=False, cut_lj_inner=0.0, charmm=False, dtype=jnp.float64,
+    shift=False, cut_lj_inner=0.0, charmm=False, excl_types=None,
+    dtype=jnp.float64,
 ):
     """Build PairParams from per-type-pair (T+1,T+1) epsilon/sigma/cut arrays."""
     epsilon = jnp.asarray(epsilon, dtype)
@@ -103,6 +108,8 @@ def make_pair_params(
             (float(jnp.max(cut_lj))**2 - cut_lj_inner**2) ** 3
             if charmm else 1.0, dtype),
         coul=coul, charmm=charmm,
+        excl=(None if excl_types is None
+              else jnp.asarray(excl_types, bool)),
     )
 
 
@@ -165,6 +172,8 @@ def _pair_terms(rsq, qi, qj, ti, tj, sp_code, p: PairParams, pair_mask):
     cut_ljsq_ij = p.cut_ljsq[ti, tj]
 
     in_range = (rsq < cutsq_ij) & pair_mask
+    if p.excl is not None:
+        in_range &= ~p.excl[ti, tj]
     lj_mask = in_range & (rsq < cut_ljsq_ij)
 
     r6inv = r2inv * r2inv * r2inv
@@ -214,7 +223,7 @@ def dense_pair_forces(x, q, type_, sp_code, mask, box: Box, p: PairParams):
     virial6 ordering: xx yy zz xy xz yz (LAMMPS convention, pair.cpp:854).
     """
     n = x.shape[0]
-    L = box.lengths
+    L = box.img_lengths
     delta = minimum_image(x[:, None, :] - x[None, :, :], L)  # (N,N,3)
     rsq = jnp.sum(delta * delta, axis=-1)
     eye = jnp.eye(n, dtype=bool)

@@ -57,7 +57,7 @@ class PolarizationSettings:
 def _pair_geometry(x, box: Box, mask):
     """Minimum-image pair displacements/delta (N,N,3), rsq masked to 1."""
     n = x.shape[0]
-    delta = minimum_image(x[:, None, :] - x[None, :, :], box.lengths)
+    delta = minimum_image(x[:, None, :] - x[None, :, :], box.img_lengths)
     rsq = jnp.sum(delta * delta, axis=-1)
     eye = jnp.eye(n, dtype=bool)
     pm = (~eye) & mask[:, None] & mask[None, :]

@@ -117,7 +117,9 @@ class Simulation:
         mask_pad = np.arange(npad) < n
         alpha = _padA(alpha)
 
-        box = Box.create(script.box_lo, script.box_hi, dtype=dtype)
+        box = Box.create(script.box_lo, script.box_hi, dtype=dtype,
+                         periodic=getattr(script, "periodic",
+                                          (True, True, True)))
         sys = make_system(
             _padA(script.x), box=box, v=_padA(script.v), q=_padA(script.q),
             type=_padA(script.type, 0), mol=_padA(script.mol, 0), alpha=alpha,
@@ -148,6 +150,15 @@ class Simulation:
         eps, sig, cut = _mix_pair_tables(script)
         coul = "coul" in script.pair.name
         charmm = "charmm" in script.pair.name
+        excl_types = None
+        excl_list = getattr(script, "neigh_exclude_types", None)
+        if excl_list:
+            # neigh_modify exclude type: masked out of every pair kernel
+            # (the reference drops them from neighbor lists, neighbor.cpp)
+            excl_types = np.zeros((script.ntypes + 1, script.ntypes + 1),
+                                  bool)
+            for t1, t2 in excl_list:
+                excl_types[t1, t2] = excl_types[t2, t1] = True
         pair = make_pair_params(
             eps, sig, cut,
             cut_coul=script.pair.cut_coul if coul else 0.0,
@@ -156,6 +167,7 @@ class Simulation:
             qqrd2e=u.qqr2e, coul=coul,
             shift=getattr(script, "_pair_shift", False),
             cut_lj_inner=script.pair.cut_lj_inner, charmm=charmm,
+            excl_types=excl_types,
             dtype=dtype)
 
         # ---- kspace ----
@@ -725,10 +737,26 @@ class Simulation:
         post_force_setup = (_compose_pf(pf_hooks_setup)
                             if pf_hooks_setup != pf_hooks else None)
 
+        shrink = None
+        bstyles = getattr(script, "boundary_styles", None)
+        if bstyles is not None and script._created_box is not None:
+            from lidp_tpu.box import ShrinkSpec
+
+            code = {"p": 0, "f": 0, "s": 2, "m": 3}
+            lo_c = tuple(code[st[0]] for st in bstyles)
+            hi_c = tuple(code[st[1]] for st in bstyles)
+            if any(c in (2, 3) for c in lo_c + hi_c):
+                c_lo, c_hi = script._created_box
+                small = tuple(1.0e-4 * (c_hi - c_lo))
+                shrink = ShrinkSpec(lo_style=lo_c, hi_style=hi_c,
+                                    small=small, min_lo=tuple(c_lo),
+                                    min_hi=tuple(c_hi))
+
         runner = Runner(ff=ff, integ=integ, neighbor_cfg=ncfg,
                         rebuild_every=rebuild_every, post_force=post_force,
                         end_of_step=end_of_step,
                         post_force_setup=post_force_setup,
+                        shrink=shrink,
                         # barostats consume the virial every step; everything
                         # else samples energies at chunk (thermo) boundaries
                         every_step_ev=has_baro)
@@ -758,7 +786,7 @@ class Simulation:
             gname, style = spec_c
             gmask = groups[gname]
             ng = int(gmask.sum())
-            gdof = 3 * ng - 3
+            gdof = dim_ * ng - dim_
             for gsp, rsetup in rigid_groups:
                 # bodies wholly inside the compute group lose constrained dof
                 inb = rsetup.body_of_atom >= 0
@@ -766,7 +794,19 @@ class Simulation:
                     gdof -= rsetup.dof_removed
             gm = np.where(gmask, mass_atom, 0.0)
             group_tp[cid] = ThermoParams.create(
-                gm, dof=gdof, units=u, norm=False, natoms=ng)
+                gm, dof=gdof, units=u, norm=False, natoms=ng, dim=dim_)
+
+        ttid = getattr(script, "_thermo_temp", None)
+        if ttid is not None:
+            # thermo_modify temp ID (thermo.cpp modify_params): temp, ke,
+            # etotal's KE part and the pressure's kinetic tensor all follow
+            # the designated compute's group + dof.  norm/natoms stay global.
+            tgmask = groups[script.computes[ttid][0]]
+            ngt = int(np.count_nonzero(tgmask))
+            tdof = dim_ * ngt - dim_ - dof_removed
+            tp = ThermoParams.create(
+                np.where(tgmask, mass_atom, 0.0), dof=tdof, units=u,
+                norm=(u.name == "lj"), natoms=n, dim=dim_)
 
         sim_obj = Simulation(script=script, sys=sys, runner=runner,
                              thermo_params=tp, group_thermo=group_tp,

@@ -94,6 +94,8 @@ def thermo_row(sys: System, res: ForceResult, tp: ThermoParams,
         "edihed": res.edihed / norm,
         "eimp": res.eimp / norm,
         "press": pressure(sys, tp, virial),
-        "vol": sys.box.volume,
+        # 2d vol is the box area (thermo.cpp compute_vol)
+        "vol": (sys.box.lengths[0] * sys.box.lengths[1] if tp.dim == 2
+                else sys.box.volume),
         "density": tp.mv2d * jnp.sum(tp.mass_atom * sys.mask) / sys.box.volume,
     }

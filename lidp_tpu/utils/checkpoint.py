@@ -23,6 +23,8 @@ def _flatten(prefix: str, obj, out: dict):
         return
     if dataclasses.is_dataclass(obj):
         for f in dataclasses.fields(obj):
+            if f.metadata.get("static"):
+                continue   # static structure lives in code, not checkpoints
             _flatten(f"{prefix}{f.name}.", getattr(obj, f.name), out)
     elif isinstance(obj, dict):
         for k, v in obj.items():
@@ -57,7 +59,9 @@ def load_checkpoint(path: str, sys_template, istate_template=None):
             for f in dataclasses.fields(template):
                 cur = getattr(template, f.name)
                 key = f"{prefix}{f.name}"
-                if dataclasses.is_dataclass(cur):
+                if f.metadata.get("static"):
+                    kw[f.name] = cur   # keep the template's static metadata
+                elif dataclasses.is_dataclass(cur):
                     kw[f.name] = rebuild(key + ".", cur)
                 elif key in data.files:
                     import jax.numpy as jnp

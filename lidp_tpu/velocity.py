@@ -37,7 +37,15 @@ def create(
     dim: int = 3,
     image: np.ndarray | None = None,
     box_lengths: np.ndarray | None = None,
+    group: np.ndarray | None = None,
+    v_prev: np.ndarray | None = None,
+    temp_group: np.ndarray | None = None,
 ) -> np.ndarray:
+    """group: velocity-group mask — the RNG stream is consumed for ALL atoms
+    (loop all, velocity.cpp:278-304) but velocities are assigned, momentum-
+    zeroed and rescaled only on group members.  temp_group: the rescale
+    temperature compute's group (velocity ... temp ID), defaults to `group`.
+    """
     n = x.shape[0]
     v = np.zeros((n, 3))
     factor = 1.0 / np.sqrt(mass_per_atom)
@@ -69,14 +77,19 @@ def create(
     if dim == 2:
         v[:, 2] = 0.0
 
+    if group is not None:
+        base = v_prev if v_prev is not None else np.zeros((n, 3))
+        v = np.where(group[:, None], v, base)
+    gm = group if group is not None else np.ones(n, bool)
+
     xu = x
     if image is not None and box_lengths is not None:
         xu = x + image * box_lengths
 
     if momentum:
-        m = mass_per_atom
-        vcm = (m[:, None] * v).sum(0) / m.sum()
-        v -= vcm
+        m = mass_per_atom[gm]
+        vcm = (m[:, None] * v[gm]).sum(0) / m.sum()
+        v[gm] -= vcm
     if rotation:
         m = mass_per_atom
         xcm = (m[:, None] * xu).sum(0) / m.sum()
@@ -92,9 +105,29 @@ def create(
         omega = np.linalg.solve(inertia, L)
         v -= np.cross(omega, d)
 
-    dof = dim * n - dim  # ComputeTemp: extra_dof = dim, no fixes yet
-    t_current = _temperature(v, mass_per_atom, units, dof)
+    tg = temp_group if temp_group is not None else gm
+    ng = int(np.count_nonzero(tg))
+    dof = dim * ng - dim  # ComputeTemp: extra_dof = dim, no fixes yet
+    t_current = _temperature(v[tg], mass_per_atom[tg], units, dof)
     if t_current == 0.0:
         raise ValueError("Attempting to rescale a 0.0 temperature")
-    v *= np.sqrt(t_desired / t_current)
+    # Velocity::rescale scales only the velocity group's atoms
+    v[gm] *= np.sqrt(t_desired / t_current)
     return v
+
+
+def ramp(x, v, group, v_dim: int, v_lo: float, v_hi: float,
+         coord_dim: int, coord_lo: float, coord_hi: float,
+         sum_flag: bool) -> np.ndarray:
+    """velocity ... ramp (velocity.cpp:631): linear ramp of one velocity
+    component against one coordinate, clamped outside [coord_lo, coord_hi];
+    `sum yes` adds to the existing component."""
+    frac = np.clip((x[:, coord_dim] - coord_lo) / (coord_hi - coord_lo),
+                   0.0, 1.0)
+    vramp = v_lo + frac * (v_hi - v_lo)
+    out = v.copy()
+    if sum_flag:
+        out[group, v_dim] += vramp[group]
+    else:
+        out[group, v_dim] = vramp[group]
+    return out

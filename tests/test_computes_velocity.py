@@ -50,7 +50,10 @@ def test_velocity_set_and_zero(lmp):
     n = lmp.get_natoms()
     lmp.command("velocity all set 0.1 NULL 0.0")
     v = lmp.extract_atom("v")
-    assert np.allclose(v[:, 0], 0.1) and np.allclose(v[:, 2], 0.0)
+    # velocity default units are LATTICE (velocity.cpp scale_flag=1):
+    # vx = 0.1 * xlattice with xlattice = (4/0.8442)^(1/3)
+    xlat = (4.0 / 0.8442) ** (1.0 / 3.0)
+    assert np.allclose(v[:, 0], 0.1 * xlat) and np.allclose(v[:, 2], 0.0)
     lmp.command("velocity all zero linear")
     v = lmp.extract_atom("v")
     m = lmp.extract_atom("mass")[lmp.extract_atom("type")]

@@ -217,3 +217,173 @@ def ewald_forces(x, q, volume, p: EwaldParams):
     # systems); match it so Ewald and PPPM pressures agree
     virial = c0 * (sk2 @ p.kvirial)
     return f, elong, virial
+
+
+# --------------------- dispersion (geometric 1/r^6) -------------------------
+#
+# EwaldDisp function[1] — long-range Lennard-Jones dispersion with geometric
+# mixing (KSPACE/ewald_disp.cpp).  Per-atom coefficient B_i = sqrt(B_ii) with
+# B_ij = 4 eps_ij sigma_ij^6 (init_coeffs, ewald_disp.cpp:497): geometric
+# mixing makes B_ij == B_i*B_j exactly, so S6(k) = sum_i B_i e^{ik.r} carries
+# the full pair structure.
+
+
+@dataclasses.dataclass(frozen=True)
+class Ewald6Setup:
+    g6: float
+    nbox: int
+    hvecs: np.ndarray     # (K,3)
+    kcoeff6: np.ndarray   # (K,)
+    kvirial6: np.ndarray  # (K,6)
+    bsum: float           # sum_i B_i
+    bsbsum: float         # sum_i B_i^2
+    volume: float
+
+
+def newton_g6(accuracy: float, bsbsum: float, natoms: int, cutoff: float,
+              volume: float) -> float:
+    """g_ewald_6 Newton solve (EwaldDisp::NewtonSolve + f, :1459-1504)."""
+    x = (1.35 - 0.15 * math.log(accuracy)) / cutoff   # initial guess
+
+    def f(xv):
+        a = cutoff * xv
+        return (4.0 * math.pi * bsbsum * xv**4 / volume
+                / math.sqrt(float(natoms)) * math.erfc(a)
+                * (6.0 * a**-5 + 6.0 * a**-3 + 3.0 / a + a) - accuracy)
+
+    g = x
+    for _ in range(10000):
+        h = 1.0e-6
+        df = (f(g + h) - f(g)) / h
+        dx = f(g) / df
+        g = g - dx
+        if abs(dx) < 1.0e-5:
+            return g
+        if g < 0 or g != g:
+            break
+    return x   # solver failed: old-method guess (ewald_disp.cpp:216-221)
+
+
+def _rms_lj(km: int, prd: float, natoms: int, b2: float, g6: float) -> float:
+    """LJ term of EwaldDisp::rms (ewald_disp.cpp)."""
+    g2 = g6 * g6
+    g7 = g2 * g2 * g2 * g6
+    return (4.0 * b2 * g7 / 3.0
+            * math.sqrt(1.0 / (math.pi * natoms))
+            * math.exp(-math.pi**2 * km * km / (g2 * prd * prd))
+            * (math.pi * km / (g6 * prd) + 1.0))
+
+
+def setup_dispersion(*, accuracy_rel: float, qqrd2e: float, b_atom,
+                     natoms: int, cutoff: float, box_lengths,
+                     g6: float | None = None) -> Ewald6Setup:
+    """K-space setup for the geometric-dispersion function.
+
+    b_atom: per-atom B_i = sqrt(4 eps_ii sigma_ii^6)."""
+    Lx, Ly, Lz = (float(v) for v in box_lengths)
+    volume = Lx * Ly * Lz
+    b_atom = np.asarray(b_atom, float)
+    bsum = float(np.sum(b_atom))
+    bsbsum = float(np.sum(b_atom**2))
+    accuracy = accuracy_rel * qqrd2e   # two_charge_force (kspace.cpp)
+    if g6 is None:
+        g6 = newton_g6(accuracy, bsbsum, natoms, cutoff, volume)
+
+    kmax = []
+    for prd in (Lx, Ly, Lz):
+        km = 1
+        while _rms_lj(km, prd, natoms, bsbsum, g6) > accuracy:
+            km += 1
+        kmax.append(km)
+    nbox = max(kmax)
+
+    unit = 2.0 * math.pi / np.array([Lx, Ly, Lz])
+    gsqmx = max(unit[d] ** 2 * kmax[d] ** 2 for d in range(3)) * 1.00001
+    hvecs = []
+    for ix in range(0, nbox + 1):
+        for iy in range(-nbox, nbox + 1):
+            for iz in range(-nbox, nbox + 1):
+                if ix == 0 and iy == 0 and iz == 0:
+                    continue
+                if ix == 0 and iy < 0:
+                    continue
+                if ix == 0 and iy == 0 and iz < 0:
+                    continue
+                h = (unit[0] * ix, unit[1] * iy, unit[2] * iz)
+                if h[0] ** 2 + h[1] ** 2 + h[2] ** 2 <= gsqmx:
+                    hvecs.append(h)
+    hvecs = np.array(hvecs, np.float64).reshape(-1, 3)
+
+    # coefficients() func12 branch (ewald_disp.cpp:469-478)
+    h2 = np.sum(hvecs**2, axis=1)
+    h1 = np.sqrt(h2)
+    eta2 = 0.25 / (g6 * g6)
+    b2k = h2 * eta2
+    b1 = np.sqrt(b2k)
+    expb2 = np.exp(-b2k)
+    erfcb = np.array([math.erfc(v) for v in b1])
+    c2e = MY_PIS * erfcb
+    ke6 = -h1 * h2 * (c2e + (0.5 / b2k - 1.0) * expb2 / b1)
+    c2v = 3.0 * h1 * (c2e - expb2 / b1)
+    kvirial6 = np.stack([
+        ke6 - c2v * hvecs[:, 0] * hvecs[:, 0],
+        ke6 - c2v * hvecs[:, 1] * hvecs[:, 1],
+        ke6 - c2v * hvecs[:, 2] * hvecs[:, 2],
+        -c2v * hvecs[:, 1] * hvecs[:, 0],
+        -c2v * hvecs[:, 2] * hvecs[:, 0],
+        -c2v * hvecs[:, 2] * hvecs[:, 1],
+    ], axis=1)
+    return Ewald6Setup(g6=float(g6), nbox=nbox, hvecs=hvecs, kcoeff6=ke6,
+                       kvirial6=kvirial6, bsum=bsum, bsbsum=bsbsum,
+                       volume=volume)
+
+
+def ewald6_forces(x, b_atom, volume, s: Ewald6Setup):
+    """Reciprocal-space dispersion energy/forces/virial (geometric mixing).
+
+    Mirrors compute_energy/compute_force/compute_virial func[1]
+    (ewald_disp.cpp:964,840-884,1100-1109) with [N,K] matmul structure
+    factors.  Returns (f (N,3), edisp (), virial6)."""
+    dtype = x.dtype
+    hv = jnp.asarray(s.hvecs, dtype)
+    ke6 = jnp.asarray(s.kcoeff6, dtype)
+    kv6 = jnp.asarray(s.kvirial6, dtype)
+    b = jnp.asarray(b_atom, dtype)
+    phases = x @ hv.T
+    c = jnp.cos(phases)
+    sn = jnp.sin(phases)
+    sre = b @ c
+    sim = b @ sn
+    sk2 = sre * sre + sim * sim
+
+    g3 = s.g6 ** 3
+    c_e = 2.0 * jnp.pi * MY_PIS / (24.0 * volume)
+    c_f = 2.0 * jnp.pi * MY_PIS / (12.0 * volume)
+    virial_self = jnp.pi * MY_PIS * g3 / (6.0 * volume) * s.bsum * s.bsum
+    energy_self = -s.bsbsum * g3 * g3 / 12.0 + virial_self
+    edisp = c_e * jnp.sum(ke6 * sk2) - energy_self
+
+    w = ke6 * sre * c_f
+    w2 = ke6 * sim * c_f
+    coef = sn * w[None, :] - c * w2[None, :]
+    f = (coef @ hv) * b[:, None]
+
+    virial = c_e * (sk2 @ kv6)
+    virial = virial - virial_self * jnp.asarray(
+        [1.0, 1.0, 1.0, 0.0, 0.0, 0.0], dtype)
+    return f, edisp, virial
+
+
+def dispersion_real(rsq, bij, g6: float):
+    """Real-space damped dispersion complement (pair_lj_long_coul_long.cpp
+    :525-533): energy and force/r^2-factor of -B_ij r^-6 with the k-space
+    part removed.  Returns (e, fpair_over_r2... i.e. force*r)."""
+    g2 = g6 * g6
+    gg6 = g2 * g2 * g2
+    g8 = gg6 * g2
+    x2 = g2 * rsq
+    a2 = 1.0 / x2
+    x2e = a2 * jnp.exp(-x2) * bij
+    e = -gg6 * ((a2 + 1.0) * a2 + 0.5) * x2e
+    force = -g8 * (((6.0 * a2 + 6.0) * a2 + 3.0) * a2 + 1.0) * x2e * rsq
+    return e, force

@@ -557,11 +557,12 @@ class Simulation:
                 from lidp_tpu.integrate import npt as npt_mod
                 from lidp_tpu.integrate.driver import Integrator
 
-                if pppmp is not None:
-                    raise NotImplementedError(
-                        "fix npt with pppm needs per-step grid re-setup "
-                        "(fix_nh.cpp:877) — use kspace_style ewald under a "
-                        "barostat for now")
+                # pppm under a barostat: grid size stays fixed (as the
+                # reference's setup() does) and every box-dependent
+                # coefficient (Green's function, ik factors, virial terms)
+                # is recomputed in-jit from the live box each call
+                # (ops/pppm.py pppm_forces), matching fix_nh.cpp:877's
+                # kspace->setup() on box change
                 if not gmask_real.all():
                     raise NotImplementedError("fix npt on sub-group")
                 a = spec.args

@@ -1,8 +1,11 @@
 """Energy minimization (the reference's Min::run, min.cpp:406).
 
-Implements FIRE (fast inertial relaxation engine) — one of the reference's
-min styles (min_fire.cpp) and the most TPU-friendly: pure vector updates
-under lax.while_loop, no line searches with data-dependent trip counts.
+Implements three of the reference's min styles:
+  * FIRE (min_fire.cpp) — the most TPU-friendly: pure vector updates under
+    lax.while_loop, no data-dependent line searches;
+  * cg (min_cg.cpp) — Polak-Ribiere conjugate gradient with a backtracking
+    line search (min_linesearch.cpp::linemin_backtrack semantics);
+  * sd (min_sd.cpp) — steepest descent (cg with beta = 0).
 Stopping criteria mirror minimize's etol/ftol/maxiter semantics:
 relative energy change < etol, or force 2-norm < ftol.
 """
@@ -76,5 +79,102 @@ def fire_minimize(sys, compute, mass_atom, *, etol=0.0, ftol=1e-6,
             jnp.zeros((), jnp.int32))
     sys, f, e_prev, e, v, dt, alpha, npos, it = jax.lax.while_loop(
         cond, body, init)
+    fnorm = jnp.sqrt(jnp.sum(f * f))
+    return sys, e, it, (fnorm < ftol) | (it < maxiter)
+
+
+def cg_minimize(sys, compute, *, etol=0.0, ftol=1e-6, maxiter=1000,
+                dmax=0.1, style="cg"):
+    """Polak-Ribiere CG / steepest descent with backtracking line search.
+
+    min_cg.cpp::iterate: search direction h = f + beta*h with
+    beta = max(0, f_new.(f_new - f_old)/(f_old.f_old)) (PR+), reset to
+    steepest descent when h.f <= 0.  Line search follows
+    min_linesearch.cpp::linemin_backtrack: alpha capped so no atom moves
+    more than dmax, halved until the energy satisfies the Armijo decrease
+    test.  `style='sd'` forces beta = 0 (min_sd.cpp).
+
+    Returns (sys, energy, iterations, converged).
+    """
+    dtype = sys.x.dtype
+    ALPHA_RED = 0.5
+    MAX_BACKTRACK = 40
+
+    f0, e0 = compute(sys)
+
+    def linemin(sys, h, f_cur, e_cur):
+        """Backtracking + secant refinement (linemin_quadratic semantics:
+        the force projection along h at the trial point gives a secant
+        estimate of the 1-d minimum)."""
+        hmax = jnp.max(jnp.abs(h)) + 1e-30
+        alpha0 = jnp.minimum(jnp.asarray(1.0, dtype), dmax / hmax)
+        fh0 = jnp.sum(f_cur * h)          # -dE/dalpha at alpha = 0 (> 0)
+
+        def eval_at(alpha):
+            sys_try = sys.replace(x=sys.x + alpha * h)
+            f_try, e_try = compute(sys_try)
+            return sys_try, f_try, e_try
+
+        def cond(c):
+            done, k = c[3], c[4]
+            return (~done) & (k < MAX_BACKTRACK)
+
+        def body(c):
+            alpha, best_sys, best_e, done, k = c
+            sys_t, f_t, e_t = eval_at(alpha)
+            # secant on the directional derivative: the 1-d quadratic
+            # through (0, fh0) and (alpha, fh_t) has its minimum at
+            # alpha * fh0 / (fh0 - fh_t)
+            fh_t = jnp.sum(f_t * h)
+            denom = fh0 - fh_t
+            alpha_q = jnp.where(denom > 1e-30 * jnp.abs(fh0),
+                                alpha * fh0 / jnp.where(
+                                    denom > 0, denom, 1.0), alpha)
+            alpha_q = jnp.clip(alpha_q, 0.0, alpha)
+            sys_q, f_q, e_q = eval_at(alpha_q)
+            q_better = e_q < e_t
+            sys_t = jax.tree.map(lambda a, b: jnp.where(q_better, a, b),
+                                 sys_q, sys_t)
+            e_t = jnp.where(q_better, e_q, e_t)
+            ok = e_t < e_cur
+            return (alpha * ALPHA_RED,
+                    jax.tree.map(lambda a, b: jnp.where(ok, a, b),
+                                 sys_t, best_sys),
+                    jnp.where(ok, e_t, best_e),
+                    done | ok, k + 1)
+
+        alpha, sys2, e2, done, k = jax.lax.while_loop(
+            cond, body, (alpha0, sys, e_cur, jnp.zeros((), bool),
+                         jnp.zeros((), jnp.int32)))
+        return sys2, e2, done
+
+    def cond(c):
+        sys, f, h, e_prev, e, it, stalled = c
+        fsq = jnp.sum(f * f)
+        de = jnp.abs(e - e_prev)
+        e_ok = (etol > 0.0) & (de < etol * 0.5
+                               * (jnp.abs(e) + jnp.abs(e_prev) + 1e-30))
+        f_ok = (ftol > 0.0) & (fsq < ftol * ftol)
+        return (~(e_ok | f_ok | stalled)) & (it < maxiter)
+
+    def body(c):
+        sys, f, h, e_prev, e, it, _ = c
+        sys2, e2, moved = linemin(sys, h, f, e)
+        f2, _ = compute(sys2)
+        fsq_old = jnp.sum(f * f) + 1e-30
+        if style == "sd":
+            beta = jnp.zeros((), dtype)
+        else:
+            beta = jnp.maximum(
+                0.0, jnp.sum(f2 * (f2 - f)) / fsq_old).astype(dtype)
+        h2 = f2 + beta * h
+        # restart from steepest descent if the new direction is uphill
+        downhill = jnp.sum(h2 * f2) > 0
+        h2 = jnp.where(downhill, h2, f2)
+        return sys2, f2, h2, e, e2, it + 1, ~moved
+
+    init = (sys, f0, f0, jnp.asarray(jnp.inf, dtype), e0,
+            jnp.zeros((), jnp.int32), jnp.zeros((), bool))
+    sys, f, h, e_prev, e, it, stalled = jax.lax.while_loop(cond, body, init)
     fnorm = jnp.sqrt(jnp.sum(f * f))
     return sys, e, it, (fnorm < ftol) | (it < maxiter)

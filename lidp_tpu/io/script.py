@@ -983,7 +983,8 @@ class LammpsScript:
     def cmd_fix(self, a):
         fid, group, style = a[0], a[1], a[2]
         if style not in ("nve", "nvt", "npt", "nph", "rigid", "rigid/nve",
-                         "rigid/nvt", "langevin", "shake", "temp/rescale",
+                         "rigid/nvt", "langevin", "shake", "rattle",
+                         "temp/rescale",
                          "temp/berendsen", "enforce2d", "setforce"):
             raise ValueError(f"unsupported fix style {style}")
         self.fixes[fid] = FixSpec(fid=fid, group=group, style=style, args=a[3:])
@@ -1074,16 +1075,17 @@ class LammpsScript:
         self.step += nsteps
 
     def cmd_min_style(self, a):
-        if a[0] not in ("fire", "cg"):
+        if a[0] not in ("fire", "cg", "sd"):
             raise ValueError(f"unsupported min_style {a[0]}")
         self._min_style = a[0]
 
     def cmd_minimize(self, a):
-        """minimize etol ftol maxiter maxeval -> FIRE relaxation."""
+        """minimize etol ftol maxiter maxeval (Min::run) with the current
+        min_style: cg (default, min_cg.cpp), sd (min_sd.cpp), or fire."""
         import jax
 
         from lidp_tpu.forcefield import compute_forces
-        from lidp_tpu.integrate.minimize import fire_minimize
+        from lidp_tpu.integrate.minimize import cg_minimize, fire_minimize
         from lidp_tpu.sim import Simulation
 
         etol, ftol, maxiter = float(a[0]), float(a[1]), int(a[2])
@@ -1099,11 +1101,16 @@ class LammpsScript:
 
         import jax.numpy as jnp
 
-        sys2, e, it, conv = jax.jit(
-            lambda s_: fire_minimize(s_, compute, jnp.asarray(mass_atom,
-                                                              self.dtype),
-                                     etol=etol, ftol=ftol, maxiter=maxiter)
-        )(sim.sys)
+        style = getattr(self, "_min_style", "cg")
+        if style == "fire":
+            run_min = lambda s_: fire_minimize(   # noqa: E731
+                s_, compute, jnp.asarray(mass_atom, self.dtype),
+                etol=etol, ftol=ftol, maxiter=maxiter)
+        else:
+            run_min = lambda s_: cg_minimize(     # noqa: E731
+                s_, compute, etol=etol, ftol=ftol, maxiter=maxiter,
+                style=style)
+        sys2, e, it, conv = jax.jit(run_min)(sim.sys)
         sim.sys = sys2.replace(v=jnp.zeros_like(sys2.v))
         sim.res = None  # force re-setup on next run
         self.x = __import__("numpy").asarray(sys2.x)

@@ -127,6 +127,53 @@ def shake_post_force(sys, f, p: ShakeParams):
     return f, vir.astype(f.dtype)
 
 
+def rattle_velocity(sys, p: ShakeParams):
+    """RATTLE velocity-stage constraint (RIGID/fix_rattle.cpp vrattle2/3/4/
+    3angle, :240-524): project velocities so r_c . (v_p - v_q) = 0 for every
+    constraint.  Linear solve A mu = -b with A_cd = c_cd (r_c . r_d) and
+    b_c = r_c . (v_p - v_q); correction v_i += invm_i sum_c mu_c r_c
+    (delta_{i,p_c} - delta_{i,q_c}).  All clusters solve as one (M,C,C)
+    batch; the 2-atom/3-atom cases are the same system with masked rows."""
+    x, v = sys.x, sys.v
+    L = sys.box.lengths
+    dtype = x.dtype
+
+    ai = jnp.maximum(p.atoms, 0)
+    pa = jnp.take_along_axis(ai, jnp.maximum(p.cpairs[:, :, 0], 0), axis=1)
+    qa = jnp.take_along_axis(ai, jnp.maximum(p.cpairs[:, :, 1], 0), axis=1)
+    r = minimum_image(x[pa] - x[qa], L)                 # (M,3,3)
+    vr = v[pa] - v[qa]
+    act = p.cmask.astype(dtype)
+    b = jnp.sum(r * vr, axis=-1) * act                  # (M,3)
+
+    im_p = p.invmass[pa]
+    im_q = p.invmass[qa]
+    pc = p.cpairs[:, :, 0]
+    qc = p.cpairs[:, :, 1]
+    d_pp = (pc[:, :, None] == pc[:, None, :]).astype(dtype)
+    d_pq = (pc[:, :, None] == qc[:, None, :]).astype(dtype)
+    d_qp = (qc[:, :, None] == pc[:, None, :]).astype(dtype)
+    d_qq = (qc[:, :, None] == qc[:, None, :]).astype(dtype)
+    ccd = im_p[:, :, None] * (d_pp - d_pq) - im_q[:, :, None] * (d_qp - d_qq)
+    pairact = act[:, :, None] * act[:, None, :]
+    ccd = ccd * pairact
+
+    rr = jnp.einsum("mcx,mdx->mcd", r, r)
+    A = ccd * rr
+    eye = jnp.eye(3, dtype=dtype)
+    A = A + (1.0 - pairact) * eye
+    A = jnp.where((pairact + eye) > 0, A, 0.0)
+    mu = -jnp.einsum("mcd,md->mc", _inv3(A), b) * act   # (M,3)
+
+    contrib = mu[:, :, None] * r                        # (M,3,3)
+    v = v.at[pa.reshape(-1)].add(
+        (im_p[:, :, None] * contrib).reshape(-1, 3))
+    v = v.at[qa.reshape(-1)].add(
+        (-im_q[:, :, None] * contrib).reshape(-1, 3))
+    v = jnp.where(sys.mask[:, None], v, 0.0)
+    return sys.replace(v=v)
+
+
 def find_clusters(n, bonds, bond_types, angles, angle_types, mass_atom,
                   *, b_types=(), a_types=(), masses=(), t_types=(),
                   type_atom=None, bond_r0=None, angle_theta0=None,

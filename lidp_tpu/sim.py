@@ -243,7 +243,7 @@ class Simulation:
         bond_keep = None
         angle_keep = None
         spec_sh = next((f_ for f_ in script.fixes.values()
-                        if f_.style == "shake"), None)
+                        if f_.style in ("shake", "rattle")), None)
         if spec_sh is not None and has_bonds:
             from lidp_tpu.ops import shake as shake_mod
 
@@ -416,17 +416,19 @@ class Simulation:
         # pf_hooks but shake uses its half-dtfsq setup variant.
         pf_hooks = []
         pf_hooks_setup = []
+        rattle_params = None
         pending_temp_fix = None
         shake_dof_removed = 0
         integrator_fixes = [f for f in script.fixes.values()
                             if f.style not in ("langevin", "shake",
+                                               "rattle",
                                                "temp/rescale",
                                                "temp/berendsen",
                                                "enforce2d", "setforce")]
         if len(integrator_fixes) > 1:
             raise NotImplementedError("multiple simultaneous integrator fixes")
         for spec in script.fixes.values():
-            if spec.style == "shake":
+            if spec.style in ("shake", "rattle"):
                 from lidp_tpu.ops import shake as shake_mod
 
                 if shake_found is not None:
@@ -455,6 +457,10 @@ class Simulation:
                     pf_hooks_setup.append(
                         lambda sys_, f_, _p=shakep_half:
                         shake_mod.shake_post_force(sys_, f_, _p))
+                    if spec.style == "rattle":
+                        # velocity-stage constraint after final_integrate
+                        # (FixRattle::final_integrate -> vrattle*)
+                        rattle_params = shakep
                 continue
             if spec.style == "setforce":
                 # fix_setforce.cpp: overwrite force components on the group
@@ -720,6 +726,15 @@ class Simulation:
                     lam = jnp.sqrt(
                         1.0 + script.dt / t_damp * (t_tgt / t_cur - 1.0))
                     return sys_.replace(v=sys_.v * lam)
+
+        if rattle_params is not None:
+            from lidp_tpu.ops import shake as shake_mod
+
+            prev_eos = end_of_step
+
+            def end_of_step(sys_, _p=rattle_params, _prev=prev_eos):
+                sys_ = shake_mod.rattle_velocity(sys_, _p)
+                return _prev(sys_) if _prev is not None else sys_
 
         def _compose_pf(hooks):
             if not hooks:

@@ -39,7 +39,7 @@ SRC = "/root/reference/polarization/examples/MOF5+Methane"
 
 
 @pytest.fixture(scope="module")
-def rows(tmp_path_factory):
+def script(tmp_path_factory):
     tmp = tmp_path_factory.mktemp("mof5_methane")
     shutil.copy(os.path.join(SRC, "MOF5+PCRC.restart.pdb.data"), tmp)
     with open(os.path.join(SRC, "MOF5+PCRC.restart.pdb.input")) as fh:
@@ -51,6 +51,11 @@ def rows(tmp_path_factory):
 
     script = LammpsScript(dtype=jnp.float64)
     script.file(path)
+    return script
+
+
+@pytest.fixture(scope="module")
+def rows(script):
     return script.thermo_rows
 
 
@@ -111,3 +116,37 @@ def test_thermo_rows_full_precision(rows):
             assert by_step[step][key] == pytest.approx(
                 val, **TOL_HP[step][key]), (
                 "rebuilt-reference", step, key, by_step[step][key])
+
+
+def test_moving_dump_parity(script):
+    """Per-atom position parity vs the committed sorbate dump
+    (MOF5+PCRC.restart.pdb.dump: group moving, sort id, every step,
+    frames 0-5, 3-decimal wrapped coords)."""
+    frames = []
+    with open(os.path.join(SRC, "MOF5+PCRC.restart.pdb.dump")) as fh:
+        lines = fh.read().splitlines()
+    i = 0
+    while i < len(lines):
+        n = int(lines[i + 3])
+        body = lines[i + 9:i + 9 + n]
+        frames.append(np.array([[float(v) for v in ln.split()[:3]]
+                                for ln in body]))
+        i += 9 + n
+    assert len(frames) == 6
+
+    sim = script._sim
+    moving = np.asarray(script.groups["moving"])
+    L = float(2 * 12.8345)
+    x_final = np.asarray(sim.sys.x)[:script.x.shape[0]][moving]
+    theirs = frames[5]
+    assert theirs.shape == x_final.shape
+    d = x_final - theirs
+    d -= L * np.round(d / L)
+    # 3-decimal dump quantization + 5 steps of SCF-residual divergence
+    assert np.abs(d).max() < 2e-3, np.abs(d).max()
+
+    # frame 0 == the data-file sorbate coordinates exactly (5e-4 rounding)
+    x0 = np.asarray(script.data.x)[moving]
+    d0 = x0 - frames[0]
+    d0 -= L * np.round(d0 / L)
+    assert np.abs(d0).max() < 6e-4

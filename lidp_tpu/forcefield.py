@@ -108,8 +108,8 @@ def compute_forces(sys: System, ff: ForceField,
         if isinstance(nlist, Cells):
             fp, ev, ec, vir = cell_pair_forces(
                 sys.x, sys.q, sys.type, sys.mask, nlist, sys.box, ff.pair,
-                need_ev=need_ev)
-            if ff.sp_idx is not None:
+                need_ev=need_ev, mol=sys.mol)
+            if ff.sp_idx is not None and not ff.pair.excl_mol:
                 from lidp_tpu.ops.bonded import special_correction_sparse
 
                 fc, dev_, dec_, dvir = special_correction_sparse(
@@ -120,11 +120,12 @@ def compute_forces(sys: System, ff: ForceField,
         elif nlist is not None:
             fp, ev, ec, vir = neighbor_pair_forces(
                 sys.x, sys.q, sys.type, sys.mask, nlist, sys.box, ff.pair,
-                sp_code_dense=ff.sp_code)
+                sp_code_dense=ff.sp_code, mol=sys.mol)
         else:
             sp = ff.sp_code if ff.sp_code is not None else 0
             fp, ev, ec, vir = pair_ops.dense_pair_forces(
-                sys.x, sys.q, sys.type, sp, sys.mask, sys.box, ff.pair)
+                sys.x, sys.q, sys.type, sp, sys.mask, sys.box, ff.pair,
+                mol=sys.mol)
         f = f + fp
         evdwl, ecoul = evdwl + ev, ecoul + ec
         virial = virial + vir

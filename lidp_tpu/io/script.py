@@ -108,6 +108,7 @@ class LammpsScript:
         self.boundary_styles = [("p", "p")] * 3   # per-dim (lo, hi) faces
         self._created_box = None     # (lo, hi) pre-expansion, for 'm' minima
         self.neigh_exclude_types = []   # [(t1, t2), ...]
+        self.neigh_exclude_mol = False  # exclude molecule all
         self._thermo_temp = None        # thermo_modify temp COMPUTE-ID
         self.data = None             # DataFile
         self.lattice_style = None
@@ -378,7 +379,15 @@ class LammpsScript:
             elif k == "check":
                 self.neigh_check = _yesno(a[i + 1]); i += 2
             elif k == "exclude":
-                if a[i + 1] == "type":
+                if a[i + 1] == "molecule":
+                    # exclude molecule GROUP: drop same-molecule pairs
+                    if a[i + 2] != "all":
+                        raise NotImplementedError(
+                            "exclude molecule on sub-groups")
+                    self.neigh_exclude_mol = True
+                    self._sim = None
+                    i += 3
+                elif a[i + 1] == "type":
                     # neighbor.cpp exclusion lists: drop all pairs between
                     # these two types from force evaluation
                     self.neigh_exclude_types.append(

@@ -142,7 +142,8 @@ def _roll(a, off, sign=-1):
 
 
 def cell_pair_forces(x, q, type_, mask, cells: Cells, box: Box, p,
-                     coul: bool | None = None, need_ev: bool = True):
+                     coul: bool | None = None, need_ev: bool = True,
+                     mol=None):
     """LJ (+ real-space Ewald coulomb) forces via the rolled cell grid.
 
     `p` is a PairParams.  Multi-type tables are applied per-slot (one gather
@@ -171,6 +172,9 @@ def cell_pair_forces(x, q, type_, mask, cells: Cells, box: Box, p,
     multi_type = ntypes > 1 or p.excl is not None
     if multi_type:
         ts = slotify(type_, jnp.zeros((), jnp.int32))
+    excl_mol = p.excl_mol and mol is not None
+    if excl_mol:
+        ms = slotify(mol, jnp.full((), -1, jnp.int32))
 
     # center-atom views: (..., cap, 1); neighbor views via roll: (..., 1, cap)
     def ctr(a):
@@ -222,6 +226,8 @@ def cell_pair_forces(x, q, type_, mask, cells: Cells, box: Box, p,
                 tri, ((0, 0), (gi * cap, (G - gi - 1) * cap)),
                 constant_values=True)
             pair_ok = pair_ok & tri_blk
+        if excl_mol:
+            pair_ok = pair_ok & (ctr(ms) != nbr_group(ms, offs))
         rsq = jnp.where(pair_ok, rsq, 1.0e12)
         r2inv = 1.0 / rsq
 

@@ -129,7 +129,7 @@ def build_neighbor_list(x, mask, box: Box, cfg: NeighborConfig) -> NeighborList:
 
 
 def neighbor_pair_forces(x, q, type_, mask, nlist: NeighborList, box: Box, p,
-                         sp_code_dense=None):
+                         sp_code_dense=None, mol=None):
     """Pair forces/energies over a padded full neighbor list.
 
     `p` is a PairParams. Returns (f, evdwl, ecoul, virial6). Each pair is
@@ -148,6 +148,8 @@ def neighbor_pair_forces(x, q, type_, mask, nlist: NeighborList, box: Box, p,
     dz = minimum_image(x[:, 2:3] - x[:, 2][jc], L[2])
     rsq = dx * dx + dy * dy + dz * dz
     pm = jv & mask[:, None]
+    if p.excl_mol and mol is not None:
+        pm &= mol[:, None] != mol[jc]
     rsq = jnp.where(pm, rsq, 1.0)
 
     if sp_code_dense is not None:

@@ -71,6 +71,11 @@ class PairParams:
     # lists) — excluded pairs contribute nothing; None (common case) skips
     # the per-pair table lookup entirely
     excl: object = None
+    # neigh_modify exclude molecule all: drop same-molecule pairs from the
+    # pair kernels entirely (incl. their erf-complement special correction —
+    # the reference removes them from the neighbor list before any tally)
+    excl_mol: bool = dataclasses.field(metadata=dict(static=True),
+                                       default=False)
 
 
 def make_pair_params(
@@ -217,7 +222,8 @@ def _pair_terms(rsq, qi, qj, ti, tj, sp_code, p: PairParams, pair_mask):
     return fpair.astype(dtype), evdwl, ecoul
 
 
-def dense_pair_forces(x, q, type_, sp_code, mask, box: Box, p: PairParams):
+def dense_pair_forces(x, q, type_, sp_code, mask, box: Box, p: PairParams,
+                      mol=None):
     """All-pairs (N,N) evaluation. Returns (f, evdwl, ecoul, virial6).
 
     virial6 ordering: xx yy zz xy xz yz (LAMMPS convention, pair.cpp:854).
@@ -228,6 +234,8 @@ def dense_pair_forces(x, q, type_, sp_code, mask, box: Box, p: PairParams):
     rsq = jnp.sum(delta * delta, axis=-1)
     eye = jnp.eye(n, dtype=bool)
     pair_mask = (~eye) & mask[:, None] & mask[None, :]
+    if p.excl_mol and mol is not None:
+        pair_mask &= mol[:, None] != mol[None, :]
     rsq = jnp.where(pair_mask, rsq, 1.0)
 
     fpair, evdwl, ecoul = _pair_terms(

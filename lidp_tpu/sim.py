@@ -169,6 +169,8 @@ class Simulation:
             cut_lj_inner=script.pair.cut_lj_inner, charmm=charmm,
             excl_types=excl_types,
             dtype=dtype)
+        if getattr(script, "neigh_exclude_mol", False):
+            pair = dataclasses.replace(pair, excl_mol=True)
 
         # ---- kspace ----
         ew = None

@@ -917,7 +917,24 @@ class LammpsScript:
             if a[2] == "linear":
                 self.v[gm] -= (m[:, None] * self.v[gm]).sum(0) / m.sum()
             else:
-                raise ValueError("velocity zero angular not supported yet")
+                # velocity zero angular (velocity.cpp zero_rotation)
+                xu = (self.x + self.image
+                      * (self.box_hi - self.box_lo))[gm]
+                xcm = (m[:, None] * xu).sum(0) / m.sum()
+                d = xu - xcm
+                Lang = (m[:, None] * np.cross(d, self.v[gm])).sum(0)
+                inertia = np.zeros((3, 3))
+                inertia[0, 0] = np.sum(m * (d[:, 1]**2 + d[:, 2]**2))
+                inertia[1, 1] = np.sum(m * (d[:, 0]**2 + d[:, 2]**2))
+                inertia[2, 2] = np.sum(m * (d[:, 0]**2 + d[:, 1]**2))
+                inertia[0, 1] = inertia[1, 0] = -np.sum(
+                    m * d[:, 0] * d[:, 1])
+                inertia[0, 2] = inertia[2, 0] = -np.sum(
+                    m * d[:, 0] * d[:, 2])
+                inertia[1, 2] = inertia[2, 1] = -np.sum(
+                    m * d[:, 1] * d[:, 2])
+                omega = np.linalg.solve(inertia, Lang)
+                self.v[gm] -= np.cross(omega, d)
             self._sim = None
             return
         if a[1] == "scale":
@@ -993,8 +1010,10 @@ class LammpsScript:
         fid, group, style = a[0], a[1], a[2]
         if style not in ("nve", "nvt", "npt", "nph", "rigid", "rigid/nve",
                          "rigid/nvt", "langevin", "shake", "rattle",
-                         "temp/rescale",
-                         "temp/berendsen", "enforce2d", "setforce"):
+                         "temp/rescale", "temp/berendsen", "enforce2d",
+                         "setforce", "addforce", "aveforce", "spring/self",
+                         "viscous", "efield", "momentum", "recenter",
+                         "halt"):
             raise ValueError(f"unsupported fix style {style}")
         self.fixes[fid] = FixSpec(fid=fid, group=group, style=style, args=a[3:])
         self._sim = None

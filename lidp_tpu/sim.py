@@ -418,12 +418,18 @@ class Simulation:
         # pf_hooks but shake uses its half-dtfsq setup variant.
         pf_hooks = []
         pf_hooks_setup = []
+        eos_hooks = []          # Modify::end_of_step, declaration order
+        halt_spec = None
         rattle_params = None
         pending_temp_fix = None
         shake_dof_removed = 0
         integrator_fixes = [f for f in script.fixes.values()
                             if f.style not in ("langevin", "shake",
-                                               "rattle",
+                                               "rattle", "addforce",
+                                               "aveforce", "spring/self",
+                                               "viscous", "efield",
+                                               "momentum", "recenter",
+                                               "halt",
                                                "temp/rescale",
                                                "temp/berendsen",
                                                "enforce2d", "setforce")]
@@ -522,6 +528,159 @@ class Simulation:
 
                 pf_hooks.append(_langevin_pf)
                 pf_hooks_setup.append(_langevin_pf)
+                continue
+            if spec.style == "addforce":
+                # fix addforce (fix_addforce.cpp): constant extra force
+                gm_af = jnp.asarray(groups[spec.group])[:, None]
+                fadd = jnp.asarray([float(v) for v in spec.args[:3]], dtype)
+
+                def _addforce_pf(sys_, f_, _g=gm_af, _fa=fadd):
+                    f2 = f_ + jnp.where(_g & sys_.mask[:, None],
+                                        _fa[None, :], 0.0)
+                    return f2, jnp.zeros(6, f_.dtype)
+
+                pf_hooks.append(_addforce_pf)
+                pf_hooks_setup.append(_addforce_pf)
+                continue
+            if spec.style == "aveforce":
+                # fix aveforce (fix_aveforce.cpp): set each non-NULL
+                # component to the group-average force plus the given value
+                gm_av = jnp.asarray(groups[spec.group])
+                vals_av = [None if t == "NULL" else float(t)
+                           for t in spec.args[:3]]
+                keep_av = jnp.asarray([v is None for v in vals_av])
+                add_av = jnp.asarray([0.0 if v is None else v
+                                      for v in vals_av], dtype)
+                ng_av = jnp.asarray(
+                    max(1, int(np.count_nonzero(
+                        script.groups[spec.group]))), dtype)
+
+                def _aveforce_pf(sys_, f_, _g=gm_av, _k=keep_av, _a=add_av,
+                                 _n=ng_av):
+                    m = (_g & sys_.mask)[:, None]
+                    favg = jnp.sum(jnp.where(m, f_, 0.0), axis=0) / _n
+                    f2 = jnp.where(m & ~_k[None, :],
+                                   (favg + _a)[None, :], f_)
+                    return f2, jnp.zeros(6, f_.dtype)
+
+                pf_hooks.append(_aveforce_pf)
+                pf_hooks_setup.append(_aveforce_pf)
+                continue
+            if spec.style == "spring/self":
+                # fix spring/self K: per-atom tether to the unwrapped
+                # position at fix definition (fix_spring_self.cpp:151)
+                k_ss = float(spec.args[0])
+                gm_ss = jnp.asarray(groups[spec.group])[:, None]
+                x0_ss = jnp.asarray(
+                    _padA(script.x + script.image
+                          * (script.box_hi - script.box_lo)), dtype)
+
+                def _springself_pf(sys_, f_, _g=gm_ss, _k=k_ss, _x0=x0_ss):
+                    from lidp_tpu.box import unwrap as _unwrap
+
+                    xu = _unwrap(sys_.x, sys_.box, sys_.image)
+                    f2 = f_ - jnp.where(_g & sys_.mask[:, None],
+                                        _k * (xu - _x0), 0.0)
+                    return f2, jnp.zeros(6, f_.dtype)
+
+                pf_hooks.append(_springself_pf)
+                pf_hooks_setup.append(_springself_pf)
+                continue
+            if spec.style == "viscous":
+                # fix viscous gamma: f -= gamma * v (fix_viscous.cpp)
+                g_v = float(spec.args[0])
+                gm_v = jnp.asarray(groups[spec.group])[:, None]
+
+                def _viscous_pf(sys_, f_, _g=gm_v, _gam=g_v):
+                    f2 = f_ - jnp.where(_g & sys_.mask[:, None],
+                                        _gam * sys_.v, 0.0)
+                    return f2, jnp.zeros(6, f_.dtype)
+
+                pf_hooks.append(_viscous_pf)
+                pf_hooks_setup.append(_viscous_pf)
+                continue
+            if spec.style == "efield":
+                # fix efield ex ey ez: f += qe2f * q * E (fix_efield.cpp)
+                e_f = jnp.asarray([float(v) for v in spec.args[:3]], dtype)
+                gm_e = jnp.asarray(groups[spec.group])[:, None]
+                qe2f = jnp.asarray(u.qe2f, dtype)
+
+                def _efield_pf(sys_, f_, _g=gm_e, _e=e_f, _c=qe2f):
+                    f2 = f_ + jnp.where(
+                        _g & sys_.mask[:, None],
+                        (_c * sys_.q)[:, None] * _e[None, :], 0.0)
+                    return f2, jnp.zeros(6, f_.dtype)
+
+                pf_hooks.append(_efield_pf)
+                pf_hooks_setup.append(_efield_pf)
+                continue
+            if spec.style == "momentum":
+                # fix momentum N linear x y z (fix_momentum.cpp:95): zero
+                # the selected vcm components of the group every N steps
+                nev_m = int(spec.args[0])
+                dims_m = [1.0, 1.0, 1.0]
+                if "linear" in spec.args:
+                    li = list(spec.args).index("linear")
+                    dims_m = [float(spec.args[li + 1 + d]) for d in range(3)]
+                gm_m = jnp.asarray(groups[spec.group])
+                m_m = jnp.asarray(mass_atom, dtype)
+                dsel = jnp.asarray(dims_m, dtype)
+
+                def _momentum_eos(sys_, _g=gm_m, _m=m_m, _d=dsel,
+                                  _n=nev_m):
+                    sel = (_g & sys_.mask)
+                    msel = jnp.where(sel, _m, 0.0)
+                    vcm = (jnp.sum(msel[:, None] * sys_.v, axis=0)
+                           / jnp.sum(msel))
+                    apply = (sys_.step % _n) == 0
+                    dv = jnp.where(apply, vcm * _d, 0.0)
+                    v2 = sys_.v - jnp.where(sel[:, None], dv[None, :], 0.0)
+                    return sys_.replace(v=v2)
+
+                eos_hooks.append(_momentum_eos)
+                continue
+            if spec.style == "recenter":
+                # fix recenter x y z (fix_recenter.cpp): shift the group so
+                # its COM returns to the target (INIT = COM at definition)
+                gm_r = script.groups[spec.group]
+                m_r = np.asarray(mass_atom[:npad])
+                xu0 = script.x + script.image * (script.box_hi
+                                                 - script.box_lo)
+                com0 = ((m_r[:n][gm_r][:, None] * xu0[gm_r]).sum(0)
+                        / m_r[:n][gm_r].sum())
+                tgt = []
+                for d, tok in enumerate(spec.args[:3]):
+                    tgt.append(com0[d] if tok in ("INIT", "NULL")
+                               else float(tok))
+                gm_rj = jnp.asarray(groups[spec.group])
+                m_rj = jnp.asarray(mass_atom, dtype)
+                tgt_j = jnp.asarray(tgt, dtype)
+                keep_r = jnp.asarray([tok == "NULL"
+                                      for tok in spec.args[:3]])
+
+                def _recenter_eos(sys_, _g=gm_rj, _m=m_rj, _t=tgt_j,
+                                  _k=keep_r):
+                    from lidp_tpu.box import unwrap as _unwrap
+
+                    sel = (_g & sys_.mask)
+                    msel = jnp.where(sel, _m, 0.0)
+                    xu = _unwrap(sys_.x, sys_.box, sys_.image)
+                    com = (jnp.sum(msel[:, None] * xu, axis=0)
+                           / jnp.sum(msel))
+                    shift = jnp.where(_k, 0.0, _t - com)
+                    x2 = sys_.x + jnp.where(sel[:, None], shift[None, :],
+                                            0.0)
+                    return sys_.replace(x=x2)
+
+                eos_hooks.append(_recenter_eos)
+                continue
+            if spec.style == "halt":
+                # fix halt N attribute op value [error|break|continue] —
+                # host-side conditional stop at chunk boundaries
+                # (fix_halt.cpp:146)
+                halt_spec = (int(spec.args[0]), spec.args[1], spec.args[2],
+                             float(spec.args[3]),
+                             spec.args[4] if len(spec.args) > 4 else "break")
                 continue
             gmask = groups[spec.group]
             gmask_real = script.groups[spec.group]
@@ -729,6 +888,14 @@ class Simulation:
                         1.0 + script.dt / t_damp * (t_tgt / t_cur - 1.0))
                     return sys_.replace(v=sys_.v * lam)
 
+        if eos_hooks:
+            prev_e = end_of_step
+
+            def end_of_step(sys_, _hooks=tuple(eos_hooks), _prev=prev_e):
+                for h in _hooks:
+                    sys_ = h(sys_)
+                return _prev(sys_) if _prev is not None else sys_
+
         if rattle_params is not None:
             from lidp_tpu.ops import shake as shake_mod
 
@@ -829,6 +996,7 @@ class Simulation:
         sim_obj = Simulation(script=script, sys=sys, runner=runner,
                              thermo_params=tp, group_thermo=group_tp,
                              natoms=n)
+        sim_obj.halt_spec = halt_spec
         sim_obj.gg_computes = gg_computes
         sim_obj.msd_computes = msd_computes
         sim_obj.rdf_computes = rdf_computes
@@ -988,6 +1156,9 @@ class Simulation:
         chunk_opts = [every]
         if dump_every:
             chunk_opts.append(dump_every)
+        halt = getattr(self, "halt_spec", None)
+        if halt:
+            chunk_opts.append(max(1, halt[0]))
         chunk = int(np.gcd.reduce(chunk_opts)) if chunk_opts else nsteps
         while remaining > 0:
             todo = min(chunk, remaining)
@@ -995,6 +1166,28 @@ class Simulation:
                 self.sys, self.res, self.nlist, self.istate, todo)
             remaining -= todo
             step = int(self.sys.step)
+            if halt and (halt[0] == 0 or step % max(1, halt[0]) == 0):
+                # fix halt (fix_halt.cpp:146): conditional graceful stop;
+                # attribute is a thermo keyword or v_NAME equal-variable
+                nev, attr, op, val, action = halt
+                row = self._thermo_row()
+                cur = row.get(attr)
+                if cur is None and attr.startswith("v_"):
+                    cur = float(self.script.variables.get(attr[2:], "nan"))
+                if cur is not None:
+                    hit = {"<": cur < val, "<=": cur <= val,
+                           ">": cur > val, ">=": cur >= val,
+                           "==": cur == val, "!=": cur != val}[op]
+                    if hit:
+                        if action == "error":
+                            raise RuntimeError(
+                                f"Fix halt condition met: {attr} {op} {val}")
+                        self.script.log(
+                            f"Fix halt condition met on step {step}: "
+                            f"{attr} {op} {val}")
+                        self._emit()
+                        self._dump()
+                        break
             if every and step % every == 0 or remaining == 0:
                 self._emit()
             self._dump()

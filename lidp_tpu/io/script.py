@@ -645,6 +645,17 @@ class LammpsScript:
                 else:
                     raise ValueError(f"Illegal pair_style keyword {k}")
                 i += 2
+        elif a[0] in ("morse", "buck", "gauss", "soft", "born"):
+            p.cut_lj_global = float(a[1])
+        elif a[0] == "yukawa":
+            # pair_style yukawa kappa cut (pair_yukawa.cpp:152-157)
+            self._yukawa_kappa = float(a[1])
+            p.cut_lj_global = float(a[2])
+        elif a[0] in ("buck/coul/cut", "buck/coul/long"):
+            p.cut_lj_global = float(a[1])
+            p.cut_coul = float(a[2]) if len(a) > 2 else p.cut_lj_global
+        elif a[0] in ("coul/cut", "coul/long"):
+            p.cut_coul = float(a[1])
         else:
             raise ValueError(f"unsupported pair_style {a[0]}")
         self.pair = p
@@ -688,6 +699,12 @@ class LammpsScript:
                 if self.mass_type[t] == 0.0:
                     self.mass_type[t] = mass
             return
+        _NCOEFF = {"morse": 3, "buck": 3, "buck/coul/cut": 3,
+                   "buck/coul/long": 3, "yukawa": 1, "gauss": 2, "soft": 1,
+                   "born": 5, "coul/cut": 0, "coul/long": 0}
+        if self.pair.name in _NCOEFF and a[0] == "*" and a[1] == "*" \
+                and self.pair.name.startswith("coul"):
+            return   # coul styles take no per-pair coefficients
         if a[0] == "*" or a[1] == "*":
             # pair_coeff * * ... — wildcard ranges (Force::bounds, force.cpp)
             ii = range(1, self.ntypes + 1) if a[0] == "*" else [int(a[0])]
@@ -698,6 +715,13 @@ class LammpsScript:
                         self.cmd_pair_coeff([str(i_), str(j_)] + list(a[2:]))
             return
         i, j = int(a[0]), int(a[1])
+        if self.pair.name in _NCOEFF:
+            nc = _NCOEFF[self.pair.name]
+            vals = [float(v) for v in a[2:2 + nc]]
+            cut = (float(a[2 + nc]) if len(a) > 2 + nc
+                   else self.pair.cut_lj_global)
+            self.pair_coeffs[(min(i, j), max(i, j))] = tuple(vals) + (cut,)
+            return
         eps, sig = float(a[2]), float(a[3])
         if "charmm" in self.pair.name:
             # i j eps sigma [eps14 sigma14]; cutoffs are global

@@ -36,7 +36,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from lidp_tpu.box import Box, minimum_image
-from lidp_tpu.ops.pair import EWALD_F, EWALD_P, A1, A2, A3, A4, A5
+from lidp_tpu.ops.pair import (EWALD_F, EWALD_P, A1, A2, A3, A4, A5,
+                               _vdw_terms)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -193,9 +194,11 @@ def cell_pair_forces(x, q, type_, mask, cells: Cells, box: Box, p,
     if multi_type:
         lj1t, lj2t, lj3t, lj4t = p.lj1, p.lj2, p.lj3, p.lj4
         offt, cljsqt, cutsqt = p.offset, p.cut_ljsq, p.cutsq
+        lj5 = None
     else:
         lj1 = p.lj1[1, 1]; lj2 = p.lj2[1, 1]
         lj3 = p.lj3[1, 1]; lj4 = p.lj4[1, 1]
+        lj5 = p.lj5[1, 1] if p.lj5 is not None else None
         off11 = p.offset[1, 1]
         cut_ljsq = p.cut_ljsq[1, 1]; cutsq = p.cutsq[1, 1]
 
@@ -235,6 +238,7 @@ def cell_pair_forces(x, q, type_, mask, cells: Cells, box: Box, p,
             ti = ctr(ts); tj = nbr_group(ts, offs)
             lj1 = lj1t[ti, tj]; lj2 = lj2t[ti, tj]
             lj3 = lj3t[ti, tj]; lj4 = lj4t[ti, tj]
+            lj5 = p.lj5[ti, tj] if p.lj5 is not None else None
             off11 = offt[ti, tj]
             cut_ljsq = cljsqt[ti, tj]; cutsq = cutsqt[ti, tj]
 
@@ -242,11 +246,16 @@ def cell_pair_forces(x, q, type_, mask, cells: Cells, box: Box, p,
         if p.excl is not None:
             in_rng &= ~p.excl[ti, tj]
         lj_m = in_rng & (rsq < cut_ljsq)
-        r6inv = r2inv * r2inv * r2inv
-        forcelj = r6inv * (lj1 * r6inv - lj2)
-        need_philj = need_ev or p.charmm
-        if need_philj:
-            philj = r6inv * (lj3 * r6inv - lj4)
+        if p.kind == "lj":
+            r6inv = r2inv * r2inv * r2inv
+            forcelj = r6inv * (lj1 * r6inv - lj2)
+            need_philj = need_ev or p.charmm
+            if need_philj:
+                philj = r6inv * (lj3 * r6inv - lj4)
+        else:
+            forcelj, philj = _vdw_terms(
+                p.kind, rsq, r2inv, lj1, lj2, lj3, lj4, lj5,
+                jnp.sqrt(cut_ljsq) if p.kind == "soft" else None)
         if p.charmm:
             # CHARMM inner/outer energy switching, same branch as
             # _pair_terms (pair_lj_charmm_coul_long.cpp:110-125)

@@ -76,6 +76,11 @@ class PairParams:
     # the reference removes them from the neighbor list before any tally)
     excl_mol: bool = dataclasses.field(metadata=dict(static=True),
                                        default=False)
+    # van-der-Waals functional form; the ljN tables are reinterpreted per
+    # kind (see _vdw_terms): lj, morse, buck, yukawa, gauss, soft, born,
+    # none (pure coulomb)
+    kind: str = dataclasses.field(metadata=dict(static=True), default="lj")
+    lj5: object = None      # 5th coefficient table (born D)
 
 
 def make_pair_params(
@@ -118,6 +123,97 @@ def make_pair_params(
     )
 
 
+def make_generic_pair_params(
+    kind, t1, t2, t3=None, t4=None, t5=None, *, cut_lj, cut_coul=0.0,
+    coul=False, qqrd2e=1.0, g_ewald=0.0, special_lj=(1.0, 0.0, 0.0, 0.0),
+    special_coul=(1.0, 0.0, 0.0, 0.0), shift=False, excl_types=None,
+    dtype=jnp.float64,
+):
+    """PairParams for the non-LJ kinds (see _vdw_terms table mapping).
+
+    t1..t5: (T+1,T+1) coefficient tables; cut_lj likewise.  `shift` applies
+    the energy offset at the cutoff (pair_modify shift yes)."""
+    zeros = jnp.zeros_like(jnp.asarray(t1, dtype))
+    tabs = [jnp.asarray(t, dtype) if t is not None else zeros
+            for t in (t1, t2, t3, t4)]
+    t5j = jnp.asarray(t5, dtype) if t5 is not None else None
+    cut_lj = jnp.asarray(cut_lj, dtype)
+    if shift:
+        rc = jnp.where(cut_lj > 0, cut_lj, 1.0)
+        r2inv = 1.0 / (rc * rc)
+        _, phirc = _vdw_terms(kind, rc * rc, r2inv,
+                              tabs[0], tabs[1], tabs[2], tabs[3], t5j, rc)
+        offset = jnp.where(cut_lj > 0, phirc, 0.0)
+    else:
+        offset = jnp.zeros_like(cut_lj)
+    cut_ljsq = cut_lj**2
+    cutsq = jnp.maximum(cut_lj, cut_coul if coul else 0.0) ** 2
+    return PairParams(
+        lj1=tabs[0], lj2=tabs[1], lj3=tabs[2], lj4=tabs[3], offset=offset,
+        cut_ljsq=cut_ljsq, cutsq=cutsq,
+        cut_coulsq=jnp.asarray(cut_coul, dtype) ** 2,
+        special_lj=jnp.asarray(special_lj, dtype),
+        special_coul=jnp.asarray(special_coul, dtype),
+        qqrd2e=jnp.asarray(qqrd2e, dtype),
+        g_ewald=jnp.asarray(g_ewald, dtype),
+        cut_lj_innersq=jnp.asarray(0.0, dtype),
+        denom_lj=jnp.asarray(1.0, dtype),
+        coul=coul, charmm=False,
+        excl=(None if excl_types is None
+              else jnp.asarray(excl_types, bool)),
+        kind=kind, lj5=t5j,
+    )
+
+
+def _vdw_terms(kind, rsq, r2inv, t1, t2, t3, t4, t5=None,
+               cut_pair=None):
+    """(forcelj, philj) for the pair kind, with forcelj in the LAMMPS
+    convention fpair = forcelj * r2inv.  t1..t5 are the per-pair coefficient
+    tables already gathered at [ti,tj]:
+
+      lj:     t1=48*eps*sig^12  t2=24*eps*sig^6  t3=4*eps*sig^12 t4=4*eps*sig^6
+      morse:  t1=D0  t2=alpha  t3=r0  t4=2*D0*alpha           (pair_morse.cpp:102)
+      buck:   t1=A   t2=1/rho  t3=C                           (pair_buck.cpp:111)
+      yukawa: t1=A   t2=kappa                                 (pair_yukawa.cpp:100)
+      gauss:  t1=A   t2=B                                     (pair_gauss.cpp:113)
+      soft:   t1=A   cut_pair=cutoff                          (pair_soft.cpp:100)
+      born:   t1=A   t2=1/rho  t3=C  t4=sigma  t5=D           (pair_born.cpp:116)
+      none:   zero (pure coulomb styles)
+    """
+    if kind == "lj":
+        r6inv = r2inv * r2inv * r2inv
+        return r6inv * (t1 * r6inv - t2), r6inv * (t3 * r6inv - t4)
+    if kind == "none":
+        z = jnp.zeros_like(rsq)
+        return z, z
+    r = jnp.sqrt(rsq)
+    if kind == "morse":
+        dexp = jnp.exp(-t2 * (r - t3))
+        return t4 * (dexp * dexp - dexp) * r, t1 * (dexp * dexp - 2.0 * dexp)
+    if kind == "buck":
+        r6inv = r2inv * r2inv * r2inv
+        rexp = jnp.exp(-r * t2)
+        return (t1 * t2) * r * rexp - 6.0 * t3 * r6inv, t1 * rexp - t3 * r6inv
+    if kind == "yukawa":
+        rinv = 1.0 / r
+        screening = jnp.exp(-t2 * r)
+        return t1 * screening * (t2 + rinv) * 1.0, t1 * screening * rinv
+    if kind == "gauss":
+        e = jnp.exp(-t2 * rsq)
+        return -2.0 * t1 * t2 * rsq * e, -t1 * e
+    if kind == "soft":
+        arg = jnp.pi * r / cut_pair
+        return (t1 * jnp.pi / cut_pair * jnp.sin(arg) * r,
+                t1 * (1.0 + jnp.cos(arg)))
+    if kind == "born":
+        r6inv = r2inv * r2inv * r2inv
+        rexp = jnp.exp((t4 - r) * t2)
+        return ((t1 * t2) * r * rexp - 6.0 * t3 * r6inv
+                + 8.0 * t5 * r2inv * r6inv,
+                t1 * rexp - t3 * r6inv + t5 * r2inv * r6inv)
+    raise ValueError(f"unknown pair kind {kind}")
+
+
 def pair_single(rsq, itype, jtype, qi, qj, p: PairParams,
                 factor_coul=1.0, factor_lj=1.0):
     """Pair::single analog — (eng, fforce) for one pair at distance^2 rsq.
@@ -144,9 +240,12 @@ def pair_single(rsq, itype, jtype, qi, qj, p: PairParams,
         forcecoul = jnp.where(incoul, forcecoul, 0.0)
         phicoul = jnp.where(incoul, phicoul, 0.0)
     r6inv = r2inv * r2inv * r2inv
-    forcelj = r6inv * (p.lj1[itype, jtype] * r6inv - p.lj2[itype, jtype])
-    philj = r6inv * (p.lj3[itype, jtype] * r6inv - p.lj4[itype, jtype]) \
-        - p.offset[itype, jtype]
+    forcelj, philj = _vdw_terms(
+        p.kind, rsq, r2inv, p.lj1[itype, jtype], p.lj2[itype, jtype],
+        p.lj3[itype, jtype], p.lj4[itype, jtype],
+        p.lj5[itype, jtype] if p.lj5 is not None else None,
+        jnp.sqrt(p.cut_ljsq[itype, jtype]) if p.kind == "soft" else None)
+    philj = philj - p.offset[itype, jtype]
     if p.charmm:
         cut_ljsq = p.cut_ljsq[itype, jtype]
         switch1 = ((cut_ljsq - rsq) ** 2
@@ -181,9 +280,11 @@ def _pair_terms(rsq, qi, qj, ti, tj, sp_code, p: PairParams, pair_mask):
         in_range &= ~p.excl[ti, tj]
     lj_mask = in_range & (rsq < cut_ljsq_ij)
 
-    r6inv = r2inv * r2inv * r2inv
-    forcelj = r6inv * (p.lj1[ti, tj] * r6inv - p.lj2[ti, tj])
-    philj = r6inv * (p.lj3[ti, tj] * r6inv - p.lj4[ti, tj])
+    forcelj, philj = _vdw_terms(
+        p.kind, rsq, r2inv, p.lj1[ti, tj], p.lj2[ti, tj], p.lj3[ti, tj],
+        p.lj4[ti, tj],
+        p.lj5[ti, tj] if p.lj5 is not None else None,
+        jnp.sqrt(cut_ljsq_ij) if p.kind == "soft" else None)
     if p.charmm:
         # energy switching between inner/outer LJ cutoffs
         # (pair_lj_charmm_coul_long.cpp:110-125); cutoffs are global

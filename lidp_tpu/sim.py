@@ -30,6 +30,70 @@ from lidp_tpu.thermo import ThermoParams, temperature
 
 DENSE_PATH_MAX_ATOMS = 4096
 
+# pair_style name -> (_vdw_terms kind, n coefficients)
+_GENERIC_PAIR_KINDS = {
+    "morse": ("morse", 3), "buck": ("buck", 3),
+    "buck/coul/cut": ("buck", 3), "buck/coul/long": ("buck", 3),
+    "yukawa": ("yukawa", 1), "gauss": ("gauss", 2), "soft": ("soft", 1),
+    "born": ("born", 5), "coul/cut": ("none", 0), "coul/long": ("none", 0),
+}
+
+
+def _build_generic_pair(script, u, excl_types, dtype):
+    """PairParams for the non-LJ pair styles (pair_morse/buck/yukawa/gauss/
+    soft/born/coul_*.cpp).  Off-diagonal coefficients must be given
+    explicitly — these styles have no mixing (init_one: 'All pair coeffs
+    are not set')."""
+    from lidp_tpu.ops.pair import make_generic_pair_params
+
+    name = script.pair.name
+    kind, nc = _GENERIC_PAIR_KINDS[name]
+    T = script.ntypes
+    coul = "coul" in name
+    tabs = [np.zeros((T + 1, T + 1)) for _ in range(5)]
+    cut = np.full((T + 1, T + 1), script.pair.cut_lj_global)
+    if kind != "none":
+        seen = np.zeros((T + 1, T + 1), bool)
+        for (i, j), co in script.pair_coeffs.items():
+            vals, cij = co[:nc], co[nc] if len(co) > nc else co[-1]
+            if kind == "morse":
+                d0, alpha, r0 = vals
+                row = (d0, alpha, r0, 2.0 * d0 * alpha, 0.0)
+            elif kind == "buck":
+                A, rho, C = vals
+                row = (A, 1.0 / rho, C, 0.0, 0.0)
+            elif kind == "yukawa":
+                row = (vals[0], script._yukawa_kappa, 0.0, 0.0, 0.0)
+            elif kind == "gauss":
+                row = (vals[0], vals[1], 0.0, 0.0, 0.0)
+            elif kind == "soft":
+                row = (vals[0], 0.0, 0.0, 0.0, 0.0)
+            elif kind == "born":
+                A, rho, sg, C, D = vals
+                row = (A, 1.0 / rho, C, sg, D)
+            for k, v in enumerate(row):
+                tabs[k][i, j] = tabs[k][j, i] = v
+            cut[i, j] = cut[j, i] = co[nc] if len(co) > nc else cij
+            seen[i, j] = seen[j, i] = True
+        for i in range(1, T + 1):
+            for j in range(i, T + 1):
+                if not seen[i, j]:
+                    raise ValueError(
+                        f"All pair coeffs are not set ({name} {i} {j})")
+    else:
+        cut = np.zeros((T + 1, T + 1))
+    g_ewald = 0.0   # coul/cut & cut styles: undamped 1/r (erfc(0) == 1)
+    pair = make_generic_pair_params(
+        kind, tabs[0], tabs[1], tabs[2], tabs[3],
+        tabs[4] if kind == "born" else None,
+        cut_lj=cut, cut_coul=script.pair.cut_coul if coul else 0.0,
+        coul=coul, qqrd2e=u.qqr2e, g_ewald=g_ewald,
+        special_lj=np.array(script.special_lj),
+        special_coul=np.array(script.special_coul),
+        shift=getattr(script, "_pair_shift", False),
+        excl_types=excl_types, dtype=dtype)
+    return pair, cut
+
 
 def _mix_pair_tables(script):
     """Per-type-pair eps/sigma/cut tables with geometric mixing for unset
@@ -147,7 +211,6 @@ class Simulation:
                 mass_atom = script.mass_type[script.type]
         # padded atoms get unit mass so 1/m stays finite (f == 0 keeps v == 0)
         mass_atom = _padA(mass_atom, 1.0)
-        eps, sig, cut = _mix_pair_tables(script)
         coul = "coul" in script.pair.name
         charmm = "charmm" in script.pair.name
         excl_types = None
@@ -159,16 +222,21 @@ class Simulation:
                                   bool)
             for t1, t2 in excl_list:
                 excl_types[t1, t2] = excl_types[t2, t1] = True
-        pair = make_pair_params(
-            eps, sig, cut,
-            cut_coul=script.pair.cut_coul if coul else 0.0,
-            special_lj=np.array(script.special_lj),
-            special_coul=np.array(script.special_coul),
-            qqrd2e=u.qqr2e, coul=coul,
-            shift=getattr(script, "_pair_shift", False),
-            cut_lj_inner=script.pair.cut_lj_inner, charmm=charmm,
-            excl_types=excl_types,
-            dtype=dtype)
+        pname = script.pair.name
+        if pname in _GENERIC_PAIR_KINDS:
+            pair, cut = _build_generic_pair(script, u, excl_types, dtype)
+        else:
+            eps, sig, cut = _mix_pair_tables(script)
+            pair = make_pair_params(
+                eps, sig, cut,
+                cut_coul=script.pair.cut_coul if coul else 0.0,
+                special_lj=np.array(script.special_lj),
+                special_coul=np.array(script.special_coul),
+                qqrd2e=u.qqr2e, coul=coul,
+                shift=getattr(script, "_pair_shift", False),
+                cut_lj_inner=script.pair.cut_lj_inner, charmm=charmm,
+                excl_types=excl_types,
+                dtype=dtype)
         if getattr(script, "neigh_exclude_mol", False):
             pair = dataclasses.replace(pair, excl_mol=True)
 

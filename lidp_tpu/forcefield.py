@@ -86,13 +86,26 @@ class ForceResult:
 
 def compute_forces(sys: System, ff: ForceField,
                    nlist: Optional[NeighborList] = None,
-                   need_ev: bool = True) -> ForceResult:
+                   need_ev: bool = True, terms=None) -> ForceResult:
     """Evaluate every force term. Uses the dense all-pairs path when no
     neighbor list is given (small systems / validation).
 
     need_ev=False (the LAMMPS eflag/vflag=0 analog, Pair::ev_setup
     pair.cpp:752) skips energy/virial math on the cell-kernel hot path;
-    scan-internal steps don't consume them."""
+    scan-internal steps don't consume them.
+
+    terms: optional static collection restricting which categories are
+    evaluated — {'pair','bond','angle','dihedral','improper','kspace',
+    'polar'} — the rRESPA level split (Respa::recurse evaluates each
+    level's forces separately, respa.cpp)."""
+    if terms is not None:
+        terms = frozenset(terms)
+
+        def _on(name):
+            return name in terms
+    else:
+        def _on(name):
+            return True
     dtype = sys.x.dtype
     zero = jnp.zeros((), dtype)
     f = jnp.zeros_like(sys.x)
@@ -102,7 +115,7 @@ def compute_forces(sys: System, ff: ForceField,
     scf_iters = jnp.zeros((), jnp.int32)
     scf_diverged = jnp.zeros((), bool)
 
-    if ff.pair is not None:
+    if ff.pair is not None and _on("pair"):
         from lidp_tpu.ops.cells import Cells, cell_pair_forces
 
         if isinstance(nlist, Cells):
@@ -130,7 +143,7 @@ def compute_forces(sys: System, ff: ForceField,
         evdwl, ecoul = evdwl + ev, ecoul + ec
         virial = virial + vir
 
-    if ff.eam is not None:
+    if ff.eam is not None and _on("pair"):
         from lidp_tpu.ops.cells import Cells
         from lidp_tpu.ops.eam import (EAMAlloyParams, eam_alloy_cell_forces,
                                       eam_cell_forces)
@@ -147,7 +160,7 @@ def compute_forces(sys: System, ff: ForceField,
         evdwl = evdwl + ev
         virial = virial + vir_
 
-    if ff.bond is not None:
+    if ff.bond is not None and _on("bond"):
         from lidp_tpu.ops.bonded import bond_forces
 
         fb, eb, vb = bond_forces(sys.x, sys.box, ff.bond)
@@ -156,7 +169,7 @@ def compute_forces(sys: System, ff: ForceField,
         virial = virial + vb
 
     eangle = edihed = eimp = jnp.zeros((), sys.x.dtype)
-    if ff.angle is not None:
+    if ff.angle is not None and _on("angle"):
         from lidp_tpu.ops.bonded import angle_forces
 
         fa, ea, va = angle_forces(sys.x, sys.box, ff.angle)
@@ -164,7 +177,7 @@ def compute_forces(sys: System, ff: ForceField,
         eangle = eangle + ea
         virial = virial + va
 
-    if ff.dihedral is not None:
+    if ff.dihedral is not None and _on("dihedral"):
         from lidp_tpu.ops.bonded import charmm_14_forces, dihedral_forces
 
         fd, ed, vd = dihedral_forces(sys.x, sys.box, ff.dihedral)
@@ -181,7 +194,7 @@ def compute_forces(sys: System, ff: ForceField,
             ecoul = ecoul + ec14
             virial = virial + v14
 
-    if ff.improper is not None:
+    if ff.improper is not None and _on("improper"):
         from lidp_tpu.ops.bonded import improper_forces
 
         fi_, ei_, vi_ = improper_forces(sys.x, sys.box, ff.improper)
@@ -189,7 +202,7 @@ def compute_forces(sys: System, ff: ForceField,
         eimp = eimp + ei_
         virial = virial + vi_
 
-    if ff.ewald is not None:
+    if ff.ewald is not None and _on("kspace"):
         ewp = ff.ewald
         if ff.kspace_dynamic:
             ewp = ewald_ops.rescale_coeffs(ewp, sys.box.lengths)
@@ -197,7 +210,7 @@ def compute_forces(sys: System, ff: ForceField,
         f = f + fk
         elong = elong + el
         virial = virial + vk
-    elif ff.pppm is not None:
+    elif ff.pppm is not None and _on("kspace"):
         from lidp_tpu.ops.pppm import pppm_forces_params
 
         fk, el, vk = pppm_forces_params(sys.x - sys.box.lo, sys.q,
@@ -206,7 +219,7 @@ def compute_forces(sys: System, ff: ForceField,
         elong = elong + el
         virial = virial + vk
 
-    if ff.polar is not None:
+    if ff.polar is not None and _on("polar"):
         s = ff.polar
         e0 = pol_ops.static_field_wolf(
             sys.x, sys.q, sys.mol, sys.mask, sys.box,

@@ -205,3 +205,117 @@ def _run_chunk(sys, res, nlist, istate, ff, iparams, *, nsteps,
         if post_force is not None:
             res = _apply_post_force(sys, res, post_force)
     return sys, res, nlist, istate
+
+
+@dataclasses.dataclass
+class RespaRunner:
+    """rRESPA multi-timescale velocity Verlet (Respa::recurse, respa.cpp).
+
+    Levels are innermost-first: `loops[l]` iterations of level l per
+    iteration of level l+1 (the outermost level runs once per timestep);
+    `terms[l]` names the force categories evaluated at level l (the
+    compute_forces `terms` filter).  dt_level[l] = dt_level[l+1]/loops[l];
+    each level half-kicks with its own cached force around the inner
+    recursion, the innermost level drifts positions."""
+
+    ff: ForceField
+    dt: float
+    ftm2v: float
+    mass_atom: Any
+    loops: tuple                    # len L-1
+    terms: tuple                    # len L, innermost first
+    neighbor_cfg: Optional[NeighborConfig] = None
+    rebuild_every: int = 1
+    shrink: Optional[Any] = None
+    every_step_ev: bool = False     # parity with Runner's interface
+
+    def __post_init__(self):
+        import jax.numpy as jnp
+
+        L = len(self.terms)
+        assert len(self.loops) == L - 1
+        dts = [0.0] * L
+        dts[L - 1] = self.dt
+        for l in range(L - 2, -1, -1):
+            dts[l] = dts[l + 1] / self.loops[l]
+        self._dts = tuple(dts)
+        m = jnp.asarray(self.mass_atom)
+        self._minv = jnp.where(m > 0, 1.0 / jnp.where(m > 0, m, 1.0), 0.0)
+        self._scan = jax.jit(functools.partial(self._chunk),
+                             static_argnames=("nsteps",))
+        self._setup = jax.jit(self._setup_impl)
+
+    # ---- level force evaluation -----------------------------------------
+    def _flevel(self, sys, nlist, l, need_ev=False):
+        res = compute_forces(sys, self.ff, nlist, need_ev=need_ev,
+                             terms=self.terms[l])
+        return res.f
+
+    def _recurse(self, l, sys, flist, nlist):
+        import jax.numpy as jnp
+
+        dtf = 0.5 * self._dts[l] * self.ftm2v
+        niter = self.loops[l] if l < len(self.terms) - 1 else 1
+        for _ in range(niter):
+            v = sys.v + dtf * self._minv[:, None] * flist[l]
+            v = jnp.where(sys.mask[:, None], v, 0.0)
+            sys = sys.replace(v=v)
+            if l == 0:
+                sys = sys.replace(x=sys.x + self._dts[0] * sys.v)
+            else:
+                sys, flist = self._recurse(l - 1, sys, flist, nlist)
+            fl = self._flevel(sys, nlist, l)
+            flist = flist[:l] + (fl,) + flist[l + 1:]
+            v = sys.v + dtf * self._minv[:, None] * flist[l]
+            v = jnp.where(sys.mask[:, None], v, 0.0)
+            sys = sys.replace(v=v)
+        return sys, flist
+
+    # ---- driver interface (same shape as Runner) ------------------------
+    def _setup_impl(self, sys):
+        if self.shrink is not None:
+            sys = sys.replace(box=box_mod.reset_box(
+                sys.x, sys.mask, sys.box, self.shrink))
+        nlist = None
+        if self.neighbor_cfg is not None:
+            x, image = box_mod.wrap(sys.x, sys.box, sys.image)
+            sys = sys.replace(x=x, image=image)
+            nlist = _build_struct(sys, self.neighbor_cfg)
+        flist = tuple(self._flevel(sys, nlist, l)
+                      for l in range(len(self.terms)))
+        res = compute_forces(sys, self.ff, nlist, need_ev=True)
+        return sys, res, nlist, flist
+
+    def setup(self, sys):
+        return self._setup(sys)
+
+    def _chunk(self, sys, res, nlist, flist, *, nsteps):
+        def body(carry, _):
+            sys, nlist, flist = carry
+            sys = sys.replace(step=sys.step + 1)
+            if self.neighbor_cfg is not None:
+                def rebuild(sys, nlist):
+                    if self.shrink is not None:
+                        sys = sys.replace(box=box_mod.reset_box(
+                            sys.x, sys.mask, sys.box, self.shrink))
+                    x, image = box_mod.wrap(sys.x, sys.box, sys.image)
+                    sys = sys.replace(x=x, image=image)
+                    new = _build_struct(sys, self.neighbor_cfg)
+                    new = dataclasses.replace(
+                        new, overflow=new.overflow | nlist.overflow)
+                    return sys, new
+
+                need = (sys.step % self.rebuild_every) == 0
+                sys, nlist = jax.lax.cond(
+                    need, rebuild, lambda s, n: (s, n), sys, nlist)
+            sys, flist = self._recurse(len(self.terms) - 1, sys, flist,
+                                       nlist)
+            return (sys, nlist, flist), None
+
+        (sys, nlist, flist), _ = jax.lax.scan(
+            body, (sys, nlist, flist), None, length=nsteps)
+        res = compute_forces(sys, self.ff, nlist, need_ev=True)
+        return sys, res, nlist, flist
+
+    def run(self, sys, res, nlist, flist, nsteps: int):
+        return self._scan(sys, res, nlist, flist, nsteps=nsteps)

@@ -1126,6 +1126,34 @@ class LammpsScript:
         self._temper_result = result
         self.step += nsteps
 
+    def cmd_run_style(self, a):
+        """run_style verlet | respa N n1.. [bond l] [angle l] [dihedral l]
+        [improper l] [pair l] [kspace l] (update.cpp create_integrate +
+        respa.cpp settings)."""
+        if a[0] == "verlet":
+            self._respa = None
+            return
+        if a[0] != "respa":
+            raise ValueError(f"unsupported run_style {a[0]}")
+        nlev = int(a[1])
+        loops = tuple(int(v) for v in a[2:1 + nlev])
+        # defaults (respa.cpp): bond innermost, pair/kspace outermost
+        level = {"bond": 1, "angle": 1, "dihedral": 1, "improper": 1,
+                 "pair": nlev, "kspace": nlev}
+        i = 1 + nlev
+        while i < len(a):
+            k = a[i]
+            if k not in level:
+                raise ValueError(f"unsupported respa keyword {k}")
+            level[k] = int(a[i + 1])
+            i += 2
+        terms = [[] for _ in range(nlev)]
+        for k, l in level.items():
+            terms[l - 1].append(k)
+        terms[nlev - 1].append("polar")   # SCF rides the outermost level
+        self._respa = (loops, tuple(tuple(t) for t in terms))
+        self._sim = None
+
     def cmd_min_style(self, a):
         if a[0] not in ("fire", "cg", "sd"):
             raise ValueError(f"unsupported min_style {a[0]}")

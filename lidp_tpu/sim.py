@@ -1005,6 +1005,36 @@ class Simulation:
                                     small=small, min_lo=tuple(c_lo),
                                     min_hi=tuple(c_hi))
 
+        respa_cfg = getattr(script, "_respa", None)
+        if respa_cfg is not None:
+            from lidp_tpu.integrate.driver import RespaRunner
+
+            only_nve = all(f_.style == "nve"
+                           for f_ in script.fixes.values())
+            if not only_nve:
+                raise NotImplementedError(
+                    "run_style respa currently supports fix nve only")
+            loops_r, terms_r = respa_cfg
+            runner = RespaRunner(
+                ff=ff, dt=script.dt, ftm2v=u.ftm2v,
+                mass_atom=jnp.asarray(mass_atom, dtype),
+                loops=loops_r, terms=terms_r,
+                neighbor_cfg=ncfg, rebuild_every=rebuild_every,
+                shrink=shrink)
+            sim_obj = Simulation(script=script, sys=sys, runner=runner,
+                                 thermo_params=ThermoParams.create(
+                                     mass_atom, dof=dim_ * n - dim_,
+                                     units=u, norm=(u.name == "lj"),
+                                     natoms=n, dim=dim_),
+                                 group_thermo={}, natoms=n)
+            sim_obj.halt_spec = halt_spec
+            sim_obj.gg_computes = {}
+            sim_obj.msd_computes = {}
+            sim_obj.rdf_computes = {}
+            sim_obj.mesh = None
+            sim_obj.n_padded = npad
+            return sim_obj
+
         runner = Runner(ff=ff, integ=integ, neighbor_cfg=ncfg,
                         rebuild_every=rebuild_every, post_force=post_force,
                         end_of_step=end_of_step,

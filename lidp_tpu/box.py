@@ -13,8 +13,10 @@ identity there, and roll-stencil cell pairs that wrap across an open boundary
 self-reject through the cutoff test (their raw separation is ~L >= 3 cutoffs).
 Finite 1e30 rather than inf: inf * 0 would produce NaNs in masked lanes.
 
-Only orthogonal boxes are supported (all bundled reference examples and
-benchmarks are orthogonal).
+Triclinic boxes carry tilt factors (xy, xz, yz); minimum image and wrap then
+work in lamda space via the upper-triangular cell matrix h (Domain::lamda2x /
+x2lamda).  The bundled reference examples are all orthogonal; triclinic runs
+use the dense pair path.
 """
 
 from __future__ import annotations
@@ -36,6 +38,12 @@ class Box:
     # minimum-image folding and position wrapping
     periodic: tuple = dataclasses.field(
         metadata=dict(static=True), default=(True, True, True))
+    # triclinic tilt factors (xy, xz, yz); the cell matrix is the
+    # upper-triangular  h = [[lx,xy,xz],[0,ly,yz],[0,0,lz]]  with
+    # x = lo + h @ lamda (Domain::lamda2x, domain.cpp)
+    tilt: jax.Array = None
+    triclinic: bool = dataclasses.field(
+        metadata=dict(static=True), default=False)
 
     @property
     def lengths(self) -> jax.Array:
@@ -55,11 +63,58 @@ class Box:
         L = self.lengths
         return L[0] * L[1] * L[2]
 
+    @property
+    def h(self) -> jax.Array:
+        """(3,3) upper-triangular cell matrix."""
+        L = self.lengths
+        z = jnp.zeros((), L.dtype)
+        t = (self.tilt if self.tilt is not None
+             else jnp.zeros(3, L.dtype))
+        return jnp.stack([
+            jnp.stack([L[0], t[0], t[1]]),
+            jnp.stack([z, L[1], t[2]]),
+            jnp.stack([z, z, L[2]])])
+
+    @property
+    def h_inv(self) -> jax.Array:
+        L = self.lengths
+        t = (self.tilt if self.tilt is not None
+             else jnp.zeros(3, L.dtype))
+        z = jnp.zeros((), L.dtype)
+        # closed-form inverse of the upper-triangular h (domain.cpp h_inv)
+        return jnp.stack([
+            jnp.stack([1.0 / L[0], -t[0] / (L[0] * L[1]),
+                       (t[0] * t[2] - L[1] * t[1])
+                       / (L[0] * L[1] * L[2])]),
+            jnp.stack([z, 1.0 / L[1], -t[2] / (L[1] * L[2])]),
+            jnp.stack([z, z, 1.0 / L[2]])])
+
     @staticmethod
-    def create(lo, hi, dtype=None, periodic=(True, True, True)) -> "Box":
+    def create(lo, hi, dtype=None, periodic=(True, True, True),
+               tilt=None) -> "Box":
         lo = jnp.asarray(lo, dtype=dtype)
         hi = jnp.asarray(hi, dtype=dtype)
-        return Box(lo=lo, hi=hi, periodic=tuple(bool(p) for p in periodic))
+        tri = tilt is not None and any(float(v) != 0.0 for v in tilt)
+        return Box(lo=lo, hi=hi,
+                   periodic=tuple(bool(p) for p in periodic),
+                   tilt=(jnp.asarray(tilt, lo.dtype) if tri else None),
+                   triclinic=tri)
+
+
+def min_image_box(delta: jax.Array, box: Box) -> jax.Array:
+    """Box-aware minimum image: per-dim fold for orthogonal boxes,
+    lamda-space fold  delta - h @ round(h_inv @ delta)  for triclinic
+    (Domain::minimum_image for triclinic, domain.cpp:1183).  Non-periodic
+    dims are left unfolded either way."""
+    if not box.triclinic:
+        return minimum_image(delta, box.img_lengths)
+    lam = delta @ box.h_inv.T
+    if not all(box.periodic):
+        pm = jnp.asarray(box.periodic)
+        lam_r = jnp.where(pm, jnp.round(lam), 0.0)
+    else:
+        lam_r = jnp.round(lam)
+    return delta - lam_r @ box.h.T
 
 
 def minimum_image(delta: jax.Array, lengths: jax.Array) -> jax.Array:
@@ -75,10 +130,16 @@ def minimum_image(delta: jax.Array, lengths: jax.Array) -> jax.Array:
 def wrap(x: jax.Array, box: Box, image: jax.Array):
     """Remap positions into the primary box, accumulating image flags.
 
-    Equivalent to Domain::pbc (domain.cpp:502) for orthogonal boxes; only
-    periodic dimensions are remapped. `image` is int32 (N,3) box-crossing
-    counts.
+    Equivalent to Domain::pbc (domain.cpp:502); only periodic dimensions
+    are remapped.  Triclinic boxes wrap in lamda space (x2lamda -> floor
+    -> lamda2x). `image` is int32 (N,3) box-crossing counts.
     """
+    if box.triclinic:
+        lam = (x - box.lo) @ box.h_inv.T
+        shift = jnp.floor(lam).astype(jnp.int32)
+        if not all(box.periodic):
+            shift = shift * jnp.asarray(box.periodic, jnp.int32)
+        return x - shift.astype(x.dtype) @ box.h.T, image + shift
     L = box.lengths
     shift = jnp.floor((x - box.lo) / L).astype(jnp.int32)
     if not all(box.periodic):
@@ -91,6 +152,8 @@ def unwrap(x: jax.Array, box: Box, image: jax.Array) -> jax.Array:
 
     Equivalent to Domain::unmap (used by FixRigid, fix_rigid.cpp:824).
     """
+    if box.triclinic:
+        return x + image.astype(x.dtype) @ box.h.T
     return x + image.astype(x.dtype) * box.lengths
 
 
@@ -134,4 +197,5 @@ def reset_box(x, mask, box: Box, spec: ShrinkSpec) -> Box:
             hi_d = jnp.maximum(ext_hi[d] + spec.small[d], spec.min_hi[d])
         los.append(lo_d)
         his.append(hi_d)
-    return Box(lo=jnp.stack(los), hi=jnp.stack(his), periodic=box.periodic)
+    return Box(lo=jnp.stack(los), hi=jnp.stack(his), periodic=box.periodic,
+               tilt=box.tilt, triclinic=box.triclinic)

@@ -29,6 +29,7 @@ class DataFile:
     v: np.ndarray | None        # (N,3) or None
     mass: np.ndarray | None     # (ntypes+1,) or None (Masses section)
     bonds: np.ndarray           # (NB,2) int atom ids (1-based), empty ok
+    tilt: np.ndarray = None     # (3,) xy xz yz triclinic tilts
     bond_types: np.ndarray = None   # (NB,) int bond types (1-based)
     nbondtypes: int = 0
     angles: np.ndarray = None       # (NA,3) atom ids
@@ -73,6 +74,7 @@ def read_data(path: str, atom_style: str = "full") -> DataFile:
     counts = {k: 0 for k in _HEADER_KEYS}
     box_lo = np.zeros(3)
     box_hi = np.zeros(3)
+    tilt = np.zeros(3)
 
     # header: first line is a title; header ends at the first section keyword
     i = 1
@@ -105,8 +107,7 @@ def read_data(path: str, atom_style: str = "full") -> DataFile:
             elif s.endswith("zlo zhi"):
                 box_lo[2], box_hi[2] = float(toks[0]), float(toks[1])
             elif s.endswith("xy xz yz"):
-                if any(float(t) != 0.0 for t in toks[:3]):
-                    raise ValueError("triclinic boxes are not supported")
+                tilt = np.array([float(t) for t in toks[:3]])
         i += 1
 
     n = counts["atoms"]
@@ -243,7 +244,7 @@ def read_data(path: str, atom_style: str = "full") -> DataFile:
             continue
 
     return DataFile(
-        natoms=n, ntypes=ntypes, box_lo=box_lo, box_hi=box_hi,
+        natoms=n, ntypes=ntypes, box_lo=box_lo, box_hi=box_hi, tilt=tilt,
         x=x, q=q, type=typ, mol=mol, image=image, v=v, mass=mass,
         bonds=bonds, bond_types=bond_types, nbondtypes=counts["bond types"],
         angles=angles, angle_types=angle_types,

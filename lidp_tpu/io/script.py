@@ -450,6 +450,7 @@ class LammpsScript:
         self.data = d
         self.ntypes = d.ntypes
         self.box_lo, self.box_hi = d.box_lo, d.box_hi
+        self.box_tilt = d.tilt if d.tilt is not None else np.zeros(3)
         self.x, self.q = d.x, d.q
         self.type, self.mol, self.image = d.type, d.mol, d.image
         self.v = d.v if d.v is not None else np.zeros_like(d.x)

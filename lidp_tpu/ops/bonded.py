@@ -15,7 +15,11 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from lidp_tpu.box import Box, minimum_image
+from lidp_tpu.box import Box, min_image_box, minimum_image
+
+
+def _mi(d, box):
+    return min_image_box(d, box)
 
 
 @jax.tree_util.register_dataclass
@@ -36,7 +40,7 @@ def bond_forces(x, box: Box, p: BondParams):
     n = x.shape[0]
     i = p.idx[:, 0]
     j = p.idx[:, 1]
-    d = minimum_image(x[i] - x[j], box.lengths)      # (NB,3) — NB small
+    d = _mi(x[i] - x[j], box)      # (NB,3) — NB small
     rsq = jnp.sum(d * d, axis=1)
     k = p.k[p.btype]
     r0 = p.r0[p.btype]
@@ -240,16 +244,16 @@ def charmm_14_forces(x, box: Box, p: DihedralParams):
 
     def etot(xx):
         ev, ec = _charmm_14_energies(
-            minimum_image(xx[i] - xx[l], box.lengths), p)
+            _mi(xx[i] - xx[l], box), p)
         return ev + ec
 
     def with_strain(eps_flat):
         eps = jnp.eye(3, dtype=x.dtype) + eps_flat.reshape(3, 3)
         ev, ec = _charmm_14_energies(
-            minimum_image(x[i] - x[l], box.lengths) @ eps.T, p)
+            _mi(x[i] - x[l], box) @ eps.T, p)
         return ev + ec
 
-    ev, ec = _charmm_14_energies(minimum_image(x[i] - x[l], box.lengths), p)
+    ev, ec = _charmm_14_energies(_mi(x[i] - x[l], box), p)
     f = -jax.grad(etot)(x)
     dEdeps = jax.grad(with_strain)(jnp.zeros(9, x.dtype)).reshape(3, 3)
     w = -dEdeps
@@ -263,14 +267,14 @@ def angle_forces(x, box: Box, p: AngleParams):
 
     def with_strain(eps_flat):
         eps = jnp.eye(3, dtype=x.dtype) + eps_flat.reshape(3, 3)
-        d1 = minimum_image(x[i] - x[j], box.lengths) @ eps.T
-        d2 = minimum_image(x[k] - x[j], box.lengths) @ eps.T
+        d1 = _mi(x[i] - x[j], box) @ eps.T
+        d2 = _mi(x[k] - x[j], box) @ eps.T
         return _angle_energy(d1, d2, p)
 
     e = with_strain(jnp.zeros(9, x.dtype))
     f = -jax.grad(lambda xx: _angle_energy(
-        minimum_image(xx[i] - xx[j], box.lengths),
-        minimum_image(xx[k] - xx[j], box.lengths), p))(x)
+        _mi(xx[i] - xx[j], box),
+        _mi(xx[k] - xx[j], box), p))(x)
     dEdeps = jax.grad(with_strain)(jnp.zeros(9, x.dtype)).reshape(3, 3)
     w = -dEdeps
     virial = jnp.stack([w[0, 0], w[1, 1], w[2, 2], w[0, 1], w[0, 2], w[1, 2]])
@@ -281,16 +285,16 @@ def dihedral_forces(x, box: Box, p: DihedralParams):
     i, j, k, l = (p.idx[:, 0], p.idx[:, 1], p.idx[:, 2], p.idx[:, 3])
 
     def energy_of(xx):
-        b1 = minimum_image(xx[j] - xx[i], box.lengths)
-        b2 = minimum_image(xx[k] - xx[j], box.lengths)
-        b3 = minimum_image(xx[l] - xx[k], box.lengths)
+        b1 = _mi(xx[j] - xx[i], box)
+        b2 = _mi(xx[k] - xx[j], box)
+        b3 = _mi(xx[l] - xx[k], box)
         return _dihedral_energy(b1, b2, b3, p)
 
     def with_strain(eps_flat):
         eps = jnp.eye(3, dtype=x.dtype) + eps_flat.reshape(3, 3)
-        b1 = minimum_image(x[j] - x[i], box.lengths) @ eps.T
-        b2 = minimum_image(x[k] - x[j], box.lengths) @ eps.T
-        b3 = minimum_image(x[l] - x[k], box.lengths) @ eps.T
+        b1 = _mi(x[j] - x[i], box) @ eps.T
+        b2 = _mi(x[k] - x[j], box) @ eps.T
+        b3 = _mi(x[l] - x[k], box) @ eps.T
         return _dihedral_energy(b1, b2, b3, p)
 
     e = energy_of(x)
@@ -326,9 +330,9 @@ def improper_forces(x, box: Box, p: ImproperParams):
         return jnp.arctan2(s, jnp.clip(c, -1.0, 1.0))
 
     def energy_of(xx):
-        b1 = minimum_image(xx[j] - xx[i], box.lengths)
-        b2 = minimum_image(xx[k] - xx[j], box.lengths)
-        b3 = minimum_image(xx[l] - xx[k], box.lengths)
+        b1 = _mi(xx[j] - xx[i], box)
+        b2 = _mi(xx[k] - xx[j], box)
+        b3 = _mi(xx[l] - xx[k], box)
         chi = chi_of(b1, b2, b3)
         dchi = chi - p.chi0[p.itype]
         # wrap into (-pi, pi] like the reference's acos-based branch logic
@@ -337,9 +341,9 @@ def improper_forces(x, box: Box, p: ImproperParams):
 
     def with_strain(eps_flat):
         eps = jnp.eye(3, dtype=x.dtype) + eps_flat.reshape(3, 3)
-        b1 = minimum_image(x[j] - x[i], box.lengths) @ eps.T
-        b2 = minimum_image(x[k] - x[j], box.lengths) @ eps.T
-        b3 = minimum_image(x[l] - x[k], box.lengths) @ eps.T
+        b1 = _mi(x[j] - x[i], box) @ eps.T
+        b2 = _mi(x[k] - x[j], box) @ eps.T
+        b3 = _mi(x[l] - x[k], box) @ eps.T
         chi = chi_of(b1, b2, b3)
         dchi = chi - p.chi0[p.itype]
         dchi = dchi - 2 * jnp.pi * jnp.round(dchi / (2 * jnp.pi))

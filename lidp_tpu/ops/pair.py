@@ -26,7 +26,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from lidp_tpu.box import Box, minimum_image
+from lidp_tpu.box import Box, min_image_box, minimum_image
 
 # Abramowitz & Stegun 7.1.26 erfc approximation, constants identical to the
 # reference (pair_lj_cut_coul_long_polarization.cpp:43-49).
@@ -330,8 +330,7 @@ def dense_pair_forces(x, q, type_, sp_code, mask, box: Box, p: PairParams,
     virial6 ordering: xx yy zz xy xz yz (LAMMPS convention, pair.cpp:854).
     """
     n = x.shape[0]
-    L = box.img_lengths
-    delta = minimum_image(x[:, None, :] - x[None, :, :], L)  # (N,N,3)
+    delta = min_image_box(x[:, None, :] - x[None, :, :], box)  # (N,N,3)
     rsq = jnp.sum(delta * delta, axis=-1)
     eye = jnp.eye(n, dtype=bool)
     pair_mask = (~eye) & mask[:, None] & mask[None, :]

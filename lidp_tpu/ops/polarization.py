@@ -31,7 +31,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from lidp_tpu.box import Box, minimum_image
+from lidp_tpu.box import Box, min_image_box, minimum_image
 
 DAMPING_NONE = 0
 DAMPING_EXPONENTIAL = 1
@@ -57,7 +57,7 @@ class PolarizationSettings:
 def _pair_geometry(x, box: Box, mask):
     """Minimum-image pair displacements/delta (N,N,3), rsq masked to 1."""
     n = x.shape[0]
-    delta = minimum_image(x[:, None, :] - x[None, :, :], box.img_lengths)
+    delta = min_image_box(x[:, None, :] - x[None, :, :], box)
     rsq = jnp.sum(delta * delta, axis=-1)
     eye = jnp.eye(n, dtype=bool)
     pm = (~eye) & mask[:, None] & mask[None, :]

@@ -181,9 +181,16 @@ class Simulation:
         mask_pad = np.arange(npad) < n
         alpha = _padA(alpha)
 
+        tilt = getattr(script, "box_tilt", None)
         box = Box.create(script.box_lo, script.box_hi, dtype=dtype,
                          periodic=getattr(script, "periodic",
-                                          (True, True, True)))
+                                          (True, True, True)),
+                         tilt=tilt)
+        triclinic = box.triclinic
+        if triclinic and script.kspace is not None:
+            raise NotImplementedError(
+                "triclinic + kspace: reciprocal-lattice k enumeration "
+                "pending (ewald.cpp triclinic branch)")
         sys = make_system(
             _padA(script.x), box=box, v=_padA(script.v), q=_padA(script.q),
             type=_padA(script.type, 0), mol=_padA(script.mol, 0), alpha=alpha,
@@ -894,7 +901,11 @@ class Simulation:
         # ---- neighbor strategy ----
         ncfg = None
         rebuild_every = 1
-        if n > DENSE_PATH_MAX_ATOMS or script.speed_mode or eamp is not None:
+        if triclinic:
+            # triclinic runs the dense minimum-image path (the cell grid's
+            # roll stencil assumes an orthogonal bin lattice)
+            pass
+        elif n > DENSE_PATH_MAX_ATOMS or script.speed_mode or eamp is not None:
             cutmax = float(np.max(cut))
             if coul:
                 cutmax = max(cutmax, script.pair.cut_coul)

@@ -88,7 +88,8 @@ def make_system(
         image=arr(image, (n, 3), jnp.int32),
         mask=(jnp.ones((n,), bool) if mask is None
               else jnp.asarray(mask, bool).reshape((n,))),
-        box=Box.create(box.lo, box.hi, dtype=dtype, periodic=box.periodic),
+        box=Box.create(box.lo, box.hi, dtype=dtype, periodic=box.periodic,
+                       tilt=box.tilt),
         step=jnp.zeros((), jnp.int32),
     )
 

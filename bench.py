@@ -65,23 +65,28 @@ def main():
 
     # warmup with the SAME static scan length (scan length is a compile-time
     # constant; a different warmup length would leave compilation in the
-    # timed region)
+    # timed region).  Timed runs CHAIN the state: the axon runtime can serve
+    # a repeat invocation with identical arguments from cache, which would
+    # fake multi-thousand-x numbers.  Take the best of two chained runs.
     s2, r2, n2, i2 = melt.runner.run(sys_, res, nlist, istate, NSTEPS)
     jax.block_until_ready(s2.x)
-
-    t0 = time.perf_counter()
-    s2, r2, n2, i2 = melt.runner.run(sys_, res, nlist, istate, NSTEPS)
-    jax.block_until_ready(s2.x)
-    dt = time.perf_counter() - t0
-    steps_per_s = NSTEPS / dt
-    if bool(n2.overflow):
-        print(json.dumps({"error": "cell capacity overflow during run"}))
-        return 1
-
-    # f32 energy conservation over the 400 timed steps (the reference's own
+    # f32 energy conservation over the first 400 steps (the reference's own
     # f64 log drifts 1.93e-3 over 100 steps on this stale-list benchmark)
     row = {k: float(v) for k, v in thermo_row(s2, r2, melt.thermo).items()}
     e_drift = abs(row["etotal"] - (-4.6134356)) / 4.6134356
+
+    best_dt = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        s2, r2, n2, i2 = melt.runner.run(s2, r2, n2, i2, NSTEPS)
+        jax.block_until_ready(s2.x)
+        dt = time.perf_counter() - t0
+        if dt > 0.05:   # discard cache-artifact instant returns
+            best_dt = dt if best_dt is None else min(best_dt, dt)
+    steps_per_s = NSTEPS / best_dt
+    if bool(n2.overflow):
+        print(json.dumps({"error": "cell capacity overflow during run"}))
+        return 1
 
     # step-100 golden parity vs the committed log's TotEng -4.6223613
     s1, r1, nl1, i1 = melt.runner.run(sys_, res, nlist, istate, 100)

@@ -91,6 +91,12 @@ class Runner:
     # shrink-wrapped boundaries: ShrinkSpec applied at setup + every rebuild
     # (Domain::reset_box, domain.cpp:358)
     shrink: Optional[Any] = None
+    # neigh_modify check yes (dist_check): rebuild only when some atom moved
+    # more than skin/2 since the last build (Neighbor::check_distance,
+    # neighbor.cpp:1951); rebuild_every/delay gate how often the check runs
+    check: bool = False
+    skin: float = 0.0
+    delay: int = 0
 
     def __post_init__(self):
         self._scan = jax.jit(
@@ -101,7 +107,9 @@ class Runner:
                               post_force=self.post_force,
                               end_of_step=self.end_of_step,
                               every_step_ev=self.every_step_ev,
-                              shrink=self.shrink),
+                              shrink=self.shrink,
+                              check=self.check, skin=self.skin,
+                              delay=self.delay),
             static_argnames=("nsteps",),
         )
         self._force = jax.jit(
@@ -131,6 +139,25 @@ def _build_struct(sys, neighbor_cfg):
     return build_neighbor_list(sys.x, sys.mask, sys.box, neighbor_cfg)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class NeighborCarry:
+    """Neighbor structure + rebuild-decision state (Neighbor::decide,
+    neighbor.cpp:1923): positions at the last build and its step number."""
+
+    nlist: Any
+    x_ref: Any
+    last_build: Any      # () int32
+
+    @property
+    def overflow(self):
+        return self.nlist.overflow
+
+
+def _make_carry(sys, nlist):
+    return NeighborCarry(nlist=nlist, x_ref=sys.x, last_build=sys.step)
+
+
 def _apply_post_force(sys, res, post_force):
     """post_force may return f or (f, extra_virial6) — constraint fixes
     (shake) tally a virial (Fix::v_tally) that pressure must include."""
@@ -148,10 +175,10 @@ def _setup_forces(sys, ff, *, neighbor_cfg, post_force=None, shrink=None):
     if neighbor_cfg is not None:
         sys_x, image = box_mod.wrap(sys.x, sys.box, sys.image)
         sys = sys.replace(x=sys_x, image=image)
-        nlist = _build_struct(sys, neighbor_cfg)
+        nlist = _make_carry(sys, _build_struct(sys, neighbor_cfg))
     else:
         nlist = None
-    res = compute_forces(sys, ff, nlist)
+    res = compute_forces(sys, ff, nlist.nlist if nlist is not None else None)
     if post_force is not None:
         res = _apply_post_force(sys, res, post_force)
     sys = sys.replace(mu=res.mu)
@@ -160,14 +187,17 @@ def _setup_forces(sys, ff, *, neighbor_cfg, post_force=None, shrink=None):
 
 def _run_chunk(sys, res, nlist, istate, ff, iparams, *, nsteps,
                initial, final, neighbor_cfg, rebuild_every, post_force=None,
-               end_of_step=None, every_step_ev=True, shrink=None):
+               end_of_step=None, every_step_ev=True, shrink=None,
+               check=False, skin=0.0, delay=0):
+    import jax.numpy as jnp
+
     def body(carry, _):
         sys, res, nlist, istate = carry
         sys, istate = initial(sys, res, iparams, istate)
         sys = sys.replace(step=sys.step + 1)
 
         if neighbor_cfg is not None:
-            def rebuild(sys, nlist):
+            def rebuild(sys, nc):
                 if shrink is not None:
                     sys = sys.replace(box=box_mod.reset_box(
                         sys.x, sys.mask, sys.box, shrink))
@@ -178,16 +208,27 @@ def _run_chunk(sys, res, nlist, istate, ff, iparams, *, nsteps,
                 # the scan must survive to the chunk boundary where the host
                 # can see it (the per-rebuild flag would be overwritten)
                 new = dataclasses.replace(
-                    new, overflow=new.overflow | nlist.overflow)
-                return sys, new
+                    new, overflow=new.overflow | nc.nlist.overflow)
+                return sys, _make_carry(sys, new)
 
-            def keep(sys, nlist):
-                return sys, nlist
+            def keep(sys, nc):
+                return sys, nc
 
-            need = (sys.step % rebuild_every) == 0
+            # Neighbor::decide (neighbor.cpp:1933): ago >= delay and
+            # ago % every == 0; with dist_check, only when some atom moved
+            # more than skin/2 since the last build
+            ago = sys.step - nlist.last_build
+            need = (ago >= jnp.maximum(delay, 1)) \
+                & ((ago % rebuild_every) == 0)
+            if check:
+                disp2 = jnp.sum((sys.x - nlist.x_ref) ** 2, axis=1)
+                disp2 = jnp.where(sys.mask, disp2, 0.0)
+                need &= jnp.max(disp2) > (0.5 * skin) ** 2
             sys, nlist = jax.lax.cond(need, rebuild, keep, sys, nlist)
 
-        res = compute_forces(sys, ff, nlist, need_ev=every_step_ev)
+        res = compute_forces(sys, ff,
+                             nlist.nlist if nlist is not None else None,
+                             need_ev=every_step_ev)
         if post_force is not None:
             res = _apply_post_force(sys, res, post_force)
         sys = sys.replace(mu=res.mu)
@@ -201,7 +242,9 @@ def _run_chunk(sys, res, nlist, istate, ff, iparams, *, nsteps,
     if not every_step_ev:
         # one energy-bearing re-tally at the chunk boundary (forces at the
         # final positions are unchanged; thermo samples between chunks)
-        res = compute_forces(sys, ff, nlist, need_ev=True)
+        res = compute_forces(sys, ff,
+                             nlist.nlist if nlist is not None else None,
+                             need_ev=True)
         if post_force is not None:
             res = _apply_post_force(sys, res, post_force)
     return sys, res, nlist, istate

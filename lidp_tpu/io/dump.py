@@ -37,6 +37,17 @@ def write_dump_frame(spec, sys, script, gmask, f=None):
         "muz": lambda i: float(sys.mu[i, 2]),
     }
     mode = "a" if getattr(spec, "_started", False) else "w"
+    if spec.style == "xyz":
+        # dump_xyz.cpp: natoms line, comment, then 'TYPE x y z' rows
+        # (element symbol = type number without a dump_modify element map)
+        with open(spec.path, mode) as fh:
+            fh.write("%d\n" % len(ids))
+            fh.write("Atoms. Timestep: %d\n" % int(sys.step))
+            for i in ids:
+                fh.write("%d %g %g %g\n" % (int(script.type[i]),
+                                             xw[i, 0], xw[i, 1], xw[i, 2]))
+        spec._started = True
+        return
     with open(spec.path, mode) as fh:
         fh.write("ITEM: TIMESTEP\n%d\n" % int(sys.step))
         fh.write("ITEM: NUMBER OF ATOMS\n%d\n" % len(ids))

@@ -909,6 +909,8 @@ class LammpsScript:
             cols = ["id", "type", "xs", "ys", "zs"]
         elif style == "custom":
             cols = a[5:]
+        elif style == "xyz":
+            cols = ["type", "x", "y", "z"]
         else:
             raise ValueError(f"unsupported dump style {style}")
         self.dumps[did] = DumpSpec(did=did, group=group, style=style,
@@ -1038,7 +1040,7 @@ class LammpsScript:
                          "temp/rescale", "temp/berendsen", "enforce2d",
                          "setforce", "addforce", "aveforce", "spring/self",
                          "viscous", "efield", "momentum", "recenter",
-                         "halt"):
+                         "halt", "neb"):
             raise ValueError(f"unsupported fix style {style}")
         self.fixes[fid] = FixSpec(fid=fid, group=group, style=style, args=a[3:])
         self._sim = None
@@ -1126,6 +1128,52 @@ class LammpsScript:
                             seed_swap, seed_boltz, log=self.log)
         self._temper_result = result
         self.step += nsteps
+
+    def cmd_neb(self, a):
+        """neb etol ftol N1 N2 Nevery final FILE [nreplicas M] —
+        REPLICA/neb.cpp with replicas as a batch axis instead of
+        partitions (M defaults to 8; the reference takes it from
+        -partition).  Requires a `fix ... neb Kspring`."""
+        import numpy as np_
+
+        from lidp_tpu import replica as replica_mod
+        from lidp_tpu.sim import Simulation
+
+        etol, ftol = float(a[0]), float(a[1])
+        n1, n2 = int(a[2]), int(a[3])
+        style = a[5]
+        if style != "final":
+            raise NotImplementedError(f"neb file style {style}")
+        m = 8
+        if "nreplicas" in a:
+            m = int(a[a.index("nreplicas") + 1])
+        kspring = None
+        neb_group = None
+        for f_ in self.fixes.values():
+            if f_.style == "neb":
+                kspring = float(f_.args[0])
+                neb_group = self.groups[f_.group]
+        if kspring is None:
+            raise ValueError("neb requires a fix of style neb")
+        x_final = self.x.copy()
+        with open(os.path.join(self.root, a[6])) as fh:
+            for line in fh:
+                t = line.split("#")[0].split()
+                if len(t) == 1:
+                    continue   # leading atom-count line
+                if len(t) >= 4:
+                    x_final[int(t[0]) - 1] = [float(v) for v in t[1:4]]
+        # drop the neb fix for force evaluation; need an integrator-free sim
+        if self._sim is None:
+            self._sim = Simulation.from_script(self)
+        X, E, barrier = replica_mod.neb_run(
+            self._sim, x_final, m, kspring, etol, ftol, n1, n2,
+            log=self.log,
+            gmask=None if neb_group is None or neb_group.all()
+            else neb_group)
+        self.neb_energies = np_.asarray(E)
+        self.neb_barrier = barrier
+        self.neb_path = np_.asarray(X)
 
     def cmd_run_style(self, a):
         """run_style verlet | respa N n1.. [bond l] [angle l] [dihedral l]

@@ -151,3 +151,132 @@ def _vchunk(sys, res, nlist, istate, iparams, *, ff, nsteps, initial, final,
     return _run_chunk(sys, res, nlist, istate, ff, iparams, nsteps=nsteps,
                       initial=initial, final=final, neighbor_cfg=neighbor_cfg,
                       rebuild_every=rebuild_every, post_force=post_force)
+
+
+# ---------------------------------------------------------------------------
+# NEB — nudged elastic band (REPLICA/neb.cpp + fix_neb.cpp)
+
+
+def neb_run(sim, x_final, nreplicas: int, kspring: float,
+            etol: float, ftol: float, n1: int, n2: int, log=print,
+            gmask=None):
+    """Minimum-energy path between the current configuration and x_final.
+
+    The reference runs one replica per partition with inter-replica springs
+    (fix_neb.cpp) and climbs the top image in phase 2 (neb.cpp run);
+    here the whole band is one (M, N, 3) batch relaxed jointly with FIRE:
+
+      * improved tangent (Henkelman-Jonsson; fix_neb.cpp tangent logic):
+        forward/backward difference picked by the neighbor energies, energy-
+        weighted mix at extrema;
+      * interior replicas: F = F_perp + kspring (|d+| - |d-|) tau;
+      * endpoints relax freely (they sit in their basins);
+      * phase 2 (n2 iterations): the highest-energy replica switches to the
+        climbing force F - 2 (F . tau) tau.
+
+    Returns (X (M,N,3), energies (M,), barrier)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lidp_tpu.forcefield import compute_forces
+
+    ff = sim.runner.ff
+    sys0 = sim.sys
+    M = nreplicas
+    lam = jnp.linspace(0.0, 1.0, M)
+    xf = jnp.asarray(x_final, sys0.x.dtype)
+    X = sys0.x[None] + lam[:, None, None] * (xf - sys0.x)[None]
+
+    gm = (jnp.asarray(gmask, bool)[:, None] if gmask is not None
+          else None)
+
+    def fe(x):
+        res = compute_forces(sys0.replace(x=x), ff)
+        f = res.f
+        if gm is not None:
+            # atoms outside the neb group are held (the reference pins the
+            # frame with fix setforce; the band only moves the group)
+            f = jnp.where(gm, f, 0.0)
+        return f, res.pe
+
+    v_fe = jax.vmap(fe)
+
+    def neb_forces(X, climbing):
+        F, E = v_fe(X)
+        dp = X[2:] - X[1:-1]          # (M-2,N,3) forward diffs for interior
+        dm = X[1:-1] - X[:-2]
+        Eh, Ei, El = E[2:], E[1:-1], E[:-2]
+        up = (Eh > Ei) & (Ei > El)
+        dn = (Eh < Ei) & (Ei < El)
+        demax = jnp.maximum(jnp.abs(Eh - Ei), jnp.abs(El - Ei))
+        demin = jnp.minimum(jnp.abs(Eh - Ei), jnp.abs(El - Ei))
+        wmix_p = jnp.where(Eh > El, demax, demin)
+        wmix_m = jnp.where(Eh > El, demin, demax)
+        tau = jnp.where(up[:, None, None], dp,
+                        jnp.where(dn[:, None, None], dm,
+                                  dp * wmix_p[:, None, None]
+                                  + dm * wmix_m[:, None, None]))
+        tnorm = jnp.sqrt(jnp.sum(tau * tau, axis=(1, 2)))[:, None, None]
+        tau = tau / jnp.where(tnorm > 0, tnorm, 1.0)
+        Fint = F[1:-1]
+        fdott = jnp.sum(Fint * tau, axis=(1, 2))[:, None, None]
+        dplen = jnp.sqrt(jnp.sum(dp * dp, axis=(1, 2)))
+        dmlen = jnp.sqrt(jnp.sum(dm * dm, axis=(1, 2)))
+        fneb = (Fint - fdott * tau
+                + (kspring * (dplen - dmlen))[:, None, None] * tau)
+        # climbing image: highest-energy interior replica inverts the
+        # parallel component (neb.cpp phase 2)
+        top = jnp.argmax(Ei)
+        fclimb = Fint - 2.0 * fdott * tau
+        sel = (jnp.arange(M - 2) == top)[:, None, None] & climbing
+        fneb = jnp.where(sel, fclimb, fneb)
+        Fout = jnp.concatenate([F[:1], fneb, F[-1:]], axis=0)
+        return Fout, E
+
+    def fire_phase(X, climbing, maxiter):
+        dt0, dtmax, alpha0 = 0.02, 0.2, 0.1
+
+        def cond(c):
+            X, V, F, E, e_prev, dt, alpha, npos, it = c
+            fmax = jnp.max(jnp.abs(F))
+            de = jnp.abs(jnp.sum(E) - e_prev)
+            f_ok = (ftol > 0) & (fmax < ftol)
+            e_ok = (etol > 0) & (de < etol * (jnp.abs(jnp.sum(E)) + 1e-30))
+            return (~(f_ok | e_ok)) & (it < maxiter)
+
+        def body(c):
+            X, V, F, E, e_prev, dt, alpha, npos, it = c
+            p = jnp.sum(F * V)
+            fn = jnp.sqrt(jnp.sum(F * F)) + 1e-30
+            vn = jnp.sqrt(jnp.sum(V * V))
+            V = jnp.where(p > 0, (1 - alpha) * V + alpha * F / fn * vn,
+                          jnp.zeros_like(V))
+            grow = (p > 0) & (npos > 5)
+            dt = jnp.where(grow, jnp.minimum(dt * 1.1, dtmax),
+                           jnp.where(p <= 0, dt * 0.5, dt))
+            alpha = jnp.where(grow, alpha * 0.99,
+                              jnp.where(p <= 0, alpha0, alpha))
+            npos = jnp.where(p <= 0, 0, npos + 1)
+            V = V + dt * F
+            X2 = X + dt * V
+            F2, E2 = neb_forces(X2, climbing)
+            return (X2, V, F2, E2, jnp.sum(E), dt, alpha, npos, it + 1)
+
+        F0, E0 = neb_forces(X, climbing)
+        init = (X, jnp.zeros_like(X), F0, E0,
+                jnp.asarray(jnp.inf, X.dtype), jnp.asarray(dt0, X.dtype),
+                jnp.asarray(alpha0, X.dtype), jnp.zeros((), jnp.int32),
+                jnp.zeros((), jnp.int32))
+        X, V, F, E, e_prev, dt, alpha, npos, it = jax.lax.while_loop(
+            cond, body, init)
+        return X, E, it
+
+    phase = jax.jit(fire_phase, static_argnames=())
+    X, E, it1 = phase(X, jnp.asarray(False), n1)
+    X, E, it2 = phase(X, jnp.asarray(True), n2)
+    E = jax.device_get(E)
+    barrier = float(E.max() - E[0])
+    log(f"# NEB: {int(it1)}+{int(it2)} iterations, "
+        f"barrier = {barrier:.8g}")
+    log("# NEB MEP energies: " + " ".join(f"{e:.8g}" for e in E))
+    return X, E, barrier

@@ -475,6 +475,9 @@ class Simulation:
 
         has_baro = any(f_.style in ("npt", "nph")
                        for f_ in script.fixes.values())
+        has_vdep_pf = any(f_.style in ("shake", "rattle", "langevin",
+                                       "viscous")
+                          for f_ in script.fixes.values())
         ff = ForceField(pair=None if eamp is not None else pair,
                         ewald=ew, polar=pol, sp_code=sp_code,
                         bond=bondp, angle=anglep, dihedral=dihedralp,
@@ -504,7 +507,7 @@ class Simulation:
                                                "aveforce", "spring/self",
                                                "viscous", "efield",
                                                "momentum", "recenter",
-                                               "halt",
+                                               "halt", "neb",
                                                "temp/rescale",
                                                "temp/berendsen",
                                                "enforce2d", "setforce")]
@@ -749,6 +752,8 @@ class Simulation:
 
                 eos_hooks.append(_recenter_eos)
                 continue
+            if spec.style == "neb":
+                continue   # consumed by the neb command (replica.neb_run)
             if spec.style == "halt":
                 # fix halt N attribute op value [error|break|continue] —
                 # host-side conditional stop at chunk boundaries
@@ -919,7 +924,7 @@ class Simulation:
                                           density=n / float(np.prod(L)))
             except ValueError:
                 ncfg = NeighborConfig.for_box(L, cutmax + script.skin)
-            rebuild_every = script.neigh_every if not script.neigh_check else 1
+            rebuild_every = script.neigh_every
 
         # thermostats parsed BEFORE a constraint fix must still see the
         # constrained dof (the reference's temperature computes query
@@ -1051,9 +1056,18 @@ class Simulation:
                         end_of_step=end_of_step,
                         post_force_setup=post_force_setup,
                         shrink=shrink,
-                        # barostats consume the virial every step; everything
-                        # else samples energies at chunk (thermo) boundaries
-                        every_step_ev=has_baro)
+                        check=script.neigh_check, skin=script.skin,
+                        delay=script.neigh_delay,
+                        # barostats consume the virial every step, and
+                        # velocity-dependent post_force hooks (shake/rattle
+                        # constraint forces+virial, langevin noise+friction,
+                        # viscous drag) cannot be re-tallied at the chunk
+                        # boundary: the re-tally would see post-final-
+                        # integrate velocities, skewing the carried force
+                        # and the constraint virial (found via peptide
+                        # step-50 Press parity).  Everything else samples
+                        # energies at chunk (thermo) boundaries.
+                        every_step_ev=has_baro or has_vdep_pf)
 
         # ---- thermo ----
         dof = dim_ * n - dim_ - dof_removed

@@ -66,7 +66,36 @@ METAL = Units(
     skin=2.0,
 )
 
-BY_NAME = {u.name: u for u in (LJ, REAL, METAL)}
+SI = Units(
+    name="si",
+    boltz=1.3806504e-23, hplanck=6.62606896e-34, mvv2e=1.0, ftm2v=1.0,
+    mv2d=1.0, nktv2p=1.0, qqr2e=8.9876e9, qe2f=1.0, qelectron=1.6021765e-19,
+    angstrom=1.0e-10, femtosecond=1.0e-15, dt=1.0e-8, skin=0.001,
+)
+
+CGS = Units(
+    name="cgs",
+    boltz=1.3806504e-16, hplanck=6.62606896e-27, mvv2e=1.0, ftm2v=1.0,
+    mv2d=1.0, nktv2p=1.0, qqr2e=1.0, qe2f=1.0, qelectron=4.8032044e-10,
+    angstrom=1.0e-8, femtosecond=1.0e-15, dt=1.0e-8, skin=0.1,
+)
+
+MICRO = Units(
+    name="micro",
+    boltz=1.3806504e-8, hplanck=6.62606896e-13, mvv2e=1.0, ftm2v=1.0,
+    mv2d=1.0, nktv2p=1.0, qqr2e=8.987556e6, qe2f=1.0,
+    qelectron=1.6021765e-19, angstrom=1.0e-4, femtosecond=1.0e-9,
+    dt=2.0, skin=0.1,
+)
+
+NANO = Units(
+    name="nano",
+    boltz=0.013806504, hplanck=6.62606896e-4, mvv2e=1.0, ftm2v=1.0,
+    mv2d=1.0, nktv2p=1.0, qqr2e=230.7078669, qe2f=1.0, qelectron=1.0,
+    angstrom=1.0e-1, femtosecond=1.0e-6, dt=0.00045, skin=0.1,
+)
+
+BY_NAME = {u.name: u for u in (LJ, REAL, METAL, SI, CGS, MICRO, NANO)}
 
 
 def get(name: str) -> Units:

@@ -45,6 +45,7 @@ class Timer:
 
 def profile_forces(sys, ff, nlist=None, repeats: int = 3, log=print):
     """Evaluate each force term separately and report the phase breakdown."""
+    nlist = getattr(nlist, "nlist", nlist)   # unwrap NeighborCarry
     import dataclasses
 
     from lidp_tpu.forcefield import compute_forces

@@ -51,9 +51,10 @@ def test_crack_step200_trajectory(crack):
     assert abs(r["temp"] - t) < 1e-7
     assert abs(r["epair"] - ep) < 1e-6
     assert abs(r["etotal"] - et) < 1e-6
-    # Press carries the shrink-wrap volume at OUR rebuild cadence (every
-    # step) vs the reference's delay-5 stale box: ~1e-3 relative
-    assert abs(r["press"] - p) < 3e-3
+    # with Neighbor::decide displacement-check semantics the shrink-wrap
+    # rebuild schedule matches the reference, so Press (which carries the
+    # stale box volume) now agrees to all printed digits
+    assert abs(r["press"] - p) < 1e-6
 
 
 def test_crack_box_shrinkwrap(crack):

@@ -1,0 +1,47 @@
+"""units si/cgs/micro/nano constants (update.cpp:190-240) and dump xyz
+(dump_xyz.cpp format)."""
+
+import numpy as np
+
+
+def test_unit_systems():
+    from lidp_tpu import units
+
+    si = units.get("si")
+    assert si.boltz == 1.3806504e-23 and si.qqr2e == 8.9876e9
+    assert si.dt == 1.0e-8 and si.skin == 0.001
+    cgs = units.get("cgs")
+    assert cgs.boltz == 1.3806504e-16 and cgs.qqr2e == 1.0
+    micro = units.get("micro")
+    assert micro.qqr2e == 8.987556e6 and micro.dt == 2.0
+    nano = units.get("nano")
+    assert nano.boltz == 0.013806504 and nano.dt == 0.00045
+
+
+def test_dump_xyz(tmp_path):
+    from lidp_tpu.io.script import LammpsScript
+
+    s = LammpsScript()
+    s.root = str(tmp_path)
+    s.execute(f"""
+units lj
+atom_style atomic
+lattice fcc 0.8442
+region box block 0 2 0 2 0 2
+create_box 1 box
+create_atoms 1 box
+mass 1 1.0
+pair_style lj/cut 2.5
+pair_coeff 1 1 1.0 1.0 2.5
+fix 1 all nve
+dump d1 all xyz 1 traj.xyz
+run 2
+""".strip().splitlines())
+    lines = (tmp_path / "traj.xyz").read_text().splitlines()
+    n = 32   # 2^3 fcc cells x 4 basis
+    assert lines[0] == str(n)
+    assert lines[1].startswith("Atoms. Timestep:")
+    row = lines[2].split()
+    assert row[0] == "1" and len(row) == 4
+    # three frames (steps 0,1,2)
+    assert len(lines) == 3 * (n + 2)

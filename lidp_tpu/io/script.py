@@ -646,8 +646,20 @@ class LammpsScript:
                 else:
                     raise ValueError(f"Illegal pair_style keyword {k}")
                 i += 2
-        elif a[0] in ("morse", "buck", "gauss", "soft", "born"):
+        elif a[0] in ("morse", "buck", "gauss", "soft", "born",
+                      "lj/expand"):
             p.cut_lj_global = float(a[1])
+        elif a[0] == "lj/cut/coul/cut":
+            p.cut_lj_global = float(a[1])
+            p.cut_coul = float(a[2]) if len(a) > 2 else p.cut_lj_global
+        elif a[0] == "lj/cut/coul/debye":
+            # pair_style lj/cut/coul/debye kappa cut_lj [cut_coul]
+            self._debye_kappa = float(a[1])
+            p.cut_lj_global = float(a[2])
+            p.cut_coul = float(a[3]) if len(a) > 3 else p.cut_lj_global
+        elif a[0] == "coul/debye":
+            self._debye_kappa = float(a[1])
+            p.cut_coul = float(a[2])
         elif a[0] == "yukawa":
             # pair_style yukawa kappa cut (pair_yukawa.cpp:152-157)
             self._yukawa_kappa = float(a[1])
@@ -702,7 +714,8 @@ class LammpsScript:
             return
         _NCOEFF = {"morse": 3, "buck": 3, "buck/coul/cut": 3,
                    "buck/coul/long": 3, "yukawa": 1, "gauss": 2, "soft": 1,
-                   "born": 5, "coul/cut": 0, "coul/long": 0}
+                   "born": 5, "coul/cut": 0, "coul/long": 0,
+                   "coul/debye": 0, "lj/expand": 3}
         if self.pair.name in _NCOEFF and a[0] == "*" and a[1] == "*" \
                 and self.pair.name.startswith("coul"):
             return   # coul styles take no per-pair coefficients

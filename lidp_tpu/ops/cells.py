@@ -276,14 +276,24 @@ def cell_pair_forces(x, q, type_, mask, cells: Cells, box: Box, p,
             qi = ctr(qs); qj = nbr_group(qs, offs)
             cm = in_rng & (rsq < p.cut_coulsq)
             r = jnp.sqrt(rsq)
-            grij = p.g_ewald * r
-            expm2 = jnp.exp(-grij * grij)
-            t = 1.0 / (1.0 + EWALD_P * grij)
-            erfc = t * (A1 + t * (A2 + t * (A3 + t * (A4 + t * A5)))) * expm2
             prefactor = p.qqrd2e * qi * qj / r
-            forcecoul = jnp.where(cm, prefactor * (erfc + EWALD_F * grij * expm2), 0.0)
-            if need_ev:
-                ecoul += jnp.sum(jnp.where(cm, prefactor * erfc, 0.0))
+            if p.coul_kind == "debye":
+                screening = jnp.exp(-p.g_ewald * r)
+                forcecoul = jnp.where(
+                    cm, prefactor * screening * (p.g_ewald * r + 1.0), 0.0)
+                if need_ev:
+                    ecoul += jnp.sum(
+                        jnp.where(cm, prefactor * screening, 0.0))
+            else:
+                grij = p.g_ewald * r
+                expm2 = jnp.exp(-grij * grij)
+                t = 1.0 / (1.0 + EWALD_P * grij)
+                erfc = (t * (A1 + t * (A2 + t * (A3 + t * (A4 + t * A5))))
+                        * expm2)
+                forcecoul = jnp.where(
+                    cm, prefactor * (erfc + EWALD_F * grij * expm2), 0.0)
+                if need_ev:
+                    ecoul += jnp.sum(jnp.where(cm, prefactor * erfc, 0.0))
         else:
             forcecoul = 0.0
 

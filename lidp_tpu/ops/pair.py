@@ -80,14 +80,19 @@ class PairParams:
     # kind (see _vdw_terms): lj, morse, buck, yukawa, gauss, soft, born,
     # none (pure coulomb)
     kind: str = dataclasses.field(metadata=dict(static=True), default="lj")
-    lj5: object = None      # 5th coefficient table (born D)
+    lj5: object = None      # 5th coefficient table (born D, lj/expand delta)
+    # coulomb functional form: "long" (erfc-damped; g_ewald=0 gives the
+    # plain 1/r of coul/cut) or "debye" (exp(-kappa r)/r screening,
+    # pair_coul_debye.cpp:87-89); kappa rides in g_ewald for debye
+    coul_kind: str = dataclasses.field(metadata=dict(static=True),
+                                       default="long")
 
 
 def make_pair_params(
     epsilon, sigma, cut_lj, *, cut_coul=0.0, special_lj=(1.0, 0.0, 0.0, 0.0),
     special_coul=(1.0, 0.0, 0.0, 0.0), qqrd2e=1.0, g_ewald=0.0, coul=False,
     shift=False, cut_lj_inner=0.0, charmm=False, excl_types=None,
-    dtype=jnp.float64,
+    coul_kind="long", dtype=jnp.float64,
 ):
     """Build PairParams from per-type-pair (T+1,T+1) epsilon/sigma/cut arrays."""
     epsilon = jnp.asarray(epsilon, dtype)
@@ -120,6 +125,7 @@ def make_pair_params(
         coul=coul, charmm=charmm,
         excl=(None if excl_types is None
               else jnp.asarray(excl_types, bool)),
+        coul_kind=coul_kind,
     )
 
 
@@ -127,7 +133,7 @@ def make_generic_pair_params(
     kind, t1, t2, t3=None, t4=None, t5=None, *, cut_lj, cut_coul=0.0,
     coul=False, qqrd2e=1.0, g_ewald=0.0, special_lj=(1.0, 0.0, 0.0, 0.0),
     special_coul=(1.0, 0.0, 0.0, 0.0), shift=False, excl_types=None,
-    dtype=jnp.float64,
+    coul_kind="long", dtype=jnp.float64,
 ):
     """PairParams for the non-LJ kinds (see _vdw_terms table mapping).
 
@@ -161,7 +167,7 @@ def make_generic_pair_params(
         coul=coul, charmm=False,
         excl=(None if excl_types is None
               else jnp.asarray(excl_types, bool)),
-        kind=kind, lj5=t5j,
+        kind=kind, lj5=t5j, coul_kind=coul_kind,
     )
 
 
@@ -211,6 +217,15 @@ def _vdw_terms(kind, rsq, r2inv, t1, t2, t3, t4, t5=None,
         return ((t1 * t2) * r * rexp - 6.0 * t3 * r6inv
                 + 8.0 * t5 * r2inv * r6inv,
                 t1 * rexp - t3 * r6inv + t5 * r2inv * r6inv)
+    if kind == "lj/expand":
+        # pair_lj_expand.cpp:109-114: LJ at the shifted distance r - delta,
+        # fpair = forcelj/(rshift*r) -> forcelj_out = forcelj * r/rshift
+        rs = r - t5
+        rs = jnp.where(rs > 1e-6, rs, 1e-6)
+        rs2inv = 1.0 / (rs * rs)
+        r6 = rs2inv * rs2inv * rs2inv
+        flj = r6 * (t1 * r6 - t2)
+        return flj * r / rs, r6 * (t3 * r6 - t4)
     raise ValueError(f"unknown pair kind {kind}")
 
 
@@ -228,14 +243,21 @@ def pair_single(rsq, itype, jtype, qi, qj, p: PairParams,
     forcecoul = phicoul = 0.0
     if p.coul:
         r = jnp.sqrt(rsq)
-        grij = p.g_ewald * r
-        expm2 = jnp.exp(-grij * grij)
-        t = 1.0 / (1.0 + EWALD_P * grij)
-        erfc = t * (A1 + t * (A2 + t * (A3 + t * (A4 + t * A5)))) * expm2
         prefactor = p.qqrd2e * qi * qj / r
-        forcecoul = prefactor * (erfc + EWALD_F * grij * expm2) \
-            - (1.0 - factor_coul) * prefactor
-        phicoul = prefactor * erfc - (1.0 - factor_coul) * prefactor
+        if p.coul_kind == "debye":
+            screening = jnp.exp(-p.g_ewald * r)
+            forcecoul = (prefactor * screening * (p.g_ewald * r + 1.0)
+                         * factor_coul)
+            phicoul = prefactor * screening * factor_coul
+        else:
+            grij = p.g_ewald * r
+            expm2 = jnp.exp(-grij * grij)
+            t = 1.0 / (1.0 + EWALD_P * grij)
+            erfc = (t * (A1 + t * (A2 + t * (A3 + t * (A4 + t * A5))))
+                    * expm2)
+            forcecoul = prefactor * (erfc + EWALD_F * grij * expm2) \
+                - (1.0 - factor_coul) * prefactor
+            phicoul = prefactor * erfc - (1.0 - factor_coul) * prefactor
         incoul = rsq < p.cut_coulsq
         forcecoul = jnp.where(incoul, forcecoul, 0.0)
         phicoul = jnp.where(incoul, phicoul, 0.0)
@@ -305,14 +327,22 @@ def _pair_terms(rsq, qi, qj, ti, tj, sp_code, p: PairParams, pair_mask):
         factor_coul = p.special_coul[sp_code]
         coul_mask = in_range & (rsq < p.cut_coulsq)
         r = jnp.sqrt(rsq)
-        grij = p.g_ewald * r
-        expm2 = jnp.exp(-grij * grij)
-        t = 1.0 / (1.0 + EWALD_P * grij)
-        erfc = t * (A1 + t * (A2 + t * (A3 + t * (A4 + t * A5)))) * expm2
         prefactor = p.qqrd2e * qi * qj / r
-        forcecoul = prefactor * (erfc + EWALD_F * grij * expm2)
-        forcecoul = forcecoul - (1.0 - factor_coul) * prefactor
-        ecoul = prefactor * erfc - (1.0 - factor_coul) * prefactor
+        if p.coul_kind == "debye":
+            # pair_coul_debye.cpp:87-89: kappa rides in g_ewald
+            screening = jnp.exp(-p.g_ewald * r)
+            forcecoul = prefactor * screening * (p.g_ewald * r + 1.0)
+            forcecoul = forcecoul * factor_coul
+            ecoul = prefactor * screening * factor_coul
+        else:
+            grij = p.g_ewald * r
+            expm2 = jnp.exp(-grij * grij)
+            t = 1.0 / (1.0 + EWALD_P * grij)
+            erfc = (t * (A1 + t * (A2 + t * (A3 + t * (A4 + t * A5))))
+                    * expm2)
+            forcecoul = prefactor * (erfc + EWALD_F * grij * expm2)
+            forcecoul = forcecoul - (1.0 - factor_coul) * prefactor
+            ecoul = prefactor * erfc - (1.0 - factor_coul) * prefactor
         forcecoul = jnp.where(coul_mask, forcecoul, 0.0)
         ecoul = jnp.where(coul_mask, ecoul, 0.0)
     else:

@@ -36,6 +36,7 @@ _GENERIC_PAIR_KINDS = {
     "buck/coul/cut": ("buck", 3), "buck/coul/long": ("buck", 3),
     "yukawa": ("yukawa", 1), "gauss": ("gauss", 2), "soft": ("soft", 1),
     "born": ("born", 5), "coul/cut": ("none", 0), "coul/long": ("none", 0),
+    "coul/debye": ("none", 0), "lj/expand": ("lj/expand", 3),
 }
 
 
@@ -71,6 +72,11 @@ def _build_generic_pair(script, u, excl_types, dtype):
             elif kind == "born":
                 A, rho, sg, C, D = vals
                 row = (A, 1.0 / rho, C, sg, D)
+            elif kind == "lj/expand":
+                e_, sg, delta = vals
+                s6_ = sg ** 6
+                row = (48.0 * e_ * s6_ * s6_, 24.0 * e_ * s6_,
+                       4.0 * e_ * s6_ * s6_, 4.0 * e_ * s6_, delta)
             for k, v in enumerate(row):
                 tabs[k][i, j] = tabs[k][j, i] = v
             cut[i, j] = cut[j, i] = co[nc] if len(co) > nc else cij
@@ -82,16 +88,20 @@ def _build_generic_pair(script, u, excl_types, dtype):
                         f"All pair coeffs are not set ({name} {i} {j})")
     else:
         cut = np.zeros((T + 1, T + 1))
+    coul_kind = "long"
     g_ewald = 0.0   # coul/cut & cut styles: undamped 1/r (erfc(0) == 1)
+    if "debye" in name:
+        coul_kind = "debye"
+        g_ewald = script._debye_kappa   # kappa rides in g_ewald
     pair = make_generic_pair_params(
         kind, tabs[0], tabs[1], tabs[2], tabs[3],
-        tabs[4] if kind == "born" else None,
+        tabs[4] if kind in ("born", "lj/expand") else None,
         cut_lj=cut, cut_coul=script.pair.cut_coul if coul else 0.0,
         coul=coul, qqrd2e=u.qqr2e, g_ewald=g_ewald,
         special_lj=np.array(script.special_lj),
         special_coul=np.array(script.special_coul),
         shift=getattr(script, "_pair_shift", False),
-        excl_types=excl_types, dtype=dtype)
+        excl_types=excl_types, coul_kind=coul_kind, dtype=dtype)
     return pair, cut
 
 
@@ -234,15 +244,18 @@ class Simulation:
             pair, cut = _build_generic_pair(script, u, excl_types, dtype)
         else:
             eps, sig, cut = _mix_pair_tables(script)
+            is_debye = "debye" in pname
             pair = make_pair_params(
                 eps, sig, cut,
                 cut_coul=script.pair.cut_coul if coul else 0.0,
                 special_lj=np.array(script.special_lj),
                 special_coul=np.array(script.special_coul),
                 qqrd2e=u.qqr2e, coul=coul,
+                g_ewald=script._debye_kappa if is_debye else 0.0,
                 shift=getattr(script, "_pair_shift", False),
                 cut_lj_inner=script.pair.cut_lj_inner, charmm=charmm,
                 excl_types=excl_types,
+                coul_kind="debye" if is_debye else "long",
                 dtype=dtype)
         if getattr(script, "neigh_exclude_mol", False):
             pair = dataclasses.replace(pair, excl_mol=True)

@@ -127,3 +127,35 @@ def test_morse_cells_vs_dense():
     assert abs(float(ev_d) - float(ev_c)) < 1e-9
     assert np.abs(np.asarray(fd) - np.asarray(fc)).max() < 1e-9
     assert np.abs(np.asarray(vir_d) - np.asarray(vir_c)).max() < 1e-8
+
+
+def test_lj_expand_dimer():
+    r, delta = 1.8, 0.5
+    lines = "pair_style lj/expand 5.0\npair_coeff 1 1 1.0 1.0 0.5"
+    row, f, _ = _dimer(lines, r)
+    rs = r - delta
+    eref = 4.0 * ((1 / rs) ** 12 - (1 / rs) ** 6)
+    assert abs(row["epair"] * 2 - eref) < 1e-9
+    fd = _fd_force(lines, r)
+    assert abs(f[0, 0] - fd) < 1e-4 * max(1.0, abs(fd))
+
+
+def test_coul_debye_dimer():
+    r, kappa = 1.5, 1.2
+    lines = "pair_style coul/debye 1.2 5.0\npair_coeff * *"
+    row, f, _ = _dimer(lines, r, q=(0.8, -0.5))
+    eref = 0.8 * (-0.5) / r * np.exp(-kappa * r)
+    assert abs(row["ecoul"] * 2 - eref) < 1e-9
+    fd = _fd_force(lines, r, q=(0.8, -0.5))
+    assert abs(f[0, 0] - fd) < 1e-4 * abs(fd)
+
+
+def test_lj_cut_coul_cut_dimer():
+    r = 1.5
+    lines = ("pair_style lj/cut/coul/cut 5.0\n"
+             "pair_coeff 1 1 1.0 1.0")
+    row, f, _ = _dimer(lines, r, q=(0.8, -0.5))
+    eref_lj = 4.0 * ((1 / r) ** 12 - (1 / r) ** 6)
+    eref_c = 0.8 * (-0.5) / r
+    assert abs(row["evdwl"] * 2 - eref_lj) < 1e-9
+    assert abs(row["ecoul"] * 2 - eref_c) < 1e-9

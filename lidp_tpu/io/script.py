@@ -1188,6 +1188,55 @@ class LammpsScript:
         self.neb_barrier = barrier
         self.neb_path = np_.asarray(X)
 
+    def cmd_prd(self, a):
+        """prd Nsegments t_event t_dephase temp threshold seed
+        [nreplicas M] [group NAME] — REPLICA/prd.cpp with replicas as a
+        batch axis instead of partitions."""
+        from lidp_tpu import replica as replica_mod
+        from lidp_tpu.sim import Simulation
+
+        nseg, t_event, t_dephase = int(a[0]), int(a[1]), int(a[2])
+        temp, threshold, seed = float(a[3]), float(a[4]), int(a[5])
+        m = 8
+        gname = None
+        if "nreplicas" in a:
+            m = int(a[a.index("nreplicas") + 1])
+        if "group" in a:
+            gname = a[a.index("group") + 1]
+        if self._sim is None:
+            self._sim = Simulation.from_script(self)
+        gmask = None
+        if gname is not None and not self.groups[gname].all():
+            gmask = self.groups[gname]
+        self.prd_result = replica_mod.prd_run(
+            self._sim, m, nseg, t_event, t_dephase, temp, threshold, seed,
+            gmask=gmask, log=self.log)
+
+    def cmd_tad(self, a):
+        """tad Nseg t_event t_dephase T_hi T_lo delta threshold seed
+        [nreplicas M] [group NAME] — REPLICA/tad.cpp (barriers via NEB,
+        Arrhenius extrapolation to T_lo)."""
+        from lidp_tpu import replica as replica_mod
+        from lidp_tpu.sim import Simulation
+
+        nseg, t_event, t_dephase = int(a[0]), int(a[1]), int(a[2])
+        t_hi, t_lo, delta = float(a[3]), float(a[4]), float(a[5])
+        threshold, seed = float(a[6]), int(a[7])
+        m = 8
+        gname = None
+        if "nreplicas" in a:
+            m = int(a[a.index("nreplicas") + 1])
+        if "group" in a:
+            gname = a[a.index("group") + 1]
+        if self._sim is None:
+            self._sim = Simulation.from_script(self)
+        gmask = None
+        if gname is not None and not self.groups[gname].all():
+            gmask = self.groups[gname]
+        self.tad_result = replica_mod.tad_run(
+            self._sim, nseg, t_event, t_dephase, t_hi, t_lo, delta,
+            threshold, seed, gmask=gmask, log=self.log, neb_replicas=m)
+
     def cmd_run_style(self, a):
         """run_style verlet | respa N n1.. [bond l] [angle l] [dihedral l]
         [improper l] [pair l] [kspace l] (update.cpp create_integrate +

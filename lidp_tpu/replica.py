@@ -280,3 +280,246 @@ def neb_run(sim, x_final, nreplicas: int, kspring: float,
         f"barrier = {barrier:.8g}")
     log("# NEB MEP energies: " + " ".join(f"{e:.8g}" for e in E))
     return X, E, barrier
+
+
+# ---------------------------------------------------------------------------
+# PRD — parallel replica dynamics (REPLICA/prd.cpp)
+
+
+def prd_run(sim, nreplicas: int, nsegments: int, t_event: int,
+            t_dephase: int, temp: float, threshold: float, seed: int,
+            gmask=None, log=print, quench_iters: int = 200):
+    """Rare-event dynamics over a replica batch (REPLICA/prd.cpp).
+
+    Each segment: (1) dephase — every replica draws fresh Maxwell
+    velocities and runs t_dephase NVE steps; (2) run t_event NVE steps;
+    (3) quench each replica (FIRE) and compare against the quenched
+    reference minimum (the `compute event/displace` criterion,
+    compute_event_displace.cpp): an event is any atom displaced more than
+    `threshold`.  On an event, the first event replica becomes the new
+    state and the reference minimum is re-quenched.  The hyper-time clock
+    advances nreplicas * t_event per segment — the PRD boost.
+
+    Simplifications vs prd.cpp: the clock adds full segments (the
+    reference bisects to the first event step) and there is no correlated
+    -event re-run; both affect time resolution, not the event sequence.
+
+    Returns dict(events, hyper_steps, md_steps, boost)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lidp_tpu.forcefield import compute_forces
+
+    ff = sim.runner.ff
+    sys0 = sim.sys
+    M = nreplicas
+    dtype = sys0.x.dtype
+    mass = jnp.asarray(sim.thermo_params.mass_atom, dtype)
+    dt = jnp.asarray(sim.script.dt, dtype)
+    u = sim.script.units
+    gm = (jnp.asarray(gmask, bool) if gmask is not None
+          else jnp.ones(sys0.x.shape[0], bool))
+
+    def force(x):
+        f = compute_forces(sys0.replace(x=x), ff).f
+        return jnp.where(gm[:, None], f, 0.0)
+
+    def pe(x):
+        return compute_forces(sys0.replace(x=x), ff).pe
+
+    minv = jnp.where(mass > 0, 1.0 / jnp.where(mass > 0, mass, 1.0),
+                     0.0)[:, None]
+
+    def nve_steps(x, v, n):
+        def body(c, _):
+            x, v, f = c
+            v = v + 0.5 * dt * minv * f
+            x = x + dt * v
+            f2 = force(x)
+            v = v + 0.5 * dt * minv * f2
+            return (x, v, f2), None
+
+        (x, v, f), _ = jax.lax.scan(body, (x, v, force(x)), None, length=n)
+        return x, v
+
+    def quench(x):
+        # damped-dynamics minimization (the reference quenches with
+        # min_style quickmin); fixed iteration budget keeps it jittable
+        def body(c, _):
+            x, v, f = c
+            p = jnp.sum(f * v)
+            v = jnp.where(p > 0, v, jnp.zeros_like(v))
+            v = v + 0.02 * f * minv
+            x = x + 0.02 * v
+            return (x, v, force(x)), None
+
+        (x, _, _), _ = jax.lax.scan(
+            body, (x, jnp.zeros_like(x), force(x)), None,
+            length=quench_iters)
+        return x
+
+    v_nve = jax.jit(jax.vmap(nve_steps, in_axes=(0, 0, None)),
+                    static_argnums=(2,))
+    v_quench = jax.jit(jax.vmap(quench))
+
+    def maxwell(key):
+        sigma = jnp.sqrt(u.boltz * temp / (mass * u.mvv2e))[:, None]
+        v = sigma * jax.random.normal(key, sys0.x.shape, dtype)
+        return jnp.where(gm[:, None], v, 0.0)
+
+    x_min = jax.jit(quench)(sys0.x)
+    X = jnp.broadcast_to(sys0.x, (M,) + sys0.x.shape)
+    key = jax.random.PRNGKey(seed)
+
+    events = []
+    md_steps = 0
+    hyper = 0
+    for seg in range(nsegments):
+        key, *ks = jax.random.split(key, M + 1)
+        V = jnp.stack([maxwell(k) for k in ks])
+        X, V = v_nve(X, V, t_dephase)
+        X, V = v_nve(X, V, t_event)
+        md_steps += M * (t_dephase + t_event)
+        hyper += M * t_event
+        Q = v_quench(X)
+        disp = jnp.sqrt(jnp.max(jnp.sum((Q - x_min[None]) ** 2, axis=-1),
+                                axis=-1))
+        ev = np.asarray(disp > threshold)
+        if ev.any():
+            w = int(np.argmax(ev))
+            events.append(dict(segment=seg, replica=w,
+                               hyper_steps=hyper,
+                               displacement=float(disp[w])))
+            log(f"# PRD event: segment {seg} replica {w} "
+                f"disp {float(disp[w]):.4g} hyper t = {hyper}")
+            x_new = X[w]
+            x_min = Q[w]
+            X = jnp.broadcast_to(x_new, (M,) + x_new.shape)
+    boost = hyper / max(1, md_steps // M)
+    return dict(events=events, hyper_steps=hyper, md_steps=md_steps,
+                boost=boost)
+
+
+# ---------------------------------------------------------------------------
+# TAD — temperature-accelerated dynamics (REPLICA/tad.cpp)
+
+
+def tad_run(sim, nsegments: int, t_event: int, t_dephase: int,
+            t_hi: float, t_lo: float, delta: float, threshold: float,
+            seed: int, gmask=None, log=print, neb_replicas: int = 8,
+            kspring: float = 1.0):
+    """High-temperature MD with Arrhenius extrapolation (REPLICA/tad.cpp).
+
+    One trajectory runs at T_hi; every detected event (quenched
+    displacement > threshold, as in PRD) gets its barrier E_b from an NEB
+    between the quenched basins, and its waiting time extrapolates to the
+    low temperature as  t_lo = t_hi_event * exp(E_b (1/kT_lo - 1/kT_hi)).
+    The accepted transition is the one with the SHORTEST extrapolated
+    low-T time once the stopping criterion t_hi_elapsed >
+    (t_lo_min * (T_lo/T_hi))**(T_hi/T_lo) * delta is met (the reference's
+    confidence bound with delta folding in ln(1/uncertainty)).
+
+    Simplification vs tad.cpp: events beyond the first per segment are
+    ignored and the dynamics continues from the event state (no basin
+    re-entry enforcement).
+
+    Returns dict(events=[{segment, barrier, t_hi, t_lo}], accepted)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lidp_tpu.forcefield import compute_forces
+
+    u = sim.script.units
+    beta_lo = 1.0 / (u.boltz * t_lo)
+    beta_hi = 1.0 / (u.boltz * t_hi)
+
+    # reuse the PRD machinery with a single replica at T_hi
+    sys0 = sim.sys
+    gm = (jnp.asarray(gmask, bool) if gmask is not None
+          else jnp.ones(sys0.x.shape[0], bool))
+    ff = sim.runner.ff
+    mass = jnp.asarray(sim.thermo_params.mass_atom, sys0.x.dtype)
+    dt = jnp.asarray(sim.script.dt, sys0.x.dtype)
+    minv = jnp.where(mass > 0, 1.0 / jnp.where(mass > 0, mass, 1.0),
+                     0.0)[:, None]
+
+    def force(x):
+        f = compute_forces(sys0.replace(x=x), ff).f
+        return jnp.where(gm[:, None], f, 0.0)
+
+    def pe(x):
+        return compute_forces(sys0.replace(x=x), ff).pe
+
+    def nve_steps(x, v, n):
+        def body(c, _):
+            x, v, f = c
+            v = v + 0.5 * dt * minv * f
+            x = x + dt * v
+            f2 = force(x)
+            v = v + 0.5 * dt * minv * f2
+            return (x, v, f2), None
+
+        (x, v, f), _ = jax.lax.scan(body, (x, v, force(x)), None, length=n)
+        return x, v
+
+    def quench(x, iters=300):
+        def body(c, _):
+            x, v, f = c
+            p = jnp.sum(f * v)
+            v = jnp.where(p > 0, v, jnp.zeros_like(v))
+            v = v + 0.02 * f * minv
+            x = x + 0.02 * v
+            return (x, v, force(x)), None
+
+        (x, _, _), _ = jax.lax.scan(
+            body, (x, jnp.zeros_like(x), force(x)), None, length=iters)
+        return x
+
+    j_nve = jax.jit(nve_steps, static_argnums=(2,))
+    j_quench = jax.jit(quench)
+
+    def maxwell(key):
+        sigma = jnp.sqrt(u.boltz * t_hi / (mass * u.mvv2e))[:, None]
+        v = sigma * jax.random.normal(key, sys0.x.shape, sys0.x.dtype)
+        return jnp.where(gm[:, None], v, 0.0)
+
+    x = sys0.x
+    x_min = j_quench(x)
+    e_min = float(pe(x_min))
+    key = jax.random.PRNGKey(seed)
+    events = []
+    t_hi_elapsed = 0
+    accepted = None
+    for seg in range(nsegments):
+        key, k1 = jax.random.split(key)
+        x, v = j_nve(x, maxwell(k1), t_dephase)
+        x, v = j_nve(x, v, t_event)
+        t_hi_elapsed += t_event
+        q = j_quench(x)
+        disp = float(jnp.sqrt(jnp.max(jnp.sum((q - x_min) ** 2, -1))))
+        if disp > threshold:
+            # barrier via NEB between the two quenched basins
+            saved_x = sim.sys.x
+            sim.sys = sim.sys.replace(x=x_min)
+            _, E, barrier = neb_run(sim, q, neb_replicas, kspring,
+                                    0.0, 1e-5, 1000, 1000,
+                                    log=lambda *a: None,
+                                    gmask=None if gm.all() else gm)
+            sim.sys = sim.sys.replace(x=saved_x)
+            t_lo_ev = t_hi_elapsed * float(
+                np.exp(barrier * (beta_lo - beta_hi)))
+            events.append(dict(segment=seg, barrier=float(barrier),
+                               t_hi=t_hi_elapsed, t_lo=t_lo_ev,
+                               displacement=disp))
+            log(f"# TAD event: seg {seg} barrier {barrier:.4g} "
+                f"t_hi {t_hi_elapsed} -> t_lo {t_lo_ev:.4g}")
+            x_min = q
+            e_min = float(pe(q))
+        if events:
+            t_lo_min = min(ev["t_lo"] for ev in events)
+            t_stop = t_lo_min * (t_lo / t_hi) * delta
+            if t_hi_elapsed >= t_stop:
+                accepted = min(events, key=lambda ev: ev["t_lo"])
+                break
+    return dict(events=events, accepted=accepted,
+                t_hi_elapsed=t_hi_elapsed)

@@ -1,9 +1,11 @@
 """NEB minimum-energy path (REPLICA/neb.cpp + fix_neb.cpp).
 
-Setup with an analytically known saddle: two FIXED atoms at (+-d, 0, 0) and
-one mobile atom hopping between mirror-image minima at (0, +-y*, 0).  By
-symmetry the transition state is the origin, so the barrier is
-E(origin) - E(minimum) computable by direct evaluation.
+Setup with an analytically known saddle: FOUR fixed anchor atoms at
+(+-D, 0, 0) and (0, 0, +-D) around the origin and one mobile atom hopping
+between the mirror-image minima at (0, +-y*, 0).  The anchors block the
+azimuthal ring that a 2-anchor setup would leave degenerate, so the only
+MEP crosses the origin: barrier = E(origin) - E(minimum), computable in
+closed form (4 LJ pair energies).
 """
 
 import numpy as np
@@ -18,37 +20,48 @@ def _pair_e(r, eps=1.0, sig=1.0):
 
 
 def _mobile_energy(y):
-    r = np.hypot(D, y)
-    return 2.0 * _pair_e(r)
+    r = np.hypot(D, y)      # same distance to all four anchors
+    return 4.0 * _pair_e(r)
 
 
-@pytest.fixture(scope="module")
-def neb(tmp_path_factory):
+def anchors_fixed_energy():
+    """Constant anchor-anchor contribution (2 colinear + 4 diagonal pairs)."""
+    return 2.0 * _pair_e(2 * D) + 4.0 * _pair_e(np.sqrt(2.0) * D)
+
+
+def write_hop_system(tmp, name):
+    """Data file + (ystar, e_min, e_saddle) for the 5-atom hop system."""
     from scipy.optimize import minimize_scalar
 
-    from lidp_tpu.io.script import LammpsScript
-
-    tmp = tmp_path_factory.mktemp("neb")
-    # find the true minimum position y* and energies
     opt = minimize_scalar(_mobile_energy, bounds=(0.2, 3.0),
                           method="bounded")
     ystar, e_min = float(opt.x), float(opt.fun)
     e_saddle = _mobile_energy(0.0)
-
     L = 20.0
-    data = [f"neb\n\n3 atoms\n2 atom types\n",
+    data = [f"{name}\n\n5 atoms\n2 atom types\n",
             f"0.0 {L} xlo xhi\n0.0 {L} ylo yhi\n0.0 {L} zlo zhi\n",
             "\nMasses\n\n1 1.0\n2 1.0\n", "\nAtoms\n",
             f"1 0 1 0.0 {10 - D} 10.0 10.0\n",
             f"2 0 1 0.0 {10 + D} 10.0 10.0\n",
-            f"3 0 2 0.0 10.0 {10 + ystar} 10.0\n"]
-    (tmp / "neb.data").write_text("".join(data))
+            f"3 0 1 0.0 10.0 10.0 {10 - D}\n",
+            f"4 0 1 0.0 10.0 10.0 {10 + D}\n",
+            f"5 0 2 0.0 10.0 {10 + ystar} 10.0\n"]
+    (tmp / f"{name}.data").write_text("".join(data))
+    return ystar, e_min, e_saddle
+
+
+@pytest.fixture(scope="module")
+def neb(tmp_path_factory):
+    from lidp_tpu.io.script import LammpsScript
+
+    tmp = tmp_path_factory.mktemp("neb")
+    ystar, e_min, e_saddle = write_hop_system(tmp, "neb")
     (tmp / "final.coords").write_text(
-        f"1\n3 10.0 {10 - ystar} 10.0\n")
+        f"1\n5 10.0 {10 - ystar} 10.0\n")
 
     s = LammpsScript()
     s.root = str(tmp)
-    s.execute(f"""
+    s.execute("""
 units lj
 atom_style full
 read_data neb.data
@@ -65,10 +78,8 @@ neb 0.0 1.0e-6 2000 2000 100 final final.coords nreplicas 9
 def test_neb_barrier(neb):
     s, e_min, e_saddle, ystar = neb
     barrier_ref = e_saddle - e_min
-    assert barrier_ref > 0.05          # a real barrier
-    # endpoint energies: pair of fixed atoms contributes a constant
-    fixed_e = _pair_e(2 * D)
-    e = s.neb_energies - fixed_e
+    assert barrier_ref > 1.0           # a real barrier (4 eps here)
+    e = s.neb_energies - anchors_fixed_energy()
     assert abs(e[0] - e_min) < 1e-6
     assert abs(e[-1] - e_min) < 1e-6
     barrier = float(e.max() - e[0])
@@ -78,7 +89,7 @@ def test_neb_barrier(neb):
 
 def test_neb_saddle_geometry(neb):
     s, _, _, ystar = neb
-    # the climbing image should sit near the origin-plane saddle (y = 10)
+    # the climbing image should sit near the origin saddle (y = 10)
     top = int(np.argmax(s.neb_energies))
-    x_top = s.neb_path[top][2]
+    x_top = s.neb_path[top][4]
     assert abs(x_top[1] - 10.0) < 0.05, x_top

@@ -28,8 +28,11 @@ class NVTParams:
     dtf: jax.Array
     dtq: jax.Array
     mass_atom: jax.Array
-    t_target: jax.Array
+    t_target: jax.Array      # t_start
     t_freq: jax.Array
+    t_stop: jax.Array = None      # ramp end value (FixNH compute_temp_target)
+    ramp_begin: jax.Array = None  # run begin/end steps for the ramp
+    ramp_end: jax.Array = None
     dof: float = dataclasses.field(metadata=dict(static=True), default=3.0)
     boltz: float = dataclasses.field(metadata=dict(static=True), default=1.0)
     mvv2e: float = dataclasses.field(metadata=dict(static=True), default=1.0)
@@ -37,7 +40,7 @@ class NVTParams:
 
     @staticmethod
     def create(dt, ftm2v, mass_atom, t_target, t_period, *, dof, boltz,
-               mvv2e, t_chain=3, dtype=jnp.float64):
+               mvv2e, t_chain=3, t_stop=None, dtype=jnp.float64):
         return NVTParams(
             dtv=jnp.asarray(dt, dtype),
             dtf=jnp.asarray(0.5 * dt * ftm2v, dtype),
@@ -45,7 +48,19 @@ class NVTParams:
             mass_atom=jnp.asarray(mass_atom, dtype),
             t_target=jnp.asarray(t_target, dtype),
             t_freq=jnp.asarray(1.0 / t_period, dtype),
+            t_stop=jnp.asarray(t_target if t_stop is None else t_stop,
+                               dtype),
+            ramp_begin=jnp.zeros((), jnp.int32),
+            ramp_end=jnp.zeros((), jnp.int32),
             dof=float(dof), boltz=boltz, mvv2e=mvv2e, t_chain=t_chain)
+
+
+def ramp_target(start, stop, begin, end, step):
+    """FixNH::compute_temp_target (fix_nh.cpp): linear ramp over the run,
+    delta = (step - beginstep)/(endstep - beginstep), clamped."""
+    denom = jnp.maximum(end - begin, 1).astype(start.dtype)
+    delta = jnp.clip((step - begin).astype(start.dtype) / denom, 0.0, 1.0)
+    return start + delta * (stop - start)
 
 
 @jax.tree_util.register_dataclass
@@ -59,9 +74,13 @@ def _ke2(sys, p):
                    * sys.mask[:, None]) * p.mvv2e
 
 
-def _nhc(eta_dot, ke2, p: NVTParams):
+def _nhc(eta_dot, ke2, p: NVTParams, step=None):
     """Half-step NH chain update; returns (eta_dot, velocity scale)."""
-    kt = p.boltz * p.t_target
+    tt = p.t_target
+    if step is not None and p.t_stop is not None:
+        tt = ramp_target(p.t_target, p.t_stop, p.ramp_begin, p.ramp_end,
+                         step)
+    kt = p.boltz * tt
     q0 = p.dof * kt / (p.t_freq * p.t_freq)
     qk = kt / (p.t_freq * p.t_freq)
     q = [q0] + [qk] * (p.t_chain - 1)
@@ -92,7 +111,7 @@ def init_state(sys, f, p: NVTParams):
 
 
 def initial_integrate(sys: System, f, p: NVTParams, st: NVTState):
-    eta_dot, scale = _nhc(st.eta_dot, _ke2(sys, p), p)
+    eta_dot, scale = _nhc(st.eta_dot, _ke2(sys, p), p, sys.step)
     v = sys.v * scale
     minv = jnp.where(p.mass_atom > 0,
                      1.0 / jnp.where(p.mass_atom > 0, p.mass_atom, 1.0), 0.0)
@@ -108,5 +127,5 @@ def final_integrate(sys: System, f, p: NVTParams, st: NVTState):
     v = sys.v + (p.dtf * minv)[:, None] * f
     v = jnp.where(sys.mask[:, None], v, 0.0)
     sys = sys.replace(v=v)
-    eta_dot, scale = _nhc(st.eta_dot, _ke2(sys, p), p)
+    eta_dot, scale = _nhc(st.eta_dot, _ke2(sys, p), p, sys.step)
     return sys.replace(v=sys.v * scale), NVTState(eta_dot=eta_dot)

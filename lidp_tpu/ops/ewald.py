@@ -387,3 +387,60 @@ def dispersion_real(rsq, bij, g6: float):
     e = -gg6 * ((a2 + 1.0) * a2 + 0.5) * x2e
     force = -g8 * (((6.0 * a2 + 6.0) * a2 + 3.0) * a2 + 1.0) * x2e * rsq
     return e, force
+
+
+# ------------------------- point-dipole function ---------------------------
+#
+# EwaldDisp function[3] (ewald_disp.cpp): reciprocal-space sum for point
+# dipoles.  S_mu(k) = sum_i (mu_i . k) e^{ik.r_i}; energy coefficients are
+# the charge-function e^{-k^2/4g^2}/k^2 (coefficients() func3 branch,
+# :479-487), self energy = 2 g^3/(3 sqrt(pi)) sum |mu|^2 (:597-599).
+
+
+def ewald_dipole_forces(x, mu, volume, s: "EwaldSetup", scale=1.0):
+    """Reciprocal-space dipole energy/forces as [N,K] matmuls.
+
+    Uses the charge-function k set/coefficients of `s` (the reference
+    shares one k enumeration across functions).  `scale` is mumurd2e.
+    Returns (f (N,3), edipole ())."""
+    dtype = x.dtype
+    hv = jnp.asarray(s.hvecs, dtype)
+    ke = jnp.asarray(s.kcoeff, dtype)
+    phases = x @ hv.T                    # (N,K)
+    c = jnp.cos(phases)
+    sn = jnp.sin(phases)
+    P = mu @ hv.T                        # (N,K) mu_i . k
+    sre = jnp.sum(P * c, axis=0)         # (K,)
+    sim = jnp.sum(P * sn, axis=0)
+    sk2 = sre * sre + sim * sim
+
+    g = s.g_ewald
+    c0 = 4.0 * jnp.pi * scale / volume
+    e_self = (2.0 * g**3 / (3.0 * MY_PIS) * scale
+              * jnp.sum(mu * mu))
+    edip = c0 * jnp.sum(ke * sk2) - e_self
+
+    w = ke * sre * 2.0 * c0
+    w2 = ke * sim * 2.0 * c0
+    coef = (sn * w[None, :] - c * w2[None, :]) * P   # (N,K)
+    f = coef @ hv
+    return f, edip
+
+
+def dipole_real(rvec, mui, muj, g: float):
+    """Real-space erfc-damped dipole-dipole pair energy (standard Ewald
+    dipole kernel; the complement of ewald_dipole_forces):
+    E = B(r) mu_i.mu_j - C(r) (mu_i.r)(mu_j.r)."""
+    import math
+
+    r2 = jnp.sum(rvec * rvec, axis=-1)
+    r = jnp.sqrt(r2)
+    gr = g * r
+    erfc_gr = jax.scipy.special.erfc(gr)
+    pref = 2.0 * gr / jnp.sqrt(jnp.pi) * jnp.exp(-gr * gr)
+    B = (erfc_gr + pref) / (r2 * r)
+    C = (3.0 * erfc_gr + pref * (3.0 + 2.0 * gr * gr)) / (r2 * r2 * r)
+    pdotp = jnp.sum(mui * muj, axis=-1)
+    pir = jnp.sum(mui * rvec, axis=-1)
+    pjr = jnp.sum(muj * rvec, axis=-1)
+    return B * pdotp - C * pir * pjr

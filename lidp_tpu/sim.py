@@ -805,7 +805,7 @@ class Simulation:
                 nvtp = nvt_mod.NVTParams.create(
                     script.dt, u.ftm2v, mass_atom, t_start_, t_damp,
                     dof=dim_ * n - dim_, boltz=u.boltz, mvv2e=u.mvv2e,
-                    dtype=dtype, **kw)
+                    t_stop=t_stop_, dtype=dtype, **kw)
                 integ = Integrator(
                     initial=lambda s_, r_, p_, st_: nvt_mod.initial_integrate(
                         s_, r_.f, p_, st_),
@@ -1278,6 +1278,18 @@ class Simulation:
         import time
 
         t_start = time.perf_counter()
+        # thermostat ramps span exactly this run (FixNH::compute_temp_target
+        # uses update->beginstep/endstep)
+        integ = getattr(self.runner, "integ", None)
+        if integ is not None and getattr(integ.params, "ramp_begin",
+                                         None) is not None:
+            import jax.numpy as jnp
+            b = int(self.sys.step)
+            self.runner.integ = dataclasses.replace(
+                integ, params=dataclasses.replace(
+                    integ.params,
+                    ramp_begin=jnp.asarray(b, jnp.int32),
+                    ramp_end=jnp.asarray(b + nsteps, jnp.int32)))
         if self.res is None:
             self.sys, self.res, self.nlist, self.istate = \
                 self.runner.setup(self.sys)

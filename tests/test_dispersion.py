@@ -110,3 +110,91 @@ def test_g6_newton_reasonable():
                   volume=343.0)
     # Newton root balances the real-space dispersion error at the cutoff
     assert 0.3 < g < 3.0
+
+
+def test_dipole_ewald_matches_direct():
+    """Point-dipole function (ewald_disp func[3]): the Ewald total must be
+    INVARIANT under the real/reciprocal split (two g values agree to 1e-6
+    — any error in the self/k/real terms breaks g-independence) and must
+    anchor to the (slowly converging) direct lattice sum."""
+    import jax.numpy as jnp
+
+    from lidp_tpu.ops.ewald import (dipole_real, ewald_dipole_forces,
+                                    setup_ewald_disp)
+
+    rng = np.random.RandomState(11)
+    n, L = 24, 8.0
+    x = rng.uniform(0, L, (n, 3))
+    from scipy.spatial import cKDTree
+
+    for _ in range(100):
+        t = cKDTree(x, boxsize=L)
+        pairs = t.query_pairs(1.2, output_type="ndarray")
+        if not len(pairs):
+            break
+        x[pairs[:, 0]] = rng.uniform(0, L, (len(pairs[:, 0]), 3))
+    mu = rng.normal(size=(n, 3))
+    mu -= mu.mean(axis=0)          # net moment zero (tinfoil == direct)
+
+    def ewald_total(g):
+        rc = 3.9
+        s = setup_ewald_disp(accuracy_rel=1e-8, qqrd2e=1.0, q=np.ones(n),
+                             natoms=n, cutoff=rc, box_lengths=[L] * 3,
+                             g_ewald=g)
+        d = x[:, None, :] - x[None, :, :]
+        d -= L * np.round(d / L)
+        iu = np.triu_indices(n, 1)
+        rvec = d[iu]
+        r = np.linalg.norm(rvec, axis=1)
+        sel = r < rc
+        e_real = float(np.sum(np.asarray(dipole_real(
+            jnp.asarray(rvec[sel]), jnp.asarray(mu[iu[0]][sel]),
+            jnp.asarray(mu[iu[1]][sel]), g))))
+        _, edip = ewald_dipole_forces(jnp.asarray(x), jnp.asarray(mu),
+                                      L**3, s)
+        return e_real + float(edip)
+
+    e1, e2 = ewald_total(1.0), ewald_total(1.35)
+    assert abs(e1 - e2) < 1e-6 * max(1.0, abs(e1)), (e1, e2)
+
+    # direct-sum anchor: shells converge ~1/R^3, so compare loosely
+    e_dir = 0.0
+    for di in range(-5, 6):
+        for dj in range(-5, 6):
+            for dk in range(-5, 6):
+                sft = np.array([di, dj, dk]) * L
+                dd = x[:, None, :] - x[None, :, :] + sft
+                r2 = np.sum(dd * dd, axis=-1)
+                if di == dj == dk == 0:
+                    np.fill_diagonal(r2, np.inf)
+                pdotp = mu @ mu.T
+                pir = np.einsum("id,ijd->ij", mu, dd)
+                pjr = np.einsum("jd,ijd->ij", mu, dd)
+                e_dir += 0.5 * np.sum(pdotp / r2**1.5
+                                      - 3.0 * pir * pjr / r2**2.5)
+    assert abs(e1 - e_dir) < 5e-3 * max(1.0, abs(e_dir)), (e1, e_dir)
+
+
+def test_dipole_kspace_forces_fd():
+    import jax.numpy as jnp
+
+    from lidp_tpu.ops.ewald import ewald_dipole_forces, setup_ewald_disp
+
+    rng = np.random.RandomState(4)
+    n, L = 12, 7.0
+    x = rng.uniform(0, L, (n, 3))
+    mu = rng.normal(size=(n, 3))
+    s = setup_ewald_disp(accuracy_rel=1e-5, qqrd2e=1.0, q=np.ones(n),
+                         natoms=n, cutoff=3.0, box_lengths=[L] * 3)
+    _, e0 = ewald_dipole_forces(jnp.asarray(x), jnp.asarray(mu), L**3, s)
+    fk, _ = ewald_dipole_forces(jnp.asarray(x), jnp.asarray(mu), L**3, s)
+    h = 1e-6
+    for i, dcomp in ((0, 0), (5, 2)):
+        xp = x.copy(); xp[i, dcomp] += h
+        xm = x.copy(); xm[i, dcomp] -= h
+        _, ep = ewald_dipole_forces(jnp.asarray(xp), jnp.asarray(mu),
+                                    L**3, s)
+        _, em = ewald_dipole_forces(jnp.asarray(xm), jnp.asarray(mu),
+                                    L**3, s)
+        fd = -(float(ep) - float(em)) / (2 * h)
+        assert abs(fd - float(fk[i, dcomp])) < 1e-5 * max(1.0, abs(fd))

@@ -74,3 +74,35 @@ def test_fire_minimize_perturbed_lattice():
     assert float(e) < e_start
     fnorm = float(jnp.linalg.norm(compute(sys2)[0]))
     assert fnorm < 1e-6
+
+
+def test_nvt_temperature_ramp():
+    """fix nvt temp Tstart Tstop: the target ramps linearly over the run
+    (FixNH::compute_temp_target) — the measured T must end near Tstop and
+    pass near the midpoint mid-run."""
+    import numpy as np
+
+    from lidp_tpu.io.script import LammpsScript
+
+    s = LammpsScript()
+    s.execute("""
+units lj
+atom_style atomic
+lattice fcc 0.8442
+region box block 0 4 0 4 0 4
+create_box 1 box
+create_atoms 1 box
+mass 1 1.0
+pair_style lj/cut 2.5
+pair_coeff 1 1 1.0 1.0 2.5
+velocity all create 2.0 12345 loop geom
+fix 1 all nvt temp 2.0 0.5 0.2
+thermo 100
+run 1200
+""".strip().splitlines())
+    rows = {int(r["step"]): r for r in s.thermo_rows}
+    assert abs(rows[0]["temp"] - 2.0) < 1e-6
+    # final T thermostatted to ~Tstop
+    assert abs(rows[1200]["temp"] - 0.5) < 0.15, rows[1200]["temp"]
+    # mid-run T tracks the ramp (target 1.25 at step 600)
+    assert abs(rows[600]["temp"] - 1.25) < 0.3, rows[600]["temp"]

@@ -193,7 +193,19 @@ def _run_chunk(sys, res, nlist, istate, ff, iparams, *, nsteps,
 
     def body(carry, _):
         sys, res, nlist, istate = carry
-        sys, istate = initial(sys, res, iparams, istate)
+        ip = iparams
+        if (getattr(ip, "p_target", None) is not None
+                and getattr(ip, "t_stop", None) is not None):
+            # FixNH compute_temp_target/compute_press_target per-step ramps
+            from lidp_tpu.integrate.nvt import ramp_target
+
+            ip = dataclasses.replace(
+                ip,
+                t_target=ramp_target(ip.t_target, ip.t_stop,
+                                     ip.ramp_begin, ip.ramp_end, sys.step),
+                p_target=ramp_target(ip.p_target, ip.p_stop,
+                                     ip.ramp_begin, ip.ramp_end, sys.step))
+        sys, istate = initial(sys, res, ip, istate)
         sys = sys.replace(step=sys.step + 1)
 
         if neighbor_cfg is not None:
@@ -232,7 +244,7 @@ def _run_chunk(sys, res, nlist, istate, ff, iparams, *, nsteps,
         if post_force is not None:
             res = _apply_post_force(sys, res, post_force)
         sys = sys.replace(mu=res.mu)
-        sys, istate = final(sys, res, iparams, istate)
+        sys, istate = final(sys, res, ip, istate)
         if end_of_step is not None:
             sys = end_of_step(sys)
         return (sys, res, nlist, istate), None

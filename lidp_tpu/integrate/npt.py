@@ -56,12 +56,18 @@ class NPTParams:
     p_flag: tuple = dataclasses.field(metadata=dict(static=True),
                                       default=(True, True, True))
     iso: bool = dataclasses.field(metadata=dict(static=True), default=True)
+    # per-run linear ramps (FixNH compute_temp_target/compute_press_target):
+    # the driver substitutes the ramped targets each step
+    t_stop: jax.Array = None
+    p_stop: jax.Array = None
+    ramp_begin: jax.Array = None
+    ramp_end: jax.Array = None
 
     @staticmethod
     def create(dt, ftm2v, mass_atom, t_target, t_period, p_target, p_period,
                *, natoms, dof, boltz, mvv2e, nktv2p, tchain=3, pchain=3,
                mtk=True, tstat=True, p_flag=(True, True, True), iso=True,
-               dtype=jnp.float64):
+               t_stop=None, p_stop=None, dtype=jnp.float64):
         p_target = jnp.broadcast_to(jnp.asarray(p_target, dtype), (3,))
         p_period = jnp.broadcast_to(jnp.asarray(p_period, dtype), (3,))
         return NPTParams(
@@ -73,7 +79,13 @@ class NPTParams:
             natoms=jnp.asarray(float(natoms), dtype), dof=float(dof),
             boltz=boltz, mvv2e=mvv2e, nktv2p=nktv2p, tchain=tchain,
             pchain=pchain, mtk=mtk, tstat=tstat,
-            p_flag=tuple(bool(b) for b in p_flag), iso=iso)
+            p_flag=tuple(bool(b) for b in p_flag), iso=iso,
+            t_stop=jnp.asarray(t_target if t_stop is None else t_stop,
+                               dtype),
+            p_stop=(p_target if p_stop is None
+                    else jnp.broadcast_to(jnp.asarray(p_stop, dtype), (3,))),
+            ramp_begin=jnp.zeros((), jnp.int32),
+            ramp_end=jnp.zeros((), jnp.int32))
 
 
 @jax.tree_util.register_dataclass

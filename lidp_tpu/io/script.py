@@ -876,6 +876,11 @@ class LammpsScript:
         if style == "rdf":
             self.computes[cid] = (group, style, int(a[3]))
             return
+        if style in ("com", "gyration", "ke", "pe"):
+            # host-evaluated global computes (compute_com.cpp,
+            # compute_gyration.cpp, compute_ke.cpp, compute_pe.cpp)
+            self.computes[cid] = (group, style, None)
+            return
         if style != "temp":
             raise ValueError(f"unsupported compute style {style}")
         self.computes[cid] = (group, style)

@@ -827,21 +827,25 @@ class Simulation:
                     raise NotImplementedError("fix npt on sub-group")
                 a = spec.args
                 tgt = dict(t=None, tdamp=None, mtk=True, tchain=3, pchain=3,
-                           iso=False, p=[None] * 3, pdamp=[1000.0] * 3)
+                           iso=False, p=[None] * 3, pdamp=[1000.0] * 3,
+                           t_stop=None, p_stop=[None] * 3)
                 i = 0
                 while i < len(a):
                     k = a[i]
                     if k == "temp":
                         tgt["t"], tgt["tdamp"] = float(a[i + 1]), float(a[i + 3])
+                        tgt["t_stop"] = float(a[i + 2])
                         i += 4
                     elif k in ("iso", "aniso"):
                         tgt["iso"] = k == "iso"
                         tgt["p"] = [float(a[i + 1])] * 3
+                        tgt["p_stop"] = [float(a[i + 2])] * 3
                         tgt["pdamp"] = [float(a[i + 3])] * 3
                         i += 4
                     elif k in ("x", "y", "z"):
                         d = "xyz".index(k)
                         tgt["p"][d] = float(a[i + 1])
+                        tgt["p_stop"][d] = float(a[i + 2])
                         tgt["pdamp"][d] = float(a[i + 3])
                         i += 4
                     elif k == "mtk":
@@ -874,7 +878,12 @@ class Simulation:
                     mvv2e=u.mvv2e, nktv2p=u.nktv2p, tchain=tgt["tchain"],
                     pchain=tgt["pchain"], mtk=tgt["mtk"],
                     tstat=spec.style == "npt" and had_temp,
-                    p_flag=p_flag, iso=tgt["iso"], dtype=dtype)
+                    p_flag=p_flag, iso=tgt["iso"],
+                    t_stop=tgt["t_stop"],
+                    p_stop=[v if v is not None else 0.0
+                            for v in tgt["p_stop"]]
+                    if any(v is not None for v in tgt["p_stop"]) else None,
+                    dtype=dtype)
                 integ = Integrator(
                     initial=npt_mod.initial_integrate,
                     final=npt_mod.final_integrate,
@@ -1090,6 +1099,7 @@ class Simulation:
         gg_computes = {}
         msd_computes = {}
         rdf_computes = {}
+        simple_computes = {}
         for cid, spec_c in script.computes.items():
             if len(spec_c) == 3 and spec_c[1] == "group/group":
                 gg_computes[cid] = (
@@ -1103,6 +1113,11 @@ class Simulation:
             if len(spec_c) == 3 and spec_c[1] == "rdf":
                 rdf_computes[cid] = (script.groups[spec_c[0]].copy(),
                                      int(spec_c[2]))
+                continue
+            if len(spec_c) == 3 and spec_c[1] in ("com", "gyration", "ke",
+                                                  "pe"):
+                simple_computes[cid] = (script.groups[spec_c[0]].copy(),
+                                        spec_c[1])
                 continue
             gname, style = spec_c
             gmask = groups[gname]
@@ -1136,6 +1151,7 @@ class Simulation:
         sim_obj.gg_computes = gg_computes
         sim_obj.msd_computes = msd_computes
         sim_obj.rdf_computes = rdf_computes
+        sim_obj.simple_computes = simple_computes
         sim_obj.mesh = mesh
         sim_obj.n_padded = npad
 
@@ -1184,6 +1200,27 @@ class Simulation:
             row["c_" + cid] = float(temperature(self.sys, tp))
         for cid, (ma, mb) in getattr(self, "gg_computes", {}).items():
             row["c_" + cid] = float(self._group_group_energy(ma, mb))
+        for cid, (gmask, style) in getattr(self, "simple_computes",
+                                           {}).items():
+            m = np.asarray(self.thermo_params.mass_atom)[:self.natoms][gmask]
+            L = np.asarray(self.sys.box.lengths)
+            xu = (np.asarray(self.sys.x)
+                  + np.asarray(self.sys.image) * L)[:self.natoms][gmask]
+            if style == "com":
+                com = (m[:, None] * xu).sum(0) / m.sum()
+                for d in range(3):
+                    row[f"c_{cid}[{d + 1}]"] = com[d]
+            elif style == "gyration":
+                com = (m[:, None] * xu).sum(0) / m.sum()
+                d2 = np.sum((xu - com) ** 2, axis=1)
+                row[f"c_{cid}"] = float(np.sqrt((m * d2).sum() / m.sum()))
+            elif style == "ke":
+                v = np.asarray(self.sys.v)[:self.natoms][gmask]
+                row[f"c_{cid}"] = float(
+                    0.5 * self.thermo_params.mvv2e
+                    * np.sum(m[:, None] * v * v))
+            elif style == "pe":
+                row[f"c_{cid}"] = float(self.res.pe)
         for cid, (gmask, x0) in getattr(self, "msd_computes", {}).items():
             # compute_msd.cpp: mean square displacement of unwrapped coords
             L = np.asarray(self.sys.box.lengths)

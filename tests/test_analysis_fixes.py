@@ -64,3 +64,43 @@ def test_temp_berendsen_controls():
     t = L.get_thermo("temp")
     assert abs(t - 0.7) < 0.08, t
     L.close()
+
+
+def test_simple_computes():
+    """compute com/gyration/ke/pe (compute_{com,gyration,ke,pe}.cpp)."""
+    import numpy as np
+
+    from lidp_tpu.io.script import LammpsScript
+
+    s = LammpsScript()
+    s.execute("""
+units lj
+atom_style atomic
+lattice fcc 0.8442
+region box block 0 3 0 3 0 3
+create_box 1 box
+create_atoms 1 box
+mass 1 1.0
+pair_style lj/cut 2.5
+pair_coeff 1 1 1.0 1.0 2.5
+velocity all create 1.0 12345 loop geom
+compute c1 all com
+compute rg all gyration
+compute ek all ke
+compute ep all pe
+fix 1 all nve
+thermo 5
+run 5
+""".strip().splitlines())
+    r = s.thermo_rows[-1]
+    sim = s._sim
+    L = np.asarray(sim.sys.box.lengths)
+    xu = np.asarray(sim.sys.x) + np.asarray(sim.sys.image) * L
+    com = xu.mean(axis=0)
+    for d in range(3):
+        assert abs(r[f"c_c1[{d + 1}]"] - com[d]) < 1e-10
+    rg = np.sqrt(np.mean(np.sum((xu - com) ** 2, axis=1)))
+    assert abs(r["c_rg"] - rg) < 1e-10
+    # lj units: ke column is normalized per atom, compute ke is extensive
+    assert abs(r["c_ek"] - r["ke"] * s.x.shape[0]) < 1e-9
+    assert abs(r["c_ep"] - r["pe"] * s.x.shape[0]) < 1e-9

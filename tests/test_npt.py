@@ -79,3 +79,36 @@ def test_nph_no_thermostat():
     # no thermostat: eta chain untouched
     ist = s._sim.istate
     assert float(np.abs(np.asarray(ist.eta_dot)).max()) == 0.0
+
+
+def test_npt_pressure_ramp():
+    """fix npt with Pstart != Pstop: the barostat target ramps over the
+    run (FixNH::compute_press_target) — density must increase toward the
+    higher final pressure."""
+    import numpy as np
+
+    from lidp_tpu.io.script import LammpsScript
+
+    s = LammpsScript()
+    s.execute("""
+units lj
+atom_style atomic
+lattice fcc 0.8442
+region box block 0 4 0 4 0 4
+create_box 1 box
+create_atoms 1 box
+mass 1 1.0
+pair_style lj/cut 2.5
+pair_coeff 1 1 1.0 1.0 2.5
+velocity all create 1.0 12345 loop geom
+fix 1 all npt temp 1.0 1.0 0.5 iso 0.5 6.0 2.0
+thermo 200
+run 1600
+""".strip().splitlines())
+    rows = {int(r["step"]): r for r in s.thermo_rows}
+    v0 = rows[0]["vol"]
+    v_end = rows[1600]["vol"]
+    # ramping P 0.5 -> 6.0 must compress the box substantially
+    assert v_end < 0.85 * v0, (v0, v_end)
+    # late-run pressure approaches the ramped (high) target
+    assert rows[1600]["press"] > 2.0, rows[1600]["press"]

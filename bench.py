@@ -114,6 +114,7 @@ def main():
     out.update(_try_polar_bench(timeout_s=480))
     out.update(_try_polar_1e11(timeout_s=480))
     out.update(_try_error_budget(timeout_s=420))
+    out.update(_try_polar_100k(timeout_s=540))
     print(json.dumps(out))
     return 0
 
@@ -157,6 +158,29 @@ def _try_polar_bench(timeout_s: int):
         "polar_mof_10k_n_atoms": 10592,
         "polar_mof_10k_scf_iters": scf,
         "polar_vs_reference_extrapolated": round(v / lammps_extrapolated, 1),
+    }
+
+
+def _try_polar_100k(timeout_s: int):
+    """BASELINE config 5: the 100k-atom replicated polarizable MOF.
+    The O(N^2)-serial reference extrapolates to 1.42e-4 steps/s here."""
+    try:
+        r = _run_script(["scripts/bench_polar.py", "100000", "run",
+                         "4096", "--steps", "3"], timeout_s)
+    except subprocess.TimeoutExpired:
+        return {"polar_mof_100k_steps_per_s": None,
+                "polar_100k_note": "compile timeout (cold cache)"}
+    m = re.search(r"steps/s ([0-9.]+) scf ([0-9.]+)", r.stdout)
+    if not m:
+        return {"polar_mof_100k_steps_per_s": None,
+                "polar_100k_note": "failed: "
+                + (r.stdout + r.stderr)[-200:].replace("\n", " ")}
+    lammps_extrapolated = 0.91 / (105920 / 1324.0) ** 2
+    return {
+        "polar_mof_100k_steps_per_s": float(m.group(1)),
+        "polar_mof_100k_n_atoms": 105920,
+        "polar_100k_vs_reference_extrapolated": round(
+            float(m.group(1)) / lammps_extrapolated, 1),
     }
 
 

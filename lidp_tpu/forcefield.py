@@ -47,6 +47,11 @@ class ForceField:
     reference_gs: bool = dataclasses.field(metadata=dict(static=True), default=False)
     # recompute k-space coefficients from the (traced) box every call —
     # needed under a barostat (fix_nh.cpp:877 force->kspace->setup())
+    # fix adapt pair ... a * * v_RAMP (fix_adapt.cpp): the soft-potential
+    # prefactor table follows a per-run linear ramp; window set per run
+    adapt: tuple = dataclasses.field(metadata=dict(static=True),
+                                     default=None)
+    adapt_window: object = None     # (2,) int32 [begin, end]
     kspace_dynamic: bool = dataclasses.field(metadata=dict(static=True),
                                              default=False)
 
@@ -142,6 +147,21 @@ def compute_forces(sys: System, ff: ForceField,
 
     if ff.pair is not None and _on("pair"):
         from lidp_tpu.ops.cells import Cells, cell_pair_forces
+
+        if ff.adapt is not None and ff.adapt_window is not None:
+            # fix adapt pair ... a * * v_RAMP: the prefactor table follows
+            # the per-run ramp (fix_adapt.cpp + variable.cpp ramp())
+            from lidp_tpu.integrate.nvt import ramp_target
+
+            lo, hi = ff.adapt
+            v_t = ramp_target(jnp.asarray(lo, dtype),
+                              jnp.asarray(hi, dtype),
+                              ff.adapt_window[0], ff.adapt_window[1],
+                              sys.step)
+            t1 = jnp.full_like(ff.pair.lj1, v_t)
+            t1 = t1.at[0, :].set(0.0).at[:, 0].set(0.0)
+            ff = dataclasses.replace(
+                ff, pair=dataclasses.replace(ff.pair, lj1=t1))
 
         if isinstance(nlist, Cells):
             if (_pallas_ok(ff, sys)

@@ -1,4 +1,5 @@
-"""Trajectory dump writer (``dump custom`` format).
+"""Trajectory dump writers: ``dump custom``/``atom``/``xyz`` text formats
+plus the CHARMM/NAMD binary ``dcd`` format (dump_dcd.cpp).
 
 Matches the reference Dump::write (dump.cpp:302) / DumpCustom text layout used
 by the examples (columns like ``x y z type mol``), with ``dump_modify sort id``
@@ -64,4 +65,43 @@ def write_dump_frame(spec, sys, script, gmask, f=None):
                 else:
                     vals.append("%g" % v)
             fh.write(" ".join(vals) + "\n")
+    spec._started = True
+
+
+def _fortran_rec(fh, payload: bytes):
+    import struct
+
+    fh.write(struct.pack("<i", len(payload)))
+    fh.write(payload)
+    fh.write(struct.pack("<i", len(payload)))
+
+
+def write_dcd_frame(spec, sys, script, gmask):
+    """CHARMM-format binary DCD frame (dump_dcd.cpp): 84-byte CORD header +
+    title + natoms records once, then per frame a 6-double unit cell record
+    and three float32 coordinate records."""
+    import struct
+
+    ids = np.nonzero(gmask)[0]
+    x = np.asarray(sys.x)
+    lo, hi = np.asarray(sys.box.lo), np.asarray(sys.box.hi)
+    L = hi - lo
+    xw = x - np.floor((x - lo) / L) * L
+
+    mode = "ab" if getattr(spec, "_started", False) else "wb"
+    with open(spec.path, mode) as fh:
+        if not getattr(spec, "_started", False):
+            # CORD + 9 ints + delta + cell flag + 8 zeros + version = 84 B
+            hdr = b"CORD" + struct.pack(
+                "<9if9ii", 0, int(sys.step), spec.every, 0, 0, 0, 0, 0, 0,
+                float(script.dt), 1, 0, 0, 0, 0, 0, 0, 0, 0, 24)
+            _fortran_rec(fh, hdr)
+            title = b"Created by lidp_tpu (dump_dcd.cpp format)".ljust(80)
+            _fortran_rec(fh, struct.pack("<i", 1) + title)
+            _fortran_rec(fh, struct.pack("<i", len(ids)))
+        # unit cell: [a, cos(gamma), b, cos(beta), cos(alpha), c]
+        cell = struct.pack("<6d", L[0], 0.0, L[1], 0.0, 0.0, L[2])
+        _fortran_rec(fh, cell)
+        for d in range(3):
+            _fortran_rec(fh, xw[ids, d].astype("<f4").tobytes())
     spec._started = True

@@ -292,7 +292,18 @@ class LammpsScript:
                 self.variables[name] = vals[0]
                 self._index_values[name] = vals
         elif style == "equal":
-            val = _evaluate(" ".join(a[2:]))
+            expr = " ".join(a[2:])
+            m_ramp = re.match(r"ramp\(([^,]+),([^)]+)\)", expr.strip())
+            if m_ramp:
+                # variable X equal ramp(lo,hi): spans each run
+                # (variable.cpp ramp() thermo function)
+                if not hasattr(self, "_ramp_vars"):
+                    self._ramp_vars = {}
+                self._ramp_vars[name] = (float(m_ramp.group(1)),
+                                         float(m_ramp.group(2)))
+                self.variables[name] = m_ramp.group(1)
+                return
+            val = _evaluate(expr)
             self.variables[name] = repr(val) if val != int(val) else str(int(val))
         elif style == "string":
             self.variables[name] = a[2]
@@ -385,14 +396,14 @@ class LammpsScript:
                         raise NotImplementedError(
                             "exclude molecule on sub-groups")
                     self.neigh_exclude_mol = True
-                    self._sim = None
+                    self._invalidate()
                     i += 3
                 elif a[i + 1] == "type":
                     # neighbor.cpp exclusion lists: drop all pairs between
                     # these two types from force evaluation
                     self.neigh_exclude_types.append(
                         (int(a[i + 2]), int(a[i + 3])))
-                    self._sim = None
+                    self._invalidate()
                     i += 4
                 else:
                     raise ValueError(
@@ -535,7 +546,7 @@ class LammpsScript:
                     setattr(self, tsec, np.tile(tarr, rep))
         self.box_hi = self.box_lo + L * np.array([nx, ny, nz])
         self.groups = {"all": np.ones(self.x.shape[0], bool)}
-        self._sim = None
+        self._invalidate()
 
     def cmd_processors(self, a):
         """processors Px Py Pz — the MPI rank-grid command (comm.cpp
@@ -546,7 +557,26 @@ class LammpsScript:
             if tok != "*":
                 total *= int(tok)
         self.n_shard_devices = total
+        self._invalidate()
+
+
+    def _invalidate(self):
+        """Adopt the live Simulation's evolved state (positions, velocities,
+        images, box) into the host arrays, then drop it — any configuration
+        change rebuilds the jitted Simulation from the host arrays, which
+        must reflect the last run (LAMMPS mutates one Atom store in place;
+        sequential-run scripts like micelle's soft->lj/cut switch rely on
+        this)."""
+        sim = self._sim
         self._sim = None
+        if sim is None or sim.res is None:
+            return
+        n = sim.natoms
+        self.x = np.asarray(sim.sys.x)[:n].copy()
+        self.v = np.asarray(sim.sys.v)[:n].copy()
+        self.image = np.asarray(sim.sys.image)[:n].copy()
+        self.box_lo = np.asarray(sim.sys.box.lo).copy()
+        self.box_hi = np.asarray(sim.sys.box.hi).copy()
 
     def _spacing3(self):
         s3 = getattr(self, "lattice_spacing3", None)
@@ -558,6 +588,7 @@ class LammpsScript:
         self.mass_type[int(a[0])] = float(a[1])
 
     def cmd_set(self, a):
+        self._invalidate()
         if a[0] == "type" and a[2] == "static_polarizability":
             val = float(a[3])
             if val < 0:
@@ -579,7 +610,7 @@ class LammpsScript:
             streams = park_geom_streams(seed, self.x)
             hit = select & (streams.uniform() <= frac)
             self.type = np.where(hit, newtype, self.type)
-            self._sim = None
+            self._invalidate()
         elif a[2] == "type" and len(a) == 4:
             # set group|type|region X type N (set.cpp TYPE keyword)
             if a[0] == "group":
@@ -589,11 +620,15 @@ class LammpsScript:
             else:
                 raise ValueError(f"unsupported set selector {a[0]}")
             self.type = np.where(sel, int(a[3]), self.type)
-            self._sim = None
+            self._invalidate()
         else:
             raise ValueError(f"unsupported set command: {a}")
 
     def cmd_pair_style(self, a):
+        # mid-script style changes (micelle's soft -> lj/cut) rebuild the
+        # simulation from the evolved state
+        self._invalidate()
+        self.pair_coeffs = {}
         p = PairStyleSpec(name=a[0])
         if a[0] in ("eam", "eam/alloy"):
             pass   # per-pair coeff gives the potential file; cutoff from file
@@ -674,6 +709,7 @@ class LammpsScript:
         self.pair = p
 
     def cmd_pair_coeff(self, a):
+        self._invalidate()
         if self.pair.name == "eam/alloy":
             # pair_coeff * * file.alloy El1 El2 ... [NULL] — one element name
             # per type (pair_eam_alloy.cpp::coeff); mass from the setfl header
@@ -912,7 +948,7 @@ class LammpsScript:
                 # thermo_modify temp ID: thermo temp/ke/press use this
                 # compute's group + dof (thermo.cpp modify_params)
                 self._thermo_temp = a[i + 1]; i += 2
-                self._sim = None
+                self._invalidate()
             else:
                 i += 2
 
@@ -929,6 +965,8 @@ class LammpsScript:
             cols = a[5:]
         elif style == "xyz":
             cols = ["type", "x", "y", "z"]
+        elif style == "dcd":
+            cols = []
         else:
             raise ValueError(f"unsupported dump style {style}")
         self.dumps[did] = DumpSpec(did=did, group=group, style=style,
@@ -942,6 +980,9 @@ class LammpsScript:
         self.dumps.pop(a[0], None)
 
     def cmd_velocity(self, a):
+        # adopt any evolved state FIRST: velocity edits compose with the
+        # positions/velocities of the last run, not the initial ones
+        self._invalidate()
         group = a[0]
         if a[1] == "set":
             # velocity group set vx vy vz (velocity.cpp::set; NULL keeps).
@@ -953,7 +994,7 @@ class LammpsScript:
             for d, tok in enumerate(a[2:5]):
                 if tok != "NULL":
                     self.v[gm, d] = float(tok) * s3[d]
-            self._sim = None
+            self._invalidate()
             return
         if a[1] == "zero":
             # velocity group zero linear|angular (velocity.cpp::zero_momentum)
@@ -980,7 +1021,7 @@ class LammpsScript:
                     m * d[:, 1] * d[:, 2])
                 omega = np.linalg.solve(inertia, Lang)
                 self.v[gm] -= np.cross(omega, d)
-            self._sim = None
+            self._invalidate()
             return
         if a[1] == "scale":
             # velocity group scale T (velocity.cpp::scale)
@@ -990,7 +1031,7 @@ class LammpsScript:
             dof = 3 * int(gm.sum()) - 3
             t_cur = ke2 / (dof * self.units.boltz)
             self.v[gm] *= np.sqrt(float(a[2]) / t_cur)
-            self._sim = None
+            self._invalidate()
             return
         if a[1] == "ramp":
             # velocity group ramp vdim vlo vhi cdim clo chi [sum yes]
@@ -1013,7 +1054,7 @@ class LammpsScript:
                 self.x, self.v, self.groups[group], v_dim,
                 float(a[3]) * vs, float(a[4]) * vs,
                 c_dim, float(a[6]) * cs, float(a[7]) * cs, sum_flag)
-            self._sim = None
+            self._invalidate()
             return
         assert a[1] == "create"
         t_desired = float(a[2])
@@ -1049,7 +1090,7 @@ class LammpsScript:
             dim=self.dimension,
             group=None if group == "all" else gm,
             v_prev=self.v, temp_group=tg, **kw)
-        self._sim = None   # state changed; rebuild simulation lazily
+        self._invalidate()
 
     def cmd_fix(self, a):
         fid, group, style = a[0], a[1], a[2]
@@ -1058,14 +1099,14 @@ class LammpsScript:
                          "temp/rescale", "temp/berendsen", "enforce2d",
                          "setforce", "addforce", "aveforce", "spring/self",
                          "viscous", "efield", "momentum", "recenter",
-                         "halt", "neb"):
+                         "halt", "neb", "adapt"):
             raise ValueError(f"unsupported fix style {style}")
         self.fixes[fid] = FixSpec(fid=fid, group=group, style=style, args=a[3:])
-        self._sim = None
+        self._invalidate()
 
     def cmd_unfix(self, a):
         self.fixes.pop(a[0], None)
-        self._sim = None
+        self._invalidate()
 
     def cmd_run(self, a):
         nsteps = int(a[0])
@@ -1268,7 +1309,7 @@ class LammpsScript:
             terms[l - 1].append(k)
         terms[nlev - 1].append("polar")   # SCF rides the outermost level
         self._respa = (loops, tuple(tuple(t) for t in terms))
-        self._sim = None
+        self._invalidate()
 
     def cmd_min_style(self, a):
         if a[0] not in ("fire", "cg", "sd"):
@@ -1313,6 +1354,7 @@ class LammpsScript:
         self.log(f"# minimize: E = {float(e):.8g} after {int(it)} iterations")
 
     def cmd_reset_timestep(self, a):
+        self._invalidate()
         self.step = int(a[0])
 
     def cmd_write_restart(self, a):
@@ -1347,7 +1389,7 @@ class LammpsScript:
         self.x = np.asarray(sys2.x)
         self.v = np.asarray(sys2.v)
         self.step = int(sys2.step)
-        self._sim = None
+        self._invalidate()
 
     def cmd_pair_modify(self, a):
         i = 0

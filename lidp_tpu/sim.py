@@ -491,12 +491,31 @@ class Simulation:
         has_vdep_pf = any(f_.style in ("shake", "rattle", "langevin",
                                        "viscous")
                           for f_ in script.fixes.values())
+        adapt_cfg = None
+        for f_ in script.fixes.values():
+            if f_.style == "adapt":
+                # fix ID group adapt N pair STYLE a * * v_NAME
+                a_ad = f_.args
+                if ("pair" not in a_ad or "a" not in a_ad
+                        or not any(t.startswith("v_") for t in a_ad)):
+                    raise NotImplementedError(
+                        "fix adapt supports 'pair STYLE a * * v_VAR' only")
+                vname = next(t for t in a_ad if t.startswith("v_"))[2:]
+                ramps = getattr(script, "_ramp_vars", {})
+                if vname not in ramps:
+                    raise NotImplementedError(
+                        "fix adapt requires an equal-style ramp() variable")
+                adapt_cfg = ramps[vname]
+
         ff = ForceField(pair=None if eamp is not None else pair,
                         ewald=ew, polar=pol, sp_code=sp_code,
                         bond=bondp, angle=anglep, dihedral=dihedralp,
                         improper=improperp,
                         pppm=pppmp, eam=eamp, sp_idx=sp_idx, sp_lvl=sp_lvl,
                         qqrd2e=u.qqr2e,
+                        adapt=adapt_cfg,
+                        adapt_window=(jnp.zeros(2, jnp.int32)
+                                      if adapt_cfg is not None else None),
                         kspace_dynamic=has_baro and ew is not None)
 
         # ---- integrator from fixes ----
@@ -520,7 +539,7 @@ class Simulation:
                                                "aveforce", "spring/self",
                                                "viscous", "efield",
                                                "momentum", "recenter",
-                                               "halt", "neb",
+                                               "halt", "neb", "adapt",
                                                "temp/rescale",
                                                "temp/berendsen",
                                                "enforce2d", "setforce")]
@@ -767,6 +786,8 @@ class Simulation:
                 continue
             if spec.style == "neb":
                 continue   # consumed by the neb command (replica.neb_run)
+            if spec.style == "adapt":
+                continue   # applied to the ForceField below
             if spec.style == "halt":
                 # fix halt N attribute op value [error|break|continue] —
                 # host-side conditional stop at chunk boundaries
@@ -1327,6 +1348,12 @@ class Simulation:
                     integ.params,
                     ramp_begin=jnp.asarray(b, jnp.int32),
                     ramp_end=jnp.asarray(b + nsteps, jnp.int32)))
+        if getattr(self.runner.ff, "adapt", None) is not None:
+            import jax.numpy as jnp
+            b = int(self.sys.step)
+            self.runner.ff = dataclasses.replace(
+                self.runner.ff,
+                adapt_window=jnp.asarray([b, b + nsteps], jnp.int32))
         if self.res is None:
             self.sys, self.res, self.nlist, self.istate = \
                 self.runner.setup(self.sys)
@@ -1407,5 +1434,10 @@ class Simulation:
         for d in self.script.dumps.values():
             if d.every and step % d.every == 0:
                 gmask = self.script.groups[d.group]
+                if d.style == "dcd":
+                    from lidp_tpu.io.dump import write_dcd_frame
+
+                    write_dcd_frame(d, self.sys, self.script, gmask)
+                    continue
                 fcur = None if self.res is None else self.res.f
                 write_dump_frame(d, self.sys, self.script, gmask, f=fcur)

@@ -91,14 +91,16 @@ class Box:
 
     @staticmethod
     def create(lo, hi, dtype=None, periodic=(True, True, True),
-               tilt=None) -> "Box":
+               tilt=None, force_triclinic=False) -> "Box":
         lo = jnp.asarray(lo, dtype=dtype)
         hi = jnp.asarray(hi, dtype=dtype)
-        tri = tilt is not None and any(float(v) != 0.0 for v in tilt)
+        tri = force_triclinic or (
+            tilt is not None and any(float(v) != 0.0 for v in tilt))
+        t = (jnp.asarray(tilt, lo.dtype) if tilt is not None
+             else jnp.zeros(3, lo.dtype)) if tri else None
         return Box(lo=lo, hi=hi,
                    periodic=tuple(bool(p) for p in periodic),
-                   tilt=(jnp.asarray(tilt, lo.dtype) if tri else None),
-                   triclinic=tri)
+                   tilt=t, triclinic=tri)
 
 
 def min_image_box(delta: jax.Array, box: Box) -> jax.Array:

@@ -97,6 +97,9 @@ class Runner:
     check: bool = False
     skin: float = 0.0
     delay: int = 0
+    # fix deform: DeformParams replaced per run (traced arg); remap static
+    deform: Optional[Any] = None
+    deform_remap: bool = dataclasses.field(default=True)
 
     def __post_init__(self):
         self._scan = jax.jit(
@@ -109,7 +112,8 @@ class Runner:
                               every_step_ev=self.every_step_ev,
                               shrink=self.shrink,
                               check=self.check, skin=self.skin,
-                              delay=self.delay),
+                              delay=self.delay,
+                              deform_remap=self.deform_remap),
             static_argnames=("nsteps",),
         )
         self._force = jax.jit(
@@ -128,7 +132,7 @@ class Runner:
     def run(self, sys, res, nlist, istate, nsteps: int):
         """Advance nsteps inside one jitted scan; returns updated carry + last result."""
         return self._scan(sys, res, nlist, istate, self.ff, self.integ.params,
-                          nsteps=nsteps)
+                          self.deform, nsteps=nsteps)
 
 
 def _build_struct(sys, neighbor_cfg):
@@ -137,6 +141,51 @@ def _build_struct(sys, neighbor_cfg):
     if isinstance(neighbor_cfg, CellConfig):
         return build_cells(sys.x, sys.mask, sys.box, neighbor_cfg)
     return build_neighbor_list(sys.x, sys.mask, sys.box, neighbor_cfg)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DeformParams:
+    """fix deform schedule (FixDeform::end_of_step, fix_deform.cpp):
+    linear interpolation of box faces/tilts over the run window, with
+    optional affine (lamda-preserving) coordinate remap.  Dims/tilts not
+    being deformed carry their start values (targets == starts)."""
+
+    window: Any        # (2,) int32 run begin/end
+    lo0: Any           # (3,) captured at run start
+    hi0: Any
+    tilt0: Any         # (3,) or None
+    lo_t: Any          # (3,) targets at run end
+    hi_t: Any
+    tilt_t: Any
+
+
+def apply_deform(sys, dp: DeformParams, remap: bool):
+    import jax.numpy as jnp
+
+    from lidp_tpu import box as _box
+
+    step = sys.step
+    denom = jnp.maximum(dp.window[1] - dp.window[0], 1).astype(sys.x.dtype)
+    delta = jnp.clip((step - dp.window[0]).astype(sys.x.dtype) / denom,
+                     0.0, 1.0)
+    lo = dp.lo0 + delta * (dp.lo_t - dp.lo0)
+    hi = dp.hi0 + delta * (dp.hi_t - dp.hi0)
+    old = sys.box
+    tilt = None
+    if dp.tilt0 is not None:
+        tilt = dp.tilt0 + delta * (dp.tilt_t - dp.tilt0)
+    new = _box.Box(lo=lo, hi=hi, periodic=old.periodic,
+                   tilt=tilt, triclinic=old.triclinic)
+    if remap:
+        # lamda-preserving affine remap (FixDeform remap x)
+        if old.triclinic:
+            lam = (sys.x - old.lo) @ old.h_inv.T
+            x = new.lo + lam @ new.h.T
+        else:
+            x = new.lo + (sys.x - old.lo) * (new.lengths / old.lengths)
+        sys = sys.replace(x=x)
+    return sys.replace(box=new)
 
 
 @jax.tree_util.register_dataclass
@@ -185,10 +234,11 @@ def _setup_forces(sys, ff, *, neighbor_cfg, post_force=None, shrink=None):
     return sys, res, nlist
 
 
-def _run_chunk(sys, res, nlist, istate, ff, iparams, *, nsteps,
+def _run_chunk(sys, res, nlist, istate, ff, iparams, deform=None, *,
+               nsteps,
                initial, final, neighbor_cfg, rebuild_every, post_force=None,
                end_of_step=None, every_step_ev=True, shrink=None,
-               check=False, skin=0.0, delay=0):
+               check=False, skin=0.0, delay=0, deform_remap=True):
     import jax.numpy as jnp
 
     def body(carry, _):
@@ -245,6 +295,8 @@ def _run_chunk(sys, res, nlist, istate, ff, iparams, *, nsteps,
             res = _apply_post_force(sys, res, post_force)
         sys = sys.replace(mu=res.mu)
         sys, istate = final(sys, res, ip, istate)
+        if deform is not None:
+            sys = apply_deform(sys, deform, deform_remap)
         if end_of_step is not None:
             sys = end_of_step(sys)
         return (sys, res, nlist, istate), None

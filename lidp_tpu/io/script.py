@@ -1099,9 +1099,21 @@ class LammpsScript:
                          "temp/rescale", "temp/berendsen", "enforce2d",
                          "setforce", "addforce", "aveforce", "spring/self",
                          "viscous", "efield", "momentum", "recenter",
-                         "halt", "neb", "adapt"):
+                         "halt", "neb", "adapt", "deform"):
             raise ValueError(f"unsupported fix style {style}")
         self.fixes[fid] = FixSpec(fid=fid, group=group, style=style, args=a[3:])
+        self._invalidate()
+
+    def cmd_fix_modify(self, a):
+        # fix_modify ID temp COMPUTE-ID (fix.cpp modify_params): the fix
+        # uses the named temperature compute's group/dof
+        if not hasattr(self, "_fix_modify"):
+            self._fix_modify = {}
+        d = self._fix_modify.setdefault(a[0], {})
+        i = 1
+        while i < len(a):
+            d[a[i]] = a[i + 1]
+            i += 2
         self._invalidate()
 
     def cmd_unfix(self, a):

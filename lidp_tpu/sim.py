@@ -192,10 +192,14 @@ class Simulation:
         alpha = _padA(alpha)
 
         tilt = getattr(script, "box_tilt", None)
+        needs_tri = any(
+            f_.style == "deform" and any(t in f_.args
+                                         for t in ("xy", "xz", "yz"))
+            for f_ in script.fixes.values())
         box = Box.create(script.box_lo, script.box_hi, dtype=dtype,
                          periodic=getattr(script, "periodic",
                                           (True, True, True)),
-                         tilt=tilt)
+                         tilt=tilt, force_triclinic=needs_tri)
         triclinic = box.triclinic
         if triclinic and script.kspace is not None:
             raise NotImplementedError(
@@ -528,6 +532,7 @@ class Simulation:
         # pf_hooks but shake uses its half-dtfsq setup variant.
         pf_hooks = []
         pf_hooks_setup = []
+        deform_fix = None
         eos_hooks = []          # Modify::end_of_step, declaration order
         halt_spec = None
         rattle_params = None
@@ -540,6 +545,7 @@ class Simulation:
                                                "viscous", "efield",
                                                "momentum", "recenter",
                                                "halt", "neb", "adapt",
+                                               "deform",
                                                "temp/rescale",
                                                "temp/berendsen",
                                                "enforce2d", "setforce")]
@@ -607,8 +613,6 @@ class Simulation:
                 pf_hooks_setup.append(_e2d_pf)
                 continue
             if spec.style in ("temp/rescale", "temp/berendsen"):
-                if not script.groups[spec.group].all():
-                    raise NotImplementedError(f"{spec.style} on sub-group")
                 pending_temp_fix = spec
                 continue
             if spec.style == "langevin":
@@ -788,6 +792,9 @@ class Simulation:
                 continue   # consumed by the neb command (replica.neb_run)
             if spec.style == "adapt":
                 continue   # applied to the ForceField below
+            if spec.style == "deform":
+                deform_fix = spec
+                continue
             if spec.style == "halt":
                 # fix halt N attribute op value [error|break|continue] —
                 # host-side conditional stop at chunk boundaries
@@ -986,12 +993,23 @@ class Simulation:
             # constraint removals, hence built after the fixes loop
             spec_t = pending_temp_fix
             a_t = spec_t.args
-            dof_t = dim_ * n - dim_ - dof_removed
+            # temperature group: the fix's own group, unless fix_modify
+            # attached a temp compute (fix.cpp modify_params 'temp')
+            tmod = getattr(script, "_fix_modify", {}).get(
+                spec_t.fid, {}).get("temp")
+            tgrp_name = (script.computes[tmod][0] if tmod is not None
+                         else spec_t.group)
+            tgrp = script.groups[tgrp_name]
+            ng_t = int(np.count_nonzero(tgrp))
+            dof_t = dim_ * ng_t - dim_ - dof_removed
+            tmask_j = jnp.asarray(groups[tgrp_name])
             m_t = jnp.asarray(mass_atom, dtype)
+            # velocity scaling applies to the FIX group's atoms
+            vmask_j = jnp.asarray(groups[spec_t.group])[:, None]
 
             def _temp_of(sys_):
                 ke2 = u.mvv2e * jnp.sum(
-                    jnp.where(sys_.mask, m_t, 0.0)[:, None]
+                    jnp.where(sys_.mask & tmask_j, m_t, 0.0)[:, None]
                     * sys_.v * sys_.v)
                 return ke2 / (dof_t * u.boltz)
 
@@ -1004,8 +1022,8 @@ class Simulation:
                     lam = jnp.sqrt(1.0 + fraction * (t_tgt / t_cur - 1.0))
                     apply = ((sys_.step % nev_t) == 0) \
                         & (jnp.abs(t_cur - t_tgt) > window)
-                    return sys_.replace(
-                        v=sys_.v * jnp.where(apply, lam, 1.0))
+                    scale = jnp.where(apply & vmask_j[:, 0], lam, 1.0)
+                    return sys_.replace(v=sys_.v * scale[:, None])
             else:
                 t_tgt, t_damp = float(a_t[0]), float(a_t[2])
 
@@ -1013,7 +1031,8 @@ class Simulation:
                     t_cur = _temp_of(sys_)
                     lam = jnp.sqrt(
                         1.0 + script.dt / t_damp * (t_tgt / t_cur - 1.0))
-                    return sys_.replace(v=sys_.v * lam)
+                    scale = jnp.where(vmask_j[:, 0], lam, 1.0)
+                    return sys_.replace(v=sys_.v * scale[:, None])
 
         if eos_hooks:
             prev_e = end_of_step
@@ -1169,6 +1188,54 @@ class Simulation:
                              thermo_params=tp, group_thermo=group_tp,
                              natoms=n)
         sim_obj.halt_spec = halt_spec
+        sim_obj.deform_cfg = None
+        if deform_fix is not None:
+            # fix deform N x|y|z final lo hi | scale F | xy|xz|yz final T
+            # [remap x|none] [units box|lattice]  (fix_deform.cpp)
+            a_d = list(deform_fix.args[1:])   # skip N
+            cfg = dict(dims={}, tilts={}, remap=True)
+            s3 = getattr(script, "lattice_spacing3", None)
+            s3 = (np.asarray(s3, float) if s3 is not None
+                  else np.full(3, script.lattice_spacing or 1.0))
+            units_box = "units" in a_d and a_d[a_d.index("units") + 1] == "box"
+            if units_box:
+                s3 = np.ones(3)
+            i = 0
+            while i < len(a_d):
+                k = a_d[i]
+                if k in ("x", "y", "z"):
+                    d = "xyz".index(k)
+                    if a_d[i + 1] == "final":
+                        cfg["dims"][d] = ("final",
+                                          float(a_d[i + 2]) * s3[d],
+                                          float(a_d[i + 3]) * s3[d])
+                        i += 4
+                    elif a_d[i + 1] == "scale":
+                        cfg["dims"][d] = ("scale", float(a_d[i + 2]))
+                        i += 3
+                    else:
+                        raise NotImplementedError(
+                            f"fix deform {k} {a_d[i + 1]}")
+                elif k in ("xy", "xz", "yz"):
+                    ti = ("xy", "xz", "yz").index(k)
+                    if a_d[i + 1] != "final":
+                        raise NotImplementedError(
+                            f"fix deform {k} {a_d[i + 1]}")
+                    cfg["tilts"][ti] = float(a_d[i + 2]) * s3[0]
+                    i += 3
+                elif k == "remap":
+                    cfg["remap"] = a_d[i + 1] == "x"
+                    i += 2
+                elif k == "units":
+                    i += 2
+                else:
+                    raise NotImplementedError(f"fix deform keyword {k}")
+            sim_obj.deform_cfg = cfg
+            if runner.deform_remap != cfg["remap"]:
+                # deform_remap is baked statically into the jitted scan;
+                # rebuild the wrappers with the parsed value
+                runner.deform_remap = cfg["remap"]
+                runner.__post_init__()
         sim_obj.gg_computes = gg_computes
         sim_obj.msd_computes = msd_computes
         sim_obj.rdf_computes = rdf_computes
@@ -1354,6 +1421,37 @@ class Simulation:
             self.runner.ff = dataclasses.replace(
                 self.runner.ff,
                 adapt_window=jnp.asarray([b, b + nsteps], jnp.int32))
+        if getattr(self, "deform_cfg", None):
+            import jax.numpy as jnp
+
+            from lidp_tpu.integrate.driver import DeformParams
+
+            cfg = self.deform_cfg
+            b = int(self.sys.step)
+            box = self.sys.box
+            lo0 = np.asarray(box.lo, float)
+            hi0 = np.asarray(box.hi, float)
+            t0 = (np.asarray(box.tilt, float) if box.tilt is not None
+                  else None)
+            lo_t, hi_t = lo0.copy(), hi0.copy()
+            for d, spec_d in cfg["dims"].items():
+                if spec_d[0] == "final":
+                    lo_t[d], hi_t[d] = spec_d[1], spec_d[2]
+                else:   # scale: hold the center fixed (fix_deform.cpp)
+                    c = 0.5 * (lo0[d] + hi0[d])
+                    h = 0.5 * (hi0[d] - lo0[d]) * spec_d[1]
+                    lo_t[d], hi_t[d] = c - h, c + h
+            t_t = t0.copy() if t0 is not None else None
+            for ti, val in cfg["tilts"].items():
+                t_t[ti] = val
+            dt_ = self.sys.x.dtype
+            self.runner.deform = DeformParams(
+                window=jnp.asarray([b, b + nsteps], jnp.int32),
+                lo0=jnp.asarray(lo0, dt_), hi0=jnp.asarray(hi0, dt_),
+                tilt0=(jnp.asarray(t0, dt_) if t0 is not None else None),
+                lo_t=jnp.asarray(lo_t, dt_), hi_t=jnp.asarray(hi_t, dt_),
+                tilt_t=(jnp.asarray(t_t, dt_) if t_t is not None
+                        else None))
         if self.res is None:
             self.sys, self.res, self.nlist, self.istate = \
                 self.runner.setup(self.sys)

@@ -89,7 +89,7 @@ def make_system(
         mask=(jnp.ones((n,), bool) if mask is None
               else jnp.asarray(mask, bool).reshape((n,))),
         box=Box.create(box.lo, box.hi, dtype=dtype, periodic=box.periodic,
-                       tilt=box.tilt),
+                       tilt=box.tilt, force_triclinic=box.triclinic),
         step=jnp.zeros((), jnp.int32),
     )
 

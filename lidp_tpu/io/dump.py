@@ -11,31 +11,33 @@ from __future__ import annotations
 import numpy as np
 
 
+_INT_COLS = {"id", "type", "mol"}
+
+
 def write_dump_frame(spec, sys, script, gmask, f=None):
     x = np.asarray(sys.x)
+    v = np.asarray(sys.v)
+    mu = np.asarray(sys.mu)
+    fv = np.asarray(f) if f is not None else np.zeros_like(x)
     # wrap into the box for output (the engine may keep rigid coords unwrapped)
     lo, hi = np.asarray(sys.box.lo), np.asarray(sys.box.hi)
     L = hi - lo
     xw = x - np.floor((x - lo) / L) * L
     ids = np.nonzero(gmask)[0]
-    colmap = {
-        "id": lambda i: i + 1,
-        "x": lambda i: xw[i, 0], "y": lambda i: xw[i, 1], "z": lambda i: xw[i, 2],
+    colvec = {
+        "id": ids + 1,
+        "x": xw[ids, 0], "y": xw[ids, 1], "z": xw[ids, 2],
         # scaled coords (dump atom default)
-        "xs": lambda i: (xw[i, 0] - lo[0]) / L[0],
-        "ys": lambda i: (xw[i, 1] - lo[1]) / L[1],
-        "zs": lambda i: (xw[i, 2] - lo[2]) / L[2],
-        "xu": lambda i: x[i, 0], "yu": lambda i: x[i, 1], "zu": lambda i: x[i, 2],
-        "type": lambda i: script.type[i], "mol": lambda i: script.mol[i],
-        "vx": lambda i: float(sys.v[i, 0]), "vy": lambda i: float(sys.v[i, 1]),
-        "vz": lambda i: float(sys.v[i, 2]),
-        "q": lambda i: float(sys.q[i]),
-        "fx": lambda i: float(f[i, 0]) if f is not None else 0.0,
-        "fy": lambda i: float(f[i, 1]) if f is not None else 0.0,
-        "fz": lambda i: float(f[i, 2]) if f is not None else 0.0,
-        "mux": lambda i: float(sys.mu[i, 0]),
-        "muy": lambda i: float(sys.mu[i, 1]),
-        "muz": lambda i: float(sys.mu[i, 2]),
+        "xs": (xw[ids, 0] - lo[0]) / L[0],
+        "ys": (xw[ids, 1] - lo[1]) / L[1],
+        "zs": (xw[ids, 2] - lo[2]) / L[2],
+        "xu": x[ids, 0], "yu": x[ids, 1], "zu": x[ids, 2],
+        "type": np.asarray(script.type)[ids],
+        "mol": np.asarray(script.mol)[ids],
+        "vx": v[ids, 0], "vy": v[ids, 1], "vz": v[ids, 2],
+        "q": np.asarray(sys.q)[ids],
+        "fx": fv[ids, 0], "fy": fv[ids, 1], "fz": fv[ids, 2],
+        "mux": mu[ids, 0], "muy": mu[ids, 1], "muz": mu[ids, 2],
     }
     mode = "a" if getattr(spec, "_started", False) else "w"
     if spec.style == "xyz":
@@ -56,15 +58,19 @@ def write_dump_frame(spec, sys, script, gmask, f=None):
         for d in range(3):
             fh.write("%-1.16e %-1.16e\n" % (lo[d], hi[d]))
         fh.write("ITEM: ATOMS " + " ".join(spec.columns) + "\n")
-        for i in ids:
-            vals = []
-            for c in spec.columns:
-                v = colmap[c](i)
-                if c in ("type", "mol", "id"):
-                    vals.append(str(int(v)))
-                else:
-                    vals.append("%g" % v)
-            fh.write(" ".join(vals) + "\n")
+        vals = np.stack([np.asarray(colvec[c], np.float64)
+                         for c in spec.columns], axis=1)
+        flags = np.array([c in _INT_COLS for c in spec.columns], np.uint8)
+        from lidp_tpu import native
+
+        blob = native.format_dump_rows(vals, flags)
+        if blob is not None:
+            fh.write(blob.decode())
+        else:   # pure-Python fallback (no compiler)
+            for r in range(vals.shape[0]):
+                fh.write(" ".join(
+                    str(int(vals[r, c])) if flags[c] else "%g" % vals[r, c]
+                    for c in range(vals.shape[1])) + "\n")
     spec._started = True
 
 

@@ -47,6 +47,7 @@ def get_lib():
         lib.build_special_lists.restype = ctypes.c_int
         lib.parse_atoms_full.restype = ctypes.c_int
         lib.velocity_stream.restype = None
+        lib.format_dump_rows.restype = ctypes.c_long
         _lib = lib
         return lib
     except OSError:
@@ -106,3 +107,23 @@ def velocity_stream(seed: int, natoms: int, dist: str):
     lib.velocity_stream(int(seed), natoms, 0 if dist == "uniform" else 1,
                         out.ctypes.data_as(ctypes.c_void_p))
     return out
+
+
+def format_dump_rows(vals: np.ndarray, is_int) -> bytes | None:
+    """Native text formatting of an (nrows, ncols) dump block; None on
+    fallback.  Matches the Python writer's %d/%g per-column formats."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    vals = np.ascontiguousarray(vals, np.float64)
+    flags = np.ascontiguousarray(is_int, np.uint8)
+    nrows, ncols = vals.shape
+    cap = nrows * ncols * 28 + 16
+    out = ctypes.create_string_buffer(cap)
+    w = lib.format_dump_rows(
+        ctypes.c_long(nrows), ctypes.c_int(ncols),
+        vals.ctypes.data_as(ctypes.c_void_p),
+        flags.ctypes.data_as(ctypes.c_void_p), out, ctypes.c_long(cap))
+    if w < 0:
+        return None
+    return out.raw[:w]

@@ -14,11 +14,39 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <vector>
 
 extern "C" {
+
+// ------------------------------------------------------------- dump frames
+// Format nrows x ncols values as LAMMPS dump text rows ("%d"/"%g" per
+// column, space-separated, newline-terminated).  vals is row-major double;
+// is_int marks integer columns.  Returns bytes written, or -1 if cap was
+// too small.  This is the hot host-side path when dumping every few steps.
+long format_dump_rows(long nrows, int ncols, const double* vals,
+                      const uint8_t* is_int, char* out, long cap) {
+    long w = 0;
+    char buf[64];
+    for (long r = 0; r < nrows; ++r) {
+        for (int c = 0; c < ncols; ++c) {
+            double v = vals[r * ncols + c];
+            int len;
+            if (is_int[c]) {
+                len = snprintf(buf, sizeof(buf), "%lld", (long long)v);
+            } else {
+                len = snprintf(buf, sizeof(buf), "%g", v);
+            }
+            if (w + len + 2 > cap) return -1;
+            memcpy(out + w, buf, len);
+            w += len;
+            out[w++] = (c == ncols - 1) ? '\n' : ' ';
+        }
+    }
+    return w;
+}
 
 // ---------------------------------------------------------------- special lists
 // bonds: nbonds pairs of 1-based atom ids.  idx_out: natoms*scap int32

@@ -79,6 +79,9 @@ class Runner:
     rebuild_every: int = 1
     post_force: Optional[Callable] = None   # (sys, f) -> f  (e.g. fix langevin)
     end_of_step: Optional[Callable] = None  # (sys) -> sys (e.g. temp/rescale)
+    # Modify::post_integrate (after the position update, before forces) —
+    # fix wall/reflect lives here
+    post_integrate: Optional[Callable] = None
     # setup-time variant: the first Verlet step's position prediction is a
     # HALF kick, so constraint fixes need dtfsq/2 there (FixShake::
     # shake_end_of_step, fix_shake.cpp:2734-2741)
@@ -113,7 +116,8 @@ class Runner:
                               shrink=self.shrink,
                               check=self.check, skin=self.skin,
                               delay=self.delay,
-                              deform_remap=self.deform_remap),
+                              deform_remap=self.deform_remap,
+                              post_integrate=self.post_integrate),
             static_argnames=("nsteps",),
         )
         self._force = jax.jit(
@@ -238,7 +242,8 @@ def _run_chunk(sys, res, nlist, istate, ff, iparams, deform=None, *,
                nsteps,
                initial, final, neighbor_cfg, rebuild_every, post_force=None,
                end_of_step=None, every_step_ev=True, shrink=None,
-               check=False, skin=0.0, delay=0, deform_remap=True):
+               check=False, skin=0.0, delay=0, deform_remap=True,
+               post_integrate=None):
     import jax.numpy as jnp
 
     def body(carry, _):
@@ -256,6 +261,8 @@ def _run_chunk(sys, res, nlist, istate, ff, iparams, deform=None, *,
                 p_target=ramp_target(ip.p_target, ip.p_stop,
                                      ip.ramp_begin, ip.ramp_end, sys.step))
         sys, istate = initial(sys, res, ip, istate)
+        if post_integrate is not None:
+            sys = post_integrate(sys)
         sys = sys.replace(step=sys.step + 1)
 
         if neighbor_cfg is not None:

@@ -1099,7 +1099,8 @@ class LammpsScript:
                          "temp/rescale", "temp/berendsen", "enforce2d",
                          "setforce", "addforce", "aveforce", "spring/self",
                          "viscous", "efield", "momentum", "recenter",
-                         "halt", "neb", "adapt", "deform"):
+                         "halt", "neb", "adapt", "deform", "wall/reflect",
+                         "wall/lj93", "planeforce", "lineforce"):
             raise ValueError(f"unsupported fix style {style}")
         self.fixes[fid] = FixSpec(fid=fid, group=group, style=style, args=a[3:])
         self._invalidate()

@@ -532,6 +532,7 @@ class Simulation:
         # pf_hooks but shake uses its half-dtfsq setup variant.
         pf_hooks = []
         pf_hooks_setup = []
+        pi_hooks = []           # Modify::post_integrate hooks
         deform_fix = None
         eos_hooks = []          # Modify::end_of_step, declaration order
         halt_spec = None
@@ -545,7 +546,9 @@ class Simulation:
                                                "viscous", "efield",
                                                "momentum", "recenter",
                                                "halt", "neb", "adapt",
-                                               "deform",
+                                               "deform", "wall/reflect",
+                                               "wall/lj93", "planeforce",
+                                               "lineforce",
                                                "temp/rescale",
                                                "temp/berendsen",
                                                "enforce2d", "setforce")]
@@ -794,6 +797,91 @@ class Simulation:
                 continue   # applied to the ForceField below
             if spec.style == "deform":
                 deform_fix = spec
+                continue
+            if spec.style == "wall/reflect":
+                # FixWallReflect::post_integrate (:188): reflect positions
+                # across the wall and flip the velocity component
+                walls_r = []
+                a_w = spec.args
+                i_w = 0
+                while i_w < len(a_w):
+                    face = a_w[i_w]
+                    if face in ("xlo", "xhi", "ylo", "yhi", "zlo", "zhi"):
+                        walls_r.append(("xyz".index(face[0]),
+                                        +1 if face.endswith("lo") else -1,
+                                        float(a_w[i_w + 1])))
+                        i_w += 2
+                    else:
+                        i_w += 1
+                gm_w = jnp.asarray(groups[spec.group])
+
+                def _wallreflect_pi(sys_, _w=tuple(walls_r), _g=gm_w):
+                    x_, v_ = sys_.x, sys_.v
+                    for d, sgn, coord in _w:
+                        past = ((x_[:, d] - coord) * sgn < 0) & _g & sys_.mask
+                        x_ = x_.at[:, d].set(
+                            jnp.where(past, 2.0 * coord - x_[:, d],
+                                      x_[:, d]))
+                        v_ = v_.at[:, d].set(
+                            jnp.where(past, -v_[:, d], v_[:, d]))
+                    return sys_.replace(x=x_, v=v_)
+
+                pi_hooks.append(_wallreflect_pi)
+                continue
+            if spec.style == "wall/lj93":
+                # FixWallLJ93 (fix_wall_lj93.cpp:32-42 precompute + wall
+                # force): E = eps(2/15 (s/d)^9 - (s/d)^3) - offset
+                walls_l = []
+                a_w = spec.args
+                i_w = 0
+                while i_w < len(a_w):
+                    face = a_w[i_w]
+                    if face in ("xlo", "xhi", "ylo", "yhi", "zlo", "zhi"):
+                        walls_l.append(("xyz".index(face[0]),
+                                        +1 if face.endswith("lo") else -1,
+                                        float(a_w[i_w + 1]),
+                                        float(a_w[i_w + 2]),
+                                        float(a_w[i_w + 3]),
+                                        float(a_w[i_w + 4])))
+                        i_w += 5
+                    else:
+                        i_w += 1
+                gm_w2 = jnp.asarray(groups[spec.group])
+
+                def _walllj_pf(sys_, f_, _w=tuple(walls_l), _g=gm_w2):
+                    for d, sgn, coord, epsw, sigw, cutw in _w:
+                        c1 = 6.0 / 5.0 * epsw * sigw**9
+                        c2 = 3.0 * epsw * sigw**3
+                        delta = (sys_.x[:, d] - coord) * sgn
+                        act = (_g & sys_.mask & (delta > 0)
+                               & (delta < cutw))
+                        dsafe = jnp.where(act, delta, 1.0)
+                        rinv = 1.0 / dsafe
+                        r4 = rinv**4
+                        r10 = r4 * r4 * rinv * rinv
+                        fw = jnp.where(act, c1 * r10 - c2 * r4, 0.0) * sgn
+                        f_ = f_.at[:, d].add(fw)
+                    return f_, jnp.zeros(6, f_.dtype)
+
+                pf_hooks.append(_walllj_pf)
+                pf_hooks_setup.append(_walllj_pf)
+                continue
+            if spec.style in ("planeforce", "lineforce"):
+                # project forces onto a plane / line (fix_planeforce.cpp)
+                nvec = np.array([float(v) for v in spec.args[:3]])
+                nvec /= np.linalg.norm(nvec)
+                nj = jnp.asarray(nvec, dtype)
+                gm_p = jnp.asarray(groups[spec.group])[:, None]
+                keepline = spec.style == "lineforce"
+
+                def _proj_pf(sys_, f_, _n=nj, _g=gm_p, _line=keepline):
+                    fn = (f_ @ _n)[:, None] * _n[None, :]
+                    f2 = fn if _line else f_ - fn
+                    return jnp.where(_g & sys_.mask[:, None], f2, f_), \
+                        jnp.zeros(6, f_.dtype)
+
+                pf_hooks.append(_proj_pf)
+                pf_hooks_setup.append(_proj_pf)
                 continue
             if spec.style == "halt":
                 # fix halt N attribute op value [error|break|continue] —
@@ -1113,11 +1201,18 @@ class Simulation:
             sim_obj.n_padded = npad
             return sim_obj
 
+        post_integrate = None
+        if pi_hooks:
+            def post_integrate(sys_, _hooks=tuple(pi_hooks)):
+                for h in _hooks:
+                    sys_ = h(sys_)
+                return sys_
+
         runner = Runner(ff=ff, integ=integ, neighbor_cfg=ncfg,
                         rebuild_every=rebuild_every, post_force=post_force,
                         end_of_step=end_of_step,
                         post_force_setup=post_force_setup,
-                        shrink=shrink,
+                        shrink=shrink, post_integrate=post_integrate,
                         check=script.neigh_check, skin=script.skin,
                         delay=script.neigh_delay,
                         # barostats consume the virial every step, and

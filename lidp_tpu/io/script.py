@@ -421,10 +421,39 @@ class LammpsScript:
 
     def cmd_region(self, a):
         name, style = a[0], a[1]
-        if style != "block":
-            raise ValueError("only block regions supported")
-        vals = [float(v) for v in a[2:8]]
-        self.regions[name] = tuple(vals)
+        if style == "block":
+            vals = [float(v) for v in a[2:8]]
+            self.regions[name] = tuple(vals)        # legacy 6-tuple = block
+        elif style == "sphere":
+            # region ID sphere x y z r (region_sphere.cpp); lattice units
+            self.regions[name] = ("sphere",) + tuple(
+                float(v) for v in a[2:6])
+        elif style == "prism":
+            vals = [float(v) for v in a[2:11]]
+            self.regions[name] = ("prism",) + tuple(vals)
+        else:
+            raise ValueError(f"unsupported region style {style}")
+
+    def _region_mask(self, name):
+        """Boolean membership of current atoms in a region (inside)."""
+        r = self.regions[name]
+        s3 = self._spacing3()
+        n = self.x.shape[0]
+        if not (isinstance(r[0], str)):
+            lo_hi = np.asarray(r, float) * np.repeat(s3, 2)
+            sel = np.ones(n, bool)
+            for d in range(3):
+                lo_b, hi_b = lo_hi[2 * d], lo_hi[2 * d + 1]
+                if np.isinf(lo_b):
+                    lo_b = -np.inf
+                sel &= (self.x[:, d] >= lo_b) & (self.x[:, d] <= hi_b)
+            return sel
+        if r[0] == "sphere":
+            c = np.array(r[1:4]) * s3
+            rad = r[4] * s3[0]
+            d = self.x - c
+            return np.sum(d * d, axis=1) <= rad * rad
+        raise ValueError(f"region {name}: no membership test for {r[0]}")
 
     def cmd_create_box(self, a):
         self.ntypes = int(a[0])
@@ -873,17 +902,8 @@ class LammpsScript:
         elif a[1] == "id":
             sel = np.isin(np.arange(1, n + 1), [int(v) for v in a[2:]])
         elif a[1] == "region":
-            # region bounds are in lattice units (region default units);
-            # INF on a lo bound extends to -infinity (region.cpp)
-            s3 = self._spacing3()
-            lo_hi = np.asarray(self.regions[a[2]], float) \
-                * np.repeat(s3, 2)
-            sel = np.ones(n, bool)
-            for d in range(3):
-                lo_b, hi_b = lo_hi[2 * d], lo_hi[2 * d + 1]
-                if np.isinf(lo_b):
-                    lo_b = -np.inf
-                sel &= (self.x[:, d] >= lo_b) & (self.x[:, d] <= hi_b)
+            # region bounds in lattice units; INF extends to +-infinity
+            sel = self._region_mask(a[2])
         elif a[1] == "union":
             sel = np.zeros(n, bool)
             for gname in a[2:]:
@@ -1100,7 +1120,7 @@ class LammpsScript:
                          "setforce", "addforce", "aveforce", "spring/self",
                          "viscous", "efield", "momentum", "recenter",
                          "halt", "neb", "adapt", "deform", "wall/reflect",
-                         "wall/lj93", "planeforce", "lineforce"):
+                         "wall/lj93", "planeforce", "lineforce", "indent"):
             raise ValueError(f"unsupported fix style {style}")
         self.fixes[fid] = FixSpec(fid=fid, group=group, style=style, args=a[3:])
         self._invalidate()
@@ -1120,6 +1140,26 @@ class LammpsScript:
     def cmd_unfix(self, a):
         self.fixes.pop(a[0], None)
         self._invalidate()
+
+    def cmd_delete_atoms(self, a):
+        """delete_atoms region ID | group ID (delete_atoms.cpp) — compacts
+        every per-atom host array."""
+        self._invalidate()
+        if a[0] == "region":
+            kill = self._region_mask(a[1])
+        elif a[0] == "group":
+            kill = self.groups[a[1]].copy()
+        else:
+            raise NotImplementedError(f"delete_atoms {a[0]}")
+        keep = ~kill
+        if getattr(self, "_bonds", None) is not None and len(self._bonds):
+            raise NotImplementedError("delete_atoms with bonds present")
+        for attr in ("x", "v", "q", "type", "mol", "image"):
+            setattr(self, attr, np.asarray(getattr(self, attr))[keep])
+        self.groups = {k: np.asarray(v)[keep]
+                       for k, v in self.groups.items()}
+        self.log(f"Deleted {int(kill.sum())} atoms, "
+                 f"new total = {self.x.shape[0]}")
 
     def cmd_run(self, a):
         nsteps = int(a[0])

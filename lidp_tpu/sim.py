@@ -548,7 +548,7 @@ class Simulation:
                                                "halt", "neb", "adapt",
                                                "deform", "wall/reflect",
                                                "wall/lj93", "planeforce",
-                                               "lineforce",
+                                               "lineforce", "indent",
                                                "temp/rescale",
                                                "temp/berendsen",
                                                "enforce2d", "setforce")]
@@ -882,6 +882,37 @@ class Simulation:
 
                 pf_hooks.append(_proj_pf)
                 pf_hooks_setup.append(_proj_pf)
+                continue
+            if spec.style == "indent":
+                # fix indent K sphere x y z R (fix_indent.cpp): repulsive
+                # F = -K (r - R)^2 on atoms inside the indenter, pushing
+                # outward along r-hat; coords/R in lattice units
+                a_i = spec.args
+                k_ind = float(a_i[0])
+                assert a_i[1] == "sphere", "fix indent supports sphere"
+                s3_i = np.asarray(getattr(script, "lattice_spacing3",
+                                          np.full(3, script.lattice_spacing
+                                                  or 1.0)), float)
+                ctr_i = jnp.asarray(
+                    [float(a_i[2]) * s3_i[0], float(a_i[3]) * s3_i[1],
+                     float(a_i[4]) * s3_i[2]], dtype)
+                rad_i = float(a_i[5]) * float(s3_i[0])
+                gm_i = jnp.asarray(groups[spec.group])
+
+                def _indent_pf(sys_, f_, _c=ctr_i, _R=rad_i, _k=k_ind,
+                               _g=gm_i):
+                    d = sys_.x - _c[None, :]
+                    r = jnp.sqrt(jnp.sum(d * d, axis=1))
+                    inside = (r < _R) & _g & sys_.mask & (r > 1e-10)
+                    dr = r - _R
+                    fmag = jnp.where(inside, -_k * dr * dr / jnp.where(
+                        r > 1e-10, r, 1.0), 0.0)
+                    # dr < 0 inside: force points along -dr * rhat = outward
+                    f2 = f_ - fmag[:, None] * d
+                    return f2, jnp.zeros(6, f_.dtype)
+
+                pf_hooks.append(_indent_pf)
+                pf_hooks_setup.append(_indent_pf)
                 continue
             if spec.style == "halt":
                 # fix halt N attribute op value [error|break|continue] —

@@ -932,6 +932,11 @@ class LammpsScript:
         if style == "rdf":
             self.computes[cid] = (group, style, int(a[3]))
             return
+        if style in ("temp/partial", "temp/com"):
+            self.computes[cid] = (group, style,
+                                  tuple(int(v) for v in a[3:6])
+                                  if style == "temp/partial" else ())
+            return
         if style in ("com", "gyration", "ke", "pe"):
             # host-evaluated global computes (compute_com.cpp,
             # compute_gyration.cpp, compute_ke.cpp, compute_pe.cpp)

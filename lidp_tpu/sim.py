@@ -1285,10 +1285,21 @@ class Simulation:
                 simple_computes[cid] = (script.groups[spec_c[0]].copy(),
                                         spec_c[1])
                 continue
-            gname, style = spec_c
+            gname, style = spec_c[0], spec_c[1]
             gmask = groups[gname]
             ng = int(gmask.sum())
             gdof = dim_ * ng - dim_
+            vcomp = (True, True, True)
+            com_bias = False
+            if style == "temp/partial":
+                flags = spec_c[2]
+                vcomp = tuple(bool(f) for f in flags) + (True,) * (
+                    3 - len(flags))
+                nper = sum(1 for f in flags if f)
+                # compute_temp_partial.cpp:77-86
+                gdof = nper * ng - (nper / dim_) * dim_
+            elif style == "temp/com":
+                com_bias = True
             for gsp, rsetup in rigid_groups:
                 # bodies wholly inside the compute group lose constrained dof
                 inb = rsetup.body_of_atom >= 0
@@ -1296,7 +1307,8 @@ class Simulation:
                     gdof -= rsetup.dof_removed
             gm = np.where(gmask, mass_atom, 0.0)
             group_tp[cid] = ThermoParams.create(
-                gm, dof=gdof, units=u, norm=False, natoms=ng, dim=dim_)
+                gm, dof=gdof, units=u, norm=False, natoms=ng, dim=dim_,
+                vcomp=vcomp, com_bias=com_bias)
 
         ttid = getattr(script, "_thermo_temp", None)
         if ttid is not None:

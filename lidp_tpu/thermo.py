@@ -32,20 +32,37 @@ class ThermoParams:
     natoms: int = dataclasses.field(metadata=dict(static=True), default=0)
     mv2d: float = dataclasses.field(metadata=dict(static=True), default=1.0)
     dim: int = dataclasses.field(metadata=dict(static=True), default=3)
+    # compute temp/partial: per-component selection (compute_temp_partial)
+    vcomp: tuple = dataclasses.field(metadata=dict(static=True),
+                                     default=(True, True, True))
+    # compute temp/com: subtract the group's center-of-mass velocity
+    com_bias: bool = dataclasses.field(metadata=dict(static=True),
+                                       default=False)
 
     @staticmethod
     def create(mass_atom, dof, units: Units, norm: bool, natoms: int,
-               dim: int = 3):
+               dim: int = 3, vcomp=(True, True, True), com_bias=False):
         return ThermoParams(
             mass_atom=jnp.asarray(mass_atom),
             dof=float(dof), boltz=units.boltz, mvv2e=units.mvv2e,
             nktv2p=units.nktv2p, norm=norm, natoms=natoms,
             mv2d=getattr(units, "mv2d", 1.0), dim=dim,
+            vcomp=tuple(bool(v) for v in vcomp), com_bias=bool(com_bias),
         )
 
 
 def ke_total(sys: System, tp: ThermoParams):
-    msum = jnp.sum(tp.mass_atom[:, None] * sys.v * sys.v * sys.mask[:, None])
+    m = tp.mass_atom * sys.mask
+    v = sys.v
+    if tp.com_bias:
+        # compute_temp_com.cpp: thermal KE relative to the group vcm
+        vcm = jnp.sum(m[:, None] * v, axis=0) / jnp.maximum(jnp.sum(m),
+                                                            1e-300)
+        v = v - vcm[None, :]
+    vv = v * v
+    if not all(tp.vcomp):
+        vv = vv * jnp.asarray(tp.vcomp, v.dtype)[None, :]
+    msum = jnp.sum(m[:, None] * vv)
     return 0.5 * msum * tp.mvv2e
 
 

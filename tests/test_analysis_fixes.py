@@ -104,3 +104,46 @@ run 5
     # lj units: ke column is normalized per atom, compute ke is extensive
     assert abs(r["c_ek"] - r["ke"] * s.x.shape[0]) < 1e-9
     assert abs(r["c_ep"] - r["pe"] * s.x.shape[0]) < 1e-9
+
+
+def test_temp_partial_and_com():
+    """compute temp/partial (component-selected dof,
+    compute_temp_partial.cpp:77-86) and temp/com (vcm-subtracted)."""
+    import numpy as np
+
+    from lidp_tpu.io.script import LammpsScript
+
+    s = LammpsScript()
+    s.execute("""
+units lj
+atom_style atomic
+lattice fcc 0.8442
+region box block 0 3 0 3 0 3
+create_box 1 box
+create_atoms 1 box
+mass 1 1.0
+pair_style lj/cut 2.5
+pair_coeff 1 1 1.0 1.0 2.5
+velocity all create 1.0 12345 loop geom mom no
+compute tx all temp/partial 1 0 0
+compute tc all temp/com
+compute tfull all temp
+fix 1 all nve
+velocity all set NULL NULL NULL
+run 0
+""".strip().splitlines())
+    r = s.thermo_rows[-1]
+    sim = s._sim
+    v = np.asarray(sim.sys.v)
+    n = v.shape[0]
+    # temp/partial x: ke_x / (0.5 * dof_partial * kB)
+    dof_px = 1 * n - (1 / 3) * 3
+    t_ref = np.sum(v[:, 0] ** 2) / dof_px
+    assert abs(r["c_tx"] - t_ref) < 1e-10, (r["c_tx"], t_ref)
+    # temp/com: subtract vcm
+    vcm = v.mean(axis=0)
+    ke2 = np.sum((v - vcm) ** 2)
+    t_com = ke2 / (3 * n - 3)
+    assert abs(r["c_tc"] - t_com) < 1e-10
+    # with mom no, vcm != 0 so temp/com < temp
+    assert r["c_tc"] <= r["c_tfull"] + 1e-12

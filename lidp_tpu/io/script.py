@@ -36,6 +36,41 @@ def _evaluate(expr: str) -> float:
     return float(eval(expr, {"__builtins__": {}}, {}))  # noqa: S307
 
 
+def _read_pair_table(path: str, keyword: str):
+    """Read one section of a LAMMPS pair table file (pair_table.cpp
+    read_table): 'KEYWORD' line, 'N n ...' params, rows 'i r E F'."""
+    lines = open(path).read().splitlines()
+    i = 0
+    while i < len(lines):
+        t = lines[i].split("#")[0].strip()
+        if t == keyword or t.split()[:1] == [keyword]:
+            break
+        i += 1
+    else:
+        raise ValueError(f"table keyword {keyword!r} not found in {path}")
+    i += 1
+    n = None
+    while i < len(lines):
+        t = lines[i].split("#")[0].split()
+        if t and t[0] == "N":
+            n = int(t[1])
+            i += 1
+            break
+        i += 1
+    if n is None:
+        raise ValueError(f"no N line after keyword {keyword!r}")
+    rows = []
+    while i < len(lines) and len(rows) < n:
+        t = lines[i].split("#")[0].split()
+        if len(t) >= 4:
+            rows.append((float(t[1]), float(t[2]), float(t[3])))
+        i += 1
+    r = np.array([x[0] for x in rows])
+    e = np.array([x[1] for x in rows])
+    f = np.array([x[2] for x in rows])
+    return r, e, f
+
+
 def _yesno(tok: str) -> bool:
     if tok == "yes":
         return True
@@ -733,6 +768,10 @@ class LammpsScript:
             p.cut_coul = float(a[2]) if len(a) > 2 else p.cut_lj_global
         elif a[0] in ("coul/cut", "coul/long"):
             p.cut_coul = float(a[1])
+        elif a[0] == "table":
+            # pair_style table linear N (pair_table.cpp); bitmap/spline
+            # styles resample onto the same linear grid here
+            self._table_n = int(a[2])
         else:
             raise ValueError(f"unsupported pair_style {a[0]}")
         self.pair = p
@@ -784,6 +823,24 @@ class LammpsScript:
         if self.pair.name in _NCOEFF and a[0] == "*" and a[1] == "*" \
                 and self.pair.name.startswith("coul"):
             return   # coul styles take no per-pair coefficients
+        if self.pair.name == "table":
+            # pair_coeff i j FILE KEYWORD [cutoff]
+            if a[0] == "*" or a[1] == "*":
+                ii = range(1, self.ntypes + 1) if a[0] == "*" else [int(a[0])]
+                jj = range(1, self.ntypes + 1) if a[1] == "*" else [int(a[1])]
+                for i_ in ii:
+                    for j_ in jj:
+                        if i_ <= j_:
+                            self.cmd_pair_coeff([str(i_), str(j_)]
+                                                + list(a[2:]))
+                return
+            i, j = int(a[0]), int(a[1])
+            path_t = os.path.join(self.root, a[2])
+            r_t, e_t, f_t = _read_pair_table(path_t, a[3])
+            cut = float(a[4]) if len(a) > 4 else float(r_t[-1])
+            self.pair_coeffs[(min(i, j), max(i, j))] = (
+                ("tablefile", r_t, e_t, f_t), 0.0, cut)
+            return
         if a[0] == "*" or a[1] == "*":
             # pair_coeff * * ... — wildcard ranges (Force::bounds, force.cpp)
             ii = range(1, self.ntypes + 1) if a[0] == "*" else [int(a[0])]

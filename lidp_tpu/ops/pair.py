@@ -81,6 +81,12 @@ class PairParams:
     # none (pure coulomb)
     kind: str = dataclasses.field(metadata=dict(static=True), default="lj")
     lj5: object = None      # 5th coefficient table (born D, lj/expand delta)
+    # pair_style table (pair_table.cpp): per-type-pair tabulated energy and
+    # force magnitude on a common linear-in-r grid [tab_rlo, cutoff]
+    tab_e: object = None     # (T+1,T+1,NT)
+    tab_f: object = None     # (T+1,T+1,NT)  force MAGNITUDE |F(r)|
+    tab_rlo: object = None   # ()
+    tab_dr: object = None    # ()
     # coulomb functional form: "long" (erfc-damped; g_ewald=0 gives the
     # plain 1/r of coul/cut) or "debye" (exp(-kappa r)/r screening,
     # pair_coul_debye.cpp:87-89); kappa rides in g_ewald for debye
@@ -169,6 +175,23 @@ def make_generic_pair_params(
               else jnp.asarray(excl_types, bool)),
         kind=kind, lj5=t5j, coul_kind=coul_kind,
     )
+
+
+def _table_terms(p: PairParams, rsq, r2inv, ti, tj):
+    """pair_style table linear (pair_table.cpp LINEAR branch): linear
+    interpolation of tabulated E(r), F(r) on the resampled grid."""
+    r = jnp.sqrt(rsq)
+    nt = p.tab_e.shape[-1]
+    u = (r - p.tab_rlo) / p.tab_dr
+    i0 = jnp.clip(u.astype(jnp.int32), 0, nt - 2)
+    frac = jnp.clip(u - i0, 0.0, 1.0)
+    e0 = p.tab_e[ti, tj, i0]
+    e1 = p.tab_e[ti, tj, i0 + 1]
+    f0 = p.tab_f[ti, tj, i0]
+    f1 = p.tab_f[ti, tj, i0 + 1]
+    philj = e0 + frac * (e1 - e0)
+    fmag = f0 + frac * (f1 - f0)
+    return fmag * r, philj   # forcelj convention: fpair = forcelj * r2inv
 
 
 def _vdw_terms(kind, rsq, r2inv, t1, t2, t3, t4, t5=None,
@@ -262,11 +285,17 @@ def pair_single(rsq, itype, jtype, qi, qj, p: PairParams,
         forcecoul = jnp.where(incoul, forcecoul, 0.0)
         phicoul = jnp.where(incoul, phicoul, 0.0)
     r6inv = r2inv * r2inv * r2inv
-    forcelj, philj = _vdw_terms(
-        p.kind, rsq, r2inv, p.lj1[itype, jtype], p.lj2[itype, jtype],
-        p.lj3[itype, jtype], p.lj4[itype, jtype],
-        p.lj5[itype, jtype] if p.lj5 is not None else None,
-        jnp.sqrt(p.cut_ljsq[itype, jtype]) if p.kind == "soft" else None)
+    if p.kind == "table":
+        itype = jnp.asarray(itype)
+        jtype = jnp.asarray(jtype)
+        forcelj, philj = _table_terms(p, rsq, r2inv, itype, jtype)
+    else:
+        forcelj, philj = _vdw_terms(
+            p.kind, rsq, r2inv, p.lj1[itype, jtype], p.lj2[itype, jtype],
+            p.lj3[itype, jtype], p.lj4[itype, jtype],
+            p.lj5[itype, jtype] if p.lj5 is not None else None,
+            jnp.sqrt(p.cut_ljsq[itype, jtype]) if p.kind == "soft"
+            else None)
     philj = philj - p.offset[itype, jtype]
     if p.charmm:
         cut_ljsq = p.cut_ljsq[itype, jtype]
@@ -302,11 +331,14 @@ def _pair_terms(rsq, qi, qj, ti, tj, sp_code, p: PairParams, pair_mask):
         in_range &= ~p.excl[ti, tj]
     lj_mask = in_range & (rsq < cut_ljsq_ij)
 
-    forcelj, philj = _vdw_terms(
-        p.kind, rsq, r2inv, p.lj1[ti, tj], p.lj2[ti, tj], p.lj3[ti, tj],
-        p.lj4[ti, tj],
-        p.lj5[ti, tj] if p.lj5 is not None else None,
-        jnp.sqrt(cut_ljsq_ij) if p.kind == "soft" else None)
+    if p.kind == "table":
+        forcelj, philj = _table_terms(p, rsq, r2inv, ti, tj)
+    else:
+        forcelj, philj = _vdw_terms(
+            p.kind, rsq, r2inv, p.lj1[ti, tj], p.lj2[ti, tj],
+            p.lj3[ti, tj], p.lj4[ti, tj],
+            p.lj5[ti, tj] if p.lj5 is not None else None,
+            jnp.sqrt(cut_ljsq_ij) if p.kind == "soft" else None)
     if p.charmm:
         # energy switching between inner/outer LJ cutoffs
         # (pair_lj_charmm_coul_long.cpp:110-125); cutoffs are global

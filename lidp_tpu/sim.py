@@ -40,6 +40,60 @@ _GENERIC_PAIR_KINDS = {
 }
 
 
+def _build_table_pair(script, excl_types, dtype):
+    """pair_style table linear N: resample every pair's (r, E, F) rows
+    onto a common linear-in-r grid up to the largest cutoff
+    (pair_table.cpp compute_table)."""
+    import jax.numpy as jnp
+
+    from lidp_tpu.ops.pair import PairParams
+
+    T = script.ntypes
+    nt = getattr(script, "_table_n", 1000)
+    cut = np.zeros((T + 1, T + 1))
+    entries = {}
+    rlo_all = np.inf
+    for (i, j), co in script.pair_coeffs.items():
+        tag, r_t, e_t, f_t = co[0]
+        assert tag == "tablefile"
+        cut[i, j] = cut[j, i] = co[2]
+        entries[(i, j)] = (r_t, e_t, f_t)
+        rlo_all = min(rlo_all, float(r_t[0]))
+    for i in range(1, T + 1):
+        for j in range(i, T + 1):
+            if (i, j) not in entries:
+                raise ValueError(
+                    f"All pair coeffs are not set (table {i} {j})")
+    rhi = float(np.max(cut))
+    grid = np.linspace(rlo_all, rhi, nt)
+    tab_e = np.zeros((T + 1, T + 1, nt))
+    tab_f = np.zeros((T + 1, T + 1, nt))
+    for (i, j), (r_t, e_t, f_t) in entries.items():
+        ei = np.interp(grid, r_t, e_t, left=e_t[0], right=0.0)
+        fi = np.interp(grid, r_t, f_t, left=f_t[0], right=0.0)
+        tab_e[i, j] = tab_e[j, i] = ei
+        tab_f[i, j] = tab_f[j, i] = fi
+    z = jnp.zeros((T + 1, T + 1), dtype)
+    pair = PairParams(
+        lj1=z, lj2=z, lj3=z, lj4=z, offset=z,
+        cut_ljsq=jnp.asarray(cut, dtype) ** 2,
+        cutsq=jnp.asarray(cut, dtype) ** 2,
+        cut_coulsq=jnp.asarray(0.0, dtype),
+        special_lj=jnp.asarray(script.special_lj, dtype),
+        special_coul=jnp.asarray(script.special_coul, dtype),
+        qqrd2e=jnp.asarray(1.0, dtype), g_ewald=jnp.asarray(0.0, dtype),
+        cut_lj_innersq=jnp.asarray(0.0, dtype),
+        denom_lj=jnp.asarray(1.0, dtype),
+        coul=False, charmm=False,
+        excl=(None if excl_types is None
+              else jnp.asarray(excl_types, bool)),
+        kind="table",
+        tab_e=jnp.asarray(tab_e, dtype), tab_f=jnp.asarray(tab_f, dtype),
+        tab_rlo=jnp.asarray(grid[0], dtype),
+        tab_dr=jnp.asarray(grid[1] - grid[0], dtype))
+    return pair, cut
+
+
 def _build_generic_pair(script, u, excl_types, dtype):
     """PairParams for the non-LJ pair styles (pair_morse/buck/yukawa/gauss/
     soft/born/coul_*.cpp).  Off-diagonal coefficients must be given
@@ -244,7 +298,9 @@ class Simulation:
             for t1, t2 in excl_list:
                 excl_types[t1, t2] = excl_types[t2, t1] = True
         pname = script.pair.name
-        if pname in _GENERIC_PAIR_KINDS:
+        if pname == "table":
+            pair, cut = _build_table_pair(script, excl_types, dtype)
+        elif pname in _GENERIC_PAIR_KINDS:
             pair, cut = _build_generic_pair(script, u, excl_types, dtype)
         else:
             eps, sig, cut = _mix_pair_tables(script)
@@ -1075,9 +1131,10 @@ class Simulation:
         # ---- neighbor strategy ----
         ncfg = None
         rebuild_every = 1
-        if triclinic:
-            # triclinic runs the dense minimum-image path (the cell grid's
-            # roll stencil assumes an orthogonal bin lattice)
+        if triclinic or script.pair.name == "table":
+            # triclinic and tabulated pairs run the dense minimum-image
+            # path (the cell kernel's per-slot table gathers would blow up
+            # the (cells,cap,K,NT) working set)
             pass
         elif n > DENSE_PATH_MAX_ATOMS or script.speed_mode or eamp is not None:
             cutmax = float(np.max(cut))

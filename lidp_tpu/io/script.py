@@ -283,7 +283,13 @@ class LammpsScript:
                 else:
                     name = line[i + 1]
                     i += 2
-                out.append(self.variables[name])
+                if name in self.variables:
+                    out.append(self.variables[name])
+                else:
+                    # leave unknown ${name} for runtime substitution
+                    # (fix print messages reference thermo keywords)
+                    out.append("${%s}" % name if len(name) > 1
+                               else "$" + name)
             else:
                 out.append(c)
                 i += 1
@@ -1182,7 +1188,8 @@ class LammpsScript:
                          "setforce", "addforce", "aveforce", "spring/self",
                          "viscous", "efield", "momentum", "recenter",
                          "halt", "neb", "adapt", "deform", "wall/reflect",
-                         "wall/lj93", "planeforce", "lineforce", "indent"):
+                         "wall/lj93", "planeforce", "lineforce", "indent",
+                         "print", "ave/time"):
             raise ValueError(f"unsupported fix style {style}")
         self.fixes[fid] = FixSpec(fid=fid, group=group, style=style, args=a[3:])
         self._invalidate()

@@ -605,6 +605,7 @@ class Simulation:
                                                "deform", "wall/reflect",
                                                "wall/lj93", "planeforce",
                                                "lineforce", "indent",
+                                               "print", "ave/time",
                                                "temp/rescale",
                                                "temp/berendsen",
                                                "enforce2d", "setforce")]
@@ -939,6 +940,8 @@ class Simulation:
                 pf_hooks.append(_proj_pf)
                 pf_hooks_setup.append(_proj_pf)
                 continue
+            if spec.style in ("print", "ave/time"):
+                continue   # host-side, handled at chunk boundaries in run()
             if spec.style == "indent":
                 # fix indent K sphere x y z R (fix_indent.cpp): repulsive
                 # F = -K (r - R)^2 on atoms inside the indenter, pushing
@@ -1472,6 +1475,80 @@ class Simulation:
 
     # ------------------------------- running -------------------------------
 
+    def _host_fixes(self, step):
+        """fix print (fix_print.cpp: $-substituted message every N) and
+        fix ave/time (fix_ave_time.cpp: Nevery/Nrepeat/Nfreq running
+        averages of thermo/compute scalars), evaluated host-side at scan
+        chunk boundaries — their periods fold into the chunk gcd."""
+        for spec in self.script.fixes.values():
+            if spec.style == "print":
+                nev = int(spec.args[0])
+                if nev and step % nev == 0:
+                    # reassemble the quoted message (the tokenizer split it)
+                    toks = list(spec.args[1:])
+                    msg_toks = []
+                    for t_ in toks:
+                        msg_toks.append(t_)
+                        if t_.endswith('"') and (len(msg_toks) > 1
+                                                  or len(t_) > 1):
+                            break
+                    msg = " ".join(msg_toks).strip('"')
+                    row = self._thermo_row()
+                    import re as _re
+
+                    def _sub(m):
+                        k = m.group(1)
+                        v = row.get(k.lower())
+                        if v is None:
+                            v = self.script.variables.get(k, "")
+                        return f"{v:.8g}" if isinstance(v, float) else str(v)
+
+                    out = _re.sub(r"\$\{(\w+)\}", _sub, msg)
+                    fpath = None
+                    if "file" in spec.args:
+                        fpath = spec.args[
+                            list(spec.args).index("file") + 1]
+                    if fpath:
+                        import os as _os
+                        mode = "a" if getattr(spec, "_started", False) \
+                            else "w"
+                        with open(_os.path.join(self.script.root, fpath),
+                                  mode) as fh:
+                            fh.write(out + "\n")
+                        spec._started = True
+                    else:
+                        self.script.log(out)
+            elif spec.style == "ave/time":
+                nev, nrep, nfreq = (int(spec.args[0]), int(spec.args[1]),
+                                    int(spec.args[2]))
+                what = spec.args[3]
+                if nev and step % nev == 0:
+                    row = self._thermo_row()
+                    key = (what[2:] if what.startswith("c_")
+                           else what.lower())
+                    val = row.get("c_" + key, row.get(key))
+                    if val is not None:
+                        buf = getattr(spec, "_avebuf", [])
+                        buf.append(float(val))
+                        spec._avebuf = buf[-nrep:]
+                if nfreq and step % nfreq == 0 \
+                        and getattr(spec, "_avebuf", None):
+                    ave = sum(spec._avebuf) / len(spec._avebuf)
+                    self.script.ave_time_values = getattr(
+                        self.script, "ave_time_values", {})
+                    self.script.ave_time_values.setdefault(
+                        spec.fid, []).append((step, ave))
+                    if "file" in spec.args:
+                        import os as _os
+                        fpath = spec.args[
+                            list(spec.args).index("file") + 1]
+                        mode = "a" if getattr(spec, "_started", False) \
+                            else "w"
+                        with open(_os.path.join(self.script.root, fpath),
+                                  mode) as fh:
+                            fh.write(f"{step} {ave:.10g}\n")
+                        spec._started = True
+
     def _thermo_row(self):
         from lidp_tpu.thermo import thermo_row
 
@@ -1664,6 +1741,9 @@ class Simulation:
         halt = getattr(self, "halt_spec", None)
         if halt:
             chunk_opts.append(max(1, halt[0]))
+        for spec in self.script.fixes.values():
+            if spec.style in ("print", "ave/time"):
+                chunk_opts.append(max(1, int(spec.args[0])))
         chunk = int(np.gcd.reduce(chunk_opts)) if chunk_opts else nsteps
         while remaining > 0:
             todo = min(chunk, remaining)
@@ -1671,6 +1751,7 @@ class Simulation:
                 self.sys, self.res, self.nlist, self.istate, todo)
             remaining -= todo
             step = int(self.sys.step)
+            self._host_fixes(step)
             if halt and (halt[0] == 0 or step % max(1, halt[0]) == 0):
                 # fix halt (fix_halt.cpp:146): conditional graceful stop;
                 # attribute is a thermo keyword or v_NAME equal-variable

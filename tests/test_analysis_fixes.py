@@ -147,3 +147,40 @@ run 0
     assert abs(r["c_tc"] - t_com) < 1e-10
     # with mom no, vcm != 0 so temp/com < temp
     assert r["c_tc"] <= r["c_tfull"] + 1e-12
+
+
+def test_fix_print_and_ave_time(tmp_path):
+    """fix print (fix_print.cpp) and fix ave/time (fix_ave_time.cpp)."""
+    import numpy as np
+
+    from lidp_tpu.io.script import LammpsScript
+
+    msgs = []
+    s = LammpsScript(log=lambda *a: msgs.append(" ".join(map(str, a))))
+    s.root = str(tmp_path)
+    s.execute("""
+units lj
+atom_style atomic
+lattice fcc 0.8442
+region box block 0 3 0 3 0 3
+create_box 1 box
+create_atoms 1 box
+mass 1 1.0
+pair_style lj/cut 2.5
+pair_coeff 1 1 1.0 1.0 2.5
+velocity all create 1.0 12345 loop geom
+compute tt all temp
+fix 1 all nve
+fix 2 all print 20 "T=${temp} step=${step}"
+fix 3 all ave/time 10 5 50 c_tt file ave.out
+run 100
+""".strip().splitlines())
+    prints = [m for m in msgs if m.startswith("T=")]
+    assert len(prints) >= 5
+    assert "step=20" in prints[0] or "step=" in prints[0]
+    data = np.loadtxt(tmp_path / "ave.out")
+    data = np.atleast_2d(data)
+    assert data.shape[0] >= 2           # rows at steps 50 and 100
+    assert np.all(np.isfinite(data[:, 1]))
+    # averaged temp near the run's temperatures
+    assert 0.2 < data[-1, 1] < 1.2

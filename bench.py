@@ -115,6 +115,7 @@ def main():
     out.update(_try_polar_1e11(timeout_s=480))
     out.update(_try_error_budget(timeout_s=420))
     out.update(_try_polar_100k(timeout_s=540))
+    out.update(_try_eam(timeout_s=420))
     print(json.dumps(out))
     return 0
 
@@ -159,6 +160,24 @@ def _try_polar_bench(timeout_s: int):
         "polar_mof_10k_scf_iters": scf,
         "polar_vs_reference_extrapolated": round(v / lammps_extrapolated, 1),
     }
+
+
+def _try_eam(timeout_s: int):
+    """bench/in.eam 32k Cu EAM; reference 16.764 steps/s on one core
+    (log.6Oct16.eam.fixed.icc.1:59)."""
+    try:
+        r = _run_script(["scripts/bench_eam.py"], timeout_s)
+    except subprocess.TimeoutExpired:
+        return {"eam_32k_steps_per_s": None,
+                "eam_note": "compile timeout (cold cache)"}
+    m = re.search(r"eam steps/s ([0-9.]+)", r.stdout)
+    if not m:
+        return {"eam_32k_steps_per_s": None,
+                "eam_note": "failed: "
+                + (r.stdout + r.stderr)[-200:].replace("\n", " ")}
+    v = float(m.group(1))
+    return {"eam_32k_steps_per_s": v,
+            "eam_vs_baseline": round(v / 16.764, 2)}
 
 
 def _try_polar_100k(timeout_s: int):

@@ -208,7 +208,7 @@ def compute_forces(sys: System, ff: ForceField,
                 sys.x, sys.type, sys.mask, nlist, sys.box, ff.eam)
         else:
             fe_, ev, vir_ = eam_cell_forces(
-                sys.x, sys.mask, nlist, sys.box, ff.eam)
+                sys.x, sys.mask, nlist, sys.box, ff.eam, need_ev=need_ev)
         f = f + fe_
         evdwl = evdwl + ev
         virial = virial + vir_

@@ -268,8 +268,15 @@ def build_eam_alloy_params(path: str, elem_for_type, dtype=jnp.float32,
     ), mass_t
 
 
-def eam_cell_forces(x, mask, cells: Cells, box: Box, p: EAMParams):
-    """Two-pass EAM via the rolled cell grid. Returns (f, evdwl, virial6)."""
+def eam_cell_forces(x, mask, cells: Cells, box: Box, p: EAMParams,
+                    need_ev: bool = True):
+    """Two-pass EAM via the rolled cell grid with Newton half-stencil
+    (npair_half_bin_newton.cpp analog): densities and pair forces are
+    symmetric for the single-element funcfl case, so each stencil pair is
+    evaluated once — the j-side contribution rolls back to its home cell.
+    need_ev=False skips the pair-energy/virial sums (the embedding energy
+    is a free by-product of pass 1 and is always returned).
+    Returns (f, evdwl, virial6)."""
     n = x.shape[0]
     dtype = x.dtype
     aos = cells.atom_of_slot
@@ -286,21 +293,26 @@ def eam_cell_forces(x, mask, cells: Cells, box: Box, p: EAMParams):
     def ctr(a):
         return a[..., :, None]
 
-    def nbr(a, off):
-        r = a
+    def _roll(a, off, sign=-1):
         for ax, sh in enumerate(off):
             if sh:
-                r = jnp.roll(r, -sh, axis=ax)
-        return r[..., None, :]
+                a = jnp.roll(a, sign * sh, axis=ax)
+        return a
 
-    group_size = max(1, min(9, 512 // cap))
-    groups = [_OFFSETS[i:i + group_size]
-              for i in range(0, len(_OFFSETS), group_size)]
+    def nbr(a, off):
+        return _roll(a, off, -1)[..., None, :]
+
+    from lidp_tpu.ops.cells import half_offsets
+
+    all_offs = [(0, 0, 0)] + half_offsets(aos.shape[:3])
+    group_size = max(1, min(len(all_offs), 512 // cap))
+    groups = [all_offs[i:i + group_size]
+              for i in range(0, len(all_offs), group_size)]
 
     def nbr_group(a, offs):
         return jnp.concatenate([nbr(a, o) for o in offs], axis=-1)
 
-    same = jnp.eye(cap, dtype=bool)
+    tri = jnp.arange(cap)[:, None] < jnp.arange(cap)[None, :]
 
     def pair_geometry(offs):
         dx = minimum_image(ctr(xs[0]) - nbr_group(xs[0], offs), L[0])
@@ -310,20 +322,32 @@ def eam_cell_forces(x, mask, cells: Cells, box: Box, p: EAMParams):
         ok = ctr(valid) & nbr_group(valid, offs)
         if (0, 0, 0) in offs:
             gi = offs.index((0, 0, 0))
-            ok = ok & ~jnp.pad(same, ((0, 0), (gi * cap,
-                                               (len(offs) - gi - 1) * cap)))
+            tri_blk = jnp.pad(
+                tri, ((0, 0), (gi * cap, (len(offs) - gi - 1) * cap)),
+                constant_values=True)
+            ok = ok & tri_blk
         ok = ok & (rsq < p.cutsq)
         rsq = jnp.where(ok, rsq, 1.0)
         return dx, dy, dz, rsq, ok
 
-    # ---- pass 1: densities ----
-    rho_slots = jnp.zeros(aos.shape + (1,), dtype)
+    def scatter_back(px, offs):
+        """Roll per-offset neighbor-side partial sums home: (cells, G*cap)
+        -> accumulated (cells, cap) in home order."""
+        out = jnp.zeros(aos.shape, dtype)
+        sx = jnp.sum(px, axis=-2)
+        for g, o in enumerate(offs):
+            out += _roll(sx[..., g * cap:(g + 1) * cap], o, +1)
+        return out
+
+    # ---- pass 1: densities (Newton: both sides per half pair) ----
+    rho_slots = jnp.zeros(aos.shape, dtype)
     for offs in groups:
         dx, dy, dz, rsq, ok = pair_geometry(offs)
         r = jnp.sqrt(rsq)
         rho_r, _, _, _ = _eval_segments(r, p)
-        rho_slots += jnp.sum(jnp.where(ok, rho_r, 0.0), axis=-1,
-                             keepdims=True)
+        rho_r = jnp.where(ok, rho_r, 0.0)
+        rho_slots += jnp.sum(rho_r, axis=-1)
+        rho_slots += scatter_back(rho_r, offs)
 
     rho_atom = rho_slots.reshape(-1)[cells.slot_of_atom]
 
@@ -340,8 +364,8 @@ def eam_cell_forces(x, mask, cells: Cells, box: Box, p: EAMParams):
 
     fp_slots = jnp.where(valid, fp_atom[amax], 0.0)
 
-    # ---- pass 2: forces + pair energy ----
-    fx = jnp.zeros(aos.shape + (1,), dtype)
+    # ---- pass 2: forces + pair energy (Newton half sum) ----
+    fx = jnp.zeros(aos.shape, dtype)
     fy = jnp.zeros_like(fx)
     fz = jnp.zeros_like(fx)
     evdwl = jnp.zeros((), dtype)
@@ -355,14 +379,23 @@ def eam_cell_forces(x, mask, cells: Cells, box: Box, p: EAMParams):
         phip = z2p * recip - phi * recip
         psip = (ctr(fp_slots) + nbr_group(fp_slots, offs)) * rhop + phip
         fpair = jnp.where(ok, -psip * recip, 0.0)
-        evdwl += 0.5 * jnp.sum(jnp.where(ok, phi, 0.0))
-        fx += jnp.sum(fpair * dx, axis=-1, keepdims=True)
-        fy += jnp.sum(fpair * dy, axis=-1, keepdims=True)
-        fz += jnp.sum(fpair * dz, axis=-1, keepdims=True)
-        w = 0.5 * fpair
-        vir[0] += jnp.sum(w * dx * dx); vir[1] += jnp.sum(w * dy * dy)
-        vir[2] += jnp.sum(w * dz * dz); vir[3] += jnp.sum(w * dx * dy)
-        vir[4] += jnp.sum(w * dx * dz); vir[5] += jnp.sum(w * dy * dz)
+        px = fpair * dx
+        py = fpair * dy
+        pz = fpair * dz
+        fx += jnp.sum(px, axis=-1)
+        fy += jnp.sum(py, axis=-1)
+        fz += jnp.sum(pz, axis=-1)
+        fx -= scatter_back(px, offs)
+        fy -= scatter_back(py, offs)
+        fz -= scatter_back(pz, offs)
+        if need_ev:
+            evdwl += jnp.sum(jnp.where(ok, phi, 0.0))
+            vir[0] += jnp.sum(fpair * dx * dx)
+            vir[1] += jnp.sum(fpair * dy * dy)
+            vir[2] += jnp.sum(fpair * dz * dz)
+            vir[3] += jnp.sum(fpair * dx * dy)
+            vir[4] += jnp.sum(fpair * dx * dz)
+            vir[5] += jnp.sum(fpair * dy * dz)
 
     f = jnp.stack([fx.reshape(-1)[cells.slot_of_atom],
                    fy.reshape(-1)[cells.slot_of_atom],

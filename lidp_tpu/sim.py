@@ -1149,8 +1149,11 @@ class Simulation:
             try:
                 from lidp_tpu.ops.cells import CellConfig
 
+                # slack 1.7 measured safe across the bundled benchmarks
+                # (sticky overflow aborts the run if a cell ever overfills)
                 ncfg = CellConfig.for_box(L, cutmax + script.skin,
-                                          density=n / float(np.prod(L)))
+                                          density=n / float(np.prod(L)),
+                                          cap_slack=1.7)
             except ValueError:
                 ncfg = NeighborConfig.for_box(L, cutmax + script.skin)
             rebuild_every = script.neigh_every
@@ -1751,6 +1754,11 @@ class Simulation:
                 self.sys, self.res, self.nlist, self.istate, todo)
             remaining -= todo
             step = int(self.sys.step)
+            if self.nlist is not None and bool(self.nlist.overflow):
+                raise RuntimeError(
+                    "neighbor cell capacity overflow during run "
+                    "(Neighbor 'dangerous build' analog) — increase "
+                    "cap_slack")
             self._host_fixes(step)
             if halt and (halt[0] == 0 or step % max(1, halt[0]) == 0):
                 # fix halt (fix_halt.cpp:146): conditional graceful stop;

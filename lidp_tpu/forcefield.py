@@ -205,7 +205,8 @@ def compute_forces(sys: System, ff: ForceField,
             raise NotImplementedError("pair_style eam requires the cell path")
         if isinstance(ff.eam, EAMAlloyParams):
             fe_, ev, vir_ = eam_alloy_cell_forces(
-                sys.x, sys.type, sys.mask, nlist, sys.box, ff.eam)
+                sys.x, sys.type, sys.mask, nlist, sys.box, ff.eam,
+                need_ev=need_ev)
         else:
             fe_, ev, vir_ = eam_cell_forces(
                 sys.x, sys.mask, nlist, sys.box, ff.eam, need_ev=need_ev)

@@ -405,14 +405,16 @@ def eam_cell_forces(x, mask, cells: Cells, box: Box, p: EAMParams,
 
 
 def eam_alloy_cell_forces(x, type_, mask, cells: Cells, box: Box,
-                          p: EAMAlloyParams):
-    """Multi-element setfl EAM via the rolled cell grid.
+                          p: EAMAlloyParams, need_ev: bool = True):
+    """Multi-element setfl EAM via the rolled cell grid, Newton half-stencil.
 
-    Same two-pass structure as eam_cell_forces; element dependence is handled
-    by evaluating each element's (and element-pair's) segment polynomials on
-    the SHARED segment one-hot and masking by slot element — nelem static
-    Python loops, no per-pair gathers (pair_eam_alloy.cpp's type2rhor/
-    type2z2r indirection becomes select masks)."""
+    Element dependence is handled by evaluating each element's (and element-
+    pair's) segment polynomials on the SHARED segment one-hot and masking by
+    slot element — nelem static Python loops, no per-pair gathers
+    (pair_eam_alloy.cpp's type2rhor/type2z2r indirection becomes select
+    masks).  Newton halving: the i side accumulates rho of j's element while
+    rho of i's element rolls back to j (densities are element-asymmetric,
+    forces are symmetric)."""
     n = x.shape[0]
     dtype = x.dtype
     aos = cells.atom_of_slot
@@ -432,21 +434,26 @@ def eam_alloy_cell_forces(x, type_, mask, cells: Cells, box: Box,
     def ctr(a):
         return a[..., :, None]
 
-    def nbr(a, off):
-        r = a
+    def _roll(a, off, sign=-1):
         for ax, sh in enumerate(off):
             if sh:
-                r = jnp.roll(r, -sh, axis=ax)
-        return r[..., None, :]
+                a = jnp.roll(a, sign * sh, axis=ax)
+        return a
 
-    group_size = max(1, min(9, 512 // cap))
-    groups = [_OFFSETS[i:i + group_size]
-              for i in range(0, len(_OFFSETS), group_size)]
+    def nbr(a, off):
+        return _roll(a, off, -1)[..., None, :]
+
+    from lidp_tpu.ops.cells import half_offsets
+
+    all_offs = [(0, 0, 0)] + half_offsets(aos.shape[:3])
+    group_size = max(1, min(len(all_offs), 512 // cap))
+    groups = [all_offs[i:i + group_size]
+              for i in range(0, len(all_offs), group_size)]
 
     def nbr_group(a, offs):
         return jnp.concatenate([nbr(a, o) for o in offs], axis=-1)
 
-    same = jnp.eye(cap, dtype=bool)
+    tri = jnp.arange(cap)[:, None] < jnp.arange(cap)[None, :]
 
     def pair_geometry(offs):
         dx = minimum_image(ctr(xs[0]) - nbr_group(xs[0], offs), L[0])
@@ -456,13 +463,22 @@ def eam_alloy_cell_forces(x, type_, mask, cells: Cells, box: Box,
         ok = ctr(valid) & nbr_group(valid, offs)
         if (0, 0, 0) in offs:
             gi = offs.index((0, 0, 0))
-            ok = ok & ~jnp.pad(same, ((0, 0), (gi * cap,
-                                               (len(offs) - gi - 1) * cap)))
+            tri_blk = jnp.pad(
+                tri, ((0, 0), (gi * cap, (len(offs) - gi - 1) * cap)),
+                constant_values=True)
+            ok = ok & tri_blk
         ok = ok & (rsq < p.cutsq)
         rsq = jnp.where(ok, rsq, 1.0)
         return dx, dy, dz, rsq, ok
 
-    def eval_tables(r, ei, ej, want_z2):
+    def scatter_back(px, offs):
+        out = jnp.zeros(aos.shape, dtype)
+        sx = jnp.sum(px, axis=-2)
+        for g, o in enumerate(offs):
+            out += _roll(sx[..., g * cap:(g + 1) * cap], o, +1)
+        return out
+
+    def eval_tables(r, ei, ej, want_z2, want_rho_i=False):
         flat, xi = _segment_onehot(r, p.cut, p.nseg)
 
         def ev(coeffs):
@@ -471,13 +487,16 @@ def eam_alloy_cell_forces(x, type_, mask, cells: Cells, box: Box,
             return _horner(c.reshape(r.shape + (-1,)), xi, p.deg, 2)
 
         zero = jnp.zeros_like(r)
-        rho_j = rhop_j = rhop_i = zero
+        rho_j = rhop_j = rhop_i = rho_i = zero
         for e in range(p.nelem):
             re_, rpe = ev(p.seg_rho[e])
             sj = ej == e
+            si = ei == e
             rho_j = rho_j + jnp.where(sj, re_, 0.0)
             rhop_j = rhop_j + jnp.where(sj, rpe, 0.0)
-            rhop_i = rhop_i + jnp.where(ei == e, rpe, 0.0)
+            rhop_i = rhop_i + jnp.where(si, rpe, 0.0)
+            if want_rho_i:
+                rho_i = rho_i + jnp.where(si, re_, 0.0)
         z2 = z2p = zero
         if want_z2:
             for a in range(p.nelem):
@@ -486,17 +505,18 @@ def eam_alloy_cell_forces(x, type_, mask, cells: Cells, box: Box,
                     sel = ((ei == a) & (ej == b)) | ((ei == b) & (ej == a))
                     z2 = z2 + jnp.where(sel, z, 0.0)
                     z2p = z2p + jnp.where(sel, zp, 0.0)
-        return rho_j, rhop_j, rhop_i, z2, z2p
+        return rho_j, rhop_j, rhop_i, rho_i, z2, z2p
 
-    # ---- pass 1: densities ----
-    rho_slots = jnp.zeros(aos.shape + (1,), dtype)
+    # ---- pass 1: densities (i gains rho(ej), j gains rho(ei)) ----
+    rho_slots = jnp.zeros(aos.shape, dtype)
     for offs in groups:
         dx, dy, dz, rsq, ok = pair_geometry(offs)
         r = jnp.sqrt(rsq)
-        rho_r, _, _, _, _ = eval_tables(r, ctr(esl), nbr_group(esl, offs),
-                                        want_z2=False)
-        rho_slots += jnp.sum(jnp.where(ok, rho_r, 0.0), axis=-1,
-                             keepdims=True)
+        rho_j, _, _, rho_i, _, _ = eval_tables(
+            r, ctr(esl), nbr_group(esl, offs), want_z2=False,
+            want_rho_i=True)
+        rho_slots += jnp.sum(jnp.where(ok, rho_j, 0.0), axis=-1)
+        rho_slots += scatter_back(jnp.where(ok, rho_i, 0.0), offs)
 
     rho_atom = rho_slots.reshape(-1)[cells.slot_of_atom]
 
@@ -513,8 +533,8 @@ def eam_alloy_cell_forces(x, type_, mask, cells: Cells, box: Box,
 
     fp_slots = slotify(fp_atom)
 
-    # ---- pass 2: forces + pair energy ----
-    fx = jnp.zeros(aos.shape + (1,), dtype)
+    # ---- pass 2: forces + pair energy (Newton half sum) ----
+    fx = jnp.zeros(aos.shape, dtype)
     fy = jnp.zeros_like(fx)
     fz = jnp.zeros_like(fx)
     evdwl = jnp.zeros((), dtype)
@@ -523,7 +543,7 @@ def eam_alloy_cell_forces(x, type_, mask, cells: Cells, box: Box,
         dx, dy, dz, rsq, ok = pair_geometry(offs)
         r = jnp.sqrt(rsq)
         ei, ej = ctr(esl), nbr_group(esl, offs)
-        _, rhop_j, rhop_i, z2, z2p = eval_tables(r, ei, ej, want_z2=True)
+        _, rhop_j, rhop_i, _, z2, z2p = eval_tables(r, ei, ej, want_z2=True)
         recip = 1.0 / r
         phi = z2 * recip
         phip = z2p * recip - phi * recip
@@ -531,14 +551,23 @@ def eam_alloy_cell_forces(x, type_, mask, cells: Cells, box: Box,
         psip = (ctr(fp_slots) * rhop_j + nbr_group(fp_slots, offs) * rhop_i
                 + phip)
         fpair = jnp.where(ok, -psip * recip, 0.0)
-        evdwl += 0.5 * jnp.sum(jnp.where(ok, phi, 0.0))
-        fx += jnp.sum(fpair * dx, axis=-1, keepdims=True)
-        fy += jnp.sum(fpair * dy, axis=-1, keepdims=True)
-        fz += jnp.sum(fpair * dz, axis=-1, keepdims=True)
-        w = 0.5 * fpair
-        vir[0] += jnp.sum(w * dx * dx); vir[1] += jnp.sum(w * dy * dy)
-        vir[2] += jnp.sum(w * dz * dz); vir[3] += jnp.sum(w * dx * dy)
-        vir[4] += jnp.sum(w * dx * dz); vir[5] += jnp.sum(w * dy * dz)
+        px = fpair * dx
+        py = fpair * dy
+        pz = fpair * dz
+        fx += jnp.sum(px, axis=-1)
+        fy += jnp.sum(py, axis=-1)
+        fz += jnp.sum(pz, axis=-1)
+        fx -= scatter_back(px, offs)
+        fy -= scatter_back(py, offs)
+        fz -= scatter_back(pz, offs)
+        if need_ev:
+            evdwl += jnp.sum(jnp.where(ok, phi, 0.0))
+            vir[0] += jnp.sum(fpair * dx * dx)
+            vir[1] += jnp.sum(fpair * dy * dy)
+            vir[2] += jnp.sum(fpair * dz * dz)
+            vir[3] += jnp.sum(fpair * dx * dy)
+            vir[4] += jnp.sum(fpair * dx * dz)
+            vir[5] += jnp.sum(fpair * dy * dz)
 
     f = jnp.stack([fx.reshape(-1)[cells.slot_of_atom],
                    fy.reshape(-1)[cells.slot_of_atom],

@@ -20,27 +20,41 @@ class NVEParams:
     dtv: jax.Array        # dt
     dtf: jax.Array        # 0.5 * dt * ftm2v
     mass_atom: jax.Array  # (N,)
+    # fix-group mask (FixNVE only integrates its group; atoms outside any
+    # time-integration fix do not move); None = all atoms
+    gmask: jax.Array = None
 
     @staticmethod
-    def create(dt: float, ftm2v: float, mass_atom, dtype=jnp.float64):
+    def create(dt: float, ftm2v: float, mass_atom, dtype=jnp.float64,
+               gmask=None):
         return NVEParams(
             dtv=jnp.asarray(dt, dtype),
             dtf=jnp.asarray(0.5 * dt * ftm2v, dtype),
             mass_atom=jnp.asarray(mass_atom, dtype),
+            gmask=(None if gmask is None else jnp.asarray(gmask, bool)),
         )
+
+
+def _upd_mask(sys, p):
+    m = sys.mask
+    if p.gmask is not None:
+        m = m & p.gmask
+    return m[:, None]
 
 
 def initial_integrate(sys: System, f, p: NVEParams) -> System:
     minv = jnp.where(p.mass_atom > 0, 1.0 / jnp.where(p.mass_atom > 0, p.mass_atom, 1.0), 0.0)
-    v = sys.v + (p.dtf * minv)[:, None] * f
+    upd = _upd_mask(sys, p)
+    v = jnp.where(upd, sys.v + (p.dtf * minv)[:, None] * f, sys.v)
     v = jnp.where(sys.mask[:, None], v, 0.0)
-    x = sys.x + p.dtv * v
+    x = sys.x + jnp.where(upd, p.dtv * v, 0.0)
     return sys.replace(x=x, v=v)
 
 
 def final_integrate(sys: System, f, p: NVEParams) -> System:
     minv = jnp.where(p.mass_atom > 0, 1.0 / jnp.where(p.mass_atom > 0, p.mass_atom, 1.0), 0.0)
-    v = sys.v + (p.dtf * minv)[:, None] * f
+    upd = _upd_mask(sys, p)
+    v = jnp.where(upd, sys.v + (p.dtf * minv)[:, None] * f, sys.v)
     v = jnp.where(sys.mask[:, None], v, 0.0)
     return sys.replace(v=v)
 

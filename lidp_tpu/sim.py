@@ -984,11 +984,15 @@ class Simulation:
             gmask = groups[spec.group]
             gmask_real = script.groups[spec.group]
             if spec.style == "nve":
+                # sub-group nve: only the fix group integrates (atoms
+                # outside any time-integration fix do not move)
                 nvep = nve_mod.NVEParams.create(
-                    script.dt, u.ftm2v, mass_atom, dtype=dtype)
-                if not gmask_real.all():
-                    raise NotImplementedError("fix nve on sub-group")
+                    script.dt, u.ftm2v, mass_atom, dtype=dtype,
+                    gmask=None if gmask_real.all() else gmask)
                 integ = nve_integrator(nvep)
+                if not gmask_real.all():
+                    # frozen atoms keep their dof out of the temperature
+                    dof_removed += dim_ * int((~gmask_real).sum())
             elif spec.style == "nvt":
                 from lidp_tpu.integrate import nvt as nvt_mod
                 from lidp_tpu.integrate.driver import Integrator

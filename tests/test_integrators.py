@@ -106,3 +106,48 @@ run 1200
     assert abs(rows[1200]["temp"] - 0.5) < 0.15, rows[1200]["temp"]
     # mid-run T tracks the ramp (target 1.25 at step 600)
     assert abs(rows[600]["temp"] - 1.25) < 0.3, rows[600]["temp"]
+
+
+def test_nve_subgroup():
+    """fix nve on a sub-group: only group atoms move (FixNVE group
+    semantics); the rest stay put with velocities untouched."""
+    import numpy as np
+
+    from lidp_tpu.io.script import LammpsScript
+
+    s = LammpsScript()
+    s.execute("""
+units lj
+atom_style atomic
+lattice fcc 0.8442
+region box block 0 3 0 3 0 3
+create_box 1 box
+create_atoms 1 box
+mass 1 1.0
+pair_style lj/cut 2.5
+pair_coeff 1 1 1.0 1.0 2.5
+region lower block INF INF INF 1.0 INF INF
+group lower region lower
+group upper subtract all lower
+velocity all create 1.0 12345 loop geom
+fix 1 upper nve
+run 20
+""".strip().splitlines())
+    sim = s._sim
+    x0 = np.asarray(s.x)           # host arrays hold the initial state
+    # rebuild initial positions from a fresh parse
+    s0 = LammpsScript()
+    s0.execute("""
+units lj
+atom_style atomic
+lattice fcc 0.8442
+region box block 0 3 0 3 0 3
+create_box 1 box
+create_atoms 1 box
+mass 1 1.0
+""".strip().splitlines())
+    xinit = np.asarray(s0.x)
+    lower = s.groups["lower"]
+    x_end = np.asarray(sim.sys.x)
+    assert np.abs(x_end[lower] - xinit[lower]).max() < 1e-12
+    assert np.abs(x_end[~lower] - xinit[~lower]).max() > 1e-3

@@ -19,10 +19,13 @@ def write_dump_frame(spec, sys, script, gmask, f=None):
     v = np.asarray(sys.v)
     mu = np.asarray(sys.mu)
     fv = np.asarray(f) if f is not None else np.zeros_like(x)
-    # wrap into the box for output (the engine may keep rigid coords unwrapped)
+    # wrap into the box for output (the engine may keep rigid coords
+    # unwrapped) — but only on periodic dims: the reference never remaps
+    # f/s/m boundaries (Dump::write, dump.cpp)
     lo, hi = np.asarray(sys.box.lo), np.asarray(sys.box.hi)
     L = hi - lo
-    xw = x - np.floor((x - lo) / L) * L
+    per = np.asarray(sys.box.periodic, bool)
+    xw = np.where(per, x - np.floor((x - lo) / L) * L, x)
     ids = np.nonzero(gmask)[0]
     colvec = {
         "id": ids + 1,
@@ -92,7 +95,8 @@ def write_dcd_frame(spec, sys, script, gmask):
     x = np.asarray(sys.x)
     lo, hi = np.asarray(sys.box.lo), np.asarray(sys.box.hi)
     L = hi - lo
-    xw = x - np.floor((x - lo) / L) * L
+    per = np.asarray(sys.box.periodic, bool)
+    xw = np.where(per, x - np.floor((x - lo) / L) * L, x)
 
     mode = "ab" if getattr(spec, "_started", False) else "wb"
     with open(spec.path, mode) as fh:

@@ -35,8 +35,6 @@ from jax.experimental.pallas import tpu as pltpu
 from lidp_tpu.box import Box
 from lidp_tpu.ops.cells import _HALF_OFFSETS, Cells
 
-_SENTINEL = 1.0e4
-
 
 def _wrap_shift_np(nbins, off):
     """Per-cell coordinate shift (in box lengths) the periodic roll implies."""
@@ -125,8 +123,20 @@ def cell_pair_forces_pallas(x, mask, cells: Cells, box: Box, p,
 
     amax = jnp.minimum(aos, n - 1)
     valid = (aos < n).reshape(C, cap)
+    # Empty-slot sentinels live on ONE arithmetic x-axis progression
+    # base + spacing*k with distinct k per slot.  spacing > 2*cut + max(L)
+    # guarantees (a) sentinel-sentinel distance >= spacing - max(L) > cut
+    # even when a periodic roll adds +-L to one of them, and (b) with
+    # base > |box| + cut, sentinel-atom distance > cut.  All traced — no
+    # fixed 10.0 spacing that a large real/metal-units cutoff could defeat.
+    cutf = jnp.sqrt(p.cut_ljsq[1, 1]).astype(jnp.float32)
+    spacing = 2.0 * cutf + jnp.max(L) + 1.0
+    corner = jnp.maximum(jnp.max(jnp.abs(box.lo.astype(jnp.float32))),
+                         jnp.max(jnp.abs(box.lo.astype(jnp.float32) + L)))
+    base = corner + 2.0 * cutf + spacing
     lin = jnp.arange(C * cap, dtype=jnp.float32).reshape(C, cap)
-    sent = _SENTINEL + 10.0 * lin
+    sent = base + spacing * lin
+    k_next = C * cap   # next free sentinel index
 
     def slotgrid(vals, d):
         g = vals.astype(jnp.float32)[amax].reshape(C, cap)
@@ -153,12 +163,15 @@ def cell_pair_forces_pallas(x, mask, cells: Cells, box: Box, p,
         if K_pad > K:
             if d == 0:
                 padlane = jnp.broadcast_to(
-                    2.0e6 + 10.0 * jnp.arange(K_pad - K, dtype=jnp.float32),
+                    base + spacing * (
+                        k_next
+                        + jnp.arange(K_pad - K, dtype=jnp.float32)),
                     (C, K_pad - K))
             else:
                 padlane = jnp.zeros((C, K_pad - K), jnp.float32)
             col = jnp.concatenate([col, padlane], axis=1)
         nbr.append(col)
+    k_next += K_pad - K
 
     # pad the cell axis so the block leading dim divides by 8 (Mosaic
     # requires last-two block dims to be (8k, 128k) or full); padded cells
@@ -167,12 +180,14 @@ def cell_pair_forces_pallas(x, mask, cells: Cells, box: Box, p,
     C_pad = ((C + BC - 1) // BC) * BC
     if C_pad > C:
         rpad = C_pad - C
-        csent = (_SENTINEL + 10.0 * C * cap
-                 + 10.0 * jnp.arange(rpad * cap, dtype=jnp.float32)
+        csent = (base + spacing * (
+            k_next + jnp.arange(rpad * cap, dtype=jnp.float32))
                  ).reshape(rpad, cap)
+        k_next += rpad * cap
         ctr[0] = jnp.concatenate([ctr[0], csent], axis=0)
         nsent = jnp.broadcast_to(
-            2.0e6 + 7.0 * jnp.arange(K_pad, dtype=jnp.float32),
+            base + spacing * (
+                k_next + jnp.arange(K_pad, dtype=jnp.float32)),
             (rpad, K_pad))
         nbr[0] = jnp.concatenate([nbr[0], nsent], axis=0)
         for d in (1, 2):

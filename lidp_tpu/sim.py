@@ -581,6 +581,12 @@ class Simulation:
         # ---- integrator from fixes ----
         integ = None
         dof_removed = 0.0
+        # fine-grained removal records for sub-group temperature computes:
+        # ('atoms', mask, per_atom_dof) or ('pairs', (pa, qa)) — a shake
+        # constraint counts toward a group's dof only when both its atoms
+        # are group members (ComputeTemp queries Fix::dof(igroup), which
+        # FixShake computes per group, fix_shake.cpp::dof)
+        dof_removals = []
         rigid_groups = []
         # post_force hooks use one normalized protocol: fn(sys, f) ->
         # (f', extra_virial6), applied in fix-declaration order like
@@ -635,6 +641,15 @@ class Simulation:
                     sys = sys.replace(x=sys.x + jnp.asarray(dx, dtype))
                     dof_removed += shakep.nconstraints
                     shake_dof_removed = shakep.nconstraints
+                    _at = np.asarray(shakep.atoms)
+                    _cp = np.asarray(shakep.cpairs)
+                    _cm = np.asarray(shakep.cmask)
+                    _pa = np.take_along_axis(
+                        np.maximum(_at, 0), np.maximum(_cp[:, :, 0], 0), 1)
+                    _qa = np.take_along_axis(
+                        np.maximum(_at, 0), np.maximum(_cp[:, :, 1], 0), 1)
+                    dof_removals.append(
+                        ("pairs", (_pa[_cm], _qa[_cm])))
                     pf_hooks.append(
                         lambda sys_, f_, _p=shakep:
                         shake_mod.shake_post_force(sys_, f_, _p))
@@ -993,6 +1008,7 @@ class Simulation:
                 if not gmask_real.all():
                     # frozen atoms keep their dof out of the temperature
                     dof_removed += dim_ * int((~gmask_real).sum())
+                    dof_removals.append(("atoms", ~gmask_real, dim_))
             elif spec.style == "nvt":
                 from lidp_tpu.integrate import nvt as nvt_mod
                 from lidp_tpu.integrate.driver import Integrator
@@ -1128,6 +1144,7 @@ class Simulation:
                                                  dtype=dtype, **kw)
                 integ = rigid_nve_integrator(rp, jnp.asarray(mass_atom, dtype))
                 dof_removed += rsetup.dof_removed
+                dof_removals.append(("rigid", rsetup))
                 rigid_groups.append((spec.group, rsetup))
             else:
                 raise NotImplementedError(f"fix style {spec.style}")
@@ -1187,7 +1204,25 @@ class Simulation:
                          else spec_t.group)
             tgrp = script.groups[tgrp_name]
             ng_t = int(np.count_nonzero(tgrp))
-            dof_t = dim_ * ng_t - dim_ - dof_removed
+            # only constraints whose atoms all lie inside the temperature
+            # group reduce its dof (fix_shake.cpp::dof per-group count)
+            rm_t = 0.0
+            for rec in dof_removals:
+                if rec[0] == "atoms":
+                    _, amask, per = rec
+                    rm_t += per * int(np.count_nonzero(
+                        amask[:len(tgrp)] & tgrp))
+                elif rec[0] == "pairs":
+                    _pa, _qa = rec[1]
+                    tg = np.asarray(tgrp)
+                    rm_t += int(np.count_nonzero(
+                        tg[_pa] & tg[_qa]))
+                else:   # rigid: all-or-nothing per body set
+                    rsetup = rec[1]
+                    inb = rsetup.body_of_atom >= 0
+                    if np.all(np.asarray(tgrp)[inb]):
+                        rm_t += rsetup.dof_removed
+            dof_t = dim_ * ng_t - dim_ - rm_t
             tmask_j = jnp.asarray(groups[tgrp_name])
             m_t = jnp.asarray(mass_atom, dtype)
             # velocity scaling applies to the FIX group's atoms
@@ -1569,10 +1604,12 @@ class Simulation:
             row["c_" + cid] = float(self._group_group_energy(ma, mb))
         for cid, (gmask, style) in getattr(self, "simple_computes",
                                            {}).items():
+            from lidp_tpu.box import unwrap as _unwrap
+
             m = np.asarray(self.thermo_params.mass_atom)[:self.natoms][gmask]
-            L = np.asarray(self.sys.box.lengths)
-            xu = (np.asarray(self.sys.x)
-                  + np.asarray(self.sys.image) * L)[:self.natoms][gmask]
+            # image @ h for triclinic (Domain::unmap semantics)
+            xu = np.asarray(_unwrap(self.sys.x, self.sys.box,
+                                    self.sys.image))[:self.natoms][gmask]
             if style == "com":
                 com = (m[:, None] * xu).sum(0) / m.sum()
                 for d in range(3):
@@ -1590,9 +1627,10 @@ class Simulation:
                 row[f"c_{cid}"] = float(self.res.pe)
         for cid, (gmask, x0) in getattr(self, "msd_computes", {}).items():
             # compute_msd.cpp: mean square displacement of unwrapped coords
-            L = np.asarray(self.sys.box.lengths)
-            xu = (np.asarray(self.sys.x)
-                  + np.asarray(self.sys.image) * L)[:self.natoms]
+            from lidp_tpu.box import unwrap as _unwrap
+
+            xu = np.asarray(_unwrap(self.sys.x, self.sys.box,
+                                    self.sys.image))[:self.natoms]
             d = (xu - x0)[gmask]
             comps = (d * d).mean(axis=0)
             row[f"c_{cid}[1]"], row[f"c_{cid}[2]"], row[f"c_{cid}[3]"] = comps

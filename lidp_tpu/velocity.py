@@ -91,10 +91,14 @@ def create(
         vcm = (m[:, None] * v[gm]).sum(0) / m.sum()
         v[gm] -= vcm
     if rotation:
-        m = mass_per_atom
-        xcm = (m[:, None] * xu).sum(0) / m.sum()
-        d = xu - xcm
-        L = (m[:, None] * np.cross(d, v)).sum(0)
+        # like the momentum branch: angular momentum/inertia from the
+        # velocity group only, correction applied to group members only
+        # (Velocity::zero_rotation acts on the group, velocity.cpp:742)
+        m = mass_per_atom[gm]
+        xg = xu[gm]
+        xcm = (m[:, None] * xg).sum(0) / m.sum()
+        d = xg - xcm
+        L = (m[:, None] * np.cross(d, v[gm])).sum(0)
         inertia = np.zeros((3, 3))
         inertia[0, 0] = np.sum(m * (d[:, 1] ** 2 + d[:, 2] ** 2))
         inertia[1, 1] = np.sum(m * (d[:, 0] ** 2 + d[:, 2] ** 2))
@@ -103,7 +107,7 @@ def create(
         inertia[0, 2] = inertia[2, 0] = -np.sum(m * d[:, 0] * d[:, 2])
         inertia[1, 2] = inertia[2, 1] = -np.sum(m * d[:, 1] * d[:, 2])
         omega = np.linalg.solve(inertia, L)
-        v -= np.cross(omega, d)
+        v[gm] -= np.cross(omega, d)
 
     tg = temp_group if temp_group is not None else gm
     ng = int(np.count_nonzero(tg))

@@ -54,6 +54,10 @@ class ForceField:
     adapt_window: object = None     # (2,) int32 [begin, end]
     kspace_dynamic: bool = dataclasses.field(metadata=dict(static=True),
                                              default=False)
+    # (N,3) static shift mapping our coordinates onto the reference's STORED
+    # (read_data-remapped, wrapped-at-last-rebuild) positions, used only by
+    # the polar fdotr virial tally (see dipole_forces_energy)
+    polar_xshift: Optional[jax.Array] = None
 
 
 @jax.tree_util.register_dataclass
@@ -290,7 +294,7 @@ def compute_forces(sys: System, ff: ForceField,
                 e0, sys.alpha, tensor, s, mu_init=mu_init)
         fpol, upol, vpol = pol_ops.dipole_forces_energy(
             sys.x, sys.q, sys.mol, sys.alpha, mu, sys.mask, sys.box,
-            ff.pair.cut_coulsq, ff.qqrd2e, s)
+            ff.pair.cut_coulsq, ff.qqrd2e, s, xshift=ff.polar_xshift)
         f = f + fpol
         epol = epol + upol
         virial = virial + vpol

@@ -188,35 +188,68 @@ def rescale_coeffs(p: EwaldParams, box_lengths):
     return dataclasses.replace(p, hvecs=hvecs, kcoeff=c1, kvirial=kvirial)
 
 
+def _ewald_kblock(x, q, hvecs, kcoeff, kvirial, c0):
+    """Per-k-block structure factors + forces; per-k terms are independent,
+    so blocks accumulate without a separate structure-factor pass."""
+    phases = x @ hvecs.T                          # (N,Kb)
+    c = jnp.cos(phases)
+    s = jnp.sin(phases)
+    sre = q @ c                                   # (Kb,)
+    sim = q @ s
+    sk2 = sre * sre + sim * sim
+    e = c0 * jnp.sum(kcoeff * sk2)
+    # f_i = 2*c0 * q_i * sum_k ke_k (sin(ph_ik) Sre_k - cos(ph_ik) Sim_k) h_k
+    w = kcoeff * sre * 2.0 * c0
+    w2 = kcoeff * sim * 2.0 * c0
+    coef = s * w[None, :] - c * w2[None, :]       # (N,Kb)
+    f = (coef @ hvecs) * q[:, None]
+    # reference ewald.cpp:466-474 tallies only the per-k terms into the
+    # global virial — no self/background contribution (even for non-neutral
+    # systems); match it so Ewald and PPPM pressures agree
+    virial = c0 * (sk2 @ kvirial)
+    return f, e, virial
+
+
+# past this (N,K) working set the per-k arrays are chunked through a scan:
+# at 100k f64 atoms K ~ 1e4 and the f64-emulated [N,K] matmul materializes
+# an (8,N,K) f32 intermediate (~36 GB, OOM on one v5e chip)
+_EWALD_CHUNK_ELEMS = 64_000_000
+
+
 def ewald_forces(x, q, volume, p: EwaldParams):
     """Reciprocal-space energy/forces/virial.
 
-    Returns (f (N,3), elong (), virial6). All compute is [N,K] matmul-shaped.
+    Returns (f (N,3), elong (), virial6). All compute is [N,K] matmul-shaped;
+    large N*K runs block the k axis via lax.scan to bound memory.
     """
-    phases = x @ p.hvecs.T                        # (N,K)
-    c = jnp.cos(phases)
-    s = jnp.sin(phases)
-    sre = q @ c                                   # (K,)
-    sim = q @ s
-    sk2 = sre * sre + sim * sim
-
     c0 = 4.0 * jnp.pi * p.qscale / volume
     energy_self = (p.qsqsum * p.qscale * p.g_ewald / MY_PIS
                    + 0.5 * jnp.pi * p.qscale / (p.g_ewald**2 * volume)
                    * p.qsum * p.qsum)
-    elong = c0 * jnp.sum(p.kcoeff * sk2) - energy_self
+    n = x.shape[0]
+    K = p.hvecs.shape[0]
+    if n * K <= _EWALD_CHUNK_ELEMS:
+        f, e, virial = _ewald_kblock(x, q, p.hvecs, p.kcoeff, p.kvirial, c0)
+        return f, e - energy_self, virial
 
-    # f_i = 2*c0 * q_i * sum_k ke_k (sin(ph_ik) Sre_k - cos(ph_ik) Sim_k) h_k
-    w = p.kcoeff * sre * 2.0 * c0
-    w2 = p.kcoeff * sim * 2.0 * c0
-    coef = s * w[None, :] - c * w2[None, :]       # (N,K)
-    f = (coef @ p.hvecs) * q[:, None]
+    kb = max(128, _EWALD_CHUNK_ELEMS // max(n, 1))
+    nc = -(-K // kb)
+    pad = nc * kb - K
+    hv = jnp.pad(p.hvecs, ((0, pad), (0, 0))).reshape(nc, kb, 3)
+    kc = jnp.pad(p.kcoeff, (0, pad)).reshape(nc, kb)      # pad -> 0 coeff
+    kv = jnp.pad(p.kvirial, ((0, pad), (0, 0))).reshape(nc, kb, 6)
 
-    # reference ewald.cpp:466-474 tallies only the per-k terms into the
-    # global virial — no self/background contribution (even for non-neutral
-    # systems); match it so Ewald and PPPM pressures agree
-    virial = c0 * (sk2 @ p.kvirial)
-    return f, elong, virial
+    def body(acc, blk):
+        f, e, v = acc
+        hb, cb, vb = blk
+        fb, eb, vb6 = _ewald_kblock(x, q, hb, cb, vb, c0)
+        return (f + fb, e + eb, v + vb6), None
+
+    (f, e, virial), _ = jax.lax.scan(
+        body,
+        (jnp.zeros_like(x), jnp.zeros((), x.dtype), jnp.zeros((6,), x.dtype)),
+        (hv, kc, kv))
+    return f, e - energy_self, virial
 
 
 # --------------------- dispersion (geometric 1/r^6) -------------------------

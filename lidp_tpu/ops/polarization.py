@@ -313,11 +313,16 @@ def rank_metric_compute(x, alpha, mol, mask, box: Box):
 
 def dipole_forces_energy(
     x, q, mol, alpha, mu, mask, box: Box, cut_coulsq, qqrd2e,
-    s: PolarizationSettings,
+    s: PolarizationSettings, xshift=None,
 ):
     """Charge-dipole + dipole-dipole forces, 3-term polarization energy, virial.
 
     Returns (f (N,3), u_polar (), virial6). Mirrors reference :406-641.
+
+    xshift: optional (N,3) static shift mapping our coordinates onto the
+    reference's STORED positions (read_data remap, frozen between rebuilds)
+    for the fdotr virial; without it the virial wraps x into the box each
+    call (equivalent until an atom crosses a face mid-run).
     """
     dtype = x.dtype
     delta, rsq, pm = _pair_geometry(x, box, mask)
@@ -407,13 +412,30 @@ def dipole_forces_energy(
 
     u_polar = u_self + u_ef + u_dd
 
-    w = 0.5
+    # Virial via F.r over WRAPPED coordinates, exactly like the reference:
+    # with vflag_global == 2 (the normal thermo-pressure path) ev_setup
+    # switches the whole pair virial to virial_fdotr_compute
+    # (pair.cpp:810-816, called at ...polarization.cpp:644), which sums
+    # x_i (x) f_i over the STORED (box-wrapped) positions.  For these
+    # minimum-image O(N^2) loops that is NOT the min-image pairwise tally:
+    # pairs whose raw wrapped-coordinate difference crosses the box pick up
+    # image terms (measured 0.335 bar of Bulk H2's step-0 Press).  The polar
+    # forces are pairwise with action=reaction, so fdotr over the net polar
+    # force reproduces the reference exactly.
+    if xshift is not None:
+        xw = x + xshift
+    else:
+        per = jnp.asarray(box.periodic)
+        L = box.lengths
+        xw = jnp.where(per[None, :],
+                       x - jnp.floor((x - box.lo) / L) * L, x)
+    fm = jnp.where(mask[:, None], f, 0.0)
     virial = jnp.stack([
-        w * jnp.sum(dx * f_pair[..., 0]),
-        w * jnp.sum(dy * f_pair[..., 1]),
-        w * jnp.sum(dz * f_pair[..., 2]),
-        w * jnp.sum(dx * f_pair[..., 1]),
-        w * jnp.sum(dx * f_pair[..., 2]),
-        w * jnp.sum(dy * f_pair[..., 2]),
+        jnp.sum(xw[:, 0] * fm[:, 0]),
+        jnp.sum(xw[:, 1] * fm[:, 1]),
+        jnp.sum(xw[:, 2] * fm[:, 2]),
+        jnp.sum(xw[:, 0] * fm[:, 1]),
+        jnp.sum(xw[:, 0] * fm[:, 2]),
+        jnp.sum(xw[:, 1] * fm[:, 2]),
     ]).astype(dtype)
     return f, u_polar, virial

@@ -489,9 +489,22 @@ def build_sharded_polar_step(
                     (jnp.zeros((nloc, 3), dtype), jnp.zeros((), dtype),
                      jnp.zeros((), dtype), jnp.zeros((6,), dtype)),
                     (xf, qf, molf, af, mf, muf))
-                fpol, u_ef, u_dd, vpol = dacc
+                fpol, u_ef, u_dd, _vpol_pairwise = dacc
                 f = f + fpol
-                vir = vir + vpol
+                # polar virial as F.r over wrapped coords (the reference's
+                # virial_fdotr_compute path, pair.cpp:810-816 + :1495 — see
+                # ops/polarization.py dipole_forces_energy): sum of the
+                # local row-block's x_wrapped (x) f_polar, psummed below.
+                # Boxes here are origin-based (bind_box passes lengths only).
+                xw = x - jnp.floor(x / L) * L
+                vir = vir + jnp.stack([
+                    jnp.sum(xw[:, 0] * fpol[:, 0]),
+                    jnp.sum(xw[:, 1] * fpol[:, 1]),
+                    jnp.sum(xw[:, 2] * fpol[:, 2]),
+                    jnp.sum(xw[:, 0] * fpol[:, 1]),
+                    jnp.sum(xw[:, 0] * fpol[:, 2]),
+                    jnp.sum(xw[:, 1] * fpol[:, 2]),
+                ])
                 u_self = 0.5 * jnp.sum(jnp.where(
                     alpha != 0.0,
                     jnp.sum(mu_new * mu_new, axis=1)

@@ -567,7 +567,21 @@ class Simulation:
                         "fix adapt requires an equal-style ramp() variable")
                 adapt_cfg = ramps[vname]
 
+        # reference-stored-coordinate shift for the polar fdotr virial:
+        # read_data remaps atoms into the box (setting image flags); the
+        # pair virial then comes from virial_fdotr_compute over those stored
+        # positions, re-wrapped only at reneighbor (Domain::pbc).  Our x
+        # drifts unwrapped (rigid path), so the remap captured at run start
+        # is the exact stored-coordinate offset for the golden windows.
+        polar_xshift = None
+        if pol is not None:
+            L0 = script.box_hi - script.box_lo
+            x0 = script.x
+            polar_xshift = jnp.asarray(_padA(
+                -np.floor((x0 - script.box_lo) / L0) * L0), dtype)
+
         ff = ForceField(pair=None if eamp is not None else pair,
+                        polar_xshift=polar_xshift,
                         ewald=ew, polar=pol, sp_code=sp_code,
                         bond=bondp, angle=anglep, dihedral=dihedralp,
                         improper=improperp,

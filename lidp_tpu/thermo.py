@@ -66,6 +66,7 @@ def ke_total(sys: System, tp: ThermoParams):
     return 0.5 * msum * tp.mvv2e
 
 
+@jax.jit
 def temperature(sys: System, tp: ThermoParams):
     return 2.0 * ke_total(sys, tp) / (tp.dof * tp.boltz)
 
@@ -89,7 +90,29 @@ def thermo_row(sys: System, res: ForceResult, tp: ThermoParams,
 
     extra_virial: fix contributions (e.g. rigid constraint virial) added to
     the pair/kspace virial for the pressure, as in Modify's virial hooks.
+
+    Compiled as ONE jitted function: evaluated eagerly, the ~30 scalar ops
+    here each pay a first-time op-by-op XLA compile (~0.2 s on CPU, ~0.4 s
+    through the axon tunnel — measured 145 s of a 150 s `run 0` on the EAM
+    bench, the BENCH_r02 "compile timeout" root cause).
     """
+    if extra_virial is None:
+        return _thermo_row_jit(sys, res, tp)
+    return _thermo_row_extra_jit(sys, res, tp, extra_virial)
+
+
+@jax.jit
+def _thermo_row_jit(sys, res, tp):
+    return _thermo_row_impl(sys, res, tp, None)
+
+
+@jax.jit
+def _thermo_row_extra_jit(sys, res, tp, extra_virial):
+    return _thermo_row_impl(sys, res, tp, extra_virial)
+
+
+def _thermo_row_impl(sys: System, res: ForceResult, tp: ThermoParams,
+                     extra_virial) -> dict:
     ke = ke_total(sys, tp)
     pe = res.pe
     virial = res.virial if extra_virial is None else res.virial + extra_virial

@@ -12,13 +12,20 @@ import sys
 
 import jax
 
+# This is a NUMERICAL comparison (algorithm f32-vs-f64 error), not a perf
+# measurement — run it on the host CPU: f64 through the axon tunnel pays a
+# multi-minute remote compile (the BENCH_r02 "timeout" null), while CPU
+# finishes in seconds and elementwise f32/f64 arithmetic is IEEE on both.
+if "--tpu" not in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
 import numpy as np
 
 from lidp_tpu.models import polar_bench
 
-natoms = int(sys.argv[1]) if len(sys.argv) > 1 else 1324
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+natoms = int(args[0]) if args else 1324
 
 out = {}
 for tag, dtype, prec in (("f64", jnp.float64, 1e-11),

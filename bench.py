@@ -39,10 +39,12 @@ FLOPS_PER_PAIR_USEFUL = 23  # the classic LAMMPS per-neighbor-pair count
 
 
 def _lj_flops_per_step(melt):
-    """Analytic FLOP count of one cell-kernel force evaluation."""
+    """Analytic FLOP count of one slot-kernel force evaluation."""
     cfg = melt.runner.neighbor_cfg
     ncells = cfg.nbins[0] * cfg.nbins[1] * cfg.nbins[2]
-    slot_pairs = ncells * 14 * cfg.cap * cfg.cap  # 13 half offsets + self
+    # the fused kernel pads the candidate lane axis to a 128 multiple
+    K_pad = -(-(14 * cfg.cap) // 128) * 128
+    slot_pairs = ncells * cfg.cap * K_pad
     kernel = slot_pairs * FLOPS_PER_PAIR_SLOT
     # pairs within cutoff 2.5 at rho=0.8442: (2*pi/3)*rho*rc^3 per atom
     import math
@@ -57,7 +59,7 @@ def main():
     from lidp_tpu.models import lj_melt
     from lidp_tpu.thermo import thermo_row
 
-    melt = lj_melt.build(scale=1, dtype=jnp.float32, neighbor="cells")
+    melt = lj_melt.build(scale=1, dtype=jnp.float32, neighbor="slots")
     sys_, res, nlist, istate = melt.runner.setup(melt.system)
     if bool(nlist.overflow):
         print(json.dumps({"error": "neighbor overflow"}))

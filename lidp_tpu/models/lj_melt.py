@@ -61,7 +61,7 @@ def build(scale: int = 1, dtype=jnp.float64, *,
     if neighbor == "list":
         ncfg = NeighborConfig.for_box(hi, 2.5 + u.skin, bin_cap=bin_cap,
                                       max_neighbors=max_neighbors)
-    elif neighbor == "cells":
+    elif neighbor in ("cells", "slots"):
         from lidp_tpu.ops.cells import CellConfig
         # slack 1.5 (cap 40 at this density) measured 1.2x faster than the
         # default 2.0 (cap 56); slack 1.25 (cap 32) overflows under the
@@ -70,8 +70,16 @@ def build(scale: int = 1, dtype=jnp.float64, *,
         ncfg = CellConfig.for_box(hi, 2.5 + u.skin, density=rho,
                                   cap_slack=1.5)
 
+    tp = ThermoParams.create(np.ones(n), dof=3 * n - 3, units=u, norm=True, natoms=n)
+    if neighbor == "slots":
+        # zero-gather slot-space runner + v3 Pallas kernel (TPU hot path)
+        from lidp_tpu.integrate.slot_runner import SlotRunner
+
+        runner = SlotRunner(ff=ff, neighbor_cfg=ncfg, dt=u.dt,
+                            ftm2v=u.ftm2v, n=n, rebuild_every=20)
+        return LJMelt(system=sys, runner=runner, thermo=tp, natoms=n)
+
     nvep = nve.NVEParams.create(u.dt, u.ftm2v, np.ones(n), dtype=dtype)
     runner = Runner(ff=ff, integ=nve_integrator(nvep, compensated=compensated),
                     neighbor_cfg=ncfg, rebuild_every=20)
-    tp = ThermoParams.create(np.ones(n), dof=3 * n - 3, units=u, norm=True, natoms=n)
     return LJMelt(system=sys, runner=runner, thermo=tp, natoms=n)

@@ -419,25 +419,62 @@ def build_sharded_polar_step(
                 # phases span tens of radians, so 0.4% rounding of x would put
                 # O(0.1 rad) errors into every structure factor
                 hp = jax.lax.Precision.HIGHEST
-                phases = jnp.dot(x, ew.hvecs.T.astype(dtype), precision=hp)
-                cph, sph = jnp.cos(phases), jnp.sin(phases)
-                sre = _preduce(jnp.dot(q, cph, precision=hp))
-                sim = _preduce(jnp.dot(q, sph, precision=hp))
-                sk2 = sre * sre + sim * sim
                 c0 = 4.0 * jnp.pi * ew.qscale / volume
                 eself = (ew.qsqsum * ew.qscale * ew.g_ewald / jnp.sqrt(jnp.pi)
                          + 0.5 * jnp.pi * ew.qscale / (ew.g_ewald**2 * volume)
                          * ew.qsum * ew.qsum)
-                elong = c0 * jnp.sum(ew.kcoeff * sk2) - eself
-                w1 = ew.kcoeff * sre * 2.0 * c0
-                w2 = ew.kcoeff * sim * 2.0 * c0
-                f = f + jnp.dot(sph * w1[None, :] - cph * w2[None, :],
-                                ew.hvecs.astype(dtype),
-                                precision=hp) * q[:, None]
+                hv_full = ew.hvecs.astype(dtype)
+                kc_full = ew.kcoeff.astype(dtype)
+                kv_full = ew.kvirial.astype(dtype)
+
+                def kblock(hv, kc, kv):
+                    """per-k-block energy/forces/virial (terms independent
+                    per k; see ops/ewald.py _ewald_kblock)."""
+                    phases = jnp.dot(x, hv.T, precision=hp)
+                    cph, sph = jnp.cos(phases), jnp.sin(phases)
+                    sre = _preduce(jnp.dot(q, cph, precision=hp))
+                    sim = _preduce(jnp.dot(q, sph, precision=hp))
+                    sk2 = sre * sre + sim * sim
+                    e = c0 * jnp.sum(kc * sk2)
+                    w1 = kc * sre * 2.0 * c0
+                    w2 = kc * sim * 2.0 * c0
+                    fk = jnp.dot(sph * w1[None, :] - cph * w2[None, :],
+                                 hv, precision=hp) * q[:, None]
+                    vk = c0 * jnp.dot(sk2, kv, precision=hp)
+                    return fk, e, vk
+
+                Kk = hv_full.shape[0]
+                nloc_ = x.shape[0]
+                if nloc_ * Kk <= 64_000_000:
+                    fk, e_k, vk = kblock(hv_full, kc_full, kv_full)
+                else:
+                    # (nloc, K) working set too big for HBM (f64 emulation
+                    # materializes an (8,N,K) f32 intermediate, 36 GB at
+                    # 100k f64 atoms): scan k-blocks with bounded memory
+                    kb = max(128, 64_000_000 // max(nloc_, 1))
+                    nck = -(-Kk // kb)
+                    padk = nck * kb - Kk
+                    hvb = jnp.pad(hv_full, ((0, padk), (0, 0))
+                                  ).reshape(nck, kb, 3)
+                    kcb = jnp.pad(kc_full, (0, padk)).reshape(nck, kb)
+                    kvb = jnp.pad(kv_full, ((0, padk), (0, 0))
+                                  ).reshape(nck, kb, 6)
+
+                    def kbody(acc, blk):
+                        fa, ea, va = acc
+                        fb, eb, vb = kblock(*blk)
+                        return (fa + fb, ea + eb, va + vb), None
+
+                    (fk, e_k, vk), _ = jax.lax.scan(
+                        kbody,
+                        (jnp.zeros((nloc_, 3), dtype), jnp.zeros((), dtype),
+                         jnp.zeros((6,), dtype)),
+                        (hvb, kcb, kvb))
+                elong = e_k - eself
+                f = f + fk
                 # replicated k-space virial (per-k terms only, no self/bg —
                 # ewald.cpp:466-474): add on one device only so the closing
                 # psum counts it once
-                vk = c0 * jnp.dot(sk2, ew.kvirial.astype(dtype), precision=hp)
                 vir = vir + jnp.where(_axidx() == 0, vk, 0.0)
 
             epol = jnp.zeros((), dtype)

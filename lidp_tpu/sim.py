@@ -615,553 +615,27 @@ class Simulation:
         rattle_params = None
         pending_temp_fix = None
         shake_dof_removed = 0
-        integrator_fixes = [f for f in script.fixes.values()
-                            if f.style not in ("langevin", "shake",
-                                               "rattle", "addforce",
-                                               "aveforce", "spring/self",
-                                               "viscous", "efield",
-                                               "momentum", "recenter",
-                                               "halt", "neb", "adapt",
-                                               "deform", "wall/reflect",
-                                               "wall/lj93", "planeforce",
-                                               "lineforce", "indent",
-                                               "print", "ave/time",
-                                               "temp/rescale",
-                                               "temp/berendsen",
-                                               "enforce2d", "setforce")]
-        if len(integrator_fixes) > 1:
-            raise NotImplementedError("multiple simultaneous integrator fixes")
-        for spec in script.fixes.values():
-            if spec.style in ("shake", "rattle"):
-                from lidp_tpu.ops import shake as shake_mod
+        from lidp_tpu.styles import FixBuildCtx, build_fixes
 
-                if shake_found is not None:
-                    shakep = shake_mod.build_shake_params(
-                        npad, script.dt, u.ftm2v, mass_atom, shake_found,
-                        tolerance=shake_cfg[0], max_iter=shake_cfg[1],
-                        dtype=dtype)
-                    # setup variant: dtfsq/2 for the first (half-kick) step
-                    # (fix_shake.cpp:2734-2741)
-                    shakep_half = dataclasses.replace(
-                        shakep, dtfsq=shakep.dtfsq * 0.5)
-                    # correct_coordinates (:2769): project the data-file
-                    # geometry onto the constraint manifold once (v=f=0)
-                    zsys = sys.replace(v=jnp.zeros_like(sys.v))
-                    fc, _ = shake_mod.shake_post_force(
-                        zsys, jnp.zeros_like(sys.x), shakep_half)
-                    dx = (np.asarray(shakep_half.dtfsq)
-                          * np.asarray(shakep_half.invmass)[:, None]
-                          * np.asarray(fc))
-                    sys = sys.replace(x=sys.x + jnp.asarray(dx, dtype))
-                    dof_removed += shakep.nconstraints
-                    shake_dof_removed = shakep.nconstraints
-                    _at = np.asarray(shakep.atoms)
-                    _cp = np.asarray(shakep.cpairs)
-                    _cm = np.asarray(shakep.cmask)
-                    _pa = np.take_along_axis(
-                        np.maximum(_at, 0), np.maximum(_cp[:, :, 0], 0), 1)
-                    _qa = np.take_along_axis(
-                        np.maximum(_at, 0), np.maximum(_cp[:, :, 1], 0), 1)
-                    dof_removals.append(
-                        ("pairs", (_pa[_cm], _qa[_cm])))
-                    pf_hooks.append(
-                        lambda sys_, f_, _p=shakep:
-                        shake_mod.shake_post_force(sys_, f_, _p))
-                    pf_hooks_setup.append(
-                        lambda sys_, f_, _p=shakep_half:
-                        shake_mod.shake_post_force(sys_, f_, _p))
-                    if spec.style == "rattle":
-                        # velocity-stage constraint after final_integrate
-                        # (FixRattle::final_integrate -> vrattle*)
-                        rattle_params = shakep
-                continue
-            if spec.style == "setforce":
-                # fix_setforce.cpp: overwrite force components on the group
-                # each step (NULL keeps the computed component)
-                gm_sf = jnp.asarray(groups[spec.group])[:, None]
-                vals = [None if t == "NULL" else float(t)
-                        for t in spec.args[:3]]
-                keep = jnp.asarray([v is None for v in vals])
-                tgt_f = jnp.asarray([0.0 if v is None else v for v in vals],
-                                    dtype)
-
-                def _setforce_pf(sys_, f_, _g=gm_sf, _k=keep, _t=tgt_f):
-                    f2 = jnp.where(_g & ~_k[None, :], _t[None, :], f_)
-                    return f2, jnp.zeros(6, f_.dtype)
-
-                pf_hooks.append(_setforce_pf)
-                pf_hooks_setup.append(_setforce_pf)
-                continue
-            if spec.style == "enforce2d":
-                # fix_enforce2d.cpp: zero z force (z velocity stays 0)
-                def _e2d_pf(sys_, f_):
-                    return (f_ * jnp.array([1.0, 1.0, 0.0], f_.dtype),
-                            jnp.zeros(6, f_.dtype))
-
-                pf_hooks.append(_e2d_pf)
-                pf_hooks_setup.append(_e2d_pf)
-                continue
-            if spec.style in ("temp/rescale", "temp/berendsen"):
-                pending_temp_fix = spec
-                continue
-            if spec.style == "langevin":
-                # FixLangevin::post_force (fix_langevin.cpp): friction + noise
-                t_l, _t2, damp_l, seed_l = (float(spec.args[0]),
-                                            float(spec.args[1]),
-                                            float(spec.args[2]),
-                                            int(spec.args[3]))
-                gmask_l = jnp.asarray(groups[spec.group])
-                m_l = jnp.asarray(mass_atom, dtype)
-                gamma1 = -m_l / damp_l / u.ftm2v
-                gamma2 = jnp.sqrt(24.0 * u.boltz * t_l * m_l
-                                  / (damp_l * script.dt * u.mvv2e)) / u.ftm2v
-                seed_arr = jnp.asarray(seed_l, jnp.uint32)
-
-                def _langevin_pf(sys, f, _g1=gamma1, _g2=gamma2,
-                                 _gm=gmask_l, _seed=seed_arr):
-                    import jax as _jax
-
-                    key = _jax.random.fold_in(
-                        _jax.random.PRNGKey(_seed), sys.step)
-                    u01 = _jax.random.uniform(key, sys.v.shape,
-                                              dtype=sys.v.dtype)
-                    fl = _g1[:, None] * sys.v + _g2[:, None] * (u01 - 0.5)
-                    f2 = f + jnp.where((_gm & sys.mask)[:, None], fl, 0.0)
-                    return f2, jnp.zeros(6, f.dtype)
-
-                pf_hooks.append(_langevin_pf)
-                pf_hooks_setup.append(_langevin_pf)
-                continue
-            if spec.style == "addforce":
-                # fix addforce (fix_addforce.cpp): constant extra force
-                gm_af = jnp.asarray(groups[spec.group])[:, None]
-                fadd = jnp.asarray([float(v) for v in spec.args[:3]], dtype)
-
-                def _addforce_pf(sys_, f_, _g=gm_af, _fa=fadd):
-                    f2 = f_ + jnp.where(_g & sys_.mask[:, None],
-                                        _fa[None, :], 0.0)
-                    return f2, jnp.zeros(6, f_.dtype)
-
-                pf_hooks.append(_addforce_pf)
-                pf_hooks_setup.append(_addforce_pf)
-                continue
-            if spec.style == "aveforce":
-                # fix aveforce (fix_aveforce.cpp): set each non-NULL
-                # component to the group-average force plus the given value
-                gm_av = jnp.asarray(groups[spec.group])
-                vals_av = [None if t == "NULL" else float(t)
-                           for t in spec.args[:3]]
-                keep_av = jnp.asarray([v is None for v in vals_av])
-                add_av = jnp.asarray([0.0 if v is None else v
-                                      for v in vals_av], dtype)
-                ng_av = jnp.asarray(
-                    max(1, int(np.count_nonzero(
-                        script.groups[spec.group]))), dtype)
-
-                def _aveforce_pf(sys_, f_, _g=gm_av, _k=keep_av, _a=add_av,
-                                 _n=ng_av):
-                    m = (_g & sys_.mask)[:, None]
-                    favg = jnp.sum(jnp.where(m, f_, 0.0), axis=0) / _n
-                    f2 = jnp.where(m & ~_k[None, :],
-                                   (favg + _a)[None, :], f_)
-                    return f2, jnp.zeros(6, f_.dtype)
-
-                pf_hooks.append(_aveforce_pf)
-                pf_hooks_setup.append(_aveforce_pf)
-                continue
-            if spec.style == "spring/self":
-                # fix spring/self K: per-atom tether to the unwrapped
-                # position at fix definition (fix_spring_self.cpp:151)
-                k_ss = float(spec.args[0])
-                gm_ss = jnp.asarray(groups[spec.group])[:, None]
-                x0_ss = jnp.asarray(
-                    _padA(script.x + script.image
-                          * (script.box_hi - script.box_lo)), dtype)
-
-                def _springself_pf(sys_, f_, _g=gm_ss, _k=k_ss, _x0=x0_ss):
-                    from lidp_tpu.box import unwrap as _unwrap
-
-                    xu = _unwrap(sys_.x, sys_.box, sys_.image)
-                    f2 = f_ - jnp.where(_g & sys_.mask[:, None],
-                                        _k * (xu - _x0), 0.0)
-                    return f2, jnp.zeros(6, f_.dtype)
-
-                pf_hooks.append(_springself_pf)
-                pf_hooks_setup.append(_springself_pf)
-                continue
-            if spec.style == "viscous":
-                # fix viscous gamma: f -= gamma * v (fix_viscous.cpp)
-                g_v = float(spec.args[0])
-                gm_v = jnp.asarray(groups[spec.group])[:, None]
-
-                def _viscous_pf(sys_, f_, _g=gm_v, _gam=g_v):
-                    f2 = f_ - jnp.where(_g & sys_.mask[:, None],
-                                        _gam * sys_.v, 0.0)
-                    return f2, jnp.zeros(6, f_.dtype)
-
-                pf_hooks.append(_viscous_pf)
-                pf_hooks_setup.append(_viscous_pf)
-                continue
-            if spec.style == "efield":
-                # fix efield ex ey ez: f += qe2f * q * E (fix_efield.cpp)
-                e_f = jnp.asarray([float(v) for v in spec.args[:3]], dtype)
-                gm_e = jnp.asarray(groups[spec.group])[:, None]
-                qe2f = jnp.asarray(u.qe2f, dtype)
-
-                def _efield_pf(sys_, f_, _g=gm_e, _e=e_f, _c=qe2f):
-                    f2 = f_ + jnp.where(
-                        _g & sys_.mask[:, None],
-                        (_c * sys_.q)[:, None] * _e[None, :], 0.0)
-                    return f2, jnp.zeros(6, f_.dtype)
-
-                pf_hooks.append(_efield_pf)
-                pf_hooks_setup.append(_efield_pf)
-                continue
-            if spec.style == "momentum":
-                # fix momentum N linear x y z (fix_momentum.cpp:95): zero
-                # the selected vcm components of the group every N steps
-                nev_m = int(spec.args[0])
-                dims_m = [1.0, 1.0, 1.0]
-                if "linear" in spec.args:
-                    li = list(spec.args).index("linear")
-                    dims_m = [float(spec.args[li + 1 + d]) for d in range(3)]
-                gm_m = jnp.asarray(groups[spec.group])
-                m_m = jnp.asarray(mass_atom, dtype)
-                dsel = jnp.asarray(dims_m, dtype)
-
-                def _momentum_eos(sys_, _g=gm_m, _m=m_m, _d=dsel,
-                                  _n=nev_m):
-                    sel = (_g & sys_.mask)
-                    msel = jnp.where(sel, _m, 0.0)
-                    vcm = (jnp.sum(msel[:, None] * sys_.v, axis=0)
-                           / jnp.sum(msel))
-                    apply = (sys_.step % _n) == 0
-                    dv = jnp.where(apply, vcm * _d, 0.0)
-                    v2 = sys_.v - jnp.where(sel[:, None], dv[None, :], 0.0)
-                    return sys_.replace(v=v2)
-
-                eos_hooks.append(_momentum_eos)
-                continue
-            if spec.style == "recenter":
-                # fix recenter x y z (fix_recenter.cpp): shift the group so
-                # its COM returns to the target (INIT = COM at definition)
-                gm_r = script.groups[spec.group]
-                m_r = np.asarray(mass_atom[:npad])
-                xu0 = script.x + script.image * (script.box_hi
-                                                 - script.box_lo)
-                com0 = ((m_r[:n][gm_r][:, None] * xu0[gm_r]).sum(0)
-                        / m_r[:n][gm_r].sum())
-                tgt = []
-                for d, tok in enumerate(spec.args[:3]):
-                    tgt.append(com0[d] if tok in ("INIT", "NULL")
-                               else float(tok))
-                gm_rj = jnp.asarray(groups[spec.group])
-                m_rj = jnp.asarray(mass_atom, dtype)
-                tgt_j = jnp.asarray(tgt, dtype)
-                keep_r = jnp.asarray([tok == "NULL"
-                                      for tok in spec.args[:3]])
-
-                def _recenter_eos(sys_, _g=gm_rj, _m=m_rj, _t=tgt_j,
-                                  _k=keep_r):
-                    from lidp_tpu.box import unwrap as _unwrap
-
-                    sel = (_g & sys_.mask)
-                    msel = jnp.where(sel, _m, 0.0)
-                    xu = _unwrap(sys_.x, sys_.box, sys_.image)
-                    com = (jnp.sum(msel[:, None] * xu, axis=0)
-                           / jnp.sum(msel))
-                    shift = jnp.where(_k, 0.0, _t - com)
-                    x2 = sys_.x + jnp.where(sel[:, None], shift[None, :],
-                                            0.0)
-                    return sys_.replace(x=x2)
-
-                eos_hooks.append(_recenter_eos)
-                continue
-            if spec.style == "neb":
-                continue   # consumed by the neb command (replica.neb_run)
-            if spec.style == "adapt":
-                continue   # applied to the ForceField below
-            if spec.style == "deform":
-                deform_fix = spec
-                continue
-            if spec.style == "wall/reflect":
-                # FixWallReflect::post_integrate (:188): reflect positions
-                # across the wall and flip the velocity component
-                walls_r = []
-                a_w = spec.args
-                i_w = 0
-                while i_w < len(a_w):
-                    face = a_w[i_w]
-                    if face in ("xlo", "xhi", "ylo", "yhi", "zlo", "zhi"):
-                        walls_r.append(("xyz".index(face[0]),
-                                        +1 if face.endswith("lo") else -1,
-                                        float(a_w[i_w + 1])))
-                        i_w += 2
-                    else:
-                        i_w += 1
-                gm_w = jnp.asarray(groups[spec.group])
-
-                def _wallreflect_pi(sys_, _w=tuple(walls_r), _g=gm_w):
-                    x_, v_ = sys_.x, sys_.v
-                    for d, sgn, coord in _w:
-                        past = ((x_[:, d] - coord) * sgn < 0) & _g & sys_.mask
-                        x_ = x_.at[:, d].set(
-                            jnp.where(past, 2.0 * coord - x_[:, d],
-                                      x_[:, d]))
-                        v_ = v_.at[:, d].set(
-                            jnp.where(past, -v_[:, d], v_[:, d]))
-                    return sys_.replace(x=x_, v=v_)
-
-                pi_hooks.append(_wallreflect_pi)
-                continue
-            if spec.style == "wall/lj93":
-                # FixWallLJ93 (fix_wall_lj93.cpp:32-42 precompute + wall
-                # force): E = eps(2/15 (s/d)^9 - (s/d)^3) - offset
-                walls_l = []
-                a_w = spec.args
-                i_w = 0
-                while i_w < len(a_w):
-                    face = a_w[i_w]
-                    if face in ("xlo", "xhi", "ylo", "yhi", "zlo", "zhi"):
-                        walls_l.append(("xyz".index(face[0]),
-                                        +1 if face.endswith("lo") else -1,
-                                        float(a_w[i_w + 1]),
-                                        float(a_w[i_w + 2]),
-                                        float(a_w[i_w + 3]),
-                                        float(a_w[i_w + 4])))
-                        i_w += 5
-                    else:
-                        i_w += 1
-                gm_w2 = jnp.asarray(groups[spec.group])
-
-                def _walllj_pf(sys_, f_, _w=tuple(walls_l), _g=gm_w2):
-                    for d, sgn, coord, epsw, sigw, cutw in _w:
-                        c1 = 6.0 / 5.0 * epsw * sigw**9
-                        c2 = 3.0 * epsw * sigw**3
-                        delta = (sys_.x[:, d] - coord) * sgn
-                        act = (_g & sys_.mask & (delta > 0)
-                               & (delta < cutw))
-                        dsafe = jnp.where(act, delta, 1.0)
-                        rinv = 1.0 / dsafe
-                        r4 = rinv**4
-                        r10 = r4 * r4 * rinv * rinv
-                        fw = jnp.where(act, c1 * r10 - c2 * r4, 0.0) * sgn
-                        f_ = f_.at[:, d].add(fw)
-                    return f_, jnp.zeros(6, f_.dtype)
-
-                pf_hooks.append(_walllj_pf)
-                pf_hooks_setup.append(_walllj_pf)
-                continue
-            if spec.style in ("planeforce", "lineforce"):
-                # project forces onto a plane / line (fix_planeforce.cpp)
-                nvec = np.array([float(v) for v in spec.args[:3]])
-                nvec /= np.linalg.norm(nvec)
-                nj = jnp.asarray(nvec, dtype)
-                gm_p = jnp.asarray(groups[spec.group])[:, None]
-                keepline = spec.style == "lineforce"
-
-                def _proj_pf(sys_, f_, _n=nj, _g=gm_p, _line=keepline):
-                    fn = (f_ @ _n)[:, None] * _n[None, :]
-                    f2 = fn if _line else f_ - fn
-                    return jnp.where(_g & sys_.mask[:, None], f2, f_), \
-                        jnp.zeros(6, f_.dtype)
-
-                pf_hooks.append(_proj_pf)
-                pf_hooks_setup.append(_proj_pf)
-                continue
-            if spec.style in ("print", "ave/time"):
-                continue   # host-side, handled at chunk boundaries in run()
-            if spec.style == "indent":
-                # fix indent K sphere x y z R (fix_indent.cpp): repulsive
-                # F = -K (r - R)^2 on atoms inside the indenter, pushing
-                # outward along r-hat; coords/R in lattice units
-                a_i = spec.args
-                k_ind = float(a_i[0])
-                assert a_i[1] == "sphere", "fix indent supports sphere"
-                s3_i = np.asarray(getattr(script, "lattice_spacing3",
-                                          np.full(3, script.lattice_spacing
-                                                  or 1.0)), float)
-                ctr_i = jnp.asarray(
-                    [float(a_i[2]) * s3_i[0], float(a_i[3]) * s3_i[1],
-                     float(a_i[4]) * s3_i[2]], dtype)
-                rad_i = float(a_i[5]) * float(s3_i[0])
-                gm_i = jnp.asarray(groups[spec.group])
-
-                def _indent_pf(sys_, f_, _c=ctr_i, _R=rad_i, _k=k_ind,
-                               _g=gm_i):
-                    d = sys_.x - _c[None, :]
-                    r = jnp.sqrt(jnp.sum(d * d, axis=1))
-                    inside = (r < _R) & _g & sys_.mask & (r > 1e-10)
-                    dr = r - _R
-                    fmag = jnp.where(inside, -_k * dr * dr / jnp.where(
-                        r > 1e-10, r, 1.0), 0.0)
-                    # dr < 0 inside: force points along -dr * rhat = outward
-                    f2 = f_ - fmag[:, None] * d
-                    return f2, jnp.zeros(6, f_.dtype)
-
-                pf_hooks.append(_indent_pf)
-                pf_hooks_setup.append(_indent_pf)
-                continue
-            if spec.style == "halt":
-                # fix halt N attribute op value [error|break|continue] —
-                # host-side conditional stop at chunk boundaries
-                # (fix_halt.cpp:146)
-                halt_spec = (int(spec.args[0]), spec.args[1], spec.args[2],
-                             float(spec.args[3]),
-                             spec.args[4] if len(spec.args) > 4 else "break")
-                continue
-            gmask = groups[spec.group]
-            gmask_real = script.groups[spec.group]
-            if spec.style == "nve":
-                # sub-group nve: only the fix group integrates (atoms
-                # outside any time-integration fix do not move)
-                nvep = nve_mod.NVEParams.create(
-                    script.dt, u.ftm2v, mass_atom, dtype=dtype,
-                    gmask=None if gmask_real.all() else gmask)
-                integ = nve_integrator(nvep)
-                if not gmask_real.all():
-                    # frozen atoms keep their dof out of the temperature
-                    dof_removed += dim_ * int((~gmask_real).sum())
-                    dof_removals.append(("atoms", ~gmask_real, dim_))
-            elif spec.style == "nvt":
-                from lidp_tpu.integrate import nvt as nvt_mod
-                from lidp_tpu.integrate.driver import Integrator
-
-                a = spec.args
-                kw = dict(t_chain=3)
-                i = 0
-                while i < len(a):
-                    if a[i] == "temp":
-                        t_start_, t_stop_, t_damp = (float(a[i + 1]),
-                                                     float(a[i + 2]),
-                                                     float(a[i + 3]))
-                        i += 4
-                    elif a[i] == "tchain":
-                        kw["t_chain"] = int(a[i + 1]); i += 2
-                    else:
-                        i += 1
-                if not gmask_real.all():
-                    raise NotImplementedError("fix nvt on sub-group")
-                nvtp = nvt_mod.NVTParams.create(
-                    script.dt, u.ftm2v, mass_atom, t_start_, t_damp,
-                    dof=dim_ * n - dim_, boltz=u.boltz, mvv2e=u.mvv2e,
-                    t_stop=t_stop_, dtype=dtype, **kw)
-                integ = Integrator(
-                    initial=lambda s_, r_, p_, st_: nvt_mod.initial_integrate(
-                        s_, r_.f, p_, st_),
-                    final=lambda s_, r_, p_, st_: nvt_mod.final_integrate(
-                        s_, r_.f, p_, st_),
-                    params=nvtp,
-                    init_state=lambda s_, f_, p_: nvt_mod.init_state(s_, f_, p_))
-            elif spec.style in ("npt", "nph"):
-                from lidp_tpu.integrate import npt as npt_mod
-                from lidp_tpu.integrate.driver import Integrator
-
-                # pppm under a barostat: grid size stays fixed (as the
-                # reference's setup() does) and every box-dependent
-                # coefficient (Green's function, ik factors, virial terms)
-                # is recomputed in-jit from the live box each call
-                # (ops/pppm.py pppm_forces), matching fix_nh.cpp:877's
-                # kspace->setup() on box change
-                if not gmask_real.all():
-                    raise NotImplementedError("fix npt on sub-group")
-                a = spec.args
-                tgt = dict(t=None, tdamp=None, mtk=True, tchain=3, pchain=3,
-                           iso=False, p=[None] * 3, pdamp=[1000.0] * 3,
-                           t_stop=None, p_stop=[None] * 3)
-                i = 0
-                while i < len(a):
-                    k = a[i]
-                    if k == "temp":
-                        tgt["t"], tgt["tdamp"] = float(a[i + 1]), float(a[i + 3])
-                        tgt["t_stop"] = float(a[i + 2])
-                        i += 4
-                    elif k in ("iso", "aniso"):
-                        tgt["iso"] = k == "iso"
-                        tgt["p"] = [float(a[i + 1])] * 3
-                        tgt["p_stop"] = [float(a[i + 2])] * 3
-                        tgt["pdamp"] = [float(a[i + 3])] * 3
-                        i += 4
-                    elif k in ("x", "y", "z"):
-                        d = "xyz".index(k)
-                        tgt["p"][d] = float(a[i + 1])
-                        tgt["p_stop"][d] = float(a[i + 2])
-                        tgt["pdamp"][d] = float(a[i + 3])
-                        i += 4
-                    elif k == "mtk":
-                        tgt["mtk"] = a[i + 1] == "yes"; i += 2
-                    elif k == "tchain":
-                        tgt["tchain"] = int(a[i + 1]); i += 2
-                    elif k == "pchain":
-                        tgt["pchain"] = int(a[i + 1]); i += 2
-                    else:
-                        i += 2
-                p_flag = tuple(v is not None for v in tgt["p"])
-                if not any(p_flag):
-                    raise ValueError("fix npt needs a pressure keyword")
-                had_temp = tgt["t"] is not None
-                if tgt["t"] is None:
-                    # nph: barostat masses use t_target = t0, the current
-                    # temperature, floored at 1.0 (lj) / 300 (fix_nh.cpp
-                    # setup t0 fallback)
-                    ke = float(np.sum(mass_atom * np.sum(
-                        np.asarray(script.v)**2, axis=1))) * u.mvv2e
-                    t0 = ke / ((dim_ * n - dim_) * u.boltz)
-                    tgt["t"] = t0 if t0 > 0 else (1.0 if u.name == "lj"
-                                                  else 300.0)
-                nptp = npt_mod.NPTParams.create(
-                    script.dt, u.ftm2v, mass_atom,
-                    tgt["t"],
-                    tgt["tdamp"] if tgt["tdamp"] is not None else 1.0,
-                    [v if v is not None else 0.0 for v in tgt["p"]],
-                    tgt["pdamp"], natoms=n, dof=dim_ * n - dim_, boltz=u.boltz,
-                    mvv2e=u.mvv2e, nktv2p=u.nktv2p, tchain=tgt["tchain"],
-                    pchain=tgt["pchain"], mtk=tgt["mtk"],
-                    tstat=spec.style == "npt" and had_temp,
-                    p_flag=p_flag, iso=tgt["iso"],
-                    t_stop=tgt["t_stop"],
-                    p_stop=[v if v is not None else 0.0
-                            for v in tgt["p_stop"]]
-                    if any(v is not None for v in tgt["p_stop"]) else None,
-                    dtype=dtype)
-                integ = Integrator(
-                    initial=npt_mod.initial_integrate,
-                    final=npt_mod.final_integrate,
-                    params=nptp, init_state=npt_mod.init_state)
-            elif spec.style in ("rigid", "rigid/nve", "rigid/nvt"):
-                x_unwrap = (_padA(script.x)
-                            + _padA(script.image, 0)
-                            * (script.box_hi - script.box_lo))
-                rsetup = rigid_mod.setup_bodies(x_unwrap, mass_atom,
-                                                _padA(script.mol, 0), gmask)
-                kw = {}
-                if spec.style == "rigid/nvt":
-                    a = spec.args
-                    assert a[0] == "molecule"
-                    kw = dict(tstat=True, boltz=u.boltz, mvv2e=u.mvv2e)
-                    i = 1
-                    while i < len(a):
-                        if a[i] == "temp":
-                            kw["t_start"] = float(a[i + 1])
-                            kw["t_stop"] = float(a[i + 2])
-                            kw["t_period"] = float(a[i + 3])
-                            i += 4
-                        elif a[i] == "tparam":
-                            kw["t_chain"] = int(a[i + 1])
-                            kw["t_iter"] = int(a[i + 2])
-                            kw["t_order"] = int(a[i + 3])
-                            i += 4
-                        else:
-                            i += 1
-                rp = rigid_mod.make_rigid_params(rsetup, script.dt, u.ftm2v,
-                                                 mass_atom=mass_atom,
-                                                 dtype=dtype, **kw)
-                integ = rigid_nve_integrator(rp, jnp.asarray(mass_atom, dtype))
-                dof_removed += rsetup.dof_removed
-                dof_removals.append(("rigid", rsetup))
-                rigid_groups.append((spec.group, rsetup))
-            else:
-                raise NotImplementedError(f"fix style {spec.style}")
+        # per-style builders live in lidp_tpu/styles/ (the force.cpp:83-88
+        # macro-registry analog): adding a fix style touches one module
+        fctx = FixBuildCtx(
+            script=script, groups=groups, u=u, dtype=dtype, npad=npad,
+            n=n, mass_atom=mass_atom, dim=dim_, padA=_padA, sys=sys,
+            shake_found=shake_found, shake_cfg=shake_cfg,
+            pf_hooks=pf_hooks, pf_hooks_setup=pf_hooks_setup,
+            pi_hooks=pi_hooks, eos_hooks=eos_hooks,
+            dof_removals=dof_removals, rigid_groups=rigid_groups,
+            dof_removed=dof_removed)
+        build_fixes(fctx)
+        sys = fctx.sys
+        integ = fctx.integ
+        dof_removed = fctx.dof_removed
+        shake_dof_removed = fctx.shake_dof_removed
+        rattle_params = fctx.rattle_params
+        halt_spec = fctx.halt_spec
+        pending_temp_fix = fctx.pending_temp_fix
+        deform_fix = fctx.deform_fix
         if integ is None:
             nvep = nve_mod.NVEParams.create(0.0, u.ftm2v, mass_atom, dtype=dtype)
             integ = nve_integrator(nvep)   # no integration fix: atoms frozen

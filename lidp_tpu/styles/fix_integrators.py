@@ -1,0 +1,180 @@
+"""Time-integration fix styles (the reference's per-style
+initial/final_integrate implementations dispatched through Modify).
+Moved verbatim from Simulation.from_script in the round-3 registry
+refactor; each builder sets ctx.integ.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from lidp_tpu.integrate import nve as nve_mod
+from lidp_tpu.integrate import rigid as rigid_mod
+from lidp_tpu.integrate.driver import (nve_integrator,
+                                       rigid_nve_integrator)
+from lidp_tpu.styles import fix_style
+
+
+@fix_style("nve", integrator=True)
+def build_nve(ctx, spec):
+    # sub-group nve: only the fix group integrates (atoms outside any
+    # time-integration fix do not move)
+    gmask = ctx.groups[spec.group]
+    gmask_real = ctx.script.groups[spec.group]
+    nvep = nve_mod.NVEParams.create(
+        ctx.script.dt, ctx.u.ftm2v, ctx.mass_atom, dtype=ctx.dtype,
+        gmask=None if gmask_real.all() else gmask)
+    ctx.integ = nve_integrator(nvep)
+    if not gmask_real.all():
+        # frozen atoms keep their dof out of the temperature
+        ctx.dof_removed += ctx.dim * int((~gmask_real).sum())
+        ctx.dof_removals.append(("atoms", ~gmask_real, ctx.dim))
+
+
+@fix_style("nvt", integrator=True)
+def build_nvt(ctx, spec):
+    from lidp_tpu.integrate import nvt as nvt_mod
+    from lidp_tpu.integrate.driver import Integrator
+
+    script, u, dtype = ctx.script, ctx.u, ctx.dtype
+    gmask_real = script.groups[spec.group]
+    a = spec.args
+    kw = dict(t_chain=3)
+    i = 0
+    while i < len(a):
+        if a[i] == "temp":
+            t_start_, t_stop_, t_damp = (float(a[i + 1]), float(a[i + 2]),
+                                         float(a[i + 3]))
+            i += 4
+        elif a[i] == "tchain":
+            kw["t_chain"] = int(a[i + 1]); i += 2
+        else:
+            i += 1
+    if not gmask_real.all():
+        raise NotImplementedError("fix nvt on sub-group")
+    nvtp = nvt_mod.NVTParams.create(
+        script.dt, u.ftm2v, ctx.mass_atom, t_start_, t_damp,
+        dof=ctx.dim * ctx.n - ctx.dim, boltz=u.boltz, mvv2e=u.mvv2e,
+        t_stop=t_stop_, dtype=dtype, **kw)
+    ctx.integ = Integrator(
+        initial=lambda s_, r_, p_, st_: nvt_mod.initial_integrate(
+            s_, r_.f, p_, st_),
+        final=lambda s_, r_, p_, st_: nvt_mod.final_integrate(
+            s_, r_.f, p_, st_),
+        params=nvtp,
+        init_state=lambda s_, f_, p_: nvt_mod.init_state(s_, f_, p_))
+
+
+@fix_style("npt", "nph", integrator=True)
+def build_npt(ctx, spec):
+    from lidp_tpu.integrate import npt as npt_mod
+    from lidp_tpu.integrate.driver import Integrator
+
+    script, u, dtype = ctx.script, ctx.u, ctx.dtype
+    dim_, n = ctx.dim, ctx.n
+    gmask_real = script.groups[spec.group]
+    # pppm under a barostat: grid size stays fixed (as the reference's
+    # setup() does) and every box-dependent coefficient (Green's function,
+    # ik factors, virial terms) is recomputed in-jit from the live box
+    # each call (ops/pppm.py pppm_forces), matching fix_nh.cpp:877's
+    # kspace->setup() on box change
+    if not gmask_real.all():
+        raise NotImplementedError("fix npt on sub-group")
+    a = spec.args
+    tgt = dict(t=None, tdamp=None, mtk=True, tchain=3, pchain=3,
+               iso=False, p=[None] * 3, pdamp=[1000.0] * 3,
+               t_stop=None, p_stop=[None] * 3)
+    i = 0
+    while i < len(a):
+        k = a[i]
+        if k == "temp":
+            tgt["t"], tgt["tdamp"] = float(a[i + 1]), float(a[i + 3])
+            tgt["t_stop"] = float(a[i + 2])
+            i += 4
+        elif k in ("iso", "aniso"):
+            tgt["iso"] = k == "iso"
+            tgt["p"] = [float(a[i + 1])] * 3
+            tgt["p_stop"] = [float(a[i + 2])] * 3
+            tgt["pdamp"] = [float(a[i + 3])] * 3
+            i += 4
+        elif k in ("x", "y", "z"):
+            d = "xyz".index(k)
+            tgt["p"][d] = float(a[i + 1])
+            tgt["p_stop"][d] = float(a[i + 2])
+            tgt["pdamp"][d] = float(a[i + 3])
+            i += 4
+        elif k == "mtk":
+            tgt["mtk"] = a[i + 1] == "yes"; i += 2
+        elif k == "tchain":
+            tgt["tchain"] = int(a[i + 1]); i += 2
+        elif k == "pchain":
+            tgt["pchain"] = int(a[i + 1]); i += 2
+        else:
+            i += 2
+    p_flag = tuple(v is not None for v in tgt["p"])
+    if not any(p_flag):
+        raise ValueError("fix npt needs a pressure keyword")
+    had_temp = tgt["t"] is not None
+    if tgt["t"] is None:
+        # nph: barostat masses use t_target = t0, the current temperature,
+        # floored at 1.0 (lj) / 300 (fix_nh.cpp setup t0 fallback)
+        ke = float(np.sum(ctx.mass_atom * np.sum(
+            np.asarray(script.v)**2, axis=1))) * u.mvv2e
+        t0 = ke / ((dim_ * n - dim_) * u.boltz)
+        tgt["t"] = t0 if t0 > 0 else (1.0 if u.name == "lj" else 300.0)
+    nptp = npt_mod.NPTParams.create(
+        script.dt, u.ftm2v, ctx.mass_atom,
+        tgt["t"],
+        tgt["tdamp"] if tgt["tdamp"] is not None else 1.0,
+        [v if v is not None else 0.0 for v in tgt["p"]],
+        tgt["pdamp"], natoms=n, dof=dim_ * n - dim_, boltz=u.boltz,
+        mvv2e=u.mvv2e, nktv2p=u.nktv2p, tchain=tgt["tchain"],
+        pchain=tgt["pchain"], mtk=tgt["mtk"],
+        tstat=spec.style == "npt" and had_temp,
+        p_flag=p_flag, iso=tgt["iso"],
+        t_stop=tgt["t_stop"],
+        p_stop=[v if v is not None else 0.0 for v in tgt["p_stop"]]
+        if any(v is not None for v in tgt["p_stop"]) else None,
+        dtype=dtype)
+    ctx.integ = Integrator(
+        initial=npt_mod.initial_integrate,
+        final=npt_mod.final_integrate,
+        params=nptp, init_state=npt_mod.init_state)
+
+
+@fix_style("rigid", "rigid/nve", "rigid/nvt", integrator=True)
+def build_rigid(ctx, spec):
+    script, u, dtype = ctx.script, ctx.u, ctx.dtype
+    gmask = ctx.groups[spec.group]
+    x_unwrap = (ctx.padA(script.x)
+                + ctx.padA(script.image, 0)
+                * (script.box_hi - script.box_lo))
+    rsetup = rigid_mod.setup_bodies(x_unwrap, ctx.mass_atom,
+                                    ctx.padA(script.mol, 0), gmask)
+    kw = {}
+    if spec.style == "rigid/nvt":
+        a = spec.args
+        assert a[0] == "molecule"
+        kw = dict(tstat=True, boltz=u.boltz, mvv2e=u.mvv2e)
+        i = 1
+        while i < len(a):
+            if a[i] == "temp":
+                kw["t_start"] = float(a[i + 1])
+                kw["t_stop"] = float(a[i + 2])
+                kw["t_period"] = float(a[i + 3])
+                i += 4
+            elif a[i] == "tparam":
+                kw["t_chain"] = int(a[i + 1])
+                kw["t_iter"] = int(a[i + 2])
+                kw["t_order"] = int(a[i + 3])
+                i += 4
+            else:
+                i += 1
+    rp = rigid_mod.make_rigid_params(rsetup, script.dt, u.ftm2v,
+                                     mass_atom=ctx.mass_atom,
+                                     dtype=dtype, **kw)
+    ctx.integ = rigid_nve_integrator(rp, jnp.asarray(ctx.mass_atom, dtype))
+    ctx.dof_removed += rsetup.dof_removed
+    ctx.dof_removals.append(("rigid", rsetup))
+    ctx.rigid_groups.append((spec.group, rsetup))

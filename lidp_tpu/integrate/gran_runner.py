@@ -1,0 +1,174 @@
+"""Granular runner: velocity-Verlet for sphere atoms (translation +
+rotation) with persistent contact-shear state threaded through the scan.
+
+The generic Runner's force path is stateless (compute_forces(sys, ff));
+granular contacts carry per-pair shear history and produce torques, so
+this dedicated runner owns the scan: initial half-kick (v and omega,
+fix_nve_sphere.cpp:110-140), Neighbor::decide-gated rebuild with shear
+migration (ops/granular.py migrate_shear), contact forces + gravity, and
+the final half-kick.  Duck-types Runner for Simulation.run.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lidp_tpu import box as box_mod
+from lidp_tpu.forcefield import ForceResult
+from lidp_tpu.ops import granular as gran
+from lidp_tpu.ops.cells import CellConfig, build_cells
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GranState:
+    omega: Any        # (N,3)
+    shear: Any        # (noff, bx,by,bz, cap, cap, 3)
+    torque: Any       # (N,3) carried from the last force eval
+    x_ref: Any        # (N,3) positions at last rebuild (dist check)
+    last_build: Any   # () int32
+    virial: Any       # (6,)
+
+
+@dataclasses.dataclass
+class GranRunner:
+    gp: gran.GranParams
+    neighbor_cfg: CellConfig
+    dt: float
+    ftm2v: float
+    gmask: Any               # (N,) integrated (active) atoms
+    grav: Any                # (3,) acceleration vector (fix gravity)
+    skin: float = 0.1
+    shrink: Optional[Any] = None
+    rebuild_every: int = 1
+    delay: int = 0
+    check: bool = True
+
+    def __post_init__(self):
+        self._scan = jax.jit(self._chunk, static_argnames=("nsteps",))
+        self._setup = jax.jit(self._setup_impl)
+
+    # ---- mechanics ----
+    def _accel(self, f):
+        return (0.5 * self.dt * self.ftm2v
+                / jnp.maximum(self.gp.rmass, 1e-300))[:, None] * f
+
+    def _omega_kick(self, omega, torque):
+        # d omega/dt = torque / (0.4 m r^2)  (fix_nve_sphere.cpp:135)
+        r = self.gp.radius
+        inert = 0.4 * self.gp.rmass * r * r
+        dti = jnp.where(inert > 0,
+                        0.5 * self.dt * self.ftm2v
+                        / jnp.where(inert > 0, inert, 1.0), 0.0)
+        return omega + dti[:, None] * torque
+
+    def _force(self, sys, nlist, st, shear_update, need_ev):
+        f, tq, shear, vir = gran.gran_cell_forces(
+            sys.x, sys.v, st.omega, sys.mask, nlist, sys.box, self.gp,
+            st.shear, shear_update=shear_update, need_ev=need_ev)
+        # fix gravity (post_force): f += m * acc on all atoms
+        f = f + self.gp.rmass[:, None] * jnp.asarray(self.grav, f.dtype)
+        # fix freeze: zero force/torque on the frozen group
+        fr = self.gp.frozen[:, None]
+        f = jnp.where(fr, 0.0, f)
+        tq = jnp.where(fr, 0.0, tq)
+        return f, tq, shear, vir
+
+    # ---- public ----
+    def _setup_impl(self, sys, omega0):
+        if self.shrink is not None:
+            # Domain::reset_box at setup (Verlet::setup -> domain->reset_box)
+            sys = sys.replace(box=box_mod.reset_box(
+                sys.x, sys.mask, sys.box, self.shrink))
+        nlist = build_cells(sys.x, sys.mask, sys.box, self.neighbor_cfg)
+        shear0 = jnp.zeros(gran.shear_shape(nlist), sys.x.dtype)
+        st = GranState(omega=omega0, shear=shear0,
+                       torque=jnp.zeros_like(sys.v), x_ref=sys.x,
+                       last_build=sys.step.astype(jnp.int32)
+                       if hasattr(sys.step, "astype")
+                       else jnp.asarray(sys.step, jnp.int32),
+                       virial=jnp.zeros(6, sys.x.dtype))
+        # setup force eval: shearupdate = 0 (update->setupflag)
+        f, tq, shear, vir = self._force(sys, nlist, st,
+                                        shear_update=False, need_ev=True)
+        st = dataclasses.replace(st, torque=tq, shear=shear, virial=vir)
+        res = self._mk_res(sys, f, vir)
+        return sys, res, nlist, st
+
+    def setup(self, sys):
+        return self._setup(sys, jnp.zeros_like(sys.v)) \
+            if not hasattr(self, "_omega0") else \
+            self._setup(sys, self._omega0)
+
+    def _mk_res(self, sys, f, vir):
+        zero = jnp.zeros((), sys.x.dtype)
+        return ForceResult(
+            f=f, evdwl=zero, ecoul=zero, elong=zero, epol=zero,
+            ebond=zero, virial=vir, mu=sys.mu,
+            scf_iters=jnp.zeros((), jnp.int32),
+            scf_diverged=jnp.zeros((), bool))
+
+    def _chunk(self, sys, res, nlist, st, nsteps):
+        gm = (self.gmask & sys.mask)[:, None]
+
+        def body(carry, _):
+            sys, f, nlist, st = carry
+            v = jnp.where(gm, sys.v + self._accel(f), sys.v)
+            omega = jnp.where(gm, self._omega_kick(st.omega, st.torque),
+                              st.omega)
+            x = jnp.where(gm, sys.x + self.dt * v, sys.x)
+            sys = sys.replace(x=x, v=v, step=sys.step + 1)
+            st = dataclasses.replace(st, omega=omega)
+
+            def rebuild(sys, nlist, st):
+                if self.shrink is not None:
+                    sys = sys.replace(box=box_mod.reset_box(
+                        sys.x, sys.mask, sys.box, self.shrink))
+                x, image = box_mod.wrap(sys.x, sys.box, sys.image)
+                sys = sys.replace(x=x, image=image)
+                new = build_cells(sys.x, sys.mask, sys.box,
+                                  self.neighbor_cfg)
+                shear = gran.migrate_shear(st.shear, nlist, new)
+                new = dataclasses.replace(
+                    new, overflow=new.overflow | nlist.overflow)
+                st = dataclasses.replace(
+                    st, shear=shear, x_ref=sys.x,
+                    last_build=sys.step.astype(jnp.int32))
+                return sys, new, st
+
+            def keep(sys, nlist, st):
+                return sys, nlist, st
+
+            ago = sys.step - st.last_build
+            need = (ago >= jnp.maximum(self.delay, 1)) \
+                & ((ago % self.rebuild_every) == 0)
+            if self.check:
+                disp2 = jnp.sum((sys.x - st.x_ref) ** 2, axis=1)
+                disp2 = jnp.where(sys.mask, disp2, 0.0)
+                need &= jnp.max(disp2) > (0.5 * self.skin) ** 2
+            sys, nlist, st = jax.lax.cond(need, rebuild, keep,
+                                          sys, nlist, st)
+
+            f, tq, shear, vir = self._force(sys, nlist, st,
+                                            shear_update=True,
+                                            need_ev=False)
+            st = dataclasses.replace(st, shear=shear, virial=vir)
+            v = jnp.where(gm, sys.v + self._accel(f), sys.v)
+            omega = jnp.where(gm, self._omega_kick(st.omega, tq),
+                              st.omega)
+            sys = sys.replace(v=v)
+            st = dataclasses.replace(st, omega=omega, torque=tq)
+            return (sys, f, nlist, st), None
+
+        (sys, f, nlist, st), _ = jax.lax.scan(
+            body, (sys, res.f, nlist, st), None, length=nsteps)
+        res = self._mk_res(sys, f, st.virial)
+        return sys, res, nlist, st
+
+    def run(self, sys, res, nlist, st, nsteps: int):
+        return self._scan(sys, res, nlist, st, nsteps=nsteps)

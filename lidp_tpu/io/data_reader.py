@@ -30,6 +30,11 @@ class DataFile:
     mass: np.ndarray | None     # (ntypes+1,) or None (Masses section)
     bonds: np.ndarray           # (NB,2) int atom ids (1-based), empty ok
     tilt: np.ndarray = None     # (3,) xy xz yz triclinic tilts
+    # atom_style sphere (read_data.cpp via AtomVecSphere::data_atom):
+    # per-atom radius + rmass from diameter/density, angular velocities
+    radius: np.ndarray = None   # (N,)
+    rmass: np.ndarray = None    # (N,)
+    omega: np.ndarray = None    # (N,3)
     bond_types: np.ndarray = None   # (NB,) int bond types (1-based)
     nbondtypes: int = 0
     angles: np.ndarray = None       # (NA,3) atom ids
@@ -119,6 +124,9 @@ def read_data(path: str, atom_style: str = "full") -> DataFile:
     image = np.zeros((n, 3), np.int32)
     v = None
     mass = None
+    radius = np.zeros(n) if atom_style == "sphere" else None
+    rmass = np.zeros(n) if atom_style == "sphere" else None
+    omega = np.zeros((n, 3)) if atom_style == "sphere" else None
     bonds = np.zeros((counts["bonds"], 2), np.int64)
     bond_types = np.zeros(counts["bonds"], np.int32)
     angles = np.zeros((counts["angles"], 3), np.int64)
@@ -187,6 +195,19 @@ def read_data(path: str, atom_style: str = "full") -> DataFile:
                     x[k] = [float(r[3]), float(r[4]), float(r[5])]
                     if len(r) >= 9:
                         image[k] = [int(r[6]), int(r[7]), int(r[8])]
+                elif atom_style == "sphere":
+                    # id type diameter density x y z [ix iy iz]
+                    # (AtomVecSphere::data_atom: radius = d/2; rmass =
+                    # 4/3 pi r^3 * density for d > 0, else density = mass)
+                    typ[k] = int(r[1])
+                    d = float(r[2])
+                    dens = float(r[3])
+                    radius[k] = 0.5 * d
+                    rmass[k] = (4.0 / 3.0 * np.pi * radius[k] ** 3 * dens
+                                if d > 0.0 else dens)
+                    x[k] = [float(r[4]), float(r[5]), float(r[6])]
+                    if len(r) >= 10:
+                        image[k] = [int(r[7]), int(r[8]), int(r[9])]
                 else:
                     raise ValueError(f"unsupported atom_style {atom_style}")
         elif name.startswith("Velocities"):
@@ -194,6 +215,10 @@ def read_data(path: str, atom_style: str = "full") -> DataFile:
             v = np.zeros((n, 3))
             for r in rows:
                 v[int(r[0]) - 1] = [float(r[1]), float(r[2]), float(r[3])]
+                if atom_style == "sphere" and len(r) >= 7:
+                    # sphere style: vx vy vz wx wy wz
+                    omega[int(r[0]) - 1] = [float(r[4]), float(r[5]),
+                                            float(r[6])]
         elif name.startswith("Masses"):
             rows, i = read_section(i + 1, ntypes)
             mass = np.zeros(ntypes + 1)
@@ -245,6 +270,7 @@ def read_data(path: str, atom_style: str = "full") -> DataFile:
 
     return DataFile(
         natoms=n, ntypes=ntypes, box_lo=box_lo, box_hi=box_hi, tilt=tilt,
+        radius=radius, rmass=rmass, omega=omega,
         x=x, q=q, type=typ, mol=mol, image=image, v=v, mass=mass,
         bonds=bonds, bond_types=bond_types, nbondtypes=counts["bond types"],
         angles=angles, angle_types=angle_types,

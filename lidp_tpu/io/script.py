@@ -417,6 +417,17 @@ class LammpsScript:
     def cmd_echo(self, a):
         pass
 
+    def cmd_newton(self, a):
+        # Newton's third law across procs (newton off in bench/in.chute):
+        # single-image TPU engine — half-stencil tallies both sides either
+        # way, physics identical
+        pass
+
+    def cmd_comm_modify(self, a):
+        # ghost-atom communication options (comm_modify vel yes): no ghost
+        # layer here — sharded paths replicate/psum instead
+        pass
+
     def cmd_neighbor(self, a):
         self.skin = float(a[0])
 
@@ -439,6 +450,15 @@ class LammpsScript:
                     self.neigh_exclude_mol = True
                     self._invalidate()
                     i += 3
+                elif a[i + 1] == "group":
+                    # exclude group A B: drop pairs with one atom in each
+                    # group (in.chute: bottom bottom)
+                    if a[i + 2] != a[i + 3]:
+                        raise NotImplementedError(
+                            "exclude group supports A == B only")
+                    self.neigh_exclude_group = a[i + 2]
+                    self._invalidate()
+                    i += 4
                 elif a[i + 1] == "type":
                     # neighbor.cpp exclusion lists: drop all pairs between
                     # these two types from force evaluation
@@ -535,6 +555,8 @@ class LammpsScript:
         self.x, self.q = d.x, d.q
         self.type, self.mol, self.image = d.type, d.mol, d.image
         self.v = d.v if d.v is not None else np.zeros_like(d.x)
+        if d.radius is not None:      # atom_style sphere
+            self.radius, self.rmass, self.omega = d.radius, d.rmass, d.omega
         self.mass_type = d.mass if d.mass is not None else np.zeros(d.ntypes + 1)
         self.alpha_type = np.zeros(d.ntypes + 1)
         self._bonds = d.bonds
@@ -702,6 +724,10 @@ class LammpsScript:
         p = PairStyleSpec(name=a[0])
         if a[0] in ("eam", "eam/alloy"):
             pass   # per-pair coeff gives the potential file; cutoff from file
+        elif a[0].startswith("gran/"):
+            # gran/hooke[/history] kn kt gamman gammat xmu dampflag
+            # (pair_gran_hooke_history.cpp settings :343)
+            self.gran_args = list(a[1:7])
         elif a[0] == "lj/cut":
             p.cut_lj_global = float(a[1])
         elif a[0] in ("lj/charmm/coul/long", "lj/charmm/coul/charmm"):
@@ -784,6 +810,10 @@ class LammpsScript:
 
     def cmd_pair_coeff(self, a):
         self._invalidate()
+        if self.pair.name.startswith("gran/"):
+            # granular styles take no per-type coefficients
+            # (PairGranHookeHistory::coeff, pair_gran_hooke_history.cpp:368)
+            return
         if self.pair.name == "eam/alloy":
             # pair_coeff * * file.alloy El1 El2 ... [NULL] — one element name
             # per type (pair_eam_alloy.cpp::coeff); mass from the setfl header
@@ -1005,6 +1035,10 @@ class LammpsScript:
             # compute_gyration.cpp, compute_ke.cpp, compute_pe.cpp)
             self.computes[cid] = (group, style, None)
             return
+        if style == "erotate/sphere":
+            # rotational KE of sphere atoms (compute_erotate_sphere.cpp)
+            self.computes[cid] = (group, style, None)
+            return
         if style != "temp":
             raise ValueError(f"unsupported compute style {style}")
         self.computes[cid] = (group, style)
@@ -1189,7 +1223,8 @@ class LammpsScript:
                          "viscous", "efield", "momentum", "recenter",
                          "halt", "neb", "adapt", "deform", "wall/reflect",
                          "wall/lj93", "planeforce", "lineforce", "indent",
-                         "print", "ave/time"):
+                         "print", "ave/time",
+                         "gravity", "freeze", "nve/sphere"):
             raise ValueError(f"unsupported fix style {style}")
         self.fixes[fid] = FixSpec(fid=fid, group=group, style=style, args=a[3:])
         self._invalidate()

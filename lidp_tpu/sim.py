@@ -187,6 +187,115 @@ def _mix_pair_tables(script):
     return eps, sig, cut
 
 
+def _build_granular_sim(script, sys, u, dtype, n, npad, _padA, groups, dim_):
+    """Granular (atom_style sphere + pair gran/*) simulation assembly:
+    bench/in.chute's stack — gran/hooke/history contacts, fix gravity
+    chute, fix freeze, fix nve/sphere, compute erotate/sphere."""
+    import jax.numpy as jnp
+
+    from lidp_tpu.integrate.gran_runner import GranRunner
+    from lidp_tpu.ops import granular as gran_mod
+    from lidp_tpu.ops.cells import CellConfig
+
+    if getattr(script, "radius", None) is None:
+        raise ValueError("pair gran/* requires atom_style sphere data")
+    radius = _padA(script.radius, 0.0)
+    rmass = _padA(script.rmass, 1.0)
+    omega0 = _padA(script.omega, 0.0)
+
+    frozen = np.zeros(npad, bool)
+    active = np.ones(npad, bool)
+    grav = np.zeros(3)
+    for spec in script.fixes.values():
+        if spec.style == "freeze":
+            frozen = np.asarray(groups[spec.group], bool)
+        elif spec.style == "gravity":
+            mag = float(spec.args[0])
+            if spec.args[1] == "chute":
+                # fix_gravity.cpp:313: theta = 180 - angle, phi = 0
+                th = np.deg2rad(180.0 - float(spec.args[2]))
+                grav = mag * np.array([np.sin(th), 0.0, np.cos(th)])
+            elif spec.args[1] == "vector":
+                d3 = np.array([float(v) for v in spec.args[2:5]])
+                grav = mag * d3 / np.linalg.norm(d3)
+            else:
+                raise NotImplementedError(
+                    f"fix gravity style {spec.args[1]}")
+        elif spec.style == "nve/sphere":
+            active = np.asarray(groups[spec.group], bool)
+        elif spec.style in ("print", "ave/time"):
+            pass
+        else:
+            raise NotImplementedError(
+                f"fix style {spec.style} on granular systems")
+
+    excl = None
+    eg = getattr(script, "neigh_exclude_group", None)
+    if eg is not None:
+        excl = np.asarray(groups[eg], bool)
+
+    gp = gran_mod.make_gran_params(
+        script.gran_args, radius, rmass, frozen, excl=excl,
+        dt=script.dt, dtype=dtype)
+
+    L = script.box_hi - script.box_lo
+    cutneigh = 2.0 * float(np.max(script.radius)) + script.skin
+    ncfg = CellConfig.for_box(L, cutneigh, density=n / float(np.prod(L)),
+                              cap_slack=5.0)
+
+    shrink = None
+    bstyles = getattr(script, "boundary_styles", None)
+    if bstyles is not None:
+        from lidp_tpu.box import ShrinkSpec
+
+        code = {"p": 0, "f": 0, "s": 2, "m": 3}
+        lo_c = tuple(code[st[0]] for st in bstyles)
+        hi_c = tuple(code[st[1]] for st in bstyles)
+        if any(c in (2, 3) for c in lo_c + hi_c):
+            small = tuple(1.0e-4 * (script.box_hi - script.box_lo))
+            shrink = ShrinkSpec(lo_style=lo_c, hi_style=hi_c, small=small,
+                                min_lo=tuple(script.box_lo),
+                                min_hi=tuple(script.box_hi))
+
+    runner = GranRunner(
+        gp=gp, neighbor_cfg=ncfg, dt=script.dt, ftm2v=u.ftm2v,
+        gmask=jnp.asarray(active), grav=jnp.asarray(grav, dtype),
+        skin=script.skin, shrink=shrink,
+        rebuild_every=script.neigh_every, delay=script.neigh_delay,
+        check=script.neigh_check)
+    runner._omega0 = jnp.asarray(omega0, dtype)
+
+    norm = getattr(script, "_thermo_norm", None)
+    tp = ThermoParams.create(
+        rmass, dof=dim_ * n - dim_, units=u,
+        norm=(u.name == "lj") if norm is None else norm,
+        natoms=n, dim=dim_)
+    sim_obj = Simulation(script=script, sys=sys, runner=runner,
+                         thermo_params=tp, group_thermo={}, natoms=n)
+    sim_obj.halt_spec = None
+    sim_obj.deform_cfg = None
+    sim_obj.gg_computes = {}
+    sim_obj.msd_computes = {}
+    sim_obj.rdf_computes = {}
+    sim_obj.simple_computes = {}
+    sim_obj.mesh = None
+    sim_obj.n_padded = npad
+    # compute erotate/sphere columns read runner istate omega
+    sim_obj.erotate_computes = {
+        cid: np.asarray(groups[sc[0]], bool)
+        for cid, sc in script.computes.items()
+        if len(sc) == 3 and sc[1] == "erotate/sphere"}
+    sim_obj.gran_radius = jnp.asarray(radius, dtype)
+    sim_obj.gran_rmass = jnp.asarray(rmass, dtype)
+
+    sys2, res, nlist, istate = runner.setup(sys)
+    sim_obj.sys, sim_obj.res = sys2, res
+    sim_obj.nlist, sim_obj.istate = nlist, istate
+    if bool(nlist.overflow):
+        raise RuntimeError("granular cell capacity overflow at setup")
+    return sim_obj
+
+
 @dataclasses.dataclass
 class Simulation:
     script: object
@@ -264,6 +373,12 @@ class Simulation:
             type=_padA(script.type, 0), mol=_padA(script.mol, 0), alpha=alpha,
             image=_padA(script.image, 0), mask=mask_pad, dtype=dtype)
         sys = sys.replace(step=jnp.asarray(script.step, jnp.int32))
+
+        if script.pair.name.startswith("gran/"):
+            # granular sphere systems (bench/in.chute): dedicated runner
+            # with omega + contact-shear state threaded through the scan
+            return _build_granular_sim(script, sys, u, dtype, n, npad,
+                                       _padA, groups, dim_)
 
         # ---- pair tables ----
         eamp = None
@@ -1086,8 +1201,18 @@ class Simulation:
         row = {k: float(v) for k, v in
                thermo_row(self.sys, self.res, self.thermo_params,
                           extra_virial=extra).items()}
+        row["atoms"] = self.natoms
         for cid, tp in self.group_thermo.items():
             row["c_" + cid] = float(temperature(self.sys, tp))
+        for cid, gmask in getattr(self, "erotate_computes", {}).items():
+            from lidp_tpu.ops.granular import erotate_sphere
+
+            import jax.numpy as _jnp
+
+            m = _jnp.asarray(gmask) & self.sys.mask
+            row["c_" + cid] = float(erotate_sphere(
+                self.istate.omega, self.gran_radius, self.gran_rmass, m,
+                mvv2e=self.thermo_params.mvv2e))
         for cid, (ma, mb) in getattr(self, "gg_computes", {}).items():
             row["c_" + cid] = float(self._group_group_energy(ma, mb))
         for cid, (gmask, style) in getattr(self, "simple_computes",
@@ -1202,7 +1327,8 @@ class Simulation:
                "elong": "E_long", "epol": "E_pol", "temp": "Temp",
                "press": "Press", "epair": "E_pair", "emol": "E_mol",
                "ebond": "E_bond", "eangle": "E_angle", "edihed": "E_dihed",
-               "eimp": "E_impro", "vol": "Volume", "density": "Density"}
+               "eimp": "E_impro", "vol": "Volume", "density": "Density",
+               "atoms": "Atoms"}
 
     def run(self, nsteps: int):
         import time
@@ -1220,7 +1346,8 @@ class Simulation:
                     integ.params,
                     ramp_begin=jnp.asarray(b, jnp.int32),
                     ramp_end=jnp.asarray(b + nsteps, jnp.int32)))
-        if getattr(self.runner.ff, "adapt", None) is not None:
+        if getattr(getattr(self.runner, "ff", None), "adapt",
+                   None) is not None:
             import jax.numpy as jnp
             b = int(self.sys.step)
             self.runner.ff = dataclasses.replace(

@@ -40,6 +40,23 @@ from lidp_tpu.ops.pair import (EWALD_F, EWALD_P, A1, A2, A3, A4, A5,
                                _vdw_terms)
 
 
+def perp_widths(lengths, tilt=None):
+    """Perpendicular distance between opposite cell faces per dimension.
+
+    For a triclinic cell h = [[lx,xy,xz],[0,ly,yz],[0,0,lz]] the thickness
+    of the slab between the lamda_d = 0 and 1 planes is 1/||h_inv[d,:]||;
+    binning on these widths guarantees the 1-ring lamda-space stencil covers
+    the real-space cutoff (the nbin_standard.cpp bininv-via-lamda analog of
+    npair_half_bin_newton_tri.cpp's extended stencil)."""
+    L = np.asarray(lengths, float)
+    if tilt is None or not np.any(np.asarray(tilt, float) != 0.0):
+        return L
+    xy, xz, yz = (float(v) for v in np.asarray(tilt, float))
+    h = np.array([[L[0], xy, xz], [0.0, L[1], yz], [0.0, 0.0, L[2]]])
+    hinv = np.linalg.inv(h)
+    return 1.0 / np.linalg.norm(hinv, axis=1)
+
+
 @dataclasses.dataclass(frozen=True)
 class CellConfig:
     nbins: tuple[int, int, int]
@@ -48,11 +65,15 @@ class CellConfig:
 
     @staticmethod
     def for_box(box_lengths, cutneigh: float, density: float,
-                cap_slack: float = 2.0) -> "CellConfig":
+                cap_slack: float = 2.0, perp=None) -> "CellConfig":
+        """`perp` (triclinic): perpendicular face widths from perp_widths();
+        bin counts come from the perpendicular extent while the per-bin
+        volume (capacity estimate) uses the true cell volume."""
         L = np.asarray(box_lengths, float)
+        W = L if perp is None else np.asarray(perp, float)
         nb = []
-        for l in L:
-            n = int(max(1, np.floor(l / cutneigh)))
+        for w in W:
+            n = int(max(1, np.floor(w / cutneigh)))
             # a dim thinner than ~3 cutoffs collapses to a single bin (all
             # pairs in-cell, minimum image handles the wrap); 2 bins would
             # alias the +1/-1 rolls onto the same neighbor
@@ -60,7 +81,7 @@ class CellConfig:
         nb = tuple(nb)
         if max(nb) < 3:
             raise ValueError("cell kernel needs >= 3 bins in some dim")
-        vol_bin = float(np.prod(L / np.array(nb)))
+        vol_bin = float(np.prod(L)) / float(np.prod(nb))
         cap = int(np.ceil(density * vol_bin * cap_slack / 8.0) * 8)
         return CellConfig(nbins=nb, cap=max(cap, 8), cutneigh=float(cutneigh))
 
@@ -80,7 +101,15 @@ def build_cells(x, mask, box: Box, cfg: CellConfig) -> Cells:
     dims = jnp.array(cfg.nbins, jnp.int32)
     L = box.lengths
 
-    frac = (x - box.lo) / L
+    if box.triclinic:
+        # bin in lamda space (x2lamda, domain.cpp): the unit cube maps to
+        # the tilted cell; the 1-ring stencil stays valid because nbins came
+        # from the perpendicular widths (see CellConfig.for_box `perp`)
+        frac = (x - box.lo) @ box.h_inv.T
+        perp = 1.0 / jnp.linalg.norm(box.h_inv, axis=1)
+    else:
+        frac = (x - box.lo) / L
+        perp = L
     # wrap only periodic dims; non-periodic strays clamp to edge bins below
     if all(box.periodic):
         frac = frac - jnp.floor(frac)
@@ -97,7 +126,7 @@ def build_cells(x, mask, box: Box, cfg: CellConfig) -> Cells:
     binsize_bad = jnp.zeros((), bool)
     for d in range(3):
         if cfg.nbins[d] > 1:
-            binsize_bad |= (L[d] / cfg.nbins[d]) < cfg.cutneigh
+            binsize_bad |= (perp[d] / cfg.nbins[d]) < cfg.cutneigh
 
     order = jnp.argsort(bin_id)
     sb = bin_id[order]
@@ -167,7 +196,15 @@ def cell_pair_forces(x, q, type_, mask, cells: Cells, box: Box, p,
     def slotify(a, pad):
         return jnp.where(valid, a[amax], pad)
 
-    xs = [slotify(x[:, d], jnp.zeros((), dtype)) for d in range(3)]
+    if box.triclinic:
+        # per-slot lamda coordinates; deltas fold per-dim in lamda space
+        # (period 1) and map to Cartesian through the upper-triangular h —
+        # identical to min_image_box's lamda-round fold (domain.cpp:1183)
+        lam = (x - box.lo) @ box.h_inv.T
+        xs = [slotify(lam[:, d], jnp.zeros((), dtype)) for d in range(3)]
+        lam_periods = [1.0 if box.periodic[d] else 1.0e30 for d in range(3)]
+    else:
+        xs = [slotify(x[:, d], jnp.zeros((), dtype)) for d in range(3)]
     qs = slotify(q, jnp.zeros((), dtype)) if coul else None
     ntypes = p.lj1.shape[0] - 1
     multi_type = ntypes > 1 or p.excl is not None
@@ -218,9 +255,21 @@ def cell_pair_forces(x, q, type_, mask, cells: Cells, box: Box, p,
 
     for offs in groups:
         G = len(offs)
-        dx = minimum_image(ctr(xs[0]) - nbr_group(xs[0], offs), L[0])
-        dy = minimum_image(ctr(xs[1]) - nbr_group(xs[1], offs), L[1])
-        dz = minimum_image(ctr(xs[2]) - nbr_group(xs[2], offs), L[2])
+        if box.triclinic:
+            h = box.h
+            dl0 = minimum_image(ctr(xs[0]) - nbr_group(xs[0], offs),
+                                lam_periods[0])
+            dl1 = minimum_image(ctr(xs[1]) - nbr_group(xs[1], offs),
+                                lam_periods[1])
+            dl2 = minimum_image(ctr(xs[2]) - nbr_group(xs[2], offs),
+                                lam_periods[2])
+            dx = h[0, 0] * dl0 + h[0, 1] * dl1 + h[0, 2] * dl2
+            dy = h[1, 1] * dl1 + h[1, 2] * dl2
+            dz = h[2, 2] * dl2
+        else:
+            dx = minimum_image(ctr(xs[0]) - nbr_group(xs[0], offs), L[0])
+            dy = minimum_image(ctr(xs[1]) - nbr_group(xs[1], offs), L[1])
+            dz = minimum_image(ctr(xs[2]) - nbr_group(xs[2], offs), L[2])
         rsq = dx * dx + dy * dy + dz * dz
         pair_ok = ctr(valid) & nbr_group(valid, offs)
         if (0, 0, 0) in offs:

@@ -70,7 +70,15 @@ def _rms_charge(km: int, prd: float, natoms: int, q2: float, g_ewald: float) -> 
 def setup_ewald_disp(
     *, accuracy_rel: float, qqrd2e: float, q: np.ndarray, natoms: int,
     cutoff: float, box_lengths, g_ewald: float | None = None,
+    tilt=None,
 ) -> EwaldSetup:
+    """K-space setup.  Orthogonal boxes follow EwaldDisp exactly; with
+    `tilt` = (xy, xz, yz) the enumeration follows Ewald::setup +
+    Ewald::coeffs_triclinic (ewald.cpp:274-291, :760-860): per-dim kmax from
+    the orthogonal RMS bound scaled by lamda2xT, wave vectors
+    k = 2*pi*h^-T (i,j,k), pruned by the orthogonal gsqmx.  (The reference's
+    ewald/disp itself rejects triclinic; this extends the charge function to
+    tilted cells the way plain ewald does.)"""
     Lx, Ly, Lz = (float(v) for v in box_lengths)
     volume = Lx * Ly * Lz
     qsum = float(np.sum(q))
@@ -95,21 +103,40 @@ def setup_ewald_disp(
         unit[2] ** 2 * kmax[2] ** 2,
     ) * 1.00001
 
+    triclinic = tilt is not None and any(float(v) != 0.0 for v in tilt)
+    if triclinic:
+        xy, xz, yz = (float(v) for v in tilt)
+        h = np.array([[Lx, xy, xz], [0.0, Ly, yz], [0.0, 0.0, Lz]])
+        h_invT = np.linalg.inv(h).T
+        # lamda2xT scaling of the per-dim kmax (ewald.cpp:276-287)
+        tmp = h.T @ np.array([kmax[0] / Lx, kmax[1] / Ly, kmax[2] / Lz])
+        kmax = [max(1, int(abs(tmp[d]))) for d in range(3)]
+        nbox = max(kmax)
+
     # half-space enumeration, same order/symmetry rules as reallocate()
+    # (coeffs_triclinic uses per-dim kmax bounds; orthogonal uses nbox cubes)
     hvecs = []
     kints = []
-    for ix in range(0, nbox + 1):
-        for iy in range(-nbox, nbox + 1):
-            for iz in range(-nbox, nbox + 1):
+    bx = kmax[0] if triclinic else nbox
+    by = kmax[1] if triclinic else nbox
+    bz = kmax[2] if triclinic else nbox
+    for ix in range(0, bx + 1):
+        for iy in range(-by, by + 1):
+            for iz in range(-bz, bz + 1):
                 if ix == 0 and iy == 0 and iz == 0:
                     continue
                 if ix == 0 and iy < 0:
                     continue
                 if ix == 0 and iy == 0 and iz < 0:
                     continue
-                h = (unit[0] * ix, unit[1] * iy, unit[2] * iz)
-                if h[0] ** 2 + h[1] ** 2 + h[2] ** 2 <= gsqmx:
-                    hvecs.append(h)
+                if triclinic:
+                    kv = 2.0 * math.pi * (h_invT @ np.array(
+                        [ix, iy, iz], np.float64))
+                    h_ = (kv[0], kv[1], kv[2])
+                else:
+                    h_ = (unit[0] * ix, unit[1] * iy, unit[2] * iz)
+                if h_[0] ** 2 + h_[1] ** 2 + h_[2] ** 2 <= gsqmx:
+                    hvecs.append(h_)
                     kints.append((ix, iy, iz))
     hvecs = np.array(hvecs, np.float64).reshape(-1, 3)
     kints = np.array(kints, np.int32).reshape(-1, 3)

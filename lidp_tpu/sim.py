@@ -364,10 +364,15 @@ class Simulation:
                                           (True, True, True)),
                          tilt=tilt, force_triclinic=needs_tri)
         triclinic = box.triclinic
-        if triclinic and script.kspace is not None:
+        if (triclinic and script.kspace is not None
+                and script.kspace[0].startswith("pppm")):
             raise NotImplementedError(
-                "triclinic + kspace: reciprocal-lattice k enumeration "
-                "pending (ewald.cpp triclinic branch)")
+                "triclinic + pppm: triclinic mesh pending (use ewald; "
+                "pppm.cpp triclinic branch)")
+        if needs_tri and script.kspace is not None:
+            raise NotImplementedError(
+                "fix deform with tilt + kspace: dynamic reciprocal-lattice "
+                "tracking pending (rescale_coeffs is orthogonal-only)")
         sys = make_system(
             _padA(script.x), box=box, v=_padA(script.v), q=_padA(script.q),
             type=_padA(script.type, 0), mol=_padA(script.mol, 0), alpha=alpha,
@@ -413,6 +418,7 @@ class Simulation:
             for t1, t2 in excl_list:
                 excl_types[t1, t2] = excl_types[t2, t1] = True
         pname = script.pair.name
+        tip4p_spec = getattr(script.pair, "tip4p", None)
         if pname == "table":
             pair, cut = _build_table_pair(script, excl_types, dtype)
         elif pname in _GENERIC_PAIR_KINDS:
@@ -422,7 +428,8 @@ class Simulation:
             is_debye = "debye" in pname
             pair = make_pair_params(
                 eps, sig, cut,
-                cut_coul=script.pair.cut_coul if coul else 0.0,
+                cut_coul=(script.pair.cut_coul
+                          if (coul or tip4p_spec is not None) else 0.0),
                 special_lj=np.array(script.special_lj),
                 special_coul=np.array(script.special_coul),
                 qqrd2e=u.qqr2e, coul=coul,
@@ -459,7 +466,8 @@ class Simulation:
                 accuracy_rel=acc, qqrd2e=u.qqr2e, q=script.q, natoms=n,
                 cutoff=script.pair.cut_coul,
                 box_lengths=script.box_hi - script.box_lo,
-                g_ewald=getattr(script, "_gewald_override", None))
+                g_ewald=getattr(script, "_gewald_override", None),
+                tilt=(tilt if triclinic else None))
             pair = dataclasses.replace(
                 pair, g_ewald=jnp.asarray(es.g_ewald, dtype))
             ew = EwaldParams.from_setup(es, u.qqr2e, dtype=dtype)
@@ -758,10 +766,13 @@ class Simulation:
         # ---- neighbor strategy ----
         ncfg = None
         rebuild_every = 1
-        if triclinic or script.pair.name == "table":
-            # triclinic and tabulated pairs run the dense minimum-image
-            # path (the cell kernel's per-slot table gathers would blow up
-            # the (cells,cap,K,NT) working set)
+        if triclinic and eamp is not None:
+            raise NotImplementedError(
+                "triclinic + eam: the EAM cell kernel is orthogonal-only")
+        if script.pair.name == "table":
+            # tabulated pairs run the dense minimum-image path (the cell
+            # kernel's per-slot table gathers would blow up the
+            # (cells,cap,K,NT) working set)
             pass
         elif n > DENSE_PATH_MAX_ATOMS or script.speed_mode or eamp is not None:
             cutmax = float(np.max(cut))
@@ -771,14 +782,19 @@ class Simulation:
                 cutmax = float(eamp.cut)
             L = script.box_hi - script.box_lo
             try:
-                from lidp_tpu.ops.cells import CellConfig
+                from lidp_tpu.ops.cells import CellConfig, perp_widths
 
                 # slack 1.7 measured safe across the bundled benchmarks
                 # (sticky overflow aborts the run if a cell ever overfills)
-                ncfg = CellConfig.for_box(L, cutmax + script.skin,
-                                          density=n / float(np.prod(L)),
-                                          cap_slack=1.7)
+                ncfg = CellConfig.for_box(
+                    L, cutmax + script.skin,
+                    density=n / float(np.prod(L)), cap_slack=1.7,
+                    perp=(perp_widths(L, tilt) if triclinic else None))
             except ValueError:
+                if triclinic:
+                    raise NotImplementedError(
+                        "triclinic box too thin for the cell stencil above "
+                        f"the dense cap ({DENSE_PATH_MAX_ATOMS} atoms)")
                 ncfg = NeighborConfig.for_box(L, cutmax + script.skin)
             rebuild_every = script.neigh_every
 

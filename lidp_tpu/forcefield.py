@@ -58,6 +58,10 @@ class ForceField:
     # (read_data-remapped, wrapped-at-last-rebuild) positions, used only by
     # the polar fdotr virial tally (see dipole_forces_energy)
     polar_xshift: Optional[jax.Array] = None
+    # TIP4P off-site charge params (ops.tip4p.TIP4PParams); when set, the
+    # pair params carry LJ only (coul=False) and the coulomb (real + recip)
+    # runs on charge-site positions with affine force redistribution
+    tip4p: Optional[object] = None
 
 
 @jax.tree_util.register_dataclass
@@ -200,6 +204,17 @@ def compute_forces(sys: System, ff: ForceField,
         evdwl, ecoul = evdwl + ev, ecoul + ec
         virial = virial + vir
 
+    if ff.tip4p is not None and _on("pair"):
+        from lidp_tpu.ops.tip4p import redistribute, tip4p_coul_dense
+
+        sp = ff.sp_code if ff.sp_code is not None else 0
+        fcs, ec4, vc4 = tip4p_coul_dense(
+            sys.x, sys.q, sp, sys.mask, sys.box, ff.pair.cut_coulsq,
+            ff.pair.g_ewald, ff.qqrd2e, ff.pair.special_coul, ff.tip4p)
+        f = f + redistribute(fcs, ff.tip4p)
+        ecoul = ecoul + ec4
+        virial = virial + vc4
+
     if ff.eam is not None and _on("pair"):
         from lidp_tpu.ops.cells import Cells
         from lidp_tpu.ops.eam import (EAMAlloyParams, eam_alloy_cell_forces,
@@ -260,19 +275,30 @@ def compute_forces(sys: System, ff: ForceField,
         eimp = eimp + ei_
         virial = virial + vi_
 
-    if ff.ewald is not None and _on("kspace"):
-        ewp = ff.ewald
-        if ff.kspace_dynamic:
-            ewp = ewald_ops.rescale_coeffs(ewp, sys.box.lengths)
-        fk, el, vk = ewald_ops.ewald_forces(sys.x, sys.q, sys.box.volume, ewp)
-        f = f + fk
-        elong = elong + el
-        virial = virial + vk
-    elif ff.pppm is not None and _on("kspace"):
-        from lidp_tpu.ops.pppm import pppm_forces_params
+    if (ff.ewald is not None or ff.pppm is not None) and _on("kspace"):
+        # TIP4P: the reciprocal sum sees the charge-site positions and its
+        # forces redistribute onto O/H (pppm_tip4p.cpp particle_map +
+        # fieldforce M-site splitting)
+        xk = sys.x
+        if ff.tip4p is not None:
+            from lidp_tpu.ops.tip4p import charge_sites
 
-        fk, el, vk = pppm_forces_params(sys.x - sys.box.lo, sys.q,
-                                        sys.box.lengths, ff.pppm)
+            xk = charge_sites(sys.x, sys.box, ff.tip4p)
+        if ff.ewald is not None:
+            ewp = ff.ewald
+            if ff.kspace_dynamic:
+                ewp = ewald_ops.rescale_coeffs(ewp, sys.box.lengths)
+            fk, el, vk = ewald_ops.ewald_forces(xk, sys.q, sys.box.volume,
+                                                ewp)
+        else:
+            from lidp_tpu.ops.pppm import pppm_forces_params
+
+            fk, el, vk = pppm_forces_params(xk - sys.box.lo, sys.q,
+                                            sys.box.lengths, ff.pppm)
+        if ff.tip4p is not None:
+            from lidp_tpu.ops.tip4p import redistribute
+
+            fk = redistribute(fk, ff.tip4p)
         f = f + fk
         elong = elong + el
         virial = virial + vk

@@ -97,6 +97,9 @@ class PairStyleSpec:
     polar_gamma: float = 1.03
     use_previous: bool = False
     debug: bool = False
+    # TIP4P off-site charge: (typeO, typeH, typeB, typeA, qdist)
+    # (pair_lj_cut_tip4p_long.cpp settings :431-454)
+    tip4p: tuple = None
 
 
 @dataclasses.dataclass
@@ -800,6 +803,13 @@ class LammpsScript:
             p.cut_coul = float(a[2]) if len(a) > 2 else p.cut_lj_global
         elif a[0] in ("coul/cut", "coul/long"):
             p.cut_coul = float(a[1])
+        elif a[0] == "lj/cut/tip4p/long":
+            # otype htype btype atype qdist cut_lj [cut_coul]
+            # (pair_lj_cut_tip4p_long.cpp:431-454)
+            p.tip4p = (int(a[1]), int(a[2]), int(a[3]), int(a[4]),
+                       float(a[5]))
+            p.cut_lj_global = float(a[6])
+            p.cut_coul = float(a[7]) if len(a) > 7 else p.cut_lj_global
         elif a[0] == "table":
             # pair_style table linear N (pair_table.cpp); bitmap/spline
             # styles resample onto the same linear grid here

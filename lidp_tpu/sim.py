@@ -487,6 +487,30 @@ class Simulation:
                 polar_gs_ranked=p.polar_gs_ranked, polar_gamma=p.polar_gamma,
                 use_previous=p.use_previous)
 
+        # ---- TIP4P off-site charge (pair lj/cut/tip4p/long) ----
+        tipp = None
+        if tip4p_spec is not None:
+            import math as _math
+
+            from lidp_tpu.ops.tip4p import make_tip4p_params
+
+            otype, htype, btype, atype, qdist = tip4p_spec
+            if btype not in script.bond_coeffs or \
+                    atype not in script.angle_coeffs:
+                raise ValueError("TIP4P needs bond/angle coeffs for the "
+                                 "O-H bond and H-O-H angle types")
+            r0 = float(script.bond_coeffs[btype][1])
+            th0 = _math.radians(float(script.angle_coeffs[atype][1]))
+            # alpha = qdist / (cos(theta0/2) * r0)  (init_style :471-474)
+            t_alpha = qdist / (_math.cos(0.5 * th0) * r0)
+            tipp = make_tip4p_params(
+                _padA(script.type, 0), np.arange(1, npad + 1),
+                otype, htype, t_alpha, dtype=dtype)
+            if n > DENSE_PATH_MAX_ATOMS:
+                raise NotImplementedError(
+                    "lj/cut/tip4p/long runs the dense path only "
+                    f"(n <= {DENSE_PATH_MAX_ATOMS})")
+
         sp_code = None
         sp_idx = sp_lvl = None
         has_bonds = (getattr(script, "_bonds", None) is not None
@@ -704,7 +728,7 @@ class Simulation:
                 -np.floor((x0 - script.box_lo) / L0) * L0), dtype)
 
         ff = ForceField(pair=None if eamp is not None else pair,
-                        polar_xshift=polar_xshift,
+                        polar_xshift=polar_xshift, tip4p=tipp,
                         ewald=ew, polar=pol, sp_code=sp_code,
                         bond=bondp, angle=anglep, dihedral=dihedralp,
                         improper=improperp,
@@ -769,10 +793,11 @@ class Simulation:
         if triclinic and eamp is not None:
             raise NotImplementedError(
                 "triclinic + eam: the EAM cell kernel is orthogonal-only")
-        if script.pair.name == "table":
+        if script.pair.name == "table" or tipp is not None:
             # tabulated pairs run the dense minimum-image path (the cell
             # kernel's per-slot table gathers would blow up the
-            # (cells,cap,K,NT) working set)
+            # (cells,cap,K,NT) working set); tip4p's off-site coulomb is
+            # dense-only for now
             pass
         elif n > DENSE_PATH_MAX_ATOMS or script.speed_mode or eamp is not None:
             cutmax = float(np.max(cut))

@@ -322,8 +322,9 @@ def build_sharded_polar_step(
         acc, _ = jax.lax.scan(body, init, (cols0, chunked))
         return acc
 
-    def _forces(x, q, type_, mol, alpha, mu_init, mask):
-        """One full force/SCF evaluation on local row blocks (nloc, ...)."""
+    def _nonpolar_forces(x, q, type_, mask):
+        """Pair LJ+coul + sparse special correction + reciprocal Ewald.
+        Returns (f, evdwl, ecoul, elong, vir) — vir NOT yet psummed."""
         didx = _axidx()
         rows = didx * nloc + jnp.arange(nloc)
         L = box_lengths  # closed over (static per build; box is NVE-constant)
@@ -332,8 +333,7 @@ def build_sharded_polar_step(
 
         if True:
             xf = gather(x)
-            qf, tf, molf, af, mf = (gather(q), gather(type_), gather(mol),
-                                    gather(alpha), gather(mask))
+            qf, tf, mf = gather(q), gather(type_), gather(mask)
 
             # pair LJ + coul
             zero6 = jnp.zeros((6,), dtype)
@@ -477,76 +477,107 @@ def build_sharded_polar_step(
                 # psum counts it once
                 vir = vir + jnp.where(_axidx() == 0, vk, 0.0)
 
-            epol = jnp.zeros((), dtype)
-            mu_new = mu_init
-            scf_iters = jnp.zeros((), jnp.int32)
-            if has_polar:
-                # Wolf static field
-                e0 = _scan_cols(
-                    lambda acc, cols, arrs: _wolf_chunk(
-                        x, mol, rows, arrs[0], arrs[1], arrs[2], arrs[3],
-                        cols, L, acc),
-                    jnp.zeros((nloc, 3), dtype), (xf, qf, molf, mf))
-                e0 = e0 * jnp.sqrt(qqrd2e)
+        return f, evdwl, ecoul, elong, vir
 
-                a = alpha[:, None]
-                mu0 = (mu_init if s.use_previous
-                       else s.polar_gamma * a * e0)
+    def _wolf_field(x, q, mol, mask):
+        """Shifted-force (Wolf) static field E0 (unit-folded)."""
+        didx = _axidx()
+        rows = didx * nloc + jnp.arange(nloc)
+        L = box_lengths
+        xf, qf, molf, mf = (_gather(x), _gather(q), _gather(mol),
+                            _gather(mask))
+        e0 = _scan_cols(
+            lambda acc, cols, arrs: _wolf_chunk(
+                x, mol, rows, arrs[0], arrs[1], arrs[2], arrs[3],
+                cols, L, acc),
+            jnp.zeros((nloc, 3), dtype), (xf, qf, molf, mf))
+        return e0 * jnp.sqrt(qqrd2e)
 
-                def e_ind_of(mu_l):
-                    muf = gather(mu_l)
-                    return _scan_cols(
-                        lambda acc, cols, arrs: _tensor_apply_chunk(
-                            x, alpha, rows, arrs[0], arrs[1], arrs[2], cols,
-                            arrs[3], L, acc),
-                        jnp.zeros((nloc, 3), dtype), (xf, af, mf, muf))
+    def _e_ind_of(x, alpha, mask, mu_l):
+        """E_ind = -T.mu (matrix-free blockwise contraction)."""
+        didx = _axidx()
+        rows = didx * nloc + jnp.arange(nloc)
+        L = box_lengths
+        xf, af, mf, muf = (_gather(x), _gather(alpha), _gather(mask),
+                           _gather(mu_l))
+        return _scan_cols(
+            lambda acc, cols, arrs: _tensor_apply_chunk(
+                x, alpha, rows, arrs[0], arrs[1], arrs[2], cols,
+                arrs[3], L, acc),
+            jnp.zeros((nloc, 3), dtype), (xf, af, mf, muf))
 
-                if s.zodid:
-                    mu_new = mu0
-                elif s.fixed_iteration:
-                    mu_new = jax.lax.fori_loop(
-                        0, s.iterations_max,
-                        lambda i, m: a * (e0 + e_ind_of(m)), mu0)
-                    scf_iters = jnp.asarray(s.iterations_max, jnp.int32)
-                else:
-                    from lidp_tpu.ops.polarization import scf_solve_cg
+    def _dipole_forces(x, q, mol, alpha, mu_new, mask):
+        """Charge-dipole + dipole-dipole forces, epol, fdotr virial rows.
+        Returns (fpol, epol_psummed, vir_pol_local)."""
+        didx = _axidx()
+        rows = didx * nloc + jnp.arange(nloc)
+        L = box_lengths
+        xf, qf, molf, af, mf, muf = (
+            _gather(x), _gather(q), _gather(mol), _gather(alpha),
+            _gather(mask), _gather(mu_new))
+        dacc = _scan_cols(
+            lambda acc, cols, arrs: _dipole_chunk(
+                x, q, mol, alpha, mu_new, rows,
+                arrs[0], arrs[1], arrs[2], arrs[3], arrs[4], cols,
+                arrs[5], L, acc),
+            (jnp.zeros((nloc, 3), dtype), jnp.zeros((), dtype),
+             jnp.zeros((), dtype), jnp.zeros((6,), dtype)),
+            (xf, qf, molf, af, mf, muf))
+        fpol, u_ef, u_dd, _vpol_pairwise = dacc
+        # polar virial as F.r over wrapped coords (the reference's
+        # virial_fdotr_compute path, pair.cpp:810-816 + :1495 — see
+        # ops/polarization.py dipole_forces_energy): sum of the
+        # local row-block's x_wrapped (x) f_polar, psummed by the caller.
+        # Boxes here are origin-based (bind_box passes lengths only).
+        xw = x - jnp.floor(x / L) * L
+        vir_pol = jnp.stack([
+            jnp.sum(xw[:, 0] * fpol[:, 0]),
+            jnp.sum(xw[:, 1] * fpol[:, 1]),
+            jnp.sum(xw[:, 2] * fpol[:, 2]),
+            jnp.sum(xw[:, 0] * fpol[:, 1]),
+            jnp.sum(xw[:, 0] * fpol[:, 2]),
+            jnp.sum(xw[:, 1] * fpol[:, 2]),
+        ])
+        u_self = 0.5 * jnp.sum(jnp.where(
+            alpha != 0.0,
+            jnp.sum(mu_new * mu_new, axis=1)
+            / jnp.where(alpha != 0.0, alpha, 1.0), 0.0))
+        epol = _preduce(u_self + u_ef + u_dd)
+        return fpol, epol, vir_pol
 
-                    mu_new, scf_iters, _div = scf_solve_cg(
-                        e0, alpha, lambda m: -e_ind_of(m), s,
-                        mu_init=(mu_init if s.use_previous else None),
-                        psum=_preduce, n_total=n)
+    def _forces(x, q, type_, mol, alpha, mu_init, mask):
+        """One full force/SCF evaluation on local row blocks (nloc, ...)."""
+        f, evdwl, ecoul, elong, vir = _nonpolar_forces(x, q, type_, mask)
 
-                # dipole forces + energy
-                muf = gather(mu_new)
-                dacc = _scan_cols(
-                    lambda acc, cols, arrs: _dipole_chunk(
-                        x, q, mol, alpha, mu_new, rows,
-                        arrs[0], arrs[1], arrs[2], arrs[3], arrs[4], cols,
-                        arrs[5], L, acc),
-                    (jnp.zeros((nloc, 3), dtype), jnp.zeros((), dtype),
-                     jnp.zeros((), dtype), jnp.zeros((6,), dtype)),
-                    (xf, qf, molf, af, mf, muf))
-                fpol, u_ef, u_dd, _vpol_pairwise = dacc
-                f = f + fpol
-                # polar virial as F.r over wrapped coords (the reference's
-                # virial_fdotr_compute path, pair.cpp:810-816 + :1495 — see
-                # ops/polarization.py dipole_forces_energy): sum of the
-                # local row-block's x_wrapped (x) f_polar, psummed below.
-                # Boxes here are origin-based (bind_box passes lengths only).
-                xw = x - jnp.floor(x / L) * L
-                vir = vir + jnp.stack([
-                    jnp.sum(xw[:, 0] * fpol[:, 0]),
-                    jnp.sum(xw[:, 1] * fpol[:, 1]),
-                    jnp.sum(xw[:, 2] * fpol[:, 2]),
-                    jnp.sum(xw[:, 0] * fpol[:, 1]),
-                    jnp.sum(xw[:, 0] * fpol[:, 2]),
-                    jnp.sum(xw[:, 1] * fpol[:, 2]),
-                ])
-                u_self = 0.5 * jnp.sum(jnp.where(
-                    alpha != 0.0,
-                    jnp.sum(mu_new * mu_new, axis=1)
-                    / jnp.where(alpha != 0.0, alpha, 1.0), 0.0))
-                epol = _preduce(u_self + u_ef + u_dd)
+        epol = jnp.zeros((), dtype)
+        mu_new = mu_init
+        scf_iters = jnp.zeros((), jnp.int32)
+        if has_polar:
+            e0 = _wolf_field(x, q, mol, mask)
+            a = alpha[:, None]
+            mu0 = (mu_init if s.use_previous
+                   else s.polar_gamma * a * e0)
+
+            if s.zodid:
+                mu_new = mu0
+            elif s.fixed_iteration:
+                mu_new = jax.lax.fori_loop(
+                    0, s.iterations_max,
+                    lambda i, m: a * (e0 + _e_ind_of(x, alpha, mask, m)),
+                    mu0)
+                scf_iters = jnp.asarray(s.iterations_max, jnp.int32)
+            else:
+                from lidp_tpu.ops.polarization import scf_solve_cg
+
+                mu_new, scf_iters, _div = scf_solve_cg(
+                    e0, alpha, lambda m: -_e_ind_of(x, alpha, mask, m), s,
+                    mu_init=(mu_init if s.use_previous else None),
+                    psum=_preduce, n_total=n)
+
+            fpol, epol, vir_pol = _dipole_forces(x, q, mol, alpha, mu_new,
+                                                 mask)
+            f = f + fpol
+            vir = vir + vir_pol
 
         vir = _preduce(vir)
 

@@ -115,9 +115,11 @@ def main():
 
     out.update(_try_polar_bench(timeout_s=480))
     out.update(_try_polar_1e11(timeout_s=480))
-    out.update(_try_error_budget(timeout_s=420))
+    out.update(_try_error_budget(timeout_s=560))
     out.update(_try_polar_100k(timeout_s=540))
-    out.update(_try_eam(timeout_s=420))
+    out.update(_try_eam(timeout_s=560))
+    out.update(_try_chute(timeout_s=480))
+    out.update(_try_polar_100k_1e11(timeout_s=1500))
     print(json.dumps(out))
     return 0
 
@@ -202,6 +204,48 @@ def _try_polar_100k(timeout_s: int):
         "polar_mof_100k_n_atoms": 105920,
         "polar_100k_vs_reference_extrapolated": round(
             float(m.group(1)) / lammps_extrapolated, 1),
+    }
+
+
+def _try_chute(timeout_s: int):
+    """bench/in.chute 32k granular chute; reference 187.205 steps/s on one
+    core (log.6Oct16.chute.fixed.icc.1:56)."""
+    try:
+        r = _run_script(["scripts/bench_chute.py"], timeout_s)
+    except subprocess.TimeoutExpired:
+        return {"chute_32k_steps_per_s": None,
+                "chute_note": "compile timeout (cold cache)"}
+    m = re.search(r"chute steps/s ([0-9.]+)", r.stdout)
+    if not m:
+        return {"chute_32k_steps_per_s": None,
+                "chute_note": "failed: "
+                + (r.stdout + r.stderr)[-200:].replace("\n", " ")}
+    v = float(m.group(1))
+    return {"chute_32k_steps_per_s": v,
+            "chute_vs_baseline": round(v / 187.205, 2)}
+
+
+def _try_polar_100k_1e11(timeout_s: int):
+    """The north-star regime at the north-star size: 105,920 atoms, f64,
+    polar_precision 1e-11 (BASELINE.md: "100k ... SCF converged to 1e-11").
+    The O(N^2)-serial reference extrapolates to 1.42e-4 steps/s here."""
+    try:
+        r = _run_script(["scripts/bench_polar.py", "100000", "run", "4096",
+                         "--f64", "--precision", "1e-11", "--steps", "2"],
+                        timeout_s)
+    except subprocess.TimeoutExpired:
+        return {"polar_100k_1e11_f64_steps_per_s": None,
+                "polar_100k_1e11_note": "timeout"}
+    m = re.search(r"steps/s ([0-9.]+) scf ([0-9.]+)", r.stdout)
+    if not m:
+        return {"polar_100k_1e11_f64_steps_per_s": None,
+                "polar_100k_1e11_note": "failed: "
+                + (r.stdout + r.stderr)[-200:].replace("\n", " ")}
+    v = float(m.group(1))
+    return {
+        "polar_100k_1e11_f64_steps_per_s": v,
+        "polar_100k_1e11_scf_iters": float(m.group(2)),
+        "polar_100k_1e11_vs_reference_extrapolated": round(v / 1.42e-4, 1),
     }
 
 

@@ -266,3 +266,167 @@ def pppm_forces(x, q, box_lengths, setup: PPPMSetup, qqrd2e, qsqsum, qsum):
         vcomp(KX, KX, True), vcomp(KY, KY, True), vcomp(KZ, KZ, True),
         vcomp(KX, KY, False), vcomp(KX, KZ, False), vcomp(KY, KZ, False)])
     return f, elong, virial
+
+
+# --------------------------- pppm/disp -------------------------------------
+#
+# Dispersion mesh: the PPPM analog of the geometric-mixing 1/r^6 Ewald
+# function (ops/ewald.py setup_dispersion / ewald6_forces), i.e. the
+# reference's KSPACE/pppm_disp.cpp geometric-mixing branch
+# (compute_gf_6 + poisson_ik for the dispersion grid).  Same mesh machinery
+# as the charge path above — spread per-atom B_i, FFT, multiply by the
+# dispersion Green's function with B-spline deconvolution, ik-differentiate —
+# with the per-mode coefficients of ewald_disp.cpp's func[1] branch
+# (:469-478) evaluated on the full FFT mode lattice instead of a half-space
+# k list.  Validated against ewald6_forces (tests/test_pppm_disp.py) rather
+# than bitwise against the reference mesh.
+
+
+@dataclasses.dataclass(frozen=True)
+class PPPMDispSetup:
+    g6: float
+    grid: tuple[int, int, int]
+    order: int
+    bsum: float
+    bsbsum: float
+
+
+def setup_pppm_disp(*, accuracy_rel: float, qqrd2e: float, b_atom,
+                    natoms: int, cutoff: float, box_lengths,
+                    order: int = 7, g6: float | None = None,
+                    h_per_g: float = 0.2) -> PPPMDispSetup:
+    """Dispersion-grid setup.
+
+    g6 comes from the shared Newton solve (ewald.newton_g6 — the
+    EwaldDisp::NewtonSolve parity path); the mesh is sized by a fixed
+    h*g6 <= h_per_g spacing rule boosted to 2/3/5-factorable sizes.  The
+    reference sizes its dispersion grid from its own acons error series
+    (pppm_disp.cpp set_grid_6); we instead pick the spacing that meets the
+    1e-6 agreement bar against the exact-k ewald6 sum (test-enforced),
+    which is the operative accuracy contract here.  The dispersion mode
+    coefficient decays as e^{-(k/2g6)^2}, so the truncation error at the
+    mesh Nyquist k_max = pi/h is ~e^{-(pi/(2 h g6))^2}; the residual is
+    B-spline aliasing, which the measured convergence sweep puts at
+    3.6e-6 (order 5) vs 5.9e-8 (order 7) relative force error at
+    h*g6 = 0.2 — hence the order-7 default.
+    """
+    from lidp_tpu.ops.ewald import newton_g6
+
+    L = np.asarray(box_lengths, float)
+    b_atom = np.asarray(b_atom, float)
+    bsum = float(np.sum(b_atom))
+    bsbsum = float(np.sum(b_atom ** 2))
+    if g6 is None:
+        accuracy = accuracy_rel * qqrd2e
+        g6 = newton_g6(accuracy, bsbsum, natoms, cutoff, float(np.prod(L)))
+    grid = []
+    for prd in L:
+        n = max(2, int(math.ceil(prd * g6 / h_per_g)))
+        while not _factorable(n):
+            n += 1
+        grid.append(n)
+    return PPPMDispSetup(g6=float(g6), grid=tuple(grid), order=order,
+                         bsum=bsum, bsbsum=bsbsum)
+
+
+def pppm_disp_forces(x, b_atom, box_lengths, s: PPPMDispSetup):
+    """Returns (f (N,3), edisp, virial6) — mesh geometric dispersion.
+
+    Per-mode energy coefficient (ewald_disp.cpp coefficients() func[1]):
+        ke6(k) = -|k|^3 (sqrt(pi) erfc(b) + (0.5/b^2 - 1) e^{-b^2} / b),
+        b = |k| / (2 g6)
+    with E = (c_e/2) sum_{k != 0, full lattice} ke6 |S(k)|^2 - self,
+    c_e = 2 pi^{3/2} / (24 V) (the ewald6_forces half-space constant; the
+    full FFT lattice double-counts +-k, hence the 1/2)."""
+    dtype = x.dtype
+    nx, ny, nz = s.grid
+    L = jnp.asarray(box_lengths, dtype)
+    n = x.shape[0]
+    order = s.order
+    g = s.g6
+
+    # --- B-coefficient assignment (same spreading as the charge path) ---
+    h = L / jnp.asarray([nx, ny, nz], dtype)
+    sfrac = x / h[None, :]
+    base = jnp.floor(sfrac - (order - 1) / 2.0).astype(jnp.int32)
+    frac = sfrac - base.astype(dtype) - (order - 1) / 2.0
+    wx = _assignment_weights(frac[:, 0], order)
+    wy = _assignment_weights(frac[:, 1], order)
+    wz = _assignment_weights(frac[:, 2], order)
+    offs = jnp.arange(order)
+    gx = (base[:, 0, None] + offs[None, :]) % nx
+    gy = (base[:, 1, None] + offs[None, :]) % ny
+    gz = (base[:, 2, None] + offs[None, :]) % nz
+    w3 = (wx[:, :, None, None] * wy[:, None, :, None]
+          * wz[:, None, None, :])
+    lin = ((gx[:, :, None, None] * ny + gy[:, None, :, None]) * nz
+           + gz[:, None, None, :])
+    b = jnp.asarray(b_atom, dtype)
+    rho = jnp.zeros((nx * ny * nz,), dtype).at[lin.reshape(-1)].add(
+        (w3 * b[:, None, None, None]).reshape(-1))
+    rho_k = jnp.fft.fftn(rho.reshape(nx, ny, nz))
+
+    # --- dispersion Green's function on the mode lattice ---
+    kx = 2 * jnp.pi * jnp.fft.fftfreq(nx, d=float(1) / nx) / L[0]
+    ky = 2 * jnp.pi * jnp.fft.fftfreq(ny, d=float(1) / ny) / L[1]
+    kz = 2 * jnp.pi * jnp.fft.fftfreq(nz, d=float(1) / nz) / L[2]
+    KX, KY, KZ = jnp.meshgrid(kx, ky, kz, indexing="ij")
+    k2 = KX ** 2 + KY ** 2 + KZ ** 2
+    k2safe = k2.at[0, 0, 0].set(1.0)
+    h1 = jnp.sqrt(k2safe)
+    b1 = h1 / (2.0 * g)
+    b2 = b1 * b1
+    expb2 = jnp.exp(-b2)
+    erfcb = jax.scipy.special.erfc(b1)
+    pis = jnp.sqrt(jnp.asarray(jnp.pi, dtype))
+    ke6 = -h1 * k2safe * (pis * erfcb + (0.5 / b2 - 1.0) * expb2 / b1)
+    ke6 = ke6.at[0, 0, 0].set(0.0)
+    # virial tensor factor c2v (ewald_disp.cpp compute_virial func[1])
+    c2v = 3.0 * h1 * (pis * erfcb - expb2 / b1)
+    c2v = c2v.at[0, 0, 0].set(0.0)
+
+    def sinc(m, nn):
+        u = jnp.pi * m / nn
+        return jnp.where(m == 0, 1.0, jnp.sin(u) / jnp.where(m == 0, 1.0, u))
+
+    mx = jnp.fft.fftfreq(nx) * nx
+    my = jnp.fft.fftfreq(ny) * ny
+    mz = jnp.fft.fftfreq(nz) * nz
+    MX, MY, MZ = jnp.meshgrid(mx, my, mz, indexing="ij")
+    wk = (sinc(MX, nx) * sinc(MY, ny) * sinc(MZ, nz)) ** order
+    wk2 = jnp.maximum(wk * wk, 1e-12)
+
+    vol = L[0] * L[1] * L[2]
+    c_e = 2.0 * jnp.pi * pis / (24.0 * vol)
+    sk2 = jnp.abs(rho_k) ** 2 / wk2
+
+    g3 = g ** 3
+    virial_self = jnp.pi * pis * g3 / (6.0 * vol) * s.bsum * s.bsum
+    energy_self = -s.bsbsum * g3 * g3 / 12.0 + virial_self
+    edisp = 0.5 * c_e * jnp.sum(ke6 * sk2) - energy_self
+
+    # forces: phi6_k = c_e * ke6 * rho_k / wk2 * Ngrid (the 0.5 from the
+    # full-lattice energy and the 2 from d|S|^2 cancel); f_i = b_i E6(r_i)
+    ngrid = nx * ny * nz
+    phi_k = c_e * ke6 * rho_k / wk2 * ngrid
+    ex = jnp.real(jnp.fft.ifftn(-1j * KX * phi_k))
+    ey = jnp.real(jnp.fft.ifftn(-1j * KY * phi_k))
+    ez = jnp.real(jnp.fft.ifftn(-1j * KZ * phi_k))
+
+    def interp(field):
+        vals = field.reshape(-1)[lin.reshape(-1)].reshape(
+            n, order, order, order)
+        return jnp.sum(vals * w3, axis=(1, 2, 3))
+
+    f = b[:, None] * jnp.stack([interp(ex), interp(ey), interp(ez)], axis=-1)
+
+    def vcomp(ka, kb, diag):
+        w = (ke6 if diag else 0.0) - c2v * ka * kb
+        return 0.5 * c_e * jnp.sum(sk2 * w)
+
+    virial = jnp.stack([
+        vcomp(KX, KX, True), vcomp(KY, KY, True), vcomp(KZ, KZ, True),
+        vcomp(KX, KY, False), vcomp(KX, KZ, False), vcomp(KY, KZ, False)])
+    virial = virial - virial_self * jnp.asarray(
+        [1.0, 1.0, 1.0, 0.0, 0.0, 0.0], dtype)
+    return f, edisp, virial

@@ -781,8 +781,15 @@ class LammpsScript:
                     raise ValueError(f"Illegal pair_style keyword {k}")
                 i += 2
         elif a[0] in ("morse", "buck", "gauss", "soft", "born",
-                      "lj/expand"):
+                      "lj/expand", "mie/cut"):
             p.cut_lj_global = float(a[1])
+        elif a[0] == "lj/gromacs":
+            # pair_style lj/gromacs inner outer (pair_lj_gromacs.cpp settings)
+            p.cut_lj_inner = float(a[1])
+            p.cut_lj_global = float(a[2])
+        elif a[0] == "born/coul/long":
+            p.cut_lj_global = float(a[1])
+            p.cut_coul = float(a[2]) if len(a) > 2 else p.cut_lj_global
         elif a[0] == "lj/cut/coul/cut":
             p.cut_lj_global = float(a[1])
             p.cut_coul = float(a[2]) if len(a) > 2 else p.cut_lj_global
@@ -865,7 +872,8 @@ class LammpsScript:
         _NCOEFF = {"morse": 3, "buck": 3, "buck/coul/cut": 3,
                    "buck/coul/long": 3, "yukawa": 1, "gauss": 2, "soft": 1,
                    "born": 5, "coul/cut": 0, "coul/long": 0,
-                   "coul/debye": 0, "lj/expand": 3}
+                   "coul/debye": 0, "lj/expand": 3,
+                   "born/coul/long": 5, "mie/cut": 4}
         if self.pair.name in _NCOEFF and a[0] == "*" and a[1] == "*" \
                 and self.pair.name.startswith("coul"):
             return   # coul styles take no per-pair coefficients
@@ -903,6 +911,15 @@ class LammpsScript:
             cut = (float(a[2 + nc]) if len(a) > 2 + nc
                    else self.pair.cut_lj_global)
             self.pair_coeffs[(min(i, j), max(i, j))] = tuple(vals) + (cut,)
+            return
+        if self.pair.name == "lj/gromacs":
+            # i j eps sigma [inner outer] (pair_lj_gromacs.cpp::coeff)
+            vals = (float(a[2]), float(a[3]))
+            if len(a) > 5:
+                vals += (float(a[4]), float(a[5]))
+            else:
+                vals += (self.pair.cut_lj_global,)
+            self.pair_coeffs[(min(i, j), max(i, j))] = vals
             return
         eps, sig = float(a[2]), float(a[3])
         if "charmm" in self.pair.name:
@@ -1565,6 +1582,8 @@ class LammpsScript:
                 self._pair_shift = _yesno(a[i + 1]); i += 2
             elif a[i] == "mix":
                 self._pair_mix = a[i + 1]; i += 2
+            elif a[i] == "tail":
+                self._pair_tail = _yesno(a[i + 1]); i += 2
             elif a[i] == "table":
                 i += 2  # we always evaluate erfc exactly (no tables)
             else:

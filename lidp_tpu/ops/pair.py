@@ -249,6 +249,28 @@ def _vdw_terms(kind, rsq, r2inv, t1, t2, t3, t4, t5=None,
         r6 = rs2inv * rs2inv * rs2inv
         flj = r6 * (t1 * r6 - t2)
         return flj * r / rs, r6 * (t3 * r6 - t4)
+    if kind == "mie":
+        # pair_mie_cut.cpp:117-133: t1..t4 = mie1..mie4 (Cmie-scaled),
+        # t5 = stacked [gamR, gamA] exponent tables
+        rgamR = r2inv ** (t5[..., 0] / 2.0)
+        rgamA = r2inv ** (t5[..., 1] / 2.0)
+        return t1 * rgamR - t2 * rgamA, t3 * rgamR - t4 * rgamA
+    if kind == "lj/gromacs":
+        # pair_lj_gromacs.cpp:95-125: plain LJ force plus a smoothing
+        # polynomial switched on beyond cut_inner; energy carries the
+        # matching cubic/quartic terms and the ljsw5 continuity constant.
+        # t5 = stacked [ljsw1, ljsw2, ljsw3, ljsw4, ljsw5, cut_inner]
+        r6inv = r2inv * r2inv * r2inv
+        forcelj = r6inv * (t1 * r6inv - t2)
+        philj = r6inv * (t3 * r6inv - t4) + t5[..., 4]
+        inner = t5[..., 5]
+        beyond = rsq > inner * inner
+        tt = r - inner
+        fswitch = r * tt * tt * (t5[..., 0] + t5[..., 1] * tt)
+        eswitch = tt * tt * tt * (t5[..., 2] + t5[..., 3] * tt)
+        forcelj = forcelj + jnp.where(beyond, fswitch, 0.0)
+        philj = philj + jnp.where(beyond, eswitch, 0.0)
+        return forcelj, philj
     raise ValueError(f"unknown pair kind {kind}")
 
 

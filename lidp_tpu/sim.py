@@ -37,6 +37,8 @@ _GENERIC_PAIR_KINDS = {
     "yukawa": ("yukawa", 1), "gauss": ("gauss", 2), "soft": ("soft", 1),
     "born": ("born", 5), "coul/cut": ("none", 0), "coul/long": ("none", 0),
     "coul/debye": ("none", 0), "lj/expand": ("lj/expand", 3),
+    "born/coul/long": ("born", 5), "mie/cut": ("mie", 4),
+    "lj/gromacs": ("lj/gromacs", 2),
 }
 
 
@@ -94,6 +96,94 @@ def _build_table_pair(script, excl_types, dtype):
     return pair, cut
 
 
+def _build_mixed_generic_pair(script, u, excl_types, dtype, kind, nc):
+    """mie/cut and lj/gromacs: geometric mixing for unset pairs (the
+    Pair::mix_flag GEOMETRIC default both styles inherit — pair_mie_cut.cpp
+    init_one :530-540, pair_lj_gromacs.cpp init_one) and a stacked extra
+    coefficient table in lj5 (exponents for mie, switch constants for
+    gromacs)."""
+    from lidp_tpu.ops.pair import make_generic_pair_params
+
+    T = script.ntypes
+    cut = np.full((T + 1, T + 1), script.pair.cut_lj_global)
+    inner = np.full((T + 1, T + 1), script.pair.cut_lj_inner)
+    # raw per-pair params: mie (eps sig gamR gamA), gromacs (eps sig)
+    raw = np.zeros((T + 1, T + 1, nc))
+    seen = np.zeros((T + 1, T + 1), bool)
+    for (i, j), co in script.pair_coeffs.items():
+        raw[i, j] = raw[j, i] = co[:nc]
+        if kind == "lj/gromacs" and len(co) >= nc + 2:
+            inner[i, j] = inner[j, i] = co[nc]
+            cut[i, j] = cut[j, i] = co[nc + 1]
+        elif len(co) > nc:
+            cut[i, j] = cut[j, i] = co[nc]
+        seen[i, j] = seen[j, i] = True
+    for i in range(1, T + 1):
+        if not seen[i, i]:
+            raise ValueError(f"All pair coeffs are not set ({i} {i})")
+    for i in range(1, T + 1):
+        for j in range(i + 1, T + 1):
+            if not seen[i, j]:
+                # mix GEOMETRIC: every scalar mixes as sqrt(a_ii a_jj)
+                raw[i, j] = raw[j, i] = np.sqrt(raw[i, i] * raw[j, j])
+                cut[i, j] = cut[j, i] = np.sqrt(cut[i, i] * cut[j, j])
+                inner[i, j] = inner[j, i] = np.sqrt(inner[i, i]
+                                                    * inner[j, j])
+
+    tabs = [np.zeros((T + 1, T + 1)) for _ in range(4)]
+    if kind == "mie":
+        eps, sig, gamR, gamA = (raw[..., k] for k in range(4))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cmie = np.where(
+                gamR != gamA,
+                gamR / np.where(gamR != gamA, gamR - gamA, 1.0)
+                * np.power(np.where(gamA > 0, gamR / np.where(
+                    gamA > 0, gamA, 1.0), 1.0),
+                    gamA / np.where(gamR != gamA, gamR - gamA, 1.0)),
+                0.0)
+        tabs[0] = cmie * gamR * eps * np.power(sig, gamR)
+        tabs[1] = cmie * gamA * eps * np.power(sig, gamA)
+        tabs[2] = cmie * eps * np.power(sig, gamR)
+        tabs[3] = cmie * eps * np.power(sig, gamA)
+        t5 = np.stack([gamR, gamA], axis=-1)
+    else:   # lj/gromacs switch constants (pair_lj_gromacs.cpp init_one)
+        eps, sig = raw[..., 0], raw[..., 1]
+        s6 = sig ** 6
+        tabs[0] = 48.0 * eps * s6 * s6
+        tabs[1] = 24.0 * eps * s6
+        tabs[2] = 4.0 * eps * s6 * s6
+        tabs[3] = 4.0 * eps * s6
+        rc = np.where(cut > 0, cut, 1.0)
+        ri = inner
+        r6inv = 1.0 / rc ** 6
+        r8inv = 1.0 / rc ** 8
+        t = np.where(rc > ri, rc - ri, 1.0)
+        t2inv = 1.0 / (t * t)
+        t3inv = t2inv / t
+        t3 = 1.0 / t3inv
+        a6 = (7.0 * ri - 10.0 * rc) * r8inv * t2inv
+        b6 = (9.0 * rc - 7.0 * ri) * r8inv * t3inv
+        a12 = (13.0 * ri - 16.0 * rc) * r6inv * r8inv * t2inv
+        b12 = (15.0 * rc - 13.0 * ri) * r6inv * r8inv * t3inv
+        c6 = r6inv - t3 * (6.0 * a6 / 3.0 + 6.0 * b6 * t / 4.0)
+        c12 = r6inv * r6inv - t3 * (12.0 * a12 / 3.0 + 12.0 * b12 * t / 4.0)
+        sw1 = tabs[0] * a12 - tabs[1] * a6
+        sw2 = tabs[0] * b12 - tabs[1] * b6
+        sw3 = -tabs[2] * 12.0 * a12 / 3.0 + tabs[3] * 6.0 * a6 / 3.0
+        sw4 = -tabs[2] * 12.0 * b12 / 4.0 + tabs[3] * 6.0 * b6 / 4.0
+        sw5 = -tabs[2] * c12 + tabs[3] * c6
+        t5 = np.stack([sw1, sw2, sw3, sw4, sw5, inner], axis=-1)
+
+    pair = make_generic_pair_params(
+        kind, tabs[0], tabs[1], tabs[2], tabs[3], t5,
+        cut_lj=cut, cut_coul=0.0, coul=False, qqrd2e=u.qqr2e,
+        special_lj=np.array(script.special_lj),
+        special_coul=np.array(script.special_coul),
+        shift=(getattr(script, "_pair_shift", False) and kind == "mie"),
+        excl_types=excl_types, dtype=dtype)
+    return pair, cut
+
+
 def _build_generic_pair(script, u, excl_types, dtype):
     """PairParams for the non-LJ pair styles (pair_morse/buck/yukawa/gauss/
     soft/born/coul_*.cpp).  Off-diagonal coefficients must be given
@@ -107,6 +197,9 @@ def _build_generic_pair(script, u, excl_types, dtype):
     coul = "coul" in name
     tabs = [np.zeros((T + 1, T + 1)) for _ in range(5)]
     cut = np.full((T + 1, T + 1), script.pair.cut_lj_global)
+    if kind in ("mie", "lj/gromacs"):
+        return _build_mixed_generic_pair(script, u, excl_types, dtype,
+                                         kind, nc)
     if kind != "none":
         seen = np.zeros((T + 1, T + 1), bool)
         for (i, j), co in script.pair_coeffs.items():
@@ -419,12 +512,34 @@ class Simulation:
                 excl_types[t1, t2] = excl_types[t2, t1] = True
         pname = script.pair.name
         tip4p_spec = getattr(script.pair, "tip4p", None)
+        etail = ptail = 0.0
         if pname == "table":
             pair, cut = _build_table_pair(script, excl_types, dtype)
         elif pname in _GENERIC_PAIR_KINDS:
             pair, cut = _build_generic_pair(script, u, excl_types, dtype)
         else:
             eps, sig, cut = _mix_pair_tables(script)
+            if getattr(script, "_pair_tail", False) and not charmm:
+                # pair_modify tail yes: LJ long-range corrections summed
+                # per i<=j type pair with the off-diagonal doubled
+                # (pair_lj_cut.cpp init_one etail_ij/ptail_ij +
+                # pair.cpp:247-253); thermo divides by the (possibly
+                # evolving) volume at sample time.
+                counts = np.bincount(np.asarray(script.type),
+                                     minlength=script.ntypes + 1)
+                for i_t in range(1, script.ntypes + 1):
+                    for j_t in range(i_t, script.ntypes + 1):
+                        s6_ = float(sig[i_t, j_t]) ** 6
+                        rc_ = float(cut[i_t, j_t])
+                        rc3 = rc_ ** 3
+                        rc6 = rc3 * rc3
+                        rc9 = rc3 * rc6
+                        fac = float(counts[i_t]) * float(counts[j_t]) \
+                            * float(eps[i_t, j_t]) * s6_ / (9.0 * rc9)
+                        mult = 1.0 if i_t == j_t else 2.0
+                        etail += mult * 8.0 * np.pi * fac * (s6_ - 3.0 * rc6)
+                        ptail += mult * 16.0 * np.pi * fac \
+                            * (2.0 * s6_ - 3.0 * rc6)
             is_debye = "debye" in pname
             pair = make_pair_params(
                 eps, sig, cut,
@@ -1006,7 +1121,8 @@ class Simulation:
         # ---- thermo ----
         dof = dim_ * n - dim_ - dof_removed
         tp = ThermoParams.create(mass_atom, dof=dof, units=u,
-                                 norm=(u.name == "lj"), natoms=n, dim=dim_)
+                                 norm=(u.name == "lj"), natoms=n, dim=dim_,
+                                 etail=etail, ptail=ptail)
         group_tp = {}
         gg_computes = {}
         msd_computes = {}

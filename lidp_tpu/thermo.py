@@ -38,16 +38,23 @@ class ThermoParams:
     # compute temp/com: subtract the group's center-of-mass velocity
     com_bias: bool = dataclasses.field(metadata=dict(static=True),
                                        default=False)
+    # pair_modify tail: long-range LJ corrections (pair.cpp:247-253
+    # accumulation; thermo.cpp:1789 adds etail/V to PE, compute_pressure
+    # .cpp:292 adds ptail/V to each diagonal virial component)
+    etail: float = dataclasses.field(metadata=dict(static=True), default=0.0)
+    ptail: float = dataclasses.field(metadata=dict(static=True), default=0.0)
 
     @staticmethod
     def create(mass_atom, dof, units: Units, norm: bool, natoms: int,
-               dim: int = 3, vcomp=(True, True, True), com_bias=False):
+               dim: int = 3, vcomp=(True, True, True), com_bias=False,
+               etail=0.0, ptail=0.0):
         return ThermoParams(
             mass_atom=jnp.asarray(mass_atom),
             dof=float(dof), boltz=units.boltz, mvv2e=units.mvv2e,
             nktv2p=units.nktv2p, norm=norm, natoms=natoms,
             mv2d=getattr(units, "mv2d", 1.0), dim=dim,
             vcomp=tuple(bool(v) for v in vcomp), com_bias=bool(com_bias),
+            etail=float(etail), ptail=float(ptail),
         )
 
 
@@ -81,6 +88,8 @@ def pressure(sys: System, tp: ThermoParams, virial6):
         L = sys.box.lengths
         return (mvv + w) / (2.0 * L[0] * L[1]) * tp.nktv2p
     w = virial6[0] + virial6[1] + virial6[2]
+    if tp.ptail:
+        w = w + 3.0 * tp.ptail / sys.box.volume
     return (mvv + w) / (3.0 * sys.box.volume) * tp.nktv2p
 
 
@@ -115,6 +124,8 @@ def _thermo_row_impl(sys: System, res: ForceResult, tp: ThermoParams,
                      extra_virial) -> dict:
     ke = ke_total(sys, tp)
     pe = res.pe
+    etail = tp.etail / sys.box.volume if tp.etail else 0.0
+    pe = pe + etail
     virial = res.virial if extra_virial is None else res.virial + extra_virial
     norm = float(tp.natoms) if tp.norm else 1.0
     return {
@@ -127,7 +138,7 @@ def _thermo_row_impl(sys: System, res: ForceResult, tp: ThermoParams,
         "ecoul": res.ecoul / norm,
         "elong": res.elong / norm,
         "epol": res.epol / norm,
-        "epair": res.epair / norm,
+        "epair": (res.epair + etail) / norm,
         "emol": res.emol / norm,
         "ebond": res.ebond / norm,
         "eangle": res.eangle / norm,

@@ -62,6 +62,10 @@ class ForceField:
     # pair params carry LJ only (coul=False) and the coulomb (real + recip)
     # runs on charge-site positions with affine force redistribution
     tip4p: Optional[object] = None
+    # geometric-dispersion k-space (pair lj/long/coul/long + ewald/disp
+    # func[1]): per-mode tables + per-atom B_i = sqrt(4 eps sig^6)
+    ewald6: Optional[ewald_ops.Ewald6Params] = None
+    b_atom: Optional[jax.Array] = None
 
 
 @jax.tree_util.register_dataclass
@@ -302,6 +306,15 @@ def compute_forces(sys: System, ff: ForceField,
         f = f + fk
         elong = elong + el
         virial = virial + vk
+
+    if ff.ewald6 is not None and _on("kspace"):
+        # reciprocal geometric dispersion (EwaldDisp func[1]); tallies into
+        # elong like every k-space energy (ewald_disp.cpp compute())
+        f6, e6, v6 = ewald_ops.ewald6_forces(sys.x, ff.b_atom,
+                                             sys.box.volume, ff.ewald6)
+        f = f + f6
+        elong = elong + e6
+        virial = virial + v6
 
     if ff.polar is not None and _on("polar"):
         s = ff.polar

@@ -790,6 +790,15 @@ class LammpsScript:
         elif a[0] == "born/coul/long":
             p.cut_lj_global = float(a[1])
             p.cut_coul = float(a[2]) if len(a) > 2 else p.cut_lj_global
+        elif a[0] == "lj/long/coul/long":
+            # pair_style lj/long/coul/long flag_lj flag_coul cutoff [cut_c]
+            # (pair_lj_long_coul_long.cpp settings) — only the long/long
+            # combination (both sums in k-space) is supported here
+            if a[1] != "long" or a[2] != "long":
+                raise NotImplementedError(
+                    "lj/long/coul/long: only 'long long' flags supported")
+            p.cut_lj_global = float(a[3])
+            p.cut_coul = float(a[4]) if len(a) > 4 else p.cut_lj_global
         elif a[0] == "lj/cut/coul/cut":
             p.cut_lj_global = float(a[1])
             p.cut_coul = float(a[2]) if len(a) > 2 else p.cut_lj_global
@@ -1066,6 +1075,26 @@ class LammpsScript:
             # rotational KE of sphere atoms (compute_erotate_sphere.cpp)
             self.computes[cid] = (group, style, None)
             return
+        if style == "chunk/atom":
+            # compute ID group chunk/atom bin/1d dim origin delta
+            #   [units box|reduced|lattice] | type | molecule
+            # (compute_chunk_atom.cpp; bins follow the setup_bins rules)
+            spec = {"which": a[3]}
+            if a[3] == "bin/1d":
+                spec["dim"] = {"x": 0, "y": 1, "z": 2}[a[4]]
+                spec["origin"] = a[5]          # lower|center|upper|coord
+                spec["delta"] = float(a[6])
+                spec["units"] = "lattice"
+                i = 7
+                while i < len(a):
+                    if a[i] == "units":
+                        spec["units"] = a[i + 1]; i += 2
+                    else:
+                        i += 2
+            elif a[3] not in ("type", "molecule"):
+                raise ValueError(f"unsupported chunk/atom style {a[3]}")
+            self.computes[cid] = (group, style, spec)
+            return
         if style != "temp":
             raise ValueError(f"unsupported compute style {style}")
         self.computes[cid] = (group, style)
@@ -1102,7 +1131,31 @@ class LammpsScript:
                 i += 2
 
     def cmd_timer(self, a):
-        self._timer_mode = a[0] if a else "normal"
+        # timer [normal|full|loop|off] [timeout elapse] [every N]
+        # (timer.cpp modify_params; check_timeout ends the run cleanly at
+        # the next chunk boundary, verlet.cpp:241)
+        i = 0
+        while i < len(a):
+            if a[i] == "timeout":
+                t = a[i + 1]
+                if t == "off" or t == "unlimited":
+                    self._timer_timeout = None
+                elif ":" in t:
+                    parts = [float(v) for v in t.split(":")]
+                    secs = 0.0
+                    for p_ in parts:
+                        secs = secs * 60.0 + p_
+                    self._timer_timeout = secs
+                else:
+                    self._timer_timeout = float(t)
+                i += 2
+            elif a[i] == "every":
+                i += 2   # chunk boundaries already bound the check cadence
+            else:
+                self._timer_mode = a[i]
+                i += 1
+        if not a:
+            self._timer_mode = "normal"
 
     def cmd_dump(self, a):
         did, group, style, every = a[0], a[1], a[2], int(a[3])
@@ -1250,7 +1303,7 @@ class LammpsScript:
                          "viscous", "efield", "momentum", "recenter",
                          "halt", "neb", "adapt", "deform", "wall/reflect",
                          "wall/lj93", "planeforce", "lineforce", "indent",
-                         "print", "ave/time",
+                         "print", "ave/time", "ave/chunk",
                          "gravity", "freeze", "nve/sphere"):
             raise ValueError(f"unsupported fix style {style}")
         self.fixes[fid] = FixSpec(fid=fid, group=group, style=style, args=a[3:])

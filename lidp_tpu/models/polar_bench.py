@@ -72,7 +72,7 @@ def enable_compile_cache():
 def build(target_atoms: int = 100_000, n_devices: int = 1,
           precision: float = 1e-6, col_chunk: int = 4096,
           fixed_iterations: int | None = None, dt: float = 0.1,
-          dtype=None):
+          dtype=None, cg_static_trips: int = 0):
     """fixed_iterations: use the static-trip-count Jacobi mode instead of the
     CG while_loop (dynamic trip counts sync through the axon tunnel).
 
@@ -122,7 +122,7 @@ def build(target_atoms: int = 100_000, n_devices: int = 1,
         fixed_iteration=fixed_iterations is not None,
         damping_type=pol_ops.DAMPING_EXPONENTIAL,
         polar_damp=p.polar_damp, polar_precision=precision,
-        use_previous=True)
+        use_previous=True, cg_static_trips=cg_static_trips)
     ff = ForceField(pair=pair, ewald=ew, polar=s, qqrd2e=u.qqr2e)
 
     mesh = pshard.make_mesh(n_devices)

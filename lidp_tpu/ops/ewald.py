@@ -398,6 +398,28 @@ def setup_dispersion(*, accuracy_rel: float, qqrd2e: float, b_atom,
                        volume=volume)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Ewald6Params:
+    """Jit-friendly pytree mirror of Ewald6Setup (same attribute names, so
+    ewald6_forces accepts either)."""
+    hvecs: jax.Array
+    kcoeff6: jax.Array
+    kvirial6: jax.Array
+    g6: float = dataclasses.field(metadata=dict(static=True), default=1.0)
+    bsum: float = dataclasses.field(metadata=dict(static=True), default=0.0)
+    bsbsum: float = dataclasses.field(metadata=dict(static=True),
+                                      default=0.0)
+
+    @staticmethod
+    def from_setup(s: Ewald6Setup, dtype=jnp.float64) -> "Ewald6Params":
+        return Ewald6Params(
+            hvecs=jnp.asarray(s.hvecs, dtype),
+            kcoeff6=jnp.asarray(s.kcoeff6, dtype),
+            kvirial6=jnp.asarray(s.kvirial6, dtype),
+            g6=float(s.g6), bsum=float(s.bsum), bsbsum=float(s.bsbsum))
+
+
 def ewald6_forces(x, b_atom, volume, s: Ewald6Setup):
     """Reciprocal-space dispersion energy/forces/virial (geometric mixing).
 

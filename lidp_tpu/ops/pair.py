@@ -255,6 +255,23 @@ def _vdw_terms(kind, rsq, r2inv, t1, t2, t3, t4, t5=None,
         rgamR = r2inv ** (t5[..., 0] / 2.0)
         rgamA = r2inv ** (t5[..., 1] / 2.0)
         return t1 * rgamR - t2 * rgamA, t3 * rgamR - t4 * rgamA
+    if kind == "lj/long":
+        # pair_lj_long_coul_long.cpp:520-533 (order6, series branch):
+        # full r^-12 repulsion + g6-damped dispersion complement whose
+        # k-space part lives in ewald6_forces.  t1..t4 = lj1..lj4
+        # (geometric mixing, so lj4 = B_i B_j); t5 = the global g_ewald_6.
+        rn = r2inv * r2inv * r2inv
+        g2 = t5 * t5
+        x2v = g2 * rsq
+        a2 = 1.0 / x2v
+        x2e = a2 * jnp.exp(-x2v) * t4
+        g6c = g2 * g2 * g2
+        g8c = g6c * g2
+        force = (rn * rn * t1
+                 - g8c * (((6.0 * a2 + 6.0) * a2 + 3.0) * a2 + 1.0)
+                 * x2e * rsq)
+        e = rn * rn * t3 - g6c * ((a2 + 1.0) * a2 + 0.5) * x2e
+        return force, e
     if kind == "lj/gromacs":
         # pair_lj_gromacs.cpp:95-125: plain LJ force plus a smoothing
         # polynomial switched on beyond cut_inner; energy carries the

@@ -52,6 +52,13 @@ class PolarizationSettings:
     polar_gs_ranked: bool = dataclasses.field(metadata=dict(static=True), default=True)
     polar_gamma: float = dataclasses.field(metadata=dict(static=True), default=1.03)
     use_previous: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    # >0: run CG as a lax.scan of exactly this many trips with updates
+    # masked once converged, instead of lax.while_loop.  Same math and same
+    # stopping criterion; static trip counts avoid a TPU runtime fault that
+    # f64-emulated while_loops hit at large N (observed at >=30k atoms
+    # through the axon tunnel) and keep the step schedulable.
+    cg_static_trips: int = dataclasses.field(metadata=dict(static=True),
+                                             default=0)
 
 
 def _pair_geometry(x, box: Box, mask):
@@ -181,9 +188,30 @@ def scf_solve_cg(e0, alpha, apply_T, s: PolarizationSettings, mu_init=None,
         change = allsum(jnp.sum((a * p * sa) ** 2)) / n3
         return y2, r2, p2, rs2, change, it + 1
 
-    y, r, p, rs, change, it = jax.lax.while_loop(
-        cond, body,
-        (y, r, p, rs, jnp.asarray(jnp.inf, dtype), jnp.zeros((), jnp.int32)))
+    init = (y, r, p, rs, jnp.asarray(jnp.inf, dtype),
+            jnp.zeros((), jnp.int32))
+    if s.cg_static_trips:
+        # static-trip variant: after convergence the step size is forced to
+        # 0, freezing y/r/change (p keeps accumulating harmlessly)
+        def sbody(c, _):
+            y, r, p, rs, change, it = c
+            done = change <= prec2
+            Bp = B(p)
+            denom = allsum(jnp.sum(p * Bp))
+            a = jnp.where(done, 0.0, rs / jnp.where(denom != 0, denom, 1.0))
+            y2 = y + a * p
+            r2 = r - a * Bp
+            rs2 = allsum(jnp.sum(r2 * r2))
+            beta = rs2 / jnp.where(rs != 0, rs, 1.0)
+            p2 = r2 + beta * p
+            change2 = jnp.where(
+                done, change, allsum(jnp.sum((a * p * sa) ** 2)) / n3)
+            return (y2, r2, p2, rs2, change2,
+                    it + jnp.where(done, 0, 1)), None
+        (y, r, p, rs, change, it), _ = jax.lax.scan(
+            sbody, init, None, length=int(s.cg_static_trips))
+    else:
+        y, r, p, rs, change, it = jax.lax.while_loop(cond, body, init)
     converged = (change <= prec2) | (rs <= res_accept * rs0)
     diverged = ~converged
     mu = sa * y

@@ -11,6 +11,7 @@ dump writers.
 from __future__ import annotations
 
 import dataclasses
+import time
 
 import numpy as np
 
@@ -316,7 +317,7 @@ def _build_granular_sim(script, sys, u, dtype, n, npad, _padA, groups, dim_):
                     f"fix gravity style {spec.args[1]}")
         elif spec.style == "nve/sphere":
             active = np.asarray(groups[spec.group], bool)
-        elif spec.style in ("print", "ave/time"):
+        elif spec.style in ("print", "ave/time", "ave/chunk"):
             pass
         else:
             raise NotImplementedError(
@@ -371,6 +372,7 @@ def _build_granular_sim(script, sys, u, dtype, n, npad, _padA, groups, dim_):
     sim_obj.msd_computes = {}
     sim_obj.rdf_computes = {}
     sim_obj.simple_computes = {}
+    sim_obj.chunk_computes = {}
     sim_obj.mesh = None
     sim_obj.n_padded = npad
     # compute erotate/sphere columns read runner istate omega
@@ -517,6 +519,28 @@ class Simulation:
             pair, cut = _build_table_pair(script, excl_types, dtype)
         elif pname in _GENERIC_PAIR_KINDS:
             pair, cut = _build_generic_pair(script, u, excl_types, dtype)
+        elif pname == "lj/long/coul/long":
+            # both LJ-dispersion and coulomb long: real-space kernel is the
+            # r^-12 + g6-damped r^-6 complement (kind lj/long); geometric
+            # mixing is REQUIRED for the B_i B_j k-space factorization
+            # (pair_lj_long_coul_long.cpp init_one + ewald_disp func[1])
+            from lidp_tpu.ops.pair import make_generic_pair_params
+
+            eps, sig, cut = _mix_pair_tables(script)
+            if (len(getattr(script, "_bonds", ())) and
+                    not np.allclose(script.special_lj, 1.0)):
+                raise NotImplementedError(
+                    "lj/long/coul/long needs special_lj 1 1 1: the k-space "
+                    "dispersion sum includes all pairs")
+            s6t = sig ** 6
+            pair = make_generic_pair_params(
+                "lj/long", 48.0 * eps * s6t * s6t, 24.0 * eps * s6t,
+                4.0 * eps * s6t * s6t, 4.0 * eps * s6t,
+                np.ones_like(eps),   # t5 = g_ewald_6, patched after kspace
+                cut_lj=cut, cut_coul=script.pair.cut_coul, coul=True,
+                qqrd2e=u.qqr2e, special_lj=np.array(script.special_lj),
+                special_coul=np.array(script.special_coul),
+                excl_types=excl_types, dtype=dtype)
         else:
             eps, sig, cut = _mix_pair_tables(script)
             if getattr(script, "_pair_tail", False) and not charmm:
@@ -561,6 +585,8 @@ class Simulation:
         ew = None
         es = None
         pppmp = None
+        ew6 = None
+        b_atom_pad = None
         if script.kspace is not None and script.kspace[0].startswith("pppm"):
             from lidp_tpu.ops.pppm import PPPMParams, setup_pppm
 
@@ -577,15 +603,42 @@ class Simulation:
                 float(np.sum(script.q)), dtype=dtype)
         elif script.kspace is not None:
             style, acc = script.kspace
-            es = setup_ewald_disp(
-                accuracy_rel=acc, qqrd2e=u.qqr2e, q=script.q, natoms=n,
-                cutoff=script.pair.cut_coul,
-                box_lengths=script.box_hi - script.box_lo,
-                g_ewald=getattr(script, "_gewald_override", None),
-                tilt=(tilt if triclinic else None))
-            pair = dataclasses.replace(
-                pair, g_ewald=jnp.asarray(es.g_ewald, dtype))
-            ew = EwaldParams.from_setup(es, u.qqr2e, dtype=dtype)
+            # ewald/disp on an uncharged system: the charge function is
+            # simply disabled and only the requested extra functions run
+            # (EwaldDisp::init function selection)
+            uncharged = (float(np.sum(script.q ** 2)) == 0.0
+                         and pname == "lj/long/coul/long")
+            if not uncharged:
+                es = setup_ewald_disp(
+                    accuracy_rel=acc, qqrd2e=u.qqr2e, q=script.q, natoms=n,
+                    cutoff=script.pair.cut_coul,
+                    box_lengths=script.box_hi - script.box_lo,
+                    g_ewald=getattr(script, "_gewald_override", None),
+                    tilt=(tilt if triclinic else None))
+                pair = dataclasses.replace(
+                    pair, g_ewald=jnp.asarray(es.g_ewald, dtype))
+                ew = EwaldParams.from_setup(es, u.qqr2e, dtype=dtype)
+            if pname == "lj/long/coul/long":
+                # dispersion function of ewald/disp: per-type
+                # B_t = sqrt(4 eps_tt sig_tt^6) (EwaldDisp::init_coeffs)
+                from lidp_tpu.ops.ewald import (Ewald6Params,
+                                                setup_dispersion)
+
+                eps_d = np.array([0.0] + [eps[t, t] for t in
+                                          range(1, script.ntypes + 1)])
+                sig_d = np.array([0.0] + [sig[t, t] for t in
+                                          range(1, script.ntypes + 1)])
+                b_type = np.sqrt(4.0 * eps_d) * sig_d ** 3
+                b_peratom = b_type[script.type]
+                es6 = setup_dispersion(
+                    accuracy_rel=acc, qqrd2e=u.qqr2e, b_atom=b_peratom,
+                    natoms=n, cutoff=script.pair.cut_lj_global,
+                    box_lengths=script.box_hi - script.box_lo)
+                pair = dataclasses.replace(
+                    pair, lj5=jnp.full((script.ntypes + 1,) * 2, es6.g6,
+                                       dtype))
+                ew6 = Ewald6Params.from_setup(es6, dtype=dtype)
+                b_atom_pad = jnp.asarray(_padA(b_peratom, 0.0), dtype)
 
         # ---- polarization ----
         pol = None
@@ -844,7 +897,8 @@ class Simulation:
 
         ff = ForceField(pair=None if eamp is not None else pair,
                         polar_xshift=polar_xshift, tip4p=tipp,
-                        ewald=ew, polar=pol, sp_code=sp_code,
+                        ewald=ew, ewald6=ew6, b_atom=b_atom_pad,
+                        polar=pol, sp_code=sp_code,
                         bond=bondp, angle=anglep, dihedral=dihedralp,
                         improper=improperp,
                         pppm=pppmp, eam=eamp, sp_idx=sp_idx, sp_lvl=sp_lvl,
@@ -1128,6 +1182,7 @@ class Simulation:
         msd_computes = {}
         rdf_computes = {}
         simple_computes = {}
+        chunk_computes = {}
         for cid, spec_c in script.computes.items():
             if len(spec_c) == 3 and spec_c[1] == "group/group":
                 gg_computes[cid] = (
@@ -1146,6 +1201,10 @@ class Simulation:
                                                   "pe"):
                 simple_computes[cid] = (script.groups[spec_c[0]].copy(),
                                         spec_c[1])
+                continue
+            if len(spec_c) == 3 and spec_c[1] == "chunk/atom":
+                chunk_computes[cid] = (script.groups[spec_c[0]].copy(),
+                                       spec_c[2])
                 continue
             gname, style = spec_c[0], spec_c[1]
             gmask = groups[gname]
@@ -1240,6 +1299,7 @@ class Simulation:
         sim_obj.msd_computes = msd_computes
         sim_obj.rdf_computes = rdf_computes
         sim_obj.simple_computes = simple_computes
+        sim_obj.chunk_computes = chunk_computes
         sim_obj.mesh = mesh
         sim_obj.n_padded = npad
 
@@ -1320,6 +1380,8 @@ class Simulation:
                         spec._started = True
                     else:
                         self.script.log(out)
+            elif spec.style == "ave/chunk":
+                self._ave_chunk(spec, step)
             elif spec.style == "ave/time":
                 nev, nrep, nfreq = (int(spec.args[0]), int(spec.args[1]),
                                     int(spec.args[2]))
@@ -1350,6 +1412,152 @@ class Simulation:
                                   mode) as fh:
                             fh.write(f"{step} {ave:.10g}\n")
                         spec._started = True
+
+    def _chunk_ids(self, cid):
+        """Per-atom chunk index (1..nchunk, 0 = outside group) plus the
+        printed per-chunk coordinate — compute_chunk_atom.cpp bin/1d
+        (setup_xyz_bins), type and molecule styles."""
+        gmask, spec = self.chunk_computes[cid]
+        n = self.natoms
+        if spec["which"] == "type":
+            ids = np.asarray(self.sys.type)[:n].astype(int)
+            nchunk = int(self.script.ntypes)
+            coord = None
+        elif spec["which"] == "molecule":
+            ids = np.asarray(self.sys.mol)[:n].astype(int)
+            nchunk = int(ids.max()) if n else 0
+            coord = None
+        else:   # bin/1d
+            d = spec["dim"]
+            lo = float(np.asarray(self.sys.box.lo)[d])
+            prd = float(np.asarray(self.sys.box.lengths)[d])
+            delta = spec["delta"]
+            if spec["units"] == "reduced":
+                delta = delta * prd
+            elif spec["units"] == "lattice" and \
+                    getattr(self.script, "lattice_spacing", 0.0):
+                delta = delta * self.script.lattice_spacing3[d]
+            origin = {"lower": lo, "upper": lo + prd,
+                      "center": lo + 0.5 * prd}.get(
+                spec["origin"], None)
+            if origin is None:
+                origin = float(spec["origin"])
+            # extend the origin down to cover the whole box (setup_xyz_bins)
+            while origin > lo:
+                origin -= delta
+            nchunk = int(np.ceil((lo + prd - origin) / delta))
+            x = np.asarray(self.sys.x)[:n, d]
+            x = x - prd * np.floor((x - lo) / prd)   # wrap periodic dims
+            ids = np.floor((x - origin) / delta).astype(int) + 1
+            ids = np.clip(ids, 1, nchunk)
+            coord = origin + (np.arange(nchunk) + 0.5) * delta
+        ids = np.where(gmask[:n] & np.asarray(self.sys.mask)[:n], ids, 0)
+        return ids, nchunk, coord
+
+    def _ave_chunk(self, spec, step):
+        """fix ave/chunk (fix_ave_chunk.cpp): Nevery-sampled, Nrepeat-window
+        per-chunk averages of per-atom values, written every Nfreq steps."""
+        nev, nrep, nfreq = (int(spec.args[0]), int(spec.args[1]),
+                            int(spec.args[2]))
+        ccid = spec.args[3]
+        vals = []
+        i = 4
+        opts = {}
+        while i < len(spec.args):
+            a_ = spec.args[i]
+            if a_ in ("vx", "vy", "vz", "fx", "fy", "fz", "density/number",
+                      "density/mass", "temp"):
+                vals.append(a_); i += 1
+            elif a_ in ("file", "norm", "units", "ave"):
+                opts[a_] = spec.args[i + 1]; i += 2
+            else:
+                i += 2
+        if nev == 0 or step % nev:
+            pass
+        else:
+            ids, nchunk, coord = self._chunk_ids(ccid)
+            n = self.natoms
+            v = np.asarray(self.sys.v)[:n]
+            f = np.asarray(self.res.f)[:n]
+            m = np.asarray(self.thermo_params.mass_atom)[:n]
+            count = np.bincount(ids, minlength=nchunk + 1)[1:]
+            cols = []
+            for w in vals:
+                if w in ("vx", "vy", "vz"):
+                    src = v[:, "xyz".index(w[1])]
+                elif w in ("fx", "fy", "fz"):
+                    src = f[:, "xyz".index(w[1])]
+                elif w == "density/number":
+                    src = None
+                elif w == "density/mass":
+                    src = m
+                elif w == "temp":
+                    # per-chunk T = sum m v^2 / (dim*Ncount*boltz) with the
+                    # chunk COM not removed (fix_ave_chunk temp default)
+                    src = (m[:, None] * v * v).sum(1)
+                tot = (np.bincount(ids, weights=src, minlength=nchunk + 1)[1:]
+                       if src is not None else count.astype(float))
+                cols.append(tot)
+            buf = getattr(spec, "_chunkbuf", None)
+            if buf is None or buf[0] != nchunk:
+                buf = (nchunk, np.zeros((len(vals), nchunk)),
+                       np.zeros(nchunk), 0)
+            acc_cols = buf[1] + np.stack(cols)
+            acc_cnt = buf[2] + count
+            spec._chunkbuf = (nchunk, acc_cols, acc_cnt, buf[3] + 1,
+                              coord)
+        if nfreq and step % nfreq == 0 and getattr(spec, "_chunkbuf", None):
+            nchunk, acc_cols, acc_cnt, nsamp, coord = spec._chunkbuf
+            tp = self.thermo_params
+            cspec = self.chunk_computes[ccid][1]
+            if cspec["which"] == "bin/1d" and nchunk > 1 and \
+                    coord is not None:
+                # bin volume = delta x cross-section (compute_chunk_atom
+                # bin_volumes), even when the last bin overhangs the box
+                d = cspec["dim"]
+                L = np.asarray(self.sys.box.lengths)
+                delta_eff = float(coord[1] - coord[0])
+                vol_chunk = delta_eff * float(np.prod(L)) / float(L[d])
+            else:
+                vol_chunk = float(self.sys.box.volume) / max(nchunk, 1)
+            out_rows = []
+            safe = np.maximum(acc_cnt, 1.0)
+            for k in range(nchunk):
+                row = [k + 1]
+                if coord is not None:
+                    row.append(coord[k])
+                row.append(acc_cnt[k] / nsamp)
+                for wi, w in enumerate(vals):
+                    tot = acc_cols[wi, k]
+                    if w == "density/number":
+                        row.append(tot / nsamp / vol_chunk)
+                    elif w == "density/mass":
+                        row.append(tot / nsamp / vol_chunk)
+                    elif w == "temp":
+                        dof = tp.dim * max(acc_cnt[k] / nsamp, 1e-300)
+                        row.append(tot / nsamp * tp.mvv2e
+                                   / (dof * tp.boltz))
+                    else:   # per-atom average (norm all default)
+                        row.append(tot / safe[k])
+                out_rows.append(row)
+            self.script.ave_chunk_values = getattr(
+                self.script, "ave_chunk_values", {})
+            self.script.ave_chunk_values[spec.fid] = (step, out_rows)
+            if "file" in opts:
+                import os as _os
+                mode = "a" if getattr(spec, "_started", False) else "w"
+                with open(_os.path.join(self.script.root, opts["file"]),
+                          mode) as fh:
+                    if mode == "w":
+                        fh.write("# Chunk-averaged data for fix "
+                                 f"{spec.fid}\n")
+                    fh.write(f"{step} {nchunk} "
+                             f"{acc_cnt.sum() / max(nsamp, 1):g}\n")
+                    for row in out_rows:
+                        fh.write("  " + " ".join(
+                            f"{v_:g}" for v_ in row) + "\n")
+                spec._started = True
+            spec._chunkbuf = None
 
     def _thermo_row(self):
         from lidp_tpu.thermo import thermo_row
@@ -1559,10 +1767,19 @@ class Simulation:
         if halt:
             chunk_opts.append(max(1, halt[0]))
         for spec in self.script.fixes.values():
-            if spec.style in ("print", "ave/time"):
+            if spec.style in ("print", "ave/time", "ave/chunk"):
                 chunk_opts.append(max(1, int(spec.args[0])))
         chunk = int(np.gcd.reduce(chunk_opts)) if chunk_opts else nsteps
+        # timer timeout: end the run cleanly when the wall clock budget is
+        # exhausted (Timer::check_timeout, verlet.cpp:241 — we check at
+        # scan-chunk boundaries rather than every step)
+        _tt = getattr(self.script, "_timer_timeout", None)
+        deadline = (time.perf_counter() + _tt) if _tt is not None else None
         while remaining > 0:
+            if deadline is not None and time.perf_counter() > deadline:
+                self.script.log(
+                    "Walltime reached, timer timeout — ending run early")
+                break
             todo = min(chunk, remaining)
             self.sys, self.res, self.nlist, self.istate = self.runner.run(
                 self.sys, self.res, self.nlist, self.istate, todo)

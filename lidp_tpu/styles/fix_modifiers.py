@@ -369,7 +369,7 @@ def build_projection(ctx, spec):
     ctx.pf_hooks_setup.append(_proj_pf)
 
 
-@fix_style("print", "ave/time")
+@fix_style("print", "ave/time", "ave/chunk")
 def build_host_side(ctx, spec):
     pass   # host-side, handled at chunk boundaries in run()
 

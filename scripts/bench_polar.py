@@ -16,6 +16,9 @@ ap.add_argument("colchunk", type=int, nargs="?", default=2048)
 ap.add_argument("--precision", type=float, default=None)
 ap.add_argument("--f64", action="store_true")
 ap.add_argument("--steps", type=int, default=0)
+ap.add_argument("--static-trips", type=int, default=0,
+                help="CG as a fixed-length scan (avoids the f64 "
+                     "while_loop TPU fault at >=30k atoms)")
 args = ap.parse_args()
 
 import jax
@@ -32,7 +35,7 @@ precision = args.precision if args.precision is not None else (
 
 b = polar_bench.build(target_atoms=args.natoms, n_devices=1,
                       col_chunk=args.colchunk, precision=precision,
-                      dtype=dtype)
+                      dtype=dtype, cg_static_trips=args.static_trips)
 print("natoms", b.natoms, "npad", b.npad, "precision", precision,
       "dtype", str(dtype.__name__), flush=True)
 t0 = time.perf_counter()

@@ -65,3 +65,34 @@ def test_run_upto_and_dump_atom(sim):
             if len(ln.split()) == 5 and ln.split()[0].isdigit()]
     xs = np.array([[float(v) for v in r[2:]] for r in rows])
     assert xs.min() >= 0.0 and xs.max() <= 1.0
+
+
+def test_timer_timeout_ends_run_early():
+    """timer timeout (timer.cpp modify_params + Timer::check_timeout,
+    verlet.cpp:241): an exhausted walltime budget ends the run cleanly at
+    the next chunk boundary instead of completing all steps."""
+    from lidp_tpu.api import lammps
+
+    L = lammps()
+    L.commands_string(SETUP)
+    L.command("timer timeout 0:0:0")
+    L.command("run 100")
+    assert L.extract_global("ntimestep") == 0     # budget gone before step 1
+    # a fresh unlimited budget lets the next run proceed
+    L.command("timer timeout unlimited")
+    L.command("run 10")
+    assert L.extract_global("ntimestep") == 10
+
+
+def test_timer_timeout_parse_formats():
+    from lidp_tpu.io.script import LammpsScript
+
+    s = LammpsScript()
+    s.one("timer timeout 3600")
+    assert s._timer_timeout == 3600.0
+    s.one("timer timeout 1:30")
+    assert s._timer_timeout == 90.0
+    s.one("timer loop timeout 2:00:00 every 50")
+    assert s._timer_timeout == 7200.0 and s._timer_mode == "loop"
+    s.one("timer timeout off")
+    assert s._timer_timeout is None

@@ -108,3 +108,28 @@ def test_t_tensor_symmetry():
     t = np.asarray(P.dipole_field_tensor(x, alpha, jnp.ones(n, bool), box, s))
     tm = t.reshape(3 * n, 3 * n)
     np.testing.assert_allclose(tm, tm.T, rtol=1e-12, atol=1e-12)
+
+
+def test_cg_static_trips_matches_while():
+    """cg_static_trips (fixed-length scan with masked updates) returns the
+    same dipoles and live-iteration count as the while_loop CG."""
+    rs = np.random.RandomState(11)
+    n = 36
+    L = 12.0
+    x = rs.uniform(0, L, (n, 3))
+    alpha = rs.uniform(0.1, 1.0, n)
+    e0 = jnp.asarray(rs.normal(size=(n, 3)))
+    box = Box.create([0, 0, 0], [L, L, L])
+    mask = jnp.ones(n, bool)
+    kw = dict(iterations_max=500, polar_precision=1e-12,
+              damping_type=P.DAMPING_EXPONENTIAL)
+    s_w = P.PolarizationSettings(**kw)
+    s_s = P.PolarizationSettings(**kw, cg_static_trips=64)
+    tensor = P.dipole_field_tensor(jnp.asarray(x), jnp.asarray(alpha), mask,
+                                   box, s_w)
+    mu_w, it_w, div_w = P.scf_solve(e0, jnp.asarray(alpha), tensor, s_w)
+    mu_s, it_s, div_s = P.scf_solve(e0, jnp.asarray(alpha), tensor, s_s)
+    assert not bool(div_w) and not bool(div_s)
+    assert int(it_s) == int(it_w)
+    np.testing.assert_allclose(np.asarray(mu_s), np.asarray(mu_w),
+                               rtol=1e-12, atol=1e-14)

@@ -66,6 +66,9 @@ class ForceField:
     # func[1]): per-mode tables + per-atom B_i = sqrt(4 eps sig^6)
     ewald6: Optional[ewald_ops.Ewald6Params] = None
     b_atom: Optional[jax.Array] = None
+    # mesh variant of the same dispersion sum (kspace pppm/disp,
+    # pppm_disp.cpp geometric branch); shares b_atom
+    pppm_disp: Optional[object] = None      # ops.pppm.PPPMDispParams
 
 
 @jax.tree_util.register_dataclass
@@ -306,6 +309,15 @@ def compute_forces(sys: System, ff: ForceField,
         f = f + fk
         elong = elong + el
         virial = virial + vk
+
+    if ff.pppm_disp is not None and _on("kspace"):
+        from lidp_tpu.ops.pppm import pppm_disp_forces
+
+        f6, e6, v6 = pppm_disp_forces(sys.x - sys.box.lo, ff.b_atom,
+                                      sys.box.lengths, ff.pppm_disp)
+        f = f + f6
+        elong = elong + e6
+        virial = virial + v6
 
     if ff.ewald6 is not None and _on("kspace"):
         # reciprocal geometric dispersion (EwaldDisp func[1]); tallies into

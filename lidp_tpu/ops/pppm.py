@@ -154,19 +154,36 @@ class PPPMParams:
     qsum: jax.Array
     grid: tuple = dataclasses.field(metadata=dict(static=True), default=(8, 8, 8))
     order: int = dataclasses.field(metadata=dict(static=True), default=5)
+    # pppm/stagger (pppm_stagger.cpp): evaluate the mesh twice, the second
+    # pass with atoms shifted by half a grid spacing in every dimension, and
+    # average — the leading odd-order ik-differentiation error cancels
+    # between the two interleaved grids
+    stagger: bool = dataclasses.field(metadata=dict(static=True),
+                                      default=False)
 
     @staticmethod
-    def from_setup(s: PPPMSetup, qqrd2e, qsqsum, qsum, dtype=jnp.float64):
+    def from_setup(s: PPPMSetup, qqrd2e, qsqsum, qsum, dtype=jnp.float64,
+                   stagger=False):
         return PPPMParams(
             g_ewald=jnp.asarray(s.g_ewald, dtype),
             qqrd2e=jnp.asarray(qqrd2e, dtype),
             qsqsum=jnp.asarray(qsqsum, dtype), qsum=jnp.asarray(qsum, dtype),
-            grid=s.grid, order=s.order)
+            grid=s.grid, order=s.order, stagger=stagger)
 
 
 def pppm_forces_params(x, q, box_lengths, p: PPPMParams):
     """Jit-friendly entry taking the registered PPPMParams pytree."""
     setup = PPPMSetup(g_ewald=p.g_ewald, grid=p.grid, order=p.order)
+    if p.stagger:
+        # two interleaved grids, averaged (pppm_stagger.cpp compute():
+        # nstagger=2, particle_map with shift 0 then h/2)
+        L = jnp.asarray(box_lengths, x.dtype)
+        h = L / jnp.asarray(p.grid, x.dtype)
+        out0 = pppm_forces(x, q, box_lengths, setup, p.qqrd2e, p.qsqsum,
+                           p.qsum)
+        out1 = pppm_forces(x + 0.5 * h[None, :], q, box_lengths, setup,
+                           p.qqrd2e, p.qsqsum, p.qsum)
+        return jax.tree_util.tree_map(lambda a, b: 0.5 * (a + b), out0, out1)
     return pppm_forces(x, q, box_lengths, setup, p.qqrd2e, p.qsqsum, p.qsum)
 
 
@@ -289,6 +306,25 @@ class PPPMDispSetup:
     order: int
     bsum: float
     bsbsum: float
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PPPMDispParams:
+    """Pytree mirror of PPPMDispSetup (all-static: scalars baked into the
+    compiled program; pppm_disp_forces accepts either)."""
+    g6: float = dataclasses.field(metadata=dict(static=True), default=1.0)
+    grid: tuple = dataclasses.field(metadata=dict(static=True),
+                                    default=(8, 8, 8))
+    order: int = dataclasses.field(metadata=dict(static=True), default=7)
+    bsum: float = dataclasses.field(metadata=dict(static=True), default=0.0)
+    bsbsum: float = dataclasses.field(metadata=dict(static=True),
+                                      default=0.0)
+
+    @staticmethod
+    def from_setup(s: PPPMDispSetup) -> "PPPMDispParams":
+        return PPPMDispParams(g6=s.g6, grid=s.grid, order=s.order,
+                              bsum=s.bsum, bsbsum=s.bsbsum)
 
 
 def setup_pppm_disp(*, accuracy_rel: float, qqrd2e: float, b_atom,

@@ -541,6 +541,13 @@ class Simulation:
                 qqrd2e=u.qqr2e, special_lj=np.array(script.special_lj),
                 special_coul=np.array(script.special_coul),
                 excl_types=excl_types, dtype=dtype)
+            # per-atom B_i = sqrt(4 eps_tt) sig_tt^3 (EwaldDisp::init_coeffs)
+            # for whichever dispersion k-solver (ewald/disp or pppm/disp)
+            eps_d = np.array([0.0] + [eps[t, t]
+                                      for t in range(1, script.ntypes + 1)])
+            sig_d = np.array([0.0] + [sig[t, t]
+                                      for t in range(1, script.ntypes + 1)])
+            disp_b_peratom = (np.sqrt(4.0 * eps_d) * sig_d ** 3)[script.type]
         else:
             eps, sig, cut = _mix_pair_tables(script)
             if getattr(script, "_pair_tail", False) and not charmm:
@@ -587,10 +594,18 @@ class Simulation:
         pppmp = None
         ew6 = None
         b_atom_pad = None
+        pppm_dispp = None
         if script.kspace is not None and script.kspace[0].startswith("pppm"):
             from lidp_tpu.ops.pppm import PPPMParams, setup_pppm
 
             style, acc = script.kspace
+            if style not in ("pppm", "pppm/tip4p", "pppm/cg",
+                             "pppm/stagger", "pppm/disp"):
+                raise NotImplementedError(f"kspace_style {style}")
+            # pppm/cg (pppm_cg.cpp) restricts spreading/interpolation to the
+            # charged-atom subset — a sparsity optimization whose math is
+            # identical; our dense TPU scatter/gather is the same program
+            # either way (q=0 atoms contribute nothing), so it aliases pppm.
             ps = setup_pppm(
                 accuracy_rel=acc, qqrd2e=u.qqr2e, q=script.q, natoms=n,
                 cutoff=script.pair.cut_coul,
@@ -600,7 +615,27 @@ class Simulation:
                 pair, g_ewald=jnp.asarray(ps.g_ewald, dtype))
             pppmp = PPPMParams.from_setup(
                 ps, u.qqr2e, float(np.sum(script.q ** 2)),
-                float(np.sum(script.q)), dtype=dtype)
+                float(np.sum(script.q)), dtype=dtype,
+                stagger=(style == "pppm/stagger"))
+            if style == "pppm/disp":
+                # dispersion mesh alongside the charge mesh
+                # (pppm_disp.cpp geometric branch)
+                from lidp_tpu.ops.pppm import (PPPMDispParams,
+                                               setup_pppm_disp)
+
+                if pname != "lj/long/coul/long":
+                    raise NotImplementedError(
+                        "kspace pppm/disp needs pair lj/long/coul/long")
+                ps6 = setup_pppm_disp(
+                    accuracy_rel=acc, qqrd2e=u.qqr2e,
+                    b_atom=disp_b_peratom, natoms=n,
+                    cutoff=script.pair.cut_lj_global,
+                    box_lengths=script.box_hi - script.box_lo)
+                pair = dataclasses.replace(
+                    pair, lj5=jnp.full((script.ntypes + 1,) * 2, ps6.g6,
+                                       dtype))
+                pppm_dispp = PPPMDispParams.from_setup(ps6)
+                b_atom_pad = jnp.asarray(_padA(disp_b_peratom, 0.0), dtype)
         elif script.kspace is not None:
             style, acc = script.kspace
             # ewald/disp on an uncharged system: the charge function is
@@ -619,26 +654,20 @@ class Simulation:
                     pair, g_ewald=jnp.asarray(es.g_ewald, dtype))
                 ew = EwaldParams.from_setup(es, u.qqr2e, dtype=dtype)
             if pname == "lj/long/coul/long":
-                # dispersion function of ewald/disp: per-type
-                # B_t = sqrt(4 eps_tt sig_tt^6) (EwaldDisp::init_coeffs)
+                # exact-k dispersion function of ewald/disp (func[1])
                 from lidp_tpu.ops.ewald import (Ewald6Params,
                                                 setup_dispersion)
 
-                eps_d = np.array([0.0] + [eps[t, t] for t in
-                                          range(1, script.ntypes + 1)])
-                sig_d = np.array([0.0] + [sig[t, t] for t in
-                                          range(1, script.ntypes + 1)])
-                b_type = np.sqrt(4.0 * eps_d) * sig_d ** 3
-                b_peratom = b_type[script.type]
                 es6 = setup_dispersion(
-                    accuracy_rel=acc, qqrd2e=u.qqr2e, b_atom=b_peratom,
-                    natoms=n, cutoff=script.pair.cut_lj_global,
+                    accuracy_rel=acc, qqrd2e=u.qqr2e,
+                    b_atom=disp_b_peratom, natoms=n,
+                    cutoff=script.pair.cut_lj_global,
                     box_lengths=script.box_hi - script.box_lo)
                 pair = dataclasses.replace(
                     pair, lj5=jnp.full((script.ntypes + 1,) * 2, es6.g6,
                                        dtype))
                 ew6 = Ewald6Params.from_setup(es6, dtype=dtype)
-                b_atom_pad = jnp.asarray(_padA(b_peratom, 0.0), dtype)
+                b_atom_pad = jnp.asarray(_padA(disp_b_peratom, 0.0), dtype)
 
         # ---- polarization ----
         pol = None
@@ -898,6 +927,7 @@ class Simulation:
         ff = ForceField(pair=None if eamp is not None else pair,
                         polar_xshift=polar_xshift, tip4p=tipp,
                         ewald=ew, ewald6=ew6, b_atom=b_atom_pad,
+                        pppm_disp=pppm_dispp,
                         polar=pol, sp_code=sp_code,
                         bond=bondp, angle=anglep, dihedral=dihedralp,
                         improper=improperp,

@@ -1,0 +1,117 @@
+"""Per-device load measurement for the atom-axis sharding (the balance.cpp
+/ fix_balance.cpp / rcb.cpp analog question, reference src/balance.cpp:114).
+
+LAMMPS balances by moving spatial domain boundaries because its cost per
+rank is proportional to the atoms (and their neighbors) inside that rank's
+box.  Our sharding is different by construction:
+
+- the bespoke polar path (parallel/shard.py) assigns each device a
+  contiguous ROW BLOCK of the padded atom axis and every block computes a
+  dense (nloc x N) interaction panel -> identical FLOPs per device, exactly.
+- the general cell engine shards the (cells*cap) slot axis under GSPMD; the
+  per-device slot count is equal, but per-slot work varies with occupancy.
+
+This probe MEASURES both claims on real example systems (8-way split):
+
+1. per-device row-block atom counts (trivially equal after padding)
+2. per-device in-cutoff pair counts -- the density-sensitive work proxy
+   for any neighbor-gated kernel
+3. per-device wall time of the dominant O(nloc*N) polar phase, executed in
+   isolation per block on one device (same shapes -> one compile; timing
+   spread is the honest data-dependent residual)
+
+Prints one summary line per system: max/mean imbalance for each metric.
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from lidp_tpu.io.data_reader import read_data
+
+NDEV = 8
+
+SYSTEMS = {
+    "bulk_h2": "/root/reference/polarization/examples/Bulk H2/h2.data",
+    "peptide": "/root/reference/examples/peptide/data.peptide",
+    "mof5_methane":
+        "/root/reference/polarization/examples/MOF5+Methane/"
+        "MOF5+PCRC.restart.pdb.data",
+}
+
+
+def probe(name, path, cutoff=6.0):
+    d = read_data(path)
+    n = d.natoms
+    L = (d.box_hi - d.box_lo).astype(np.float64)
+    x = d.x - d.box_lo[None, :]
+    npad = -(-n // NDEV) * NDEV
+    nloc = npad // NDEV
+    xp = np.zeros((npad, 3))
+    xp[:n] = x
+    mask = np.zeros(npad, bool)
+    mask[:n] = True
+
+    # metric 1: per-device real-atom counts (block row split)
+    atoms_per_dev = mask.reshape(NDEV, nloc).sum(axis=1)
+
+    # metric 2: per-device in-cutoff pair counts (min-image, rows on device)
+    def pairs_for_block(b):
+        rows = slice(b * nloc, (b + 1) * nloc)
+        dx = xp[rows, None, :] - xp[None, :, :]
+        dx -= L * np.round(dx / L)
+        r2 = np.sum(dx * dx, axis=-1)
+        pm = mask[rows, None] & mask[None, :] & (r2 < cutoff * cutoff) \
+            & (r2 > 0.0)
+        return int(pm.sum())
+
+    pairs = np.array([pairs_for_block(b) for b in range(NDEV)], float)
+
+    # metric 3: isolated wall time of the O(nloc*N) damped-dipole panel per
+    # block -- the dominant polar phase shape (erfc+exp+rsqrt per pair)
+    xj = jnp.asarray(xp)
+    Lj = jnp.asarray(L)
+
+    @jax.jit
+    def panel(xl):
+        dx = xl[:, None, :] - xj[None, :, :]
+        dx = dx - Lj * jnp.round(dx / Lj)
+        r2 = jnp.sum(dx * dx, axis=-1)
+        r2 = jnp.where(r2 > 0, r2, 1.0)
+        r = jnp.sqrt(r2)
+        w = jnp.exp(-1.03 * r) * (1.0 + r + 0.5 * r2) / (r2 * r)
+        return jnp.sum(w * jax.lax.erfc(0.3 * r))
+
+    times = []
+    for b in range(NDEV):
+        xl = jnp.asarray(xp[b * nloc:(b + 1) * nloc])
+        panel(xl).block_until_ready()            # compile (first b) + warm
+        t0 = time.perf_counter()
+        for _ in range(3):
+            panel(xl).block_until_ready()
+        times.append((time.perf_counter() - t0) / 3)
+    times = np.array(times)
+
+    def imb(v):
+        return float(v.max() / v.mean()) if v.mean() else 1.0
+
+    print(f"{name}: n={n} nloc={nloc} "
+          f"atoms max/mean={imb(atoms_per_dev):.4f} "
+          f"pairs max/mean={imb(pairs):.4f} "
+          f"panel_ms={', '.join('%.1f' % (t * 1e3) for t in times)} "
+          f"time max/mean={imb(times):.4f}", flush=True)
+    return imb(atoms_per_dev), imb(pairs), imb(times)
+
+
+if __name__ == "__main__":
+    for name, path in SYSTEMS.items():
+        probe(name, path)

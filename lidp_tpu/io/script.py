@@ -445,8 +445,9 @@ class LammpsScript:
             elif k == "check":
                 self.neigh_check = _yesno(a[i + 1]); i += 2
             elif k == "exclude":
-                if a[i + 1] == "molecule":
+                if a[i + 1] in ("molecule", "molecule/intra"):
                     # exclude molecule GROUP: drop same-molecule pairs
+                    # (renamed molecule/intra in 2018, neighbor.cpp:2305)
                     if a[i + 2] != "all":
                         raise NotImplementedError(
                             "exclude molecule on sub-groups")

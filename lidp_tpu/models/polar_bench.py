@@ -57,6 +57,11 @@ class PolarBench:
     arrays: dict
     natoms: int
     npad: int
+    # host-driven phase mode (per-dispatch execution deadline workaround)
+    phases: dict | None = None
+    settings: object = None
+    dt: float = 0.0
+    ftm2v: float = 1.0
 
 
 def enable_compile_cache():
@@ -173,7 +178,10 @@ def build(target_atoms: int = 100_000, n_devices: int = 1,
         mass=put(pad(mass_eff.astype(np_dtype), 1.0)),
         mask=put(pad(np.ones(n, bool), False)),
     )
-    return PolarBench(step=step, init=init, arrays=arrays, natoms=n, npad=npad)
+    phases = make.host_phases() if n_devices == 1 else None
+    return PolarBench(step=step, init=init, arrays=arrays, natoms=n,
+                      npad=npad, phases=phases, settings=s,
+                      dt=dt, ftm2v=u.ftm2v)
 
 
 def setup_forces(bench: PolarBench):
@@ -234,3 +242,90 @@ def run_step(bench: PolarBench, zero_init: bool = False):
         a["mu"], a["mass"], a["mask"])
     a["x"], a["v"], a["mu"], a["f"] = x, v, mu, f
     return f, energies
+
+
+def host_cg_step(bench: PolarBench, zero_init: bool = False):
+    """One velocity-Verlet step with every expensive phase dispatched
+    SEPARATELY and the CG loop driven from the host.
+
+    Same math as parallel/shard.py local_step + ops/polarization
+    scf_solve_cg, restructured because the axon tunnel enforces a
+    per-dispatch execution deadline (~1-2 min): at 100k atoms in emulated
+    f64 a single O(N^2) panel pass is ~30 s, so the fused step (e0 + ~20 CG
+    iterations + dipole forces in ONE program) cannot finish in time.  Here
+    each dispatch is one panel pass.  Cross-checked against the fused step
+    in tests/test_host_cg.py.
+
+    Returns (f, energies) like run_step.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    a = bench.arrays
+    ph = bench.phases
+    s = bench.settings
+    dtf = 0.5 * bench.dt * bench.ftm2v
+    if "f" not in a:
+        a["f"] = jnp.zeros_like(a["x"])
+        if not zero_init:
+            pass   # first call computes forces at current x below anyway
+
+    mass, mask = a["mass"], a["mask"]
+    minv = jnp.where(mass > 0, 1.0 / jnp.where(mass > 0, mass, 1.0), 0.0)
+    v = a["v"] + (dtf * minv)[:, None] * a["f"]
+    v = jnp.where(mask[:, None], v, 0.0)
+    x = a["x"] + bench.dt * v
+
+    q, typ, mol, alpha = a["q"], a["type"], a["mol"], a["alpha"]
+    f, evdwl, ecoul, elong, vir = ph["nonpolar"](x, q, typ, mask)
+    e0 = ph["wolf"](x, q, mol, mask)
+
+    # --- host-driven CG (scf_solve_cg math, one eind dispatch per B()) ---
+    sa = jnp.sqrt(alpha)[:, None]
+    eind = ph["eind"]
+
+    def B(y):
+        return y + sa * (-eind(x, alpha, mask, sa * y))
+
+    b = sa * e0
+    if s.use_previous:
+        y = jnp.where(sa > 0, a["mu"] / jnp.where(sa > 0, sa, 1.0), 0.0)
+    else:
+        y = s.polar_gamma * sa * e0
+    r = b - B(y)
+    p = r
+    rs = float(jnp.sum(r * r))
+    rs0 = float(jnp.sum(b * b)) + 1e-30
+    prec2 = float(s.polar_precision) ** 2
+    n3 = 3.0 * bench.natoms
+    change = float("inf")
+    it = 0
+    while not (change <= prec2) and it < s.iterations_max:
+        Bp = B(p)
+        denom = float(jnp.sum(p * Bp))
+        alpha_cg = rs / (denom if denom != 0 else 1.0)
+        y = y + alpha_cg * p
+        r = r - alpha_cg * Bp
+        rs2 = float(jnp.sum(r * r))
+        beta = rs2 / (rs if rs != 0 else 1.0)
+        # change measures the step just taken (OLD direction p), matching
+        # scf_solve_cg's body ordering
+        change = float(jnp.sum((alpha_cg * p * sa) ** 2)) / n3
+        p = r + beta * p
+        rs = rs2
+        it += 1
+    converged = (change <= prec2) or (rs <= 1e-5 * rs0)
+    mu = sa * y
+    if not converged:
+        mu = alpha[:, None] * e0
+    epol = jnp.zeros(())
+    fpol, epol, vir_pol = ph["dipole"](x, q, mol, alpha, mu, mask)
+    f = f + fpol
+    v = v + (dtf * minv)[:, None] * f
+    v = jnp.where(mask[:, None], v, 0.0)
+
+    a["x"], a["v"], a["mu"], a["f"] = x, v, mu, f
+    en = dict(evdwl=evdwl, ecoul=ecoul, elong=elong, epol=epol,
+              virial=vir + vir_pol,
+              scf_iters=jnp.asarray(it, jnp.int32))
+    return f, en

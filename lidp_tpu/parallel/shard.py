@@ -650,4 +650,21 @@ def build_sharded_polar_step(
         )
         return jax.jit(sm), jax.jit(sm_init)
 
+    def make_host_phases():
+        """Single-device jitted PHASE functions for host-driven stepping.
+
+        The axon tunnel enforces a per-dispatch execution deadline (~1-2
+        min): one fused step at 100k atoms in emulated f64 exceeds it (a
+        single O(N^2) panel pass is ~30 s), so the bench drives the phases
+        as separate dispatches with the CG loop on the host
+        (models/polar_bench.py host_cg_step) — same math as local_step."""
+        assert single, "host phases are a single-device bench path"
+        return dict(
+            nonpolar=jax.jit(_nonpolar_forces),
+            wolf=jax.jit(_wolf_field),
+            eind=jax.jit(_e_ind_of),
+            dipole=jax.jit(_dipole_forces),
+        )
+
+    make.host_phases = make_host_phases
     return make, bind_box, npad, bind_special

@@ -19,6 +19,10 @@ ap.add_argument("--steps", type=int, default=0)
 ap.add_argument("--static-trips", type=int, default=0,
                 help="CG as a fixed-length scan (avoids the f64 "
                      "while_loop TPU fault at >=30k atoms)")
+ap.add_argument("--host-cg", action="store_true",
+                help="per-phase dispatches + host-driven CG: the axon "
+                     "per-dispatch execution deadline (~1-2 min) kills the "
+                     "fused step at 100k-atom f64 (one O(N^2) panel ~30 s)")
 args = ap.parse_args()
 
 import jax
@@ -38,12 +42,26 @@ b = polar_bench.build(target_atoms=args.natoms, n_devices=1,
                       dtype=dtype, cg_static_trips=args.static_trips)
 print("natoms", b.natoms, "npad", b.npad, "precision", precision,
       "dtype", str(dtype.__name__), flush=True)
+step_once = (polar_bench.host_cg_step if args.host_cg
+             else polar_bench.run_step)
 t0 = time.perf_counter()
-f, en = polar_bench.run_step(b, zero_init=True)
+f, en = step_once(b, zero_init=True)
 jax.block_until_ready(f)
 print("step compile+run", round(time.perf_counter() - t0, 1), flush=True)
 print({k: round(float(v), 2) for k, v in en.items() if v.ndim == 0},
       flush=True)
+
+if args.host_cg:
+    # host-driven mode times whole steps (each already many dispatches)
+    K = args.steps or 2
+    t0 = time.perf_counter()
+    for _ in range(K):
+        f, en = polar_bench.host_cg_step(b)
+    jax.block_until_ready(f)
+    dt_step = (time.perf_counter() - t0) / K
+    print("steady ms/step", round(dt_step * 1000, 1), "steps/s",
+          round(1 / dt_step, 4), "scf", float(en["scf_iters"]), flush=True)
+    sys.exit(0)
 
 if args.mode == "diag":
     for i in range(10):

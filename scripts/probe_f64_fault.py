@@ -21,8 +21,8 @@ if variant == "while":
     b = polar_bench.build(**kw)
 elif variant == "static1":
     b = polar_bench.build(**kw, cg_static_trips=1)
-elif variant == "static40":
-    b = polar_bench.build(**kw, cg_static_trips=40)
+elif variant.startswith("static"):
+    b = polar_bench.build(**kw, cg_static_trips=int(variant[6:]))
 elif variant == "jacobi":
     b = polar_bench.build(**kw, fixed_iterations=4)
 else:
@@ -35,3 +35,8 @@ jax.block_until_ready(f)
 print("OK", variant, "compile+run", round(time.perf_counter() - t0, 1),
       {k: round(float(v), 2) for k, v in en.items() if v.ndim == 0},
       flush=True)
+t0 = time.perf_counter()
+f, en = polar_bench.run_step(b)
+jax.block_until_ready(f)
+print("OK warm step", round(time.perf_counter() - t0, 1), "s",
+      "scf", float(en["scf_iters"]), flush=True)

@@ -1,0 +1,39 @@
+"""host_cg_step (per-phase dispatches + host-driven CG) must reproduce the
+fused sharded step exactly — it is the same math restructured around the
+axon per-dispatch execution deadline (models/polar_bench.py host_cg_step).
+"""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+
+@pytest.mark.slow
+def test_host_cg_matches_fused_step():
+    from lidp_tpu.models import polar_bench
+
+    kw = dict(target_atoms=1324, n_devices=1, col_chunk=512,
+              precision=1e-11, dtype=jnp.float64, dt=0.1)
+    b1 = polar_bench.build(**kw)
+    b2 = polar_bench.build(**kw)
+
+    f1, e1 = polar_bench.run_step(b1, zero_init=True)
+    f2, e2 = polar_bench.host_cg_step(b2, zero_init=True)
+
+    assert int(e1["scf_iters"]) == int(e2["scf_iters"])
+    for k in ("evdwl", "ecoul", "elong", "epol"):
+        assert float(e2[k]) == pytest.approx(float(e1[k]), rel=1e-12), k
+    # fused-loop vs eager-phase reassociation differs at the last few ulps
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f1),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(b2.arrays["mu"]),
+                               np.asarray(b1.arrays["mu"]),
+                               rtol=1e-9, atol=1e-14)
+
+    # a second (warm-started) step must track too
+    f1, e1 = polar_bench.run_step(b1)
+    f2, e2 = polar_bench.host_cg_step(b2)
+    assert int(e1["scf_iters"]) == int(e2["scf_iters"])
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f1),
+                               rtol=1e-9, atol=1e-11)

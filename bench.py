@@ -119,7 +119,7 @@ def main():
     out.update(_try_polar_100k(timeout_s=540))
     out.update(_try_eam(timeout_s=560))
     out.update(_try_chute(timeout_s=480))
-    out.update(_try_polar_100k_1e11(timeout_s=1500))
+    out.update(_try_polar_100k_1e11(timeout_s=2700))
     print(json.dumps(out))
     return 0
 
@@ -230,12 +230,17 @@ def _try_polar_100k_1e11(timeout_s: int):
     polar_precision 1e-11 (BASELINE.md: "100k ... SCF converged to 1e-11").
     The O(N^2)-serial reference extrapolates to 1.42e-4 steps/s here."""
     try:
-        # static-trip CG: the f64 lax.while_loop faults in the TPU runtime
-        # at >=30k atoms (axon); a fixed-length masked scan is identical
-        # math (tests/test_physics_units.py::test_cg_static_trips...)
-        r = _run_script(["scripts/bench_polar.py", "100000", "run", "4096",
-                         "--f64", "--precision", "1e-11", "--steps", "2",
-                         "--static-trips", "40"],
+        # host-driven CG: the axon tunnel kills any single dispatch over
+        # ~1-2 min and the fused 100k f64 step exceeds that (one O(N^2)
+        # panel pass ~30 s x ~20 CG iterations), so each phase dispatches
+        # separately (models/polar_bench.py host_cg_step; parity proven in
+        # tests/test_host_cg.py)
+        # measured cold: compile+first step 680 s, steady 402 s/step
+        # (0.0025 steps/s, scf 16) — chunk 512 + 8 row strips keep every
+        # dispatch under the deadline and the programs inside HBM
+        r = _run_script(["scripts/bench_polar.py", "100000", "run", "512",
+                         "--f64", "--precision", "1e-11", "--steps", "1",
+                         "--host-cg", "--host-strips", "8"],
                         timeout_s)
     except subprocess.TimeoutExpired:
         return {"polar_100k_1e11_f64_steps_per_s": None,

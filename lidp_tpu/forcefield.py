@@ -69,6 +69,8 @@ class ForceField:
     # mesh variant of the same dispersion sum (kspace pppm/disp,
     # pppm_disp.cpp geometric branch); shares b_atom
     pppm_disp: Optional[object] = None      # ops.pppm.PPPMDispParams
+    # multilevel summation (kspace msm; ops/msm.py)
+    msm: Optional[object] = None            # ops.msm.MSMParams
 
 
 @jax.tree_util.register_dataclass
@@ -309,6 +311,15 @@ def compute_forces(sys: System, ff: ForceField,
         f = f + fk
         elong = elong + el
         virial = virial + vk
+
+    if ff.msm is not None and _on("kspace"):
+        from lidp_tpu.ops.msm import msm_forces
+
+        fm, em, vm = msm_forces(sys.x - sys.box.lo, sys.q,
+                                sys.box.lengths, ff.msm)
+        f = f + fm
+        elong = elong + em
+        virial = virial + vm
 
     if ff.pppm_disp is not None and _on("kspace"):
         from lidp_tpu.ops.pppm import pppm_disp_forces

@@ -818,8 +818,12 @@ class LammpsScript:
         elif a[0] in ("buck/coul/cut", "buck/coul/long"):
             p.cut_lj_global = float(a[1])
             p.cut_coul = float(a[2]) if len(a) > 2 else p.cut_lj_global
-        elif a[0] in ("coul/cut", "coul/long"):
+        elif a[0] in ("coul/cut", "coul/long", "coul/msm"):
             p.cut_coul = float(a[1])
+        elif a[0] == "lj/cut/coul/msm":
+            # pair_lj_cut_coul_msm.cpp settings: cut_lj [cut_coul]
+            p.cut_lj_global = float(a[1])
+            p.cut_coul = float(a[2]) if len(a) > 2 else p.cut_lj_global
         elif a[0] == "lj/cut/tip4p/long":
             # otype htype btype atype qdist cut_lj [cut_coul]
             # (pair_lj_cut_tip4p_long.cpp:431-454)
@@ -882,7 +886,7 @@ class LammpsScript:
         _NCOEFF = {"morse": 3, "buck": 3, "buck/coul/cut": 3,
                    "buck/coul/long": 3, "yukawa": 1, "gauss": 2, "soft": 1,
                    "born": 5, "coul/cut": 0, "coul/long": 0,
-                   "coul/debye": 0, "lj/expand": 3,
+                   "coul/debye": 0, "coul/msm": 0, "lj/expand": 3,
                    "born/coul/long": 5, "mie/cut": 4}
         if self.pair.name in _NCOEFF and a[0] == "*" and a[1] == "*" \
                 and self.pair.name.startswith("coul"):
@@ -1128,6 +1132,14 @@ class LammpsScript:
                 # compute's group + dof (thermo.cpp modify_params)
                 self._thermo_temp = a[i + 1]; i += 2
                 self._invalidate()
+            elif a[i] == "format":
+                # thermo_modify format float FMT | int FMT | M FMT
+                # (thermo.cpp:586); only the float-wide form is supported
+                if a[i + 1] == "float":
+                    self._thermo_float_format = a[i + 2]
+                elif a[i + 1] == "none":
+                    self._thermo_float_format = None
+                i += 3
             else:
                 i += 2
 

@@ -77,7 +77,7 @@ def enable_compile_cache():
 def build(target_atoms: int = 100_000, n_devices: int = 1,
           precision: float = 1e-6, col_chunk: int = 4096,
           fixed_iterations: int | None = None, dt: float = 0.1,
-          dtype=None, cg_static_trips: int = 0):
+          dtype=None, cg_static_trips: int = 0, host_strips: int = 1):
     """fixed_iterations: use the static-trip-count Jacobi mode instead of the
     CG while_loop (dynamic trip counts sync through the axon tunnel).
 
@@ -178,7 +178,8 @@ def build(target_atoms: int = 100_000, n_devices: int = 1,
         mass=put(pad(mass_eff.astype(np_dtype), 1.0)),
         mask=put(pad(np.ones(n, bool), False)),
     )
-    phases = make.host_phases() if n_devices == 1 else None
+    phases = (make.host_phases(strips=host_strips)
+              if n_devices == 1 else None)
     return PolarBench(step=step, init=init, arrays=arrays, natoms=n,
                       npad=npad, phases=phases, settings=s,
                       dt=dt, ftm2v=u.ftm2v)
@@ -277,15 +278,68 @@ def host_cg_step(bench: PolarBench, zero_init: bool = False):
     x = a["x"] + bench.dt * v
 
     q, typ, mol, alpha = a["q"], a["type"], a["mol"], a["alpha"]
-    f, evdwl, ecoul, elong, vir = ph["nonpolar"](x, q, typ, mask)
-    e0 = ph["wolf"](x, q, mol, mask)
+    S = ph.get("strips", 1)
+    npad = int(x.shape[0])
+    ns = npad // S
+
+    def striped(fn, *args):
+        """Run a phase as S row-strip dispatches; concat row-shaped leaves
+        (leading dim ns), sum scalar/(6,) reductions."""
+        if S == 1:
+            return fn(*args)
+        outs = []
+        for si in range(S):
+            o = fn(jnp.asarray(si * ns, jnp.int32), *args)
+            jax.block_until_ready(o)    # one strip per dispatch
+            outs.append(o)
+        if not isinstance(outs[0], tuple):
+            return jnp.concatenate(outs, axis=0)
+        merged = []
+        for leaf in zip(*outs):
+            if leaf[0].ndim and leaf[0].shape[0] == ns:
+                merged.append(jnp.concatenate(leaf, axis=0))
+            else:
+                merged.append(sum(leaf[1:], leaf[0]))
+        return tuple(merged)
+
+    if "ewald_kblock" in ph:
+        # pair real-space without kspace, then the Ewald sum as bounded
+        # k-block dispatches: the f64-emulated [N,K] matmul is the longest
+        # single program of the step and must stay under the deadline
+        f, evdwl, ecoul, elong, vir = striped(ph["pair_real"],
+                                              x, q, typ, mask)
+        hv, kc, kv = ph["ewald_tables"]
+        Kk = hv.shape[0]
+        # ~13M f64 matmul cells per dispatch (~5-10 s at 100k atoms)
+        kb = max(128, min(Kk, 13_000_000 // max(int(x.shape[0]), 1)))
+        kb = -(-kb // 128) * 128
+        e_k = jnp.zeros((), x.dtype)
+        vk = jnp.zeros((6,), x.dtype)
+        for k0 in range(0, Kk, kb):
+            blk = slice(k0, min(k0 + kb, Kk))
+            hvb = np.zeros((kb, 3)); hvb[:blk.stop - k0] = hv[blk]
+            kcb = np.zeros((kb,)); kcb[:blk.stop - k0] = kc[blk]
+            kvb = np.zeros((kb, 6)); kvb[:blk.stop - k0] = kv[blk]
+            fb, eb, vb = ph["ewald_kblock"](
+                x, q, jnp.asarray(hvb, x.dtype), jnp.asarray(kcb, x.dtype),
+                jnp.asarray(kvb, x.dtype))
+            jax.block_until_ready(fb)   # serialize: one k-block per dispatch
+            f = f + fb
+            e_k = e_k + eb
+            vk = vk + vb
+        elong = e_k - ph["ewald_eself"]()
+        vir = vir + vk
+    else:
+        assert S == 1, "strip mode requires the split-Ewald path"
+        f, evdwl, ecoul, elong, vir = ph["nonpolar"](x, q, typ, mask)
+    e0 = striped(ph["wolf"], x, q, mol, mask)
 
     # --- host-driven CG (scf_solve_cg math, one eind dispatch per B()) ---
     sa = jnp.sqrt(alpha)[:, None]
     eind = ph["eind"]
 
     def B(y):
-        return y + sa * (-eind(x, alpha, mask, sa * y))
+        return y + sa * (-striped(eind, x, alpha, mask, sa * y))
 
     b = sa * e0
     if s.use_previous:
@@ -318,8 +372,8 @@ def host_cg_step(bench: PolarBench, zero_init: bool = False):
     mu = sa * y
     if not converged:
         mu = alpha[:, None] * e0
-    epol = jnp.zeros(())
-    fpol, epol, vir_pol = ph["dipole"](x, q, mol, alpha, mu, mask)
+    fpol, epol, vir_pol = striped(ph["dipole"], x, q, mol, alpha, mu,
+                                  mask)
     f = f + fpol
     v = v + (dtf * minv)[:, None] * f
     v = jnp.where(mask[:, None], v, 0.0)

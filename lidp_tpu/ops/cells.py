@@ -333,6 +333,14 @@ def cell_pair_forces(x, q, type_, mask, cells: Cells, box: Box, p,
                 if need_ev:
                     ecoul += jnp.sum(
                         jnp.where(cm, prefactor * screening, 0.0))
+            elif p.coul_kind == "msm":
+                from lidp_tpu.ops.pair import _msm_coul_terms
+
+                ec_m, fc_m = _msm_coul_terms(prefactor, r, rsq,
+                                             p.cut_coulsq, p.msm_order)
+                forcecoul = jnp.where(cm, fc_m, 0.0)
+                if need_ev:
+                    ecoul += jnp.sum(jnp.where(cm, ec_m, 0.0))
             else:
                 grij = p.g_ewald * r
                 expm2 = jnp.exp(-grij * grij)

@@ -1,0 +1,363 @@
+"""Multilevel Summation Method (MSM) — the reference's KSPACE/msm.cpp
+(3,303 LoC) re-designed TPU-first.
+
+The reference computes each level's grid-to-grid interaction as a direct
+stencil sum (radius 2a/h points per dim) with MPI ghost exchange.  On TPU
+every level kernel is translation-invariant on a regular grid, so each
+level is ONE FFT convolution (egrid = IFFT(FFT(qgrid) * Ghat)) — the
+stencil (including its periodic wrap) is baked into Ghat at setup.  The
+hierarchy (anterpolation -> restriction -> per-level convolution ->
+prolongation -> interpolation) keeps the reference's exact operators:
+
+- gamma/dgamma splitting polynomials: kspace.cpp:97-133 gcons/dgcons
+  tables (Taylor of s^-1/2 about s=1, Hardy Eq 4)
+- phi/dphi nodal interpolation polynomials orders 4/6/8/10:
+  msm.cpp:2923-3100 compute_phi/compute_dphi
+- grid selection: estimate_1d_error (msm.cpp:252, Hardy 3.197 with the
+  empirical rms scalings), power-of-2 boost, levels = log2 - 1 for
+  periodic (msm.cpp:924-1110)
+- level kernels: g_direct[n] = gamma(rho)/(2^n a) - gamma(rho/2)/(2^{n+1} a)
+  (msm.cpp:3169); periodic top level keeps the difference kernel
+  (msm.cpp compute(), "second from top grid level for periodic")
+- restriction/prolongation: separable phi(nu/2) stencils over odd nu
+  (msm.cpp:2254-2400)
+- self energy: 0.5 qscale qsqsum gamma(0)/a (msm.cpp:598)
+
+The real-space complement lives in the pair styles (pair_coul_msm.cpp:
+egamma = 1 - (r/a) gamma(r/a), fgamma = 1 + (r^2/a^2) dgamma(r/a)) — see
+the "msm" coul kind in ops/pair.py.
+
+Global virial: not yet tallied (the reference carries six v*_direct
+kernel stacks); MSM runs report kspace virial 0 — documented limitation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+# gcons[split_order][n]: gamma(rho) = sum_n gcons[s][n] rho^(2n) for rho<=1
+# (kspace.cpp:97-123; physics constants, Taylor of s^-1/2 about s=1)
+GCONS = {
+    2: [15.0 / 8.0, -5.0 / 4.0, 3.0 / 8.0],
+    3: [35.0 / 16.0, -35.0 / 16.0, 21.0 / 16.0, -5.0 / 16.0],
+    4: [315.0 / 128.0, -105.0 / 32.0, 189.0 / 64.0, -45.0 / 32.0,
+        35.0 / 128.0],
+    5: [693.0 / 256.0, -1155.0 / 256.0, 693.0 / 128.0, -495.0 / 128.0,
+        385.0 / 256.0, -63.0 / 256.0],
+    6: [3003.0 / 1024.0, -3003.0 / 512.0, 9009.0 / 1024.0, -2145.0 / 256.0,
+        5005.0 / 1024.0, -819.0 / 512.0, 231.0 / 1024.0],
+}
+
+# dgcons[split_order][n]: dgamma(rho) = sum_n dgcons[s][n] rho^(2n+1)
+DGCONS = {
+    2: [-5.0 / 2.0, 3.0 / 2.0],
+    3: [-35.0 / 8.0, 21.0 / 4.0, -15.0 / 8.0],
+    4: [-105.0 / 16.0, 189.0 / 16.0, -135.0 / 16.0, 35.0 / 16.0],
+    5: [-1155.0 / 128.0, 693.0 / 32.0, -1485.0 / 64.0, 385.0 / 32.0,
+        -315.0 / 128.0],
+    6: [-3003.0 / 256.0, 9009.0 / 256.0, -6435.0 / 128.0, 5005.0 / 128.0,
+        -4095.0 / 256.0, 693.0 / 256.0],
+}
+
+
+def gamma(rho, order: int):
+    """Softened 1/rho (kspace.h gamma); rho may be array-like."""
+    rho = np.asarray(rho, float)
+    s = order // 2
+    rho2 = rho * rho
+    g = np.full_like(rho, GCONS[s][0])
+    rn = rho2.copy()
+    for n in range(1, s + 1):
+        g = g + GCONS[s][n] * rn
+        rn = rn * rho2
+    return np.where(rho <= 1.0, g, 1.0 / np.where(rho > 0, rho, 1.0))
+
+
+def dgamma(rho, order: int):
+    rho = np.asarray(rho, float)
+    s = order // 2
+    rho2 = rho * rho
+    dg = DGCONS[s][0] * rho
+    rn = rho * rho2
+    for n in range(1, s):
+        dg = dg + DGCONS[s][n] * rn
+        rn = rn * rho2
+    return np.where(rho <= 1.0, dg,
+                    -1.0 / np.where(rho > 0, rho2, 1.0))
+
+
+def _phi_poly(xi, order: int):
+    """compute_phi (msm.cpp:2923): nodal interpolation basis, numpy/jnp
+    agnostic via the caller's namespace (works under jit on traced xi)."""
+    b = jnp if isinstance(xi, jax.Array) else np
+    axi = b.abs(xi)
+    xi2 = xi * xi
+    if order == 4:
+        p1 = (1.0 - axi) * (1.0 + axi - 1.5 * xi2)
+        p2 = -0.5 * (axi - 1.0) * (2.0 - axi) * (2.0 - axi)
+        return b.where(axi <= 1, p1, b.where(axi <= 2, p2, 0.0))
+    if order == 6:
+        p1 = (1.0 - xi2) * (2.0 - axi) * (6.0 + 3.0 * axi - 5.0 * xi2) / 12.0
+        p2 = -(axi - 1.0) * (2.0 - axi) * (3.0 - axi) * \
+            (4.0 + 9.0 * axi - 5.0 * xi2) / 24.0
+        p3 = (axi - 1.0) * (axi - 2.0) * (3.0 - axi) * (3.0 - axi) * \
+            (4.0 - axi) / 24.0
+        return b.where(axi <= 1, p1, b.where(axi <= 2, p2,
+                       b.where(axi <= 3, p3, 0.0)))
+    if order == 8:
+        p1 = (1.0 - xi2) * (4.0 - xi2) * (3.0 - axi) * \
+            (12.0 + 4.0 * axi - 7.0 * xi2) / 144.0
+        p2 = -(xi2 - 1.0) * (2.0 - axi) * (3.0 - axi) * (4.0 - axi) * \
+            (10.0 + 12.0 * axi - 7.0 * xi2) / 240.0
+        p3 = (axi - 1.0) * (axi - 2.0) * (3.0 - axi) * (4.0 - axi) * \
+            (5.0 - axi) * (6.0 + 20.0 * axi - 7.0 * xi2) / 720.0
+        p4 = -(axi - 1.0) * (axi - 2.0) * (axi - 3.0) * (4.0 - axi) * \
+            (4.0 - axi) * (5.0 - axi) * (6.0 - axi) / 720.0
+        return b.where(axi <= 1, p1, b.where(axi <= 2, p2,
+                       b.where(axi <= 3, p3, b.where(axi <= 4, p4, 0.0))))
+    if order == 10:
+        p1 = (1.0 - xi2) * (4.0 - xi2) * (9.0 - xi2) * (4.0 - axi) * \
+            (20.0 + 5.0 * axi - 9.0 * xi2) / 2880.0
+        p2 = -(xi2 - 1.0) * (4.0 - xi2) * (3.0 - axi) * (4.0 - axi) * \
+            (5.0 - axi) * (6.0 + 5.0 * axi - 3.0 * xi2) / 1440.0
+        p3 = (xi2 - 1.0) * (axi - 2.0) * (3.0 - axi) * (4.0 - axi) * \
+            (5.0 - axi) * (6.0 - axi) * \
+            (14.0 + 25.0 * axi - 9.0 * xi2) / 10080.0
+        p4 = -(axi - 1.0) * (axi - 2.0) * (axi - 3.0) * (4.0 - axi) * \
+            (5.0 - axi) * (6.0 - axi) * (7.0 - axi) * \
+            (8.0 + 35.0 * axi - 9.0 * xi2) / 40320.0
+        p5 = (axi - 1.0) * (axi - 2.0) * (axi - 3.0) * (axi - 4.0) * \
+            (5.0 - axi) * (5.0 - axi) * (6.0 - axi) * (7.0 - axi) * \
+            (8.0 - axi) / 40320.0
+        return b.where(axi <= 1, p1, b.where(axi <= 2, p2,
+                       b.where(axi <= 3, p3, b.where(axi <= 4, p4,
+                               b.where(axi <= 5, p5, 0.0)))))
+    raise ValueError(f"MSM order must be 4, 6, 8, or 10, got {order}")
+
+
+def _dphi_poly(xi, order: int, h=1e-6):
+    """dphi via central differences of the exact polynomials: avoids
+    transcribing msm.cpp:3002-3100 verbatim; 1e-6 steps give ~1e-9
+    derivative accuracy, far below the MSM grid error."""
+    return (_phi_poly(xi + h, order) - _phi_poly(xi - h, order)) / (2 * h)
+
+
+# error estimator constants (msm.cpp:252-294: Mp from Hardy Table 5.1,
+# cprime Hardy Eq 4.17, empirical rms scalings)
+_ERR = {4: (9.0, 1.0 / 6.0, 0.39189561),
+        6: (825.0, 1.0 / 30.0, 0.150829428),
+        8: (130095.0, 1.0 / 140.0, 0.049632967),
+        10: (34096545.0, 1.0 / 630.0, 0.013520855)}
+
+
+def _estimate_1d_error(h, prd, *, cutoff, order, q2, natoms):
+    Mp, cprime, scaling = _ERR[order]
+    C_p = 4.0 * cprime * Mp / 3.0 * scaling
+    p = order - 1
+    err = C_p * h ** (p - 1) / cutoff ** (p + 1)
+    return err * q2 * cutoff / (prd * math.sqrt(float(natoms)))
+
+
+@dataclasses.dataclass(frozen=True)
+class MSMSetup:
+    order: int
+    cutoff: float
+    grid: tuple                 # finest (nx, ny, nz)
+    levels: int
+    ghat: tuple                 # per-level rfft kernels (numpy complex)
+    gamma0: float               # gamma(0)
+    qscale: float
+
+
+def setup_msm(*, accuracy_rel: float, qqrd2e: float, q, natoms: int,
+              cutoff: float, box_lengths, order: int = 10) -> MSMSetup:
+    """Grid/levels/kernels setup (msm.cpp set_grid_global + get_g_direct)."""
+    L = np.asarray(box_lengths, float)
+    q = np.asarray(q, float)
+    q2 = float(np.sum(q * q)) * qqrd2e
+    accuracy = accuracy_rel * qqrd2e   # two_charge_force convention
+
+    grid = []
+    lv = []
+    for prd in L:
+        nmax = 2
+        while _estimate_1d_error(prd / nmax, prd, cutoff=cutoff, order=order,
+                                 q2=q2, natoms=natoms) > accuracy:
+            nmax *= 2
+            if nmax > 16384:
+                raise ValueError("MSM grid too large for accuracy")
+        grid.append(nmax)
+        lv.append(int(round(math.log2(nmax))) + 1)
+    levels = max(max(lv) - 1, 1)   # periodic: omit the top level
+
+    # per-level FFT kernels: stencil g_direct over +-(2a/h) grid offsets,
+    # wrapped periodically onto the level grid
+    ghat = []
+    for n in range(levels):
+        gl = [max(g >> n, 2) for g in grid]
+        h_n = L / np.asarray(gl)
+        a_n = (2.0 ** n) * cutoff
+        rad = [int(2.0 * cutoff / (Ld / gf)) for Ld, gf in zip(L, grid)]
+        # grid-offset distances at THIS level's spacing
+        ix = np.arange(-rad[0], rad[0] + 1)
+        iy = np.arange(-rad[1], rad[1] + 1)
+        iz = np.arange(-rad[2], rad[2] + 1)
+        DX, DY, DZ = np.meshgrid(ix * h_n[0], iy * h_n[1], iz * h_n[2],
+                                 indexing="ij")
+        r = np.sqrt(DX * DX + DY * DY + DZ * DZ)
+        rho = r / a_n
+        ker = gamma(rho, order) / a_n - gamma(rho / 2.0, order) / (2.0 * a_n)
+        # wrap the stencil onto the periodic level grid
+        kgrid = np.zeros(gl)
+        for sx, gx in ((np.mod(ix, gl[0]), 0),):
+            pass
+        np.add.at(kgrid,
+                  (np.mod(ix, gl[0])[:, None, None],
+                   np.mod(iy, gl[1])[None, :, None],
+                   np.mod(iz, gl[2])[None, None, :]), ker)
+        ghat.append(np.fft.rfftn(kgrid))
+    return MSMSetup(order=order, cutoff=float(cutoff), grid=tuple(grid),
+                    levels=levels, ghat=tuple(ghat),
+                    gamma0=float(gamma(0.0, order)), qscale=float(qqrd2e))
+
+
+def _interp_weights(s, order):
+    """(N, order) phi weights + integer bases per dim.  base = floor(s)
+    (particle_map msm.cpp:1454); offsets nlower..nupper; xi = k - frac."""
+    # C truncation, not python floor: -(order-1)/2 = -4 for order 10
+    nlower = -((order - 1) // 2)
+    base = jnp.floor(s).astype(jnp.int32)
+    frac = s - base
+    offs = jnp.arange(nlower, order // 2 + 1)          # (order,)
+    xi = offs[None, :] - frac[:, None]                 # (N, order)
+    return base, offs, _phi_poly(xi, order), xi
+
+
+def msm_forces(x, q, box_lengths, s: MSMSetup):
+    """Returns (f (N,3), elong, virial6=zeros) — the full MSM long-range
+    part.  Periodic, orthogonal cells."""
+    dtype = x.dtype
+    nx, ny, nz = s.grid
+    order = s.order
+    L = jnp.asarray(box_lengths, dtype)
+    h = L / jnp.asarray([nx, ny, nz], dtype)
+    n = x.shape[0]
+
+    sx = x[:, 0] / h[0]
+    sy = x[:, 1] / h[1]
+    sz = x[:, 2] / h[2]
+    bx, offs, wx, xix = _interp_weights(sx, order)
+    by, _, wy, xiy = _interp_weights(sy, order)
+    bz, _, wz, xiz = _interp_weights(sz, order)
+
+    gx = (bx[:, None] + offs[None, :]) % nx            # (N,P)
+    gy = (by[:, None] + offs[None, :]) % ny
+    gz = (bz[:, None] + offs[None, :]) % nz
+
+    w3 = (wx[:, :, None, None] * wy[:, None, :, None]
+          * wz[:, None, None, :])                      # (N,P,P,P)
+    lin = ((gx[:, :, None, None] * ny + gy[:, None, :, None]) * nz
+           + gz[:, None, None, :])
+
+    qgrid = jnp.zeros((nx * ny * nz,), dtype).at[lin.reshape(-1)].add(
+        (w3 * q[:, None, None, None]).reshape(-1)).reshape(nx, ny, nz)
+
+    # restriction weights: phi(nu/2) over odd nu and 0 (msm.cpp:2254)
+    p = order - 1
+    nus = np.array([v for v in range(-p, p + 1) if v % 2 or v == 0])
+    rw = jnp.asarray(np.asarray(_phi_poly(nus / 2.0, order)), dtype)
+
+    def restrict1d(g, axis, nc):
+        acc = 0.0
+        for wgt, nu in zip(rw, nus):
+            acc = acc + wgt * jnp.roll(g, -int(nu), axis=axis)
+        sl = [slice(None)] * 3
+        sl[axis] = slice(0, 2 * nc, 2)
+        return acc[tuple(sl)]
+
+    def prolong1d(e, axis, nf):
+        shape = list(e.shape)
+        shape[axis] = nf
+        up = jnp.zeros(shape, e.dtype)
+        sl = [slice(None)] * 3
+        sl[axis] = slice(0, nf, 2)
+        up = up.at[tuple(sl)].set(e)
+        acc = 0.0
+        for wgt, nu in zip(rw, nus):
+            acc = acc + wgt * jnp.roll(up, int(nu), axis=axis)
+        return acc
+
+    # downward pass: convolve each level, restrict to the next
+    qgrids = [qgrid]
+    for lvl in range(1, s.levels):
+        g = qgrids[-1]
+        gl = [max(d >> 1, 2) for d in g.shape]
+        g = restrict1d(g, 0, gl[0])
+        g = restrict1d(g, 1, gl[1])
+        g = restrict1d(g, 2, gl[2])
+        qgrids.append(g)
+
+    egrids = []
+    for lvl in range(s.levels):
+        gh = jnp.asarray(s.ghat[lvl], jnp.complex128
+                         if dtype == jnp.float64 else jnp.complex64)
+        rho_k = jnp.fft.rfftn(qgrids[lvl])
+        egrids.append(jnp.fft.irfftn(rho_k * gh, s=qgrids[lvl].shape))
+
+    # upward pass: prolongate coarse potentials onto finer grids
+    e = egrids[-1]
+    for lvl in range(s.levels - 2, -1, -1):
+        fine_shape = qgrids[lvl].shape
+        e = prolong1d(e, 0, fine_shape[0])
+        e = prolong1d(e, 1, fine_shape[1])
+        e = prolong1d(e, 2, fine_shape[2])
+        e = e + egrids[lvl]
+
+    # interpolation: energy + fields (fieldforce, msm.cpp:2751)
+    evals = e.reshape(-1)[lin.reshape(-1)].reshape(n, order, order, order)
+    e_atom = jnp.sum(evals * w3, axis=(1, 2, 3))
+    qsqsum = jnp.sum(q * q)
+    elong = 0.5 * s.qscale * (jnp.sum(q * e_atom)
+                              - qsqsum * s.gamma0 / s.cutoff)
+
+    dwx = _dphi_poly(xix, order)
+    dwy = _dphi_poly(xiy, order)
+    dwz = _dphi_poly(xiz, order)
+    ekx = jnp.sum(evals * dwx[:, :, None, None] * wy[:, None, :, None]
+                  * wz[:, None, None, :], axis=(1, 2, 3)) / h[0]
+    eky = jnp.sum(evals * wx[:, :, None, None] * dwy[:, None, :, None]
+                  * wz[:, None, None, :], axis=(1, 2, 3)) / h[1]
+    ekz = jnp.sum(evals * wx[:, :, None, None] * wy[:, None, :, None]
+                  * dwz[:, None, None, :], axis=(1, 2, 3)) / h[2]
+    f = s.qscale * q[:, None] * jnp.stack([ekx, eky, ekz], axis=-1)
+    return f, elong, jnp.zeros((6,), dtype)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MSMParams:
+    """Pytree mirror of MSMSetup: static scalars + per-level FFT kernels as
+    data leaves (msm_forces accepts either)."""
+    ghat: tuple                  # per-level complex arrays (data)
+    order: int = dataclasses.field(metadata=dict(static=True), default=10)
+    cutoff: float = dataclasses.field(metadata=dict(static=True),
+                                      default=10.0)
+    grid: tuple = dataclasses.field(metadata=dict(static=True),
+                                    default=(8, 8, 8))
+    levels: int = dataclasses.field(metadata=dict(static=True), default=2)
+    gamma0: float = dataclasses.field(metadata=dict(static=True),
+                                      default=1.0)
+    qscale: float = dataclasses.field(metadata=dict(static=True),
+                                      default=1.0)
+
+    @staticmethod
+    def from_setup(s: MSMSetup) -> "MSMParams":
+        return MSMParams(ghat=tuple(jnp.asarray(g) for g in s.ghat),
+                         order=s.order, cutoff=s.cutoff, grid=s.grid,
+                         levels=s.levels, gamma0=s.gamma0, qscale=s.qscale)

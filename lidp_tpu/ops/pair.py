@@ -88,10 +88,39 @@ class PairParams:
     tab_rlo: object = None   # ()
     tab_dr: object = None    # ()
     # coulomb functional form: "long" (erfc-damped; g_ewald=0 gives the
-    # plain 1/r of coul/cut) or "debye" (exp(-kappa r)/r screening,
-    # pair_coul_debye.cpp:87-89); kappa rides in g_ewald for debye
+    # plain 1/r of coul/cut), "debye" (exp(-kappa r)/r screening,
+    # pair_coul_debye.cpp:87-89; kappa rides in g_ewald), or "msm"
+    # (gamma-softened complement of the MSM grid sum,
+    # pair_coul_msm.cpp:115-117)
     coul_kind: str = dataclasses.field(metadata=dict(static=True),
                                        default="long")
+    msm_order: int = dataclasses.field(metadata=dict(static=True),
+                                       default=10)
+
+
+def _msm_coul_terms(prefactor, r, rsq, cut_coulsq, order):
+    """egamma/fgamma complement kernel (pair_coul_msm.cpp:115-117); the
+    gamma polynomial unrolls at trace time (order is static).  Only called
+    under the rsq < cut_coulsq mask, so the rho > 1 branch never applies."""
+    from lidp_tpu.ops.msm import DGCONS, GCONS
+
+    s = order // 2
+    rc = jnp.sqrt(cut_coulsq)
+    rho = r / rc
+    rho2 = rho * rho
+    g = GCONS[s][0]
+    rn = rho2
+    for nn in range(1, s + 1):
+        g = g + GCONS[s][nn] * rn
+        rn = rn * rho2
+    dg = DGCONS[s][0] * rho
+    rn = rho * rho2
+    for nn in range(1, s):
+        dg = dg + DGCONS[s][nn] * rn
+        rn = rn * rho2
+    egamma = 1.0 - rho * g
+    fgamma = 1.0 + (rsq / cut_coulsq) * dg
+    return prefactor * egamma, prefactor * fgamma
 
 
 def make_pair_params(
@@ -311,6 +340,11 @@ def pair_single(rsq, itype, jtype, qi, qj, p: PairParams,
             forcecoul = (prefactor * screening * (p.g_ewald * r + 1.0)
                          * factor_coul)
             phicoul = prefactor * screening * factor_coul
+        elif p.coul_kind == "msm":
+            ec, fc = _msm_coul_terms(prefactor, r, rsq, p.cut_coulsq,
+                                     p.msm_order)
+            forcecoul = fc - (1.0 - factor_coul) * prefactor
+            phicoul = ec - (1.0 - factor_coul) * prefactor
         else:
             grij = p.g_ewald * r
             expm2 = jnp.exp(-grij * grij)
@@ -405,6 +439,11 @@ def _pair_terms(rsq, qi, qj, ti, tj, sp_code, p: PairParams, pair_mask):
             forcecoul = prefactor * screening * (p.g_ewald * r + 1.0)
             forcecoul = forcecoul * factor_coul
             ecoul = prefactor * screening * factor_coul
+        elif p.coul_kind == "msm":
+            ec_m, fc_m = _msm_coul_terms(prefactor, r, rsq, p.cut_coulsq,
+                                         p.msm_order)
+            forcecoul = fc_m - (1.0 - factor_coul) * prefactor
+            ecoul = ec_m - (1.0 - factor_coul) * prefactor
         else:
             grij = p.g_ewald * r
             expm2 = jnp.exp(-grij * grij)

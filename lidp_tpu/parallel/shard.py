@@ -322,11 +322,55 @@ def build_sharded_polar_step(
         acc, _ = jax.lax.scan(body, init, (cols0, chunked))
         return acc
 
-    def _nonpolar_forces(x, q, type_, mask):
+    def _ewald_kblock(x, q, hv, kc, kv):
+        """Per-k-block reciprocal Ewald energy/forces/virial (terms
+        independent per k; see ops/ewald.py _ewald_kblock).
+
+        HIGHEST: the default TPU matmul rounds operands to bf16 — phases
+        span tens of radians, so 0.4% rounding of x would put O(0.1 rad)
+        errors into every structure factor."""
+        hp = jax.lax.Precision.HIGHEST
+        c0 = 4.0 * jnp.pi * ew.qscale / volume
+        phases = jnp.dot(x, hv.T, precision=hp)
+        cph, sph = jnp.cos(phases), jnp.sin(phases)
+        sre = _preduce(jnp.dot(q, cph, precision=hp))
+        sim = _preduce(jnp.dot(q, sph, precision=hp))
+        sk2 = sre * sre + sim * sim
+        e = c0 * jnp.sum(kc * sk2)
+        w1 = kc * sre * 2.0 * c0
+        w2 = kc * sim * 2.0 * c0
+        fk = jnp.dot(sph * w1[None, :] - cph * w2[None, :],
+                     hv, precision=hp) * q[:, None]
+        vk = c0 * jnp.dot(sk2, kv, precision=hp)
+        return fk, e, vk
+
+    def _ewald_self():
+        return (ew.qsqsum * ew.qscale * ew.g_ewald / jnp.sqrt(jnp.pi)
+                + 0.5 * jnp.pi * ew.qscale / (ew.g_ewald**2 * volume)
+                * ew.qsum * ew.qsum)
+
+    def _rows_of(strip, *arrays):
+        """(rows-index vector, row-sliced arrays): the whole local block by
+        default, or a [i0, i0+ns) strip in host-phase mode (each strip runs
+        as its own dispatch to stay under the tunnel execution deadline)."""
+        if strip is None:
+            didx = _axidx()
+            rows = didx * nloc + jnp.arange(nloc)
+            return (rows,) + arrays
+        i0, ns_ = strip
+        rows = i0 + jnp.arange(ns_)
+        return (rows,) + tuple(
+            jax.lax.dynamic_slice_in_dim(a, i0, ns_) for a in arrays)
+
+    def _nonpolar_forces(x, q, type_, mask, with_kspace=True, strip=None):
         """Pair LJ+coul + sparse special correction + reciprocal Ewald.
-        Returns (f, evdwl, ecoul, elong, vir) — vir NOT yet psummed."""
-        didx = _axidx()
-        rows = didx * nloc + jnp.arange(nloc)
+        Returns (f, evdwl, ecoul, elong, vir) — vir NOT yet psummed.
+
+        with_kspace=False (host-phase mode) skips the Ewald sum so it can
+        run as separate k-block dispatches (the f64-emulated [N,K] matmul
+        is the longest-running part of the step at 100k atoms)."""
+        rows, xr, qr, tr = _rows_of(strip, x, q, type_)
+        nrows = xr.shape[0]
         L = box_lengths  # closed over (static per build; box is NVE-constant)
 
         gather = _gather
@@ -337,10 +381,10 @@ def build_sharded_polar_step(
 
             # pair LJ + coul
             zero6 = jnp.zeros((6,), dtype)
-            f0 = jnp.zeros((nloc, 3), dtype)
+            f0 = jnp.zeros((nrows, 3), dtype)
             facc = _scan_cols(
                 lambda acc, cols, arrs: _pair_chunk(
-                    x, q, type_, rows, arrs[0], arrs[1], arrs[2], arrs[3],
+                    xr, qr, tr, rows, arrs[0], arrs[1], arrs[2], arrs[3],
                     cols, L, acc),
                 (f0, jnp.zeros((), dtype), jnp.zeros((), dtype), zero6),
                 (xf, qf, tf, mf))
@@ -353,14 +397,20 @@ def build_sharded_polar_step(
             # ...polarization.cpp:262-278)
             if special is not None:
                 sp_idx_g, sp_lvl_g = special
-                didx2 = _axidx()
-                sp_idx = jax.lax.dynamic_slice_in_dim(sp_idx_g, didx2 * nloc, nloc, 0)
-                sp_lvl = jax.lax.dynamic_slice_in_dim(sp_lvl_g, didx2 * nloc, nloc, 0)
+                if strip is None:
+                    sp_base = _axidx() * nloc
+                    ns_rows = nloc
+                else:
+                    sp_base, ns_rows = strip
+                sp_idx = jax.lax.dynamic_slice_in_dim(sp_idx_g, sp_base,
+                                                      ns_rows, 0)
+                sp_lvl = jax.lax.dynamic_slice_in_dim(sp_lvl_g, sp_base,
+                                                      ns_rows, 0)
                 jvalid = sp_idx < n
                 jc = jnp.minimum(sp_idx, npad - 1)
-                sdx = minimum_image(x[:, 0:1] - xf[:, 0][jc], L[0])
-                sdy = minimum_image(x[:, 1:2] - xf[:, 1][jc], L[1])
-                sdz = minimum_image(x[:, 2:3] - xf[:, 2][jc], L[2])
+                sdx = minimum_image(xr[:, 0:1] - xf[:, 0][jc], L[0])
+                sdy = minimum_image(xr[:, 1:2] - xf[:, 1][jc], L[1])
+                sdz = minimum_image(xr[:, 2:3] - xf[:, 2][jc], L[2])
                 srsq = sdx * sdx + sdy * sdy + sdz * sdz
                 srsq = jnp.where(jvalid, srsq, 1.0)
                 sr2inv = 1.0 / srsq
@@ -372,7 +422,7 @@ def build_sharded_polar_step(
 
                 def stab(M, _oh=ohS):
                     return jnp.einsum("nt,nst->ns",
-                                      M.astype(dtype)[type_], _oh,
+                                      M.astype(dtype)[tr], _oh,
                                       precision=jax.lax.Precision.HIGHEST)
 
                 def lvl_factor(tbl, lvl=sp_lvl):
@@ -394,7 +444,7 @@ def build_sharded_polar_step(
                 devd = jnp.where(lj_m, (flj - 1.0) * evdwl_full, 0.0)
                 cm = in_rng & (srsq < pair.cut_coulsq)
                 sr = jnp.sqrt(srsq)
-                prefac = pair.qqrd2e * q[:, None] * qf[jc] / sr
+                prefac = pair.qqrd2e * qr[:, None] * qf[jc] / sr
                 dfc = jnp.where(cm, -(1.0 - fcl) * prefac, 0.0)
                 dec = jnp.where(cm, -(1.0 - fcl) * prefac, 0.0)
                 fpair_c = (dflj + dfc) * sr2inv
@@ -414,34 +464,17 @@ def build_sharded_polar_step(
 
             # reciprocal Ewald
             elong = jnp.zeros((), dtype)
-            if ew is not None:
-                # HIGHEST: the default TPU matmul rounds operands to bf16 —
-                # phases span tens of radians, so 0.4% rounding of x would put
-                # O(0.1 rad) errors into every structure factor
-                hp = jax.lax.Precision.HIGHEST
-                c0 = 4.0 * jnp.pi * ew.qscale / volume
-                eself = (ew.qsqsum * ew.qscale * ew.g_ewald / jnp.sqrt(jnp.pi)
-                         + 0.5 * jnp.pi * ew.qscale / (ew.g_ewald**2 * volume)
-                         * ew.qsum * ew.qsum)
+            if strip is not None:
+                assert not with_kspace, \
+                    "strip mode requires with_kspace=False (k-blocks)"
+            if ew is not None and with_kspace:
+                eself = _ewald_self()
                 hv_full = ew.hvecs.astype(dtype)
                 kc_full = ew.kcoeff.astype(dtype)
                 kv_full = ew.kvirial.astype(dtype)
 
                 def kblock(hv, kc, kv):
-                    """per-k-block energy/forces/virial (terms independent
-                    per k; see ops/ewald.py _ewald_kblock)."""
-                    phases = jnp.dot(x, hv.T, precision=hp)
-                    cph, sph = jnp.cos(phases), jnp.sin(phases)
-                    sre = _preduce(jnp.dot(q, cph, precision=hp))
-                    sim = _preduce(jnp.dot(q, sph, precision=hp))
-                    sk2 = sre * sre + sim * sim
-                    e = c0 * jnp.sum(kc * sk2)
-                    w1 = kc * sre * 2.0 * c0
-                    w2 = kc * sim * 2.0 * c0
-                    fk = jnp.dot(sph * w1[None, :] - cph * w2[None, :],
-                                 hv, precision=hp) * q[:, None]
-                    vk = c0 * jnp.dot(sk2, kv, precision=hp)
-                    return fk, e, vk
+                    return _ewald_kblock(x, q, hv, kc, kv)
 
                 Kk = hv_full.shape[0]
                 nloc_ = x.shape[0]
@@ -479,48 +512,46 @@ def build_sharded_polar_step(
 
         return f, evdwl, ecoul, elong, vir
 
-    def _wolf_field(x, q, mol, mask):
+    def _wolf_field(x, q, mol, mask, strip=None):
         """Shifted-force (Wolf) static field E0 (unit-folded)."""
-        didx = _axidx()
-        rows = didx * nloc + jnp.arange(nloc)
+        rows, xr, molr = _rows_of(strip, x, mol)
         L = box_lengths
         xf, qf, molf, mf = (_gather(x), _gather(q), _gather(mol),
                             _gather(mask))
         e0 = _scan_cols(
             lambda acc, cols, arrs: _wolf_chunk(
-                x, mol, rows, arrs[0], arrs[1], arrs[2], arrs[3],
+                xr, molr, rows, arrs[0], arrs[1], arrs[2], arrs[3],
                 cols, L, acc),
-            jnp.zeros((nloc, 3), dtype), (xf, qf, molf, mf))
+            jnp.zeros((xr.shape[0], 3), dtype), (xf, qf, molf, mf))
         return e0 * jnp.sqrt(qqrd2e)
 
-    def _e_ind_of(x, alpha, mask, mu_l):
+    def _e_ind_of(x, alpha, mask, mu_l, strip=None):
         """E_ind = -T.mu (matrix-free blockwise contraction)."""
-        didx = _axidx()
-        rows = didx * nloc + jnp.arange(nloc)
+        rows, xr, ar = _rows_of(strip, x, alpha)
         L = box_lengths
         xf, af, mf, muf = (_gather(x), _gather(alpha), _gather(mask),
                            _gather(mu_l))
         return _scan_cols(
             lambda acc, cols, arrs: _tensor_apply_chunk(
-                x, alpha, rows, arrs[0], arrs[1], arrs[2], cols,
+                xr, ar, rows, arrs[0], arrs[1], arrs[2], cols,
                 arrs[3], L, acc),
-            jnp.zeros((nloc, 3), dtype), (xf, af, mf, muf))
+            jnp.zeros((xr.shape[0], 3), dtype), (xf, af, mf, muf))
 
-    def _dipole_forces(x, q, mol, alpha, mu_new, mask):
+    def _dipole_forces(x, q, mol, alpha, mu_new, mask, strip=None):
         """Charge-dipole + dipole-dipole forces, epol, fdotr virial rows.
         Returns (fpol, epol_psummed, vir_pol_local)."""
-        didx = _axidx()
-        rows = didx * nloc + jnp.arange(nloc)
+        rows, xr, qr, molr, ar, mur = _rows_of(strip, x, q, mol, alpha,
+                                               mu_new)
         L = box_lengths
         xf, qf, molf, af, mf, muf = (
             _gather(x), _gather(q), _gather(mol), _gather(alpha),
             _gather(mask), _gather(mu_new))
         dacc = _scan_cols(
             lambda acc, cols, arrs: _dipole_chunk(
-                x, q, mol, alpha, mu_new, rows,
+                xr, qr, molr, ar, mur, rows,
                 arrs[0], arrs[1], arrs[2], arrs[3], arrs[4], cols,
                 arrs[5], L, acc),
-            (jnp.zeros((nloc, 3), dtype), jnp.zeros((), dtype),
+            (jnp.zeros((xr.shape[0], 3), dtype), jnp.zeros((), dtype),
              jnp.zeros((), dtype), jnp.zeros((6,), dtype)),
             (xf, qf, molf, af, mf, muf))
         fpol, u_ef, u_dd, _vpol_pairwise = dacc
@@ -529,7 +560,7 @@ def build_sharded_polar_step(
         # ops/polarization.py dipole_forces_energy): sum of the
         # local row-block's x_wrapped (x) f_polar, psummed by the caller.
         # Boxes here are origin-based (bind_box passes lengths only).
-        xw = x - jnp.floor(x / L) * L
+        xw = xr - jnp.floor(xr / L) * L
         vir_pol = jnp.stack([
             jnp.sum(xw[:, 0] * fpol[:, 0]),
             jnp.sum(xw[:, 1] * fpol[:, 1]),
@@ -539,9 +570,9 @@ def build_sharded_polar_step(
             jnp.sum(xw[:, 1] * fpol[:, 2]),
         ])
         u_self = 0.5 * jnp.sum(jnp.where(
-            alpha != 0.0,
-            jnp.sum(mu_new * mu_new, axis=1)
-            / jnp.where(alpha != 0.0, alpha, 1.0), 0.0))
+            ar != 0.0,
+            jnp.sum(mur * mur, axis=1)
+            / jnp.where(ar != 0.0, ar, 1.0), 0.0))
         epol = _preduce(u_self + u_ef + u_dd)
         return fpol, epol, vir_pol
 
@@ -650,21 +681,61 @@ def build_sharded_polar_step(
         )
         return jax.jit(sm), jax.jit(sm_init)
 
-    def make_host_phases():
+    def make_host_phases(strips: int = 1):
         """Single-device jitted PHASE functions for host-driven stepping.
 
         The axon tunnel enforces a per-dispatch execution deadline (~1-2
         min): one fused step at 100k atoms in emulated f64 exceeds it (a
         single O(N^2) panel pass is ~30 s), so the bench drives the phases
         as separate dispatches with the CG loop on the host
-        (models/polar_bench.py host_cg_step) — same math as local_step."""
+        (models/polar_bench.py host_cg_step) — same math as local_step.
+
+        strips > 1 further splits every O(N^2) phase into that many
+        row-strip dispatches (strip i covers rows [i*ns, (i+1)*ns)): at
+        100k f64 even ONE panel pass busts the deadline, so the phase
+        functions then take a leading i0 row-offset argument and return
+        strip-shaped results the host concatenates."""
         assert single, "host phases are a single-device bench path"
-        return dict(
-            nonpolar=jax.jit(_nonpolar_forces),
-            wolf=jax.jit(_wolf_field),
-            eind=jax.jit(_e_ind_of),
-            dipole=jax.jit(_dipole_forces),
-        )
+        import functools
+
+        if strips == 1:
+            phases = dict(
+                nonpolar=jax.jit(_nonpolar_forces),
+                # kspace-free pair phase + per-k-block Ewald dispatches:
+                # the f64-emulated [N,K] structure-factor matmul is the
+                # single longest program in the step at 100k atoms and
+                # must be split below the deadline on its own
+                pair_real=jax.jit(functools.partial(_nonpolar_forces,
+                                                    with_kspace=False)),
+                wolf=jax.jit(_wolf_field),
+                eind=jax.jit(_e_ind_of),
+                dipole=jax.jit(_dipole_forces),
+            )
+        else:
+            assert npad % strips == 0, (npad, strips)
+            ns_ = npad // strips
+
+            phases = dict(
+                strips=strips,
+                pair_real=jax.jit(lambda i0, x, q, t, m: _nonpolar_forces(
+                    x, q, t, m, with_kspace=False, strip=(i0, ns_))),
+                wolf=jax.jit(lambda i0, x, q, mol, m: _wolf_field(
+                    x, q, mol, m, strip=(i0, ns_))),
+                eind=jax.jit(lambda i0, x, a, m, mu: _e_ind_of(
+                    x, a, m, mu, strip=(i0, ns_))),
+                dipole=jax.jit(lambda i0, x, q, mol, a, mu, m:
+                               _dipole_forces(x, q, mol, a, mu, m,
+                                              strip=(i0, ns_))),
+            )
+        if ew is not None:
+            import numpy as _np
+
+            phases["ewald_kblock"] = jax.jit(_ewald_kblock)
+            phases["ewald_eself"] = lambda: _ewald_self()
+            phases["ewald_tables"] = (
+                _np.asarray(ew.hvecs), _np.asarray(ew.kcoeff),
+                _np.asarray(ew.kvirial))
+        return phases
 
     make.host_phases = make_host_phases
     return make, bind_box, npad, bind_special

@@ -37,6 +37,7 @@ _GENERIC_PAIR_KINDS = {
     "buck/coul/cut": ("buck", 3), "buck/coul/long": ("buck", 3),
     "yukawa": ("yukawa", 1), "gauss": ("gauss", 2), "soft": ("soft", 1),
     "born": ("born", 5), "coul/cut": ("none", 0), "coul/long": ("none", 0),
+    "coul/msm": ("none", 0),
     "coul/debye": ("none", 0), "lj/expand": ("lj/expand", 3),
     "born/coul/long": ("born", 5), "mie/cut": ("mie", 4),
     "lj/gromacs": ("lj/gromacs", 2),
@@ -241,6 +242,8 @@ def _build_generic_pair(script, u, excl_types, dtype):
     if "debye" in name:
         coul_kind = "debye"
         g_ewald = script._debye_kappa   # kappa rides in g_ewald
+    elif name.endswith("msm"):
+        coul_kind = "msm"
     pair = make_generic_pair_params(
         kind, tabs[0], tabs[1], tabs[2], tabs[3],
         tabs[4] if kind in ("born", "lj/expand") else None,
@@ -572,6 +575,7 @@ class Simulation:
                         ptail += mult * 16.0 * np.pi * fac \
                             * (2.0 * s6_ - 3.0 * rc6)
             is_debye = "debye" in pname
+            is_msm = pname.endswith("/msm")
             pair = make_pair_params(
                 eps, sig, cut,
                 cut_coul=(script.pair.cut_coul
@@ -583,7 +587,8 @@ class Simulation:
                 shift=getattr(script, "_pair_shift", False),
                 cut_lj_inner=script.pair.cut_lj_inner, charmm=charmm,
                 excl_types=excl_types,
-                coul_kind="debye" if is_debye else "long",
+                coul_kind=("debye" if is_debye
+                           else "msm" if is_msm else "long"),
                 dtype=dtype)
         if getattr(script, "neigh_exclude_mol", False):
             pair = dataclasses.replace(pair, excl_mol=True)
@@ -595,6 +600,7 @@ class Simulation:
         ew6 = None
         b_atom_pad = None
         pppm_dispp = None
+        msmp = None
         if script.kspace is not None and script.kspace[0].startswith("pppm"):
             from lidp_tpu.ops.pppm import PPPMParams, setup_pppm
 
@@ -636,6 +642,19 @@ class Simulation:
                                        dtype))
                 pppm_dispp = PPPMDispParams.from_setup(ps6)
                 b_atom_pad = jnp.asarray(_padA(disp_b_peratom, 0.0), dtype)
+        elif (script.kspace is not None
+                and script.kspace[0] in ("msm", "msm/cg")):
+            # multilevel summation (msm.cpp; msm/cg aliases msm — the
+            # charged-subset optimization is a no-op in the dense mesh
+            # program, as with pppm/cg)
+            from lidp_tpu.ops.msm import MSMParams, setup_msm
+
+            style, acc = script.kspace
+            ms = setup_msm(
+                accuracy_rel=acc, qqrd2e=u.qqr2e, q=script.q, natoms=n,
+                cutoff=script.pair.cut_coul,
+                box_lengths=script.box_hi - script.box_lo)
+            msmp = MSMParams.from_setup(ms)
         elif script.kspace is not None:
             style, acc = script.kspace
             # ewald/disp on an uncharged system: the charge function is
@@ -927,7 +946,7 @@ class Simulation:
         ff = ForceField(pair=None if eamp is not None else pair,
                         polar_xshift=polar_xshift, tip4p=tipp,
                         ewald=ew, ewald6=ew6, b_atom=b_atom_pad,
-                        pppm_disp=pppm_dispp,
+                        pppm_disp=pppm_dispp, msm=msmp,
                         polar=pol, sp_code=sp_code,
                         bond=bondp, angle=anglep, dihedral=dihedralp,
                         improper=improperp,
@@ -1713,8 +1732,12 @@ class Simulation:
                    "step": "step", "epair": "epair", "emol": "emol",
                    }.get(c, c)
             vals.append(row.get(key, float("nan")))
+        # thermo_modify format float FMT (thermo.cpp modify_params):
+        # %-style format for every float column
+        ffmt = getattr(self.script, "_thermo_float_format", None)
         self.script.log(" ".join(
-            f"{int(v)}" if c == "step" else f"{v:.8g}"
+            f"{int(v)}" if c == "step"
+            else (ffmt % v if ffmt else f"{v:.8g}")
             for c, v in zip(cb_cols, vals)))
 
     _HEADER = {"step": "Step", "etotal": "TotEng", "ke": "KinEng",

@@ -19,6 +19,8 @@ ap.add_argument("--steps", type=int, default=0)
 ap.add_argument("--static-trips", type=int, default=0,
                 help="CG as a fixed-length scan (avoids the f64 "
                      "while_loop TPU fault at >=30k atoms)")
+ap.add_argument("--host-strips", type=int, default=1,
+                help="row strips per phase dispatch (host-cg mode)")
 ap.add_argument("--host-cg", action="store_true",
                 help="per-phase dispatches + host-driven CG: the axon "
                      "per-dispatch execution deadline (~1-2 min) kills the "
@@ -39,7 +41,8 @@ precision = args.precision if args.precision is not None else (
 
 b = polar_bench.build(target_atoms=args.natoms, n_devices=1,
                       col_chunk=args.colchunk, precision=precision,
-                      dtype=dtype, cg_static_trips=args.static_trips)
+                      dtype=dtype, cg_static_trips=args.static_trips,
+                      host_strips=args.host_strips)
 print("natoms", b.natoms, "npad", b.npad, "precision", precision,
       "dtype", str(dtype.__name__), flush=True)
 step_once = (polar_bench.host_cg_step if args.host_cg

@@ -37,3 +37,25 @@ def test_host_cg_matches_fused_step():
     assert int(e1["scf_iters"]) == int(e2["scf_iters"])
     np.testing.assert_allclose(np.asarray(f2), np.asarray(f1),
                                rtol=1e-9, atol=1e-11)
+
+
+@pytest.mark.slow
+def test_host_cg_strips_match_unstriped():
+    """Row-strip mode (each phase as S separate dispatches) must equal the
+    single-dispatch host path bit-for-bit up to reduction order."""
+    from lidp_tpu.models import polar_bench
+
+    kw = dict(target_atoms=1324, n_devices=1, col_chunk=512,
+              precision=1e-11, dtype=jnp.float64, dt=0.1)
+    b1 = polar_bench.build(**kw, host_strips=1)
+    b4 = polar_bench.build(**kw, host_strips=4)
+
+    f1, e1 = polar_bench.host_cg_step(b1, zero_init=True)
+    f4, e4 = polar_bench.host_cg_step(b4, zero_init=True)
+    assert int(e1["scf_iters"]) == int(e4["scf_iters"])
+    for k in ("evdwl", "ecoul", "elong", "epol"):
+        assert float(e4[k]) == pytest.approx(float(e1[k]), rel=1e-11), k
+    # near-zero force components differ only by reduction order (abs ~1e-9
+    # on forces of magnitude ~60)
+    np.testing.assert_allclose(np.asarray(f4), np.asarray(f1),
+                               rtol=1e-9, atol=5e-9)

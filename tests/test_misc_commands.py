@@ -96,3 +96,21 @@ def test_timer_timeout_parse_formats():
     assert s._timer_timeout == 7200.0 and s._timer_mode == "loop"
     s.one("timer timeout off")
     assert s._timer_timeout is None
+
+
+def test_thermo_modify_format_float(tmp_path):
+    """thermo_modify format float %.15g (thermo.cpp:586) widens every float
+    thermo column in the log."""
+    from lidp_tpu.api import lammps
+
+    log = tmp_path / "log.fmt"
+    L = lammps(cmdargs=["-log", str(log)])
+    L.commands_string(SETUP)
+    L.command("thermo_modify format float %.15g")
+    L.command("run 0")
+    txt = log.read_text()
+    row = [ln for ln in txt.splitlines() if ln.startswith("0 ")][-1]
+    vals = row.split()
+    # default %.8g prints at most 8 significant digits; %.15g keeps 15
+    assert any(len(v.replace("-", "").replace(".", "").lstrip("0")) > 9
+               for v in vals[1:]), row

@@ -212,6 +212,11 @@ def compute_forces(sys: System, ff: ForceField,
         f = f + fp
         evdwl, ecoul = evdwl + ev, ecoul + ec
         virial = virial + vir
+        if ff.pair.coul and ff.pair.coul_kind in ("dsf", "wolf") \
+                and need_ev:
+            from lidp_tpu.ops.pair import dsf_wolf_self_energy
+
+            ecoul = ecoul + dsf_wolf_self_energy(ff.pair, sys.q, sys.mask)
 
     if ff.tip4p is not None and _on("pair"):
         from lidp_tpu.ops.tip4p import redistribute, tip4p_coul_dense

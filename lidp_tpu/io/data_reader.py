@@ -189,6 +189,13 @@ def read_data(path: str, atom_style: str = "full") -> DataFile:
                     x[k] = [float(r[2]), float(r[3]), float(r[4])]
                     if len(r) >= 8:
                         image[k] = [int(r[5]), int(r[6]), int(r[7])]
+                elif atom_style == "charge":
+                    # id type q x y z [ix iy iz] (AtomVecCharge::data_atom)
+                    typ[k] = int(r[1])
+                    q[k] = float(r[2])
+                    x[k] = [float(r[3]), float(r[4]), float(r[5])]
+                    if len(r) >= 9:
+                        image[k] = [int(r[6]), int(r[7]), int(r[8])]
                 elif atom_style == "bond":
                     mol[k] = int(r[1])
                     typ[k] = int(r[2])

@@ -720,12 +720,53 @@ class LammpsScript:
         else:
             raise ValueError(f"unsupported set command: {a}")
 
+    # every style cmd_pair_style accepts — the hybrid parser splits its
+    # argument list at tokens that name a sub-style (PairHybrid::settings,
+    # pair_hybrid.cpp: "if the word is a pair style name, it starts a new
+    # sub-style")
+    KNOWN_PAIR_STYLES = frozenset((
+        "lj/cut", "lj/cut/coul/cut", "lj/cut/coul/long",
+        "lj/cut/coul/long/polarization", "lj/cut/coul/debye",
+        "lj/cut/coul/msm", "lj/cut/coul/dsf", "lj/cut/coul/wolf",
+        "lj/charmm/coul/long", "lj/charmm/coul/charmm",
+        "lj/long/coul/long", "lj/cut/tip4p/long",
+        "morse", "buck", "buck/coul/cut", "buck/coul/long", "yukawa",
+        "gauss", "soft", "born", "born/coul/long", "born/coul/dsf",
+        "born/coul/wolf", "lj/expand", "mie/cut", "lj/gromacs",
+        "lj96/cut", "lj/smooth", "lj/smooth/linear", "beck", "ufm",
+        "zbl", "zero", "coul/cut", "coul/long", "coul/debye", "coul/msm",
+        "coul/dsf", "coul/wolf", "table", "eam", "eam/alloy",
+    ))
+
     def cmd_pair_style(self, a):
         # mid-script style changes (micelle's soft -> lj/cut) rebuild the
         # simulation from the evolved state
         self._invalidate()
         self.pair_coeffs = {}
         p = PairStyleSpec(name=a[0])
+        if a[0] in ("hybrid", "hybrid/overlay"):
+            # pair_style hybrid[/overlay] s1 args1 s2 args2 ...
+            # (pair_hybrid.cpp::settings); each sub-style's argument
+            # segment runs until the next known style name
+            subs = []
+            i = 1
+            while i < len(a):
+                name = a[i]
+                if name not in self.KNOWN_PAIR_STYLES:
+                    raise ValueError(
+                        f"unsupported hybrid sub-style {name}")
+                i += 1
+                args = []
+                while i < len(a) and a[i] not in self.KNOWN_PAIR_STYLES:
+                    args.append(a[i])
+                    i += 1
+                subs.append((name, args))
+            self.pair_hybrid = subs
+            # raw (i_tok, j_tok, coeff tokens) per sub-style, re-parsed
+            # through the sub-style's own cmd_pair_coeff at build time
+            self.hybrid_raw_coeffs = [[] for _ in subs]
+            self.pair = p
+            return
         if a[0] in ("eam", "eam/alloy"):
             pass   # per-pair coeff gives the potential file; cutoff from file
         elif a[0].startswith("gran/"):
@@ -782,8 +823,28 @@ class LammpsScript:
                     raise ValueError(f"Illegal pair_style keyword {k}")
                 i += 2
         elif a[0] in ("morse", "buck", "gauss", "soft", "born",
-                      "lj/expand", "mie/cut"):
+                      "lj/expand", "mie/cut", "lj96/cut",
+                      "lj/smooth/linear", "beck", "ufm", "zero"):
             p.cut_lj_global = float(a[1])
+        elif a[0] in ("coul/dsf", "coul/wolf"):
+            # pair_style coul/dsf|wolf alpha cut_coul
+            # (pair_coul_dsf.cpp:172-176 / pair_coul_wolf.cpp settings)
+            self._dsf_alpha = float(a[1])
+            p.cut_coul = float(a[2])
+        elif a[0] in ("lj/cut/coul/dsf", "lj/cut/coul/wolf",
+                      "born/coul/dsf", "born/coul/wolf"):
+            # alpha cut_lj [cut_coul] (pair_lj_cut_coul_dsf.cpp settings)
+            self._dsf_alpha = float(a[1])
+            p.cut_lj_global = float(a[2])
+            p.cut_coul = float(a[3]) if len(a) > 3 else p.cut_lj_global
+        elif a[0] == "lj/smooth":
+            # pair_style lj/smooth inner outer (pair_lj_smooth.cpp settings)
+            p.cut_lj_inner = float(a[1])
+            p.cut_lj_global = float(a[2]) if len(a) > 2 else p.cut_lj_inner
+        elif a[0] == "zbl":
+            # pair_style zbl inner outer (pair_zbl.cpp:189-200)
+            p.cut_lj_inner = float(a[1])
+            p.cut_lj_global = float(a[2])
         elif a[0] == "lj/gromacs":
             # pair_style lj/gromacs inner outer (pair_lj_gromacs.cpp settings)
             p.cut_lj_inner = float(a[1])
@@ -887,7 +948,9 @@ class LammpsScript:
                    "buck/coul/long": 3, "yukawa": 1, "gauss": 2, "soft": 1,
                    "born": 5, "coul/cut": 0, "coul/long": 0,
                    "coul/debye": 0, "coul/msm": 0, "lj/expand": 3,
-                   "born/coul/long": 5, "mie/cut": 4}
+                   "born/coul/long": 5, "mie/cut": 4,
+                   "born/coul/dsf": 5, "born/coul/wolf": 5, "beck": 5,
+                   "coul/dsf": 0, "coul/wolf": 0, "zero": 0, "zbl": 2}
         if self.pair.name in _NCOEFF and a[0] == "*" and a[1] == "*" \
                 and self.pair.name.startswith("coul"):
             return   # coul styles take no per-pair coefficients
@@ -926,8 +989,9 @@ class LammpsScript:
                    else self.pair.cut_lj_global)
             self.pair_coeffs[(min(i, j), max(i, j))] = tuple(vals) + (cut,)
             return
-        if self.pair.name == "lj/gromacs":
-            # i j eps sigma [inner outer] (pair_lj_gromacs.cpp::coeff)
+        if self.pair.name in ("lj/gromacs", "lj/smooth"):
+            # i j eps sigma [inner outer] (pair_lj_gromacs.cpp::coeff /
+            # pair_lj_smooth.cpp::coeff)
             vals = (float(a[2]), float(a[3]))
             if len(a) > 5:
                 vals += (float(a[4]), float(a[5]))

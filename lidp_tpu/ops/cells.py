@@ -341,6 +341,13 @@ def cell_pair_forces(x, q, type_, mask, cells: Cells, box: Box, p,
                 forcecoul = jnp.where(cm, fc_m, 0.0)
                 if need_ev:
                     ecoul += jnp.sum(jnp.where(cm, ec_m, 0.0))
+            elif p.coul_kind in ("dsf", "wolf"):
+                from lidp_tpu.ops.pair import _dsf_wolf_pair_terms
+
+                ec_d, fc_d = _dsf_wolf_pair_terms(p, prefactor, r, rsq)
+                forcecoul = jnp.where(cm, fc_d, 0.0)
+                if need_ev:
+                    ecoul += jnp.sum(jnp.where(cm, ec_d, 0.0))
             else:
                 grij = p.g_ewald * r
                 expm2 = jnp.exp(-grij * grij)

@@ -96,6 +96,10 @@ class PairParams:
                                        default="long")
     msm_order: int = dataclasses.field(metadata=dict(static=True),
                                        default=10)
+    # damped-shifted-force / Wolf shift constants (pair_coul_dsf.cpp
+    # init_style:214-217, pair_coul_wolf.cpp:82-84); alpha rides in g_ewald
+    coul_eshift: object = None   # ()
+    coul_fshift: object = None   # ()
 
 
 def _msm_coul_terms(prefactor, r, rsq, cut_coulsq, order):
@@ -123,6 +127,58 @@ def _msm_coul_terms(prefactor, r, rsq, cut_coulsq, order):
     return prefactor * egamma, prefactor * fgamma
 
 
+def _dsf_wolf_shifts(coul_kind, alpha, cut_coul, dtype):
+    """(e_shift, f_shift) host scalars for the dsf/wolf coul kinds
+    (pair_coul_dsf.cpp:214-217 / pair_coul_wolf.cpp:82-84)."""
+    import math
+
+    a_, rc = float(alpha), float(cut_coul)
+    erfcc = math.erfc(a_ * rc)
+    erfcd = math.exp(-a_ * a_ * rc * rc)
+    rpis = 2.0 / math.sqrt(math.pi)
+    if coul_kind == "dsf":
+        fsh = -(erfcc / (rc * rc) + rpis * a_ * erfcd / rc)
+        esh = erfcc / rc - fsh * rc
+    else:   # wolf
+        esh = erfcc / rc
+        fsh = -(esh + rpis * a_ * erfcd) / rc
+    return jnp.asarray(esh, dtype), jnp.asarray(fsh, dtype)
+
+
+def _dsf_wolf_pair_terms(p, prefactor, r, rsq):
+    """Raw (factor_coul == 1) coulomb (ecoul, forcecoul) for the dsf/wolf
+    kinds (pair_coul_dsf.cpp:115-137, pair_coul_wolf.cpp:117-141); callers
+    subtract (1 - factor_coul) * prefactor for special bonds.  dsf uses the
+    same A1..A5 erfc polynomial as the reference kernel; wolf calls the
+    exact erfc, as the reference does."""
+    if p.coul_kind == "dsf":
+        grij = p.g_ewald * r
+        expm2 = jnp.exp(-grij * grij)
+        t = 1.0 / (1.0 + EWALD_P * grij)
+        erfcc = t * (A1 + t * (A2 + t * (A3 + t * (A4 + t * A5)))) * expm2
+        fc = prefactor * (erfcc + EWALD_F * grij * expm2
+                          + rsq * p.coul_fshift)
+        ec = prefactor * (erfcc - r * p.coul_eshift - rsq * p.coul_fshift)
+    else:   # wolf
+        from jax.scipy.special import erfc as _erfc_exact
+
+        ar = p.g_ewald * r
+        erfcc = _erfc_exact(ar)
+        erfcd = jnp.exp(-ar * ar)
+        ec = (erfcc - p.coul_eshift * r) * prefactor
+        fc = ((erfcc / rsq + EWALD_F * p.g_ewald * erfcd / r)
+              + p.coul_fshift) * rsq * prefactor
+    return ec, fc
+
+
+def dsf_wolf_self_energy(p, q, mask):
+    """Per-atom self energy both kinds tally into ecoul
+    (pair_coul_dsf.cpp:99, pair_coul_wolf.cpp:102):
+    e_self = -(e_shift/2 + alpha/sqrt(pi)) q_i^2 qqrd2e, summed."""
+    pref = -(p.coul_eshift / 2.0 + p.g_ewald / jnp.sqrt(jnp.pi))
+    return pref * p.qqrd2e * jnp.sum(jnp.where(mask, q * q, 0.0))
+
+
 def make_pair_params(
     epsilon, sigma, cut_lj, *, cut_coul=0.0, special_lj=(1.0, 0.0, 0.0, 0.0),
     special_coul=(1.0, 0.0, 0.0, 0.0), qqrd2e=1.0, g_ewald=0.0, coul=False,
@@ -145,6 +201,9 @@ def make_pair_params(
         offset = jnp.zeros_like(epsilon)
     cut_ljsq = cut_lj**2
     cutsq = jnp.maximum(cut_lj, cut_coul if coul else 0.0) ** 2
+    esh = fsh = None
+    if coul_kind in ("dsf", "wolf"):
+        esh, fsh = _dsf_wolf_shifts(coul_kind, g_ewald, cut_coul, dtype)
     return PairParams(
         lj1=lj1, lj2=lj2, lj3=lj3, lj4=lj4, offset=offset,
         cut_ljsq=cut_ljsq, cutsq=cutsq,
@@ -160,7 +219,7 @@ def make_pair_params(
         coul=coul, charmm=charmm,
         excl=(None if excl_types is None
               else jnp.asarray(excl_types, bool)),
-        coul_kind=coul_kind,
+        coul_kind=coul_kind, coul_eshift=esh, coul_fshift=fsh,
     )
 
 
@@ -189,6 +248,9 @@ def make_generic_pair_params(
         offset = jnp.zeros_like(cut_lj)
     cut_ljsq = cut_lj**2
     cutsq = jnp.maximum(cut_lj, cut_coul if coul else 0.0) ** 2
+    esh = fsh = None
+    if coul_kind in ("dsf", "wolf"):
+        esh, fsh = _dsf_wolf_shifts(coul_kind, g_ewald, cut_coul, dtype)
     return PairParams(
         lj1=tabs[0], lj2=tabs[1], lj3=tabs[2], lj4=tabs[3], offset=offset,
         cut_ljsq=cut_ljsq, cutsq=cutsq,
@@ -203,6 +265,7 @@ def make_generic_pair_params(
         excl=(None if excl_types is None
               else jnp.asarray(excl_types, bool)),
         kind=kind, lj5=t5j, coul_kind=coul_kind,
+        coul_eshift=esh, coul_fshift=fsh,
     )
 
 
@@ -301,6 +364,75 @@ def _vdw_terms(kind, rsq, r2inv, t1, t2, t3, t4, t5=None,
                  * x2e * rsq)
         e = rn * rn * t3 - g6c * ((a2 + 1.0) * a2 + 0.5) * x2e
         return force, e
+    if kind == "lj96":
+        # pair_lj96_cut.cpp:96-99: 9-6 LJ, lj1/3 = 36/4 eps sig^9,
+        # lj2/4 = 24/4 eps sig^6
+        r6inv = r2inv * r2inv * r2inv
+        r3inv = jnp.sqrt(r6inv)
+        return r6inv * (t1 * r3inv - t2), r6inv * (t3 * r3inv - t4)
+    if kind == "lj/smooth/linear":
+        # pair_lj_smooth_linear.cpp:88-124: force-and-energy shifted LJ
+        # (F(rc) = E(rc) = 0).  t5 = stacked [ljcut, dljcut, cut].
+        r6inv = r2inv * r2inv * r2inv
+        flj = r6inv * (t1 * r6inv - t2)
+        philj = (r6inv * (t3 * r6inv - t4) - t5[..., 0]
+                 + (r - t5[..., 2]) * t5[..., 1])
+        return flj - r * t5[..., 1], philj
+    if kind == "lj/smooth":
+        # pair_lj_smooth.cpp:82-120: plain LJ inside cut_inner, cubic
+        # force-skin polynomial outside.  t5 = [ljsw0..ljsw4, cut_inner].
+        r6inv = r2inv * r2inv * r2inv
+        inner = t5[..., 5]
+        tt = r - inner
+        tsq = tt * tt
+        fskin = (t5[..., 1] + t5[..., 2] * tt + t5[..., 3] * tsq
+                 + t5[..., 4] * tsq * tt)
+        phi_out = (t5[..., 0] - t5[..., 1] * tt - t5[..., 2] * tsq / 2.0
+                   - t5[..., 3] * tsq * tt / 3.0
+                   - t5[..., 4] * tsq * tsq / 4.0)
+        use_in = rsq < inner * inner
+        return (jnp.where(use_in, r6inv * (t1 * r6inv - t2), fskin * r),
+                jnp.where(use_in, r6inv * (t3 * r6inv - t4), phi_out))
+    if kind == "zbl":
+        # pair_zbl.cpp e_zbl/dzbldr (:301-352) + switching (:118-145);
+        # t5 = stacked [d1a,d2a,d3a,d4a,zze, sw1..sw5, cut_inner]
+        c1_, c2_, c3_, c4_ = 0.02817, 0.28022, 0.50986, 0.18175
+        rinv = 1.0 / r
+        e1 = jnp.exp(-t5[..., 0] * r)
+        e2 = jnp.exp(-t5[..., 1] * r)
+        e3 = jnp.exp(-t5[..., 2] * r)
+        e4 = jnp.exp(-t5[..., 3] * r)
+        ssum = c1_ * e1 + c2_ * e2 + c3_ * e3 + c4_ * e4
+        ssum_p = -(c1_ * t5[..., 0] * e1 + c2_ * t5[..., 1] * e2
+                   + c3_ * t5[..., 2] * e3 + c4_ * t5[..., 3] * e4)
+        zze = t5[..., 4]
+        ezbl = zze * ssum * rinv
+        dzbl = zze * (ssum_p - ssum * rinv) * rinv
+        inner = t5[..., 10]
+        tt = jnp.where(r > inner, r - inner, 0.0)
+        fsw = tt * tt * (t5[..., 5] + t5[..., 6] * tt)
+        esw = tt * tt * tt * (t5[..., 7] + t5[..., 8] * tt)
+        # fpair = -(dzbl + fsw)/r  ->  forcelj(our r2inv convention) * r
+        return -(dzbl + fsw) * r, ezbl + t5[..., 9] + esw
+    if kind == "beck":
+        # pair_beck.cpp:91-120: t1=AA t2=BB t3=aa t4=alpha t5=beta
+        r5 = rsq * rsq * r
+        term1 = t3 * t3 + rsq
+        t1inv = 1.0 / term1
+        term2 = t1inv ** 5
+        term3 = 21.672 + 30.0 * t3 * t3 + 6.0 * rsq
+        term4 = t4 + r5 * t5
+        term5 = t4 + 6.0 * r5 * t5
+        expb = jnp.exp(-r * term4)
+        force_beck = t1 * expb * term5 - t2 * r * term2 * term3
+        phi = (t1 * expb
+               - t2 * (t1inv ** 3) * (1.0 + (2.709 + 3.0 * t3 * t3) * t1inv))
+        return force_beck * r, phi
+    if kind == "ufm":
+        # pair_ufm.cpp:87-101: t1 = 2 eps/sig^2, t2 = 1/sig^2, t3 = eps
+        expuf = jnp.exp(-rsq * t2)
+        denom = 1.0 - expuf
+        return t1 * expuf / denom * rsq, -t3 * jnp.log(denom)
     if kind == "lj/gromacs":
         # pair_lj_gromacs.cpp:95-125: plain LJ force plus a smoothing
         # polynomial switched on beyond cut_inner; energy carries the
@@ -343,6 +475,10 @@ def pair_single(rsq, itype, jtype, qi, qj, p: PairParams,
         elif p.coul_kind == "msm":
             ec, fc = _msm_coul_terms(prefactor, r, rsq, p.cut_coulsq,
                                      p.msm_order)
+            forcecoul = fc - (1.0 - factor_coul) * prefactor
+            phicoul = ec - (1.0 - factor_coul) * prefactor
+        elif p.coul_kind in ("dsf", "wolf"):
+            ec, fc = _dsf_wolf_pair_terms(p, prefactor, r, rsq)
             forcecoul = fc - (1.0 - factor_coul) * prefactor
             phicoul = ec - (1.0 - factor_coul) * prefactor
         else:
@@ -444,6 +580,10 @@ def _pair_terms(rsq, qi, qj, ti, tj, sp_code, p: PairParams, pair_mask):
                                          p.msm_order)
             forcecoul = fc_m - (1.0 - factor_coul) * prefactor
             ecoul = ec_m - (1.0 - factor_coul) * prefactor
+        elif p.coul_kind in ("dsf", "wolf"):
+            ec_d, fc_d = _dsf_wolf_pair_terms(p, prefactor, r, rsq)
+            forcecoul = fc_d - (1.0 - factor_coul) * prefactor
+            ecoul = ec_d - (1.0 - factor_coul) * prefactor
         else:
             grij = p.g_ewald * r
             expm2 = jnp.exp(-grij * grij)

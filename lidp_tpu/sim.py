@@ -41,6 +41,12 @@ _GENERIC_PAIR_KINDS = {
     "coul/debye": ("none", 0), "lj/expand": ("lj/expand", 3),
     "born/coul/long": ("born", 5), "mie/cut": ("mie", 4),
     "lj/gromacs": ("lj/gromacs", 2),
+    "coul/dsf": ("none", 0), "coul/wolf": ("none", 0),
+    "born/coul/dsf": ("born", 5), "born/coul/wolf": ("born", 5),
+    "beck": ("beck", 5), "zero": ("none", 0),
+    "lj96/cut": ("lj96", 2), "lj/smooth/linear": ("lj/smooth/linear", 2),
+    "lj/smooth": ("lj/smooth", 2), "ufm": ("ufm", 2),
+    "zbl": ("zbl", 2),
 }
 
 
@@ -114,7 +120,7 @@ def _build_mixed_generic_pair(script, u, excl_types, dtype, kind, nc):
     seen = np.zeros((T + 1, T + 1), bool)
     for (i, j), co in script.pair_coeffs.items():
         raw[i, j] = raw[j, i] = co[:nc]
-        if kind == "lj/gromacs" and len(co) >= nc + 2:
+        if kind in ("lj/gromacs", "lj/smooth") and len(co) >= nc + 2:
             inner[i, j] = inner[j, i] = co[nc]
             cut[i, j] = cut[j, i] = co[nc + 1]
         elif len(co) > nc:
@@ -148,6 +154,60 @@ def _build_mixed_generic_pair(script, u, excl_types, dtype, kind, nc):
         tabs[2] = cmie * eps * np.power(sig, gamR)
         tabs[3] = cmie * eps * np.power(sig, gamA)
         t5 = np.stack([gamR, gamA], axis=-1)
+    elif kind == "lj96":
+        # pair_lj96_cut.cpp init_one:529-532: 9-6 LJ coefficient tables
+        eps, sig = raw[..., 0], raw[..., 1]
+        s6 = sig ** 6
+        s9 = s6 * sig ** 3
+        tabs[0] = 36.0 * eps * s9
+        tabs[1] = 24.0 * eps * s6
+        tabs[2] = 4.0 * eps * s9
+        tabs[3] = 4.0 * eps * s6
+        t5 = None
+    elif kind == "lj/smooth/linear":
+        # pair_lj_smooth_linear.cpp init_one:239-240: ljcut/dljcut shifts
+        eps, sig = raw[..., 0], raw[..., 1]
+        s6 = sig ** 6
+        tabs[0] = 48.0 * eps * s6 * s6
+        tabs[1] = 24.0 * eps * s6
+        tabs[2] = 4.0 * eps * s6 * s6
+        tabs[3] = 4.0 * eps * s6
+        rc = np.where(cut > 0, cut, 1.0)
+        c6i = rc ** -6.0
+        ljcut = c6i * (tabs[2] * c6i - tabs[3])
+        dljcut = (1.0 / rc) * c6i * (tabs[0] * c6i - tabs[1])
+        t5 = np.stack([ljcut, dljcut, cut], axis=-1)
+    elif kind == "lj/smooth":
+        # pair_lj_smooth.cpp init_one: cubic force-skin ljsw0..ljsw4
+        eps, sig = raw[..., 0], raw[..., 1]
+        s6 = sig ** 6
+        tabs[0] = 48.0 * eps * s6 * s6
+        tabs[1] = 24.0 * eps * s6
+        tabs[2] = 4.0 * eps * s6 * s6
+        tabs[3] = 4.0 * eps * s6
+        ri = np.where(inner > 0, inner, 1.0)
+        r6i = ri ** -6.0
+        have_sw = cut > inner
+        t = np.where(have_sw, cut - inner, 1.0)
+        tsq = t * t
+        ratio = sig / ri
+        ljsw0 = 4.0 * eps * (ratio ** 12 - ratio ** 6)
+        ljsw1 = r6i * (tabs[0] * r6i - tabs[1]) / ri
+        ljsw2 = -r6i * (13.0 * tabs[0] * r6i - 7.0 * tabs[1]) / (ri * ri)
+        ljsw3 = -(3.0 / tsq) * (ljsw1 + 2.0 / 3.0 * ljsw2 * t)
+        ljsw4 = -1.0 / (3.0 * tsq) * (ljsw2 + 2.0 * ljsw3 * t)
+        # inner == cut: no skin; ljsw0 alone carries the offset value
+        for arr in (ljsw1, ljsw2, ljsw3, ljsw4):
+            arr[~have_sw] = 0.0
+        t5 = np.stack([ljsw0, ljsw1, ljsw2, ljsw3, ljsw4, inner], axis=-1)
+    elif kind == "ufm":
+        # pair_ufm.cpp init_one:237-245: Gaussian-core UFM tables
+        eps, sig = raw[..., 0], raw[..., 1]
+        sg = np.where(sig > 0, sig, 1.0)
+        tabs[0] = 2.0 * eps / (sg * sg)
+        tabs[1] = 1.0 / (sg * sg)
+        tabs[2] = eps
+        t5 = None
     else:   # lj/gromacs switch constants (pair_lj_gromacs.cpp init_one)
         eps, sig = raw[..., 0], raw[..., 1]
         s6 = sig ** 6
@@ -181,7 +241,71 @@ def _build_mixed_generic_pair(script, u, excl_types, dtype, kind, nc):
         cut_lj=cut, cut_coul=0.0, coul=False, qqrd2e=u.qqr2e,
         special_lj=np.array(script.special_lj),
         special_coul=np.array(script.special_coul),
-        shift=(getattr(script, "_pair_shift", False) and kind == "mie"),
+        shift=(getattr(script, "_pair_shift", False)
+               and kind in ("mie", "lj96", "lj/smooth", "ufm")),
+        excl_types=excl_types, dtype=dtype)
+    return pair, cut
+
+
+def _build_zbl_pair(script, u, excl_types, dtype):
+    """pair_style zbl inner outer (pair_zbl.cpp): the universal
+    Ziegler-Biersack-Littmark screened nuclear repulsion.  Per-type-pair
+    (Zi, Zj) coefficients become the d{1..4}a / zze exponential tables and
+    the C2-continuous switching constants of set_coeff (:297-352), stacked
+    into the lj5 channel table for the `zbl` _vdw_terms kind."""
+    from lidp_tpu.ops.pair import make_generic_pair_params
+
+    T = script.ntypes
+    inner = script.pair.cut_lj_inner
+    outer = script.pair.cut_lj_global
+    cut = np.full((T + 1, T + 1), outer)
+    cut[0, :] = cut[:, 0] = 0.0
+    pzbl, a0 = 0.23, 0.46850
+    cc = np.array([0.02817, 0.28022, 0.50986, 0.18175])
+    dd = np.array([0.20162, 0.40290, 0.94229, 3.19980])
+    t5 = np.zeros((T + 1, T + 1, 11))
+    t5[..., 10] = inner
+    seen = np.zeros((T + 1, T + 1), bool)
+    qe = u.qelectron
+    for (i, j), co in script.pair_coeffs.items():
+        zi, zj = co[0], co[1]
+        ainv = (zi ** pzbl + zj ** pzbl) / (a0 * u.angstrom)
+        da = dd * ainv
+        zze = zi * zj * u.qqr2e * qe * qe
+
+        def e_zbl(r, da=da, zze=zze):
+            return zze * np.sum(cc * np.exp(-da * r)) / r
+
+        def dzbldr(r, da=da, zze=zze):
+            e = np.exp(-da * r)
+            return zze * (-np.sum(cc * da * e) - np.sum(cc * e) / r) / r
+
+        def d2zbldr2(r, da=da, zze=zze):
+            e = np.exp(-da * r)
+            return zze * (np.sum(cc * da * da * e)
+                          + 2.0 * np.sum(cc * da * e) / r
+                          + 2.0 * np.sum(cc * e) / (r * r)) / r
+
+        # C2 smooth truncation: e(rc) = e'(rc) = e''(rc) = 0 (set_coeff)
+        tc = outer - inner
+        fc = e_zbl(outer)
+        fcp = dzbldr(outer)
+        fcpp = d2zbldr2(outer)
+        swa = (-3.0 * fcp + tc * fcpp) / (tc * tc)
+        swb = (2.0 * fcp - tc * fcpp) / (tc * tc * tc)
+        swc = -fc + (tc / 2.0) * fcp - (tc * tc / 12.0) * fcpp
+        row = list(da) + [zze, swa, swb, swa / 3.0, swb / 4.0, swc, inner]
+        t5[i, j] = t5[j, i] = row
+        seen[i, j] = seen[j, i] = True
+    for i in range(1, T + 1):
+        for j in range(i, T + 1):
+            if not seen[i, j]:
+                raise ValueError(f"All pair coeffs are not set (zbl {i} {j})")
+    z = np.zeros((T + 1, T + 1))
+    pair = make_generic_pair_params(
+        "zbl", z, z, z, z, t5, cut_lj=cut, cut_coul=0.0, coul=False,
+        qqrd2e=u.qqr2e, special_lj=np.array(script.special_lj),
+        special_coul=np.array(script.special_coul),
         excl_types=excl_types, dtype=dtype)
     return pair, cut
 
@@ -199,9 +323,12 @@ def _build_generic_pair(script, u, excl_types, dtype):
     coul = "coul" in name
     tabs = [np.zeros((T + 1, T + 1)) for _ in range(5)]
     cut = np.full((T + 1, T + 1), script.pair.cut_lj_global)
-    if kind in ("mie", "lj/gromacs"):
+    if kind in ("mie", "lj/gromacs", "lj96", "lj/smooth/linear",
+                "lj/smooth", "ufm"):
         return _build_mixed_generic_pair(script, u, excl_types, dtype,
                                          kind, nc)
+    if kind == "zbl":
+        return _build_zbl_pair(script, u, excl_types, dtype)
     if kind != "none":
         seen = np.zeros((T + 1, T + 1), bool)
         for (i, j), co in script.pair_coeffs.items():
@@ -226,6 +353,8 @@ def _build_generic_pair(script, u, excl_types, dtype):
                 s6_ = sg ** 6
                 row = (48.0 * e_ * s6_ * s6_, 24.0 * e_ * s6_,
                        4.0 * e_ * s6_ * s6_, 4.0 * e_ * s6_, delta)
+            elif kind == "beck":
+                row = tuple(vals)   # AA, BB, aa, alpha, beta verbatim
             for k, v in enumerate(row):
                 tabs[k][i, j] = tabs[k][j, i] = v
             cut[i, j] = cut[j, i] = co[nc] if len(co) > nc else cij
@@ -235,6 +364,10 @@ def _build_generic_pair(script, u, excl_types, dtype):
                 if not seen[i, j]:
                     raise ValueError(
                         f"All pair coeffs are not set ({name} {i} {j})")
+    elif name == "zero":
+        # pair_style zero: no forces, but the global cutoff still drives
+        # neighbor-list construction (pair_zero.cpp)
+        pass
     else:
         cut = np.zeros((T + 1, T + 1))
     coul_kind = "long"
@@ -244,9 +377,15 @@ def _build_generic_pair(script, u, excl_types, dtype):
         g_ewald = script._debye_kappa   # kappa rides in g_ewald
     elif name.endswith("msm"):
         coul_kind = "msm"
+    elif name.endswith("/dsf"):
+        coul_kind = "dsf"
+        g_ewald = script._dsf_alpha     # alpha rides in g_ewald
+    elif name.endswith("/wolf"):
+        coul_kind = "wolf"
+        g_ewald = script._dsf_alpha
     pair = make_generic_pair_params(
         kind, tabs[0], tabs[1], tabs[2], tabs[3],
-        tabs[4] if kind in ("born", "lj/expand") else None,
+        tabs[4] if kind in ("born", "lj/expand", "beck") else None,
         cut_lj=cut, cut_coul=script.pair.cut_coul if coul else 0.0,
         coul=coul, qqrd2e=u.qqr2e, g_ewald=g_ewald,
         special_lj=np.array(script.special_lj),
@@ -576,6 +715,8 @@ class Simulation:
                             * (2.0 * s6_ - 3.0 * rc6)
             is_debye = "debye" in pname
             is_msm = pname.endswith("/msm")
+            is_dsf = pname.endswith("/dsf")
+            is_wolf = pname.endswith("/wolf")
             pair = make_pair_params(
                 eps, sig, cut,
                 cut_coul=(script.pair.cut_coul
@@ -583,12 +724,16 @@ class Simulation:
                 special_lj=np.array(script.special_lj),
                 special_coul=np.array(script.special_coul),
                 qqrd2e=u.qqr2e, coul=coul,
-                g_ewald=script._debye_kappa if is_debye else 0.0,
+                g_ewald=(script._debye_kappa if is_debye
+                         else script._dsf_alpha if (is_dsf or is_wolf)
+                         else 0.0),
                 shift=getattr(script, "_pair_shift", False),
                 cut_lj_inner=script.pair.cut_lj_inner, charmm=charmm,
                 excl_types=excl_types,
                 coul_kind=("debye" if is_debye
-                           else "msm" if is_msm else "long"),
+                           else "msm" if is_msm
+                           else "dsf" if is_dsf
+                           else "wolf" if is_wolf else "long"),
                 dtype=dtype)
         if getattr(script, "neigh_exclude_mol", False):
             pair = dataclasses.replace(pair, excl_mol=True)

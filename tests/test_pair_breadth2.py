@@ -1,0 +1,219 @@
+"""Round-3 pair-style breadth goldens: lj96/cut, lj/smooth,
+lj/smooth/linear, ufm, beck, zbl, coul/dsf, coul/wolf,
+lj/cut/coul/dsf|wolf, born/coul/dsf|wolf.
+
+GOLDEN rows were minted by scripts/gen_breadth_goldens.py running the
+REBUILT 16Mar18 reference (/tmp/lmpsrc/lmp_serial) on the identical
+64-atom charge-checkerboard data file this test regenerates (same seed).
+Columns: step temp pe evdwl ecoul press.
+
+Three genuine 2018-reference defects were found while minting these
+goldens (each golden restricted to a configuration where the reference is
+well-defined; our implementation uses the modern fixed semantics):
+
+1. PairLJCutCoulWolf::settings never reads arg[2]
+   (pair_lj_cut_coul_wolf.cpp:215-221) — the 3-arg form leaves cut_coul
+   uninitialized (~1e75 ecoul).  Golden uses the 2-arg form.
+2. PairLJCutCoulWolf::init_one never symmetrizes cut_ljsq[j][i]
+   (:285-312) — multi-type runs silently drop (2,1) LJ pairs.  Golden
+   uses a single-type box (data.breadth1).
+3. pair_ufm.cpp sets scale[i][j] = 1.0 only inside coeff() (:214) —
+   mixed pairs' FORCES are multiplied by uninitialized memory while the
+   energy is unaffected (proved by finite-differencing the reference's
+   own PE, which matches our forces, not its force dump).  Golden gives
+   explicit 1-2 coeffs at the geometric-mix values.
+"""
+
+import numpy as np
+import pytest
+
+from scripts.gen_breadth_goldens import CASES, make_input, write_data
+
+GOLDEN = {
+    'lj96': [
+        [0.0, 1.0, -1.10851734218, -1.10851734218, 0.0, -0.222544426775],
+        [1.0, 1.00025254968, -1.10889036676, -1.10889036676, 0.0, -0.222358850888],
+        [2.0, 1.00063315375, -1.10973492161, -1.10973492161, 0.0, -0.222220437058],
+        [3.0, 1.00114668601, -1.11133886819, -1.11133886819, 0.0, -0.222288708271],
+        [4.0, 1.00179065953, -1.11256910708, -1.11256910708, 0.0, -0.22191608249],
+        [5.0, 1.00255901587, -1.11426632229, -1.11426632229, 0.0, -0.221578175859],
+    ],
+    'ljsmooth': [
+        [0.0, 1.0, -1.43481747764, -1.43481747764, 0.0, -0.445534732454],
+        [1.0, 1.00056237752, -1.43564794263, -1.43564794263, 0.0, -0.44537992762],
+        [2.0, 1.0014390293, -1.43747995562, -1.43747995562, 0.0, -0.44510099716],
+        [3.0, 1.00262872047, -1.44084910233, -1.44084910233, 0.0, -0.444693170175],
+        [4.0, 1.00412945481, -1.44360282863, -1.44360282863, 0.0, -0.444149537204],
+        [5.0, 1.00593840786, -1.44734917959, -1.44734917959, 0.0, -0.443461397888],
+    ],
+    'ljsmoothlin': [
+        [0.0, 1.0, -1.00832341342, -1.00832341342, 0.0, -0.381421060745],
+        [1.0, 1.00054645501, -1.00913035163, -1.00913035163, 0.0, -0.381329855936],
+        [2.0, 1.0013926758, -1.01037993666, -1.01037993666, 0.0, -0.381167602454],
+        [3.0, 1.00253790504, -1.01207111943, -1.01207111943, 0.0, -0.380934123546],
+        [4.0, 1.00398077791, -1.01420192583, -1.01420192583, 0.0, -0.380620183981],
+        [5.0, 1.0057191701, -1.01676919386, -1.01676919386, 0.0, -0.380213440376],
+    ],
+    'ufm': [
+        [0.0, 1.0, 2.33083795588, 2.33083795588, 0.0, 1.17903275219],
+        [1.0, 0.999739349277, 2.3312228395, 2.3312228395, 0.0, 1.17897075068],
+        [2.0, 0.999353737117, 2.3324563221, 2.3324563221, 0.0, 1.1793590721],
+        [3.0, 0.998823608116, 2.33522597971, 2.33522597971, 0.0, 1.18069901161],
+        [4.0, 0.998150041348, 2.33687421207, 2.33687421207, 0.0, 1.18101429841],
+        [5.0, 0.997345479155, 2.33872206343, 2.33872206343, 0.0, 1.18129276843],
+    ],
+    'beck': [
+        [0.0, 1.0, -0.343736969178, -0.343736969178, 0.0, 0.128161197431],
+        [1.0, 1.00008191671, -0.343857900226, -0.343857900226, 0.0, 0.128165404183],
+        [2.0, 1.00020638906, -0.344118403892, -0.344118403892, 0.0, 0.128125588518],
+        [3.0, 1.00037559406, -0.344597956316, -0.344597956316, 0.0, 0.127994288834],
+        [4.0, 1.00058992857, -0.344990149319, -0.344990149319, 0.0, 0.127954175527],
+        [5.0, 1.00084910258, -0.345525518419, -0.345525518419, 0.0, 0.127866306379],
+    ],
+    'zbl': [
+        [0.0, 10.0, 2709.89288474, 2709.89288474, 0.0, 43695226.344],
+        [1.0, 10.0310875151, 2709.89263144, 2709.89263144, 0.0, 43695236.3428],
+        [2.0, 12.1154176204, 2709.87565607, 2709.87565607, 0.0, 43695226.2252],
+        [3.0, 16.2493455875, 2709.84198832, 2709.84198832, 0.0, 43695196.0379],
+        [4.0, 22.4258690912, 2709.79168522, 2709.79168522, 0.0, 43695145.8732],
+        [5.0, 30.6346419344, 2709.72483103, 2709.72483103, 0.0, 43695075.8683],
+    ],
+    'couldsf': [
+        [0.0, 1.0, -0.620841323336, 0.0, -0.620841323336, 0.236791717932],
+        [1.0, 1.00003030179, -0.620886066396, 0.0, -0.620886066396, 0.236787556325],
+        [2.0, 1.00005610758, -0.620924121983, 0.0, -0.620924121983, 0.236781021482],
+        [3.0, 1.00007760095, -0.620955812944, 0.0, -0.620955812944, 0.236767285708],
+        [4.0, 1.00009499973, -0.620981489547, 0.0, -0.620981489547, 0.236746971323],
+        [5.0, 1.00010849638, -0.621001403623, 0.0, -0.621001403623, 0.236721341802],
+    ],
+    'coulwolf': [
+        [0.0, 1.0, -0.58980503807, 0.0, -0.58980503807, 0.236791713798],
+        [1.0, 1.00003030183, -0.58987561584, 0.0, -0.58987561584, 0.236787552196],
+        [2.0, 1.00005610771, -0.589950300881, 0.0, -0.589950300881, 0.23678101731],
+        [3.0, 1.0000776012, -0.590040283627, 0.0, -0.590040283627, 0.23676728139],
+        [4.0, 1.00009500013, -0.590144463389, 0.0, -0.590144463389, 0.236746966983],
+        [5.0, 1.00010849697, -0.590260220134, 0.0, -0.590260220134, 0.23672133745],
+    ],
+    'ljdsf': [
+        [0.0, 1.0, -2.04384109409, -1.42299977076, -0.620841323336, -0.511933877009],
+        [1.0, 1.00059594247, -2.04417782702, -1.42329164924, -0.620886177774, -0.511537895069],
+        [2.0, 1.00151170179, -2.04521311528, -1.42428851739, -0.620924597892, -0.511225165566],
+        [3.0, 1.00275918595, -2.04255929116, -1.42160231978, -0.620956971374, -0.508429943744],
+        [4.0, 1.00434913691, -2.04302593566, -1.42204219348, -0.620983742187, -0.507120821117],
+        [5.0, 1.00627069508, -2.04060334217, -1.41959805883, -0.621005283347, -0.503775831543],
+    ],
+    'ljwolf': [
+        [0.0, 1.0, -1.82098700494, -1.23118196687, -0.58980503807, -0.4332919483],
+        [1.0, 1.00067804433, -1.82201820665, -1.23213224166, -0.589885964991, -0.433373276841],
+        [2.0, 1.00171729194, -1.82385416598, -1.23387942005, -0.589974745929, -0.433640656949],
+        [3.0, 1.00312586495, -1.82677958526, -1.23669100099, -0.590088584274, -0.434251808558],
+        [4.0, 1.00490464067, -1.82975448138, -1.23953989481, -0.590214586574, -0.434587387957],
+        [5.0, 1.00705227612, -1.83355052668, -1.24319416314, -0.59035636354, -0.4350933882],
+    ],
+    'borndsf': [
+        [0.0, 1.0, 0.592441002597, 1.21328236779, -0.620841365197, 0.640916643464],
+        [1.0, 0.999927797783, 0.591897339743, 1.21278343735, -0.620886097603, 0.640490981723],
+        [2.0, 0.999781318144, 0.592073855842, 1.21299797277, -0.620924116932, 0.640212652551],
+        [3.0, 0.999546232291, 0.586015273337, 1.20697101153, -0.620955738189, 0.637062415446],
+        [4.0, 0.999209328469, 0.583920481214, 1.20490177928, -0.620981298062, 0.63564140403],
+        [5.0, 0.998780876364, 0.576888879842, 1.19788991694, -0.621001037094, 0.631896069717],
+    ],
+    'bornwolf': [
+        [0.0, 1.0, 0.623477329724, 1.21328236779, -0.58980503807, 0.640916643464],
+        [1.0, 0.999927797783, 0.622907835414, 1.21278343735, -0.589875601933, 0.640490981723],
+        [2.0, 0.999781318144, 0.623047749934, 1.21299797277, -0.589950222839, 0.640212652551],
+        [3.0, 0.999546232291, 0.616930944398, 1.20697101153, -0.590040067128, 0.637062415446],
+        [4.0, 0.999209328469, 0.614757749521, 1.20490177928, -0.590144029755, 0.63564140403],
+        [5.0, 0.998780876364, 0.607630524401, 1.19788991694, -0.590259392535, 0.631896069717],
+    ],
+}
+
+
+def _run_case(text, tmp_path):
+    import jax.numpy as jnp
+
+    from lidp_tpu.io.script import LammpsScript
+
+    path = tmp_path / "in.case"
+    path.write_text(text)
+    s = LammpsScript(dtype=jnp.float64)
+    s.file(str(path))
+    return s.thermo_rows
+
+
+@pytest.mark.parametrize("case", sorted(GOLDEN))
+def test_pair_breadth_golden(case, tmp_path):
+    write_data(str(tmp_path / "data.breadth"))
+    write_data(str(tmp_path / "data.breadth1"), one_type=True)
+    # (also rewrites "data.breadth1" -> "<tmp>/data.breadth" + "1")
+    text = make_input(case).replace("read_data data.breadth",
+                                    f"read_data {tmp_path}/data.breadth")
+    rows = _run_case(text, tmp_path)
+    got = {int(r["step"]): r for r in rows}
+    for ref in GOLDEN[case]:
+        step = int(ref[0])
+        r = got[step]
+        ours = [r["temp"], r["pe"], r["evdwl"], r["ecoul"], r["press"]]
+        for name, o, g in zip(("temp", "pe", "evdwl", "ecoul", "press"),
+                              ours, ref[1:]):
+            assert o == pytest.approx(g, rel=2e-6, abs=5e-8), (
+                f"{case} step {step} {name}: ours {o} vs ref {g}")
+
+
+def test_pair_zero(tmp_path):
+    """pair_style zero: neighbor-only style, no forces or energy
+    (pair_zero.cpp)."""
+    write_data(str(tmp_path / "data.breadth"))
+    rows = _run_case(f"""
+units lj
+atom_style charge
+read_data {tmp_path}/data.breadth
+pair_style zero 2.5
+pair_coeff * *
+velocity all create 1.0 87287 loop geom
+fix 1 all nve
+thermo 1
+thermo_style custom step temp pe evdwl ecoul press
+run 3
+""", tmp_path)
+    for r in rows:
+        assert float(r["pe"]) == 0.0
+        assert float(r["evdwl"]) == 0.0
+    # velocities untouched by forces: temp constant
+    assert float(rows[-1]["temp"]) == pytest.approx(1.0, rel=1e-12)
+
+
+@pytest.mark.parametrize("kind", ["dsf", "wolf"])
+def test_dsf_wolf_cells_vs_dense(kind):
+    """The cell-stencil kernel's dsf/wolf coul branch must agree with the
+    dense path (the 64-atom goldens above only exercise dense)."""
+    import jax.numpy as jnp
+
+    from lidp_tpu.box import Box
+    from lidp_tpu.ops.cells import CellConfig, build_cells, cell_pair_forces
+    from lidp_tpu.ops.pair import dense_pair_forces, make_pair_params
+
+    rng = np.random.RandomState(7)
+    L = 9.0
+    g = (np.stack(np.meshgrid(*[np.arange(6)] * 3, indexing="ij"), -1)
+         .reshape(-1, 3) + 0.5) * (L / 6)
+    n = len(g)   # 216 on-lattice atoms, jittered (no overlaps)
+    x = g + rng.uniform(-0.25, 0.25, (n, 3))
+    q = jnp.asarray(rng.choice([-1.0, 1.0], n))
+    mk = lambda v: np.full((2, 2), v)   # noqa: E731
+    p = make_pair_params(mk(1.0), mk(1.0), mk(2.2), cut_coul=2.5,
+                         coul=True, g_ewald=0.5, coul_kind=kind,
+                         dtype=jnp.float64)
+    box = Box.create(np.zeros(3), np.full(3, L))
+    mask = jnp.ones(n, bool)
+    ty = jnp.ones(n, jnp.int32)
+    fd, ev_d, ec_d, vir_d = dense_pair_forces(
+        jnp.asarray(x), q, ty, 0, mask, box, p)
+    cfg = CellConfig.for_box([L] * 3, 2.8, density=n / L**3)
+    cells = build_cells(jnp.asarray(x), mask, box, cfg)
+    fc, ev_c, ec_c, vir_c = cell_pair_forces(
+        jnp.asarray(x), q, ty, mask, cells, box, p, coul=True)
+    assert abs(float(ev_d) - float(ev_c)) < 1e-9
+    assert abs(float(ec_d) - float(ec_c)) < 1e-9
+    assert np.abs(np.asarray(fd) - np.asarray(fc)).max() < 1e-9
+    assert np.abs(np.asarray(vir_d) - np.asarray(vir_c)).max() < 1e-8

@@ -71,6 +71,10 @@ class ForceField:
     pppm_disp: Optional[object] = None      # ops.pppm.PPPMDispParams
     # multilevel summation (kspace msm; ops/msm.py)
     msm: Optional[object] = None            # ops.msm.MSMParams
+    # pair_style hybrid[/overlay] sub-styles beyond the first: each is a
+    # fully-masked kernel pass summed in compute_forces (the XLA-native
+    # replacement for pair_hybrid.cpp's per-pair map_style indirection)
+    extra_pairs: tuple = ()                 # tuple[PairParams, ...]
 
 
 @jax.tree_util.register_dataclass
@@ -217,6 +221,39 @@ def compute_forces(sys: System, ff: ForceField,
             from lidp_tpu.ops.pair import dsf_wolf_self_energy
 
             ecoul = ecoul + dsf_wolf_self_energy(ff.pair, sys.q, sys.mask)
+
+        # hybrid sub-styles: one masked kernel pass each, statically
+        # unrolled (pair_hybrid.cpp compute() sub-style loop analog)
+        for pex in ff.extra_pairs:
+            if isinstance(nlist, Cells):
+                fp, ev, ec, vir = cell_pair_forces(
+                    sys.x, sys.q, sys.type, sys.mask, nlist, sys.box,
+                    pex, need_ev=need_ev, mol=sys.mol)
+                if ff.sp_idx is not None and not pex.excl_mol:
+                    from lidp_tpu.ops.bonded import (
+                        special_correction_sparse)
+
+                    fc, dev_, dec_, dvir = special_correction_sparse(
+                        sys.x, sys.q, sys.type, ff.sp_idx, ff.sp_lvl,
+                        sys.mask, sys.box, pex)
+                    fp = fp + fc
+                    ev, ec, vir = ev + dev_, ec + dec_, vir + dvir
+            elif nlist is not None:
+                fp, ev, ec, vir = neighbor_pair_forces(
+                    sys.x, sys.q, sys.type, sys.mask, nlist, sys.box,
+                    pex, sp_code_dense=ff.sp_code, mol=sys.mol)
+            else:
+                sp = ff.sp_code if ff.sp_code is not None else 0
+                fp, ev, ec, vir = pair_ops.dense_pair_forces(
+                    sys.x, sys.q, sys.type, sp, sys.mask, sys.box, pex,
+                    mol=sys.mol)
+            f = f + fp
+            evdwl, ecoul = evdwl + ev, ecoul + ec
+            virial = virial + vir
+            if pex.coul and pex.coul_kind in ("dsf", "wolf") and need_ev:
+                from lidp_tpu.ops.pair import dsf_wolf_self_energy
+
+                ecoul = ecoul + dsf_wolf_self_energy(pex, sys.q, sys.mask)
 
     if ff.tip4p is not None and _on("pair"):
         from lidp_tpu.ops.tip4p import redistribute, tip4p_coul_dense

@@ -902,6 +902,31 @@ class LammpsScript:
 
     def cmd_pair_coeff(self, a):
         self._invalidate()
+        if self.pair.name in ("hybrid", "hybrid/overlay"):
+            # pair_coeff I J sub-style [M] coeffs... (PairHybrid::coeff);
+            # "none" removes the pair from every sub-style.  Tokens are
+            # kept raw and replayed through the sub-style's own
+            # cmd_pair_coeff at build time (sim._build_hybrid_pair).
+            sub = a[2]
+            if sub == "none":
+                for store in self.hybrid_raw_coeffs:
+                    store.append((a[0], a[1], None))
+                return
+            names = [s for s, _ in self.pair_hybrid]
+            if sub not in names:
+                raise ValueError(
+                    f"pair_coeff sub-style {sub} not in hybrid list")
+            rest = list(a[3:])
+            k = names.index(sub)
+            if names.count(sub) > 1:
+                if not (rest and rest[0].isdigit()):
+                    raise ValueError(
+                        f"duplicate hybrid sub-style {sub} needs an index")
+                k = [ix for ix, s in enumerate(names)
+                     if s == sub][int(rest[0]) - 1]
+                rest = rest[1:]
+            self.hybrid_raw_coeffs[k].append((a[0], a[1], rest))
+            return
         if self.pair.name.startswith("gran/"):
             # granular styles take no per-type coefficients
             # (PairGranHookeHistory::coeff, pair_gran_hooke_history.cpp:368)

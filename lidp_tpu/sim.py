@@ -310,6 +310,136 @@ def _build_zbl_pair(script, u, excl_types, dtype):
     return pair, cut
 
 
+# hybrid sub-style families: which coeff-tuple zero-fills an UNASSIGNED
+# type pair (parseable + zero interaction; the per-sub-style excl mask is
+# the real guard), and which styles mix within the sub-style
+_HYBRID_ZERO_ROW = {
+    "lj/cut": (0.0, 1.0), "lj/cut/coul/cut": (0.0, 1.0),
+    "lj/cut/coul/long": (0.0, 1.0), "lj/cut/coul/debye": (0.0, 1.0),
+    "lj/cut/coul/msm": (0.0, 1.0), "lj/cut/coul/dsf": (0.0, 1.0),
+    "lj/cut/coul/wolf": (0.0, 1.0),
+    "mie/cut": (0.0, 1.0, 12.0, 6.0), "lj/gromacs": (0.0, 1.0),
+    "lj96/cut": (0.0, 1.0), "lj/smooth": (0.0, 1.0),
+    "lj/smooth/linear": (0.0, 1.0), "ufm": (0.0, 1.0),
+    "morse": (0.0, 1.0, 1.0), "buck": (0.0, 1.0, 0.0),
+    "buck/coul/cut": (0.0, 1.0, 0.0), "buck/coul/long": (0.0, 1.0, 0.0),
+    "yukawa": (0.0,), "gauss": (0.0, 0.0), "soft": (0.0,),
+    "born": (0.0, 1.0, 1.0, 0.0, 0.0),
+    "born/coul/long": (0.0, 1.0, 1.0, 0.0, 0.0),
+    "born/coul/dsf": (0.0, 1.0, 1.0, 0.0, 0.0),
+    "born/coul/wolf": (0.0, 1.0, 1.0, 0.0, 0.0),
+    "lj/expand": (0.0, 1.0, 0.0), "beck": (0.0, 0.0, 1.0, 1.0, 0.0),
+    "zbl": (1.0, 1.0),
+}
+_HYBRID_MIX_STYLES = frozenset(
+    n for n in _HYBRID_ZERO_ROW
+    if n.startswith(("lj/cut", "lj96", "lj/smooth", "lj/gromacs",
+                     "mie", "ufm")))
+
+
+def _build_sub_pair(sc, u, excl, dtype):
+    """(pair, cut) for one hybrid sub-style (a restricted clone of the
+    from_script dispatch: generic kinds + the lj/cut mixing family)."""
+    pname = sc.pair.name
+    if pname in _GENERIC_PAIR_KINDS:
+        return _build_generic_pair(sc, u, excl, dtype)
+    if pname in _HYBRID_ZERO_ROW:    # lj/cut family
+        eps, sig, cut = _mix_pair_tables(sc)
+        coul = "coul" in pname
+        is_debye = "debye" in pname
+        is_msm = pname.endswith("/msm")
+        is_dsf = pname.endswith("/dsf")
+        is_wolf = pname.endswith("/wolf")
+        pair = make_pair_params(
+            eps, sig, cut,
+            cut_coul=sc.pair.cut_coul if coul else 0.0,
+            special_lj=np.array(sc.special_lj),
+            special_coul=np.array(sc.special_coul),
+            qqrd2e=u.qqr2e, coul=coul,
+            g_ewald=(sc._debye_kappa if is_debye
+                     else sc._dsf_alpha if (is_dsf or is_wolf) else 0.0),
+            shift=getattr(sc, "_pair_shift", False),
+            excl_types=excl,
+            coul_kind=("debye" if is_debye else "msm" if is_msm
+                       else "dsf" if is_dsf
+                       else "wolf" if is_wolf else "long"),
+            dtype=dtype)
+        return pair, cut
+    raise NotImplementedError(f"hybrid sub-style {pname}")
+
+
+def _build_hybrid_pair(script, u, base_excl, dtype):
+    """pair_style hybrid[/overlay] (pair_hybrid.cpp) re-designed for XLA:
+    instead of the reference's per-pair map_style indirection, every
+    sub-style becomes one fully-masked kernel pass over the same neighbor
+    structure, statically unrolled and summed (compute_forces loops over
+    ff.extra_pairs).  A type pair outside a sub-style's assignment is
+    masked through that sub-style's excl table.
+
+    Returns (first PairParams, extras tuple, coul_long flags, cut)."""
+    import copy
+
+    T = script.ntypes
+    built = []
+    flags = []
+    cut_all = np.zeros((T + 1, T + 1))
+    for k, (name, args) in enumerate(script.pair_hybrid):
+        sc = copy.copy(script)
+        sc._invalidate = lambda: None            # scratch copy: no rebuild
+        sc.cmd_pair_style([name] + list(args))   # resets sc.pair_coeffs
+        for (it, jt, toks) in script.hybrid_raw_coeffs[k]:
+            if toks is None:
+                # pair_coeff I J none: drop from every sub-style
+                ii = (range(1, T + 1) if it == "*" else [int(it)])
+                jj = (range(1, T + 1) if jt == "*" else [int(jt)])
+                for i_ in ii:
+                    for j_ in jj:
+                        sc.pair_coeffs.pop((min(i_, j_), max(i_, j_)),
+                                           None)
+                continue
+            sc.cmd_pair_coeff([it, jt] + list(toks))
+        explicit = set(sc.pair_coeffs)
+        if name.startswith("coul/") or name == "zero":
+            assigned = {(i, j) for i in range(1, T + 1)
+                        for j in range(i, T + 1)}
+        else:
+            assigned = set(explicit)
+            if name in _HYBRID_MIX_STYLES:
+                # within-sub-style mixing assigns (i,j) when both
+                # diagonals belong to it (PairHybrid::init_one)
+                for i in range(1, T + 1):
+                    for j in range(i + 1, T + 1):
+                        if (i, i) in explicit and (j, j) in explicit:
+                            assigned.add((i, j))
+            zr = _HYBRID_ZERO_ROW.get(name)
+            if zr is not None:
+                for i in range(1, T + 1):
+                    for j in range(i, T + 1):
+                        if (i, j) not in explicit:
+                            sc.pair_coeffs[(i, j)] = zr + (0.0,)
+        excl = np.ones((T + 1, T + 1), bool)
+        for (i, j) in assigned:
+            excl[i, j] = excl[j, i] = False
+        if base_excl is not None:
+            excl |= base_excl
+        pair, cut = _build_sub_pair(sc, u, excl, dtype)
+        amask = ~excl
+        cut_all = np.maximum(cut_all, np.where(amask, cut, 0.0))
+        if "coul" in name:
+            cut_all = np.maximum(
+                cut_all, np.where(amask, sc.pair.cut_coul, 0.0))
+        built.append(pair)
+        # coul/long sub-styles need the kspace g_ewald patched in later
+        flags.append("coul" in name and not any(
+            s in name for s in ("debye", "msm", "dsf", "wolf", "cut")))
+        if "coul" in name:
+            # kspace setup reads script.pair.cut_coul (ewald.cpp init
+            # asks the pair for its coulomb cutoff)
+            script.pair.cut_coul = max(script.pair.cut_coul,
+                                       sc.pair.cut_coul)
+    return built[0], tuple(built[1:]), tuple(flags), cut_all
+
+
 def _build_generic_pair(script, u, excl_types, dtype):
     """PairParams for the non-LJ pair styles (pair_morse/buck/yukawa/gauss/
     soft/born/coul_*.cpp).  Off-diagonal coefficients must be given
@@ -657,8 +787,13 @@ class Simulation:
         pname = script.pair.name
         tip4p_spec = getattr(script.pair, "tip4p", None)
         etail = ptail = 0.0
+        extra_pairs = ()
+        extra_coul_long = ()
         if pname == "table":
             pair, cut = _build_table_pair(script, excl_types, dtype)
+        elif pname in ("hybrid", "hybrid/overlay"):
+            pair, extra_pairs, extra_coul_long, cut = _build_hybrid_pair(
+                script, u, excl_types, dtype)
         elif pname in _GENERIC_PAIR_KINDS:
             pair, cut = _build_generic_pair(script, u, excl_types, dtype)
         elif pname == "lj/long/coul/long":
@@ -764,6 +899,12 @@ class Simulation:
                 g_ewald=getattr(script, "_gewald_override", None))
             pair = dataclasses.replace(
                 pair, g_ewald=jnp.asarray(ps.g_ewald, dtype))
+            if extra_pairs:
+                extra_pairs = tuple(
+                    dataclasses.replace(
+                        pe, g_ewald=jnp.asarray(ps.g_ewald, dtype))
+                    if fl else pe
+                    for pe, fl in zip(extra_pairs, extra_coul_long[1:]))
             pppmp = PPPMParams.from_setup(
                 ps, u.qqr2e, float(np.sum(script.q ** 2)),
                 float(np.sum(script.q)), dtype=dtype,
@@ -816,6 +957,13 @@ class Simulation:
                     tilt=(tilt if triclinic else None))
                 pair = dataclasses.replace(
                     pair, g_ewald=jnp.asarray(es.g_ewald, dtype))
+                if extra_pairs:
+                    extra_pairs = tuple(
+                        dataclasses.replace(
+                            pe, g_ewald=jnp.asarray(es.g_ewald, dtype))
+                        if fl else pe
+                        for pe, fl in zip(extra_pairs,
+                                          extra_coul_long[1:]))
                 ew = EwaldParams.from_setup(es, u.qqr2e, dtype=dtype)
             if pname == "lj/long/coul/long":
                 # exact-k dispersion function of ewald/disp (func[1])
@@ -1092,6 +1240,7 @@ class Simulation:
                         polar_xshift=polar_xshift, tip4p=tipp,
                         ewald=ew, ewald6=ew6, b_atom=b_atom_pad,
                         pppm_disp=pppm_dispp, msm=msmp,
+                        extra_pairs=extra_pairs,
                         polar=pol, sp_code=sp_code,
                         bond=bondp, angle=anglep, dihedral=dihedralp,
                         improper=improperp,

@@ -97,6 +97,23 @@ CASES = {
     "ljwolf": ("lj", 0.005, ["pair_style lj/cut/coul/wolf 0.5 2.5",
                              "pair_coeff 1 1 1.0 1.0"],
                "data.breadth1"),
+    # pair hybrid / hybrid/overlay (pair_hybrid.cpp)
+    "hybover": ("lj", 0.005,
+                ["pair_style hybrid/overlay lj/cut 2.5 coul/dsf 0.5 2.5",
+                 "pair_coeff 1 1 lj/cut 1.0 1.0",
+                 "pair_coeff 1 2 lj/cut 0.9 1.05",
+                 "pair_coeff 2 2 lj/cut 0.8 1.1",
+                 "pair_coeff * * coul/dsf"]),
+    "hybrid": ("lj", 0.005,
+               ["pair_style hybrid lj/cut 2.5 morse 3.0",
+                "pair_coeff 1 1 lj/cut 1.0 1.0",
+                "pair_coeff 1 2 lj/cut 0.9 1.05",
+                "pair_coeff 2 2 morse 2.0 1.5 1.2"]),
+    "hybmix": ("lj", 0.005,
+               ["pair_style hybrid/overlay lj/cut 2.5 morse 3.0",
+                "pair_coeff 1 1 lj/cut 1.0 1.0",
+                "pair_coeff 2 2 lj/cut 0.8 1.1",
+                "pair_coeff 1 2 morse 0.5 1.5 1.6"]),
     "borndsf": ("lj", 0.005,
                 ["pair_style born/coul/dsf 0.5 2.2 2.5",
                  "pair_coeff 1 1 1.0 0.4 1.0 1.0 0.5",

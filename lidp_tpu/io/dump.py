@@ -115,3 +115,266 @@ def write_dcd_frame(spec, sys, script, gmask):
         for d in range(3):
             _fortran_rec(fh, xw[ids, d].astype("<f4").tobytes())
     spec._started = True
+
+
+def _min_image(d, L):
+    return d - np.round(d / L) * L
+
+
+def _pair_local_rows(script, sys, gmask, values, pair, sp_code):
+    """compute pair/local rows (compute_pair_local.cpp compute_pairs):
+    every i<j pair inside the force cutoff with both atoms in the group;
+    eng/force from the Pair::single analog.  Dense O(N^2) in row blocks
+    (observability path, host-driven)."""
+    import jax.numpy as jnp
+
+    from lidp_tpu.ops.pair import pair_single
+
+    n = int(np.count_nonzero(np.asarray(sys.mask)))
+    x = np.asarray(sys.x)[:n]
+    q = np.asarray(sys.q)[:n]
+    ty = np.asarray(sys.type)[:n]
+    L = np.asarray(sys.box.lengths)
+    gm = np.asarray(gmask)[:n]
+    cutsq = np.asarray(pair.cutsq)
+    spl = np.asarray(pair.special_lj)
+    spc = np.asarray(pair.special_coul)
+    sp = (np.asarray(sp_code)[:n, :n] if sp_code is not None
+          else np.zeros((n, n), np.int8))
+
+    cols = {v: [] for v in values}
+    B = 1024
+    for i0 in range(0, n, B):
+        i1 = min(i0 + B, n)
+        d = x[i0:i1, None, :] - x[None, :, :]
+        for dim in range(3):
+            if sys.box.periodic[dim]:
+                d[..., dim] = _min_image(d[..., dim], L[dim])
+        rsq = np.sum(d * d, axis=-1)
+        ii, jj = np.nonzero(
+            (np.arange(i0, i1)[:, None] < np.arange(n)[None, :])
+            & gm[i0:i1, None] & gm[None, :]
+            & (rsq < cutsq[ty[i0:i1, None], ty[None, :]])
+            # special pairs with both weights zero are not in the
+            # reference's neighbor list at all (neighbor.cpp exclusions)
+            & ~((spl[sp[i0:i1]] == 0.0) & (spc[sp[i0:i1]] == 0.0)))
+        if len(ii) == 0:
+            continue
+        gi = ii + i0
+        rs = rsq[ii, jj]
+        eng, fpair = pair_single(
+            jnp.asarray(rs), jnp.asarray(ty[gi]), jnp.asarray(ty[jj]),
+            jnp.asarray(q[gi]), jnp.asarray(q[jj]), pair,
+            factor_coul=jnp.asarray(spc[sp[gi, jj]]),
+            factor_lj=jnp.asarray(spl[sp[gi, jj]]))
+        eng = np.asarray(eng)
+        fpair = np.asarray(fpair)
+        dv = d[ii, jj]
+        for v in values:
+            if v == "dist":
+                cols[v].append(np.sqrt(rs))
+            elif v == "eng":
+                cols[v].append(eng)
+            elif v == "force":
+                cols[v].append(np.sqrt(rs) * fpair)
+            elif v in ("fx", "fy", "fz"):
+                cols[v].append(dv[:, "xyz".index(v[1])] * fpair)
+            elif v in ("p1", "p2"):
+                cols[v].append((gi if v == "p1" else jj) + 1.0)
+            else:
+                raise ValueError(f"pair/local value {v}")
+    return [np.concatenate(cols[v]) if cols[v] else np.zeros(0)
+            for v in values]
+
+
+def _bond_local_rows(script, sys, gmask, values):
+    """compute bond/local rows (compute_bond_local.cpp): dist/engpot/force
+    per bond with both atoms in the group, harmonic + fene styles."""
+    bonds = np.asarray(script._bonds, np.int64) - 1
+    btyp = np.asarray(script._bond_types, np.int64)
+    n = int(np.count_nonzero(np.asarray(sys.mask)))
+    x = np.asarray(sys.x)[:n]
+    L = np.asarray(sys.box.lengths)
+    gm = np.asarray(gmask)[:n]
+    keep = gm[bonds[:, 0]] & gm[bonds[:, 1]]
+    bonds, btyp = bonds[keep], btyp[keep]
+    d = x[bonds[:, 0]] - x[bonds[:, 1]]
+    for dim in range(3):
+        if sys.box.periodic[dim]:
+            d[:, dim] = _min_image(d[:, dim], L[dim])
+    r = np.sqrt(np.sum(d * d, axis=-1))
+    k = np.array([script.bond_coeffs[int(t)][0] for t in btyp])
+    if script.bond_style == "harmonic":
+        r0 = np.array([script.bond_coeffs[int(t)][1] for t in btyp])
+        dr = r - r0
+        epot = k * dr * dr
+        fbond = -2.0 * k * dr / np.where(r > 0, r, 1.0)
+    else:   # fene (bond_fene.cpp)
+        R0 = np.array([script.bond_coeffs[int(t)][1] for t in btyp])
+        eps = np.array([script.bond_coeffs[int(t)][2] for t in btyp])
+        sig = np.array([script.bond_coeffs[int(t)][3] for t in btyp])
+        rlogarg = 1.0 - (r / R0) ** 2
+        epot = -0.5 * k * R0 * R0 * np.log(rlogarg)
+        sr6 = (sig / np.where(r > 0, r, 1.0)) ** 6
+        inside = r < sig * 2.0 ** (1.0 / 6.0)
+        epot = epot + np.where(inside, 4.0 * (sr6 * sr6 - sr6) + 1.0, 0.0)
+        fbond = -k / rlogarg + np.where(
+            inside, 24.0 * (2.0 * sr6 * sr6 - sr6) / (r * r), 0.0)
+    out = []
+    for v in values:
+        if v == "dist":
+            out.append(r)
+        elif v == "engpot":
+            out.append(epot)
+        elif v == "force":
+            out.append(fbond * r)
+        else:
+            raise ValueError(f"bond/local value {v}")
+    return out
+
+
+def write_local_frame(spec, sys, script, gmask, pair=None, sp_code=None):
+    """dump local (dump_local.cpp): per-entry rows from compute
+    pair/local / bond/local references; columns are `index` or
+    `c_ID[n]`/`c_ID` tokens and the ENTRIES header echoes them."""
+    cache = {}
+
+    def compute_rows(cid):
+        if cid not in cache:
+            grp, style, vals = script.computes[cid]
+            cgm = np.asarray(script.groups[grp])
+            if style == "pair/local":
+                cache[cid] = _pair_local_rows(script, sys, cgm, vals,
+                                              pair, sp_code)
+            elif style == "bond/local":
+                cache[cid] = _bond_local_rows(script, sys, cgm, vals)
+            else:
+                raise ValueError(f"dump local needs a local compute, "
+                                 f"got {style}")
+        return cache[cid]
+
+    cols = []
+    nrows = 0
+    for tok in spec.columns:
+        if tok == "index":
+            cols.append(("index", None))
+            continue
+        assert tok.startswith("c_"), tok
+        if "[" in tok:
+            cid, idx = tok[2:].rstrip("]").split("[")
+            vals = compute_rows(cid)
+            col = vals[int(idx) - 1]
+        else:
+            cid = tok[2:]
+            col = compute_rows(cid)[0]
+        nrows = max(nrows, len(col))
+        cols.append((tok, col))
+
+    lo, hi = np.asarray(sys.box.lo), np.asarray(sys.box.hi)
+    mode = "a" if getattr(spec, "_started", False) else "w"
+    with open(spec.path, mode) as fh:
+        fh.write("ITEM: TIMESTEP\n%d\n" % int(sys.step))
+        fh.write("ITEM: NUMBER OF ENTRIES\n%d\n" % nrows)
+        bflags = " ".join("pp" if p else "ff"
+                          for p in np.asarray(sys.box.periodic))
+        fh.write(f"ITEM: BOX BOUNDS {bflags}\n")
+        for dd in range(3):
+            fh.write(f"{lo[dd]:.16e} {hi[dd]:.16e}\n")
+        fh.write("ITEM: ENTRIES %s\n" % " ".join(t for t, _ in cols))
+        for m in range(nrows):
+            fh.write(" ".join(
+                str(m + 1) if c is None else f"{c[m]:.8g}"
+                for _, c in cols) + "\n")
+    spec._started = True
+
+
+# default dump_image type palette (dump_image.cpp default color cycle)
+_IMAGE_COLORS = np.array([
+    [1.0, 0.0, 0.0], [0.0, 0.0, 1.0], [1.0, 1.0, 0.0], [0.0, 1.0, 1.0],
+    [1.0, 0.0, 1.0], [1.0, 1.0, 1.0], [0.0, 1.0, 0.0], [1.0, 0.65, 0.0],
+])
+
+
+def write_image_frame(spec, sys, script, gmask):
+    """dump image (dump_image.cpp re-imagined small): an orthographic
+    software rasterizer — atoms as depth-sorted diffuse-shaded spheres,
+    colored by type — written as binary PPM (the reference's -DLAMMPS_JPEG
+    fallback format).  Supported keywords: size, zoom, adiam, view."""
+    kw = {"size": (512, 512), "zoom": 1.0, "adiam": None,
+          "view": (60.0, 30.0)}
+    toks = list(spec.columns[2:])   # after the color/diameter attrs
+    i = 0
+    while i < len(toks):
+        if toks[i] == "size":
+            kw["size"] = (int(toks[i + 1]), int(toks[i + 2])); i += 3
+        elif toks[i] == "zoom":
+            kw["zoom"] = float(toks[i + 1]); i += 2
+        elif toks[i] == "adiam":
+            kw["adiam"] = float(toks[i + 1]); i += 2
+        elif toks[i] == "view":
+            kw["view"] = (float(toks[i + 1]), float(toks[i + 2])); i += 3
+        else:
+            i += 1
+    W, H = kw["size"]
+
+    n = int(np.count_nonzero(np.asarray(sys.mask)))
+    sel = np.asarray(gmask)[:n]
+    x = np.asarray(sys.x)[:n][sel]
+    ty = np.asarray(sys.type)[:n][sel]
+    lo, hi = np.asarray(sys.box.lo), np.asarray(sys.box.hi)
+    L = hi - lo
+    per = np.asarray(sys.box.periodic, bool)
+    x = np.where(per, x - np.floor((x - lo) / L) * L, x)
+
+    th, ph = np.radians(kw["view"][0]), np.radians(kw["view"][1])
+    # camera basis: right/up/depth from polar theta, azimuth phi
+    dirv = np.array([np.sin(th) * np.cos(ph), np.sin(th) * np.sin(ph),
+                     np.cos(th)])
+    up0 = np.array([0.0, 0.0, 1.0]) if abs(dirv[2]) < 0.99 \
+        else np.array([0.0, 1.0, 0.0])
+    right = np.cross(up0, dirv)
+    right /= np.linalg.norm(right)
+    up = np.cross(dirv, right)
+    ctr = 0.5 * (lo + hi)
+    rel = x - ctr
+    u = rel @ right
+    v = rel @ up
+    w = rel @ dirv
+    ext = max(float(np.max(np.abs(L))) * 0.75, 1e-6)
+    scale = min(W, H) / (2.0 * ext) * kw["zoom"]
+    diam = (kw["adiam"] if kw["adiam"] is not None
+            else 0.5 * float(np.min(L)) / max(len(x) ** (1.0 / 3.0), 1.0))
+    rad_px = np.full(len(x), max(0.5 * diam * scale, 1.0))
+
+    img = np.zeros((H, W, 3), np.float64)
+    zbuf = np.full((H, W), -np.inf)
+    px = (W / 2.0 + u * scale)
+    py = (H / 2.0 - v * scale)
+    light = np.array([-0.4, 0.4, 0.8])
+    light /= np.linalg.norm(light)
+    order = np.argsort(w)           # back-to-front (painter + zbuffer)
+    for k in order:
+        r = rad_px[k]
+        x0, x1 = int(max(px[k] - r, 0)), int(min(px[k] + r + 1, W))
+        y0, y1 = int(max(py[k] - r, 0)), int(min(py[k] + r + 1, H))
+        if x0 >= x1 or y0 >= y1:
+            continue
+        yy, xx = np.mgrid[y0:y1, x0:x1]
+        dx = (xx - px[k]) / r
+        dy = (yy - py[k]) / r
+        d2 = dx * dx + dy * dy
+        inside = d2 <= 1.0
+        nz = np.sqrt(np.clip(1.0 - d2, 0.0, 1.0))
+        zhere = w[k] + nz
+        shade = np.clip(-dx * light[0] + dy * light[1] + nz * light[2],
+                        0.15, 1.0)
+        color = _IMAGE_COLORS[(int(ty[k]) - 1) % len(_IMAGE_COLORS)]
+        m = inside & (zhere > zbuf[y0:y1, x0:x1])
+        for c in range(3):
+            ch = img[y0:y1, x0:x1, c]
+            ch[m] = color[c] * shade[m]
+        zbuf[y0:y1, x0:x1][m] = zhere[m]
+    path = spec.path.replace("*", str(int(sys.step)))
+    with open(path, "wb") as fh:
+        fh.write(b"P6\n%d %d\n255\n" % (W, H))
+        fh.write((img * 255.0 + 0.5).astype(np.uint8).tobytes())

@@ -1155,6 +1155,11 @@ class LammpsScript:
         if style == "rdf":
             self.computes[cid] = (group, style, int(a[3]))
             return
+        if style in ("pair/local", "bond/local"):
+            # value keywords evaluated at dump-local time
+            # (compute_pair_local.cpp / compute_bond_local.cpp)
+            self.computes[cid] = (group, style, list(a[3:]))
+            return
         if style in ("temp/partial", "temp/com"):
             self.computes[cid] = (group, style,
                                   tuple(int(v) for v in a[3:6])
@@ -1271,6 +1276,13 @@ class LammpsScript:
             cols = ["type", "x", "y", "z"]
         elif style == "dcd":
             cols = []
+        elif style == "local":
+            # dump_local.cpp: index / c_ID[n] column tokens
+            cols = a[5:]
+        elif style == "image":
+            # dump_image.cpp: color attr, diameter attr, then keywords
+            # (size/zoom/adiam/view supported by the PPM rasterizer)
+            cols = a[5:]
         else:
             raise ValueError(f"unsupported dump style {style}")
         self.dumps[did] = DumpSpec(did=did, group=group, style=style,

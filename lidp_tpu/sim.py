@@ -2199,5 +2199,18 @@ class Simulation:
 
                     write_dcd_frame(d, self.sys, self.script, gmask)
                     continue
+                if d.style == "local":
+                    from lidp_tpu.io.dump import write_local_frame
+
+                    ffobj = self.runner.ff
+                    write_local_frame(d, self.sys, self.script, gmask,
+                                      pair=ffobj.pair,
+                                      sp_code=ffobj.sp_code)
+                    continue
+                if d.style == "image":
+                    from lidp_tpu.io.dump import write_image_frame
+
+                    write_image_frame(d, self.sys, self.script, gmask)
+                    continue
                 fcur = None if self.res is None else self.res.f
                 write_dump_frame(d, self.sys, self.script, gmask, f=fcur)

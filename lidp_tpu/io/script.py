@@ -1179,12 +1179,23 @@ class LammpsScript:
             #   [units box|reduced|lattice] | type | molecule
             # (compute_chunk_atom.cpp; bins follow the setup_bins rules)
             spec = {"which": a[3]}
-            if a[3] == "bin/1d":
-                spec["dim"] = {"x": 0, "y": 1, "z": 2}[a[4]]
-                spec["origin"] = a[5]          # lower|center|upper|coord
-                spec["delta"] = float(a[6])
+            if a[3] in ("bin/1d", "bin/2d", "bin/3d"):
+                nd = int(a[3][4])
+                dims, origins, deltas = [], [], []
+                i = 4
+                for _ in range(nd):
+                    dims.append({"x": 0, "y": 1, "z": 2}[a[i]])
+                    origins.append(a[i + 1])   # lower|center|upper|coord
+                    deltas.append(float(a[i + 2]))
+                    i += 3
+                # bin/1d keeps the legacy scalar keys; 2d/3d use lists
+                spec["dims"] = dims
+                spec["origins"] = origins
+                spec["deltas"] = deltas
+                spec["dim"] = dims[0]
+                spec["origin"] = origins[0]
+                spec["delta"] = deltas[0]
                 spec["units"] = "lattice"
-                i = 7
                 while i < len(a):
                     if a[i] == "units":
                         spec["units"] = a[i + 1]; i += 2

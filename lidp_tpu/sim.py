@@ -1770,30 +1770,46 @@ class Simulation:
             ids = np.asarray(self.sys.mol)[:n].astype(int)
             nchunk = int(ids.max()) if n else 0
             coord = None
-        else:   # bin/1d
-            d = spec["dim"]
-            lo = float(np.asarray(self.sys.box.lo)[d])
-            prd = float(np.asarray(self.sys.box.lengths)[d])
-            delta = spec["delta"]
-            if spec["units"] == "reduced":
-                delta = delta * prd
-            elif spec["units"] == "lattice" and \
-                    getattr(self.script, "lattice_spacing", 0.0):
-                delta = delta * self.script.lattice_spacing3[d]
-            origin = {"lower": lo, "upper": lo + prd,
-                      "center": lo + 0.5 * prd}.get(
-                spec["origin"], None)
-            if origin is None:
-                origin = float(spec["origin"])
-            # extend the origin down to cover the whole box (setup_xyz_bins)
-            while origin > lo:
-                origin -= delta
-            nchunk = int(np.ceil((lo + prd - origin) / delta))
-            x = np.asarray(self.sys.x)[:n, d]
-            x = x - prd * np.floor((x - lo) / prd)   # wrap periodic dims
-            ids = np.floor((x - origin) / delta).astype(int) + 1
-            ids = np.clip(ids, 1, nchunk)
-            coord = origin + (np.arange(nchunk) + 0.5) * delta
+        else:   # bin/1d, bin/2d, bin/3d (setup_xyz_bins)
+            dims = spec.get("dims", [spec["dim"]])
+            origins = spec.get("origins", [spec["origin"]])
+            deltas = spec.get("deltas", [spec["delta"]])
+            per_dim = []   # (idx0 (n,), nbin, centers (nbin,))
+            for d, org, delta in zip(dims, origins, deltas):
+                lo = float(np.asarray(self.sys.box.lo)[d])
+                prd = float(np.asarray(self.sys.box.lengths)[d])
+                if spec["units"] == "reduced":
+                    delta = delta * prd
+                elif spec["units"] == "lattice" and \
+                        getattr(self.script, "lattice_spacing", 0.0):
+                    delta = delta * self.script.lattice_spacing3[d]
+                origin = {"lower": lo, "upper": lo + prd,
+                          "center": lo + 0.5 * prd}.get(org, None)
+                if origin is None:
+                    origin = float(org)
+                # extend origin down to cover the box (setup_xyz_bins)
+                while origin > lo:
+                    origin -= delta
+                nbin = int(np.ceil((lo + prd - origin) / delta))
+                x = np.asarray(self.sys.x)[:n, d]
+                x = x - prd * np.floor((x - lo) / prd)   # wrap periodic
+                idx0 = np.clip(
+                    np.floor((x - origin) / delta).astype(int), 0,
+                    nbin - 1)
+                per_dim.append(
+                    (idx0, nbin, origin + (np.arange(nbin) + 0.5) * delta))
+            nchunk = 1
+            ids0 = np.zeros(n, int)
+            for idx0, nbin, _ in per_dim:
+                ids0 = ids0 * nbin + idx0   # row-major, last dim fastest
+                nchunk *= nbin
+            ids = ids0 + 1
+            # per-chunk printed coordinates, one column per binned dim
+            grids = np.meshgrid(*[c for _, _, c in per_dim],
+                                indexing="ij")
+            coord = np.stack([g.reshape(-1) for g in grids], axis=-1)
+            if len(per_dim) == 1:
+                coord = coord[:, 0]
         ids = np.where(gmask[:n] & np.asarray(self.sys.mask)[:n], ids, 0)
         return ids, nchunk, coord
 
@@ -1861,6 +1877,14 @@ class Simulation:
                 L = np.asarray(self.sys.box.lengths)
                 delta_eff = float(coord[1] - coord[0])
                 vol_chunk = delta_eff * float(np.prod(L)) / float(L[d])
+            elif cspec["which"] in ("bin/2d", "bin/3d") and \
+                    coord is not None:
+                L = np.asarray(self.sys.box.lengths)
+                vol_chunk = float(np.prod(L))
+                for col, d in enumerate(cspec["dims"]):
+                    u = np.unique(coord[:, col])
+                    de = float(u[1] - u[0]) if len(u) > 1 else float(L[d])
+                    vol_chunk *= de / float(L[d])
             else:
                 vol_chunk = float(self.sys.box.volume) / max(nchunk, 1)
             out_rows = []
@@ -1868,7 +1892,10 @@ class Simulation:
             for k in range(nchunk):
                 row = [k + 1]
                 if coord is not None:
-                    row.append(coord[k])
+                    if np.ndim(coord) == 2:
+                        row.extend(coord[k])   # Coord1 Coord2 [Coord3]
+                    else:
+                        row.append(coord[k])
                 row.append(acc_cnt[k] / nsamp)
                 for wi, w in enumerate(vals):
                     tot = acc_cols[wi, k]

@@ -139,3 +139,40 @@ run 0
     # both type colors present (red-ish and blue-ish pixels)
     assert np.count_nonzero((px[..., 0] > 100) & (px[..., 2] < 50)) > 50
     assert np.count_nonzero((px[..., 2] > 100) & (px[..., 0] < 50)) > 50
+
+
+def test_ave_chunk_bin2d_golden(tmp_path):
+    """compute chunk/atom bin/2d + fix ave/chunk vs the rebuilt reference
+    (chunk ids row-major x-then-y, Coord1/Coord2 columns, bin volumes)."""
+    write_data(str(tmp_path / "data.breadth"))
+    _run(f"""
+units lj
+atom_style charge
+read_data {tmp_path}/data.breadth
+pair_style lj/cut 2.5
+pair_coeff 1 1 1.0 1.0
+pair_coeff 2 2 0.8 1.1
+velocity all create 1.0 87287 loop geom
+fix 1 all nve
+compute cc all chunk/atom bin/2d x lower 3.0 y lower 3.0 units box
+fix 2 all ave/chunk 1 1 1 cc vx density/number file {tmp_path}/c2.out
+run 2
+""", tmp_path)
+    # reference rows for step 2 (chunk coord1 coord2 ncount vx dens)
+    ref = {
+        (1.5, 1.5): (16, -0.0285281, 0.296296),
+        (1.5, 4.5): (16, 0.238606, 0.296296),
+        (4.5, 1.5): (16, -0.16674, 0.296296),
+        (4.5, 4.5): (16, -0.0652551, 0.296296),
+    }
+    lines = (tmp_path / "c2.out").read_text().splitlines()
+    i2 = max(i for i, ln in enumerate(lines) if ln.startswith("2 "))
+    got = {}
+    for ln in lines[i2 + 1:i2 + 5]:
+        p = [float(v) for v in ln.split()]
+        got[(p[1], p[2])] = (p[3], p[4], p[5])
+    assert set(got) == set(ref)
+    for key, (nc, vx, dens) in ref.items():
+        assert got[key][0] == nc
+        assert got[key][1] == pytest.approx(vx, rel=2e-5)
+        assert got[key][2] == pytest.approx(dens, rel=1e-5)

@@ -1772,6 +1772,9 @@ class LammpsScript:
         while i < len(a):
             if a[i] == "gewald":
                 self._gewald_override = float(a[i + 1]); i += 2
+            elif a[i] == "cutoff/adjust":
+                # MSM cutoff auto-adjustment (kspace.cpp:534)
+                self._msm_cutoff_adjust = a[i + 1] == "yes"; i += 2
             else:
                 i += 2
 

@@ -27,8 +27,10 @@ The real-space complement lives in the pair styles (pair_coul_msm.cpp:
 egamma = 1 - (r/a) gamma(r/a), fgamma = 1 + (r^2/a^2) dgamma(r/a)) — see
 the "msm" coul kind in ops/pair.py.
 
-Global virial: not yet tallied (the reference carries six v*_direct
-kernel stacks); MSM runs report kspace virial 0 — documented limitation.
+Global virial: six per-level virial kernels V_ab(r) = -r_a r_b K'(r)/r
+baked at setup (the FFT form of the reference's v0..v5_direct stencil
+stacks, msm.cpp direct()); W_ab = qscale/2 sum_g q (V_ab convolved q) per
+level, same grid-level approximation as the reference.
 """
 
 from __future__ import annotations
@@ -173,32 +175,70 @@ class MSMSetup:
     ghat: tuple                 # per-level rfft kernels (numpy complex)
     gamma0: float               # gamma(0)
     qscale: float
+    # per-level (6, ...) rfft virial kernels V_ab(r) = -r_a r_b K'(r)/r
+    # (the FFT form of msm.cpp's v0..v5_direct stencil stacks)
+    vhat: tuple = ()
+    # the pre-cap adjusted cutoff (== the reference's "new cutoff" value;
+    # ours is min-image capped at 0.499 min(L), see setup_msm)
+    cutoff_uncapped: float = 0.0
 
 
 def setup_msm(*, accuracy_rel: float, qqrd2e: float, q, natoms: int,
-              cutoff: float, box_lengths, order: int = 10) -> MSMSetup:
-    """Grid/levels/kernels setup (msm.cpp set_grid_global + get_g_direct)."""
+              cutoff: float, box_lengths, order: int = 10,
+              cutoff_adjust: bool = True) -> MSMSetup:
+    """Grid/levels/kernels setup (msm.cpp set_grid_global + get_g_direct).
+
+    cutoff_adjust mirrors the reference default (kspace.cpp:71
+    adjust_cutoff_flag = 1): pick the cost-optimal grid from Hardy's hmin
+    estimate, then solve the Coulombic cutoff from the error model
+    (msm.cpp:936-1053); the ADJUSTED cutoff is returned in MSMSetup.cutoff
+    and must be pushed back into the pair style (the reference pokes
+    *p_cutoff at msm.cpp:1048).  Our minimum-image kernels cap the cutoff
+    at just under L/2 (the reference reaches further via ghost images) —
+    accuracy degrades gracefully past the cap."""
     L = np.asarray(box_lengths, float)
     q = np.asarray(q, float)
     q2 = float(np.sum(q * q)) * qqrd2e
     accuracy = accuracy_rel * qqrd2e   # two_charge_force convention
 
+    def _pow2(nv):
+        # factorable-by-2 rounding (msm.cpp:1004-1024, factors = {2})
+        k = math.log(nv) / math.log(2.0)
+        return 2 ** (int(k) + (1 if k - int(k) > 0.5 else 0))
+
     grid = []
     lv = []
-    for prd in L:
-        nmax = 2
-        while _estimate_1d_error(prd / nmax, prd, cutoff=cutoff, order=order,
-                                 q2=q2, natoms=natoms) > accuracy:
-            nmax *= 2
-            if nmax > 16384:
-                raise ValueError("MSM grid too large for accuracy")
-        grid.append(nmax)
-        lv.append(int(round(math.log2(nmax))) + 1)
+    if cutoff_adjust:
+        p = order - 1
+        hmin = (3072.0 * (p + 1) / (p - 1)
+                / (448.0 * math.pi + 56.0 * math.pi * order / 2 + 1701.0))
+        hmin = hmin ** (1.0 / 6.0) * (float(np.prod(L)) / natoms) ** (1 / 3)
+        grid = [max(_pow2(max(int(prd / hmin), 2)), 2) for prd in L]
+        lv = [int(round(math.log2(g))) + 1 for g in grid]
+        h = L / np.asarray(grid)
+        Mp, cprime, scaling = _ERR[order]
+        C_p = 4.0 * cprime * Mp / 3.0 * scaling
+        kk = q2 * C_p / accuracy / math.sqrt(float(natoms))
+        ssum = float(np.sum(h ** (2.0 * p - 2.0) / L ** 2))
+        cutoff_uncapped = (kk * kk * ssum / 3.0) ** (1.0 / (2.0 * p))
+        cutoff = min(cutoff_uncapped, 0.499 * float(np.min(L)))
+    else:
+        for prd in L:
+            nmax = 2
+            while _estimate_1d_error(prd / nmax, prd, cutoff=cutoff,
+                                     order=order, q2=q2,
+                                     natoms=natoms) > accuracy:
+                nmax *= 2
+                if nmax > 16384:
+                    raise ValueError("MSM grid too large for accuracy")
+            grid.append(nmax)
+            lv.append(int(round(math.log2(nmax))) + 1)
     levels = max(max(lv) - 1, 1)   # periodic: omit the top level
 
     # per-level FFT kernels: stencil g_direct over +-(2a/h) grid offsets,
     # wrapped periodically onto the level grid
     ghat = []
+    vhat = []
     for n in range(levels):
         gl = [max(g >> n, 2) for g in grid]
         h_n = L / np.asarray(gl)
@@ -213,18 +253,30 @@ def setup_msm(*, accuracy_rel: float, qqrd2e: float, q, natoms: int,
         r = np.sqrt(DX * DX + DY * DY + DZ * DZ)
         rho = r / a_n
         ker = gamma(rho, order) / a_n - gamma(rho / 2.0, order) / (2.0 * a_n)
+        # dK/dr for the virial stencils (d/dr gamma(r/a)/a = dgamma/a^2)
+        dker = (dgamma(rho, order) / (a_n * a_n)
+                - dgamma(rho / 2.0, order) / (4.0 * a_n * a_n))
+        rinv = np.where(r > 0, 1.0 / np.where(r > 0, r, 1.0), 0.0)
+        wrap = (np.mod(ix, gl[0])[:, None, None],
+                np.mod(iy, gl[1])[None, :, None],
+                np.mod(iz, gl[2])[None, None, :])
         # wrap the stencil onto the periodic level grid
         kgrid = np.zeros(gl)
-        for sx, gx in ((np.mod(ix, gl[0]), 0),):
-            pass
-        np.add.at(kgrid,
-                  (np.mod(ix, gl[0])[:, None, None],
-                   np.mod(iy, gl[1])[None, :, None],
-                   np.mod(iz, gl[2])[None, None, :]), ker)
+        np.add.at(kgrid, wrap, ker)
         ghat.append(np.fft.rfftn(kgrid))
+        vker = []
+        for (da, db) in ((DX, DX), (DY, DY), (DZ, DZ),
+                         (DX, DY), (DX, DZ), (DY, DZ)):
+            vg = np.zeros(gl)
+            np.add.at(vg, wrap, -da * db * dker * rinv)
+            vker.append(np.fft.rfftn(vg))
+        vhat.append(np.stack(vker))
     return MSMSetup(order=order, cutoff=float(cutoff), grid=tuple(grid),
                     levels=levels, ghat=tuple(ghat),
-                    gamma0=float(gamma(0.0, order)), qscale=float(qqrd2e))
+                    gamma0=float(gamma(0.0, order)), qscale=float(qqrd2e),
+                    vhat=tuple(vhat),
+                    cutoff_uncapped=float(cutoff_uncapped
+                                          if cutoff_adjust else cutoff))
 
 
 def _interp_weights(s, order):
@@ -304,11 +356,21 @@ def msm_forces(x, q, box_lengths, s: MSMSetup):
         qgrids.append(g)
 
     egrids = []
+    cplx = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+    virial = jnp.zeros((6,), dtype)
     for lvl in range(s.levels):
-        gh = jnp.asarray(s.ghat[lvl], jnp.complex128
-                         if dtype == jnp.float64 else jnp.complex64)
+        gh = jnp.asarray(s.ghat[lvl], cplx)
         rho_k = jnp.fft.rfftn(qgrids[lvl])
         egrids.append(jnp.fft.irfftn(rho_k * gh, s=qgrids[lvl].shape))
+        if s.vhat:
+            # grid-level virial: W_ab = qscale/2 sum_g q (V_ab (*) q)
+            # (msm.cpp direct() v0..v5_direct tallies in FFT form);
+            # one batched inverse FFT over the leading ab axis
+            vh = jnp.asarray(s.vhat[lvl], cplx)
+            vab = jnp.fft.irfftn(rho_k[None] * vh,
+                                 s=qgrids[lvl].shape, axes=(1, 2, 3))
+            virial = virial + 0.5 * s.qscale * jnp.sum(
+                qgrids[lvl][None] * vab, axis=(1, 2, 3))
 
     # upward pass: prolongate coarse potentials onto finer grids
     e = egrids[-1]
@@ -336,7 +398,7 @@ def msm_forces(x, q, box_lengths, s: MSMSetup):
     ekz = jnp.sum(evals * wx[:, :, None, None] * wy[:, None, :, None]
                   * dwz[:, None, None, :], axis=(1, 2, 3)) / h[2]
     f = s.qscale * q[:, None] * jnp.stack([ekx, eky, ekz], axis=-1)
-    return f, elong, jnp.zeros((6,), dtype)
+    return f, elong, virial
 
 
 @jax.tree_util.register_dataclass
@@ -345,6 +407,7 @@ class MSMParams:
     """Pytree mirror of MSMSetup: static scalars + per-level FFT kernels as
     data leaves (msm_forces accepts either)."""
     ghat: tuple                  # per-level complex arrays (data)
+    vhat: tuple = ()             # per-level (6,...) virial kernels (data)
     order: int = dataclasses.field(metadata=dict(static=True), default=10)
     cutoff: float = dataclasses.field(metadata=dict(static=True),
                                       default=10.0)
@@ -359,5 +422,6 @@ class MSMParams:
     @staticmethod
     def from_setup(s: MSMSetup) -> "MSMParams":
         return MSMParams(ghat=tuple(jnp.asarray(g) for g in s.ghat),
+                         vhat=tuple(jnp.asarray(v) for v in s.vhat),
                          order=s.order, cutoff=s.cutoff, grid=s.grid,
                          levels=s.levels, gamma0=s.gamma0, qscale=s.qscale)

@@ -939,8 +939,19 @@ class Simulation:
             ms = setup_msm(
                 accuracy_rel=acc, qqrd2e=u.qqr2e, q=script.q, natoms=n,
                 cutoff=script.pair.cut_coul,
-                box_lengths=script.box_hi - script.box_lo)
+                box_lengths=script.box_hi - script.box_lo,
+                cutoff_adjust=getattr(script, "_msm_cutoff_adjust", True))
             msmp = MSMParams.from_setup(ms)
+            if ms.cutoff != script.pair.cut_coul:
+                # the adjusted cutoff feeds back into the pair style and
+                # the neighbor sizing (msm.cpp:1048 pokes pair cut_coul)
+                script.log(f"Adjusting Coulombic cutoff for MSM, "
+                           f"new cutoff = {ms.cutoff:g}")
+                script.pair.cut_coul = ms.cutoff
+                cc2 = jnp.asarray(ms.cutoff ** 2, dtype)
+                pair = dataclasses.replace(
+                    pair, cut_coulsq=cc2,
+                    cutsq=jnp.maximum(pair.cutsq, cc2))
         elif script.kspace is not None:
             style, acc = script.kspace
             # ewald/disp on an uncharged system: the charge function is

@@ -27,7 +27,8 @@ def _msm_total(x, q, L, cutoff, order=10, acc=1e-4):
 
     n = len(q)
     s = setup_msm(accuracy_rel=acc, qqrd2e=1.0, q=q, natoms=n,
-                  cutoff=cutoff, box_lengths=[L, L, L], order=order)
+                  cutoff=cutoff, box_lengths=[L, L, L], order=order,
+                  cutoff_adjust=False)   # validate at the given split
     # real-space part: sum over min-image pairs within cutoff of
     # (q_i q_j / r) * egamma  (pair_coul_msm.cpp:115)
     d = x[:, None, :] - x[None, :, :]
@@ -166,7 +167,8 @@ create_box 1 box
         return s.thermo_rows[-1], np.asarray(s._sim.res.f)[:n]
 
     r_msm, f_msm = run("pair_style lj/cut/coul/msm 3.0 4.0\n"
-                       "pair_coeff 1 1 1.0 1.0\nkspace_style msm 1e-4")
+                       "pair_coeff 1 1 1.0 1.0\nkspace_style msm 1e-4\n"
+                       "kspace_modify cutoff/adjust no")
     r_ew, f_ew = run("pair_style lj/cut/coul/long 3.0 4.0\n"
                      "pair_coeff 1 1 1.0 1.0\nkspace_style ewald 1e-7")
     # total coulomb (ecoul + elong) and epair must agree at grid accuracy
@@ -184,3 +186,66 @@ def test_msm_cg_alias():
     s = LammpsScript()
     s.one("kspace_style msm/cg 1e-4")
     assert s.kspace[0] == "msm/cg"
+
+
+def test_msm_cutoff_adjust_parity():
+    """Default cutoff/adjust yes reproduces the reference's grid and its
+    'Adjusting Coulombic cutoff for MSM, new cutoff = 8.85111' warning
+    value (msm.cpp:936-1053) on the 64-atom breadth box; our min-image
+    kernels then cap the applied cutoff just under L/2."""
+    from lidp_tpu.ops.msm import setup_msm
+
+    q = np.tile([1.0, -1.0], 32)
+    ms = setup_msm(accuracy_rel=1e-4, qqrd2e=1.0, q=q, natoms=64,
+                   cutoff=2.5, box_lengths=[6.0, 6.0, 6.0],
+                   cutoff_adjust=True)
+    assert ms.grid == (4, 4, 4)
+    assert ms.cutoff_uncapped == pytest.approx(8.85111, rel=1e-5)
+    assert ms.cutoff == pytest.approx(0.499 * 6.0)
+
+
+@pytest.mark.slow
+def test_ljmsm_golden_with_press(tmp_path):
+    """pair lj/cut/coul/msm + kspace msm (cutoff/adjust no) vs the rebuilt
+    reference — including Press, which exercises the per-level FFT virial
+    kernels (the v0..v5_direct analog)."""
+    from scripts.gen_breadth_goldens import write_data
+
+    from lidp_tpu.io.script import LammpsScript
+
+    # reference rows (step temp pe evdwl ecoul elong press), minted from
+    # /tmp/lmpsrc/lmp_serial on this same data file (grid 32^3, order 10)
+    ref = {
+        0: (1.0, -2.00554866157, -1.42299977076, -0.046983932177,
+            -0.535564958637, -0.514594621195),
+        5: (1.00633887599, -2.00241169314, -1.4195991171,
+            -0.0476721452896, -0.535140430753, -0.50633974749),
+    }
+    write_data(str(tmp_path / "data.breadth"))
+    (tmp_path / "in.msm").write_text(f"""
+units lj
+atom_style charge
+read_data {tmp_path}/data.breadth
+pair_style lj/cut/coul/msm 2.2 2.5
+pair_coeff 1 1 1.0 1.0
+pair_coeff 2 2 0.8 1.1
+kspace_style msm 1.0e-4
+kspace_modify cutoff/adjust no
+velocity all create 1.0 87287 loop geom
+timestep 0.005
+fix 1 all nve
+thermo 1
+run 5
+""")
+    s = LammpsScript(dtype=jnp.float64)
+    s.file(str(tmp_path / "in.msm"))
+    rows = {int(r["step"]): r for r in s.thermo_rows}
+    for step, (temp, pe, ev, ec, el, pr) in ref.items():
+        r = rows[step]
+        assert r["temp"] == pytest.approx(temp, rel=2e-6)
+        assert r["evdwl"] == pytest.approx(ev, rel=2e-6)
+        assert r["ecoul"] == pytest.approx(ec, rel=2e-5)
+        assert r["elong"] == pytest.approx(el, rel=2e-5)
+        assert r["pe"] == pytest.approx(pe, rel=2e-6)
+        # press includes the MSM grid virial; MSM accuracy floor ~1e-4
+        assert r["press"] == pytest.approx(pr, rel=2e-3)

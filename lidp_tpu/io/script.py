@@ -100,6 +100,8 @@ class PairStyleSpec:
     # TIP4P off-site charge: (typeO, typeH, typeB, typeA, qdist)
     # (pair_lj_cut_tip4p_long.cpp settings :431-454)
     tip4p: tuple = None
+    # CHARMM/GROMACS coulomb switching inner cutoff
+    cut_coul_inner: float = 0.0
 
 
 @dataclasses.dataclass
@@ -729,10 +731,13 @@ class LammpsScript:
         "lj/cut/coul/long/polarization", "lj/cut/coul/debye",
         "lj/cut/coul/msm", "lj/cut/coul/dsf", "lj/cut/coul/wolf",
         "lj/charmm/coul/long", "lj/charmm/coul/charmm",
+        "lj/charmm/coul/charmm/implicit", "lj/charmm/coul/msm",
+        "lj/gromacs/coul/gromacs",
         "lj/long/coul/long", "lj/cut/tip4p/long",
         "morse", "buck", "buck/coul/cut", "buck/coul/long", "yukawa",
         "gauss", "soft", "born", "born/coul/long", "born/coul/dsf",
-        "born/coul/wolf", "lj/expand", "mie/cut", "lj/gromacs",
+        "born/coul/wolf", "born/coul/msm", "buck/coul/msm",
+        "lj/expand", "mie/cut", "lj/gromacs",
         "lj96/cut", "lj/smooth", "lj/smooth/linear", "beck", "ufm",
         "zbl", "zero", "coul/cut", "coul/long", "coul/debye", "coul/msm",
         "coul/dsf", "coul/wolf", "table", "eam", "eam/alloy",
@@ -775,12 +780,36 @@ class LammpsScript:
             self.gran_args = list(a[1:7])
         elif a[0] == "lj/cut":
             p.cut_lj_global = float(a[1])
-        elif a[0] in ("lj/charmm/coul/long", "lj/charmm/coul/charmm"):
+        elif a[0] in ("lj/charmm/coul/long", "lj/charmm/coul/msm"):
             # inner outer [coul-outer] (pair_lj_charmm_coul_long.cpp settings)
             p.cut_lj_inner = float(a[1])
             p.cut_lj_global = float(a[2])
             p.cut_coul = float(a[3]) if len(a) > 3 else p.cut_lj_global
             self._pair_mix = "arithmetic"   # CHARMM mixes arithmetic
+        elif a[0] in ("lj/charmm/coul/charmm",
+                      "lj/charmm/coul/charmm/implicit"):
+            # inner outer [inner-coul outer-coul]
+            # (pair_lj_charmm_coul_charmm.cpp::settings — 2 or 4 args)
+            p.cut_lj_inner = float(a[1])
+            p.cut_lj_global = float(a[2])
+            if len(a) > 4:
+                p.cut_coul_inner = float(a[3])
+                p.cut_coul = float(a[4])
+            else:
+                p.cut_coul_inner = p.cut_lj_inner
+                p.cut_coul = p.cut_lj_global
+            self._pair_mix = "arithmetic"   # CHARMM mixes arithmetic
+        elif a[0] == "lj/gromacs/coul/gromacs":
+            # inner outer [inner-coul outer-coul]
+            # (pair_lj_gromacs_coul_gromacs.cpp::settings)
+            p.cut_lj_inner = float(a[1])
+            p.cut_lj_global = float(a[2])
+            if len(a) > 4:
+                p.cut_coul_inner = float(a[3])
+                p.cut_coul = float(a[4])
+            else:
+                p.cut_coul_inner = p.cut_lj_inner
+                p.cut_coul = p.cut_lj_global
         elif a[0] in ("lj/cut/coul/long", "lj/cut/coul/long/polarization"):
             p.cut_lj_global = float(a[1])
             p.cut_coul = float(a[2]) if len(a) > 2 and _NUM_RE.match(a[2]) \
@@ -849,7 +878,7 @@ class LammpsScript:
             # pair_style lj/gromacs inner outer (pair_lj_gromacs.cpp settings)
             p.cut_lj_inner = float(a[1])
             p.cut_lj_global = float(a[2])
-        elif a[0] == "born/coul/long":
+        elif a[0] in ("born/coul/long", "born/coul/msm", "buck/coul/msm"):
             p.cut_lj_global = float(a[1])
             p.cut_coul = float(a[2]) if len(a) > 2 else p.cut_lj_global
         elif a[0] == "lj/long/coul/long":
@@ -975,6 +1004,7 @@ class LammpsScript:
                    "coul/debye": 0, "coul/msm": 0, "lj/expand": 3,
                    "born/coul/long": 5, "mie/cut": 4,
                    "born/coul/dsf": 5, "born/coul/wolf": 5, "beck": 5,
+                   "born/coul/msm": 5, "buck/coul/msm": 3,
                    "coul/dsf": 0, "coul/wolf": 0, "zero": 0, "zbl": 2}
         if self.pair.name in _NCOEFF and a[0] == "*" and a[1] == "*" \
                 and self.pair.name.startswith("coul"):

@@ -348,6 +348,14 @@ def cell_pair_forces(x, q, type_, mask, cells: Cells, box: Box, p,
                 forcecoul = jnp.where(cm, fc_d, 0.0)
                 if need_ev:
                     ecoul += jnp.sum(jnp.where(cm, ec_d, 0.0))
+            elif p.coul_kind in ("charmm", "charmm/implicit", "gromacs"):
+                from lidp_tpu.ops.pair import _charmm_gromacs_coul_terms
+
+                ec_c, fc_c = _charmm_gromacs_coul_terms(
+                    p, prefactor, r, rsq, 1.0)
+                forcecoul = jnp.where(cm, fc_c, 0.0)
+                if need_ev:
+                    ecoul += jnp.sum(jnp.where(cm, ec_c, 0.0))
             else:
                 grij = p.g_ewald * r
                 expm2 = jnp.exp(-grij * grij)

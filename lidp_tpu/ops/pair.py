@@ -100,6 +100,11 @@ class PairParams:
     # init_style:214-217, pair_coul_wolf.cpp:82-84); alpha rides in g_ewald
     coul_eshift: object = None   # ()
     coul_fshift: object = None   # ()
+    # CHARMM coul switching (pair_lj_charmm_coul_charmm.cpp:124-130) and
+    # GROMACS coul switch constants (pair_lj_gromacs_coul_gromacs.cpp:332)
+    cut_coul_innersq: object = None   # ()
+    denom_coul: object = None         # ()
+    coulsw: object = None             # (6,) [sw1..sw5, cut_coul_inner]
 
 
 def _msm_coul_terms(prefactor, r, rsq, cut_coulsq, order):
@@ -145,6 +150,63 @@ def _dsf_wolf_shifts(coul_kind, alpha, cut_coul, dtype):
     return jnp.asarray(esh, dtype), jnp.asarray(fsh, dtype)
 
 
+def _coul_switch_fields(coul_kind, cut_coul, cut_coul_inner, dtype):
+    """Extra PairParams fields for the switched coul kinds."""
+    out = {}
+    if coul_kind in ("charmm", "charmm/implicit"):
+        ccsq, cisq = float(cut_coul) ** 2, float(cut_coul_inner) ** 2
+        out["cut_coul_innersq"] = jnp.asarray(cisq, dtype)
+        out["denom_coul"] = jnp.asarray((ccsq - cisq) ** 3
+                                        if ccsq > cisq else 1.0, dtype)
+    elif coul_kind == "gromacs":
+        rc, ri = float(cut_coul), float(cut_coul_inner)
+        r3inv = 1.0 / rc ** 3
+        t = rc - ri if rc > ri else 1.0
+        a1 = (2.0 * ri - 5.0 * rc) * r3inv / (t * t)
+        b1 = (4.0 * rc - 2.0 * ri) * r3inv / (t * t * t)
+        sw5 = 1.0 / rc - t ** 3 * (a1 / 3.0 + b1 * t / 4.0)
+        out["cut_coul_innersq"] = jnp.asarray(ri * ri, dtype)
+        out["coulsw"] = jnp.asarray(
+            [a1, b1, -a1 / 3.0, -b1 / 4.0, sw5, ri], dtype)
+    return out
+
+
+def _charmm_gromacs_coul_terms(p, prefactor, r, rsq, factor_coul):
+    """(ecoul, forcecoul) for the switched coul kinds; the special factor
+    is MULTIPLICATIVE here (the reference never subtracts the full-1/r
+    complement for these short-range forms)."""
+    outer = rsq > p.cut_coul_innersq
+    if p.coul_kind in ("charmm", "charmm/implicit"):
+        ccsq = p.cut_coulsq
+        sw1 = ((ccsq - rsq) ** 2 * (ccsq + 2.0 * rsq
+                                    - 3.0 * p.cut_coul_innersq)
+               / p.denom_coul)
+        if p.coul_kind == "charmm":
+            # pair_lj_charmm_coul_charmm.cpp:123-130 (force and energy
+            # both scaled by switch1 — the reference's own convention)
+            fac = jnp.where(outer, sw1, 1.0)
+            ec = prefactor * fac * factor_coul
+            fc = prefactor * fac * factor_coul
+        else:
+            # implicit 1/r^2 dielectric
+            # (pair_lj_charmm_coul_charmm_implicit.cpp:87-94,122-129)
+            sw2 = (12.0 * rsq * (ccsq - rsq)
+                   * (rsq - p.cut_coul_innersq) / p.denom_coul)
+            base = prefactor / r                    # qqrd2e q q / r^2
+            ec = base * jnp.where(outer, sw1, 1.0) * factor_coul
+            fc = 2.0 * base * jnp.where(outer, sw1 + 0.5 * sw2, 1.0) \
+                * factor_coul
+        return ec, fc
+    # gromacs (pair_lj_gromacs_coul_gromacs.cpp:120-130,156-164)
+    qq = prefactor * r                              # qqrd2e q_i q_j
+    tc = r - p.coulsw[5]
+    fc = prefactor + jnp.where(
+        outer, qq * r * tc * tc * (p.coulsw[0] + p.coulsw[1] * tc), 0.0)
+    ec = qq * (1.0 / r - p.coulsw[4]) + jnp.where(
+        outer, qq * tc * tc * tc * (p.coulsw[2] + p.coulsw[3] * tc), 0.0)
+    return ec * factor_coul, fc * factor_coul
+
+
 def _dsf_wolf_pair_terms(p, prefactor, r, rsq):
     """Raw (factor_coul == 1) coulomb (ecoul, forcecoul) for the dsf/wolf
     kinds (pair_coul_dsf.cpp:115-137, pair_coul_wolf.cpp:117-141); callers
@@ -183,7 +245,7 @@ def make_pair_params(
     epsilon, sigma, cut_lj, *, cut_coul=0.0, special_lj=(1.0, 0.0, 0.0, 0.0),
     special_coul=(1.0, 0.0, 0.0, 0.0), qqrd2e=1.0, g_ewald=0.0, coul=False,
     shift=False, cut_lj_inner=0.0, charmm=False, excl_types=None,
-    coul_kind="long", dtype=jnp.float64,
+    coul_kind="long", cut_coul_inner=0.0, dtype=jnp.float64,
 ):
     """Build PairParams from per-type-pair (T+1,T+1) epsilon/sigma/cut arrays."""
     epsilon = jnp.asarray(epsilon, dtype)
@@ -204,6 +266,8 @@ def make_pair_params(
     esh = fsh = None
     if coul_kind in ("dsf", "wolf"):
         esh, fsh = _dsf_wolf_shifts(coul_kind, g_ewald, cut_coul, dtype)
+    extra = (_coul_switch_fields(coul_kind, cut_coul, cut_coul_inner,
+                                 dtype) if coul else {})
     return PairParams(
         lj1=lj1, lj2=lj2, lj3=lj3, lj4=lj4, offset=offset,
         cut_ljsq=cut_ljsq, cutsq=cutsq,
@@ -220,6 +284,7 @@ def make_pair_params(
         excl=(None if excl_types is None
               else jnp.asarray(excl_types, bool)),
         coul_kind=coul_kind, coul_eshift=esh, coul_fshift=fsh,
+        **extra,
     )
 
 
@@ -227,7 +292,7 @@ def make_generic_pair_params(
     kind, t1, t2, t3=None, t4=None, t5=None, *, cut_lj, cut_coul=0.0,
     coul=False, qqrd2e=1.0, g_ewald=0.0, special_lj=(1.0, 0.0, 0.0, 0.0),
     special_coul=(1.0, 0.0, 0.0, 0.0), shift=False, excl_types=None,
-    coul_kind="long", dtype=jnp.float64,
+    coul_kind="long", cut_coul_inner=0.0, dtype=jnp.float64,
 ):
     """PairParams for the non-LJ kinds (see _vdw_terms table mapping).
 
@@ -251,6 +316,8 @@ def make_generic_pair_params(
     esh = fsh = None
     if coul_kind in ("dsf", "wolf"):
         esh, fsh = _dsf_wolf_shifts(coul_kind, g_ewald, cut_coul, dtype)
+    extra = (_coul_switch_fields(coul_kind, cut_coul, cut_coul_inner,
+                                 dtype) if coul else {})
     return PairParams(
         lj1=tabs[0], lj2=tabs[1], lj3=tabs[2], lj4=tabs[3], offset=offset,
         cut_ljsq=cut_ljsq, cutsq=cutsq,
@@ -266,6 +333,7 @@ def make_generic_pair_params(
               else jnp.asarray(excl_types, bool)),
         kind=kind, lj5=t5j, coul_kind=coul_kind,
         coul_eshift=esh, coul_fshift=fsh,
+        **extra,
     )
 
 
@@ -481,6 +549,9 @@ def pair_single(rsq, itype, jtype, qi, qj, p: PairParams,
             ec, fc = _dsf_wolf_pair_terms(p, prefactor, r, rsq)
             forcecoul = fc - (1.0 - factor_coul) * prefactor
             phicoul = ec - (1.0 - factor_coul) * prefactor
+        elif p.coul_kind in ("charmm", "charmm/implicit", "gromacs"):
+            phicoul, forcecoul = _charmm_gromacs_coul_terms(
+                p, prefactor, r, rsq, factor_coul)
         else:
             grij = p.g_ewald * r
             expm2 = jnp.exp(-grij * grij)
@@ -584,6 +655,9 @@ def _pair_terms(rsq, qi, qj, ti, tj, sp_code, p: PairParams, pair_mask):
             ec_d, fc_d = _dsf_wolf_pair_terms(p, prefactor, r, rsq)
             forcecoul = fc_d - (1.0 - factor_coul) * prefactor
             ecoul = ec_d - (1.0 - factor_coul) * prefactor
+        elif p.coul_kind in ("charmm", "charmm/implicit", "gromacs"):
+            ecoul, forcecoul = _charmm_gromacs_coul_terms(
+                p, prefactor, r, rsq, factor_coul)
         else:
             grij = p.g_ewald * r
             expm2 = jnp.exp(-grij * grij)

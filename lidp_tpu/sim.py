@@ -43,6 +43,8 @@ _GENERIC_PAIR_KINDS = {
     "lj/gromacs": ("lj/gromacs", 2),
     "coul/dsf": ("none", 0), "coul/wolf": ("none", 0),
     "born/coul/dsf": ("born", 5), "born/coul/wolf": ("born", 5),
+    "born/coul/msm": ("born", 5), "buck/coul/msm": ("buck", 3),
+    "lj/gromacs/coul/gromacs": ("lj/gromacs", 2),
     "beck": ("beck", 5), "zero": ("none", 0),
     "lj96/cut": ("lj96", 2), "lj/smooth/linear": ("lj/smooth/linear", 2),
     "lj/smooth": ("lj/smooth", 2), "ufm": ("ufm", 2),
@@ -236,14 +238,19 @@ def _build_mixed_generic_pair(script, u, excl_types, dtype, kind, nc):
         sw5 = -tabs[2] * c12 + tabs[3] * c6
         t5 = np.stack([sw1, sw2, sw3, sw4, sw5, inner], axis=-1)
 
+    coul = "coul" in script.pair.name   # lj/gromacs/coul/gromacs
     pair = make_generic_pair_params(
         kind, tabs[0], tabs[1], tabs[2], tabs[3], t5,
-        cut_lj=cut, cut_coul=0.0, coul=False, qqrd2e=u.qqr2e,
+        cut_lj=cut, cut_coul=script.pair.cut_coul if coul else 0.0,
+        coul=coul, qqrd2e=u.qqr2e,
         special_lj=np.array(script.special_lj),
         special_coul=np.array(script.special_coul),
         shift=(getattr(script, "_pair_shift", False)
                and kind in ("mie", "lj96", "lj/smooth", "ufm")),
-        excl_types=excl_types, dtype=dtype)
+        excl_types=excl_types,
+        coul_kind="gromacs" if coul else "long",
+        cut_coul_inner=script.pair.cut_coul_inner if coul else 0.0,
+        dtype=dtype)
     return pair, cut
 
 
@@ -852,6 +859,8 @@ class Simulation:
             is_msm = pname.endswith("/msm")
             is_dsf = pname.endswith("/dsf")
             is_wolf = pname.endswith("/wolf")
+            is_ch_cut = pname.endswith("coul/charmm")
+            is_ch_imp = pname.endswith("coul/charmm/implicit")
             pair = make_pair_params(
                 eps, sig, cut,
                 cut_coul=(script.pair.cut_coul
@@ -868,7 +877,10 @@ class Simulation:
                 coul_kind=("debye" if is_debye
                            else "msm" if is_msm
                            else "dsf" if is_dsf
-                           else "wolf" if is_wolf else "long"),
+                           else "wolf" if is_wolf
+                           else "charmm/implicit" if is_ch_imp
+                           else "charmm" if is_ch_cut else "long"),
+                cut_coul_inner=script.pair.cut_coul_inner,
                 dtype=dtype)
         if getattr(script, "neigh_exclude_mol", False):
             pair = dataclasses.replace(pair, excl_mol=True)

@@ -241,3 +241,88 @@ def test_dsf_wolf_cells_vs_dense(kind):
     assert abs(float(ec_d) - float(ec_c)) < 1e-9
     assert np.abs(np.asarray(fd) - np.asarray(fc)).max() < 1e-9
     assert np.abs(np.asarray(vir_d) - np.asarray(vir_c)).max() < 1e-8
+
+
+# CHARMM / GROMACS switched-coulomb family goldens (minted like the rest;
+# 4-arg coul inner/outer forms).  Columns: (temp, pe, evdwl, ecoul, press)
+SWITCH_GOLDEN = {
+    "lj/charmm/coul/charmm 1.8 2.2 1.9 2.4": {
+        0: (1.0, -1.4049718834, -1.16764098581, -0.237330897585,
+            -0.496527897347),
+        5: (1.00770426374, -1.42791013497, -1.18115894998,
+            -0.246751184988, -0.495670297183),
+    },
+    "lj/charmm/coul/charmm/implicit 1.8 2.2 1.9 2.4": {
+        0: (1.0, -1.66776231135, -1.16764098581, -0.50012132554,
+            0.209576781001),
+        5: (1.01137285491, -1.68456253001, -1.1812279611,
+            -0.503334568907, 0.19618799415),
+    },
+    "lj/gromacs/coul/gromacs 1.8 2.2 1.9 2.4": {
+        0: (1.0, -1.4347075522, -0.916436204357, -0.518271347841,
+            -0.335702725285),
+        5: (1.00467091622, -1.4416053508, -0.925433889776,
+            -0.516171461025, -0.339132796947),
+    },
+}
+
+
+@pytest.mark.parametrize("style", sorted(SWITCH_GOLDEN))
+def test_switched_coul_golden(style, tmp_path):
+    write_data(str(tmp_path / "data.breadth"))
+    rows = _run_case(f"""
+units lj
+atom_style charge
+read_data {tmp_path}/data.breadth
+pair_style {style}
+pair_coeff 1 1 1.0 1.0
+pair_coeff 2 2 0.8 1.1
+velocity all create 1.0 87287 loop geom
+timestep 0.005
+fix 1 all nve
+thermo 5
+run 5
+""", tmp_path)
+    got = {int(r["step"]): r for r in rows}
+    for step, (temp, pe, ev, ec, pr) in SWITCH_GOLDEN[style].items():
+        r = got[step]
+        assert r["temp"] == pytest.approx(temp, rel=2e-6), (style, step)
+        assert r["evdwl"] == pytest.approx(ev, rel=2e-6), (style, step)
+        assert r["ecoul"] == pytest.approx(ec, rel=2e-6), (style, step)
+        assert r["pe"] == pytest.approx(pe, rel=2e-6), (style, step)
+        assert r["press"] == pytest.approx(pr, rel=2e-5), (style, step)
+
+
+@pytest.mark.slow
+def test_born_coul_msm_golden(tmp_path):
+    """born/coul/msm + kspace msm (cutoff/adjust no) vs the reference."""
+    write_data(str(tmp_path / "data.breadth"))
+    rows = _run_case(f"""
+units lj
+atom_style charge
+read_data {tmp_path}/data.breadth
+pair_style born/coul/msm 2.2 2.5
+pair_coeff 1 1 1.0 0.4 1.0 1.0 0.5
+pair_coeff 1 2 0.9 0.45 1.05 1.0 0.5
+pair_coeff 2 2 0.8 0.5 1.1 1.0 0.5
+kspace_style msm 1.0e-4
+kspace_modify cutoff/adjust no
+velocity all create 1.0 87287 loop geom
+timestep 0.005
+fix 1 all nve
+thermo 5
+run 5
+""", tmp_path)
+    ref = {0: (1.0, 0.630733487567, 1.21328236779, -0.0469839215897,
+               -0.535564958637, 0.638255904458),
+           5: (0.998847410872, 0.615083017909, 1.19789009871,
+               -0.0476639127873, -0.535143168018, 0.629331053972)}
+    got = {int(r["step"]): r for r in rows}
+    for step, (temp, pe, ev, ec, el, pr) in ref.items():
+        r = got[step]
+        assert r["temp"] == pytest.approx(temp, rel=2e-6)
+        assert r["evdwl"] == pytest.approx(ev, rel=2e-6)
+        assert r["ecoul"] == pytest.approx(ec, rel=2e-5)
+        assert r["elong"] == pytest.approx(el, rel=2e-5)
+        assert r["pe"] == pytest.approx(pe, rel=2e-5)
+        assert r["press"] == pytest.approx(pr, rel=2e-3)

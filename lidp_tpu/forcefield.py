@@ -75,6 +75,8 @@ class ForceField:
     # fully-masked kernel pass summed in compute_forces (the XLA-native
     # replacement for pair_hybrid.cpp's per-pair map_style indirection)
     extra_pairs: tuple = ()                 # tuple[PairParams, ...]
+    # dissipative particle dynamics (pair dpd / dpd/tstat; ops/dpd.py)
+    dpd: Optional[object] = None            # ops.dpd.DPDParams
 
 
 @jax.tree_util.register_dataclass
@@ -254,6 +256,16 @@ def compute_forces(sys: System, ff: ForceField,
                 from lidp_tpu.ops.pair import dsf_wolf_self_energy
 
                 ecoul = ecoul + dsf_wolf_self_energy(pex, sys.q, sys.mask)
+
+    if ff.dpd is not None and _on("pair"):
+        from lidp_tpu.ops.dpd import dpd_forces
+
+        fd, evd, vird = dpd_forces(sys.x, sys.v, sys.type, sys.mask,
+                                   sys.box, ff.dpd, sys.step,
+                                   sp_code=ff.sp_code, need_ev=need_ev)
+        f = f + fd
+        evdwl = evdwl + evd
+        virial = virial + vird
 
     if ff.tip4p is not None and _on("pair"):
         from lidp_tpu.ops.tip4p import redistribute, tip4p_coul_dense

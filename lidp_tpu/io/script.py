@@ -739,7 +739,8 @@ class LammpsScript:
         "born/coul/wolf", "born/coul/msm", "buck/coul/msm",
         "lj/expand", "mie/cut", "lj/gromacs",
         "lj96/cut", "lj/smooth", "lj/smooth/linear", "beck", "ufm",
-        "zbl", "zero", "coul/cut", "coul/long", "coul/debye", "coul/msm",
+        "lj/cubic", "zbl", "zero", "dpd", "dpd/tstat",
+        "coul/cut", "coul/long", "coul/debye", "coul/msm",
         "coul/dsf", "coul/wolf", "table", "eam", "eam/alloy",
     ))
 
@@ -855,6 +856,18 @@ class LammpsScript:
                       "lj/expand", "mie/cut", "lj96/cut",
                       "lj/smooth/linear", "beck", "ufm", "zero"):
             p.cut_lj_global = float(a[1])
+        elif a[0] == "lj/cubic":
+            pass   # no settings: cutoffs derive from sigma (lj_cubic.cpp)
+        elif a[0] == "dpd":
+            # pair_style dpd T cutoff seed (pair_dpd.cpp settings)
+            self._dpd = dict(T=float(a[1]), Tstop=float(a[1]),
+                             seed=int(a[3]), tstat=False)
+            p.cut_lj_global = float(a[2])
+        elif a[0] == "dpd/tstat":
+            # pair_style dpd/tstat Tstart Tstop cutoff seed
+            self._dpd = dict(T=float(a[1]), Tstop=float(a[2]),
+                             seed=int(a[4]), tstat=True)
+            p.cut_lj_global = float(a[3])
         elif a[0] in ("coul/dsf", "coul/wolf"):
             # pair_style coul/dsf|wolf alpha cut_coul
             # (pair_coul_dsf.cpp:172-176 / pair_coul_wolf.cpp settings)
@@ -1005,7 +1018,8 @@ class LammpsScript:
                    "born/coul/long": 5, "mie/cut": 4,
                    "born/coul/dsf": 5, "born/coul/wolf": 5, "beck": 5,
                    "born/coul/msm": 5, "buck/coul/msm": 3,
-                   "coul/dsf": 0, "coul/wolf": 0, "zero": 0, "zbl": 2}
+                   "coul/dsf": 0, "coul/wolf": 0, "zero": 0, "zbl": 2,
+                   "dpd": 2, "dpd/tstat": 1}
         if self.pair.name in _NCOEFF and a[0] == "*" and a[1] == "*" \
                 and self.pair.name.startswith("coul"):
             return   # coul styles take no per-pair coefficients

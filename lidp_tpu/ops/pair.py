@@ -501,6 +501,23 @@ def _vdw_terms(kind, rsq, r2inv, t1, t2, t3, t4, t5=None,
         expuf = jnp.exp(-rsq * t2)
         denom = 1.0 - expuf
         return t1 * expuf / denom * rsq, -t3 * jnp.log(denom)
+    if kind == "lj/cubic":
+        # pair_lj_cubic.cpp:66-98: plain LJ up to the inflection point
+        # rmin*SS, then a cubic spline to zero at rmin*SM.
+        # t5 = stacked [eps, sigma, cut_inner].
+        RT6TWO, PHIS = 1.1224621, -0.7869823
+        DPHIDS, A3C = 2.6899009, 27.93357
+        eps_ = t5[..., 0]
+        rmin = t5[..., 1] * RT6TWO
+        inner = t5[..., 2]
+        r6inv = r2inv * r2inv * r2inv
+        tt = (r - inner) / jnp.where(rmin > 0, rmin, 1.0)
+        f_out = eps_ * (-DPHIDS + A3C * tt * tt / 2.0) * r \
+            / jnp.where(rmin > 0, rmin, 1.0)
+        phi_out = eps_ * (PHIS + DPHIDS * tt - A3C * tt * tt * tt / 6.0)
+        use_in = rsq <= inner * inner
+        return (jnp.where(use_in, r6inv * (t1 * r6inv - t2), f_out),
+                jnp.where(use_in, r6inv * (t3 * r6inv - t4), phi_out))
     if kind == "lj/gromacs":
         # pair_lj_gromacs.cpp:95-125: plain LJ force plus a smoothing
         # polynomial switched on beyond cut_inner; energy carries the

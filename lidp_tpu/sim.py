@@ -48,7 +48,7 @@ _GENERIC_PAIR_KINDS = {
     "beck": ("beck", 5), "zero": ("none", 0),
     "lj96/cut": ("lj96", 2), "lj/smooth/linear": ("lj/smooth/linear", 2),
     "lj/smooth": ("lj/smooth", 2), "ufm": ("ufm", 2),
-    "zbl": ("zbl", 2),
+    "zbl": ("zbl", 2), "lj/cubic": ("lj/cubic", 2),
 }
 
 
@@ -210,6 +210,19 @@ def _build_mixed_generic_pair(script, u, excl_types, dtype, kind, nc):
         tabs[1] = 1.0 / (sg * sg)
         tabs[2] = eps
         t5 = None
+    elif kind == "lj/cubic":
+        # pair_lj_cubic.cpp coeff/init_one: cutoffs are DERIVED from
+        # sigma (rmin*SS inflection, rmin*SM cutoff), never parsed
+        eps, sig = raw[..., 0], raw[..., 1]
+        s6 = sig ** 6
+        tabs[0] = 48.0 * eps * s6 * s6
+        tabs[1] = 24.0 * eps * s6
+        tabs[2] = 4.0 * eps * s6 * s6
+        tabs[3] = 4.0 * eps * s6
+        rmin = sig * 1.1224621
+        inner = rmin * 1.1086834
+        cut = rmin * 1.5475375
+        t5 = np.stack([eps, sig, inner], axis=-1)
     else:   # lj/gromacs switch constants (pair_lj_gromacs.cpp init_one)
         eps, sig = raw[..., 0], raw[..., 1]
         s6 = sig ** 6
@@ -447,6 +460,50 @@ def _build_hybrid_pair(script, u, base_excl, dtype):
     return built[0], tuple(built[1:]), tuple(flags), cut_all
 
 
+def _build_dpd_pair(script, u, dtype):
+    """pair dpd / dpd/tstat (pair_dpd.cpp settings/coeff/init_one):
+    returns (cut matrix, DPDParams); the force itself is the dedicated
+    dense DPD kernel (ops/dpd.py), not a PairParams kernel."""
+    import jax.numpy as jnp
+
+    from lidp_tpu.ops.dpd import DPDParams
+
+    spec = script._dpd
+    T = script.ntypes
+    tstat = spec["tstat"]
+    nc = 1 if tstat else 2
+    a0 = np.zeros((T + 1, T + 1))
+    gam = np.zeros((T + 1, T + 1))
+    cut = np.zeros((T + 1, T + 1))
+    seen = np.zeros((T + 1, T + 1), bool)
+    for (i, j), co in script.pair_coeffs.items():
+        if tstat:
+            gam[i, j] = gam[j, i] = co[0]
+        else:
+            a0[i, j] = a0[j, i] = co[0]
+            gam[i, j] = gam[j, i] = co[1]
+        cut[i, j] = cut[j, i] = (co[nc] if len(co) > nc
+                                 else script.pair.cut_lj_global)
+        seen[i, j] = seen[j, i] = True
+    for i in range(1, T + 1):
+        for j in range(i, T + 1):
+            if not seen[i, j]:
+                raise ValueError(f"All pair coeffs are not set (dpd {i} {j})")
+    # sigma = sqrt(2 kB T gamma) (init_one:236); constant-T form — the
+    # tstat ramp uses the start temperature
+    sigma = np.sqrt(2.0 * u.boltz * spec["T"] * gam)
+    dpdp = DPDParams(
+        a0=jnp.asarray(a0, dtype), gamma=jnp.asarray(gam, dtype),
+        sigma=jnp.asarray(sigma, dtype), cut=jnp.asarray(
+            np.where(cut > 0, cut, 1.0), dtype),
+        cutsq=jnp.asarray(cut * cut, dtype),
+        special_lj=jnp.asarray(script.special_lj, dtype),
+        dtinvsqrt=jnp.asarray(1.0 / np.sqrt(max(script.dt, 1e-300)),
+                              dtype),
+        seed=int(spec["seed"]), tstat=tstat)
+    return cut, dpdp
+
+
 def _build_generic_pair(script, u, excl_types, dtype):
     """PairParams for the non-LJ pair styles (pair_morse/buck/yukawa/gauss/
     soft/born/coul_*.cpp).  Off-diagonal coefficients must be given
@@ -461,7 +518,7 @@ def _build_generic_pair(script, u, excl_types, dtype):
     tabs = [np.zeros((T + 1, T + 1)) for _ in range(5)]
     cut = np.full((T + 1, T + 1), script.pair.cut_lj_global)
     if kind in ("mie", "lj/gromacs", "lj96", "lj/smooth/linear",
-                "lj/smooth", "ufm"):
+                "lj/smooth", "ufm", "lj/cubic"):
         return _build_mixed_generic_pair(script, u, excl_types, dtype,
                                          kind, nc)
     if kind == "zbl":
@@ -796,8 +853,18 @@ class Simulation:
         etail = ptail = 0.0
         extra_pairs = ()
         extra_coul_long = ()
+        dpdp = None
         if pname == "table":
             pair, cut = _build_table_pair(script, excl_types, dtype)
+        elif pname in ("dpd", "dpd/tstat"):
+            cut, dpdp = _build_dpd_pair(script, u, dtype)
+            # benign placeholder so downstream pair plumbing stays happy;
+            # ForceField gets pair=None (the DPD kernel is dense-only)
+            from lidp_tpu.ops.pair import make_generic_pair_params
+
+            z0 = np.zeros((script.ntypes + 1, script.ntypes + 1))
+            pair = make_generic_pair_params(
+                "none", z0, z0, cut_lj=z0, qqrd2e=u.qqr2e, dtype=dtype)
         elif pname in ("hybrid", "hybrid/overlay"):
             pair, extra_pairs, extra_coul_long, cut = _build_hybrid_pair(
                 script, u, excl_types, dtype)
@@ -1259,7 +1326,9 @@ class Simulation:
             polar_xshift = jnp.asarray(_padA(
                 -np.floor((x0 - script.box_lo) / L0) * L0), dtype)
 
-        ff = ForceField(pair=None if eamp is not None else pair,
+        ff = ForceField(pair=(None if (eamp is not None
+                                       or dpdp is not None) else pair),
+                        dpd=dpdp,
                         polar_xshift=polar_xshift, tip4p=tipp,
                         ewald=ew, ewald6=ew6, b_atom=b_atom_pad,
                         pppm_disp=pppm_dispp, msm=msmp,
@@ -1328,11 +1397,12 @@ class Simulation:
         if triclinic and eamp is not None:
             raise NotImplementedError(
                 "triclinic + eam: the EAM cell kernel is orthogonal-only")
-        if script.pair.name == "table" or tipp is not None:
+        if script.pair.name == "table" or tipp is not None \
+                or dpdp is not None:
             # tabulated pairs run the dense minimum-image path (the cell
             # kernel's per-slot table gathers would blow up the
-            # (cells,cap,K,NT) working set); tip4p's off-site coulomb is
-            # dense-only for now
+            # (cells,cap,K,NT) working set); tip4p's off-site coulomb and
+            # the DPD (N,N) noise-matrix kernel are dense-only too
             pass
         elif n > DENSE_PATH_MAX_ATOMS or script.speed_mode or eamp is not None:
             cutmax = float(np.max(cut))

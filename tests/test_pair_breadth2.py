@@ -326,3 +326,134 @@ run 5
         assert r["elong"] == pytest.approx(el, rel=2e-5)
         assert r["pe"] == pytest.approx(pe, rel=2e-5)
         assert r["press"] == pytest.approx(pr, rel=2e-3)
+
+
+def test_lj_cubic_golden(tmp_path):
+    """lj/cubic (cutoffs derived from sigma) vs the rebuilt reference.
+    Single-type box: pair_lj_cubic.cpp's compute reads sigma/epsilon
+    [itype][jtype] directly but init_one never symmetrizes them, so any
+    multi-type run multiplies by uninitialized memory (defect #4; our
+    implementation mixes and symmetrizes)."""
+    write_data(str(tmp_path / "data.breadth1"), one_type=True)
+    rows = _run_case(f"""
+units lj
+atom_style charge
+read_data {tmp_path}/data.breadth1
+pair_style lj/cubic
+pair_coeff 1 1 1.0 0.9
+velocity all create 1.0 87287 loop geom
+timestep 0.005
+fix 1 all nve
+thermo 5
+run 5
+""", tmp_path)
+    ref = {0: (1.0, -0.0930752815007, -0.00642528900636),
+           5: (1.01597648147, -0.116698313029, -0.00423792546084)}
+    got = {int(r["step"]): r for r in rows}
+    for step, (temp, pe, pr) in ref.items():
+        r = got[step]
+        assert r["temp"] == pytest.approx(temp, rel=2e-6)
+        assert r["pe"] == pytest.approx(pe, rel=2e-6)
+        assert r["press"] == pytest.approx(pr, rel=2e-5, abs=1e-8)
+
+
+def test_dpd_conservative_golden(tmp_path):
+    """pair dpd with gamma = 0: the stochastic and drag terms vanish, so
+    the trajectory is deterministic and must match the reference exactly
+    (the RNG design difference — see ops/dpd.py — never enters)."""
+    write_data(str(tmp_path / "data.breadth"))
+    rows = _run_case(f"""
+units lj
+atom_style charge
+read_data {tmp_path}/data.breadth
+pair_style dpd 1.0 2.0 48291
+pair_coeff 1 1 25.0 0.0
+pair_coeff 1 2 30.0 0.0
+pair_coeff 2 2 20.0 0.0
+comm_modify vel yes
+velocity all create 1.0 87287 loop geom
+timestep 0.02
+fix 1 all nve
+thermo 4
+run 8
+""", tmp_path)
+    # steps 0..8 match the reference to every printed digit; at step 9 the
+    # reference's stale neighbor list (delay 10 blocks the rebuild its own
+    # skin/2 check requests) starts missing pairs that entered the cutoff,
+    # while the dense path here is exact every step.
+    ref = {0: (1.0, 5.63921149449, 3.61242796562),
+           4: (0.91918324406, 5.75784340296, 3.60994606899),
+           8: (0.714693089437, 6.06132641206, 3.6271520407)}
+    got = {int(r["step"]): r for r in rows}
+    for step, (temp, pe, pr) in ref.items():
+        r = got[step]
+        assert r["temp"] == pytest.approx(temp, rel=2e-6), step
+        assert r["pe"] == pytest.approx(pe, rel=2e-6), step
+        assert r["press"] == pytest.approx(pr, rel=2e-5), step
+
+
+def test_dpd_thermostat_statistics(tmp_path):
+    """Full DPD (gamma > 0): fluctuation-dissipation drives T toward the
+    setpoint from a cold start, and the symmetrized noise conserves
+    momentum exactly."""
+    write_data(str(tmp_path / "data.breadth"))
+    import jax.numpy as jnp
+
+    from lidp_tpu.io.script import LammpsScript
+
+    p = tmp_path / "in.dpdt"
+    p.write_text(f"""
+units lj
+atom_style charge
+read_data {tmp_path}/data.breadth
+pair_style dpd 1.0 2.0 48291
+pair_coeff * * 25.0 4.5
+comm_modify vel yes
+timestep 0.02
+fix 1 all nve
+thermo 50
+run 300
+""")
+    s = LammpsScript(dtype=jnp.float64)
+    s.file(str(p))
+    temps = [r["temp"] for r in s.thermo_rows]
+    assert temps[0] == 0.0
+    # T should rise from 0 toward the setpoint 1.0
+    assert 0.5 < temps[-1] < 1.6, temps
+    v = np.asarray(s._sim.sys.v)[:64]
+    m = np.where(np.asarray(s.type) == 1, 1.0, 1.5)[:, None]
+    ptot = np.abs((m * v).sum(axis=0)).max()
+    assert ptot < 1e-9, ptot   # third law holds to the bit
+
+
+def test_dpd_tstat_no_conservative(tmp_path):
+    """dpd/tstat: drag+noise only (pair_dpd_tstat.cpp) — evdwl stays 0,
+    momentum conserved, kinetic energy relaxes toward the target."""
+    write_data(str(tmp_path / "data.breadth"))
+    import jax.numpy as jnp
+
+    from lidp_tpu.io.script import LammpsScript
+
+    p = tmp_path / "in.tst"
+    p.write_text(f"""
+units lj
+atom_style charge
+read_data {tmp_path}/data.breadth
+pair_style dpd/tstat 1.0 1.0 2.0 937123
+pair_coeff * * 4.5
+comm_modify vel yes
+velocity all create 3.0 87287 loop geom
+timestep 0.02
+fix 1 all nve
+thermo 100
+run 400
+""")
+    s = LammpsScript(dtype=jnp.float64)
+    s.file(str(p))
+    rows = s.thermo_rows
+    assert all(float(r["evdwl"]) == 0.0 for r in rows)
+    # cooling from T=3 toward 1
+    assert float(rows[-1]["temp"]) < 2.0
+    v = np.asarray(s._sim.sys.v)[:64]
+    m = np.where(np.asarray(s.type) == 1, 1.0, 1.5)[:, None]
+    assert np.abs((m * v).sum(axis=0)).max() < 1e-9

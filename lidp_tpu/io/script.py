@@ -732,6 +732,7 @@ class LammpsScript:
         "lj/cut/coul/msm", "lj/cut/coul/dsf", "lj/cut/coul/wolf",
         "lj/charmm/coul/long", "lj/charmm/coul/charmm",
         "lj/charmm/coul/charmm/implicit", "lj/charmm/coul/msm",
+        "lj/charmmfsw/coul/long", "lj/charmmfsw/coul/charmmfsh",
         "lj/gromacs/coul/gromacs",
         "lj/long/coul/long", "lj/cut/tip4p/long",
         "morse", "buck", "buck/coul/cut", "buck/coul/long", "yukawa",
@@ -781,7 +782,15 @@ class LammpsScript:
             self.gran_args = list(a[1:7])
         elif a[0] == "lj/cut":
             p.cut_lj_global = float(a[1])
-        elif a[0] in ("lj/charmm/coul/long", "lj/charmm/coul/msm"):
+        elif a[0] == "lj/charmmfsw/coul/charmmfsh":
+            # inner outer [cut_coul]
+            # (pair_lj_charmmfsw_coul_charmmfsh.cpp settings)
+            p.cut_lj_inner = float(a[1])
+            p.cut_lj_global = float(a[2])
+            p.cut_coul = float(a[3]) if len(a) > 3 else p.cut_lj_global
+            self._pair_mix = "arithmetic"
+        elif a[0] in ("lj/charmm/coul/long", "lj/charmm/coul/msm",
+                      "lj/charmmfsw/coul/long"):
             # inner outer [coul-outer] (pair_lj_charmm_coul_long.cpp settings)
             p.cut_lj_inner = float(a[1])
             p.cut_lj_global = float(a[2])

@@ -305,7 +305,12 @@ def cell_pair_forces(x, q, type_, mask, cells: Cells, box: Box, p,
             forcelj, philj = _vdw_terms(
                 p.kind, rsq, r2inv, lj1, lj2, lj3, lj4, lj5,
                 jnp.sqrt(cut_ljsq) if p.kind == "soft" else None)
-        if p.charmm:
+        if p.charmm_fsw:
+            from lidp_tpu.ops.pair import _charmm_fsw_terms
+
+            forcelj, philj = _charmm_fsw_terms(
+                p, lj3, lj4, cut_ljsq, rsq, r2inv, forcelj)
+        elif p.charmm:
             # CHARMM inner/outer energy switching, same branch as
             # _pair_terms (pair_lj_charmm_coul_long.cpp:110-125)
             switch1 = ((cut_ljsq - rsq) ** 2
@@ -348,7 +353,8 @@ def cell_pair_forces(x, q, type_, mask, cells: Cells, box: Box, p,
                 forcecoul = jnp.where(cm, fc_d, 0.0)
                 if need_ev:
                     ecoul += jnp.sum(jnp.where(cm, ec_d, 0.0))
-            elif p.coul_kind in ("charmm", "charmm/implicit", "gromacs"):
+            elif p.coul_kind in ("charmm", "charmm/implicit", "gromacs",
+                                 "charmmfsh"):
                 from lidp_tpu.ops.pair import _charmm_gromacs_coul_terms
 
                 ec_c, fc_c = _charmm_gromacs_coul_terms(

@@ -67,6 +67,11 @@ class PairParams:
     # CHARMM energy-switching between inner and outer LJ cutoffs
     # (pair_lj_charmm_coul_long.cpp:110-125)
     charmm: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    # CHARMM FORCE-switching (lj/charmmfsw/*): switch1 applied to the
+    # force, energy from the analytically integrated form
+    # (pair_lj_charmmfsw_coul_long.cpp:194-242)
+    charmm_fsw: bool = dataclasses.field(metadata=dict(static=True),
+                                         default=False)
     # (T+1,T+1) bool: neigh_modify exclude type pairs (neighbor.cpp exclusion
     # lists) — excluded pairs contribute nothing; None (common case) skips
     # the per-pair table lookup entirely
@@ -175,8 +180,8 @@ def _charmm_gromacs_coul_terms(p, prefactor, r, rsq, factor_coul):
     """(ecoul, forcecoul) for the switched coul kinds; the special factor
     is MULTIPLICATIVE here (the reference never subtracts the full-1/r
     complement for these short-range forms)."""
-    outer = rsq > p.cut_coul_innersq
     if p.coul_kind in ("charmm", "charmm/implicit"):
+        outer = rsq > p.cut_coul_innersq
         ccsq = p.cut_coulsq
         sw1 = ((ccsq - rsq) ** 2 * (ccsq + 2.0 * rsq
                                     - 3.0 * p.cut_coul_innersq)
@@ -197,7 +202,16 @@ def _charmm_gromacs_coul_terms(p, prefactor, r, rsq, factor_coul):
             fc = 2.0 * base * jnp.where(outer, sw1 + 0.5 * sw2, 1.0) \
                 * factor_coul
         return ec, fc
+    if p.coul_kind == "charmmfsh":
+        # CHARMM force-shifted coulomb
+        # (pair_lj_charmmfsw_coul_charmmfsh.cpp:154-184)
+        rc2inv = 1.0 / p.cut_coulsq
+        rcinv = jnp.sqrt(rc2inv)
+        fc = prefactor * (1.0 - rsq * rc2inv)
+        ec = prefactor * (1.0 + rsq * rc2inv - 2.0 * r * rcinv)
+        return ec * factor_coul, fc * factor_coul
     # gromacs (pair_lj_gromacs_coul_gromacs.cpp:120-130,156-164)
+    outer = rsq > p.cut_coul_innersq
     qq = prefactor * r                              # qqrd2e q_i q_j
     tc = r - p.coulsw[5]
     fc = prefactor + jnp.where(
@@ -205,6 +219,29 @@ def _charmm_gromacs_coul_terms(p, prefactor, r, rsq, factor_coul):
     ec = qq * (1.0 / r - p.coulsw[4]) + jnp.where(
         outer, qq * tc * tc * tc * (p.coulsw[2] + p.coulsw[3] * tc), 0.0)
     return ec * factor_coul, fc * factor_coul
+
+
+def _charmm_fsw_terms(p, lj3_ij, lj4_ij, cut_ljsq_ij, rsq, r2inv, forcelj):
+    """CHARMM FORCE switching: switch1 on the force, analytically
+    integrated split 12/6 energies
+    (pair_lj_charmmfsw_coul_long.cpp:194-242 + setup constants :785-803).
+    Returns (forcelj, philj)."""
+    r6inv = r2inv * r2inv * r2inv
+    r3inv = jnp.sqrt(r6inv)
+    outer = rsq > p.cut_lj_innersq
+    switch1 = ((cut_ljsq_ij - rsq) ** 2
+               * (cut_ljsq_ij + 2.0 * rsq - 3.0 * p.cut_lj_innersq)
+               / p.denom_lj)
+    f = jnp.where(outer, forcelj * switch1, forcelj)
+    clj6 = cut_ljsq_ij ** 3
+    clj3 = cut_ljsq_ij * jnp.sqrt(cut_ljsq_ij)
+    ci6 = p.cut_lj_innersq ** 3
+    ci3 = p.cut_lj_innersq * jnp.sqrt(p.cut_lj_innersq)
+    e12o = lj3_ij * clj6 / (clj6 - ci6) * (r6inv - 1.0 / clj6) ** 2
+    e6o = -lj4_ij * clj3 / (clj3 - ci3) * (r3inv - 1.0 / clj3) ** 2
+    e12i = lj3_ij * (r6inv * r6inv - 1.0 / (ci6 * clj6))
+    e6i = -lj4_ij * (r6inv - 1.0 / (ci3 * clj3))
+    return f, jnp.where(outer, e12o + e6o, e12i + e6i)
 
 
 def _dsf_wolf_pair_terms(p, prefactor, r, rsq):
@@ -245,7 +282,8 @@ def make_pair_params(
     epsilon, sigma, cut_lj, *, cut_coul=0.0, special_lj=(1.0, 0.0, 0.0, 0.0),
     special_coul=(1.0, 0.0, 0.0, 0.0), qqrd2e=1.0, g_ewald=0.0, coul=False,
     shift=False, cut_lj_inner=0.0, charmm=False, excl_types=None,
-    coul_kind="long", cut_coul_inner=0.0, dtype=jnp.float64,
+    coul_kind="long", cut_coul_inner=0.0, charmm_fsw=False,
+    dtype=jnp.float64,
 ):
     """Build PairParams from per-type-pair (T+1,T+1) epsilon/sigma/cut arrays."""
     epsilon = jnp.asarray(epsilon, dtype)
@@ -280,7 +318,7 @@ def make_pair_params(
         denom_lj=jnp.asarray(
             (float(jnp.max(cut_lj))**2 - cut_lj_inner**2) ** 3
             if charmm else 1.0, dtype),
-        coul=coul, charmm=charmm,
+        coul=coul, charmm=charmm, charmm_fsw=charmm_fsw,
         excl=(None if excl_types is None
               else jnp.asarray(excl_types, bool)),
         coul_kind=coul_kind, coul_eshift=esh, coul_fshift=fsh,
@@ -566,7 +604,8 @@ def pair_single(rsq, itype, jtype, qi, qj, p: PairParams,
             ec, fc = _dsf_wolf_pair_terms(p, prefactor, r, rsq)
             forcecoul = fc - (1.0 - factor_coul) * prefactor
             phicoul = ec - (1.0 - factor_coul) * prefactor
-        elif p.coul_kind in ("charmm", "charmm/implicit", "gromacs"):
+        elif p.coul_kind in ("charmm", "charmm/implicit", "gromacs",
+                             "charmmfsh"):
             phicoul, forcecoul = _charmm_gromacs_coul_terms(
                 p, prefactor, r, rsq, factor_coul)
         else:
@@ -594,7 +633,11 @@ def pair_single(rsq, itype, jtype, qi, qj, p: PairParams,
             jnp.sqrt(p.cut_ljsq[itype, jtype]) if p.kind == "soft"
             else None)
     philj = philj - p.offset[itype, jtype]
-    if p.charmm:
+    if p.charmm_fsw:
+        forcelj, philj = _charmm_fsw_terms(
+            p, p.lj3[itype, jtype], p.lj4[itype, jtype],
+            p.cut_ljsq[itype, jtype], rsq, r2inv, forcelj)
+    elif p.charmm:
         cut_ljsq = p.cut_ljsq[itype, jtype]
         switch1 = ((cut_ljsq - rsq) ** 2
                    * (cut_ljsq + 2.0 * rsq - 3.0 * p.cut_lj_innersq)
@@ -636,7 +679,11 @@ def _pair_terms(rsq, qi, qj, ti, tj, sp_code, p: PairParams, pair_mask):
             p.lj3[ti, tj], p.lj4[ti, tj],
             p.lj5[ti, tj] if p.lj5 is not None else None,
             jnp.sqrt(cut_ljsq_ij) if p.kind == "soft" else None)
-    if p.charmm:
+    if p.charmm_fsw:
+        forcelj, philj = _charmm_fsw_terms(
+            p, p.lj3[ti, tj], p.lj4[ti, tj], cut_ljsq_ij, rsq, r2inv,
+            forcelj)
+    elif p.charmm:
         # energy switching between inner/outer LJ cutoffs
         # (pair_lj_charmm_coul_long.cpp:110-125); cutoffs are global
         switch1 = ((cut_ljsq_ij - rsq) ** 2
@@ -672,7 +719,8 @@ def _pair_terms(rsq, qi, qj, ti, tj, sp_code, p: PairParams, pair_mask):
             ec_d, fc_d = _dsf_wolf_pair_terms(p, prefactor, r, rsq)
             forcecoul = fc_d - (1.0 - factor_coul) * prefactor
             ecoul = ec_d - (1.0 - factor_coul) * prefactor
-        elif p.coul_kind in ("charmm", "charmm/implicit", "gromacs"):
+        elif p.coul_kind in ("charmm", "charmm/implicit", "gromacs",
+                             "charmmfsh"):
             ecoul, forcecoul = _charmm_gromacs_coul_terms(
                 p, prefactor, r, rsq, factor_coul)
         else:

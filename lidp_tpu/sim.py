@@ -928,6 +928,8 @@ class Simulation:
             is_wolf = pname.endswith("/wolf")
             is_ch_cut = pname.endswith("coul/charmm")
             is_ch_imp = pname.endswith("coul/charmm/implicit")
+            is_fsw = "charmmfsw" in pname
+            is_fsh = pname.endswith("coul/charmmfsh")
             pair = make_pair_params(
                 eps, sig, cut,
                 cut_coul=(script.pair.cut_coul
@@ -946,8 +948,10 @@ class Simulation:
                            else "dsf" if is_dsf
                            else "wolf" if is_wolf
                            else "charmm/implicit" if is_ch_imp
-                           else "charmm" if is_ch_cut else "long"),
+                           else "charmm" if is_ch_cut
+                           else "charmmfsh" if is_fsh else "long"),
                 cut_coul_inner=script.pair.cut_coul_inner,
+                charmm_fsw=is_fsw,
                 dtype=dtype)
         if getattr(script, "neigh_exclude_mol", False):
             pair = dataclasses.replace(pair, excl_mol=True)

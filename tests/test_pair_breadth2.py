@@ -457,3 +457,68 @@ run 400
     v = np.asarray(s._sim.sys.v)[:64]
     m = np.where(np.asarray(s.type) == 1, 1.0, 1.5)[:, None]
     assert np.abs((m * v).sum(axis=0)).max() < 1e-9
+
+
+def test_charmmfsw_fsh_golden(tmp_path):
+    """lj/charmmfsw/coul/charmmfsh: CHARMM force-switched LJ + force-
+    shifted coulomb vs the rebuilt reference."""
+    write_data(str(tmp_path / "data.breadth"))
+    rows = _run_case(f"""
+units lj
+atom_style charge
+read_data {tmp_path}/data.breadth
+pair_style lj/charmmfsw/coul/charmmfsh 1.8 2.2 2.4
+pair_coeff 1 1 1.0 1.0
+pair_coeff 2 2 0.8 1.1
+velocity all create 1.0 87287 loop geom
+timestep 0.005
+fix 1 all nve
+thermo 5
+run 5
+""", tmp_path)
+    ref = {0: (1.0, -1.14747471387, -0.904567057545, -0.242907656322,
+               -0.366306512177),
+           5: (1.00580226085, -1.15619587224, -0.913223875741,
+               -0.242971996502, -0.368041811185)}
+    got = {int(r["step"]): r for r in rows}
+    for step, (temp, pe, ev, ec, pr) in ref.items():
+        r = got[step]
+        assert r["temp"] == pytest.approx(temp, rel=2e-6), step
+        assert r["evdwl"] == pytest.approx(ev, rel=2e-6), step
+        assert r["ecoul"] == pytest.approx(ec, rel=2e-6), step
+        assert r["pe"] == pytest.approx(pe, rel=2e-6), step
+        assert r["press"] == pytest.approx(pr, rel=2e-5), step
+
+
+def test_charmmfsw_coul_long_golden(tmp_path):
+    """lj/charmmfsw/coul/long + ewald vs the rebuilt reference."""
+    write_data(str(tmp_path / "data.breadth"))
+    rows = _run_case(f"""
+units lj
+atom_style charge
+read_data {tmp_path}/data.breadth
+pair_style lj/charmmfsw/coul/long 1.8 2.2 2.4
+pair_coeff 1 1 1.0 1.0
+pair_coeff 2 2 0.8 1.1
+kspace_style ewald 1.0e-6
+velocity all create 1.0 87287 loop geom
+timestep 0.005
+fix 1 all nve
+thermo 5
+run 5
+""", tmp_path)
+    ref = {0: (1.0, -1.48711586758, -0.904567057545, -0.00246372882613,
+               -0.580085081204, -0.364550075037),
+           5: (1.00593867861, -1.49603843883, -0.913225786853,
+               -0.00256795946468, -0.58024469251, -0.366236953668)}
+    got = {int(r["step"]): r for r in rows}
+    for step, (temp, pe, ev, ec, el, pr) in ref.items():
+        r = got[step]
+        assert r["temp"] == pytest.approx(temp, rel=2e-6), step
+        assert r["evdwl"] == pytest.approx(ev, rel=2e-6), step
+        # ecoul is tiny (real-space erfc tail): absolute tolerance; the
+        # reference's 12-bit erfc table costs it ~1e-5 relative anyway
+        assert r["ecoul"] == pytest.approx(ec, rel=2e-4, abs=1e-7), step
+        assert r["elong"] == pytest.approx(el, rel=2e-5), step
+        assert r["pe"] == pytest.approx(pe, rel=2e-6), step
+        assert r["press"] == pytest.approx(pr, rel=2e-4), step

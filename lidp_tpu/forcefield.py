@@ -62,6 +62,11 @@ class ForceField:
     # pair params carry LJ only (coul=False) and the coulomb (real + recip)
     # runs on charge-site positions with affine force redistribution
     tip4p: Optional[object] = None
+    # True for the MOLECULE tip4p/cut family (pair_tip4p_cut.cpp /
+    # pair_lj_cut_tip4p_cut.cpp): bare cutoff Coulomb on charge sites,
+    # no k-space term
+    tip4p_cut: bool = dataclasses.field(metadata=dict(static=True),
+                                        default=False)
     # geometric-dispersion k-space (pair lj/long/coul/long + ewald/disp
     # func[1]): per-mode tables + per-atom B_i = sqrt(4 eps sig^6)
     ewald6: Optional[ewald_ops.Ewald6Params] = None
@@ -273,7 +278,8 @@ def compute_forces(sys: System, ff: ForceField,
         sp = ff.sp_code if ff.sp_code is not None else 0
         fcs, ec4, vc4 = tip4p_coul_dense(
             sys.x, sys.q, sp, sys.mask, sys.box, ff.pair.cut_coulsq,
-            ff.pair.g_ewald, ff.qqrd2e, ff.pair.special_coul, ff.tip4p)
+            ff.pair.g_ewald, ff.qqrd2e, ff.pair.special_coul, ff.tip4p,
+            mode="cut" if ff.tip4p_cut else "long")
         f = f + redistribute(fcs, ff.tip4p)
         ecoul = ecoul + ec4
         virial = virial + vc4

@@ -100,6 +100,8 @@ class PairStyleSpec:
     # TIP4P off-site charge: (typeO, typeH, typeB, typeA, qdist)
     # (pair_lj_cut_tip4p_long.cpp settings :431-454)
     tip4p: tuple = None
+    # "long" (erfc + kspace) or "cut" (pair_tip4p_cut.cpp bare Coulomb)
+    tip4p_mode: str = "long"
     # CHARMM/GROMACS coulomb switching inner cutoff
     cut_coul_inner: float = 0.0
 
@@ -734,7 +736,8 @@ class LammpsScript:
         "lj/charmm/coul/charmm/implicit", "lj/charmm/coul/msm",
         "lj/charmmfsw/coul/long", "lj/charmmfsw/coul/charmmfsh",
         "lj/gromacs/coul/gromacs",
-        "lj/long/coul/long", "lj/cut/tip4p/long",
+        "lj/long/coul/long", "lj/cut/tip4p/long", "lj/cut/tip4p/cut",
+        "tip4p/long", "tip4p/cut",
         "morse", "buck", "buck/coul/cut", "buck/coul/long", "yukawa",
         "gauss", "soft", "born", "born/coul/long", "born/coul/dsf",
         "born/coul/wolf", "born/coul/msm", "buck/coul/msm",
@@ -936,13 +939,24 @@ class LammpsScript:
             # pair_lj_cut_coul_msm.cpp settings: cut_lj [cut_coul]
             p.cut_lj_global = float(a[1])
             p.cut_coul = float(a[2]) if len(a) > 2 else p.cut_lj_global
-        elif a[0] == "lj/cut/tip4p/long":
+        elif a[0] in ("lj/cut/tip4p/long", "lj/cut/tip4p/cut"):
             # otype htype btype atype qdist cut_lj [cut_coul]
-            # (pair_lj_cut_tip4p_long.cpp:431-454)
+            # (pair_lj_cut_tip4p_long.cpp:431-454;
+            #  pair_lj_cut_tip4p_cut.cpp::settings identical grammar)
             p.tip4p = (int(a[1]), int(a[2]), int(a[3]), int(a[4]),
                        float(a[5]))
+            p.tip4p_mode = "cut" if a[0].endswith("/cut") else "long"
             p.cut_lj_global = float(a[6])
             p.cut_coul = float(a[7]) if len(a) > 7 else p.cut_lj_global
+        elif a[0] in ("tip4p/long", "tip4p/cut"):
+            # Coulomb-only off-site styles: otype htype btype atype qdist
+            # cut_coul (pair_tip4p_cut.cpp::settings :374-387,
+            # pair_tip4p_long.cpp::settings — both take exactly 6 args)
+            p.tip4p = (int(a[1]), int(a[2]), int(a[3]), int(a[4]),
+                       float(a[5]))
+            p.tip4p_mode = "cut" if a[0].endswith("/cut") else "long"
+            p.cut_coul = float(a[6])
+            p.cut_lj_global = 0.0   # no vdW term
         elif a[0] == "table":
             # pair_style table linear N (pair_table.cpp); bitmap/spline
             # styles resample onto the same linear grid here
@@ -1032,6 +1046,8 @@ class LammpsScript:
         if self.pair.name in _NCOEFF and a[0] == "*" and a[1] == "*" \
                 and self.pair.name.startswith("coul"):
             return   # coul styles take no per-pair coefficients
+        if self.pair.name in ("tip4p/cut", "tip4p/long"):
+            return   # Coulomb-only off-site styles: no per-pair coeffs
         if self.pair.name == "table":
             # pair_coeff i j FILE KEYWORD [cutoff]
             if a[0] == "*" or a[1] == "*":

@@ -91,13 +91,21 @@ def redistribute(f_cs, tp: TIP4PParams):
 
 
 def tip4p_coul_dense(x, q, sp_code, mask, box: Box, cut_coulsq, g_ewald,
-                     qqrd2e, special_coul, tp: TIP4PParams):
-    """Dense (N,N) real-space erfc Coulomb between charge sites.
+                     qqrd2e, special_coul, tp: TIP4PParams, mode="long"):
+    """Dense (N,N) real-space Coulomb between charge sites.
+
+    mode="long": erfc-damped Ewald real space
+    (pair_lj_cut_tip4p_long.cpp / pair_tip4p_long.cpp); special-bond
+    handling follows the kspace-present convention
+    forcecoul -= (1-factor)*prefactor on the M-site separation
+    (compute, :263-268).
+
+    mode="cut": bare cutoff Coulomb with the multiplicative special factor
+    (pair_tip4p_cut.cpp:211-214 cforce = factor_coul*qqrd2e*qi*qj/r*r2inv,
+    ecoul *= factor_coul at :343; pair_lj_cut_tip4p_cut.cpp identical).
 
     Returns (f_chargesite (N,3), ecoul, virial6); the caller redistributes
-    forces with `redistribute`.  Special-bond handling follows the
-    kspace-present convention forcecoul -= (1-factor)*prefactor on the
-    M-site separation (compute, :263-268)."""
+    forces with `redistribute`."""
     xs = charge_sites(x, box, tp)
     n = x.shape[0]
     delta = min_image_box(xs[:, None, :] - xs[None, :, :], box)
@@ -110,13 +118,17 @@ def tip4p_coul_dense(x, q, sp_code, mask, box: Box, cut_coulsq, g_ewald,
     cm = pair_mask & (rsq < cut_coulsq)
     r = jnp.sqrt(rsq)
     prefactor = qqrd2e * q[:, None] * q[None, :] / r
-    grij = g_ewald * r
-    expm2 = jnp.exp(-grij * grij)
-    t = 1.0 / (1.0 + EWALD_P * grij)
-    erfc = t * (A1 + t * (A2 + t * (A3 + t * (A4 + t * A5)))) * expm2
-    forcecoul = prefactor * (erfc + EWALD_F * grij * expm2) \
-        - (1.0 - factor_coul) * prefactor
-    ecoul = prefactor * erfc - (1.0 - factor_coul) * prefactor
+    if mode == "cut":
+        forcecoul = factor_coul * prefactor
+        ecoul = factor_coul * prefactor
+    else:
+        grij = g_ewald * r
+        expm2 = jnp.exp(-grij * grij)
+        t = 1.0 / (1.0 + EWALD_P * grij)
+        erfc = t * (A1 + t * (A2 + t * (A3 + t * (A4 + t * A5)))) * expm2
+        forcecoul = prefactor * (erfc + EWALD_F * grij * expm2) \
+            - (1.0 - factor_coul) * prefactor
+        ecoul = prefactor * erfc - (1.0 - factor_coul) * prefactor
     forcecoul = jnp.where(cm, forcecoul, 0.0)
     ecoul = jnp.where(cm, ecoul, 0.0)
 

@@ -1111,7 +1111,7 @@ class Simulation:
                 otype, htype, t_alpha, dtype=dtype)
             if n > DENSE_PATH_MAX_ATOMS:
                 raise NotImplementedError(
-                    "lj/cut/tip4p/long runs the dense path only "
+                    "TIP4P pair styles run the dense path only "
                     f"(n <= {DENSE_PATH_MAX_ATOMS})")
 
         sp_code = None
@@ -1334,6 +1334,8 @@ class Simulation:
                                        or dpdp is not None) else pair),
                         dpd=dpdp,
                         polar_xshift=polar_xshift, tip4p=tipp,
+                        tip4p_cut=(getattr(script.pair, "tip4p_mode",
+                                           "long") == "cut"),
                         ewald=ew, ewald6=ew6, b_atom=b_atom_pad,
                         pppm_disp=pppm_dispp, msm=msmp,
                         extra_pairs=extra_pairs,

@@ -737,7 +737,8 @@ class LammpsScript:
         "lj/charmmfsw/coul/long", "lj/charmmfsw/coul/charmmfsh",
         "lj/gromacs/coul/gromacs",
         "lj/long/coul/long", "lj/cut/tip4p/long", "lj/cut/tip4p/cut",
-        "tip4p/long", "tip4p/cut",
+        "tip4p/long", "tip4p/cut", "buck/long/coul/long",
+        "lj/long/tip4p/long",
         "morse", "buck", "buck/coul/cut", "buck/coul/long", "yukawa",
         "gauss", "soft", "born", "born/coul/long", "born/coul/dsf",
         "born/coul/wolf", "born/coul/msm", "buck/coul/msm",
@@ -906,15 +907,31 @@ class LammpsScript:
         elif a[0] in ("born/coul/long", "born/coul/msm", "buck/coul/msm"):
             p.cut_lj_global = float(a[1])
             p.cut_coul = float(a[2]) if len(a) > 2 else p.cut_lj_global
-        elif a[0] == "lj/long/coul/long":
+        elif a[0] in ("lj/long/coul/long", "buck/long/coul/long"):
             # pair_style lj/long/coul/long flag_lj flag_coul cutoff [cut_c]
-            # (pair_lj_long_coul_long.cpp settings) — only the long/long
-            # combination (both sums in k-space) is supported here
+            # (pair_lj_long_coul_long.cpp settings;
+            #  pair_buck_long_coul_long.cpp identical grammar) — only the
+            # long/long combination (both sums in k-space) is supported
             if a[1] != "long" or a[2] != "long":
                 raise NotImplementedError(
-                    "lj/long/coul/long: only 'long long' flags supported")
+                    f"{a[0]}: only 'long long' flags supported")
             p.cut_lj_global = float(a[3])
             p.cut_coul = float(a[4]) if len(a) > 4 else p.cut_lj_global
+        elif a[0] == "lj/long/tip4p/long":
+            # flag_lj flag_coul otype htype btype atype qdist cut_lj [cut_c]
+            # (pair_lj_long_tip4p_long.cpp settings :1436-1470)
+            if a[2] != "long":
+                raise NotImplementedError(
+                    "lj/long/tip4p/long: coulomb flag must be 'long'")
+            if a[1] not in ("cut", "long"):
+                raise NotImplementedError(
+                    "lj/long/tip4p/long: lj flag must be 'cut' or 'long'")
+            self._tip4p_lj_long = a[1] == "long"
+            p.tip4p = (int(a[3]), int(a[4]), int(a[5]), int(a[6]),
+                       float(a[7]))
+            p.tip4p_mode = "long"
+            p.cut_lj_global = float(a[8])
+            p.cut_coul = float(a[9]) if len(a) > 9 else p.cut_lj_global
         elif a[0] == "lj/cut/coul/cut":
             p.cut_lj_global = float(a[1])
             p.cut_coul = float(a[2]) if len(a) > 2 else p.cut_lj_global
@@ -1042,7 +1059,7 @@ class LammpsScript:
                    "born/coul/dsf": 5, "born/coul/wolf": 5, "beck": 5,
                    "born/coul/msm": 5, "buck/coul/msm": 3,
                    "coul/dsf": 0, "coul/wolf": 0, "zero": 0, "zbl": 2,
-                   "dpd": 2, "dpd/tstat": 1}
+                   "dpd": 2, "dpd/tstat": 1, "buck/long/coul/long": 3}
         if self.pair.name in _NCOEFF and a[0] == "*" and a[1] == "*" \
                 and self.pair.name.startswith("coul"):
             return   # coul styles take no per-pair coefficients
@@ -1841,6 +1858,9 @@ class LammpsScript:
         while i < len(a):
             if a[i] == "gewald":
                 self._gewald_override = float(a[i + 1]); i += 2
+            elif a[i] == "gewald/disp":
+                # pins g_ewald_6 (kspace.cpp modify_params gewald/disp)
+                self._gewald6_override = float(a[i + 1]); i += 2
             elif a[i] == "cutoff/adjust":
                 # MSM cutoff auto-adjustment (kspace.cpp:534)
                 self._msm_cutoff_adjust = a[i + 1] == "yes"; i += 2

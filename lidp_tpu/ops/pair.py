@@ -470,6 +470,24 @@ def _vdw_terms(kind, rsq, r2inv, t1, t2, t3, t4, t5=None,
                  * x2e * rsq)
         e = rn * rn * t3 - g6c * ((a2 + 1.0) * a2 + 0.5) * x2e
         return force, e
+    if kind == "buck/long":
+        # pair_buck_long_coul_long.cpp::compute (order6 series branch):
+        # full A exp(-r/rho) repulsion + g6-damped C/r^6 dispersion
+        # complement (k-space part in ewald6_forces).  t1 = A,
+        # t2 = 1/rho, t3 = C (geometric mixing for the B_i B_j k-space
+        # factorization); t5 = the global g_ewald_6.
+        rexp = jnp.exp(-r * t2)
+        g2 = t5 * t5
+        x2v = g2 * rsq
+        a2 = 1.0 / x2v
+        x2e = a2 * jnp.exp(-x2v) * t3
+        g6c = g2 * g2 * g2
+        g8c = g6c * g2
+        force = ((t1 * t2) * r * rexp
+                 - g8c * (((6.0 * a2 + 6.0) * a2 + 3.0) * a2 + 1.0)
+                 * x2e * rsq)
+        e = t1 * rexp - g6c * ((a2 + 1.0) * a2 + 0.5) * x2e
+        return force, e
     if kind == "lj96":
         # pair_lj96_cut.cpp:96-99: 9-6 LJ, lj1/3 = 36/4 eps sig^9,
         # lj2/4 = 24/4 eps sig^6
@@ -695,8 +713,23 @@ def _pair_terms(rsq, qi, qj, ti, tj, sp_code, p: PairParams, pair_mask):
         forcelj = jnp.where(outer, forcelj * switch1 + philj * switch2,
                             forcelj)
         philj = jnp.where(outer, philj * switch1, philj)
-    evdwl = (philj - p.offset[ti, tj]) * factor_lj
-    forcelj = jnp.where(lj_mask, forcelj * factor_lj, 0.0)
+    if p.kind in ("lj/long", "buck/long"):
+        # long-dispersion kinds: the special factor scales ONLY the bare
+        # potential — the k-space sum is over all pairs, so the special
+        # case adds back t = rn*(1-f) of the r^-6 term
+        # (pair_lj_long_coul_long.cpp:529-533 /
+        #  pair_buck_long_coul_long.cpp order6 special branch).
+        # Algebraically terms(f) = terms(1) - (1-f) * plain_terms.
+        base_kind = "lj" if p.kind == "lj/long" else "buck"
+        f0, e0 = _vdw_terms(base_kind, rsq, r2inv, p.lj1[ti, tj],
+                            p.lj2[ti, tj], p.lj3[ti, tj], p.lj4[ti, tj])
+        forcelj = forcelj - (1.0 - factor_lj) * f0
+        philj = philj - (1.0 - factor_lj) * e0
+        evdwl = philj - p.offset[ti, tj]
+    else:
+        evdwl = (philj - p.offset[ti, tj]) * factor_lj
+        forcelj = forcelj * factor_lj
+    forcelj = jnp.where(lj_mask, forcelj, 0.0)
     evdwl = jnp.where(lj_mask, evdwl, 0.0)
 
     if p.coul:

@@ -854,6 +854,7 @@ class Simulation:
         extra_pairs = ()
         extra_coul_long = ()
         dpdp = None
+        disp_b_peratom = None   # set by the */long/* dispersion styles
         if pname == "table":
             pair, cut = _build_table_pair(script, excl_types, dtype)
         elif pname in ("dpd", "dpd/tstat"):
@@ -870,35 +871,81 @@ class Simulation:
                 script, u, excl_types, dtype)
         elif pname in _GENERIC_PAIR_KINDS:
             pair, cut = _build_generic_pair(script, u, excl_types, dtype)
-        elif pname == "lj/long/coul/long":
-            # both LJ-dispersion and coulomb long: real-space kernel is the
-            # r^-12 + g6-damped r^-6 complement (kind lj/long); geometric
-            # mixing is REQUIRED for the B_i B_j k-space factorization
-            # (pair_lj_long_coul_long.cpp init_one + ewald_disp func[1])
+        elif pname in ("lj/long/coul/long", "buck/long/coul/long") or (
+                pname == "lj/long/tip4p/long"
+                and getattr(script, "_tip4p_lj_long", False)):
+            # both vdW-dispersion and coulomb long: real-space kernel is
+            # the short-range part + g6-damped r^-6 complement (kind
+            # lj/long or buck/long); geometric mixing of the r^-6
+            # coefficient is REQUIRED for the B_i B_j k-space
+            # factorization (pair_lj_long_coul_long.cpp init_one +
+            # ewald_disp func[1]; pair_buck_long_coul_long.cpp /
+            # pair_lj_long_tip4p_long.cpp analogous)
             from lidp_tpu.ops.pair import make_generic_pair_params
 
-            eps, sig, cut = _mix_pair_tables(script)
-            if (len(getattr(script, "_bonds", ())) and
-                    not np.allclose(script.special_lj, 1.0)):
-                raise NotImplementedError(
-                    "lj/long/coul/long needs special_lj 1 1 1: the k-space "
-                    "dispersion sum includes all pairs")
-            s6t = sig ** 6
-            pair = make_generic_pair_params(
-                "lj/long", 48.0 * eps * s6t * s6t, 24.0 * eps * s6t,
-                4.0 * eps * s6t * s6t, 4.0 * eps * s6t,
-                np.ones_like(eps),   # t5 = g_ewald_6, patched after kspace
-                cut_lj=cut, cut_coul=script.pair.cut_coul, coul=True,
-                qqrd2e=u.qqr2e, special_lj=np.array(script.special_lj),
-                special_coul=np.array(script.special_coul),
-                excl_types=excl_types, dtype=dtype)
-            # per-atom B_i = sqrt(4 eps_tt) sig_tt^3 (EwaldDisp::init_coeffs)
-            # for whichever dispersion k-solver (ewald/disp or pppm/disp)
-            eps_d = np.array([0.0] + [eps[t, t]
-                                      for t in range(1, script.ntypes + 1)])
-            sig_d = np.array([0.0] + [sig[t, t]
-                                      for t in range(1, script.ntypes + 1)])
-            disp_b_peratom = (np.sqrt(4.0 * eps_d) * sig_d ** 3)[script.type]
+            # specials are fine: the kernel applies the reference's
+            # special-case algebra (factor on the bare potential + the
+            # rn*(1-f) dispersion add-back) in ops/pair._pair_terms
+            # tip4p flavor: the main kernel is vdW-only — Coulomb runs on
+            # charge sites via the tip4p block (coul=False)
+            has_coul = tip4p_spec is None
+            if pname == "buck/long/coul/long":
+                T_ = script.ntypes
+                tA = np.zeros((T_ + 1, T_ + 1))
+                tRinv = np.zeros((T_ + 1, T_ + 1))
+                tC = np.zeros((T_ + 1, T_ + 1))
+                cut = np.full((T_ + 1, T_ + 1), script.pair.cut_lj_global)
+                seen = np.zeros((T_ + 1, T_ + 1), bool)
+                for (i_, j_), co in script.pair_coeffs.items():
+                    A_, rho_, C_ = co[:3]
+                    tA[i_, j_] = tA[j_, i_] = A_
+                    tRinv[i_, j_] = tRinv[j_, i_] = 1.0 / rho_
+                    tC[i_, j_] = tC[j_, i_] = C_
+                    seen[i_, j_] = seen[j_, i_] = True
+                for i_ in range(1, T_ + 1):
+                    for j_ in range(i_ + 1, T_ + 1):
+                        if not seen[i_, j_]:
+                            # sigma mixing for buck/long (init_one:
+                            # geometric on A and C, harmonic-free rho mix)
+                            raise ValueError(
+                                "All pair coeffs are not set "
+                                f"(buck/long/coul/long {i_} {j_})")
+                pair = make_generic_pair_params(
+                    "buck/long", tA, tRinv, tC, np.zeros_like(tA),
+                    np.ones_like(tA),   # t5 = g_ewald_6, patched at kspace
+                    cut_lj=cut, cut_coul=script.pair.cut_coul,
+                    coul=has_coul, qqrd2e=u.qqr2e,
+                    special_lj=np.array(script.special_lj),
+                    special_coul=np.array(script.special_coul),
+                    excl_types=excl_types, dtype=dtype)
+                # B_i = sqrt(|C_tt|) (EwaldDisp::init_coeffs func[1])
+                c_d = np.array([0.0] + [tC[t, t]
+                                        for t in range(1,
+                                                       script.ntypes + 1)])
+                disp_b_peratom = np.sqrt(np.abs(c_d))[script.type]
+            else:
+                eps, sig, cut = _mix_pair_tables(script)
+                s6t = sig ** 6
+                pair = make_generic_pair_params(
+                    "lj/long", 48.0 * eps * s6t * s6t, 24.0 * eps * s6t,
+                    4.0 * eps * s6t * s6t, 4.0 * eps * s6t,
+                    np.ones_like(eps),  # t5 = g_ewald_6, patched at kspace
+                    cut_lj=cut, cut_coul=script.pair.cut_coul,
+                    coul=has_coul, qqrd2e=u.qqr2e,
+                    special_lj=np.array(script.special_lj),
+                    special_coul=np.array(script.special_coul),
+                    excl_types=excl_types, dtype=dtype)
+                # per-atom B_i = sqrt(4 eps_tt) sig_tt^3
+                # (EwaldDisp::init_coeffs) for whichever dispersion
+                # k-solver (ewald/disp or pppm/disp)
+                eps_d = np.array([0.0] + [eps[t, t]
+                                          for t in range(1,
+                                                         script.ntypes + 1)])
+                sig_d = np.array([0.0] + [sig[t, t]
+                                          for t in range(1,
+                                                         script.ntypes + 1)])
+                disp_b_peratom = (np.sqrt(4.0 * eps_d)
+                                  * sig_d ** 3)[script.type]
         else:
             eps, sig, cut = _mix_pair_tables(script)
             if getattr(script, "_pair_tail", False) and not charmm:
@@ -969,7 +1016,8 @@ class Simulation:
 
             style, acc = script.kspace
             if style not in ("pppm", "pppm/tip4p", "pppm/cg",
-                             "pppm/stagger", "pppm/disp"):
+                             "pppm/stagger", "pppm/disp",
+                             "pppm/disp/tip4p"):
                 raise NotImplementedError(f"kspace_style {style}")
             # pppm/cg (pppm_cg.cpp) restricts spreading/interpolation to the
             # charged-atom subset — a sparsity optimization whose math is
@@ -992,20 +1040,28 @@ class Simulation:
                 ps, u.qqr2e, float(np.sum(script.q ** 2)),
                 float(np.sum(script.q)), dtype=dtype,
                 stagger=(style == "pppm/stagger"))
-            if style == "pppm/disp":
+            if style in ("pppm/disp", "pppm/disp/tip4p"):
                 # dispersion mesh alongside the charge mesh
-                # (pppm_disp.cpp geometric branch)
+                # (pppm_disp.cpp geometric branch; pppm_disp_tip4p.cpp
+                # additionally maps the charge mesh to M sites, which the
+                # ForceField tip4p block already does generically)
                 from lidp_tpu.ops.pppm import (PPPMDispParams,
                                                setup_pppm_disp)
 
-                if pname != "lj/long/coul/long":
+                if disp_b_peratom is None and style == "pppm/disp":
                     raise NotImplementedError(
-                        "kspace pppm/disp needs pair lj/long/coul/long")
+                        "kspace pppm/disp needs a */long/* dispersion "
+                        "pair style")
+            if style in ("pppm/disp", "pppm/disp/tip4p") \
+                    and disp_b_peratom is not None:
+                # pair flag "cut long" leaves the dispersion function off
+                # (pppm_disp.cpp init: ewald_order bit 6 unset)
                 ps6 = setup_pppm_disp(
                     accuracy_rel=acc, qqrd2e=u.qqr2e,
                     b_atom=disp_b_peratom, natoms=n,
                     cutoff=script.pair.cut_lj_global,
-                    box_lengths=script.box_hi - script.box_lo)
+                    box_lengths=script.box_hi - script.box_lo,
+                    g6=getattr(script, "_gewald6_override", None))
                 pair = dataclasses.replace(
                     pair, lj5=jnp.full((script.ntypes + 1,) * 2, ps6.g6,
                                        dtype))
@@ -1041,7 +1097,7 @@ class Simulation:
             # simply disabled and only the requested extra functions run
             # (EwaldDisp::init function selection)
             uncharged = (float(np.sum(script.q ** 2)) == 0.0
-                         and pname == "lj/long/coul/long")
+                         and disp_b_peratom is not None)
             if not uncharged:
                 es = setup_ewald_disp(
                     accuracy_rel=acc, qqrd2e=u.qqr2e, q=script.q, natoms=n,
@@ -1059,16 +1115,23 @@ class Simulation:
                         for pe, fl in zip(extra_pairs,
                                           extra_coul_long[1:]))
                 ew = EwaldParams.from_setup(es, u.qqr2e, dtype=dtype)
-            if pname == "lj/long/coul/long":
+            if disp_b_peratom is not None:
                 # exact-k dispersion function of ewald/disp (func[1])
                 from lidp_tpu.ops.ewald import (Ewald6Params,
                                                 setup_dispersion)
 
+                # EwaldDisp forces g_ewald_6 = g_ewald (ewald_disp.cpp
+                # :230) — the dispersion damping equals the charge
+                # parameter; an uncharged system falls back to the Newton
+                # solve (and kspace_modify gewald/disp is honored only by
+                # pppm/disp, as in the reference)
                 es6 = setup_dispersion(
                     accuracy_rel=acc, qqrd2e=u.qqr2e,
                     b_atom=disp_b_peratom, natoms=n,
                     cutoff=script.pair.cut_lj_global,
-                    box_lengths=script.box_hi - script.box_lo)
+                    box_lengths=script.box_hi - script.box_lo,
+                    g6=(es.g_ewald if es is not None
+                        else getattr(script, "_gewald_override", None)))
                 pair = dataclasses.replace(
                     pair, lj5=jnp.full((script.ntypes + 1,) * 2, es6.g6,
                                        dtype))

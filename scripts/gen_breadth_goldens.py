@@ -124,6 +124,17 @@ CASES = {
                   "pair_coeff 1 1 1.0 0.4 1.0 1.0 0.5",
                   "pair_coeff 1 2 0.9 0.45 1.05 1.0 0.5",
                   "pair_coeff 2 2 0.8 0.5 1.1 1.0 0.5"]),
+    # Buckingham with both sums long (pair_buck_long_coul_long.cpp):
+    # C coefficients given AT the geometric-mix values (the B_i B_j
+    # k-space factorization is exact then); ewald/disp forces
+    # g_ewald_6 = g_ewald (ewald_disp.cpp:230) so the split matches
+    "bucklong": ("lj", 0.005,
+                 ["pair_style buck/long/coul/long long long 2.5",
+                  "pair_coeff 1 1 100.0 0.5 1.0",
+                  "pair_coeff 1 2 90.0 0.55 0.894427190999916",
+                  "pair_coeff 2 2 80.0 0.6 0.8",
+                  "kspace_style ewald/disp 1.0e-4",
+                  "pair_modify table/disp 0 table 0"]),
 }
 
 

@@ -94,6 +94,31 @@ CASES = {
         "pair_coeff * *",
         "kspace_style pppm/tip4p 1.0e-4",
     ],
+    # LJ-cut flavor of the dispersion-capable tip4p style
+    # (pair_lj_long_tip4p_long.cpp, flags "cut long")
+    "ljlongtip4p_cut": [
+        # the pair style sets dispersionflag unconditionally
+        # (pair_lj_long_tip4p_long.cpp:54), so even the "cut" lj flavor
+        # must pair with pppm/disp/tip4p; function[1] stays off
+        f"pair_style lj/long/tip4p/long cut long 1 2 1 1 {QDIST} 5.9 5.0",
+        f"pair_coeff 1 1 {EPS_OO} {SIG_OO}",
+        "pair_coeff 2 2 0.0 0.0",
+        "kspace_style pppm/disp/tip4p 1.0e-4",
+        # pppm_disp.cpp's own g_ewald iteration differs from pppm.cpp's —
+        # pin it so the real/k charge split is comparable
+        "kspace_modify gewald 0.521103",
+    ],
+    # full dispersion-long + coulomb-long tip4p
+    # (pair_lj_long_tip4p_long.cpp "long long" + pppm_disp_tip4p.cpp)
+    "ljlongtip4p_long": [
+        f"pair_style lj/long/tip4p/long long long 1 2 1 1 {QDIST} 5.9 5.0",
+        f"pair_coeff 1 1 {EPS_OO} {SIG_OO}",
+        "pair_coeff 2 2 0.0 0.0",
+        "kspace_style pppm/disp/tip4p 1.0e-4",
+        # pin g_ewald (pppm_disp.cpp's own iteration differs from
+        # pppm.cpp's) and g_ewald_6 so both real/k splits are comparable
+        "kspace_modify gewald 0.521103 gewald/disp 0.28",
+    ],
 }
 
 

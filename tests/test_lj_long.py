@@ -136,7 +136,7 @@ def test_charged_coul_long_still_works():
     n = len(x)
     q = np.tile([0.25, -0.25], n // 2)
 
-    def run(style_lines):
+    def run(style_lines, charged=True):
         s = LammpsScript()
         s.execute(f"""
 units lj
@@ -147,7 +147,7 @@ create_box 1 box
 """.strip().splitlines() + style_lines.strip().splitlines())
         s.x = x.copy()
         s.v = np.zeros((n, 3))
-        s.q = q.copy()
+        s.q = q.copy() if charged else np.zeros(n)
         s.type = np.ones(n, np.int32)
         s.mol = np.zeros(n, np.int32)
         s.image = np.zeros((n, 3), np.int32)
@@ -158,16 +158,23 @@ create_box 1 box
         s.one("run 0")
         return s.thermo_rows[-1]
 
+    # g pinned everywhere: EwaldDisp forces g_ewald_6 = g_ewald
+    # (ewald_disp.cpp:230), so isolating the dispersion elong with an
+    # uncharged run needs all three runs on the same damping parameter
     r_long = run("pair_style lj/long/coul/long long long 3.0\n"
-                 "pair_coeff 1 1 1.0 1.0\nkspace_style ewald/disp 1e-6")
+                 "pair_coeff 1 1 1.0 1.0\nkspace_style ewald/disp 1e-6\n"
+                 "kspace_modify gewald 1.1")
     r_cut = run("pair_style lj/cut/coul/long 3.0\n"
-                "pair_coeff 1 1 1.0 1.0\nkspace_style ewald 1e-6")
+                "pair_coeff 1 1 1.0 1.0\nkspace_style ewald 1e-6\n"
+                "kspace_modify gewald 1.1")
     # ecoul (real) matches exactly: same g_ewald estimator inputs
     assert abs(r_long["ecoul"] - r_cut["ecoul"]) < 1e-8 * max(
         1.0, abs(r_cut["ecoul"]))
     # elong differs by exactly the dispersion part; the uncharged run of the
-    # same geometry isolates it
-    s0 = _build(x, L)
-    e6 = s0.thermo_rows[-1]["elong"]
+    # same geometry isolates it (gewald pin applies to g6 when uncharged,
+    # mirroring the reference's required kspace_modify gewald there)
+    e6 = run("pair_style lj/long/coul/long long long 3.0\n"
+             "pair_coeff 1 1 1.0 1.0\nkspace_style ewald/disp 1e-6\n"
+             "kspace_modify gewald 1.1", charged=False)["elong"]
     assert abs((r_long["elong"] - e6) - r_cut["elong"]) < 1e-6 * max(
         1.0, abs(r_cut["elong"]))

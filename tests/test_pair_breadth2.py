@@ -150,6 +150,14 @@ GOLDEN = {
         [4.0, 0.999209328469, 0.614757749521, 1.20490177928, -0.590144029755, 0.63564140403],
         [5.0, 0.998780876364, 0.607630524401, 1.19788991694, -0.590259392535, 0.631896069717],
     ],
+    'bucklong': [
+        [0.0, 1.0, 28.1079554395, 28.9281580226, -0.0226758552563, 9.05390201464],
+        [1.0, 0.997648721184, 28.1114282069, 28.9317318275, -0.0227117412837, 9.05335678808],
+        [2.0, 0.994331680531, 28.1312588766, 28.9516942874, -0.0227653950795, 9.05916099863],
+        [3.0, 0.989803595978, 28.1826615519, 29.0032589311, -0.0228368025403, 9.07805014336],
+        [4.0, 0.984105194842, 28.2058644612, 29.026652203, -0.0229249955975, 9.08322204009],
+        [5.0, 0.97743473188, 28.2305594281, 29.0515649715, -0.0230299363399, 9.08809008563],
+    ],
 }
 
 

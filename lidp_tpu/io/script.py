@@ -746,7 +746,7 @@ class LammpsScript:
         "lj96/cut", "lj/smooth", "lj/smooth/linear", "beck", "ufm",
         "lj/cubic", "zbl", "zero", "dpd", "dpd/tstat",
         "coul/cut", "coul/long", "coul/debye", "coul/msm",
-        "coul/dsf", "coul/wolf", "table", "eam", "eam/alloy",
+        "coul/dsf", "coul/wolf", "table", "eam", "eam/alloy", "eam/fs",
     ))
 
     def cmd_pair_style(self, a):
@@ -778,7 +778,7 @@ class LammpsScript:
             self.hybrid_raw_coeffs = [[] for _ in subs]
             self.pair = p
             return
-        if a[0] in ("eam", "eam/alloy"):
+        if a[0] in ("eam", "eam/alloy", "eam/fs"):
             pass   # per-pair coeff gives the potential file; cutoff from file
         elif a[0].startswith("gran/"):
             # gran/hooke[/history] kn kt gamman gammat xmu dampflag
@@ -1013,21 +1013,22 @@ class LammpsScript:
             # granular styles take no per-type coefficients
             # (PairGranHookeHistory::coeff, pair_gran_hooke_history.cpp:368)
             return
-        if self.pair.name == "eam/alloy":
-            # pair_coeff * * file.alloy El1 El2 ... [NULL] — one element name
-            # per type (pair_eam_alloy.cpp::coeff); mass from the setfl header
+        if self.pair.name in ("eam/alloy", "eam/fs"):
+            # pair_coeff * * file El1 El2 ... [NULL] — one element name
+            # per type (pair_eam_alloy.cpp::coeff / pair_eam_fs.cpp::coeff);
+            # mass from the setfl header
             if a[0] != "*" or a[1] != "*":
-                raise ValueError("eam/alloy pair_coeff must be * *")
+                raise ValueError(f"{self.pair.name} pair_coeff must be * *")
             self.eam_file = os.path.join(self.root, a[2])
             names = a[3:3 + self.ntypes]
             if len(names) != self.ntypes:
                 raise ValueError(
-                    f"eam/alloy needs {self.ntypes} element names, "
+                    f"{self.pair.name} needs {self.ntypes} element names, "
                     f"got {len(names)}")
             self.eam_type_elems = [None if s == "NULL" else s for s in names]
             from lidp_tpu.ops.eam import read_setfl
 
-            d = read_setfl(self.eam_file)
+            d = read_setfl(self.eam_file, fs=self.pair.name == "eam/fs")
             if self.mass_type is None:
                 self.mass_type = np.zeros(self.ntypes + 1)
             for t, name in enumerate(self.eam_type_elems, start=1):

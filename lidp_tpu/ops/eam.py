@@ -47,13 +47,19 @@ def read_funcfl(path: str):
                 frho=frho, zr=zr, rhor=rhor, mass=mass)
 
 
-def read_setfl(path: str):
+def read_setfl(path: str, fs: bool = False):
     """Parse a setfl (eam/alloy) file — pair_eam_alloy.cpp::read_file.
 
     Layout: 3 comment lines; `Nelem name1..nameN`; `nrho drho nr dr cut`;
     per element: header (atomic number, mass, lattice const, structure),
     nrho F(rho) values, nr rho(r) values; then nr r*phi values for each
-    element pair i>=j (lower triangle, row-major)."""
+    element pair i>=j (lower triangle, row-major).
+
+    fs=True parses the Finnis-Sinclair variant
+    (pair_eam_fs.cpp::read_file:195-206): each element block carries
+    nelem density arrays rhor[i][j] — the density function of element i
+    toward element j; rhor is then a flat list of nelem*nelem arrays
+    indexed i*nelem + j."""
     with open(path) as fh:
         for _ in range(3):
             fh.readline()
@@ -70,7 +76,8 @@ def read_setfl(path: str):
         mass.append(float(next(it)))
         next(it); next(it)             # lattice constant, structure
         frho.append(np.array([float(next(it)) for _ in range(nrho)]))
-        rhor.append(np.array([float(next(it)) for _ in range(nr)]))
+        for _j in range(nelem if fs else 1):
+            rhor.append(np.array([float(next(it)) for _ in range(nr)]))
     z2r = {}
     for i in range(nelem):
         for j in range(i + 1):
@@ -220,22 +227,27 @@ class EAMAlloyParams:
     deg: int = dataclasses.field(metadata=dict(static=True), default=7)
     nrho: int = dataclasses.field(metadata=dict(static=True), default=500)
     nelem: int = dataclasses.field(metadata=dict(static=True), default=1)
+    # Finnis-Sinclair (pair_eam_fs.cpp): seg_rho holds nelem*nelem tables
+    # flat-indexed src*nelem + dst; density at atom i due to neighbor j
+    # reads [ej*nelem + ei] (type2rhor[jtype][itype], pair_eam.cpp:205)
+    fs: bool = dataclasses.field(metadata=dict(static=True), default=False)
 
 
 def build_eam_alloy_params(path: str, elem_for_type, dtype=jnp.float32,
-                           nseg=64, deg=7):
+                           nseg=64, deg=7, fs=False):
     """elem_for_type: list of element names (or None for NULL), one per
     LAMMPS type 1..ntypes.  Returns (EAMAlloyParams, mass_per_type[T+1])."""
-    d = read_setfl(path)
+    d = read_setfl(path, fs=fs)
     cut, dr = d["cut"], d["dr"]
     xs = np.linspace(0.0, cut, 20000, endpoint=False) + cut / 40000.0
 
     seg_rho, frho = [], []
-    for e in range(d["nelem"]):
+    for e in range(d["nelem"] ** 2 if fs else d["nelem"]):
         sp_rho = lammps_spline(d["rhor"][e], dr)
         fr = [spline_value(sp_rho, dr, xs), spline_deriv(sp_rho, dr, xs)]
         seg_rho.append(np.concatenate(
             [_fit_segments(xs, f, nseg, deg, cut) for f in fr], axis=1))
+    for e in range(d["nelem"]):
         frho.append(lammps_spline(d["frho"][e], d["drho"]))
     seg_z2 = []
     for i in range(d["nelem"]):
@@ -264,7 +276,7 @@ def build_eam_alloy_params(path: str, elem_for_type, dtype=jnp.float32,
         cut=jnp.asarray(cut, dtype), cutsq=jnp.asarray(cut * cut, dtype),
         drho=jnp.asarray(d["drho"], dtype),
         rhomax=jnp.asarray((d["nrho"] - 1) * d["drho"], dtype),
-        nseg=nseg, deg=deg, nrho=d["nrho"], nelem=d["nelem"],
+        nseg=nseg, deg=deg, nrho=d["nrho"], nelem=d["nelem"], fs=fs,
     ), mass_t
 
 
@@ -488,15 +500,29 @@ def eam_alloy_cell_forces(x, type_, mask, cells: Cells, box: Box,
 
         zero = jnp.zeros_like(r)
         rho_j = rhop_j = rhop_i = rho_i = zero
-        for e in range(p.nelem):
-            re_, rpe = ev(p.seg_rho[e])
-            sj = ej == e
-            si = ei == e
-            rho_j = rho_j + jnp.where(sj, re_, 0.0)
-            rhop_j = rhop_j + jnp.where(sj, rpe, 0.0)
-            rhop_i = rhop_i + jnp.where(si, rpe, 0.0)
-            if want_rho_i:
-                rho_i = rho_i + jnp.where(si, re_, 0.0)
+        if p.fs:
+            # Finnis-Sinclair: density i<-j reads table [ej*ne+ei],
+            # density j<-i reads [ei*ne+ej] (pair_eam.cpp:205-208,288-291)
+            for a in range(p.nelem):
+                for b in range(p.nelem):
+                    sel = (ei == a) & (ej == b)
+                    rj_, rjp_ = ev(p.seg_rho[b * p.nelem + a])
+                    rho_j = rho_j + jnp.where(sel, rj_, 0.0)
+                    rhop_j = rhop_j + jnp.where(sel, rjp_, 0.0)
+                    ri_, rip_ = ev(p.seg_rho[a * p.nelem + b])
+                    rhop_i = rhop_i + jnp.where(sel, rip_, 0.0)
+                    if want_rho_i:
+                        rho_i = rho_i + jnp.where(sel, ri_, 0.0)
+        else:
+            for e in range(p.nelem):
+                re_, rpe = ev(p.seg_rho[e])
+                sj = ej == e
+                si = ei == e
+                rho_j = rho_j + jnp.where(sj, re_, 0.0)
+                rhop_j = rhop_j + jnp.where(sj, rpe, 0.0)
+                rhop_i = rhop_i + jnp.where(si, rpe, 0.0)
+                if want_rho_i:
+                    rho_i = rho_i + jnp.where(si, re_, 0.0)
         z2 = z2p = zero
         if want_z2:
             for a in range(p.nelem):

@@ -827,11 +827,12 @@ class Simulation:
                     script.mass_type = np.zeros(script.ntypes + 1)
                 script.mass_type[1:] = eam_mass   # mass from funcfl (pair_eam.cpp)
                 mass_atom = script.mass_type[script.type]
-        elif script.pair.name == "eam/alloy":
+        elif script.pair.name in ("eam/alloy", "eam/fs"):
             from lidp_tpu.ops.eam import build_eam_alloy_params
 
             eamp, alloy_mass = build_eam_alloy_params(
-                script.eam_file, script.eam_type_elems, dtype=dtype)
+                script.eam_file, script.eam_type_elems, dtype=dtype,
+                fs=script.pair.name == "eam/fs")
             if script.mass_type is None:
                 script.mass_type = alloy_mass
                 mass_atom = script.mass_type[script.type]

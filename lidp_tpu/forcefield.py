@@ -303,46 +303,60 @@ def compute_forces(sys: System, ff: ForceField,
         virial = virial + vir_
 
     if ff.bond is not None and _on("bond"):
-        from lidp_tpu.ops.bonded import bond_forces
+        from lidp_tpu.ops.bonded import bond_forces, bond_quartic_full
 
-        fb, eb, vb = bond_forces(sys.x, sys.box, ff.bond)
-        f = f + fb
-        ebond = ebond + eb
-        virial = virial + vb
+        for bp in (ff.bond if isinstance(ff.bond, tuple) else (ff.bond,)):
+            if bp.style == "quartic":
+                # quartic's pair subtraction tallies into the PAIR
+                # accumulators (bond_quartic.cpp pair->ev_tally block)
+                fb, eb, vb, dev, dvp = bond_quartic_full(sys.x, sys.box, bp)
+                evdwl = evdwl + dev
+                virial = virial + dvp
+            else:
+                fb, eb, vb = bond_forces(sys.x, sys.box, bp)
+            f = f + fb
+            ebond = ebond + eb
+            virial = virial + vb
 
     eangle = edihed = eimp = jnp.zeros((), sys.x.dtype)
     if ff.angle is not None and _on("angle"):
         from lidp_tpu.ops.bonded import angle_forces
 
-        fa, ea, va = angle_forces(sys.x, sys.box, ff.angle)
-        f = f + fa
-        eangle = eangle + ea
-        virial = virial + va
+        for ap in (ff.angle if isinstance(ff.angle, tuple)
+                   else (ff.angle,)):
+            fa, ea, va = angle_forces(sys.x, sys.box, ap)
+            f = f + fa
+            eangle = eangle + ea
+            virial = virial + va
 
     if ff.dihedral is not None and _on("dihedral"):
         from lidp_tpu.ops.bonded import charmm_14_forces, dihedral_forces
 
-        fd, ed, vd = dihedral_forces(sys.x, sys.box, ff.dihedral)
-        f = f + fd
-        edihed = edihed + ed
-        virial = virial + vd
-        if ff.dihedral.style == "charmm" and ff.dihedral.q is not None:
-            # weighted 1-4 pair term tallies into the PAIR accumulators
-            # (dihedral_charmm.cpp ev_tally evdwl/ecoul)
-            f14, ev14, ec14, v14 = charmm_14_forces(sys.x, sys.box,
-                                                    ff.dihedral)
-            f = f + f14
-            evdwl = evdwl + ev14
-            ecoul = ecoul + ec14
-            virial = virial + v14
+        for dp in (ff.dihedral if isinstance(ff.dihedral, tuple)
+                   else (ff.dihedral,)):
+            fd, ed, vd = dihedral_forces(sys.x, sys.box, dp)
+            f = f + fd
+            edihed = edihed + ed
+            virial = virial + vd
+            if (dp.style in ("charmm", "charmmfsw")
+                    and dp.q is not None):
+                # weighted 1-4 pair term tallies into the PAIR accumulators
+                # (dihedral_charmm.cpp ev_tally evdwl/ecoul)
+                f14, ev14, ec14, v14 = charmm_14_forces(sys.x, sys.box, dp)
+                f = f + f14
+                evdwl = evdwl + ev14
+                ecoul = ecoul + ec14
+                virial = virial + v14
 
     if ff.improper is not None and _on("improper"):
         from lidp_tpu.ops.bonded import improper_forces
 
-        fi_, ei_, vi_ = improper_forces(sys.x, sys.box, ff.improper)
-        f = f + fi_
-        eimp = eimp + ei_
-        virial = virial + vi_
+        for ip in (ff.improper if isinstance(ff.improper, tuple)
+                   else (ff.improper,)):
+            fi_, ei_, vi_ = improper_forces(sys.x, sys.box, ip)
+            f = f + fi_
+            eimp = eimp + ei_
+            virial = virial + vi_
 
     if (ff.ewald is not None or ff.pppm is not None) and _on("kspace"):
         # TIP4P: the reciprocal sum sees the charge-site positions and its

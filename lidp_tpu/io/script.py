@@ -188,12 +188,16 @@ class LammpsScript:
         self.eam_file = None
         self.eam_type_elems = None   # eam/alloy: element name per type
         self.bond_style = None
+        self.bond_style_args = []
         self.bond_coeffs = {}
         self.angle_style = None
+        self.angle_style_args = []
         self.angle_coeffs = {}
         self.dihedral_style = None
+        self.dihedral_style_args = []
         self.dihedral_coeffs = {}
         self.improper_style = None
+        self.improper_style_args = []
         self.improper_coeffs = {}
         self._pair_shift = False     # pair_modify shift
         self._pair_mix = "geometric"  # pair_modify mix
@@ -1126,41 +1130,87 @@ class LammpsScript:
         cut = float(a[4]) if len(a) > 4 else self.pair.cut_lj_global
         self.pair_coeffs[(min(i, j), max(i, j))] = (eps, sig, cut)
 
+    ANGLE_STYLES = ("harmonic", "charmm", "cosine", "cosine/squared",
+                    "cosine/delta", "cosine/periodic", "table", "zero",
+                    "hybrid")
+    DIHEDRAL_STYLES = ("opls", "harmonic", "charmm", "charmmfsw",
+                       "multi/harmonic", "helix", "zero", "hybrid")
+    IMPROPER_STYLES = ("harmonic", "cvff", "umbrella", "zero", "hybrid")
+    BOND_STYLES = ("harmonic", "fene", "fene/expand", "morse", "nonlinear",
+                   "gromos", "quartic", "table", "zero", "hybrid")
+
+    @staticmethod
+    def _coeff_vals(a):
+        """Coefficient tokens: floats where possible, raw strings
+        otherwise (table file/keyword args, hybrid sub-style names)."""
+        out = []
+        for v in a:
+            try:
+                out.append(float(v))
+            except ValueError:
+                out.append(v)
+        return out
+
+    def _bonded_types(self, tok, fam):
+        """force->bounds for a bonded type token: N, *, N*, *M, N*M."""
+        try:
+            return [int(tok)]
+        except ValueError:
+            pass
+        arr = getattr(self, f"_{fam}_types", None)
+        tmax = getattr(self, "nbondtypes", 0) if fam == "bond" else 0
+        if not tmax and arr is not None and len(arr):
+            tmax = int(np.max(arr))
+        lo, _, hi = tok.partition("*")
+        return range(int(lo) if lo else 1, (int(hi) if hi else tmax) + 1)
+
     def cmd_angle_style(self, a):
-        if a[0] not in ("harmonic", "charmm"):
+        if a[0] not in self.ANGLE_STYLES:
             raise ValueError(f"unsupported angle_style {a[0]}")
         self.angle_style = a[0]
+        self.angle_style_args = a[1:]    # table: interp + N; hybrid: subs
         self.angle_coeffs = {}
 
     def cmd_angle_coeff(self, a):
-        self.angle_coeffs[int(a[0])] = [float(v) for v in a[1:]]
+        vals = self._coeff_vals(a[1:])
+        for t in self._bonded_types(a[0], "angle"):
+            self.angle_coeffs[t] = vals
 
     def cmd_dihedral_style(self, a):
-        if a[0] not in ("opls", "harmonic", "charmm"):
+        if a[0] not in self.DIHEDRAL_STYLES:
             raise ValueError(f"unsupported dihedral_style {a[0]}")
         self.dihedral_style = a[0]
+        self.dihedral_style_args = a[1:]
         self.dihedral_coeffs = {}
 
     def cmd_dihedral_coeff(self, a):
-        self.dihedral_coeffs[int(a[0])] = [float(v) for v in a[1:]]
+        vals = self._coeff_vals(a[1:])
+        for t in self._bonded_types(a[0], "dihedral"):
+            self.dihedral_coeffs[t] = vals
 
     def cmd_improper_style(self, a):
-        if a[0] != "harmonic":
+        if a[0] not in self.IMPROPER_STYLES:
             raise ValueError(f"unsupported improper_style {a[0]}")
         self.improper_style = a[0]
+        self.improper_style_args = a[1:]
         self.improper_coeffs = {}
 
     def cmd_improper_coeff(self, a):
-        self.improper_coeffs[int(a[0])] = [float(v) for v in a[1:]]
+        vals = self._coeff_vals(a[1:])
+        for t in self._bonded_types(a[0], "improper"):
+            self.improper_coeffs[t] = vals
 
     def cmd_bond_style(self, a):
-        if a[0] not in ("harmonic", "fene"):
+        if a[0] not in self.BOND_STYLES:
             raise ValueError(f"unsupported bond_style {a[0]}")
         self.bond_style = a[0]
+        self.bond_style_args = a[1:]
         self.bond_coeffs = {}
 
     def cmd_bond_coeff(self, a):
-        self.bond_coeffs[int(a[0])] = [float(v) for v in a[1:]]
+        vals = self._coeff_vals(a[1:])
+        for t in self._bonded_types(a[0], "bond"):
+            self.bond_coeffs[t] = vals
 
     def cmd_kspace_style(self, a):
         if a[0] == "none":

@@ -1247,118 +1247,45 @@ class Simulation:
                     angle_keep[shake_found[6]] = False
 
         # ---- bonded term ----
-        bondp = None
+        # (MOLECULE-package style families; builders in
+        # styles/bonded_builders.py — one params pytree per hybrid
+        # sub-style, summed by forcefield.compute_forces)
+        from lidp_tpu.styles.bonded_builders import (
+            build_angle_params, build_bond_params, build_dihedral_params,
+            build_improper_params)
+
+        bondp = anglep = dihedralp = improperp = None
         if has_bonds and script.bond_style is not None:
-            from lidp_tpu.ops.bonded import BondParams
-
-            TB = max(script.bond_coeffs.keys(), default=0)
-            k_t = np.zeros(TB + 1); r0_t = np.zeros(TB + 1)
-            eps_t = np.zeros(TB + 1); sig_t = np.zeros(TB + 1)
-            for bt, co in script.bond_coeffs.items():
-                k_t[bt] = co[0]
-                r0_t[bt] = co[1]
-                if script.bond_style == "fene" and len(co) >= 4:
-                    eps_t[bt], sig_t[bt] = co[2], co[3]
-            bidx = script._bonds - 1
-            btyp = np.asarray(getattr(script, "_bond_types",
-                                      np.ones(len(script._bonds))))
-            if bond_keep is not None:
-                bidx, btyp = bidx[bond_keep], btyp[bond_keep]
-            if len(bidx):
-                bondp = BondParams(
-                    idx=jnp.asarray(bidx, jnp.int32),
-                    btype=jnp.asarray(btyp, jnp.int32),
-                    k=jnp.asarray(k_t, dtype), r0=jnp.asarray(r0_t, dtype),
-                    eps=jnp.asarray(eps_t, dtype),
-                    sigma=jnp.asarray(sig_t, dtype),
-                    style=script.bond_style)
-
-        anglep = None
+            pair_tables = None
+            if (script.bond_style == "quartic"
+                    or (script.bond_style == "hybrid"
+                        and "quartic" in script.bond_style_args)):
+                if script.pair is not None and (
+                        script.pair.name.startswith("lj/cut")
+                        or script.pair.name == "zero"):
+                    pair_tables = (_mix_pair_tables(script)
+                                   if script.pair.name != "zero" else None)
+                else:
+                    raise NotImplementedError(
+                        "bond quartic pair subtraction supports lj/cut")
+            bondp = build_bond_params(
+                script, dtype, bond_keep, pair_tables) or None
         if (getattr(script, "_angles", None) is not None
                 and len(script._angles) and script.angle_style is not None):
-            from lidp_tpu.ops.bonded import AngleParams
-
-            TA = max(script.angle_coeffs.keys(), default=0)
-            ka = np.zeros(TA + 1); th0 = np.zeros(TA + 1)
-            kub = np.zeros(TA + 1); rub = np.zeros(TA + 1)
-            for at, co in script.angle_coeffs.items():
-                ka[at] = co[0]
-                th0[at] = np.deg2rad(co[1])
-                if script.angle_style == "charmm":
-                    kub[at], rub[at] = co[2], co[3]   # angle_charmm.cpp coeff
-            ub = (dict(k_ub=jnp.asarray(kub, dtype),
-                       r_ub=jnp.asarray(rub, dtype))
-                  if script.angle_style == "charmm" else {})
-            aidx = script._angles - 1
-            atyp = np.asarray(script._angle_types)
-            if angle_keep is not None:
-                aidx, atyp = aidx[angle_keep], atyp[angle_keep]
-            if len(aidx):
-                anglep = AngleParams(
-                    idx=jnp.asarray(aidx, jnp.int32),
-                    atype=jnp.asarray(atyp, jnp.int32),
-                    k=jnp.asarray(ka, dtype), theta0=jnp.asarray(th0, dtype),
-                    style=script.angle_style, **ub)
-
-        dihedralp = None
+            anglep = build_angle_params(script, dtype, angle_keep) or None
         if (getattr(script, "_dihedrals", None) is not None
-                and len(script._dihedrals) and script.dihedral_style is not None):
-            from lidp_tpu.ops.bonded import DihedralParams
-
-            TD = max(script.dihedral_coeffs.keys(), default=0)
-            cs = np.zeros((4, TD + 1))
-            for dt_, co in script.dihedral_coeffs.items():
-                for ci, val in enumerate(co[:4]):
-                    cs[ci, dt_] = val
-            extra = {}
-            if script.dihedral_style == "charmm":
-                # K n d(deg) weight; weighted 1-4 pair term needs q, types,
-                # and the pair style's 14 tables (dihedral_charmm.cpp::coeff
-                # + init_style pair extract).  Per-type eps14/sig14 mix with
-                # the same rule as the main tables (arithmetic for charmm).
-                cs[2] = np.deg2rad(cs[2])
-                T14 = script.ntypes
-                e14_t = np.array([eps[t, t] for t in range(T14 + 1)])
-                s14_t = np.array([sig[t, t] for t in range(T14 + 1)])
-                for (i14, j14), (e14, s14) in getattr(
-                        script, "pair_coeffs14", {}).items():
-                    if i14 == j14:
-                        e14_t[i14], s14_t[i14] = e14, s14
-                eps14 = np.sqrt(np.outer(e14_t, e14_t))
-                sig14 = 0.5 * (s14_t[:, None] + s14_t[None, :])
-                for (i14, j14), (e14, s14) in getattr(
-                        script, "pair_coeffs14", {}).items():
-                    eps14[i14, j14] = eps14[j14, i14] = e14
-                    sig14[i14, j14] = sig14[j14, i14] = s14
-                s6 = sig14**6
-                extra = dict(
-                    q=jnp.asarray(script.q, dtype),
-                    lj14_3=jnp.asarray(4.0 * eps14 * s6 * s6, dtype),
-                    lj14_4=jnp.asarray(4.0 * eps14 * s6, dtype),
-                    type_=jnp.asarray(script.type, jnp.int32),
-                    qqrd2e=u.qqr2e)
-            dihedralp = DihedralParams(
-                idx=jnp.asarray(script._dihedrals - 1, jnp.int32),
-                dtype_=jnp.asarray(script._dihedral_types, jnp.int32),
-                c1=jnp.asarray(cs[0], dtype), c2=jnp.asarray(cs[1], dtype),
-                c3=jnp.asarray(cs[2], dtype), c4=jnp.asarray(cs[3], dtype),
-                style=script.dihedral_style, **extra)
-
-        improperp = None
+                and len(script._dihedrals)
+                and script.dihedral_style is not None):
+            try:
+                eps_tbl, sig_tbl = eps, sig   # charmm 1-4 mixing tables
+            except NameError:                 # non-LJ pair style in force
+                eps_tbl = sig_tbl = None
+            dihedralp = build_dihedral_params(
+                script, dtype, u, eps_tbl, sig_tbl) or None
         if (getattr(script, "_impropers", None) is not None
                 and len(script._impropers)
                 and script.improper_style is not None):
-            from lidp_tpu.ops.bonded import ImproperParams
-
-            TI = max(script.improper_coeffs.keys(), default=0)
-            ki = np.zeros(TI + 1); chi0 = np.zeros(TI + 1)
-            for it_, co in script.improper_coeffs.items():
-                ki[it_] = co[0]
-                chi0[it_] = np.deg2rad(co[1])
-            improperp = ImproperParams(
-                idx=jnp.asarray(script._impropers - 1, jnp.int32),
-                itype=jnp.asarray(script._improper_types, jnp.int32),
-                k=jnp.asarray(ki, dtype), chi0=jnp.asarray(chi0, dtype))
+            improperp = build_improper_params(script, dtype) or None
 
         has_baro = any(f_.style in ("npt", "nph")
                        for f_ in script.fixes.values())
@@ -1639,10 +1566,13 @@ class Simulation:
                 loops=loops_r, terms=terms_r,
                 neighbor_cfg=ncfg, rebuild_every=rebuild_every,
                 shrink=shrink)
+            norm_r = getattr(script, "_thermo_norm", None)
             sim_obj = Simulation(script=script, sys=sys, runner=runner,
                                  thermo_params=ThermoParams.create(
                                      mass_atom, dof=dim_ * n - dim_,
-                                     units=u, norm=(u.name == "lj"),
+                                     units=u,
+                                     norm=((u.name == "lj")
+                                           if norm_r is None else norm_r),
                                      natoms=n, dim=dim_),
                                  group_thermo={}, natoms=n)
             sim_obj.halt_spec = halt_spec
@@ -1680,8 +1610,11 @@ class Simulation:
 
         # ---- thermo ----
         dof = dim_ * n - dim_ - dof_removed
+        norm_m = getattr(script, "_thermo_norm", None)
         tp = ThermoParams.create(mass_atom, dof=dof, units=u,
-                                 norm=(u.name == "lj"), natoms=n, dim=dim_,
+                                 norm=((u.name == "lj")
+                                       if norm_m is None else norm_m),
+                                 natoms=n, dim=dim_,
                                  etail=etail, ptail=ptail)
         group_tp = {}
         gg_computes = {}

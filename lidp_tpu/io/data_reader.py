@@ -196,7 +196,9 @@ def read_data(path: str, atom_style: str = "full") -> DataFile:
                     x[k] = [float(r[3]), float(r[4]), float(r[5])]
                     if len(r) >= 9:
                         image[k] = [int(r[6]), int(r[7]), int(r[8])]
-                elif atom_style == "bond":
+                elif atom_style in ("bond", "angle", "molecular"):
+                    # identical column layout: id mol type x y z
+                    # (AtomVecBond/AtomVecAngle/AtomVecMolecular::data_atom)
                     mol[k] = int(r[1])
                     typ[k] = int(r[2])
                     x[k] = [float(r[3]), float(r[4]), float(r[5])]

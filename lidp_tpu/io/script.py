@@ -493,25 +493,56 @@ class LammpsScript:
             self.lattice_spacing3))
 
     def cmd_region(self, a):
+        # region ID style args... [side in|out] [units lattice|box]
+        # (region.cpp options + region_{block,sphere,prism,cylinder,
+        # cone,plane,union,intersect}.cpp)
         name, style = a[0], a[1]
-        if style == "block":
-            vals = [float(v) for v in a[2:8]]
-            self.regions[name] = tuple(vals)        # legacy 6-tuple = block
-        elif style == "sphere":
-            # region ID sphere x y z r (region_sphere.cpp); lattice units
-            self.regions[name] = ("sphere",) + tuple(
-                float(v) for v in a[2:6])
-        elif style == "prism":
-            vals = [float(v) for v in a[2:11]]
-            self.regions[name] = ("prism",) + tuple(vals)
+        nargs = {"block": 6, "sphere": 4, "prism": 9, "cylinder": 6,
+                 "cone": 7, "plane": 6}
+        if style in ("union", "intersect"):
+            cnt = int(a[2])
+            subs = a[3:3 + cnt]
+            tail = a[3 + cnt:]
+            self.regions[name] = (style,) + tuple(subs)
+        elif style in nargs:
+            k = nargs[style]
+            toks = a[2:2 + k]
+            if style in ("cylinder", "cone"):
+                vals = [toks[0]] + [float(v) for v in toks[1:]]
+            else:
+                vals = [float(v) for v in toks]
+            tail = a[2 + k:]
+            if style == "block":
+                self.regions[name] = tuple(vals)    # legacy 6-tuple
+            else:
+                self.regions[name] = (style,) + tuple(vals)
         else:
             raise ValueError(f"unsupported region style {style}")
+        kw = {"side": "in", "units": "lattice"}
+        i = 0
+        while i < len(tail):
+            if tail[i] in ("side", "units"):
+                kw[tail[i]] = tail[i + 1]
+                i += 2
+            else:
+                i += 1
+        if not hasattr(self, "_region_kw"):
+            self._region_kw = {}
+        self._region_kw[name] = kw
+
+    def _region_spacing(self, name):
+        kw = getattr(self, "_region_kw", {}).get(
+            name, {"units": "lattice"})
+        return (np.ones(3) if kw.get("units") == "box"
+                else self._spacing3())
 
     def _region_mask(self, name):
-        """Boolean membership of current atoms in a region (inside)."""
+        """Boolean membership of current atoms in a region (honoring
+        side in/out; union/intersect recurse into their sub-regions)."""
         r = self.regions[name]
-        s3 = self._spacing3()
+        s3 = self._region_spacing(name)
         n = self.x.shape[0]
+        kw = getattr(self, "_region_kw", {}).get(name, {})
         if not (isinstance(r[0], str)):
             lo_hi = np.asarray(r, float) * np.repeat(s3, 2)
             sel = np.ones(n, bool)
@@ -520,13 +551,57 @@ class LammpsScript:
                 if np.isinf(lo_b):
                     lo_b = -np.inf
                 sel &= (self.x[:, d] >= lo_b) & (self.x[:, d] <= hi_b)
-            return sel
-        if r[0] == "sphere":
+        elif r[0] == "sphere":
             c = np.array(r[1:4]) * s3
             rad = r[4] * s3[0]
             d = self.x - c
-            return np.sum(d * d, axis=1) <= rad * rad
-        raise ValueError(f"region {name}: no membership test for {r[0]}")
+            sel = np.sum(d * d, axis=1) <= rad * rad
+        elif r[0] == "cylinder":
+            # region_cylinder.cpp: axis dim, c1/c2 in the two other dims
+            dim = {"x": 0, "y": 1, "z": 2}[r[1]]
+            d1, d2 = [d for d in range(3) if d != dim]
+            c1, c2 = r[2] * s3[d1], r[3] * s3[d2]
+            rad = r[4] * s3[(dim + 1) % 3]
+            lo, hi = r[5] * s3[dim], r[6] * s3[dim]
+            if np.isinf(lo):
+                lo = -np.inf        # INF on the low bound extends down
+            dd = ((self.x[:, d1] - c1) ** 2 + (self.x[:, d2] - c2) ** 2)
+            sel = ((dd <= rad * rad) & (self.x[:, dim] >= lo)
+                   & (self.x[:, dim] <= hi))
+        elif r[0] == "cone":
+            # region_cone.cpp: radius interpolates radlo->radhi along dim
+            dim = {"x": 0, "y": 1, "z": 2}[r[1]]
+            d1, d2 = [d for d in range(3) if d != dim]
+            c1, c2 = r[2] * s3[d1], r[3] * s3[d2]
+            rlo_, rhi_ = r[4] * s3[(dim + 1) % 3], r[5] * s3[(dim + 1) % 3]
+            lo, hi = r[6] * s3[dim], r[7] * s3[dim]
+            if np.isinf(lo):
+                lo = -np.inf
+            t = np.clip((self.x[:, dim] - lo) / max(hi - lo, 1e-300),
+                        0.0, 1.0)
+            rad = rlo_ + t * (rhi_ - rlo_)
+            dd = ((self.x[:, d1] - c1) ** 2 + (self.x[:, d2] - c2) ** 2)
+            sel = ((dd <= rad * rad) & (self.x[:, dim] >= lo)
+                   & (self.x[:, dim] <= hi))
+        elif r[0] == "plane":
+            # region_plane.cpp: inside = the side the normal points to
+            p = np.array(r[1:4]) * s3
+            nvec = np.array(r[4:7])
+            sel = (self.x - p) @ nvec >= 0.0
+        elif r[0] == "union":
+            sel = np.zeros(n, bool)
+            for sub in r[1:]:
+                sel |= self._region_mask(sub)
+        elif r[0] == "intersect":
+            sel = np.ones(n, bool)
+            for sub in r[1:]:
+                sel &= self._region_mask(sub)
+        else:
+            raise ValueError(f"region {name}: no membership test for "
+                             f"{r[0]}")
+        if kw.get("side", "in") == "out":
+            sel = ~sel
+        return sel
 
     def cmd_create_box(self, a):
         self.ntypes = int(a[0])

@@ -144,7 +144,10 @@ kspace_style {kstyle} 1e-6
 
     r_mesh, f_mesh = run("pppm/disp")
     r_ew, f_ew = run("ewald/disp")
+    # the real/k split differs between the solvers by design: ewald/disp
+    # forces g_ewald_6 = g_ewald (ewald_disp.cpp:230) while pppm/disp
+    # runs its own accuracy iteration for g_ewald_6 (pppm_disp.cpp) —
+    # only the g6-invariant totals and forces are comparable
     assert r_mesh["epair"] * n == pytest.approx(r_ew["epair"] * n, rel=2e-5)
-    assert r_mesh["evdwl"] == pytest.approx(r_ew["evdwl"], rel=1e-6)
     np.testing.assert_allclose(
         f_mesh, f_ew, atol=5e-5 * float(np.abs(f_ew).max()))

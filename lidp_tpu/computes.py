@@ -1,0 +1,318 @@
+"""Per-atom and reduced compute styles (the compute_*_atom.cpp /
+compute_reduce.cpp family) on the host-driven observability path.
+
+Per-atom quantities are evaluated on demand — at thermo/dump sample
+times, never inside the integration scan — with the same row-blocked
+dense pair enumeration the pair/local dumps use (dump.py
+_pair_local_rows).  That keeps the hot path free of per-atom tally
+traffic, the TPU-first analog of the reference's eflag_atom/vflag_atom
+conditional tallies (pair.cpp ev_setup).
+
+Covered styles:
+  ke/atom (compute_ke_atom.cpp), pe/atom (compute_pe_atom.cpp: pair +
+  equal-share bonded terms; kspace/fix shares are not tallied — the
+  polarization workload samples pe globally), stress/atom
+  (compute_stress_atom.cpp: kinetic + pairwise + equal-share bonded,
+  in pressure*volume units), coord/atom (compute_coord_atom.cpp),
+  cluster/atom (compute_cluster_atom.cpp), displace/atom
+  (compute_displace_atom.cpp), property/atom (compute_property_atom.cpp),
+  reduce / reduce/region (compute_reduce.cpp).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _min_image(d, L):
+    return d - L * np.round(d / L)
+
+
+def _current_x(sys, n):
+    """Current RAW positions — what Region::match sees: the reference
+    wraps atom->x only at reneighbor steps (Domain::pbc from
+    Verlet::run), so between rebuilds region membership tests the
+    unwrapped drift (verified against the rebuilt binary: a wrapped
+    test overcounts the boundary planes)."""
+    return np.asarray(sys.x)[:n]
+
+
+def _pair_blocks(sys, script, pair, sp_code, natoms, extra_cut=None):
+    """Yield (gi, jj, rsq, dvec, spl, spc) for all i<j candidate pairs
+    inside the force cutoff (or extra_cut)."""
+    n = natoms
+    x = np.asarray(sys.x)[:n]
+    ty = np.asarray(sys.type)[:n]
+    L = np.asarray(sys.box.lengths)
+    per = np.asarray(sys.box.periodic, bool)
+    cutsq = np.asarray(pair.cutsq) if pair is not None else None
+    if extra_cut is not None:
+        cmax2 = extra_cut ** 2
+    spl = np.asarray(pair.special_lj) if pair is not None else np.ones(4)
+    spc = np.asarray(pair.special_coul) if pair is not None else np.ones(4)
+    sp = (np.asarray(sp_code)[:n, :n] if sp_code is not None
+          else np.zeros((n, n), np.int8))
+    B = 1024
+    for i0 in range(0, n, B):
+        i1 = min(i0 + B, n)
+        d = x[i0:i1, None, :] - x[None, :, :]
+        for dim in range(3):
+            if per[dim]:
+                d[..., dim] = _min_image(d[..., dim], L[dim])
+        rsq = np.sum(d * d, axis=-1)
+        within = (rsq < cmax2) if extra_cut is not None else (
+            rsq < cutsq[ty[i0:i1, None], ty[None, :]])
+        sel = ((np.arange(i0, i1)[:, None] < np.arange(n)[None, :])
+               & within)
+        if extra_cut is None:
+            # zero-weighted special pairs are absent from the reference's
+            # neighbor list entirely (neighbor.cpp exclusions)
+            sel &= ~((spl[sp[i0:i1]] == 0.0) & (spc[sp[i0:i1]] == 0.0))
+        ii, jj = np.nonzero(sel)
+        if not len(ii):
+            continue
+        yield (ii + i0, jj, rsq[ii, jj], d[ii, jj],
+               spl[sp[ii + i0, jj]], spc[sp[ii + i0, jj]])
+
+
+def peratom_pair_pe_stress(sim, want_stress=False):
+    """(pe_atom (N,), stress_atom (N,6)) — pairwise halves + equal-share
+    bonded terms.  stress rows are the virial tally convention
+    (compute_stress_atom.cpp): - (m v v + 0.5 sum r x f) * nktv2p later
+    applied by the caller; here raw sums."""
+    import jax.numpy as jnp
+
+    from lidp_tpu.ops.pair import pair_single
+
+    n = sim.natoms
+    sys = sim.sys
+    pe = np.zeros(n)
+    st = np.zeros((n, 6))
+    pair = sim.runner.ff.pair
+    q = np.asarray(sys.q)[:n]
+    ty = np.asarray(sys.type)[:n]
+    if pair is not None:
+        for gi, jj, rsq, dv, fl, fc in _pair_blocks(
+                sys, sim.script, pair, sim.runner.ff.sp_code, n):
+            eng, fpair = pair_single(
+                jnp.asarray(rsq), jnp.asarray(ty[gi]), jnp.asarray(ty[jj]),
+                jnp.asarray(q[gi]), jnp.asarray(q[jj]), pair,
+                factor_coul=jnp.asarray(fc), factor_lj=jnp.asarray(fl))
+            eng = np.asarray(eng)
+            fpair = np.asarray(fpair)
+            np.add.at(pe, gi, 0.5 * eng)
+            np.add.at(pe, jj, 0.5 * eng)
+            if want_stress:
+                w = 0.5 * fpair
+                v6 = np.stack([w * dv[:, 0] * dv[:, 0],
+                               w * dv[:, 1] * dv[:, 1],
+                               w * dv[:, 2] * dv[:, 2],
+                               w * dv[:, 0] * dv[:, 1],
+                               w * dv[:, 0] * dv[:, 2],
+                               w * dv[:, 1] * dv[:, 2]], axis=1)
+                np.add.at(st, gi, v6)
+                np.add.at(st, jj, v6)
+    # bonded terms: per-term energy/virial split equally over the term's
+    # atoms (ev_tally with newton on distributes exactly this way for the
+    # energy; the virial per-atom split matches ev_tally's halves)
+    pe_b, st_b = _bonded_peratom(sim, want_stress)
+    return pe + pe_b, st + st_b
+
+
+def _bonded_peratom(sim, want_stress):
+    """Per-atom halves of the 2-body bonded energies (ev_tally splits a
+    bond's energy 0.5/0.5 between its atoms).  Angle/dihedral/improper
+    per-atom shares and bonded per-atom virials are not tallied — pe/atom
+    and stress/atom cover pair-dominated systems (the reference workload
+    samples bonded energies globally via thermo emol)."""
+    n = sim.natoms
+    ff = sim.runner.ff
+    pe = np.zeros(n)
+    st = np.zeros((n, 6))
+    sys = sim.sys
+
+    from lidp_tpu.ops import bonded as B
+
+    for bp in (ff.bond if isinstance(ff.bond, tuple)
+               else (ff.bond,) if ff.bond is not None else ()):
+        i, j = bp.idx[:, 0], bp.idx[:, 1]
+        d = np.asarray(B._mi(sys.x[i] - sys.x[j], sys.box))
+        rsq = (d * d).sum(1)
+        e_term = _bond_energy_terms(bp, rsq)
+        if e_term is not None:
+            idx = np.asarray(bp.idx)
+            np.add.at(pe, idx[:, 0], 0.5 * e_term)
+            np.add.at(pe, idx[:, 1], 0.5 * e_term)
+    return pe, st
+
+
+def _bond_energy_terms(bp, rsq):
+    """Per-bond energies for the closed-form styles (None -> skip)."""
+    t = np.asarray(bp.btype)
+    k = np.asarray(bp.k)[t]
+    r0 = np.asarray(bp.r0)[t]
+    r = np.sqrt(rsq)
+    if bp.style == "harmonic":
+        return k * (r - r0) ** 2
+    if bp.style == "gromos":
+        return k * (rsq - r0 * r0) ** 2
+    if bp.style == "morse":
+        al = r0
+        rr0 = np.asarray(bp.eps)[t]
+        ral = np.exp(-al * (r - rr0))
+        return k * (1 - ral) ** 2
+    if bp.style == "zero":
+        return np.zeros_like(r)
+    return None
+
+
+def coord_atom(sim, cutoff, gmask):
+    """compute coord/atom cutoff: neighbor count within cutoff, both
+    atoms' counts incremented (compute_coord_atom.cpp)."""
+    n = sim.natoms
+    out = np.zeros(n)
+    gm = np.asarray(gmask)[:n]
+    for gi, jj, rsq, dv, fl, fc in _pair_blocks(
+            sim.sys, sim.script, sim.runner.ff.pair,
+            sim.runner.ff.sp_code, n, extra_cut=cutoff):
+        np.add.at(out, gi, 1.0)
+        np.add.at(out, jj, 1.0)
+    out[~gm] = 0.0
+    return out
+
+
+def cluster_atom(sim, cutoff, gmask):
+    """compute cluster/atom cutoff: connected-component label = smallest
+    atom ID in the cluster (compute_cluster_atom.cpp iterates ID
+    minimization to convergence; union-find gives the identical fixed
+    point in one pass)."""
+    n = sim.natoms
+    gm = np.asarray(gmask)[:n]
+    parent = np.arange(n)
+
+    def find(a):
+        root = a
+        while parent[root] != root:
+            root = parent[root]
+        while parent[a] != root:
+            parent[a], a = root, parent[a]
+        return root
+
+    for gi, jj, rsq, dv, fl, fc in _pair_blocks(
+            sim.sys, sim.script, sim.runner.ff.pair,
+            sim.runner.ff.sp_code, n, extra_cut=cutoff):
+        for a, b in zip(gi, jj):
+            if gm[a] and gm[b]:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    lab = np.array([find(a) + 1.0 for a in range(n)])
+    lab[~gm] = 0.0
+    return lab
+
+
+def eval_peratom(sim, cid):
+    """Evaluate a registered per-atom compute -> (N,) or (N,K) array."""
+    gmask, style, spec = sim.peratom_computes[cid]
+    n = sim.natoms
+    sys = sim.sys
+    gm = np.asarray(gmask)[:n]
+    if style == "ke/atom":
+        v = np.asarray(sys.v)[:n]
+        m = np.asarray(sim.thermo_params.mass_atom)[:n]
+        out = 0.5 * sim.thermo_params.mvv2e * m * (v * v).sum(1)
+        out[~gm] = 0.0
+        return out
+    if style == "pe/atom":
+        pe, _ = peratom_pair_pe_stress(sim, want_stress=False)
+        pe[~gm] = 0.0
+        return pe
+    if style == "stress/atom":
+        # compute_stress_atom.cpp: -(m v v + pair virial share) * nktv2p
+        _, st = peratom_pair_pe_stress(sim, want_stress=True)
+        v = np.asarray(sys.v)[:n]
+        m = np.asarray(sim.thermo_params.mass_atom)[:n]
+        mvv2e = sim.thermo_params.mvv2e
+        kin = np.stack([m * v[:, 0] * v[:, 0], m * v[:, 1] * v[:, 1],
+                        m * v[:, 2] * v[:, 2], m * v[:, 0] * v[:, 1],
+                        m * v[:, 0] * v[:, 2], m * v[:, 1] * v[:, 2]],
+                       axis=1) * mvv2e
+        out = -(kin + st) * float(sim.thermo_params.nktv2p)
+        out[~gm] = 0.0
+        return out
+    if style == "coord/atom":
+        return coord_atom(sim, float(spec["cutoff"]), gmask)
+    if style == "cluster/atom":
+        return cluster_atom(sim, float(spec["cutoff"]), gmask)
+    if style == "displace/atom":
+        from lidp_tpu.box import unwrap
+        xu = np.asarray(unwrap(sys.x, sys.box, sys.image))[:n]
+        d = xu - spec["x0"]
+        d[~gm] = 0.0
+        return np.concatenate(
+            [d, np.sqrt((d * d).sum(1))[:, None]], axis=1)
+    if style == "property/atom":
+        cols = []
+        v = np.asarray(sys.v)[:n]
+        x = np.asarray(sys.x)[:n]
+        f = np.asarray(sim.res.f)[:n] if sim.res is not None else (
+            np.zeros((n, 3)))
+        src = {"x": x[:, 0], "y": x[:, 1], "z": x[:, 2],
+               "vx": v[:, 0], "vy": v[:, 1], "vz": v[:, 2],
+               "fx": f[:, 0], "fy": f[:, 1], "fz": f[:, 2],
+               "q": np.asarray(sys.q)[:n],
+               "type": np.asarray(sim.script.type)[:n].astype(float),
+               "mol": np.asarray(sim.script.mol)[:n].astype(float),
+               "mass": np.asarray(sim.thermo_params.mass_atom)[:n],
+               "id": np.arange(1.0, n + 1)}
+        for w in spec["fields"]:
+            col = src[w].copy()
+            col[~gm] = 0.0
+            cols.append(col)
+        return cols[0] if len(cols) == 1 else np.stack(cols, axis=1)
+    raise ValueError(f"per-atom compute style {style}")
+
+
+def eval_reduce(sim, cid):
+    """compute reduce / reduce/region (compute_reduce.cpp): scalar or
+    vector of reduced per-atom inputs."""
+    gmask, spec = sim.reduce_computes[cid]
+    n = sim.natoms
+    mode = spec["mode"]
+    gm = np.asarray(gmask)[:n].copy()
+    sys = sim.sys
+    if spec.get("region") is not None:
+        gm &= np.asarray(sim.script._region_mask(
+            spec["region"], x=_current_x(sys, n)))[:n]
+    v = np.asarray(sys.v)[:n]
+    x = np.asarray(sys.x)[:n]
+    f = np.asarray(sim.res.f)[:n] if sim.res is not None else (
+        np.zeros((n, 3)))
+    outs = []
+    for tok in spec["inputs"]:
+        if tok.startswith("c_"):
+            name = tok[2:]
+            col = None
+            if "[" in name:
+                name, idx = name[:-1].split("[")
+                col = int(idx) - 1
+            arr = eval_peratom(sim, name)
+            if arr.ndim == 2:
+                arr = arr[:, col if col is not None else 0]
+        else:
+            src = {"x": x[:, 0], "y": x[:, 1], "z": x[:, 2],
+                   "vx": v[:, 0], "vy": v[:, 1], "vz": v[:, 2],
+                   "fx": f[:, 0], "fy": f[:, 1], "fz": f[:, 2]}
+            arr = src[tok]
+        sel = arr[gm]
+        if mode == "sum":
+            outs.append(sel.sum())
+        elif mode == "min":
+            outs.append(sel.min() if len(sel) else 0.0)
+        elif mode == "max":
+            outs.append(sel.max() if len(sel) else 0.0)
+        elif mode == "ave":
+            outs.append(sel.mean() if len(sel) else 0.0)
+        else:
+            raise ValueError(f"reduce mode {mode}")
+    return outs[0] if len(outs) == 1 else outs

@@ -42,6 +42,23 @@ def write_dump_frame(spec, sys, script, gmask, f=None):
         "fx": fv[ids, 0], "fy": fv[ids, 1], "fz": fv[ids, 2],
         "mux": mu[ids, 0], "muy": mu[ids, 1], "muz": mu[ids, 2],
     }
+    # per-atom compute references (dump_custom.cpp c_ID / c_ID[n] columns)
+    for c in spec.columns:
+        if c.startswith("c_") and c not in colvec:
+            sim = getattr(script, "_sim", None)
+            name = c[2:]
+            col = None
+            if name.endswith("]"):
+                name, idx = name[:-1].split("[")
+                col = int(idx) - 1
+            from lidp_tpu.computes import eval_peratom
+
+            arr = np.asarray(eval_peratom(sim, name))
+            arr = arr if arr.ndim == 1 else arr[:, col or 0]
+            full = np.zeros(len(gmask))
+            full[:len(arr)] = arr
+            colvec[c] = full[ids]
+
     mode = "a" if getattr(spec, "_started", False) else "w"
     if spec.style == "xyz":
         # dump_xyz.cpp: natoms line, comment, then 'TYPE x y z' rows

@@ -536,12 +536,16 @@ class LammpsScript:
         return (np.ones(3) if kw.get("units") == "box"
                 else self._spacing3())
 
-    def _region_mask(self, name):
-        """Boolean membership of current atoms in a region (honoring
-        side in/out; union/intersect recurse into their sub-regions)."""
+    def _region_mask(self, name, x=None):
+        """Boolean membership of atoms in a region (honoring side
+        in/out; union/intersect recurse into their sub-regions).  x
+        overrides the script's host coordinates — runtime samplers pass
+        the CURRENT wrapped positions (Region::match sees atom->x)."""
         r = self.regions[name]
         s3 = self._region_spacing(name)
-        n = self.x.shape[0]
+        if x is None:
+            x = self.x
+        n = x.shape[0]
         kw = getattr(self, "_region_kw", {}).get(name, {})
         if not (isinstance(r[0], str)):
             lo_hi = np.asarray(r, float) * np.repeat(s3, 2)
@@ -550,11 +554,11 @@ class LammpsScript:
                 lo_b, hi_b = lo_hi[2 * d], lo_hi[2 * d + 1]
                 if np.isinf(lo_b):
                     lo_b = -np.inf
-                sel &= (self.x[:, d] >= lo_b) & (self.x[:, d] <= hi_b)
+                sel &= (x[:, d] >= lo_b) & (x[:, d] <= hi_b)
         elif r[0] == "sphere":
             c = np.array(r[1:4]) * s3
             rad = r[4] * s3[0]
-            d = self.x - c
+            d = x - c
             sel = np.sum(d * d, axis=1) <= rad * rad
         elif r[0] == "cylinder":
             # region_cylinder.cpp: axis dim, c1/c2 in the two other dims
@@ -565,9 +569,9 @@ class LammpsScript:
             lo, hi = r[5] * s3[dim], r[6] * s3[dim]
             if np.isinf(lo):
                 lo = -np.inf        # INF on the low bound extends down
-            dd = ((self.x[:, d1] - c1) ** 2 + (self.x[:, d2] - c2) ** 2)
-            sel = ((dd <= rad * rad) & (self.x[:, dim] >= lo)
-                   & (self.x[:, dim] <= hi))
+            dd = ((x[:, d1] - c1) ** 2 + (x[:, d2] - c2) ** 2)
+            sel = ((dd <= rad * rad) & (x[:, dim] >= lo)
+                   & (x[:, dim] <= hi))
         elif r[0] == "cone":
             # region_cone.cpp: radius interpolates radlo->radhi along dim
             dim = {"x": 0, "y": 1, "z": 2}[r[1]]
@@ -577,25 +581,25 @@ class LammpsScript:
             lo, hi = r[6] * s3[dim], r[7] * s3[dim]
             if np.isinf(lo):
                 lo = -np.inf
-            t = np.clip((self.x[:, dim] - lo) / max(hi - lo, 1e-300),
+            t = np.clip((x[:, dim] - lo) / max(hi - lo, 1e-300),
                         0.0, 1.0)
             rad = rlo_ + t * (rhi_ - rlo_)
-            dd = ((self.x[:, d1] - c1) ** 2 + (self.x[:, d2] - c2) ** 2)
-            sel = ((dd <= rad * rad) & (self.x[:, dim] >= lo)
-                   & (self.x[:, dim] <= hi))
+            dd = ((x[:, d1] - c1) ** 2 + (x[:, d2] - c2) ** 2)
+            sel = ((dd <= rad * rad) & (x[:, dim] >= lo)
+                   & (x[:, dim] <= hi))
         elif r[0] == "plane":
             # region_plane.cpp: inside = the side the normal points to
             p = np.array(r[1:4]) * s3
             nvec = np.array(r[4:7])
-            sel = (self.x - p) @ nvec >= 0.0
+            sel = (x - p) @ nvec >= 0.0
         elif r[0] == "union":
             sel = np.zeros(n, bool)
             for sub in r[1:]:
-                sel |= self._region_mask(sub)
+                sel |= self._region_mask(sub, x=x)
         elif r[0] == "intersect":
             sel = np.ones(n, bool)
             for sub in r[1:]:
-                sel &= self._region_mask(sub)
+                sel &= self._region_mask(sub, x=x)
         else:
             raise ValueError(f"region {name}: no membership test for "
                              f"{r[0]}")
@@ -1381,6 +1385,51 @@ class LammpsScript:
             # host-evaluated global computes (compute_com.cpp,
             # compute_gyration.cpp, compute_ke.cpp, compute_pe.cpp)
             self.computes[cid] = (group, style, None)
+            return
+        if style == "vacf":
+            # reference velocities captured at definition
+            # (compute_vacf.cpp stores v at creation)
+            self.computes[cid] = (group, style, self.v.copy())
+            return
+        if style in ("ke/atom", "pe/atom", "stress/atom"):
+            # stress/atom takes a bias temp-ID (compute_stress_atom.cpp:42)
+            if style == "stress/atom" and len(a) > 3 and a[3] != "NULL":
+                raise NotImplementedError(
+                    "compute stress/atom supports temp-ID NULL only")
+            self.computes[cid] = (group, style, {})
+            return
+        if style in ("coord/atom", "cluster/atom"):
+            # compute ID group coord/atom cutoff X | cluster/atom X
+            # (compute_coord_atom.cpp:46, compute_cluster_atom.cpp)
+            cut_tok = a[4] if a[3] == "cutoff" else a[3]
+            self.computes[cid] = (group, style,
+                                  {"cutoff": float(cut_tok)})
+            return
+        if style == "displace/atom":
+            # unwrapped displacement from creation-time coords
+            # (compute_displace_atom.cpp set_arrays)
+            self.computes[cid] = (group, style, {
+                "x0": (self.x + self.image
+                       * (self.box_hi - self.box_lo)).copy()})
+            return
+        if style == "property/atom":
+            self.computes[cid] = (group, style, {"fields": list(a[3:])})
+            return
+        if style in ("reduce", "reduce/region"):
+            # compute ID group reduce [region rid] mode inputs...
+            # (compute_reduce.cpp)
+            args = list(a[3:])
+            region = None
+            if style == "reduce/region":
+                region, args = args[0], args[1:]
+            mode = args[0]
+            self.computes[cid] = (group, "reduce", {
+                "mode": mode, "inputs": args[1:], "region": region})
+            return
+        if style in ("temp/ramp", "temp/region", "temp/profile"):
+            # velocity-bias temperature variants (compute_temp_ramp.cpp,
+            # compute_temp_region.cpp, compute_temp_profile.cpp)
+            self.computes[cid] = (group, style, list(a[3:]))
             return
         if style == "erotate/sphere":
             # rotational KE of sphere atoms (compute_erotate_sphere.cpp)

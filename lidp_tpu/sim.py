@@ -708,6 +708,10 @@ def _build_granular_sim(script, sys, u, dtype, n, npad, _padA, groups, dim_):
     sim_obj.msd_computes = {}
     sim_obj.rdf_computes = {}
     sim_obj.simple_computes = {}
+    sim_obj.vacf_computes = {}
+    sim_obj.peratom_computes = {}
+    sim_obj.reduce_computes = {}
+    sim_obj.tempvar_computes = {}
     sim_obj.chunk_computes = {}
     sim_obj.mesh = None
     sim_obj.n_padded = npad
@@ -1622,6 +1626,10 @@ class Simulation:
         rdf_computes = {}
         simple_computes = {}
         chunk_computes = {}
+        vacf_computes = {}
+        peratom_computes = {}
+        reduce_computes = {}
+        tempvar_computes = {}
         for cid, spec_c in script.computes.items():
             if len(spec_c) == 3 and spec_c[1] == "group/group":
                 gg_computes[cid] = (
@@ -1640,6 +1648,26 @@ class Simulation:
                                                   "pe"):
                 simple_computes[cid] = (script.groups[spec_c[0]].copy(),
                                         spec_c[1])
+                continue
+            if len(spec_c) == 3 and spec_c[1] == "vacf":
+                vacf_computes[cid] = (script.groups[spec_c[0]].copy(),
+                                      np.asarray(spec_c[2]))
+                continue
+            if len(spec_c) == 3 and spec_c[1] in (
+                    "ke/atom", "pe/atom", "stress/atom", "coord/atom",
+                    "cluster/atom", "displace/atom", "property/atom"):
+                peratom_computes[cid] = (script.groups[spec_c[0]].copy(),
+                                         spec_c[1], spec_c[2])
+                continue
+            if len(spec_c) == 3 and spec_c[1] == "reduce":
+                reduce_computes[cid] = (script.groups[spec_c[0]].copy(),
+                                        spec_c[2])
+                continue
+            if len(spec_c) == 3 and spec_c[1] in ("temp/ramp",
+                                                  "temp/region",
+                                                  "temp/profile"):
+                tempvar_computes[cid] = (script.groups[spec_c[0]].copy(),
+                                         spec_c[1], spec_c[2])
                 continue
             if len(spec_c) == 3 and spec_c[1] == "chunk/atom":
                 chunk_computes[cid] = (script.groups[spec_c[0]].copy(),
@@ -1738,6 +1766,10 @@ class Simulation:
         sim_obj.msd_computes = msd_computes
         sim_obj.rdf_computes = rdf_computes
         sim_obj.simple_computes = simple_computes
+        sim_obj.vacf_computes = vacf_computes
+        sim_obj.peratom_computes = peratom_computes
+        sim_obj.reduce_computes = reduce_computes
+        sim_obj.tempvar_computes = tempvar_computes
         sim_obj.chunk_computes = chunk_computes
         sim_obj.mesh = mesh
         sim_obj.n_padded = npad
@@ -2079,7 +2111,90 @@ class Simulation:
             comps = (d * d).mean(axis=0)
             row[f"c_{cid}[1]"], row[f"c_{cid}[2]"], row[f"c_{cid}[3]"] = comps
             row[f"c_{cid}[4]"] = comps.sum()
+        for cid, (gmask, v0) in getattr(self, "vacf_computes", {}).items():
+            # compute_vacf.cpp: <v(t).v(0)> components + total, group mean
+            v = np.asarray(self.sys.v)[:self.natoms][gmask]
+            comps = (v * v0[gmask]).mean(axis=0)
+            row[f"c_{cid}[1]"], row[f"c_{cid}[2]"], row[f"c_{cid}[3]"] = comps
+            row[f"c_{cid}[4]"] = comps.sum()
+        for cid in getattr(self, "reduce_computes", {}):
+            from lidp_tpu.computes import eval_reduce
+
+            out = eval_reduce(self, cid)
+            if isinstance(out, list):
+                for k_, val in enumerate(out):
+                    row[f"c_{cid}[{k_ + 1}]"] = float(val)
+            else:
+                row[f"c_{cid}"] = float(out)
+        for cid, (gmask, style, args) in getattr(self, "tempvar_computes",
+                                                 {}).items():
+            row[f"c_{cid}"] = float(self._temp_variant(gmask, style, args))
         return row
+
+    def _temp_variant(self, gmask, style, args):
+        """compute temp/ramp, temp/region, temp/profile scalars
+        (compute_temp_ramp.cpp, compute_temp_region.cpp,
+        compute_temp_profile.cpp dof conventions)."""
+        n = self.natoms
+        dim = self.thermo_params.dim
+        gm = np.asarray(gmask)[:n]
+        v = np.asarray(self.sys.v)[:n].copy()
+        x = np.asarray(self.sys.x)[:n]
+        m = np.asarray(self.thermo_params.mass_atom)[:n]
+        mvv2e = self.thermo_params.mvv2e
+        boltz = self.thermo_params.boltz
+        if style == "temp/ramp":
+            # vdim vlo vhi dim clo chi [units lattice|box]; lattice units
+            # scale coords AND velocities (compute_temp_ramp.cpp:60-75)
+            s3 = (np.ones(3) if "box" in args
+                  else np.asarray(self.script._spacing3()))
+            vdim = "xyz".index(args[0].lstrip("v"))
+            cdim = "xyz".index(args[3])
+            vlo, vhi = float(args[1]) * s3[vdim], float(args[2]) * s3[vdim]
+            clo, chi = float(args[4]) * s3[cdim], float(args[5]) * s3[cdim]
+            frac = np.clip((x[:, cdim] - clo) / (chi - clo), 0.0, 1.0)
+            v[:, vdim] -= vlo + frac * (vhi - vlo)
+            dof = dim * gm.sum() - dim
+            t = mvv2e * (m[gm, None] * v[gm] ** 2).sum()
+        elif style == "temp/region":
+            from lidp_tpu.computes import _current_x
+
+            rm = np.asarray(self.script._region_mask(
+                args[0], x=_current_x(self.sys, n)))[:n]
+            sel = gm & rm
+            dof = dim * sel.sum() - dim
+            t = mvv2e * (m[sel, None] * v[sel] ** 2).sum()
+        elif style == "temp/profile":
+            # xflag yflag zflag x|y|z nbin (1d binning;
+            # compute_temp_profile.cpp:60 — Evans-Morriss: dof loses
+            # dim per bin)
+            flags = [int(args[0]), int(args[1]), int(args[2])]
+            assert args[3] in "xyz", "temp/profile supports 1d binning"
+            bdim = "xyz".index(args[3])
+            nbin = int(args[4])
+            lo = float(np.asarray(self.sys.box.lo)[bdim])
+            L = float(np.asarray(self.sys.box.lengths)[bdim])
+            # bin_assign wraps a drifted coord by ONE period before
+            # indexing (compute_temp_profile.cpp bin_assign)
+            c = x[:, bdim].copy()
+            if bool(np.asarray(self.sys.box.periodic)[bdim]):
+                c = np.where(c < lo, c + L, c)
+                c = np.where(c >= lo + L, c - L, c)
+            ib = np.clip(((c - lo) / L * nbin).astype(int), 0, nbin - 1)
+            for d_ in range(3):
+                if not flags[d_]:
+                    continue
+                msum = np.bincount(ib[gm], m[gm], minlength=nbin)
+                psum = np.bincount(ib[gm], (m * v[:, d_])[gm],
+                                   minlength=nbin)
+                vave = np.where(msum > 0, psum / np.maximum(msum, 1e-300),
+                                0.0)
+                v[:, d_] -= vave[ib]
+            dof = dim * gm.sum() - dim - dim * nbin
+            t = mvv2e * (m[gm, None] * v[gm] ** 2).sum()
+        else:
+            raise ValueError(style)
+        return t / (dof * boltz) if dof > 0 else 0.0
 
     def compute_rdf(self, cid):
         """compute rdf (compute_rdf.cpp): returns (Nbin, 3) [r, g(r), coord]

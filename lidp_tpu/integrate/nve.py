@@ -23,15 +23,24 @@ class NVEParams:
     # fix-group mask (FixNVE only integrates its group; atoms outside any
     # time-integration fix do not move); None = all atoms
     gmask: jax.Array = None
+    # fix nve/limit (fix_nve_limit.cpp): per-atom |v| clamp after each
+    # half-kick, vlimitsq = (xlimit/dt)^2; None = plain nve
+    vlimitsq: jax.Array = None
+    # fix nve/noforce (fix_nve_noforce.cpp): drift x only, never kick v
+    noforce: bool = dataclasses.field(metadata=dict(static=True),
+                                      default=False)
 
     @staticmethod
     def create(dt: float, ftm2v: float, mass_atom, dtype=jnp.float64,
-               gmask=None):
+               gmask=None, xlimit=None, noforce=False):
         return NVEParams(
             dtv=jnp.asarray(dt, dtype),
             dtf=jnp.asarray(0.5 * dt * ftm2v, dtype),
             mass_atom=jnp.asarray(mass_atom, dtype),
             gmask=(None if gmask is None else jnp.asarray(gmask, bool)),
+            vlimitsq=(None if xlimit is None
+                      else jnp.asarray((xlimit / dt) ** 2, dtype)),
+            noforce=noforce,
         )
 
 
@@ -42,20 +51,36 @@ def _upd_mask(sys, p):
     return m[:, None]
 
 
+def _vclamp(v, upd, p):
+    """fix nve/limit: rescale any atom whose |v| exceeds xlimit/dt."""
+    vsq = jnp.sum(v * v, axis=1, keepdims=True)
+    scale = jnp.sqrt(p.vlimitsq / jnp.maximum(vsq, 1e-300))
+    return jnp.where(upd & (vsq > p.vlimitsq), v * scale, v)
+
+
 def initial_integrate(sys: System, f, p: NVEParams) -> System:
     minv = jnp.where(p.mass_atom > 0, 1.0 / jnp.where(p.mass_atom > 0, p.mass_atom, 1.0), 0.0)
     upd = _upd_mask(sys, p)
-    v = jnp.where(upd, sys.v + (p.dtf * minv)[:, None] * f, sys.v)
-    v = jnp.where(sys.mask[:, None], v, 0.0)
+    if p.noforce:
+        v = sys.v
+    else:
+        v = jnp.where(upd, sys.v + (p.dtf * minv)[:, None] * f, sys.v)
+        v = jnp.where(sys.mask[:, None], v, 0.0)
+        if p.vlimitsq is not None:
+            v = _vclamp(v, upd, p)
     x = sys.x + jnp.where(upd, p.dtv * v, 0.0)
     return sys.replace(x=x, v=v)
 
 
 def final_integrate(sys: System, f, p: NVEParams) -> System:
+    if p.noforce:
+        return sys
     minv = jnp.where(p.mass_atom > 0, 1.0 / jnp.where(p.mass_atom > 0, p.mass_atom, 1.0), 0.0)
     upd = _upd_mask(sys, p)
     v = jnp.where(upd, sys.v + (p.dtf * minv)[:, None] * f, sys.v)
     v = jnp.where(sys.mask[:, None], v, 0.0)
+    if p.vlimitsq is not None:
+        v = _vclamp(v, upd, p)
     return sys.replace(v=v)
 
 

@@ -94,6 +94,49 @@ def write_dump_frame(spec, sys, script, gmask, f=None):
     spec._started = True
 
 
+def write_cfg_frame(spec, sys, script, gmask):
+    """Extended CFG format (dump_cfg.cpp / AtomEye): H0 cell matrix,
+    .NO_VELOCITY., per-atom mass + type label + scaled coords + any
+    auxiliary columns after the mandatory `mass type xs ys zs` prefix."""
+    ids = np.nonzero(gmask)[0]
+    x = np.asarray(sys.x)
+    lo, hi = np.asarray(sys.box.lo), np.asarray(sys.box.hi)
+    L = hi - lo
+    per = np.asarray(sys.box.periodic, bool)
+    xw = np.where(per, x - np.floor((x - lo) / L) * L, x)
+    xs = (xw - lo) / L
+    cols = list(spec.columns)
+    if cols[:5] != ["mass", "type", "xs", "ys", "zs"]:
+        raise ValueError(
+            "dump cfg requires 'mass type xs ys zs' leading columns")
+    aux = cols[5:]
+    v = np.asarray(sys.v)
+    auxsrc = {"vx": v[:, 0], "vy": v[:, 1], "vz": v[:, 2],
+              "q": np.asarray(sys.q), "id": np.arange(1, len(x) + 1)}
+    typ = np.asarray(script.type)
+    mass = np.asarray(script.mass_type)[typ]
+    mode = "a" if getattr(spec, "_started", False) else "w"
+    with open(spec.path, mode) as fh:
+        fh.write("Number of particles = %d\n" % len(ids))
+        fh.write("A = 1.0 Angstrom (basic length-scale)\n")
+        for r in range(3):
+            for c in range(3):
+                fh.write("H0(%d,%d) = %.10g A\n"
+                         % (r + 1, c + 1, L[r] if r == c else 0.0))
+        fh.write(".NO_VELOCITY.\n")
+        fh.write("entry_count = %d\n" % (3 + len(aux)))
+        for k, a in enumerate(aux):
+            fh.write("auxiliary[%d] = %s\n" % (k, a))
+        last_t = None
+        for i in ids:
+            if typ[i] != last_t:
+                fh.write("%.10g\n%d\n" % (mass[i], int(typ[i])))
+                last_t = typ[i]
+            row = list(xs[i]) + [auxsrc[a][i] for a in aux]
+            fh.write(" ".join("%.10g" % val for val in row) + "\n")
+    spec._started = True
+
+
 def _fortran_rec(fh, payload: bytes):
     import struct
 
@@ -250,6 +293,109 @@ def _bond_local_rows(script, sys, gmask, values):
     return out
 
 
+
+
+def _angle_geometry(script, sys, idx):
+    n = int(np.count_nonzero(np.asarray(sys.mask)))
+    x = np.asarray(sys.x)[:n]
+    L = np.asarray(sys.box.lengths)
+
+    def mi(d):
+        for dim in range(3):
+            if sys.box.periodic[dim]:
+                d[:, dim] = _min_image(d[:, dim], L[dim])
+        return d
+
+    return x, mi
+
+
+def _angle_local_rows(script, sys, gmask, values):
+    """compute angle/local (compute_angle_local.cpp): theta (degrees)
+    and eng per angle with all three atoms in the group."""
+    angles = np.asarray(script._angles, np.int64) - 1
+    atyp = np.asarray(script._angle_types, np.int64)
+    x, mi = _angle_geometry(script, sys, angles)
+    gm = np.asarray(gmask)[:len(np.asarray(sys.mask))]
+    keep = (gm[angles[:, 0]] & gm[angles[:, 1]] & gm[angles[:, 2]])
+    angles, atyp = angles[keep], atyp[keep]
+    d1 = mi(x[angles[:, 0]] - x[angles[:, 1]])
+    d2 = mi(x[angles[:, 2]] - x[angles[:, 1]])
+    c = (d1 * d2).sum(1) / (np.linalg.norm(d1, axis=1)
+                            * np.linalg.norm(d2, axis=1))
+    theta = np.arccos(np.clip(c, -1.0, 1.0))
+    out = []
+    for v in values:
+        if v == "theta":
+            out.append(np.rad2deg(theta))
+        elif v == "eng":
+            co = script.angle_coeffs
+            k = np.array([co[int(t)][0] for t in atyp])
+            style = script.angle_style
+            if style in ("harmonic", "charmm"):
+                t0 = np.deg2rad([co[int(t)][1] for t in atyp])
+                e = k * (theta - t0) ** 2
+                if style == "charmm":
+                    kub = np.array([co[int(t)][2] for t in atyp])
+                    rub = np.array([co[int(t)][3] for t in atyp])
+                    r13 = np.linalg.norm(d2 - d1, axis=1)
+                    e = e + kub * (r13 - rub) ** 2
+            elif style == "cosine":
+                e = k * (1.0 + np.cos(theta))
+            elif style == "cosine/squared":
+                t0 = np.deg2rad([co[int(t)][1] for t in atyp])
+                e = k * (np.cos(theta) - np.cos(t0)) ** 2
+            else:
+                raise ValueError(
+                    f"angle/local eng unsupported for {style}")
+            out.append(e)
+        else:
+            raise ValueError(f"angle/local value {v}")
+    return out
+
+
+def _torsion_angles(script, sys, quads):
+    x, mi = _angle_geometry(script, sys, quads)
+    b1 = mi(x[quads[:, 1]] - x[quads[:, 0]])
+    b2 = mi(x[quads[:, 2]] - x[quads[:, 1]])
+    b3 = mi(x[quads[:, 3]] - x[quads[:, 2]])
+    n1 = np.cross(b1, b2)
+    n2 = np.cross(b2, b3)
+    nn = np.maximum(np.linalg.norm(n1, axis=1)
+                    * np.linalg.norm(n2, axis=1), 1e-30)
+    cphi = np.clip((n1 * n2).sum(1) / nn, -1.0, 1.0)
+    sphi = (np.cross(n1, n2) * b2).sum(1) / (
+        nn * np.linalg.norm(b2, axis=1))
+    return np.arctan2(sphi, cphi)
+
+
+def _dihedral_local_rows(script, sys, gmask, values):
+    """compute dihedral/local (compute_dihedral_local.cpp): phi only."""
+    quads = np.asarray(script._dihedrals, np.int64) - 1
+    gm = np.asarray(gmask)
+    keep = gm[quads].all(axis=1)
+    phi = _torsion_angles(script, sys, quads[keep])
+    out = []
+    for v in values:
+        if v != "phi":
+            raise ValueError(f"dihedral/local value {v}")
+        out.append(np.rad2deg(phi))
+    return out
+
+
+def _improper_local_rows(script, sys, gmask, values):
+    """compute improper/local (compute_improper_local.cpp): chi only."""
+    quads = np.asarray(script._impropers, np.int64) - 1
+    gm = np.asarray(gmask)
+    keep = gm[quads].all(axis=1)
+    chi = _torsion_angles(script, sys, quads[keep])
+    out = []
+    for v in values:
+        if v != "chi":
+            raise ValueError(f"improper/local value {v}")
+        out.append(np.rad2deg(chi))
+    return out
+
+
 def write_local_frame(spec, sys, script, gmask, pair=None, sp_code=None):
     """dump local (dump_local.cpp): per-entry rows from compute
     pair/local / bond/local references; columns are `index` or
@@ -265,6 +411,12 @@ def write_local_frame(spec, sys, script, gmask, pair=None, sp_code=None):
                                               pair, sp_code)
             elif style == "bond/local":
                 cache[cid] = _bond_local_rows(script, sys, cgm, vals)
+            elif style == "angle/local":
+                cache[cid] = _angle_local_rows(script, sys, cgm, vals)
+            elif style == "dihedral/local":
+                cache[cid] = _dihedral_local_rows(script, sys, cgm, vals)
+            elif style == "improper/local":
+                cache[cid] = _improper_local_rows(script, sys, cgm, vals)
             else:
                 raise ValueError(f"dump local needs a local compute, "
                                  f"got {style}")

@@ -1371,7 +1371,8 @@ class LammpsScript:
         if style == "rdf":
             self.computes[cid] = (group, style, int(a[3]))
             return
-        if style in ("pair/local", "bond/local"):
+        if style in ("pair/local", "bond/local", "angle/local",
+                     "dihedral/local", "improper/local"):
             # value keywords evaluated at dump-local time
             # (compute_pair_local.cpp / compute_bond_local.cpp)
             self.computes[cid] = (group, style, list(a[3:]))
@@ -1548,6 +1549,9 @@ class LammpsScript:
             cols = ["type", "x", "y", "z"]
         elif style == "dcd":
             cols = []
+        elif style == "cfg":
+            # dump_cfg.cpp: mandatory 'mass type xs ys zs' prefix
+            cols = a[5:]
         elif style == "local":
             # dump_local.cpp: index / c_ID[n] column tokens
             cols = a[5:]
@@ -1688,9 +1692,14 @@ class LammpsScript:
                          "setforce", "addforce", "aveforce", "spring/self",
                          "viscous", "efield", "momentum", "recenter",
                          "halt", "neb", "adapt", "deform", "wall/reflect",
-                         "wall/lj93", "planeforce", "lineforce", "indent",
-                         "print", "ave/time", "ave/chunk",
-                         "gravity", "freeze", "nve/sphere"):
+                         "wall/lj93", "wall/lj126", "wall/lj1043",
+                         "wall/harmonic", "planeforce", "lineforce",
+                         "indent", "print", "ave/time", "ave/chunk",
+                         "gravity", "freeze", "nve/sphere", "nve/limit",
+                         "nve/noforce", "spring", "spring/rg", "drag",
+                         "move", "heat", "temp/csvr", "temp/csld",
+                         "rigid/small", "rigid/nve/small",
+                         "rigid/nvt/small"):
             raise ValueError(f"unsupported fix style {style}")
         self.fixes[fid] = FixSpec(fid=fid, group=group, style=style, args=a[3:])
         self._invalidate()

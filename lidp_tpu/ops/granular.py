@@ -48,11 +48,19 @@ class GranParams:
     frozen: jax.Array        # (N,) bool — fix freeze group (meff rule)
     excl: jax.Array = None   # (N,) bool — neigh_modify exclude group pairs
     dt: jax.Array = 1.0
+    # hooke/history (default), hooke (no shear state, velocity-damped
+    # friction only, pair_gran_hooke.cpp), hertz/history (forces scaled
+    # by polyhertz = sqrt(delta ri rj / radsum),
+    # pair_gran_hertz_history.cpp)
+    kind: str = dataclasses.field(metadata=dict(static=True),
+                                  default="hooke/history")
 
 
 def make_gran_params(args, radius, rmass, frozen, excl=None, dt=1.0,
-                     dtype=jnp.float64) -> GranParams:
-    """args: the 6 pair_style tokens (kn kt gamman gammat xmu dampflag)."""
+                     dtype=jnp.float64, kind="hooke/history") -> GranParams:
+    """args: the 6 pair_style tokens (kn kt gamman gammat xmu dampflag).
+    For hertz/history the file-units convention matches the reference
+    (pair_gran_hertz_history.cpp::coeff divides kn/kt the same way)."""
     kn = float(args[0])
     kt = kn * 2.0 / 7.0 if args[1] == "NULL" else float(args[1])
     gamman = float(args[2])
@@ -67,7 +75,7 @@ def make_gran_params(args, radius, rmass, frozen, excl=None, dt=1.0,
         radius=jnp.asarray(radius, dtype), rmass=jnp.asarray(rmass, dtype),
         frozen=jnp.asarray(frozen, bool),
         excl=None if excl is None else jnp.asarray(excl, bool),
-        dt=jnp.asarray(dt, dtype))
+        dt=jnp.asarray(dt, dtype), kind=kind)
 
 
 def gran_offsets(nbins):
@@ -193,10 +201,59 @@ def gran_cell_forces(x, v, omega, mask, cells: Cells, box: Box,
 
         damp = meff * p.gamman * vnnr * rsqinv
         ccel = jnp.where(touch, p.kn * (radsum - r) * rinv - damp, 0.0)
+        if p.kind == "hertz/history":
+            # pair_gran_hertz_history.cpp: normal and tangential forces
+            # scale with sqrt(overlap * reduced radius)
+            polyhertz = jnp.sqrt(jnp.maximum(
+                (radsum - r) * radi * radj / radsum, 0.0))
+            polyhertz = jnp.where(touch, polyhertz, 0.0)
+            ccel = ccel * polyhertz
+        else:
+            polyhertz = 1.0
 
         vtr1 = vt1 - (dz * wr2 - dy * wr3)
         vtr2 = vt2 - (dx * wr3 - dz * wr1)
         vtr3 = vt3 - (dy * wr1 - dx * wr2)
+
+        if p.kind == "hooke":
+            # pair_gran_hooke.cpp: no shear history; tangential damping
+            # force capped at the Coulomb limit
+            vrel = jnp.sqrt(vtr1 * vtr1 + vtr2 * vtr2 + vtr3 * vtr3)
+            fn = p.xmu * jnp.abs(ccel * r)
+            fsd = meff * p.gammat * vrel
+            ft = jnp.where(vrel != 0.0,
+                           jnp.minimum(fn, fsd)
+                           / jnp.where(vrel > 0, vrel, 1.0), 0.0)
+            fs1 = jnp.where(touch, -ft * vtr1, 0.0)
+            fs2 = jnp.where(touch, -ft * vtr2, 0.0)
+            fs3 = jnp.where(touch, -ft * vtr3, 0.0)
+            shear_new.append(shear[g])
+            fxp = dx * ccel + fs1
+            fyp = dy * ccel + fs2
+            fzp = dz * ccel + fs3
+            fx += jnp.sum(fxp, axis=-1).reshape(aos.shape)
+            fy += jnp.sum(fyp, axis=-1).reshape(aos.shape)
+            fz += jnp.sum(fzp, axis=-1).reshape(aos.shape)
+            fx -= _roll(jnp.sum(fxp, axis=-2), off, +1)
+            fy -= _roll(jnp.sum(fyp, axis=-2), off, +1)
+            fz -= _roll(jnp.sum(fzp, axis=-2), off, +1)
+            tor1 = rinv * (dy * fs3 - dz * fs2)
+            tor2 = rinv * (dz * fs1 - dx * fs3)
+            tor3 = rinv * (dx * fs2 - dy * fs1)
+            tx -= jnp.sum(radi * tor1, axis=-1).reshape(aos.shape)
+            ty -= jnp.sum(radi * tor2, axis=-1).reshape(aos.shape)
+            tz -= jnp.sum(radi * tor3, axis=-1).reshape(aos.shape)
+            tx -= _roll(jnp.sum(radj * tor1, axis=-2), off, +1)
+            ty -= _roll(jnp.sum(radj * tor2, axis=-2), off, +1)
+            tz -= _roll(jnp.sum(radj * tor3, axis=-2), off, +1)
+            if need_ev:
+                vir[0] += jnp.sum(fxp * dx)
+                vir[1] += jnp.sum(fyp * dy)
+                vir[2] += jnp.sum(fzp * dz)
+                vir[3] += jnp.sum(fyp * dx)
+                vir[4] += jnp.sum(fzp * dx)
+                vir[5] += jnp.sum(fzp * dy)
+            continue
 
         sh = shear[g]                                      # (...,cap,cap,3)
         s1, s2, s3 = sh[..., 0], sh[..., 1], sh[..., 2]
@@ -212,9 +269,9 @@ def gran_cell_forces(x, v, omega, mask, cells: Cells, box: Box,
             s2 = s2 - rsht * dy
             s3 = s3 - rsht * dz
 
-        fs1 = -(p.kt * s1 + meff * p.gammat * vtr1)
-        fs2 = -(p.kt * s2 + meff * p.gammat * vtr2)
-        fs3 = -(p.kt * s3 + meff * p.gammat * vtr3)
+        fs1 = -polyhertz * (p.kt * s1 + meff * p.gammat * vtr1)
+        fs2 = -polyhertz * (p.kt * s2 + meff * p.gammat * vtr2)
+        fs3 = -polyhertz * (p.kt * s3 + meff * p.gammat * vtr3)
         fs = jnp.sqrt(fs1 * fs1 + fs2 * fs2 + fs3 * fs3)
         fn = p.xmu * jnp.abs(ccel * r)
         over = touch & (fs > fn)

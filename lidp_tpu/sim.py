@@ -664,9 +664,12 @@ def _build_granular_sim(script, sys, u, dtype, n, npad, _padA, groups, dim_):
     if eg is not None:
         excl = np.asarray(groups[eg], bool)
 
+    kind = script.pair.name[len("gran/"):]
+    if kind not in ("hooke/history", "hooke", "hertz/history"):
+        raise NotImplementedError(f"pair_style gran/{kind}")
     gp = gran_mod.make_gran_params(
         script.gran_args, radius, rmass, frozen, excl=excl,
-        dt=script.dt, dtype=dtype)
+        dt=script.dt, dtype=dtype, kind=kind)
 
     L = script.box_hi - script.box_lo
     cutneigh = 2.0 * float(np.max(script.radius)) + script.skin
@@ -2449,6 +2452,11 @@ class Simulation:
                     from lidp_tpu.io.dump import write_image_frame
 
                     write_image_frame(d, self.sys, self.script, gmask)
+                    continue
+                if d.style == "cfg":
+                    from lidp_tpu.io.dump import write_cfg_frame
+
+                    write_cfg_frame(d, self.sys, self.script, gmask)
                     continue
                 fcur = None if self.res is None else self.res.f
                 write_dump_frame(d, self.sys, self.script, gmask, f=fcur)

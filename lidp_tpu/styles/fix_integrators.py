@@ -6,6 +6,8 @@ refactor; each builder sets ctx.integ.
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -16,20 +18,25 @@ from lidp_tpu.integrate.driver import (nve_integrator,
 from lidp_tpu.styles import fix_style
 
 
-@fix_style("nve", integrator=True)
+@fix_style("nve", "nve/limit", "nve/noforce", integrator=True)
 def build_nve(ctx, spec):
     # sub-group nve: only the fix group integrates (atoms outside any
-    # time-integration fix do not move)
+    # time-integration fix do not move).  nve/limit clamps per-atom |v|
+    # to xlimit/dt after each half-kick (fix_nve_limit.cpp); nve/noforce
+    # drifts positions without ever kicking (fix_nve_noforce.cpp).
     gmask = ctx.groups[spec.group]
     gmask_real = ctx.script.groups[spec.group]
     nvep = nve_mod.NVEParams.create(
         ctx.script.dt, ctx.u.ftm2v, ctx.mass_atom, dtype=ctx.dtype,
-        gmask=None if gmask_real.all() else gmask)
+        gmask=None if gmask_real.all() else gmask,
+        xlimit=(float(spec.args[0]) if spec.style == "nve/limit"
+                else None),
+        noforce=spec.style == "nve/noforce")
     ctx.integ = nve_integrator(nvep)
-    if not gmask_real.all():
-        # frozen atoms keep their dof out of the temperature
-        ctx.dof_removed += ctx.dim * int((~gmask_real).sum())
-        ctx.dof_removals.append(("atoms", ~gmask_real, ctx.dim))
+    # NOTE: atoms outside every integrator fix keep their dof in the
+    # thermo temperature — verified against the rebuilt reference
+    # (compute temp's dof is group count based, never integrator based;
+    # the nve/noforce golden in tests/test_fix_breadth.py pins this)
 
 
 @fix_style("nvt", integrator=True)
@@ -143,8 +150,14 @@ def build_npt(ctx, spec):
         params=nptp, init_state=npt_mod.init_state)
 
 
-@fix_style("rigid", "rigid/nve", "rigid/nvt", integrator=True)
+@fix_style("rigid", "rigid/nve", "rigid/nvt", "rigid/small",
+           "rigid/nve/small", "rigid/nvt/small", integrator=True)
 def build_rigid(ctx, spec):
+    # the /small variants (fix_rigid_small.cpp) exist in the reference
+    # for many-small-bodies scaling; our segment_sum-batched formulation
+    # is already per-body parallel, so they alias their parents
+    if spec.style.endswith("/small"):
+        spec = dataclasses.replace(spec, style=spec.style[:-6])
     script, u, dtype = ctx.script, ctx.u, ctx.dtype
     gmask = ctx.groups[spec.group]
     x_unwrap = (ctx.padA(script.x)

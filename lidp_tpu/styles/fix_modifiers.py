@@ -313,10 +313,15 @@ def build_wall_reflect(ctx, spec):
     ctx.pi_hooks.append(_wallreflect_pi)
 
 
-@fix_style("wall/lj93")
-def build_wall_lj93(ctx, spec):
-    # FixWallLJ93 (fix_wall_lj93.cpp:32-42 precompute + wall force):
-    # E = eps(2/15 (s/d)^9 - (s/d)^3) - offset
+@fix_style("wall/lj93", "wall/lj126", "wall/lj1043", "wall/harmonic")
+def build_wall_flat(ctx, spec):
+    # Flat analytic walls (fix_wall.cpp children):
+    #   lj93      E = eps(2/15 (s/d)^9 - (s/d)^3)       fix_wall_lj93.cpp
+    #   lj126     E = 4 eps((s/d)^12 - (s/d)^6)         fix_wall_lj126.cpp
+    #   lj1043    E = 2 pi eps(2/5 (s/d)^10 - (s/d)^4
+    #                 - sqrt(2)/3 (s/(d+0.61/sqrt(2) s))^3)
+    #                                                   fix_wall_lj1043.cpp
+    #   harmonic  E = eps (cut - d)^2                   fix_wall_harmonic.cpp
     walls_l = []
     a_w = spec.args
     i_w = 0
@@ -331,23 +336,175 @@ def build_wall_lj93(ctx, spec):
         else:
             i_w += 1
     gm_w2 = jnp.asarray(ctx.groups[spec.group])
+    kind = spec.style.split("/")[1]
 
-    def _walllj_pf(sys_, f_, _w=tuple(walls_l), _g=gm_w2):
+    def _wall_pf(sys_, f_, _w=tuple(walls_l), _g=gm_w2, _k=kind):
         for d, sgn, coord, epsw, sigw, cutw in _w:
-            c1 = 6.0 / 5.0 * epsw * sigw**9
-            c2 = 3.0 * epsw * sigw**3
             delta = (sys_.x[:, d] - coord) * sgn
             act = (_g & sys_.mask & (delta > 0) & (delta < cutw))
             dsafe = jnp.where(act, delta, 1.0)
             rinv = 1.0 / dsafe
-            r4 = rinv**4
-            r10 = r4 * r4 * rinv * rinv
-            fw = jnp.where(act, c1 * r10 - c2 * r4, 0.0) * sgn
+            if _k == "lj93":
+                c1 = 6.0 / 5.0 * epsw * sigw**9
+                c2 = 3.0 * epsw * sigw**3
+                r4 = rinv**4
+                fmag = c1 * r4 * r4 * rinv * rinv - c2 * r4
+            elif _k == "lj126":
+                # fwall = (48 eps s^12 r6inv - 24 eps s^6) r6inv rinv
+                c1 = 48.0 * epsw * sigw**12
+                c2 = 24.0 * epsw * sigw**6
+                r6 = rinv**6
+                fmag = (c1 * r6 - c2) * r6 * rinv
+            elif _k == "lj1043":
+                # fix_wall_lj1043.cpp precompute: c5 = 10 coeff1 =
+                # 8 pi eps s^10, c6 = 4 coeff2 = 8 pi eps s^4,
+                # c7 = 3 coeff3 = 2 pi sqrt(2) eps s^3,
+                # d0 = 0.61 s / sqrt(2)
+                c5 = 8.0 * np.pi * epsw * sigw**10
+                c6 = 8.0 * np.pi * epsw * sigw**4
+                c7 = 2.0 * np.pi * np.sqrt(2.0) * epsw * sigw**3
+                d0 = 0.61 / np.sqrt(2.0) * sigw
+                r4 = rinv**4
+                r10 = r4 * r4 * rinv * rinv
+                rs = 1.0 / (dsafe + d0)
+                fmag = (c5 * r10 * rinv - c6 * r4 * rinv
+                        - c7 * rs**4)
+            else:   # harmonic: F = 2 eps (cut - d) toward the interior
+                fmag = 2.0 * epsw * (cutw - dsafe)
+            fw = jnp.where(act, fmag, 0.0) * sgn
             f_ = f_.at[:, d].add(fw)
         return f_, jnp.zeros(6, f_.dtype)
 
-    ctx.pf_hooks.append(_walllj_pf)
-    ctx.pf_hooks_setup.append(_walllj_pf)
+    ctx.pf_hooks.append(_wall_pf)
+    ctx.pf_hooks_setup.append(_wall_pf)
+
+
+@fix_style("spring")
+def build_spring(ctx, spec):
+    # fix spring tether K x y z R0 | couple group2 K x y z R0
+    # (fix_spring.cpp spring_tether/spring_couple): restoring force
+    # k(r-R0) on the group COM (unwrapped), distributed mass-weighted
+    a = list(spec.args)
+    couple = a[0] == "couple"
+    if couple:
+        g2name = a[1]
+        a = a[2:]
+    else:
+        assert a[0] == "tether"
+        a = a[1:]
+    k_s = float(a[0])
+    tgt = [None if t == "NULL" else float(t) for t in a[1:4]]
+    r0_s = float(a[4])
+    gm = jnp.asarray(ctx.groups[spec.group])
+    gm2 = jnp.asarray(ctx.groups[g2name]) if couple else None
+    mass_j = jnp.asarray(ctx.mass_atom, ctx.dtype)
+    flags = jnp.asarray([t is not None for t in tgt])
+    tvals = jnp.asarray([0.0 if t is None else t for t in tgt], ctx.dtype)
+
+    def _xcm(sys_, g):
+        from lidp_tpu.box import unwrap
+
+        m = jnp.where(g & sys_.mask, mass_j, 0.0)
+        xu = unwrap(sys_.x, sys_.box, sys_.image)
+        M = jnp.sum(m)
+        return jnp.sum(m[:, None] * xu, axis=0) / M, M
+
+    def _spring_pf(sys_, f_):
+        com1, m1 = _xcm(sys_, gm)
+        if couple:
+            # dx = xcm2 - xcm1 - offset; group1 += k dx dr/r * m/M1,
+            # group2 -= same /M2 (fix_spring.cpp spring_couple)
+            com2, m2 = _xcm(sys_, gm2)
+            dxv = com2 - com1 - tvals
+        else:
+            dxv = com1 - tvals
+        dxv = jnp.where(flags, dxv, 0.0)
+        r = jnp.sqrt(jnp.sum(dxv * dxv))
+        rsafe = jnp.maximum(r, 1e-10)
+        dr = r - r0_s
+        fvec = k_s * dxv * dr / rsafe
+        pa1 = jnp.where((gm & sys_.mask), mass_j, 0.0) / m1
+        if couple:
+            f_ = f_ + pa1[:, None] * fvec[None, :]
+            pa2 = jnp.where((gm2 & sys_.mask), mass_j, 0.0) / m2
+            f_ = f_ - pa2[:, None] * fvec[None, :]
+        else:
+            # tether: restoring force -k dx dr/r on the group
+            f_ = f_ - pa1[:, None] * fvec[None, :]
+        return f_, jnp.zeros(6, f_.dtype)
+
+    ctx.pf_hooks.append(_spring_pf)
+    ctx.pf_hooks_setup.append(_spring_pf)
+
+
+@fix_style("spring/rg")
+def build_spring_rg(ctx, spec):
+    # fix spring/rg K RG0 (fix_spring_rg.cpp): f_i = -2K(1 - rg0/rg)
+    # (xu_i - xcm) m_i/M; RG0 = NULL captures the first-step rg
+    k_rg = float(spec.args[0])
+    gm = jnp.asarray(ctx.groups[spec.group])
+    mass_j = jnp.asarray(ctx.mass_atom, ctx.dtype)
+    if spec.args[1] == "NULL":
+        # NULL pins rg0 to the setup-time rg (FixSpringRG::init) —
+        # computed on the host from the script arrays now
+        gmh = ctx.script.groups[spec.group]
+        mh = np.asarray(ctx.mass_atom)[:len(gmh)][gmh]
+        xuh = (ctx.script.x + ctx.script.image
+               * (ctx.script.box_hi - ctx.script.box_lo))[gmh]
+        comh = (mh[:, None] * xuh).sum(0) / mh.sum()
+        rg0_v = float(np.sqrt(
+            (mh * ((xuh - comh) ** 2).sum(1)).sum() / mh.sum()))
+    else:
+        rg0_v = float(spec.args[1])
+
+    def _rg(sys_):
+        from lidp_tpu.box import unwrap
+
+        m = jnp.where(gm & sys_.mask, mass_j, 0.0)
+        xu = unwrap(sys_.x, sys_.box, sys_.image)
+        M = jnp.sum(m)
+        com = jnp.sum(m[:, None] * xu, axis=0) / M
+        d = xu - com
+        rg = jnp.sqrt(jnp.sum(m * jnp.sum(d * d, axis=1)) / M)
+        return rg, com, xu, m, M
+
+    def _spring_rg_pf(sys_, f_):
+        rg, com, xu, m, M = _rg(sys_)
+        term = 2.0 * k_rg * (1.0 - rg0_v / rg)
+        f_ = f_ - term * (xu - com) * (m / M)[:, None]
+        return f_, jnp.zeros(6, f_.dtype)
+
+    ctx.pf_hooks.append(_spring_rg_pf)
+    ctx.pf_hooks_setup.append(_spring_rg_pf)
+
+
+@fix_style("drag")
+def build_drag(ctx, spec):
+    # fix drag x y z fmag delta (fix_drag.cpp): constant-magnitude force
+    # toward the point for atoms farther than delta (min-imaged)
+    from lidp_tpu.box import min_image_box
+
+    tgt = [None if t == "NULL" else float(t) for t in spec.args[:3]]
+    fmag = float(spec.args[3])
+    delta = float(spec.args[4])
+    gm = jnp.asarray(ctx.groups[spec.group])
+    flags = jnp.asarray([t is not None for t in tgt])
+    tvals = jnp.asarray([0.0 if t is None else t for t in tgt], ctx.dtype)
+
+    def _drag_pf(sys_, f_):
+        d = min_image_box(sys_.x - tvals, sys_.box)
+        d = jnp.where(flags, d, 0.0)
+        r = jnp.sqrt(jnp.sum(d * d, axis=1))
+        act = gm & sys_.mask & (r > delta)
+        pref = jnp.where(act, fmag / jnp.where(r > 0, r, 1.0), 0.0)
+        f_ = f_ - pref[:, None] * d
+        return f_, jnp.zeros(6, f_.dtype)
+
+    ctx.pf_hooks.append(_drag_pf)
+    ctx.pf_hooks_setup.append(_drag_pf)
+
+
+
 
 
 @fix_style("planeforce", "lineforce")
@@ -414,3 +571,126 @@ def build_halt(ctx, spec):
     ctx.halt_spec = (int(spec.args[0]), spec.args[1], spec.args[2],
                      float(spec.args[3]),
                      spec.args[4] if len(spec.args) > 4 else "break")
+
+
+@fix_style("move")
+def build_move(ctx, spec):
+    # fix move linear Vx Vy Vz | wiggle Ax Ay Az period
+    # (fix_move.cpp initial_integrate LINEAR/WIGGLE branches): prescribed
+    # kinematics overwrite x and v of the group each step; displacement
+    # measured from the coords at fix creation (time_origin).  NULL
+    # components (normally self-integrated by FixMove) are unsupported.
+    a = list(spec.args)
+    mode = a[0]
+    if mode not in ("linear", "wiggle"):
+        raise NotImplementedError(f"fix move {mode}")
+    if any(t == "NULL" for t in a[1:4]):
+        raise NotImplementedError("fix move with NULL components")
+    vals = jnp.asarray([float(t) for t in a[1:4]], ctx.dtype)
+    period = float(a[4]) if mode == "wiggle" else 1.0
+    gm = jnp.asarray(ctx.groups[spec.group])[:, None]
+    x0 = jnp.asarray(ctx.padA(
+        ctx.script.x + ctx.script.image
+        * (ctx.script.box_hi - ctx.script.box_lo)), ctx.dtype)
+    t0 = int(ctx.script.step)
+    dt = ctx.script.dt
+    omega = 2.0 * np.pi / period
+
+    def _move_pi(sys_):
+        # post_integrate runs before the scan's step increment, while
+        # FixMove::initial_integrate sees the already-advanced ntimestep
+        delta = (sys_.step + 1 - t0) * dt
+        if mode == "linear":
+            xm = x0 + delta * vals[None, :]
+            vm = jnp.broadcast_to(vals[None, :], sys_.v.shape)
+        else:
+            s, c = jnp.sin(omega * delta), jnp.cos(omega * delta)
+            xm = x0 + vals[None, :] * s
+            vm = jnp.broadcast_to(vals[None, :] * omega * c, sys_.v.shape)
+        upd = gm & sys_.mask[:, None]
+        return sys_.replace(x=jnp.where(upd, xm, sys_.x),
+                            v=jnp.where(upd, vm, sys_.v))
+
+    ctx.pi_hooks.append(_move_pi)
+
+
+@fix_style("heat")
+def build_heat(ctx, spec):
+    # fix heat N flux (fix_heat.cpp end_of_step, constant style): every N
+    # steps rescale group velocities to add flux*N*dt of kinetic energy
+    # while conserving momentum: v' = s v - (s-1) vcm with
+    # s = sqrt((ke + dE - kcm)/(ke - kcm)), all in raw 0.5 m v^2 units
+    # (energy * ftm2v)
+    nevery = int(spec.args[0])
+    flux = float(spec.args[1])
+    gm = jnp.asarray(ctx.groups[spec.group])
+    mass_j = jnp.asarray(ctx.mass_atom, ctx.dtype)
+    de_raw = flux * nevery * ctx.script.dt * ctx.u.ftm2v
+
+    def _heat_eos(sys_):
+        on = (sys_.step % nevery) == 0
+        m = jnp.where(gm & sys_.mask, mass_j, 0.0)
+        M = jnp.sum(m)
+        vcm = jnp.sum(m[:, None] * sys_.v, axis=0) / M
+        ke = 0.5 * jnp.sum(m[:, None] * sys_.v ** 2)
+        kcm = 0.5 * jnp.sum(vcm * vcm) * M
+        s = jnp.sqrt((ke + de_raw - kcm) / (ke - kcm))
+        s = jnp.where(on, s, 1.0)
+        vnew = s * sys_.v - (s - 1.0) * vcm[None, :]
+        return sys_.replace(v=jnp.where((gm & sys_.mask)[:, None],
+                                        vnew, sys_.v))
+
+    ctx.eos_hooks.append(_heat_eos)
+
+
+@fix_style("temp/csvr", "temp/csld")
+def build_temp_cs(ctx, spec):
+    # fix temp/csvr (Bussi-Donadio-Parrinello stochastic velocity
+    # rescale, fix_temp_csvr.cpp) and temp/csld (canonical sampling
+    # langevin thermostat, fix_temp_csld.cpp).  Draw streams use a
+    # counter-based key folded with the step (statistically equivalent
+    # to the reference's RanMars stream, not bit-identical).
+    u, script = ctx.u, ctx.script
+    tstart, tstop, damp, seed = (float(spec.args[0]), float(spec.args[1]),
+                                 float(spec.args[2]), int(spec.args[3]))
+    gm = jnp.asarray(ctx.groups[spec.group])
+    mass_j = jnp.asarray(ctx.mass_atom, ctx.dtype)
+    ng = int(np.count_nonzero(ctx.script.groups[spec.group]))
+    dof = ctx.dim * ng - ctx.dim
+    boltz, mvv2e = u.boltz, u.mvv2e
+    dt = script.dt
+    csld = spec.style == "temp/csld"
+    seed_arr = jnp.asarray(seed, jnp.uint32)
+
+    def _cs_eos(sys_):
+        import jax as _jax
+
+        key = _jax.random.fold_in(_jax.random.PRNGKey(seed_arr), sys_.step)
+        t_tgt = tstart            # ramp handled as constant start value
+        m = jnp.where(gm & sys_.mask, mass_j, 0.0)
+        if csld:
+            # v' = c1 v + c2 sqrt(kT/m) R  per component
+            c1 = jnp.exp(-dt / damp)
+            c2 = jnp.sqrt(1.0 - c1 * c1)
+            sig = jnp.sqrt(boltz * t_tgt / jnp.maximum(mass_j, 1e-300)
+                           / mvv2e)
+            r = _jax.random.normal(key, sys_.v.shape, dtype=sys_.v.dtype)
+            vnew = c1 * sys_.v + c2 * sig[:, None] * r
+            return sys_.replace(v=jnp.where((gm & sys_.mask)[:, None],
+                                            vnew, sys_.v))
+        # csvr: resample the total kinetic energy (Bussi 2007 eq. A7)
+        ke = 0.5 * mvv2e * jnp.sum(m[:, None] * sys_.v ** 2)
+        ke_t = 0.5 * dof * boltz * t_tgt
+        c = jnp.exp(-dt / damp)
+        k1, k2 = _jax.random.split(key)
+        r1 = _jax.random.normal(k1, (), dtype=sys_.v.dtype)
+        # sum of (dof-1) squared gaussians ~ 2 Gamma((dof-1)/2)
+        rr = 2.0 * _jax.random.gamma(k2, (dof - 1) / 2.0,
+                                     dtype=sys_.v.dtype)
+        ke_new = (ke + (1.0 - c) * (ke_t * (r1 * r1 + rr) / dof - ke)
+                  + 2.0 * r1 * jnp.sqrt(c * (1.0 - c) * ke_t * ke / dof))
+        s = jnp.sqrt(jnp.maximum(ke_new, 0.0) / ke)
+        return sys_.replace(v=jnp.where((gm & sys_.mask)[:, None],
+                                        s * sys_.v, sys_.v))
+
+    ctx.eos_hooks.append(_cs_eos)

@@ -69,3 +69,45 @@ def test_ten_steps_stable(chute0):
     # value matches the golden to 0.2% (module doc)
     assert float(r10["ke"]) == pytest.approx(784139.13, rel=5e-5)
     assert float(r10["c_1"]) == pytest.approx(1601.1263, rel=3e-2)
+
+
+GRAN_VARIANT_GOLDEN = {
+    # rows from the REBUILT reference binary on bench/in.chute with the
+    # pair style swapped (4 steps, thermo 2, %.15g norm no):
+    # step atoms ke c_1 vol
+    "gran/hooke": [
+        [0, 784139.12852822, 1601.12628728411],
+        [2, 784151.00044128, 1601.12628728411],
+        [4, 784163.009077438, 1601.12628728411],
+    ],
+    "gran/hertz/history": [
+        [0, 784139.12852822, 1601.12628728411],
+        [2, 784151.685179096, 1601.11403376317],
+        [4, 784164.166554183, 1601.0781958997],
+    ],
+}
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("style", sorted(GRAN_VARIANT_GOLDEN))
+def test_gran_variants_golden(style, tmp_path):
+    """pair gran/hooke (no shear history, pair_gran_hooke.cpp) and
+    gran/hertz/history (polyhertz scaling, pair_gran_hertz_history.cpp)
+    vs the rebuilt reference on the chute system."""
+    os.symlink(os.path.join(BENCH, "data.chute"), tmp_path / "data.chute")
+    text = open(os.path.join(BENCH, "in.chute")).read()
+    text = re.sub(r"^pair_style.*$",
+                  f"pair_style {style} 200000.0 NULL 50.0 NULL 0.5 0",
+                  text, flags=re.M)
+    text = re.sub(r"^thermo\t.*$", "thermo 2", text, flags=re.M)
+    text = re.sub(r"^run.*$", "run 4", text, flags=re.M)
+    path = tmp_path / "in.var"
+    path.write_text(text)
+    s = LammpsScript(dtype=jnp.float64)
+    s.file(str(path))
+    rows = {int(r["step"]): r for r in s.thermo_rows}
+    for step, ke, c1 in GRAN_VARIANT_GOLDEN[style]:
+        assert float(rows[step]["ke"]) == pytest.approx(ke, rel=1e-9), (
+            style, step)
+        assert float(rows[step]["c_1"]) == pytest.approx(c1, rel=1e-8), (
+            style, step)

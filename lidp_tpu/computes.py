@@ -273,6 +273,39 @@ def eval_peratom(sim, cid):
     raise ValueError(f"per-atom compute style {style}")
 
 
+def peratom_column(sim, tok):
+    """Resolve a per-atom input token (x/y/z, vx.., fx.., q, type, mol,
+    c_ID[/col], f_ID[/col]) to an (N,) array — the shared input grammar
+    of compute reduce, fix ave/atom, fix ave/histo, fix store/state."""
+    n = sim.natoms
+    sys = sim.sys
+    if tok.startswith(("c_", "f_")):
+        name = tok[2:]
+        col = None
+        if name.endswith("]"):
+            name, idx = name[:-1].split("[")
+            col = int(idx) - 1
+        if tok.startswith("c_"):
+            arr = np.asarray(eval_peratom(sim, name))
+        else:
+            arr = np.asarray(sim.script.fixes[name]._peratom_store)
+        return arr if arr.ndim == 1 else arr[:, col if col is not None
+                                             else 0]
+    v = np.asarray(sys.v)[:n]
+    x = np.asarray(sys.x)[:n]
+    f = np.asarray(sim.res.f)[:n] if sim.res is not None else (
+        np.zeros((n, 3)))
+    src = {"x": x[:, 0], "y": x[:, 1], "z": x[:, 2],
+           "vx": v[:, 0], "vy": v[:, 1], "vz": v[:, 2],
+           "fx": f[:, 0], "fy": f[:, 1], "fz": f[:, 2],
+           "q": np.asarray(sys.q)[:n],
+           "type": np.asarray(sim.script.type)[:n].astype(float),
+           "mol": np.asarray(sim.script.mol)[:n].astype(float),
+           "mass": np.asarray(sim.thermo_params.mass_atom)[:n],
+           "id": np.arange(1.0, n + 1)}
+    return src[tok]
+
+
 def eval_reduce(sim, cid):
     """compute reduce / reduce/region (compute_reduce.cpp): scalar or
     vector of reduced per-atom inputs."""
@@ -290,20 +323,7 @@ def eval_reduce(sim, cid):
         np.zeros((n, 3)))
     outs = []
     for tok in spec["inputs"]:
-        if tok.startswith("c_"):
-            name = tok[2:]
-            col = None
-            if "[" in name:
-                name, idx = name[:-1].split("[")
-                col = int(idx) - 1
-            arr = eval_peratom(sim, name)
-            if arr.ndim == 2:
-                arr = arr[:, col if col is not None else 0]
-        else:
-            src = {"x": x[:, 0], "y": x[:, 1], "z": x[:, 2],
-                   "vx": v[:, 0], "vy": v[:, 1], "vz": v[:, 2],
-                   "fx": f[:, 0], "fy": f[:, 1], "fz": f[:, 2]}
-            arr = src[tok]
+        arr = peratom_column(sim, tok)
         sel = arr[gm]
         if mode == "sum":
             outs.append(sel.sum())

@@ -42,18 +42,25 @@ def write_dump_frame(spec, sys, script, gmask, f=None):
         "fx": fv[ids, 0], "fy": fv[ids, 1], "fz": fv[ids, 2],
         "mux": mu[ids, 0], "muy": mu[ids, 1], "muz": mu[ids, 2],
     }
-    # per-atom compute references (dump_custom.cpp c_ID / c_ID[n] columns)
+    # per-atom compute/fix references (dump_custom.cpp c_ID / c_ID[n] and
+    # f_ID / f_ID[n] columns — the latter from store/state / ave/atom)
     for c in spec.columns:
-        if c.startswith("c_") and c not in colvec:
+        if c.startswith(("c_", "f_")) and c not in colvec:
             sim = getattr(script, "_sim", None)
             name = c[2:]
             col = None
             if name.endswith("]"):
                 name, idx = name[:-1].split("[")
                 col = int(idx) - 1
-            from lidp_tpu.computes import eval_peratom
+            if c.startswith("c_"):
+                from lidp_tpu.computes import eval_peratom
 
-            arr = np.asarray(eval_peratom(sim, name))
+                arr = np.asarray(eval_peratom(sim, name))
+            else:
+                # a window-average fix that has not produced output yet
+                # dumps zeros (its Nfreq hasn't elapsed)
+                arr = np.asarray(getattr(script.fixes[name],
+                                         "_peratom_store", np.zeros(1)))
             arr = arr if arr.ndim == 1 else arr[:, col or 0]
             full = np.zeros(len(gmask))
             full[:len(arr)] = arr

@@ -1699,7 +1699,8 @@ class LammpsScript:
                          "nve/noforce", "spring", "spring/rg", "drag",
                          "move", "heat", "temp/csvr", "temp/csld",
                          "rigid/small", "rigid/nve/small",
-                         "rigid/nvt/small"):
+                         "rigid/nvt/small", "store/state", "ave/atom",
+                         "ave/histo", "ave/correlate", "vector"):
             raise ValueError(f"unsupported fix style {style}")
         self.fixes[fid] = FixSpec(fid=fid, group=group, style=style, args=a[3:])
         self._invalidate()

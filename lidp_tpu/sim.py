@@ -1856,6 +1856,57 @@ class Simulation:
                         self.script.log(out)
             elif spec.style == "ave/chunk":
                 self._ave_chunk(spec, step)
+            elif spec.style == "store/state":
+                # fix store/state N field... (fix_store_state.cpp):
+                # snapshot per-atom fields every N steps (N=0: once at
+                # setup); exposed as f_ID[col] to dumps and reductions
+                from lidp_tpu.computes import peratom_column
+
+                nev = int(spec.args[0])
+                first = not hasattr(spec, "_peratom_store")
+                if first or (nev and step % nev == 0):
+                    cols = [peratom_column(self, t)
+                            for t in spec.args[1:]]
+                    spec._peratom_store = (cols[0] if len(cols) == 1
+                                           else np.stack(cols, axis=1))
+            elif spec.style == "ave/atom":
+                # fix ave/atom Nevery Nrepeat Nfreq field...
+                # (fix_ave_atom.cpp): per-atom Nrepeat-sample window
+                # averages refreshed every Nfreq, exposed as f_ID[col]
+                from lidp_tpu.computes import peratom_column
+
+                nev, nrep, nfreq = (int(spec.args[0]), int(spec.args[1]),
+                                    int(spec.args[2]))
+                if nev and step % nev == 0:
+                    cols = [peratom_column(self, t)
+                            for t in spec.args[3:]]
+                    sample = (cols[0] if len(cols) == 1
+                              else np.stack(cols, axis=1))
+                    buf = getattr(spec, "_samples", [])
+                    buf.append(sample)
+                    spec._samples = buf[-nrep:]
+                if nfreq and step % nfreq == 0 \
+                        and getattr(spec, "_samples", None):
+                    spec._peratom_store = (
+                        np.mean(spec._samples, axis=0))
+            elif spec.style == "ave/histo":
+                self._ave_histo(spec, step)
+            elif spec.style == "ave/correlate":
+                self._ave_correlate(spec, step)
+            elif spec.style == "vector":
+                # fix vector Nevery value... (fix_vector.cpp): append the
+                # sampled global values to a growing time series
+                nev = int(spec.args[0])
+                if nev and step % nev == 0:
+                    row = self._thermo_row()
+                    vals = []
+                    for t in spec.args[1:]:
+                        key = t[2:] if t.startswith("c_") else t.lower()
+                        v = row.get("c_" + key, row.get(key))
+                        vals.append(float(v) if v is not None else 0.0)
+                    buf = getattr(spec, "_series", [])
+                    buf.append(vals[0] if len(vals) == 1 else vals)
+                    spec._series = buf
             elif spec.style == "ave/time":
                 nev, nrep, nfreq = (int(spec.args[0]), int(spec.args[1]),
                                     int(spec.args[2]))
@@ -1886,6 +1937,136 @@ class Simulation:
                                   mode) as fh:
                             fh.write(f"{step} {ave:.10g}\n")
                         spec._started = True
+
+    def _ave_histo(self, spec, step):
+        """fix ave/histo Nevery Nrepeat Nfreq lo hi Nbin value... [file F]
+        (fix_ave_histo.cpp): histogram of per-atom or global values,
+        Nrepeat samples accumulated, stats + bins written every Nfreq.
+        File rows follow the reference layout: a `step nbins total
+        missing min max` header then `i coord count count/total`."""
+        from lidp_tpu.computes import peratom_column
+
+        a = list(spec.args)
+        nev, nrep, nfreq = int(a[0]), int(a[1]), int(a[2])
+        lo, hi, nbin = float(a[3]), float(a[4]), int(a[5])
+        vals = []
+        i = 6
+        fpath = None
+        while i < len(a):
+            if a[i] == "file":
+                fpath = a[i + 1]; i += 2
+            elif a[i] == "mode":
+                i += 2
+            else:
+                vals.append(a[i]); i += 1
+        if nev and step % nev == 0:
+            gm = np.asarray(self.script.groups[spec.group])[:self.natoms]
+            samples = []
+            for t in vals:
+                try:
+                    arr = peratom_column(self, t)
+                    samples.append(np.asarray(arr)[gm])
+                except (KeyError, ValueError):
+                    row = self._thermo_row()
+                    key = t[2:] if t.startswith("c_") else t.lower()
+                    v = row.get("c_" + key, row.get(key))
+                    samples.append(np.array([float(v)]))
+            data = np.concatenate(samples)
+            inside = (data >= lo) & (data <= hi)
+            hist, _ = np.histogram(data[inside], bins=nbin,
+                                   range=(lo, hi))
+            st = getattr(spec, "_histo", None)
+            if st is None:
+                st = dict(hist=np.zeros(nbin), total=0.0, missing=0.0,
+                          vmin=np.inf, vmax=-np.inf, nsamp=0)
+            st["hist"] = st["hist"] + hist
+            st["total"] += inside.sum()
+            st["missing"] += (~inside).sum()
+            if len(data):
+                st["vmin"] = min(st["vmin"], float(data.min()))
+                st["vmax"] = max(st["vmax"], float(data.max()))
+            st["nsamp"] += 1
+            if st["nsamp"] > nrep:
+                st = dict(hist=np.asarray(hist, float),
+                          total=float(inside.sum()),
+                          missing=float((~inside).sum()),
+                          vmin=float(data.min()) if len(data) else np.inf,
+                          vmax=float(data.max()) if len(data) else -np.inf,
+                          nsamp=1)
+            spec._histo = st
+        if nfreq and step % nfreq == 0 and getattr(spec, "_histo", None):
+            st = spec._histo
+            self.script.ave_histo_values = getattr(
+                self.script, "ave_histo_values", {})
+            self.script.ave_histo_values[spec.fid] = dict(st)
+            if fpath:
+                import os as _os
+
+                mode = "a" if getattr(spec, "_started", False) else "w"
+                binw = (hi - lo) / nbin
+                with open(_os.path.join(self.script.root, fpath),
+                          mode) as fh:
+                    tot = max(st["total"], 1.0)
+                    fh.write(f"{step} {nbin} {st['total']:.8g} "
+                             f"{st['missing']:.8g} {st['vmin']:.8g} "
+                             f"{st['vmax']:.8g}\n")
+                    for b in range(nbin):
+                        fh.write(f"{b + 1} {lo + (b + 0.5) * binw:.8g} "
+                                 f"{st['hist'][b]:.8g} "
+                                 f"{st['hist'][b] / tot:.8g}\n")
+                spec._started = True
+            spec._histo = None
+
+    def _ave_correlate(self, spec, step):
+        """fix ave/correlate Nevery Nrepeat Nfreq value... [file F]
+        (fix_ave_correlate.cpp, type auto): <A(t) A(t+m*Nevery)> over the
+        trailing Nrepeat samples, written every Nfreq."""
+        a = list(spec.args)
+        nev, nrep, nfreq = int(a[0]), int(a[1]), int(a[2])
+        vals, fpath = [], None
+        i = 3
+        while i < len(a):
+            if a[i] == "file":
+                fpath = a[i + 1]; i += 2
+            elif a[i] in ("type", "ave", "start"):
+                i += 2
+            else:
+                vals.append(a[i]); i += 1
+        if nev and step % nev == 0:
+            row = self._thermo_row()
+            samp = []
+            for t in vals:
+                key = t[2:] if t.startswith("c_") else t.lower()
+                v = row.get("c_" + key, row.get(key))
+                samp.append(float(v) if v is not None else 0.0)
+            buf = getattr(spec, "_series", [])
+            buf.append(samp)
+            spec._series = buf[-nrep:]
+        if nfreq and step % nfreq == 0 \
+                and getattr(spec, "_series", None):
+            series = np.asarray(spec._series)      # (nsamp, nval)
+            nsamp = len(series)
+            corr = np.zeros((nrep, series.shape[1]))
+            cnt = np.zeros(nrep)
+            for m in range(min(nrep, nsamp)):
+                prod = series[:nsamp - m] * series[m:]
+                corr[m] = prod.mean(axis=0)
+                cnt[m] = nsamp - m
+            self.script.ave_correlate_values = getattr(
+                self.script, "ave_correlate_values", {})
+            self.script.ave_correlate_values[spec.fid] = (corr, cnt)
+            if fpath:
+                import os as _os
+
+                mode = "a" if getattr(spec, "_started", False) else "w"
+                with open(_os.path.join(self.script.root, fpath),
+                          mode) as fh:
+                    fh.write(f"{step} {min(nrep, nsamp)}\n")
+                    for m in range(min(nrep, nsamp)):
+                        fh.write(f"{m + 1} {m * nev} {int(cnt[m])} "
+                                 + " ".join(f"{c:.8g}" for c in corr[m])
+                                 + "\n")
+                spec._started = True
 
     def _chunk_ids(self, cid):
         """Per-atom chunk index (1..nchunk, 0 = outside group) plus the
@@ -2342,6 +2523,16 @@ class Simulation:
                 self.runner.setup(self.sys)
         self.script.log(" ".join(
             self._HEADER.get(c, c) for c in self.script.thermo_columns))
+        # store/state setup-time snapshot (fix_store_state.cpp end_of_setup
+        # semantics) must exist before the step-0 dump references f_ID
+        from lidp_tpu.computes import peratom_column
+
+        for spec in self.script.fixes.values():
+            if (spec.style == "store/state"
+                    and not hasattr(spec, "_peratom_store")):
+                cols = [peratom_column(self, t) for t in spec.args[1:]]
+                spec._peratom_store = (cols[0] if len(cols) == 1
+                                       else np.stack(cols, axis=1))
         self._emit()
         self._dump()
         remaining = nsteps
@@ -2355,7 +2546,9 @@ class Simulation:
         if halt:
             chunk_opts.append(max(1, halt[0]))
         for spec in self.script.fixes.values():
-            if spec.style in ("print", "ave/time", "ave/chunk"):
+            if spec.style in ("print", "ave/time", "ave/chunk",
+                              "store/state", "ave/atom", "ave/histo",
+                              "ave/correlate", "vector"):
                 chunk_opts.append(max(1, int(spec.args[0])))
         chunk = int(np.gcd.reduce(chunk_opts)) if chunk_opts else nsteps
         # timer timeout: end the run cleanly when the wall clock budget is

@@ -526,7 +526,8 @@ def build_projection(ctx, spec):
     ctx.pf_hooks_setup.append(_proj_pf)
 
 
-@fix_style("print", "ave/time", "ave/chunk")
+@fix_style("print", "ave/time", "ave/chunk", "store/state", "ave/atom",
+           "ave/histo", "ave/correlate", "vector")
 def build_host_side(ctx, spec):
     pass   # host-side, handled at chunk boundaries in run()
 

@@ -336,3 +336,187 @@ def eval_reduce(sim, cid):
         else:
             raise ValueError(f"reduce mode {mode}")
     return outs[0] if len(outs) == 1 else outs
+
+
+def eval_chunk_agg(sim, cid):
+    """The */chunk aggregate family (compute_com_chunk.cpp,
+    compute_vcm_chunk.cpp, compute_gyration_chunk.cpp,
+    compute_angmom_chunk.cpp, compute_torque_chunk.cpp,
+    compute_inertia_chunk.cpp, compute_omega_chunk.cpp,
+    compute_dipole_chunk.cpp, compute_msd_chunk.cpp,
+    compute_property_chunk.cpp, compute_temp_chunk.cpp): per-chunk
+    reductions over the chunk/atom assignment, all on unwrapped
+    coordinates (domain->unmap).  Returns an (nchunk, ncols) array;
+    temp/chunk with no value keywords returns a float scalar."""
+    from lidp_tpu.box import unwrap as _unwrap
+
+    gmask, style, chunkid, extra = sim.chunkagg_computes[cid]
+    ids, nchunk, ccoord = sim._chunk_ids(chunkid)
+    n = sim.natoms
+    # the aggregate compute's own group gates atoms on top of the
+    # chunk compute's (ichunk>0 && mask&groupbit in every compute_array)
+    ids = np.where(np.asarray(gmask)[:n], ids, 0)
+    sel = ids > 0
+    m = np.asarray(sim.thermo_params.mass_atom)[:n]
+    sys = sim.sys
+    xu = np.asarray(_unwrap(sys.x, sys.box, sys.image))[:n]
+    v = np.asarray(sys.v)[:n]
+
+    def _sum(w):
+        return np.bincount(ids, weights=np.where(sel, w, 0.0),
+                           minlength=nchunk + 1)[1:]
+
+    def _sum3(w3):
+        return np.stack([_sum(w3[:, d]) for d in range(3)], axis=1)
+
+    M = _sum(m)
+    ok = M > 0.0
+    Ms = np.maximum(M, 1e-300)
+    com = _sum3(m[:, None] * xu) / Ms[:, None]
+    com[~ok] = 0.0
+    d = xu - com[np.maximum(ids - 1, 0)]      # per-atom offset from chunk com
+
+    if style == "com/chunk":
+        return com
+    if style == "vcm/chunk":
+        vcm = _sum3(m[:, None] * v) / Ms[:, None]
+        vcm[~ok] = 0.0
+        return vcm
+    if style == "gyration/chunk":
+        if "tensor" in extra:
+            # xx yy zz xy xz yz / masstotal (compute_gyration_chunk.cpp
+            # compute_array)
+            cols = [d[:, 0] * d[:, 0], d[:, 1] * d[:, 1],
+                    d[:, 2] * d[:, 2], d[:, 0] * d[:, 1],
+                    d[:, 0] * d[:, 2], d[:, 1] * d[:, 2]]
+            out = np.stack([_sum(m * c) for c in cols], 1) / Ms[:, None]
+            out[~ok] = 0.0
+            return out
+        rg = np.sqrt(_sum(m * (d * d).sum(1)) / Ms)
+        rg[~ok] = 0.0
+        return rg[:, None]
+    if style == "angmom/chunk":
+        return _sum3(m[:, None] * np.cross(d, v))
+    if style == "torque/chunk":
+        f = np.asarray(sim.res.f)[:n]
+        return _sum3(np.cross(d, f))
+    if style in ("inertia/chunk", "omega/chunk"):
+        dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+        ine = np.stack([_sum(m * (dy * dy + dz * dz)),
+                        _sum(m * (dx * dx + dz * dz)),
+                        _sum(m * (dx * dx + dy * dy)),
+                        -_sum(m * dx * dy),
+                        -_sum(m * dy * dz),
+                        -_sum(m * dx * dz)], axis=1)
+        if style == "inertia/chunk":
+            return ine
+        L = _sum3(m[:, None] * np.cross(d, v))
+        out = np.zeros((nchunk, 3))
+        EPS = 1.0e-6        # compute_omega_chunk.cpp:27
+        for k in range(nchunk):
+            I = np.array([[ine[k, 0], ine[k, 3], ine[k, 5]],
+                          [ine[k, 3], ine[k, 1], ine[k, 4]],
+                          [ine[k, 5], ine[k, 4], ine[k, 2]]])
+            det = np.linalg.det(I)
+            if det > EPS:
+                out[k] = np.linalg.solve(I, L[k])
+            else:
+                # (nearly) singular: diagonalize, zero tiny moments,
+                # project L on principal axes (angmom_to_omega)
+                w, E = np.linalg.eigh(I)
+                if np.dot(np.cross(E[:, 0], E[:, 1]), E[:, 2]) < 0:
+                    E[:, 2] = -E[:, 2]
+                w = np.where(w < EPS * w.max(), 0.0, w)
+                lam = E.T @ L[k]
+                wbody = np.where(w > 0, lam / np.maximum(w, 1e-300), 0.0)
+                out[k] = E @ wbody
+        return out
+    if style == "dipole/chunk":
+        geom = any(e.startswith("geom") for e in extra)
+        q = np.asarray(sys.q)[:n]
+        if geom:
+            cnt = _sum(np.ones(n))
+            ctr = _sum3(xu) / np.maximum(cnt, 1e-300)[:, None]
+            ctr[cnt <= 0] = 0.0
+        else:
+            ctr = com
+        Q = _sum(q)
+        mu = _sum3(q[:, None] * xu) - Q[:, None] * ctr
+        return np.concatenate(
+            [mu, np.sqrt((mu * mu).sum(1))[:, None]], axis=1)
+    if style == "msd/chunk":
+        ref = getattr(sim, "_msdchunk_ref", {}).get(cid)
+        if ref is None:
+            # first invocation = run setup (ComputeMSDChunk::setup)
+            sim._msdchunk_ref = getattr(sim, "_msdchunk_ref", {})
+            sim._msdchunk_ref[cid] = com.copy()
+            return np.zeros((nchunk, 4))
+        dd = com - ref
+        return np.concatenate(
+            [dd * dd, (dd * dd).sum(1)[:, None]], axis=1)
+    if style == "property/chunk":
+        cols = []
+        cnt = _sum(np.ones(n))
+        for tok in extra:
+            if tok == "count":
+                cols.append(cnt)
+            elif tok.startswith("coord"):
+                j = int(tok[5:]) - 1
+                cc = np.asarray(ccoord)
+                cols.append(cc if cc.ndim == 1 else cc[:, j])
+            elif tok == "id":
+                cols.append(np.arange(1.0, nchunk + 1))
+            else:
+                raise ValueError(f"property/chunk field {tok}")
+        return np.stack(cols, axis=1)
+    if style == "temp/chunk":
+        # scalar temperature over chunked atoms; keywords com yes
+        # (remove per-chunk vcm), adof/cdof (compute_temp_chunk.cpp)
+        comflag = False
+        adof, cdof = float(sim.thermo_params.dim), 0.0
+        vals = []
+        i = 0
+        while i < len(extra):
+            if extra[i] == "com":
+                comflag = extra[i + 1] == "yes"; i += 2
+            elif extra[i] == "adof":
+                adof = float(extra[i + 1]); i += 2
+            elif extra[i] == "cdof":
+                cdof = float(extra[i + 1]); i += 2
+            else:
+                vals.append(extra[i]); i += 1
+        vv = v.copy()
+        if comflag:
+            vcm = _sum3(m[:, None] * v) / Ms[:, None]
+            vcm[~ok] = 0.0
+            vv = v - vcm[np.maximum(ids - 1, 0)]
+        mvv2e = sim.thermo_params.mvv2e
+        boltz = sim.thermo_params.boltz
+        if not vals:
+            t = mvv2e * float(
+                np.sum(np.where(sel, m * (vv * vv).sum(1), 0.0)))
+            dof = nchunk * cdof + adof * float(sel.sum())
+            return t / (dof * boltz) if dof > 0 else 0.0
+        # per-chunk columns: temp / kecom / internal
+        # (ComputeTempChunk::compute_array)
+        cols = []
+        cnt = _sum(np.ones(n))
+        for tok in vals:
+            if tok == "temp":
+                t = _sum(m * (vv * vv).sum(1)) * mvv2e
+                dof = cdof + adof * cnt
+                cols.append(np.where(dof > 0, t / np.maximum(
+                    dof, 1e-300) / boltz, 0.0))
+            elif tok == "kecom":
+                vcm = _sum3(m[:, None] * v) / Ms[:, None]
+                vcm[~ok] = 0.0
+                cols.append(0.5 * mvv2e * M * (vcm * vcm).sum(1))
+            elif tok == "internal":
+                vcm = _sum3(m[:, None] * v) / Ms[:, None]
+                vcm[~ok] = 0.0
+                dv = v - vcm[np.maximum(ids - 1, 0)]
+                cols.append(0.5 * mvv2e * _sum(m * (dv * dv).sum(1)))
+            else:
+                raise ValueError(f"temp/chunk value {tok}")
+        return np.stack(cols, axis=1)
+    raise ValueError(style)

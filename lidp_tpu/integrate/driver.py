@@ -305,7 +305,7 @@ def _run_chunk(sys, res, nlist, istate, ff, iparams, deform=None, *,
         if deform is not None:
             sys = apply_deform(sys, deform, deform_remap)
         if end_of_step is not None:
-            sys = end_of_step(sys)
+            sys = end_of_step(sys, res)
         return (sys, res, nlist, istate), None
 
     (sys, res, nlist, istate), _ = jax.lax.scan(

@@ -796,16 +796,42 @@ class LammpsScript:
             self._invalidate()
         elif a[2] == "type" and len(a) == 4:
             # set group|type|region X type N (set.cpp TYPE keyword)
-            if a[0] == "group":
-                sel = self.groups[a[1]].copy()
-            elif a[0] == "type":
-                sel = self.type == int(a[1])
-            else:
-                raise ValueError(f"unsupported set selector {a[0]}")
+            sel = self._set_selector(a[0], a[1])
             self.type = np.where(sel, int(a[3]), self.type)
+            self._invalidate()
+        elif a[2] == "charge":
+            # set group|type|region|atom X charge Q (set.cpp CHARGE)
+            sel = self._set_selector(a[0], a[1])
+            self.q = np.where(sel, float(a[3]), self.q)
+            self._invalidate()
+        elif a[2] == "mol":
+            sel = self._set_selector(a[0], a[1])
+            self.mol = np.where(sel, int(a[3]), self.mol)
             self._invalidate()
         else:
             raise ValueError(f"unsupported set command: {a}")
+
+    def _set_selector(self, style, ident):
+        """set.cpp selection styles: atom (id range), type, group, region."""
+        n = len(self.x)
+        if style == "group":
+            return self.groups[ident].copy()
+        if style == "type":
+            return self.type == int(ident)
+        if style == "region":
+            return self._region_mask(ident)
+        if style == "atom":
+            ids = np.arange(1, n + 1)
+            if "*" in ident:
+                lo, _, hi = ident.partition("*")
+                m = np.ones(n, bool)
+                if lo:
+                    m &= ids >= int(lo)
+                if hi:
+                    m &= ids <= int(hi)
+                return m
+            return ids == int(ident)
+        raise ValueError(f"unsupported set selector {style}")
 
     # every style cmd_pair_style accepts — the hybrid parser splits its
     # argument list at tokens that name a sub-style (PairHybrid::settings,
@@ -1467,6 +1493,15 @@ class LammpsScript:
                 raise ValueError(f"unsupported chunk/atom style {a[3]}")
             self.computes[cid] = (group, style, spec)
             return
+        if style in ("com/chunk", "vcm/chunk", "msd/chunk",
+                     "gyration/chunk", "angmom/chunk", "omega/chunk",
+                     "torque/chunk", "inertia/chunk", "dipole/chunk",
+                     "property/chunk", "temp/chunk"):
+            # compute ID group <style>/chunk chunkID [values/keywords]
+            # (compute_com_chunk.cpp and siblings)
+            self.computes[cid] = (group, style,
+                                  {"chunk": a[3], "extra": list(a[4:])})
+            return
         if style != "temp":
             raise ValueError(f"unsupported compute style {style}")
         self.computes[cid] = (group, style)
@@ -1700,7 +1735,8 @@ class LammpsScript:
                          "move", "heat", "temp/csvr", "temp/csld",
                          "rigid/small", "rigid/nve/small",
                          "rigid/nvt/small", "store/state", "ave/atom",
-                         "ave/histo", "ave/correlate", "vector"):
+                         "ave/histo", "ave/correlate", "vector",
+                         "press/berendsen"):
             raise ValueError(f"unsupported fix style {style}")
         self.fixes[fid] = FixSpec(fid=fid, group=group, style=style, args=a[3:])
         self._invalidate()

@@ -716,6 +716,7 @@ def _build_granular_sim(script, sys, u, dtype, n, npad, _padA, groups, dim_):
     sim_obj.reduce_computes = {}
     sim_obj.tempvar_computes = {}
     sim_obj.chunk_computes = {}
+    sim_obj.chunkagg_computes = {}
     sim_obj.mesh = None
     sim_obj.n_padded = npad
     # compute erotate/sphere columns read runner istate omega
@@ -1294,7 +1295,8 @@ class Simulation:
                 and script.improper_style is not None):
             improperp = build_improper_params(script, dtype) or None
 
-        has_baro = any(f_.style in ("npt", "nph")
+        has_baro = any(f_.style in ("npt", "nph", "press/berendsen",
+                                    "box/relax")
                        for f_ in script.fixes.values())
         has_vdep_pf = any(f_.style in ("shake", "rattle", "langevin",
                                        "viscous")
@@ -1491,7 +1493,7 @@ class Simulation:
                 nev_t, t_tgt = int(a_t[0]), float(a_t[1])
                 window, fraction = float(a_t[3]), float(a_t[4])
 
-                def end_of_step(sys_):
+                def end_of_step(sys_, res_=None):
                     t_cur = _temp_of(sys_)
                     lam = jnp.sqrt(1.0 + fraction * (t_tgt / t_cur - 1.0))
                     apply = ((sys_.step % nev_t) == 0) \
@@ -1501,7 +1503,7 @@ class Simulation:
             else:
                 t_tgt, t_damp = float(a_t[0]), float(a_t[2])
 
-                def end_of_step(sys_):
+                def end_of_step(sys_, res_=None):
                     t_cur = _temp_of(sys_)
                     lam = jnp.sqrt(
                         1.0 + script.dt / t_damp * (t_tgt / t_cur - 1.0))
@@ -1511,19 +1513,21 @@ class Simulation:
         if eos_hooks:
             prev_e = end_of_step
 
-            def end_of_step(sys_, _hooks=tuple(eos_hooks), _prev=prev_e):
+            def end_of_step(sys_, res_=None, _hooks=tuple(eos_hooks),
+                            _prev=prev_e):
                 for h in _hooks:
-                    sys_ = h(sys_)
-                return _prev(sys_) if _prev is not None else sys_
+                    sys_ = h(sys_, res_)
+                return _prev(sys_, res_) if _prev is not None else sys_
 
         if rattle_params is not None:
             from lidp_tpu.ops import shake as shake_mod
 
             prev_eos = end_of_step
 
-            def end_of_step(sys_, _p=rattle_params, _prev=prev_eos):
+            def end_of_step(sys_, res_=None, _p=rattle_params,
+                            _prev=prev_eos):
                 sys_ = shake_mod.rattle_velocity(sys_, _p)
-                return _prev(sys_) if _prev is not None else sys_
+                return _prev(sys_, res_) if _prev is not None else sys_
 
         def _compose_pf(hooks):
             if not hooks:
@@ -1629,6 +1633,7 @@ class Simulation:
         rdf_computes = {}
         simple_computes = {}
         chunk_computes = {}
+        chunkagg_computes = {}
         vacf_computes = {}
         peratom_computes = {}
         reduce_computes = {}
@@ -1675,6 +1680,11 @@ class Simulation:
             if len(spec_c) == 3 and spec_c[1] == "chunk/atom":
                 chunk_computes[cid] = (script.groups[spec_c[0]].copy(),
                                        spec_c[2])
+                continue
+            if len(spec_c) == 3 and spec_c[1].endswith("/chunk"):
+                chunkagg_computes[cid] = (
+                    script.groups[spec_c[0]].copy(), spec_c[1],
+                    spec_c[2]["chunk"], spec_c[2]["extra"])
                 continue
             gname, style = spec_c[0], spec_c[1]
             gmask = groups[gname]
@@ -1774,6 +1784,7 @@ class Simulation:
         sim_obj.reduce_computes = reduce_computes
         sim_obj.tempvar_computes = tempvar_computes
         sim_obj.chunk_computes = chunk_computes
+        sim_obj.chunkagg_computes = chunkagg_computes
         sim_obj.mesh = mesh
         sim_obj.n_padded = npad
 
@@ -1908,35 +1919,86 @@ class Simulation:
                     buf.append(vals[0] if len(vals) == 1 else vals)
                     spec._series = buf
             elif spec.style == "ave/time":
-                nev, nrep, nfreq = (int(spec.args[0]), int(spec.args[1]),
-                                    int(spec.args[2]))
-                what = spec.args[3]
-                if nev and step % nev == 0:
-                    row = self._thermo_row()
+                self._ave_time(spec, step)
+
+    def _ave_time(self, spec, step):
+        """fix ave/time Nevery Nrepeat Nfreq value... [mode scalar|vector]
+        [file F] (fix_ave_time.cpp): Nrepeat-window running averages of
+        global scalars (mode scalar) or of global vectors/arrays such as
+        the */chunk computes (mode vector; file rows follow the reference
+        layout `step nrows` then `row v1 v2 ...`)."""
+        a = list(spec.args)
+        nev, nrep, nfreq = int(a[0]), int(a[1]), int(a[2])
+        vals, mode, fpath = [], "scalar", None
+        i = 3
+        while i < len(a):
+            if a[i] == "mode":
+                mode = a[i + 1]; i += 2
+            elif a[i] == "file":
+                fpath = a[i + 1]; i += 2
+            elif a[i] in ("ave", "start", "format"):
+                i += 2
+            elif a[i] in ("off", "title1", "title2", "title3"):
+                i += 2
+            else:
+                vals.append(a[i]); i += 1
+
+        def _resolve_vector(tok):
+            # c_ID -> full per-chunk array; c_ID[j] -> one column
+            import re as _re
+            mm = _re.match(r"c_(\w+)(?:\[(\d+)\])?$", tok)
+            if not mm or mm.group(1) not in getattr(
+                    self, "chunkagg_computes", {}):
+                raise ValueError(
+                    f"ave/time mode vector input {tok} must name a "
+                    "*/chunk compute")
+            from lidp_tpu.computes import eval_chunk_agg
+            arr = np.asarray(eval_chunk_agg(self, mm.group(1)), float)
+            if arr.ndim == 1:
+                arr = arr[:, None]
+            if mm.group(2):
+                arr = arr[:, [int(mm.group(2)) - 1]]
+            return arr
+
+        if nev and step % nev == 0:
+            if mode == "vector":
+                sample = np.concatenate(
+                    [_resolve_vector(t) for t in vals], axis=1)
+            else:
+                row = self._thermo_row()
+                out = []
+                for what in vals:
                     key = (what[2:] if what.startswith("c_")
                            else what.lower())
-                    val = row.get("c_" + key, row.get(key))
-                    if val is not None:
-                        buf = getattr(spec, "_avebuf", [])
-                        buf.append(float(val))
-                        spec._avebuf = buf[-nrep:]
-                if nfreq and step % nfreq == 0 \
-                        and getattr(spec, "_avebuf", None):
-                    ave = sum(spec._avebuf) / len(spec._avebuf)
-                    self.script.ave_time_values = getattr(
-                        self.script, "ave_time_values", {})
-                    self.script.ave_time_values.setdefault(
-                        spec.fid, []).append((step, ave))
-                    if "file" in spec.args:
-                        import os as _os
-                        fpath = spec.args[
-                            list(spec.args).index("file") + 1]
-                        mode = "a" if getattr(spec, "_started", False) \
-                            else "w"
-                        with open(_os.path.join(self.script.root, fpath),
-                                  mode) as fh:
-                            fh.write(f"{step} {ave:.10g}\n")
-                        spec._started = True
+                    v = row.get("c_" + key, row.get(key))
+                    out.append(float(v) if v is not None else 0.0)
+                sample = np.asarray(out)
+            buf = getattr(spec, "_avebuf", [])
+            buf.append(sample)
+            spec._avebuf = buf[-nrep:]
+        if nfreq and step % nfreq == 0 and getattr(spec, "_avebuf", None):
+            ave = np.mean(spec._avebuf, axis=0)
+            self.script.ave_time_values = getattr(
+                self.script, "ave_time_values", {})
+            self.script.ave_time_values.setdefault(spec.fid, []).append(
+                (step, ave if ave.size > 1 else float(ave.reshape(-1)[0])))
+            if fpath:
+                import os as _os
+                fmode = "a" if getattr(spec, "_started", False) else "w"
+                with open(_os.path.join(self.script.root, fpath),
+                          fmode) as fh:
+                    if mode == "vector":
+                        fh.write(f"{step} {ave.shape[0]}\n")
+                        for r in range(ave.shape[0]):
+                            fh.write(" ".join(
+                                [str(r + 1)] + [f"{v:.10g}"
+                                                for v in ave[r]]) + "\n")
+                    else:
+                        fh.write(" ".join(
+                            [str(step)] + [f"{v:.10g}"
+                                           for v in ave.reshape(-1)])
+                            + "\n")
+                spec._started = True
 
     def _ave_histo(self, spec, step):
         """fix ave/histo Nevery Nrepeat Nfreq lo hi Nbin value... [file F]
@@ -2313,6 +2375,14 @@ class Simulation:
         for cid, (gmask, style, args) in getattr(self, "tempvar_computes",
                                                  {}).items():
             row[f"c_{cid}"] = float(self._temp_variant(gmask, style, args))
+        for cid, spec_c in getattr(self, "chunkagg_computes", {}).items():
+            # temp/chunk with no per-chunk values is a global scalar
+            # (ComputeTempChunk::compute_scalar)
+            if spec_c[1] == "temp/chunk" and not any(
+                    t in ("temp", "kecom", "internal") for t in spec_c[3]):
+                from lidp_tpu.computes import eval_chunk_agg
+
+                row[f"c_{cid}"] = float(eval_chunk_agg(self, cid))
         return row
 
     def _temp_variant(self, gmask, style, args):
@@ -2521,6 +2591,13 @@ class Simulation:
         if self.res is None:
             self.sys, self.res, self.nlist, self.istate = \
                 self.runner.setup(self.sys)
+        # msd/chunk captures its reference per-chunk COM at run setup
+        # (ComputeMSDChunk::setup)
+        for cid_, spec_ in getattr(self, "chunkagg_computes", {}).items():
+            if spec_[1] == "msd/chunk" and \
+                    cid_ not in getattr(self, "_msdchunk_ref", {}):
+                from lidp_tpu.computes import eval_chunk_agg
+                eval_chunk_agg(self, cid_)
         self.script.log(" ".join(
             self._HEADER.get(c, c) for c in self.script.thermo_columns))
         # store/state setup-time snapshot (fix_store_state.cpp end_of_setup
@@ -2535,6 +2612,17 @@ class Simulation:
                                        else np.stack(cols, axis=1))
         self._emit()
         self._dump()
+        # FixAveTime::setup -> end_of_step fires at the setup step when
+        # nrepeat == 1 and the step is a multiple of Nfreq (nextvalid()
+        # pulls nvalid back to the current step in that case)
+        step0 = int(self.sys.step)
+        for spec in self.script.fixes.values():
+            if (spec.style == "ave/time" and int(spec.args[1]) == 1
+                    and int(spec.args[2]) > 0
+                    and step0 % int(spec.args[2]) == 0
+                    and not getattr(spec, "_started_setup", False)):
+                spec._started_setup = True
+                self._ave_time(spec, step0)
         remaining = nsteps
         every = self.script.thermo_every or nsteps
         dump_every = min([d.every for d in self.script.dumps.values()],

@@ -224,7 +224,7 @@ def build_momentum(ctx, spec):
     m_m = jnp.asarray(ctx.mass_atom, ctx.dtype)
     dsel = jnp.asarray(dims_m, ctx.dtype)
 
-    def _momentum_eos(sys_, _g=gm_m, _m=m_m, _d=dsel, _n=nev_m):
+    def _momentum_eos(sys_, res_=None, _g=gm_m, _m=m_m, _d=dsel, _n=nev_m):
         sel = (_g & sys_.mask)
         msel = jnp.where(sel, _m, 0.0)
         vcm = jnp.sum(msel[:, None] * sys_.v, axis=0) / jnp.sum(msel)
@@ -254,7 +254,8 @@ def build_recenter(ctx, spec):
     tgt_j = jnp.asarray(tgt, dtype)
     keep_r = jnp.asarray([tok == "NULL" for tok in spec.args[:3]])
 
-    def _recenter_eos(sys_, _g=gm_rj, _m=m_rj, _t=tgt_j, _k=keep_r):
+    def _recenter_eos(sys_, res_=None, _g=gm_rj, _m=m_rj, _t=tgt_j,
+                      _k=keep_r):
         from lidp_tpu.box import unwrap as _unwrap
 
         sel = (_g & sys_.mask)
@@ -628,7 +629,7 @@ def build_heat(ctx, spec):
     mass_j = jnp.asarray(ctx.mass_atom, ctx.dtype)
     de_raw = flux * nevery * ctx.script.dt * ctx.u.ftm2v
 
-    def _heat_eos(sys_):
+    def _heat_eos(sys_, res_=None):
         on = (sys_.step % nevery) == 0
         m = jnp.where(gm & sys_.mask, mass_j, 0.0)
         M = jnp.sum(m)
@@ -663,7 +664,7 @@ def build_temp_cs(ctx, spec):
     csld = spec.style == "temp/csld"
     seed_arr = jnp.asarray(seed, jnp.uint32)
 
-    def _cs_eos(sys_):
+    def _cs_eos(sys_, res_=None):
         import jax as _jax
 
         key = _jax.random.fold_in(_jax.random.PRNGKey(seed_arr), sys_.step)
@@ -695,3 +696,79 @@ def build_temp_cs(ctx, spec):
                                         s * sys_.v, sys_.v))
 
     ctx.eos_hooks.append(_cs_eos)
+
+
+@fix_style("press/berendsen")
+def build_press_berendsen(ctx, spec):
+    # fix press/berendsen (fix_press_berendsen.cpp end_of_step): each
+    # step rescale the box (about its center) and all atoms by
+    # mu_d = (1 - dt/P_period (P_target - P_current)/bulkmodulus)^(1/3);
+    # pressure from the live virial + full kinetic trace (the
+    # temperature-compute dof cancels out of dof*kB*T = sum m v^2 mvv2e)
+    a = list(spec.args)
+    p_start = [None] * 3
+    p_stop = [None] * 3
+    p_period = [0.0] * 3
+    iso = False
+    bulkmod = 10.0
+    i = 0
+    while i < len(a):
+        k = a[i]
+        if k in ("iso", "aniso"):
+            iso = k == "iso"
+            p_start = [float(a[i + 1])] * 3
+            p_stop = [float(a[i + 2])] * 3
+            p_period = [float(a[i + 3])] * 3
+            i += 4
+        elif k in ("x", "y", "z"):
+            d = "xyz".index(k)
+            p_start[d] = float(a[i + 1])
+            p_stop[d] = float(a[i + 2])
+            p_period[d] = float(a[i + 3])
+            i += 4
+        elif k == "modulus":
+            bulkmod = float(a[i + 1]); i += 2
+        else:
+            i += 2
+    p_flag = [v is not None for v in p_start]
+    if not any(p_flag):
+        raise ValueError("fix press/berendsen needs a pressure keyword")
+    u, dtype = ctx.u, ctx.dtype
+    dt = ctx.script.dt
+    mass_j = jnp.asarray(ctx.mass_atom, dtype)
+    mvv2e, nktv2p = u.mvv2e, u.nktv2p
+    dim = ctx.dim
+    flags = jnp.asarray(p_flag)
+    tgt = jnp.asarray([v if v is not None else 0.0 for v in p_start],
+                      dtype)
+    period = jnp.asarray([max(v, 1e-300) for v in p_period], dtype)
+
+    def _pb_eos(sys_, res_):
+        m = jnp.where(sys_.mask, mass_j, 0.0)
+        v6 = res_.virial
+        if iso:
+            mvv = mvv2e * jnp.sum(m[:, None] * sys_.v ** 2)
+            w = v6[0] + v6[1] + v6[2]
+            p_cur = jnp.full(
+                3, (mvv + w) / (dim * sys_.box.volume) * nktv2p)
+        else:
+            mvvd = mvv2e * jnp.sum(m[:, None] * sys_.v ** 2, axis=0)
+            p_cur = (mvvd + v6[:3]) / sys_.box.volume * nktv2p
+        mu = jnp.where(
+            flags,
+            (1.0 - dt / period * (tgt - p_cur) / bulkmod) ** (1.0 / 3.0),
+            1.0)
+        lo, hi = sys_.box.lo, sys_.box.hi
+        c = 0.5 * (lo + hi)
+        new_lo = (lo - c) * mu + c
+        new_hi = (hi - c) * mu + c
+        from lidp_tpu import box as _box
+
+        new_box = _box.Box(lo=new_lo, hi=new_hi,
+                           periodic=sys_.box.periodic,
+                           tilt=sys_.box.tilt,
+                           triclinic=sys_.box.triclinic)
+        x = c + (sys_.x - c) * mu[None, :]
+        return sys_.replace(x=x, box=new_box)
+
+    ctx.eos_hooks.append(_pb_eos)

@@ -132,3 +132,39 @@ def test_temp_csvr_csld_relax(tmp_path):
         s.file(str(path))
         t_end = float(s.thermo_rows[-1]["temp"])
         assert 0.55 < t_end < 0.95, (style, t_end)
+
+
+PB_GOLDEN = [
+    # rebuilt reference, 256-atom melt, fix press/berendsen iso 0.5 0.5
+    # 10.0 modulus 50.0: step temp pe press vol
+    [0, 1.44, -1733.98222163279, -5.02441789508558, 303.245676380005],
+    [2, 1.43088423176168, -1730.6144695962, -4.94003430205048,
+     303.21249251176],
+    [4, 1.40161049457006, -1719.66151048776, -4.67816029954569,
+     303.180625733081],
+]
+
+
+def test_press_berendsen_golden(tmp_path):
+    """fix press/berendsen (fix_press_berendsen.cpp): per-step Berendsen
+    box dilation about the box center; matches the rebuilt reference to
+    every printed digit over 4 steps."""
+    import jax.numpy as jnp
+
+    from lidp_tpu.io.script import LammpsScript
+
+    (tmp_path / "in.pb").write_text(
+        _gen.HEAD.format(bc="p p p")
+        + "fix 1 all nve\n"
+        "fix 2 all press/berendsen iso 0.5 0.5 10.0 modulus 50.0\n"
+        "thermo 2\nthermo_style custom step temp pe press vol\n"
+        "run 4\n")
+    s = LammpsScript(dtype=jnp.float64)
+    s.file(str(tmp_path / "in.pb"))
+    rows = {int(r["step"]): r for r in s.thermo_rows}
+    for step, temp, pe, press, vol in PB_GOLDEN:
+        r = rows[step]
+        assert float(r["temp"]) == pytest.approx(temp, rel=1e-10)
+        assert float(r["pe"]) * 256 == pytest.approx(pe, rel=1e-9)
+        assert float(r["press"]) == pytest.approx(press, rel=1e-8)
+        assert float(r["vol"]) == pytest.approx(vol, rel=1e-10)

@@ -162,6 +162,10 @@ class DeformParams:
     lo_t: Any          # (3,) targets at run end
     hi_t: Any
     tilt_t: Any
+    # remap v (deform_vremap): box deformation rate in LAMMPS Voigt order
+    # [lx ly lz yz xz xy]; atoms crossing a periodic face get the face
+    # velocity added (Domain::pbc, domain.cpp:542-612).  None = remap x|none
+    h_rate: Any = None
 
 
 def apply_deform(sys, dp: DeformParams, remap: bool):
@@ -271,6 +275,18 @@ def _run_chunk(sys, res, nlist, istate, ff, iparams, deform=None, *,
                     sys = sys.replace(box=box_mod.reset_box(
                         sys.x, sys.mask, sys.box, shrink))
                 x, image = box_mod.wrap(sys.x, sys.box, sys.image)
+                if deform is not None and deform.h_rate is not None:
+                    # fix deform remap v: each +hi (-lo) face crossing
+                    # subtracts (adds) the face velocity — Δv = -Δimage·H_rate
+                    # with H_rate upper-triangular (Domain::pbc)
+                    di = (image - sys.image).astype(x.dtype)
+                    hr = deform.h_rate
+                    dv = jnp.stack([
+                        di[:, 0] * hr[0] + di[:, 1] * hr[5]
+                        + di[:, 2] * hr[4],
+                        di[:, 1] * hr[1] + di[:, 2] * hr[3],
+                        di[:, 2] * hr[2]], axis=1)
+                    sys = sys.replace(v=sys.v - dv)
                 sys = sys.replace(x=x, image=image)
                 new = _build_struct(sys, neighbor_cfg)
                 # sticky overflow: a capacity overrun at ANY rebuild inside

@@ -33,10 +33,17 @@ class NVTParams:
     t_stop: jax.Array = None      # ramp end value (FixNH compute_temp_target)
     ramp_begin: jax.Array = None  # run begin/end steps for the ramp
     ramp_end: jax.Array = None
+    # fix nvt/sllod (fix_nvt_sllod.cpp): box deformation rate in LAMMPS
+    # Voigt order [lx ly lz yz xz xy] plus d(lo)/dt; replaced at run()
+    # time from the fix deform schedule
+    h_rate: jax.Array = None     # (6,)
+    h_ratelo: jax.Array = None   # (3,)
     dof: float = dataclasses.field(metadata=dict(static=True), default=3.0)
     boltz: float = dataclasses.field(metadata=dict(static=True), default=1.0)
     mvv2e: float = dataclasses.field(metadata=dict(static=True), default=1.0)
     t_chain: int = dataclasses.field(metadata=dict(static=True), default=3)
+    sllod: bool = dataclasses.field(metadata=dict(static=True),
+                                    default=False)
 
     @staticmethod
     def create(dt, ftm2v, mass_atom, t_target, t_period, *, dof, boltz,
@@ -72,6 +79,42 @@ class NVTState:
 def _ke2(sys, p):
     return jnp.sum(p.mass_atom[:, None] * sys.v * sys.v
                    * sys.mask[:, None]) * p.mvv2e
+
+
+def stream_velocity(x, box, h_rate, h_ratelo):
+    """Streaming velocity of the deforming box at each atom
+    (ComputeTempDeform::compute_scalar, compute_temp_deform.cpp:127-136):
+    vstream = Hrate @ lamda + h_ratelo with lamda the 0-1 box coords."""
+    lam = (x - box.lo) @ box.h_inv.T
+    vs0 = (h_rate[0] * lam[:, 0] + h_rate[5] * lam[:, 1]
+           + h_rate[4] * lam[:, 2] + h_ratelo[0])
+    vs1 = h_rate[1] * lam[:, 1] + h_rate[3] * lam[:, 2] + h_ratelo[1]
+    vs2 = h_rate[2] * lam[:, 2] + h_ratelo[2]
+    return jnp.stack([vs0, vs1, vs2], axis=1)
+
+
+def _sllod_ke2(sys, p):
+    """Thermal kinetic energy (bias = streaming velocity removed)."""
+    vt = sys.v - stream_velocity(sys.x, sys.box, p.h_rate, p.h_ratelo)
+    return jnp.sum(p.mass_atom[:, None] * vt * vt
+                   * sys.mask[:, None]) * p.mvv2e
+
+
+def _sllod_v_temp(sys, p, scale):
+    """FixNVTSllod::nh_v_temp: thermostat the thermal velocity only and
+    apply the SLLOD -v.grad(u) correction,
+      v' = vstream + (v - vstream)*factor_eta - dt/2 * (Hrate.Hinv) v
+    with vdelu computed from the FULL pre-update velocity."""
+    h_two = jnp.stack([
+        jnp.stack([p.h_rate[0], p.h_rate[5], p.h_rate[4]]),
+        jnp.stack([jnp.zeros_like(p.h_rate[0]), p.h_rate[1], p.h_rate[3]]),
+        jnp.stack([jnp.zeros_like(p.h_rate[0]),
+                   jnp.zeros_like(p.h_rate[0]), p.h_rate[2]]),
+    ]) @ sys.box.h_inv
+    vdelu = sys.v @ h_two.T
+    vs = stream_velocity(sys.x, sys.box, p.h_rate, p.h_ratelo)
+    v = vs + (sys.v - vs) * scale - p.dtq * vdelu
+    return jnp.where(sys.mask[:, None], v, 0.0)
 
 
 def _nhc(eta_dot, ke2, p: NVTParams, step=None):
@@ -111,8 +154,9 @@ def init_state(sys, f, p: NVTParams):
 
 
 def initial_integrate(sys: System, f, p: NVTParams, st: NVTState):
-    eta_dot, scale = _nhc(st.eta_dot, _ke2(sys, p), p, sys.step)
-    v = sys.v * scale
+    ke2 = _sllod_ke2(sys, p) if p.sllod else _ke2(sys, p)
+    eta_dot, scale = _nhc(st.eta_dot, ke2, p, sys.step)
+    v = _sllod_v_temp(sys, p, scale) if p.sllod else sys.v * scale
     minv = jnp.where(p.mass_atom > 0,
                      1.0 / jnp.where(p.mass_atom > 0, p.mass_atom, 1.0), 0.0)
     v = v + (p.dtf * minv)[:, None] * f
@@ -127,5 +171,7 @@ def final_integrate(sys: System, f, p: NVTParams, st: NVTState):
     v = sys.v + (p.dtf * minv)[:, None] * f
     v = jnp.where(sys.mask[:, None], v, 0.0)
     sys = sys.replace(v=v)
-    eta_dot, scale = _nhc(st.eta_dot, _ke2(sys, p), p, sys.step)
-    return sys.replace(v=sys.v * scale), NVTState(eta_dot=eta_dot)
+    ke2 = _sllod_ke2(sys, p) if p.sllod else _ke2(sys, p)
+    eta_dot, scale = _nhc(st.eta_dot, ke2, p, sys.step)
+    v2 = _sllod_v_temp(sys, p, scale) if p.sllod else sys.v * scale
+    return sys.replace(v=v2), NVTState(eta_dot=eta_dot)

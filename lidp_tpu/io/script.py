@@ -611,8 +611,18 @@ class LammpsScript:
         self.ntypes = int(a[0])
         lo_hi = self.regions[a[1]]
         s3 = self._spacing3()
-        self.box_lo = np.array([lo_hi[0], lo_hi[2], lo_hi[4]]) * s3
-        self.box_hi = np.array([lo_hi[1], lo_hi[3], lo_hi[5]]) * s3
+        if isinstance(lo_hi[0], str) and lo_hi[0] == "prism":
+            # region prism xlo xhi ylo yhi zlo zhi xy xz yz -> triclinic
+            # box (create_box.cpp:66-79; xy/xz scale by xlattice, yz by
+            # ylattice per region_prism.cpp:52-60)
+            b = lo_hi[1:]
+            self.box_lo = np.array([b[0], b[2], b[4]]) * s3
+            self.box_hi = np.array([b[1], b[3], b[5]]) * s3
+            self.box_tilt = np.array([b[6] * s3[0], b[7] * s3[0],
+                                      b[8] * s3[1]])
+        else:
+            self.box_lo = np.array([lo_hi[0], lo_hi[2], lo_hi[4]]) * s3
+            self.box_hi = np.array([lo_hi[1], lo_hi[3], lo_hi[5]]) * s3
         self._apply_initial_box()
         self.mass_type = np.zeros(self.ntypes + 1)
         self.alpha_type = np.zeros(self.ntypes + 1)
@@ -1453,9 +1463,11 @@ class LammpsScript:
             self.computes[cid] = (group, "reduce", {
                 "mode": mode, "inputs": args[1:], "region": region})
             return
-        if style in ("temp/ramp", "temp/region", "temp/profile"):
+        if style in ("temp/ramp", "temp/region", "temp/profile",
+                     "temp/deform"):
             # velocity-bias temperature variants (compute_temp_ramp.cpp,
-            # compute_temp_region.cpp, compute_temp_profile.cpp)
+            # compute_temp_region.cpp, compute_temp_profile.cpp,
+            # compute_temp_deform.cpp)
             self.computes[cid] = (group, style, list(a[3:]))
             return
         if style == "erotate/sphere":
@@ -1736,7 +1748,7 @@ class LammpsScript:
                          "rigid/small", "rigid/nve/small",
                          "rigid/nvt/small", "store/state", "ave/atom",
                          "ave/histo", "ave/correlate", "vector",
-                         "press/berendsen"):
+                         "press/berendsen", "nvt/sllod"):
             raise ValueError(f"unsupported fix style {style}")
         self.fixes[fid] = FixSpec(fid=fid, group=group, style=style, args=a[3:])
         self._invalidate()

@@ -1295,8 +1295,12 @@ class Simulation:
                 and script.improper_style is not None):
             improperp = build_improper_params(script, dtype) or None
 
+        # fix deform also forces the every-step-ev path: the chunk-boundary
+        # energy re-tally runs after apply_deform, i.e. with NEXT step's
+        # box — the reference tallies during the force call, before
+        # FixDeform::end_of_step moves the box
         has_baro = any(f_.style in ("npt", "nph", "press/berendsen",
-                                    "box/relax")
+                                    "box/relax", "deform")
                        for f_ in script.fixes.values())
         has_vdep_pf = any(f_.style in ("shake", "rattle", "langevin",
                                        "viscous")
@@ -1673,7 +1677,8 @@ class Simulation:
                 continue
             if len(spec_c) == 3 and spec_c[1] in ("temp/ramp",
                                                   "temp/region",
-                                                  "temp/profile"):
+                                                  "temp/profile",
+                                                  "temp/deform"):
                 tempvar_computes[cid] = (script.groups[spec_c[0]].copy(),
                                          spec_c[1], spec_c[2])
                 continue
@@ -1732,7 +1737,7 @@ class Simulation:
             # fix deform N x|y|z final lo hi | scale F | xy|xz|yz final T
             # [remap x|none] [units box|lattice]  (fix_deform.cpp)
             a_d = list(deform_fix.args[1:])   # skip N
-            cfg = dict(dims={}, tilts={}, remap=True)
+            cfg = dict(dims={}, tilts={}, remap=True, vremap=False)
             s3 = getattr(script, "lattice_spacing3", None)
             s3 = (np.asarray(s3, float) if s3 is not None
                   else np.full(3, script.lattice_spacing or 1.0))
@@ -1752,18 +1757,45 @@ class Simulation:
                     elif a_d[i + 1] == "scale":
                         cfg["dims"][d] = ("scale", float(a_d[i + 2]))
                         i += 3
+                    elif a_d[i + 1] == "delta":
+                        cfg["dims"][d] = ("delta",
+                                          float(a_d[i + 2]) * s3[d],
+                                          float(a_d[i + 3]) * s3[d])
+                        i += 4
+                    elif a_d[i + 1] in ("vel", "erate", "trate"):
+                        # vel has distance/time units; erate/trate are
+                        # dimensionless strain rates (fix_deform.cpp:248)
+                        sc = s3[d] if a_d[i + 1] == "vel" else 1.0
+                        cfg["dims"][d] = (a_d[i + 1],
+                                          float(a_d[i + 2]) * sc)
+                        i += 3
                     else:
                         raise NotImplementedError(
                             f"fix deform {k} {a_d[i + 1]}")
                 elif k in ("xy", "xz", "yz"):
                     ti = ("xy", "xz", "yz").index(k)
-                    if a_d[i + 1] != "final":
+                    if a_d[i + 1] == "final":
+                        cfg["tilts"][ti] = ("final",
+                                            float(a_d[i + 2]) * s3[0])
+                        i += 3
+                    elif a_d[i + 1] == "delta":
+                        cfg["tilts"][ti] = ("delta",
+                                            float(a_d[i + 2]) * s3[0])
+                        i += 3
+                    elif a_d[i + 1] in ("vel", "erate", "trate"):
+                        sc = s3[0] if a_d[i + 1] == "vel" else 1.0
+                        cfg["tilts"][ti] = (a_d[i + 1],
+                                            float(a_d[i + 2]) * sc)
+                        i += 3
+                    else:
                         raise NotImplementedError(
                             f"fix deform {k} {a_d[i + 1]}")
-                    cfg["tilts"][ti] = float(a_d[i + 2]) * s3[0]
-                    i += 3
                 elif k == "remap":
+                    # x: remap coords affinely; v: adjust velocities of
+                    # atoms crossing a periodic boundary by the box face
+                    # velocity (Domain::pbc, domain.cpp:542); none: neither
                     cfg["remap"] = a_d[i + 1] == "x"
+                    cfg["vremap"] = a_d[i + 1] == "v"
                     i += 2
                 elif k == "units":
                     i += 2
@@ -2418,6 +2450,23 @@ class Simulation:
             sel = gm & rm
             dof = dim * sel.sum() - dim
             t = mvv2e * (m[sel, None] * v[sel] ** 2).sum()
+        elif style == "temp/deform":
+            # bias = streaming velocity of the deforming box
+            # (ComputeTempDeform::compute_scalar,
+            # compute_temp_deform.cpp:127-145); zero rate outside a
+            # deforming run
+            hr = np.asarray(getattr(self, "_h_rate", np.zeros(6)))
+            hlo = np.asarray(getattr(self, "_h_ratelo", np.zeros(3)))
+            hinv = np.asarray(self.sys.box.h_inv)
+            lam = (x - np.asarray(self.sys.box.lo)) @ hinv.T
+            vs = np.stack(
+                [hr[0] * lam[:, 0] + hr[5] * lam[:, 1]
+                 + hr[4] * lam[:, 2] + hlo[0],
+                 hr[1] * lam[:, 1] + hr[3] * lam[:, 2] + hlo[1],
+                 hr[2] * lam[:, 2] + hlo[2]], axis=1)
+            v = v - vs
+            dof = dim * gm.sum() - dim
+            t = mvv2e * (m[gm, None] * v[gm] ** 2).sum()
         elif style == "temp/profile":
             # xflag yflag zflag x|y|z nbin (1d binning;
             # compute_temp_profile.cpp:60 — Evans-Morriss: dof loses
@@ -2532,7 +2581,10 @@ class Simulation:
                "press": "Press", "epair": "E_pair", "emol": "E_mol",
                "ebond": "E_bond", "eangle": "E_angle", "edihed": "E_dihed",
                "eimp": "E_impro", "vol": "Volume", "density": "Density",
-               "atoms": "Atoms"}
+               "atoms": "Atoms", "lx": "Lx", "ly": "Ly", "lz": "Lz",
+               "xlo": "Xlo", "xhi": "Xhi", "ylo": "Ylo", "yhi": "Yhi",
+               "zlo": "Zlo", "zhi": "Zhi", "xy": "Xy", "xz": "Xz",
+               "yz": "Yz"}
 
     def run(self, nsteps: int):
         import time
@@ -2569,17 +2621,60 @@ class Simulation:
             hi0 = np.asarray(box.hi, float)
             t0 = (np.asarray(box.tilt, float) if box.tilt is not None
                   else None)
+            delt = nsteps * self.script.dt
             lo_t, hi_t = lo0.copy(), hi0.copy()
             for d, spec_d in cfg["dims"].items():
                 if spec_d[0] == "final":
                     lo_t[d], hi_t[d] = spec_d[1], spec_d[2]
+                elif spec_d[0] == "delta":
+                    lo_t[d] = lo0[d] + spec_d[1]
+                    hi_t[d] = hi0[d] + spec_d[2]
+                elif spec_d[0] == "vel":
+                    # box grows by vel*time, split evenly (fix_deform.cpp)
+                    lo_t[d] = lo0[d] - 0.5 * delt * spec_d[1]
+                    hi_t[d] = hi0[d] + 0.5 * delt * spec_d[1]
+                elif spec_d[0] == "erate":
+                    half = 0.5 * delt * spec_d[1] * (hi0[d] - lo0[d])
+                    lo_t[d], hi_t[d] = lo0[d] - half, hi0[d] + half
+                elif spec_d[0] == "trate":
+                    c = 0.5 * (lo0[d] + hi0[d])
+                    h = 0.5 * (hi0[d] - lo0[d]) * np.exp(spec_d[1] * delt)
+                    lo_t[d], hi_t[d] = c - h, c + h
                 else:   # scale: hold the center fixed (fix_deform.cpp)
                     c = 0.5 * (lo0[d] + hi0[d])
                     h = 0.5 * (hi0[d] - lo0[d]) * spec_d[1]
                     lo_t[d], hi_t[d] = c - h, c + h
             t_t = t0.copy() if t0 is not None else None
-            for ti, val in cfg["tilts"].items():
-                t_t[ti] = val
+            for ti, spec_t in cfg["tilts"].items():
+                if spec_t[0] == "final":
+                    t_t[ti] = spec_t[1]
+                elif spec_t[0] == "delta":
+                    t_t[ti] = t0[ti] + spec_t[1]
+                elif spec_t[0] == "vel":
+                    t_t[ti] = t0[ti] + delt * spec_t[1]
+                elif spec_t[0] == "erate":
+                    # strain rate * perpendicular box length at run start
+                    # (fix_deform.cpp:499-506): xy scales by the y length,
+                    # xz and yz by the z length
+                    perp = {0: hi0[1] - lo0[1], 1: hi0[2] - lo0[2],
+                            2: hi0[2] - lo0[2]}[ti]
+                    t_t[ti] = t0[ti] + delt * spec_t[1] * perp
+                elif spec_t[0] == "trate":
+                    t_t[ti] = t0[ti] * np.exp(spec_t[1] * delt)
+                else:
+                    raise NotImplementedError(spec_t[0])
+            # h_rate in LAMMPS Voigt order [lx ly lz yz xz xy] +
+            # h_ratelo = d(lo)/dt (domain.h:78; constant over the run for
+            # these linear schedules) — consumed by fix nvt/sllod,
+            # compute temp/deform and the remap-v boundary crossing
+            h_rate = np.zeros(6)
+            h_rate[:3] = ((hi_t - lo_t) - (hi0 - lo0)) / delt
+            if t_t is not None:
+                h_rate[3] = (t_t[2] - t0[2]) / delt   # yz
+                h_rate[4] = (t_t[1] - t0[1]) / delt   # xz
+                h_rate[5] = (t_t[0] - t0[0]) / delt   # xy
+            h_ratelo = (lo_t - lo0) / delt
+            self._h_rate, self._h_ratelo = h_rate, h_ratelo
             dt_ = self.sys.x.dtype
             self.runner.deform = DeformParams(
                 window=jnp.asarray([b, b + nsteps], jnp.int32),
@@ -2587,7 +2682,17 @@ class Simulation:
                 tilt0=(jnp.asarray(t0, dt_) if t0 is not None else None),
                 lo_t=jnp.asarray(lo_t, dt_), hi_t=jnp.asarray(hi_t, dt_),
                 tilt_t=(jnp.asarray(t_t, dt_) if t_t is not None
+                        else None),
+                h_rate=(jnp.asarray(h_rate, dt_) if cfg.get("vremap")
                         else None))
+            integ2 = self.runner.integ
+            if integ2 is not None and getattr(integ2.params, "sllod",
+                                              False):
+                self.runner.integ = dataclasses.replace(
+                    integ2, params=dataclasses.replace(
+                        integ2.params,
+                        h_rate=jnp.asarray(h_rate, dt_),
+                        h_ratelo=jnp.asarray(h_ratelo, dt_)))
         if self.res is None:
             self.sys, self.res, self.nlist, self.istate = \
                 self.runner.setup(self.sys)

@@ -39,7 +39,7 @@ def build_nve(ctx, spec):
     # the nve/noforce golden in tests/test_fix_breadth.py pins this)
 
 
-@fix_style("nvt", integrator=True)
+@fix_style("nvt", "nvt/sllod", integrator=True)
 def build_nvt(ctx, spec):
     from lidp_tpu.integrate import nvt as nvt_mod
     from lidp_tpu.integrate.driver import Integrator
@@ -47,7 +47,9 @@ def build_nvt(ctx, spec):
     script, u, dtype = ctx.script, ctx.u, ctx.dtype
     gmask_real = script.groups[spec.group]
     a = spec.args
-    kw = dict(t_chain=3)
+    sllod = spec.style == "nvt/sllod"
+    # FixNVTSllod ctor: mtchain defaults to 1 (fix_nvt_sllod.cpp:47)
+    kw = dict(t_chain=1 if sllod else 3)
     i = 0
     while i < len(a):
         if a[i] == "temp":
@@ -64,6 +66,12 @@ def build_nvt(ctx, spec):
         script.dt, u.ftm2v, ctx.mass_atom, t_start_, t_damp,
         dof=ctx.dim * ctx.n - ctx.dim, boltz=u.boltz, mvv2e=u.mvv2e,
         t_stop=t_stop_, dtype=dtype, **kw)
+    if sllod:
+        # h_rate is replaced at run() time from the fix deform schedule
+        # (fix_nvt_sllod.cpp requires a fix deform with remap v)
+        nvtp = dataclasses.replace(
+            nvtp, sllod=True, h_rate=jnp.zeros(6, dtype),
+            h_ratelo=jnp.zeros(3, dtype))
     ctx.integ = Integrator(
         initial=lambda s_, r_, p_, st_: nvt_mod.initial_integrate(
             s_, r_.f, p_, st_),

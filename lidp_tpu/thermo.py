@@ -149,4 +149,15 @@ def _thermo_row_impl(sys: System, res: ForceResult, tp: ThermoParams,
         "vol": (sys.box.lengths[0] * sys.box.lengths[1] if tp.dim == 2
                 else sys.box.volume),
         "density": tp.mv2d * jnp.sum(tp.mass_atom * sys.mask) / sys.box.volume,
+        # box geometry keywords (thermo.cpp lx/ly/lz, xlo..zhi, xy/xz/yz)
+        "lx": sys.box.lengths[0], "ly": sys.box.lengths[1],
+        "lz": sys.box.lengths[2],
+        "xlo": sys.box.lo[0], "ylo": sys.box.lo[1], "zlo": sys.box.lo[2],
+        "xhi": sys.box.hi[0], "yhi": sys.box.hi[1], "zhi": sys.box.hi[2],
+        "xy": (sys.box.tilt[0] if sys.box.tilt is not None
+               else jnp.zeros((), sys.x.dtype)),
+        "xz": (sys.box.tilt[1] if sys.box.tilt is not None
+               else jnp.zeros((), sys.x.dtype)),
+        "yz": (sys.box.tilt[2] if sys.box.tilt is not None
+               else jnp.zeros((), sys.x.dtype)),
     }

@@ -45,8 +45,12 @@ def test_deform_scale_affine():
 
 def test_deform_scale_energy_consistent():
     """The deformed state's energy equals a fresh evaluation at the scaled
-    geometry (box + positions consistent)."""
+    geometry (box + positions consistent).  The thermo row DURING the
+    deforming run is tallied before FixDeform::end_of_step moves the box
+    (verlet.cpp ordering), so the comparison row comes from a follow-up
+    run 0 at the settled geometry."""
     s = _base("fix 2 all deform 1 x scale 1.1 remap x units box")
+    s.execute(["unfix 2", "run 0"])
     r = s.thermo_rows[-1]
     sim = s._sim
     from lidp_tpu.forcefield import compute_forces

@@ -211,6 +211,171 @@ def cluster_atom(sim, cutoff, gmask):
     return lab
 
 
+def _neighbor_lists(sim, cutoff):
+    """Per-atom full neighbor lists within cutoff (min-image): returns
+    (nbrs, vecs) where nbrs[i] = neighbor indices of i and vecs[i][k] =
+    min-imaged displacement x_nbr - x_i.  Valid while every pair has a
+    single image inside the cutoff (box > 2*cutoff, the reference's own
+    operating regime)."""
+    n = sim.natoms
+    nbrs = [[] for _ in range(n)]
+    vecs = [[] for _ in range(n)]
+    for gi, jj, rsq, dv, fl, fc in _pair_blocks(
+            sim.sys, sim.script, sim.runner.ff.pair,
+            sim.runner.ff.sp_code, n, extra_cut=cutoff):
+        # dv = x[i] - x[j]; vector i->j is -dv
+        for a, b, d in zip(gi, jj, dv):
+            nbrs[a].append(b)
+            vecs[a].append(-d)
+            nbrs[b].append(a)
+            vecs[b].append(d)
+    return nbrs, vecs
+
+
+def centro_atom(sim, nnn, gmask):
+    """compute centro/atom fcc|bcc|N (compute_centro_atom.cpp): for each
+    atom take the nnn nearest neighbors inside the pair force cutoff,
+    form all R = r_j + r_k pair sums (vectors from the central atom) and
+    return the sum of the nnn/2 smallest |R|^2 — 0 for atoms with fewer
+    than nnn neighbors or outside the group."""
+    n = sim.natoms
+    gm = np.asarray(gmask)[:n]
+    pair = sim.runner.ff.pair
+    cutforce = float(np.sqrt(np.max(np.asarray(pair.cutsq)))
+                     if pair is not None
+                     else np.asarray(sim.runner.ff.eam.cut))
+    nbrs, vecs = _neighbor_lists(sim, cutforce)
+    nhalf = nnn // 2
+    out = np.zeros(n)
+    for i in range(n):
+        if not gm[i] or len(nbrs[i]) < nnn:
+            continue
+        vv = np.asarray(vecs[i])
+        order = np.argsort((vv * vv).sum(1), kind="stable")[:nnn]
+        sel = vv[order]
+        R = sel[:, None, :] + sel[None, :, :]
+        iu = np.triu_indices(nnn, 1)
+        p2 = (R[iu] ** 2).sum(1)
+        p2.sort()
+        out[i] = p2[:nhalf].sum()
+    return out
+
+
+def cna_atom(sim, cutoff, gmask):
+    """compute cna/atom cutoff (compute_cna_atom.cpp): common neighbor
+    analysis.  Per-atom pattern code: 0 unknown (outside group), 1 fcc,
+    2 hcp, 3 bcc, 4 icosahedral, 5 other.  Classification only attempted
+    for atoms with exactly 12 or 14 neighbors inside the cutoff; CNA
+    signature per neighbor = (ncommon, nbonds among common, max bond
+    count, min bond count)."""
+    n = sim.natoms
+    gm = np.asarray(gmask)[:n]
+    nbrs, _ = _neighbor_lists(sim, cutoff)
+    sets = [set(v) for v in nbrs]
+    out = np.zeros(n)
+    for i in range(n):
+        if not gm[i]:
+            continue
+        ni = nbrs[i]
+        if len(ni) not in (12, 14):
+            out[i] = 5.0
+            continue
+        sigs = []
+        for j in ni:
+            common = [k for k in ni if k in sets[j]]
+            nc = len(common)
+            bonds = np.zeros(nc, int)
+            nb = 0
+            for a in range(nc - 1):
+                for b in range(a + 1, nc):
+                    if common[b] in sets[common[a]]:
+                        nb += 1
+                        bonds[a] += 1
+                        bonds[b] += 1
+            sigs.append((nc, nb, int(bonds.max()) if nc else 0,
+                         int(bonds.min()) if nc else 0))
+        if len(ni) == 12:
+            nfcc = sum(s == (4, 2, 1, 1) for s in sigs)
+            nhcp = sum(s == (4, 2, 2, 0) for s in sigs)
+            nico = sum(s == (5, 5, 2, 2) for s in sigs)
+            if nfcc == 12:
+                out[i] = 1.0
+            elif nfcc == 6 and nhcp == 6:
+                out[i] = 2.0
+            elif nico == 12:
+                out[i] = 4.0
+            else:
+                out[i] = 5.0
+        else:
+            nb4 = sum(s == (4, 4, 2, 2) for s in sigs)
+            nb6 = sum(s == (6, 6, 2, 2) for s in sigs)
+            out[i] = 3.0 if (nb4 == 6 and nb6 == 8) else 5.0
+    return out
+
+
+def fragment_aggregate_atom(sim, gmask, cutoff=None):
+    """compute fragment/atom (bond connectivity) and aggregate/atom
+    (bond connectivity + distance cutoff) labels = smallest atom ID in
+    the connected component (compute_fragment_atom.cpp,
+    compute_aggregate_atom.cpp)."""
+    n = sim.natoms
+    gm = np.asarray(gmask)[:n]
+    parent = np.arange(n)
+
+    def find(a):
+        root = a
+        while parent[root] != root:
+            root = parent[root]
+        while parent[a] != root:
+            parent[a], a = root, parent[a]
+        return root
+
+    def union(a, b):
+        if gm[a] and gm[b]:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+    bonds = np.asarray(sim.script._bonds, np.int64) - 1
+    btyp = np.asarray(sim.script._bond_types, np.int64)
+    for (a, b), t in zip(bonds, btyp):
+        if t != 0:
+            union(int(a), int(b))
+    if cutoff is not None:
+        for gi, jj, rsq, dv, fl, fc in _pair_blocks(
+                sim.sys, sim.script, sim.runner.ff.pair,
+                sim.runner.ff.sp_code, n, extra_cut=cutoff):
+            for a, b in zip(gi, jj):
+                union(a, b)
+    lab = np.array([find(a) + 1.0 for a in range(n)])
+    lab[~gm] = 0.0
+    return lab
+
+
+def eval_heat_flux(sim, cid):
+    """compute heat/flux ke-ID pe-ID stress-ID
+    (ComputeHeatFlux::compute_vector): J = sum (pe+ke) v  (convective)
+    - S.v / nktv2p (virial); returns the 6-vector [Jx Jy Jz Jcx Jcy Jcz]
+    (volume normalization left to the user, as in the reference)."""
+    gmask, ids = sim.hf_computes[cid]
+    n = sim.natoms
+    gm = np.asarray(gmask)[:n]
+    ke = np.asarray(eval_peratom(sim, ids[0]))
+    pe = np.asarray(eval_peratom(sim, ids[1]))
+    st = np.asarray(eval_peratom(sim, ids[2]))
+    v = np.asarray(sim.sys.v)[:n]
+    eng = np.where(gm, pe + ke, 0.0)
+    jc = (eng[:, None] * v).sum(0)
+    sel = gm[:, None]
+    jv = -np.stack([
+        (st[:, 0] * v[:, 0] + st[:, 3] * v[:, 1] + st[:, 4] * v[:, 2]),
+        (st[:, 3] * v[:, 0] + st[:, 1] * v[:, 1] + st[:, 5] * v[:, 2]),
+        (st[:, 4] * v[:, 0] + st[:, 5] * v[:, 1] + st[:, 2] * v[:, 2]),
+    ], axis=1)
+    jv = np.where(sel, jv, 0.0).sum(0) / float(sim.thermo_params.nktv2p)
+    return np.concatenate([jc + jv, jc])
+
+
 def eval_peratom(sim, cid):
     """Evaluate a registered per-atom compute -> (N,) or (N,K) array."""
     gmask, style, spec = sim.peratom_computes[cid]
@@ -244,6 +409,16 @@ def eval_peratom(sim, cid):
         return coord_atom(sim, float(spec["cutoff"]), gmask)
     if style == "cluster/atom":
         return cluster_atom(sim, float(spec["cutoff"]), gmask)
+    if style == "centro/atom":
+        nnn = {"fcc": 12, "bcc": 8}.get(spec["arg"])
+        return centro_atom(sim, nnn if nnn else int(spec["arg"]), gmask)
+    if style == "cna/atom":
+        return cna_atom(sim, float(spec["arg"]), gmask)
+    if style == "fragment/atom":
+        return fragment_aggregate_atom(sim, gmask)
+    if style == "aggregate/atom":
+        return fragment_aggregate_atom(sim, gmask,
+                                       cutoff=float(spec["cutoff"]))
     if style == "displace/atom":
         from lidp_tpu.box import unwrap
         xu = np.asarray(unwrap(sys.x, sys.box, sys.image))[:n]

@@ -1452,6 +1452,21 @@ class LammpsScript:
         if style == "property/atom":
             self.computes[cid] = (group, style, {"fields": list(a[3:])})
             return
+        if style in ("centro/atom", "cna/atom"):
+            # centro/atom fcc|bcc|N (compute_centro_atom.cpp:45-47);
+            # cna/atom cutoff (compute_cna_atom.cpp)
+            self.computes[cid] = (group, style, {"arg": a[3]})
+            return
+        if style in ("fragment/atom", "aggregate/atom"):
+            spec = ({"cutoff": float(a[3])} if style == "aggregate/atom"
+                    else {})
+            self.computes[cid] = (group, style, spec)
+            return
+        if style == "heat/flux":
+            # compute ID group heat/flux ke-ID pe-ID stress-ID
+            # (compute_heat_flux.cpp)
+            self.computes[cid] = (group, style, {"ids": list(a[3:6])})
+            return
         if style in ("reduce", "reduce/region"):
             # compute ID group reduce [region rid] mode inputs...
             # (compute_reduce.cpp)

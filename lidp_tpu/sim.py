@@ -717,6 +717,7 @@ def _build_granular_sim(script, sys, u, dtype, n, npad, _padA, groups, dim_):
     sim_obj.tempvar_computes = {}
     sim_obj.chunk_computes = {}
     sim_obj.chunkagg_computes = {}
+    sim_obj.hf_computes = {}
     sim_obj.mesh = None
     sim_obj.n_padded = npad
     # compute erotate/sphere columns read runner istate omega
@@ -1638,6 +1639,7 @@ class Simulation:
         simple_computes = {}
         chunk_computes = {}
         chunkagg_computes = {}
+        hf_computes = {}
         vacf_computes = {}
         peratom_computes = {}
         reduce_computes = {}
@@ -1667,9 +1669,15 @@ class Simulation:
                 continue
             if len(spec_c) == 3 and spec_c[1] in (
                     "ke/atom", "pe/atom", "stress/atom", "coord/atom",
-                    "cluster/atom", "displace/atom", "property/atom"):
+                    "cluster/atom", "displace/atom", "property/atom",
+                    "centro/atom", "cna/atom", "fragment/atom",
+                    "aggregate/atom"):
                 peratom_computes[cid] = (script.groups[spec_c[0]].copy(),
                                          spec_c[1], spec_c[2])
+                continue
+            if len(spec_c) == 3 and spec_c[1] == "heat/flux":
+                hf_computes[cid] = (script.groups[spec_c[0]].copy(),
+                                    list(spec_c[2]["ids"]))
                 continue
             if len(spec_c) == 3 and spec_c[1] == "reduce":
                 reduce_computes[cid] = (script.groups[spec_c[0]].copy(),
@@ -1817,6 +1825,7 @@ class Simulation:
         sim_obj.tempvar_computes = tempvar_computes
         sim_obj.chunk_computes = chunk_computes
         sim_obj.chunkagg_computes = chunkagg_computes
+        sim_obj.hf_computes = hf_computes
         sim_obj.mesh = mesh
         sim_obj.n_padded = npad
 
@@ -2407,6 +2416,12 @@ class Simulation:
         for cid, (gmask, style, args) in getattr(self, "tempvar_computes",
                                                  {}).items():
             row[f"c_{cid}"] = float(self._temp_variant(gmask, style, args))
+        for cid in getattr(self, "hf_computes", {}):
+            from lidp_tpu.computes import eval_heat_flux
+
+            hf = eval_heat_flux(self, cid)
+            for k_ in range(6):
+                row[f"c_{cid}[{k_ + 1}]"] = float(hf[k_])
         for cid, spec_c in getattr(self, "chunkagg_computes", {}).items():
             # temp/chunk with no per-chunk values is a global scalar
             # (ComputeTempChunk::compute_scalar)

@@ -462,6 +462,19 @@ def peratom_column(sim, tok):
             col = int(idx) - 1
         if tok.startswith("c_"):
             arr = np.asarray(eval_peratom(sim, name))
+        elif sim.script.fixes[name].style == "store/force":
+            # fix store/force (fix_store_force.cpp): the force before any
+            # post-force fix modified it — recomputed exactly from the
+            # current positions (forces are pure functions of x here)
+            from lidp_tpu.forcefield import compute_forces
+
+            res = compute_forces(
+                sim.sys, sim.runner.ff,
+                sim.nlist.nlist if sim.nlist is not None else None)
+            arr = np.asarray(res.f)[:n]
+            gm_sf = np.asarray(
+                sim.script.groups[sim.script.fixes[name].group])[:n]
+            arr = np.where(gm_sf[:, None], arr, 0.0)
         else:
             arr = np.asarray(sim.script.fixes[name]._peratom_store)
         return arr if arr.ndim == 1 else arr[:, col if col is not None

@@ -422,6 +422,13 @@ class LammpsScript:
     def cmd_processors(self, a):
         pass
 
+    def cmd_atom_modify(self, a):
+        # atom_modify map array|hash / sort N cutoff (atom.cpp modify
+        # settings): global-ID lookup is an O(1) array index in the
+        # fixed-capacity SoA store by construction; sorting is the cell
+        # binning's concern — nothing to configure
+        pass
+
     def cmd_log(self, a):
         pass
 
@@ -1763,7 +1770,9 @@ class LammpsScript:
                          "rigid/small", "rigid/nve/small",
                          "rigid/nvt/small", "store/state", "ave/atom",
                          "ave/histo", "ave/correlate", "vector",
-                         "press/berendsen", "nvt/sllod"):
+                         "press/berendsen", "nvt/sllod", "dt/reset",
+                         "restrain", "spring/chunk", "store/force",
+                         "ave/histo/weight", "box/relax"):
             raise ValueError(f"unsupported fix style {style}")
         self.fixes[fid] = FixSpec(fid=fid, group=group, style=style, args=a[3:])
         self._invalidate()
@@ -2043,11 +2052,103 @@ class LammpsScript:
             run_min = lambda s_: cg_minimize(     # noqa: E731
                 s_, compute, etol=etol, ftol=ftol, maxiter=maxiter,
                 style=style)
-        sys2, e, it, conv = jax.jit(run_min)(sim.sys)
+        run_min = jax.jit(run_min)
+        br = next((f for f in self.fixes.values()
+                   if f.style == "box/relax"), None)
+        sys2, e, it, conv = run_min(sim.sys)
+        if br is not None:
+            sys2, e = self._box_relax(sim, br, sys2, run_min, compute)
         sim.sys = sys2.replace(v=jnp.zeros_like(sys2.v))
         sim.res = None  # force re-setup on next run
         self.x = __import__("numpy").asarray(sys2.x)
         self.log(f"# minimize: E = {float(e):.8g} after {int(it)} iterations")
+
+    def _box_relax(self, sim, br, sys2, run_min, compute):
+        """fix box/relax iso|aniso|x|y|z Ptarget [vmax V]
+        (fix_box_relax.cpp): relax the cell to the target pressure during
+        minimization.  The reference folds the strain in as extra
+        minimizer dof (min_energy/min_step); here an outer secant loop on
+        P(strain) alternates full atom minimizations with vmax-capped
+        affine box steps — same fixed point (P == Ptarget at an atomic
+        minimum), TPU-friendly inner loop."""
+        import numpy as np
+
+        from lidp_tpu import box as box_mod
+
+        a = list(br.args)
+        p_t = [None, None, None]
+        iso = False
+        vmax = 0.0001
+        i = 0
+        while i < len(a):
+            if a[i] in ("iso", "aniso"):
+                iso = a[i] == "iso"
+                p_t = [float(a[i + 1])] * 3
+                i += 2
+            elif a[i] in ("x", "y", "z"):
+                p_t["xyz".index(a[i])] = float(a[i + 1])
+                i += 2
+            elif a[i] == "vmax":
+                vmax = float(a[i + 1])
+                i += 2
+            else:
+                i += 2
+        flags = np.array([v is not None for v in p_t])
+        tgt = np.array([v if v is not None else 0.0 for v in p_t])
+        nktv2p = self.units.nktv2p
+        dim = getattr(self, "dimension", 3)
+
+        def press_dims(sys_):
+            import jax.numpy as jnp
+
+            from lidp_tpu.forcefield import compute_forces
+            res = compute_forces(sys_, sim.runner.ff)
+            v6 = np.asarray(res.virial)
+            V = float(np.asarray(sys_.box.volume))
+            p = v6[:3] / V * nktv2p
+            return (np.full(3, p[:dim].mean()) if iso else p), float(
+                res.epair)
+
+        prev = None
+        e = None
+        for _ in range(400):
+            p_cur, e = press_dims(sys2)
+            dp = np.where(flags, p_cur - tgt, 0.0)
+            if np.abs(dp).max() < max(1e-8, 1e-6 * np.abs(tgt).max()):
+                break
+            if prev is None:
+                # probe step: expand when P > Ptarget
+                ds = np.clip(np.sign(dp) * 1e-4, -vmax, vmax)
+            else:
+                s_prev, p_prev = prev
+                dPds = (p_cur - p_prev) / np.where(
+                    np.abs(s_prev) > 0, s_prev, 1.0)
+                dPds = np.where(np.abs(dPds) > 1e-30, dPds, -1e30)
+                ds = np.clip(-dp / dPds, -vmax, vmax)
+            ds = np.where(flags, ds, 0.0)
+            if iso:
+                ds[:] = ds[:dim].mean()
+                if dim == 2:
+                    ds[2] = 0.0
+            lo = np.asarray(sys2.box.lo)
+            hi = np.asarray(sys2.box.hi)
+            c = 0.5 * (lo + hi)
+            scale = 1.0 + ds
+            new_lo = c + (lo - c) * scale
+            new_hi = c + (hi - c) * scale
+            newbox = box_mod.Box.create(
+                new_lo, new_hi, dtype=sys2.x.dtype,
+                periodic=sys2.box.periodic,
+                tilt=(np.asarray(sys2.box.tilt)
+                      if sys2.box.tilt is not None else None),
+                force_triclinic=sys2.box.triclinic)
+            import jax.numpy as jnp
+            x = jnp.asarray(c + (np.asarray(sys2.x) - c) * scale,
+                            sys2.x.dtype)
+            sys2 = sys2.replace(x=x, box=newbox)
+            sys2, e, _, _ = run_min(sys2)
+            prev = (ds, p_cur)
+        return sys2, e
 
     def cmd_reset_timestep(self, a):
         self._invalidate()

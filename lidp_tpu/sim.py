@@ -706,6 +706,8 @@ def _build_granular_sim(script, sys, u, dtype, n, npad, _padA, groups, dim_):
     sim_obj = Simulation(script=script, sys=sys, runner=runner,
                          thermo_params=tp, group_thermo={}, natoms=n)
     sim_obj.halt_spec = None
+    sim_obj.dtreset_cfg = None
+    sim_obj._restrain_factory = None
     sim_obj.deform_cfg = None
     sim_obj.gg_computes = {}
     sim_obj.msd_computes = {}
@@ -1398,6 +1400,73 @@ class Simulation:
         halt_spec = fctx.halt_spec
         pending_temp_fix = fctx.pending_temp_fix
         deform_fix = fctx.deform_fix
+        dtreset_cfg = getattr(fctx, "dtreset_cfg", None)
+        restrain_factory = getattr(fctx, "restrain_factory", None)
+        spring_chunk_cfg = getattr(fctx, "spring_chunk_cfg", None)
+        if spring_chunk_cfg is not None:
+            # fix spring/chunk (fix_spring_chunk.cpp): chunk assignment is
+            # static (the reference locks the chunk compute); com0 is the
+            # COM at the first force evaluation = the run-setup positions
+            import jax
+
+            from lidp_tpu.box import unwrap as _unwrap_b
+
+            spec_c = script.computes[spring_chunk_cfg["chunk"]]
+            which = spec_c[2]["which"]
+            if which == "molecule":
+                raw = np.asarray(script.mol)[:n]
+            elif which == "type":
+                raw = np.asarray(script.type)[:n]
+            else:
+                raise NotImplementedError(
+                    "fix spring/chunk needs a molecule or type chunk "
+                    "(bin chunks move with the atoms; the reference locks"
+                    " them for the same reason)")
+            # molecule ID 0 = "in no chunk" (ComputeChunkAtom: ichunk 0
+            # atoms are skipped by every chunk consumer)
+            valid = raw > 0
+            _, inv = np.unique(raw[valid], return_inverse=True)
+            nch = (int(inv.max()) + 1) if len(inv) else 0
+            ids_full = np.full(n, nch, np.int32)
+            ids_full[valid] = inv.astype(np.int32)
+            ids_j = jnp.asarray(_padA(ids_full, nch))
+            gm_sc = jnp.asarray(groups[spring_chunk_cfg["group"]]) \
+                & jnp.asarray(_padA(valid, False))
+            m_sc = jnp.asarray(mass_atom, dtype)
+            xu0 = _unwrap_b(sys.x, sys.box, sys.image)
+            m_eff0 = jnp.where(gm_sc & jnp.asarray(sys.mask), m_sc, 0.0)
+            M0 = jax.ops.segment_sum(m_eff0, ids_j, num_segments=nch + 1)
+            com0_sc = (jax.ops.segment_sum(m_eff0[:, None] * xu0, ids_j,
+                                           num_segments=nch + 1)
+                       / jnp.where(M0 > 0, M0, 1.0)[:, None])
+            k_sc = spring_chunk_cfg["k"]
+
+            def _spring_chunk_pf(sys_, f_, _ids=ids_j, _g=gm_sc, _m=m_sc,
+                                 _c0=com0_sc, _k=k_sc, _nch=nch):
+                from lidp_tpu.box import unwrap as _unw
+
+                me = jnp.where(_g & sys_.mask, _m, 0.0)
+                xu = _unw(sys_.x, sys_.box, sys_.image)
+                M = jax.ops.segment_sum(me, _ids, num_segments=_nch + 1)
+                com = (jax.ops.segment_sum(me[:, None] * xu, _ids,
+                                           num_segments=_nch + 1)
+                       / jnp.where(M > 0, M, 1.0)[:, None])
+                d = com - _c0
+                r = jnp.sqrt(jnp.sum(d * d, axis=1))
+                r = jnp.maximum(r, 1.0e-10)
+                # fcom = k*d/r / M, applied as f_i -= m_i * fcom[chunk]
+                # (fix_spring_chunk.cpp post_force); empty chunks (M=0,
+                # incl. the ichunk-0 pad segment) get zero — the naive
+                # 1e-300 guard underflows to a 0/0 NaN in the product
+                Msafe = jnp.where(M > 0, M, 1.0)
+                fcom = jnp.where(
+                    (M > 0)[:, None],
+                    _k * d / (r * Msafe)[:, None], 0.0)
+                f_ = f_ - me[:, None] * fcom[_ids]
+                return f_, jnp.zeros(6, f_.dtype)
+
+            pf_hooks.append(_spring_chunk_pf)
+            pf_hooks_setup.append(_spring_chunk_pf)
         if integ is None:
             nvep = nve_mod.NVEParams.create(0.0, u.ftm2v, mass_atom, dtype=dtype)
             integ = nve_integrator(nvep)   # no integration fix: atoms frozen
@@ -1740,6 +1809,10 @@ class Simulation:
                              thermo_params=tp, group_thermo=group_tp,
                              natoms=n)
         sim_obj.halt_spec = halt_spec
+        sim_obj.dtreset_cfg = dtreset_cfg
+        sim_obj._restrain_factory = restrain_factory
+        sim_obj._pf_hooks = pf_hooks
+        sim_obj._compose_pf = _compose_pf
         sim_obj.deform_cfg = None
         if deform_fix is not None:
             # fix deform N x|y|z final lo hi | scale F | xy|xz|yz final T
@@ -1941,7 +2014,7 @@ class Simulation:
                         and getattr(spec, "_samples", None):
                     spec._peratom_store = (
                         np.mean(spec._samples, axis=0))
-            elif spec.style == "ave/histo":
+            elif spec.style in ("ave/histo", "ave/histo/weight"):
                 self._ave_histo(spec, step)
             elif spec.style == "ave/correlate":
                 self._ave_correlate(spec, step)
@@ -2041,6 +2114,52 @@ class Simulation:
                             + "\n")
                 spec._started = True
 
+    def _dt_reset(self, cfg):
+        """fix dt/reset (FixDtReset::end_of_step): bound the timestep so
+        no atom moves more than xmax; applied at run-chunk boundaries
+        (the chunk size divides Nevery).  Updates the integrator's traced
+        dt params in place — no recompile."""
+        n = self.natoms
+        gm = np.asarray(cfg["group"])[:n]
+        v = np.asarray(self.sys.v)[:n][gm]
+        f = np.asarray(self.res.f)[:n][gm]
+        m = np.asarray(self.thermo_params.mass_atom)[:n][gm]
+        ftm2v = self.script.units.ftm2v
+        BIG = 1.0e20
+        vsq = (v * v).sum(1)
+        fsq = (f * f).sum(1)
+        minv = np.where(m > 0, 1.0 / np.maximum(m, 1e-300), 0.0)
+        xmax = cfg["xmax"]
+        dtv = np.where(vsq > 0, xmax / np.sqrt(np.maximum(vsq, 1e-300)),
+                       BIG)
+        dtf = np.where(fsq > 0, np.sqrt(
+            2.0 * xmax / (ftm2v * np.sqrt(np.maximum(fsq, 1e-300))
+                          * np.maximum(minv, 1e-300))), BIG)
+        dt = np.minimum(dtv, dtf)
+        dele = (dt[:, None] * v
+                + (0.5 * dt * dt * minv * ftm2v)[:, None] * f)
+        delr = np.sqrt((dele * dele).sum(1))
+        dt = np.where(delr > xmax, dt * xmax / np.maximum(delr, 1e-300),
+                      dt)
+        newdt = float(dt.min()) if dt.size else BIG
+        if cfg["tmin"] is not None:
+            newdt = max(newdt, cfg["tmin"])
+        if cfg["tmax"] is not None:
+            newdt = min(newdt, cfg["tmax"])
+        if newdt == self.script.dt:
+            return
+        self.script.dt = newdt
+        p = self.runner.integ.params
+        import jax.numpy as jnp
+        updates = {}
+        for fld, val in (("dtv", newdt),
+                         ("dtf", 0.5 * newdt * self.script.units.ftm2v),
+                         ("dtq", 0.5 * newdt)):
+            if getattr(p, fld, None) is not None:
+                updates[fld] = jnp.asarray(val, self.sys.x.dtype)
+        self.runner.integ = dataclasses.replace(
+            self.runner.integ, params=dataclasses.replace(p, **updates))
+
     def _ave_histo(self, spec, step):
         """fix ave/histo Nevery Nrepeat Nfreq lo hi Nbin value... [file F]
         (fix_ave_histo.cpp): histogram of per-atom or global values,
@@ -2074,6 +2193,28 @@ class Simulation:
                     key = t[2:] if t.startswith("c_") else t.lower()
                     v = row.get("c_" + key, row.get(key))
                     samples.append(np.array([float(v)]))
+            if spec.style == "ave/histo/weight":
+                # fix ave/histo/weight (fix_ave_histo_weight.cpp): the
+                # first value is binned, the second supplies the weights
+                data, weights = samples[0], samples[1]
+                inside = (data >= lo) & (data <= hi)
+                hist, _ = np.histogram(data[inside], bins=nbin,
+                                       range=(lo, hi),
+                                       weights=weights[inside])
+                st = getattr(spec, "_histo", None)
+                if st is None:
+                    st = dict(hist=np.zeros(nbin), total=0.0, missing=0.0,
+                              vmin=np.inf, vmax=-np.inf, nsamp=0)
+                st["hist"] = st["hist"] + hist
+                st["total"] += float(weights[inside].sum())
+                st["missing"] += float(weights[~inside].sum())
+                if len(data):
+                    st["vmin"] = min(st["vmin"], float(data.min()))
+                    st["vmax"] = max(st["vmax"], float(data.max()))
+                st["nsamp"] += 1
+                spec._histo = st
+                self._histo_emit(spec, step, nfreq, nbin, lo, hi, fpath)
+                return
             data = np.concatenate(samples)
             inside = (data >= lo) & (data <= hi)
             hist, _ = np.histogram(data[inside], bins=nbin,
@@ -2097,6 +2238,9 @@ class Simulation:
                           vmax=float(data.max()) if len(data) else -np.inf,
                           nsamp=1)
             spec._histo = st
+        self._histo_emit(spec, step, nfreq, nbin, lo, hi, fpath)
+
+    def _histo_emit(self, spec, step, nfreq, nbin, lo, hi, fpath):
         if nfreq and step % nfreq == 0 and getattr(spec, "_histo", None):
             st = spec._histo
             self.script.ave_histo_values = getattr(
@@ -2416,6 +2560,7 @@ class Simulation:
         for cid, (gmask, style, args) in getattr(self, "tempvar_computes",
                                                  {}).items():
             row[f"c_{cid}"] = float(self._temp_variant(gmask, style, args))
+        row["dt"] = float(self.script.dt)   # thermo.cpp compute_dt
         for cid in getattr(self, "hf_computes", {}):
             from lidp_tpu.computes import eval_heat_flux
 
@@ -2599,7 +2744,7 @@ class Simulation:
                "atoms": "Atoms", "lx": "Lx", "ly": "Ly", "lz": "Lz",
                "xlo": "Xlo", "xhi": "Xhi", "ylo": "Ylo", "yhi": "Yhi",
                "zlo": "Zlo", "zhi": "Zhi", "xy": "Xy", "xz": "Xz",
-               "yz": "Yz"}
+               "yz": "Yz", "dt": "Dt"}
 
     def run(self, nsteps: int):
         import time
@@ -2708,9 +2853,25 @@ class Simulation:
                         integ2.params,
                         h_rate=jnp.asarray(h_rate, dt_),
                         h_ratelo=jnp.asarray(h_ratelo, dt_)))
+        if getattr(self, "_restrain_factory", None) is not None:
+            # fix restrain K ramps span exactly this run
+            # (fix_restrain.cpp: delta over beginstep..endstep); the ramp
+            # window is baked into the hook, so re-compose + re-jit
+            make_hook, old_hook = self._restrain_factory
+            b = int(self.sys.step)
+            new_hook = make_hook((b, b + nsteps))
+            hooks = self._pf_hooks
+            hooks[hooks.index(old_hook)] = new_hook
+            self._restrain_factory = (make_hook, new_hook)
+            self.runner.post_force = self._compose_pf(hooks)
+            self.runner.__post_init__()
         if self.res is None:
             self.sys, self.res, self.nlist, self.istate = \
                 self.runner.setup(self.sys)
+        # FixDtReset::setup fires end_of_step once at run setup, before
+        # the step-0 thermo row (fix_dt_reset.cpp:125)
+        if getattr(self, "dtreset_cfg", None):
+            self._dt_reset(self.dtreset_cfg)
         # msd/chunk captures its reference per-chunk COM at run setup
         # (ComputeMSDChunk::setup)
         for cid_, spec_ in getattr(self, "chunkagg_computes", {}).items():
@@ -2753,10 +2914,14 @@ class Simulation:
         halt = getattr(self, "halt_spec", None)
         if halt:
             chunk_opts.append(max(1, halt[0]))
+        dtr = getattr(self, "dtreset_cfg", None)
+        if dtr:
+            chunk_opts.append(dtr["nevery"])
         for spec in self.script.fixes.values():
             if spec.style in ("print", "ave/time", "ave/chunk",
                               "store/state", "ave/atom", "ave/histo",
-                              "ave/correlate", "vector"):
+                              "ave/histo/weight", "ave/correlate",
+                              "vector"):
                 chunk_opts.append(max(1, int(spec.args[0])))
         chunk = int(np.gcd.reduce(chunk_opts)) if chunk_opts else nsteps
         # timer timeout: end the run cleanly when the wall clock budget is
@@ -2780,6 +2945,8 @@ class Simulation:
                     "(Neighbor 'dangerous build' analog) — increase "
                     "cap_slack")
             self._host_fixes(step)
+            if dtr and step % dtr["nevery"] == 0:
+                self._dt_reset(dtr)
             if halt and (halt[0] == 0 or step % max(1, halt[0]) == 0):
                 # fix halt (fix_halt.cpp:146): conditional graceful stop;
                 # attribute is a thermo keyword or v_NAME equal-variable

@@ -772,3 +772,146 @@ def build_press_berendsen(ctx, spec):
         return sys_.replace(x=x, box=new_box)
 
     ctx.eos_hooks.append(_pb_eos)
+
+
+@fix_style("store/force")
+def build_store_force(ctx, spec):
+    # fix store/force (fix_store_force.cpp): per-atom snapshot of the
+    # force before any post-force fix modified it.  Forces are a pure
+    # function of positions here, so f_ID columns resolve by
+    # recomputing pair+bonded+kspace forces at output time
+    # (computes.peratom_column) — exact, no per-step storage needed.
+    spec._store_force = True
+
+
+@fix_style("dt/reset")
+def build_dt_reset(ctx, spec):
+    # fix dt/reset N tmin tmax xmax [units box|lattice]
+    # (fix_dt_reset.cpp end_of_step): pick dt so no atom moves more
+    # than xmax in one step; applied at run-chunk boundaries by
+    # Simulation.run (the chunk size divides N)
+    a = list(spec.args)
+    xmax = float(a[3])
+    scale = "lattice"
+    if "units" in a:
+        scale = a[a.index("units") + 1]
+    if scale == "lattice":
+        s3 = getattr(ctx.script, "lattice_spacing3", None)
+        xmax *= (float(s3[0]) if s3 is not None
+                 else float(ctx.script.lattice_spacing or 1.0))
+    ctx.dtreset_cfg = dict(
+        nevery=max(1, int(a[0])),
+        tmin=None if a[1] == "NULL" else float(a[1]),
+        tmax=None if a[2] == "NULL" else float(a[2]),
+        xmax=xmax, group=np.asarray(ctx.groups[spec.group]))
+
+
+@fix_style("spring/chunk")
+def build_spring_chunk(ctx, spec):
+    # fix spring/chunk K chunkID comID (fix_spring_chunk.cpp
+    # post_force): per-chunk COM springs; f_i -= m_i * k * d_hat / M
+    # with d = com - com0 captured at the first force evaluation.
+    # Chunk assignment is static over the fix's lifetime (the reference
+    # locks the chunk compute for exactly this reason).
+    k_spring = float(spec.args[0])
+    chunk_id = spec.args[1]
+    ctx.spring_chunk_cfg = dict(k=k_spring, chunk=chunk_id,
+                                group=spec.group)
+
+
+@fix_style("ave/histo/weight")
+def build_ave_histo_weight(ctx, spec):
+    # handled by the ave/histo host path with weights (fix_ave_histo_weight.cpp)
+    pass
+
+
+@fix_style("restrain")
+def build_restrain(ctx, spec):
+    # fix restrain bond i j Kstart Kstop r0 | angle i j k Ks Kp theta0
+    # | dihedral i j k l Ks Kp phi0  (fix_restrain.cpp): harmonic
+    # bond/angle restraints + CHARMM-style dihedral restraint
+    # E = K(1 + cos(phi - phi0)); K ramps linearly over each run.
+    a = list(spec.args)
+    bonds, angles, diheds = [], [], []
+    i = 0
+    while i < len(a):
+        if a[i] == "bond":
+            bonds.append((int(a[i + 1]) - 1, int(a[i + 2]) - 1,
+                          float(a[i + 3]), float(a[i + 4]),
+                          float(a[i + 5])))
+            i += 6
+        elif a[i] == "angle":
+            angles.append((int(a[i + 1]) - 1, int(a[i + 2]) - 1,
+                           int(a[i + 3]) - 1, float(a[i + 4]),
+                           float(a[i + 5]),
+                           float(a[i + 6]) * np.pi / 180.0))
+            i += 7
+        elif a[i] == "dihedral":
+            diheds.append((int(a[i + 1]) - 1, int(a[i + 2]) - 1,
+                           int(a[i + 3]) - 1, int(a[i + 4]) - 1,
+                           float(a[i + 5]), float(a[i + 6]),
+                           float(a[i + 7]) * np.pi / 180.0))
+            i += 8
+        else:
+            i += 1
+    dtype = ctx.dtype
+
+    def make_hook(window):
+        import jax
+
+        from lidp_tpu.ops.bonded import _mi
+
+        w0, w1 = window
+
+        def _energy(x, box, step):
+            delta = jnp.clip((step - w0) / max(w1 - w0, 1), 0.0, 1.0)
+            e = jnp.zeros((), dtype)
+            for (i1, i2, ks, kp, r0) in bonds:
+                k = ks + delta * (kp - ks)
+                d = _mi(x[i1] - x[i2], box)
+                r = jnp.sqrt(jnp.sum(d * d))
+                e = e + k * (r - r0) ** 2
+            for (i1, i2, i3, ks, kp, t0) in angles:
+                k = ks + delta * (kp - ks)
+                d1 = _mi(x[i1] - x[i2], box)
+                d2 = _mi(x[i3] - x[i2], box)
+                c = jnp.sum(d1 * d2) / jnp.sqrt(
+                    jnp.sum(d1 * d1) * jnp.sum(d2 * d2))
+                c = jnp.clip(c, -1.0 + 1e-12, 1.0 - 1e-12)
+                e = e + k * (jnp.arccos(c) - t0) ** 2
+            for (i1, i2, i3, i4, ks, kp, p0) in diheds:
+                k = ks + delta * (kp - ks)
+                b1 = _mi(x[i2] - x[i1], box)
+                b2 = _mi(x[i3] - x[i2], box)
+                b3 = _mi(x[i4] - x[i3], box)
+                n1 = jnp.cross(b1, b2)
+                n2 = jnp.cross(b2, b3)
+                phi = jnp.arctan2(
+                    jnp.sqrt(jnp.sum(b2 * b2)) * jnp.sum(b1 * n2),
+                    jnp.sum(n1 * n2))
+                e = e + k * (1.0 + jnp.cos(phi - p0))
+            return e
+
+        def _restrain_pf(sys_, f_):
+            g = jax.grad(lambda xx: _energy(xx, sys_.box, sys_.step))(
+                sys_.x)
+            return f_ - g, jnp.zeros(6, f_.dtype)
+
+        return _restrain_pf
+
+    hook = make_hook((0, 1))
+    ctx.pf_hooks.append(hook)
+    ctx.pf_hooks_setup.append(hook)
+    ramped = any(t[2] != t[3] for t in bonds) or \
+        any(t[3] != t[4] for t in angles) or \
+        any(t[4] != t[5] for t in diheds)
+    if ramped:
+        ctx.restrain_factory = (make_hook, hook)
+
+
+@fix_style("box/relax")
+def build_box_relax(ctx, spec):
+    # consumed by the minimize command (io/script.py _box_relax);
+    # no per-timestep hooks — fix_box_relax.cpp only participates in
+    # minimization (min_energy/min_step extra-dof protocol)
+    pass

@@ -414,6 +414,39 @@ def eval_peratom(sim, cid):
         return centro_atom(sim, nnn if nnn else int(spec["arg"]), gmask)
     if style == "cna/atom":
         return cna_atom(sim, float(spec["arg"]), gmask)
+    if style == "erotate/sphere/atom":
+        # 0.5*INERTIA*m r^2 w^2 per atom (compute_erotate_sphere_atom.cpp)
+        w = np.asarray(sim.istate.omega)[:n]
+        r_ = np.asarray(sim.gran_radius)[:n]
+        m = np.asarray(sim.gran_rmass)[:n]
+        out = 0.5 * 0.4 * sim.thermo_params.mvv2e * m * r_ * r_ \
+            * (w * w).sum(1)
+        out[~gm | (r_ <= 0)] = 0.0
+        return out
+    if style == "contact/atom":
+        # contacts = pairs with r < radi+radj (compute_contact_atom.cpp)
+        x = np.asarray(sys.x)[:n]
+        r_ = np.asarray(sim.gran_radius)[:n]
+        L = np.asarray(sys.box.lengths)
+        per = np.asarray(sys.box.periodic, bool)
+        out = np.zeros(n)
+        B = 512
+        for i0 in range(0, n, B):
+            i1 = min(i0 + B, n)
+            d = x[i0:i1, None, :] - x[None, :, :]
+            for dim_ in range(3):
+                if per[dim_]:
+                    d[..., dim_] -= np.round(d[..., dim_] / L[dim_]) \
+                        * L[dim_]
+            rsq = (d * d).sum(-1)
+            radsum = r_[i0:i1, None] + r_[None, :]
+            hit = ((rsq < radsum * radsum)
+                   & (np.arange(i0, i1)[:, None] < np.arange(n)[None, :]))
+            ii, jj = np.nonzero(hit)
+            np.add.at(out, ii + i0, 1.0)
+            np.add.at(out, jj, 1.0)
+        out[~gm] = 0.0
+        return out
     if style == "fragment/atom":
         return fragment_aggregate_atom(sim, gmask)
     if style == "aggregate/atom":

@@ -302,6 +302,75 @@ def _bond_local_rows(script, sys, gmask, values):
 
 
 
+def _property_local_rows(script, sys, gmask, values, pair, sp_code):
+    """compute property/local (compute_property_local.cpp): per-pair
+    (patom1/patom2/ptype1/ptype2 — force-cutoff pairs, natom* — neighbor
+    pairs incl. skin) or per-bond (batom1/batom2/btype) index columns,
+    enumerated in the same order as pair/local / bond/local so mixed
+    dump-local column sets line up row-for-row."""
+    kinds = {v[0] for v in values}
+    if kinds <= {"p", "n"}:
+        n = int(np.count_nonzero(np.asarray(sys.mask)))
+        x = np.asarray(sys.x)[:n]
+        ty = np.asarray(sys.type)[:n]
+        L = np.asarray(sys.box.lengths)
+        gm = np.asarray(gmask)[:n]
+        cutsq = np.asarray(pair.cutsq)
+        if any(v.startswith("n") for v in values):
+            cutsq = (np.sqrt(cutsq) + script.skin) ** 2
+        spl = np.asarray(pair.special_lj)
+        spc = np.asarray(pair.special_coul)
+        sp = (np.asarray(sp_code)[:n, :n] if sp_code is not None
+              else np.zeros((n, n), np.int8))
+        cols = {v: [] for v in values}
+        B = 1024
+        for i0 in range(0, n, B):
+            i1 = min(i0 + B, n)
+            d = x[i0:i1, None, :] - x[None, :, :]
+            for dim in range(3):
+                if sys.box.periodic[dim]:
+                    d[..., dim] = _min_image(d[..., dim], L[dim])
+            rsq = np.sum(d * d, axis=-1)
+            ii, jj = np.nonzero(
+                (np.arange(i0, i1)[:, None] < np.arange(n)[None, :])
+                & gm[i0:i1, None] & gm[None, :]
+                & (rsq < cutsq[ty[i0:i1, None], ty[None, :]])
+                & ~((spl[sp[i0:i1]] == 0.0) & (spc[sp[i0:i1]] == 0.0)))
+            gi = ii + i0
+            for v in values:
+                if v in ("patom1", "natom1"):
+                    cols[v].append(gi + 1.0)
+                elif v in ("patom2", "natom2"):
+                    cols[v].append(jj + 1.0)
+                elif v in ("ptype1", "ntype1"):
+                    cols[v].append(ty[gi].astype(float))
+                elif v in ("ptype2", "ntype2"):
+                    cols[v].append(ty[jj].astype(float))
+                else:
+                    raise ValueError(f"property/local value {v}")
+        return [np.concatenate(cols[v]) if cols[v] else np.zeros(0)
+                for v in values]
+    if kinds <= {"b"}:
+        bonds = np.asarray(script._bonds, np.int64)
+        btyp = np.asarray(script._bond_types, np.int64)
+        n = int(np.count_nonzero(np.asarray(sys.mask)))
+        gm = np.asarray(gmask)[:n]
+        keep = gm[bonds[:, 0] - 1] & gm[bonds[:, 1] - 1] & (btyp != 0)
+        out = []
+        for v in values:
+            if v == "batom1":
+                out.append(bonds[keep, 0].astype(float))
+            elif v == "batom2":
+                out.append(bonds[keep, 1].astype(float))
+            elif v == "btype":
+                out.append(btyp[keep].astype(float))
+            else:
+                raise ValueError(f"property/local value {v}")
+        return out
+    raise ValueError(
+        "property/local: mixed pair/bond value kinds in one compute")
+
+
 def _angle_geometry(script, sys, idx):
     n = int(np.count_nonzero(np.asarray(sys.mask)))
     x = np.asarray(sys.x)[:n]
@@ -424,6 +493,9 @@ def write_local_frame(spec, sys, script, gmask, pair=None, sp_code=None):
                 cache[cid] = _dihedral_local_rows(script, sys, cgm, vals)
             elif style == "improper/local":
                 cache[cid] = _improper_local_rows(script, sys, cgm, vals)
+            elif style == "property/local":
+                cache[cid] = _property_local_rows(script, sys, cgm, vals,
+                                                  pair, sp_code)
             else:
                 raise ValueError(f"dump local needs a local compute, "
                                  f"got {style}")

@@ -1414,8 +1414,16 @@ class LammpsScript:
         if style == "rdf":
             self.computes[cid] = (group, style, int(a[3]))
             return
+        if style == "slice":
+            # compute ID group slice Nstart Nstop Nskip input...
+            # (compute_slice.cpp): extract rows of global vectors/arrays
+            self.computes[cid] = (group, style, {
+                "start": int(a[3]), "stop": int(a[4]),
+                "skip": int(a[5]), "inputs": list(a[6:])})
+            return
         if style in ("pair/local", "bond/local", "angle/local",
-                     "dihedral/local", "improper/local"):
+                     "dihedral/local", "improper/local",
+                     "property/local"):
             # value keywords evaluated at dump-local time
             # (compute_pair_local.cpp / compute_bond_local.cpp)
             self.computes[cid] = (group, style, list(a[3:]))
@@ -1495,6 +1503,16 @@ class LammpsScript:
         if style == "erotate/sphere":
             # rotational KE of sphere atoms (compute_erotate_sphere.cpp)
             self.computes[cid] = (group, style, None)
+            return
+        if style == "temp/sphere":
+            # translational + rotational temperature of sphere atoms
+            # (compute_temp_sphere.cpp; dof = 6/atom for finite radius)
+            self.computes[cid] = (group, style, list(a[3:]))
+            return
+        if style in ("erotate/sphere/atom", "contact/atom"):
+            # per-atom rotational KE (compute_erotate_sphere_atom.cpp) /
+            # contact count (compute_contact_atom.cpp)
+            self.computes[cid] = (group, style, {})
             return
         if style == "chunk/atom":
             # compute ID group chunk/atom bin/1d dim origin delta

@@ -720,6 +720,7 @@ def _build_granular_sim(script, sys, u, dtype, n, npad, _padA, groups, dim_):
     sim_obj.chunk_computes = {}
     sim_obj.chunkagg_computes = {}
     sim_obj.hf_computes = {}
+    sim_obj.slice_computes = {}
     sim_obj.mesh = None
     sim_obj.n_padded = npad
     # compute erotate/sphere columns read runner istate omega
@@ -727,6 +728,18 @@ def _build_granular_sim(script, sys, u, dtype, n, npad, _padA, groups, dim_):
         cid: np.asarray(groups[sc[0]], bool)
         for cid, sc in script.computes.items()
         if len(sc) == 3 and sc[1] == "erotate/sphere"}
+    sim_obj.tempsphere_computes = {
+        cid: np.asarray(groups[sc[0]], bool)
+        for cid, sc in script.computes.items()
+        if len(sc) == 3 and sc[1] == "temp/sphere"}
+    for cid, sc in script.computes.items():
+        if len(sc) == 3 and sc[1] in ("erotate/sphere/atom",
+                                      "contact/atom"):
+            sim_obj.peratom_computes[cid] = (
+                np.asarray(groups[sc[0]], bool), sc[1], sc[2])
+        if len(sc) == 3 and sc[1] == "reduce":
+            sim_obj.reduce_computes[cid] = (
+                np.asarray(groups[sc[0]], bool), sc[2])
     sim_obj.gran_radius = jnp.asarray(radius, dtype)
     sim_obj.gran_rmass = jnp.asarray(rmass, dtype)
 
@@ -1709,6 +1722,7 @@ class Simulation:
         chunk_computes = {}
         chunkagg_computes = {}
         hf_computes = {}
+        slice_computes = {}
         vacf_computes = {}
         peratom_computes = {}
         reduce_computes = {}
@@ -1747,6 +1761,9 @@ class Simulation:
             if len(spec_c) == 3 and spec_c[1] == "heat/flux":
                 hf_computes[cid] = (script.groups[spec_c[0]].copy(),
                                     list(spec_c[2]["ids"]))
+                continue
+            if len(spec_c) == 3 and spec_c[1] == "slice":
+                slice_computes[cid] = dict(spec_c[2])
                 continue
             if len(spec_c) == 3 and spec_c[1] == "reduce":
                 reduce_computes[cid] = (script.groups[spec_c[0]].copy(),
@@ -1899,6 +1916,7 @@ class Simulation:
         sim_obj.chunk_computes = chunk_computes
         sim_obj.chunkagg_computes = chunkagg_computes
         sim_obj.hf_computes = hf_computes
+        sim_obj.slice_computes = slice_computes
         sim_obj.mesh = mesh
         sim_obj.n_padded = npad
 
@@ -2058,21 +2076,15 @@ class Simulation:
                 vals.append(a[i]); i += 1
 
         def _resolve_vector(tok):
-            # c_ID -> full per-chunk array; c_ID[j] -> one column
+            # c_ID -> full per-chunk/global array; c_ID[j] -> one column
             import re as _re
             mm = _re.match(r"c_(\w+)(?:\[(\d+)\])?$", tok)
-            if not mm or mm.group(1) not in getattr(
-                    self, "chunkagg_computes", {}):
-                raise ValueError(
-                    f"ave/time mode vector input {tok} must name a "
-                    "*/chunk compute")
-            from lidp_tpu.computes import eval_chunk_agg
-            arr = np.asarray(eval_chunk_agg(self, mm.group(1)), float)
-            if arr.ndim == 1:
-                arr = arr[:, None]
-            if mm.group(2):
-                arr = arr[:, [int(mm.group(2)) - 1]]
-            return arr
+            if mm and mm.group(1) in getattr(self, "slice_computes", {}):
+                arr = np.asarray(self.eval_slice(mm.group(1)), float)
+                if mm.group(2):
+                    arr = arr[:, [int(mm.group(2)) - 1]]
+                return arr
+            return self._global_array(tok)
 
         if nev and step % nev == 0:
             if mode == "vector":
@@ -2113,6 +2125,42 @@ class Simulation:
                                            for v in ave.reshape(-1)])
                             + "\n")
                 spec._started = True
+
+    def _global_array(self, tok):
+        """Resolve c_ID / c_ID[j] naming a global vector/array compute
+        (chunk aggregates, heat/flux) to a 2-d array."""
+        import re as _re
+
+        mm = _re.match(r"c_(\w+)(?:\[(\d+)\])?$", tok)
+        if not mm:
+            raise ValueError(f"global array input {tok}")
+        name = mm.group(1)
+        if name in getattr(self, "chunkagg_computes", {}):
+            from lidp_tpu.computes import eval_chunk_agg
+
+            arr = np.asarray(eval_chunk_agg(self, name), float)
+        elif name in getattr(self, "hf_computes", {}):
+            from lidp_tpu.computes import eval_heat_flux
+
+            arr = np.asarray(eval_heat_flux(self, name), float)
+        else:
+            raise ValueError(f"{tok}: not a global vector/array compute")
+        if arr.ndim == 1:
+            arr = arr[:, None]
+        if mm.group(2):
+            arr = arr[:, [int(mm.group(2)) - 1]]
+        return arr
+
+    def eval_slice(self, cid):
+        """compute slice Nstart Nstop Nskip input...
+        (ComputeSlice::extract_one): 1-based inclusive row selection of
+        global vectors/arrays; one output column per input."""
+        spec = self.slice_computes[cid]
+        # Nstop is EXCLUSIVE (compute_slice.cpp: for i = nstart;
+        # i < nstop; i += nskip)
+        sel = slice(spec["start"] - 1, spec["stop"] - 1, spec["skip"])
+        cols = [self._global_array(t)[sel] for t in spec["inputs"]]
+        return np.concatenate(cols, axis=1)
 
     def _dt_reset(self, cfg):
         """fix dt/reset (FixDtReset::end_of_step): bound the timestep so
@@ -2507,6 +2555,25 @@ class Simulation:
             row["c_" + cid] = float(erotate_sphere(
                 self.istate.omega, self.gran_radius, self.gran_rmass, m,
                 mvv2e=self.thermo_params.mvv2e))
+        for cid, gmask in getattr(self, "tempsphere_computes",
+                                  {}).items():
+            # compute temp/sphere (compute_temp_sphere.cpp): t =
+            # sum m v^2 + sum 0.4 m r^2 w^2, dof = 6/atom for finite
+            # radius (3d ALL mode) - extra_dof
+            tp = self.thermo_params
+            n = self.natoms
+            gm = np.asarray(gmask)[:n]
+            v = np.asarray(self.sys.v)[:n]
+            w = np.asarray(self.istate.omega)[:n]
+            r_ = np.asarray(self.gran_radius)[:n]
+            m = np.asarray(self.gran_rmass)[:n]
+            t = (m * (v * v).sum(1)
+                 + 0.4 * m * r_ * r_ * (w * w).sum(1))[gm].sum() * tp.mvv2e
+            # 6/3 dof for finite/point particles in 3d, 3/2 in 2d
+            dof = float(np.where(r_[gm] > 0,
+                                 6 if tp.dim == 3 else 3,
+                                 tp.dim).sum()) - tp.dim
+            row["c_" + cid] = t / (dof * tp.boltz) if dof > 0 else 0.0
         for cid, (ma, mb) in getattr(self, "gg_computes", {}).items():
             row["c_" + cid] = float(self._group_group_energy(ma, mb))
         for cid, (gmask, style) in getattr(self, "simple_computes",
@@ -2561,6 +2628,11 @@ class Simulation:
                                                  {}).items():
             row[f"c_{cid}"] = float(self._temp_variant(gmask, style, args))
         row["dt"] = float(self.script.dt)   # thermo.cpp compute_dt
+        for cid in getattr(self, "slice_computes", {}):
+            sl = self.eval_slice(cid)
+            if sl.shape[1] == 1:
+                for k_ in range(sl.shape[0]):
+                    row[f"c_{cid}[{k_ + 1}]"] = float(sl[k_, 0])
         for cid in getattr(self, "hf_computes", {}):
             from lidp_tpu.computes import eval_heat_flux
 

@@ -71,6 +71,99 @@ def test_ten_steps_stable(chute0):
     assert float(r10["c_1"]) == pytest.approx(1601.1263, rel=3e-2)
 
 
+SPHERE_COMPUTE_GOLDEN = [
+    # rebuilt reference on bench/in.chute + temp/sphere +
+    # erotate/sphere/atom (reduce-summed), thermo 2, run 4:
+    # step ke c_1 c_ts c_re
+    [0, 784139.13, 1601.1263, 8.1849222, 1601.1263],
+    [2, 784149.62, 1599.5955, 8.1850155, 1599.5955],
+    [4, 784157.78, 1595.605, 8.185059, 1595.605],
+]
+
+
+@pytest.mark.slow
+def test_sphere_computes_golden(tmp_path):
+    """compute temp/sphere (compute_temp_sphere.cpp: trans+rot KE over
+    6 dof/finite-radius atom) and erotate/sphere/atom
+    (compute_erotate_sphere_atom.cpp) vs the rebuilt reference on the
+    chute system; the per-atom column is checked through reduce sum
+    (== the scalar erotate/sphere column at every step)."""
+    os.symlink(os.path.join(BENCH, "data.chute"), tmp_path / "data.chute")
+    text = open(os.path.join(BENCH, "in.chute")).read()
+    text = re.sub(r"^thermo\t.*$", "thermo 2", text, flags=re.M)
+    text = re.sub(r"^run.*$", "run 4", text, flags=re.M)
+    text = text.replace(
+        "compute\t\t1 all erotate/sphere",
+        "compute\t\t1 all erotate/sphere\n"
+        "compute\t\tts all temp/sphere\n"
+        "compute\t\tea all erotate/sphere/atom\n"
+        "compute\t\tre all reduce sum c_ea")
+    text = re.sub(r"^thermo_style.*$",
+                  "thermo_style custom step ke c_1 c_ts c_re",
+                  text, flags=re.M)
+    path = tmp_path / "in.sph"
+    path.write_text(text)
+    s = LammpsScript(dtype=jnp.float64)
+    s.file(str(path))
+    rows = {int(r["step"]): r for r in s.thermo_rows}
+    for step, ke, c1, cts, cre in SPHERE_COMPUTE_GOLDEN:
+        r = rows[step]
+        assert float(r["ke"]) == pytest.approx(ke, rel=1e-7), step
+        assert float(r["c_1"]) == pytest.approx(c1, rel=1e-7), step
+        assert float(r["c_ts"]) == pytest.approx(cts, rel=1e-7), step
+        assert float(r["c_re"]) == pytest.approx(cre, rel=1e-7), step
+
+
+CONTACT_DATA = """tiny sphere test
+
+6 atoms
+1 atom types
+
+0 10 xlo xhi
+0 10 ylo yhi
+0 10 zlo zhi
+
+Atoms
+
+1 1 1.0 1.0 1.0 1.0 1.0
+2 1 1.0 1.0 1.8 1.0 1.0
+3 1 1.0 1.0 2.6 1.0 1.0
+4 1 2.0 1.0 6.0 6.0 6.0
+5 1 2.0 1.0 7.4 6.0 6.0
+6 1 1.0 1.0 9.5 9.5 9.5
+"""
+
+
+def test_contact_atom_golden(tmp_path):
+    """compute contact/atom (compute_contact_atom.cpp: pair counts with
+    r < radi+radj) on a 6-sphere chain: reduce sum == 6 (three touching
+    pairs double-counted), reduce max == 2 (middle of the chain) —
+    golden from the rebuilt reference."""
+    (tmp_path / "data.spheres").write_text(CONTACT_DATA)
+    (tmp_path / "in.contact").write_text("""units lj
+atom_style sphere
+boundary p p p
+newton off
+comm_modify vel yes
+read_data data.spheres
+pair_style gran/hooke/history 200000.0 NULL 50.0 NULL 0.5 0
+pair_coeff * *
+neighbor 0.1 bin
+fix 3 all nve/sphere
+compute ca all contact/atom
+compute re all reduce sum c_ca
+compute rm all reduce max c_ca
+thermo_style custom step c_re c_rm
+thermo_modify norm no
+run 0
+""")
+    s = LammpsScript(dtype=jnp.float64)
+    s.file(str(tmp_path / "in.contact"))
+    row = s.thermo_rows[0]
+    assert float(row["c_re"]) == 6.0
+    assert float(row["c_rm"]) == 2.0
+
+
 GRAN_VARIANT_GOLDEN = {
     # rows from the REBUILT reference binary on bench/in.chute with the
     # pair style swapped (4 steps, thermo 2, %.15g norm no):

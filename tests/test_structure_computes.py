@@ -126,3 +126,75 @@ run 0
     assert float(r["c_s1"]) == 542688.0
     assert float(r["c_m2"]) == 892.0
     assert float(r["c_s2"]) == 506253.0
+
+
+SLICE_GOLDEN = [
+    [0, 1.44, 94.555659420385, -6.42297304137323],
+    [2, 1.43088638838039, 94.0148280123202, -6.76130330253762],
+    [4, 1.40164128098338, 94.8852113586248, -7.22357783617436],
+]
+
+
+def test_slice_golden(tmp_path):
+    """compute slice over the heat/flux global vector: Nstop-exclusive
+    row selection (compute_slice.cpp) matches the rebuilt reference."""
+    rows = _run(tmp_path, MELT + """velocity all create 1.44 87287 loop geom
+fix 1 all nve
+compute myke all ke/atom
+compute mype all pe/atom
+compute myst all stress/atom NULL
+compute hf all heat/flux myke mype myst
+compute s all slice 2 6 2 c_hf
+thermo 2
+thermo_style custom step temp c_s[1] c_s[2]
+""" + TAIL)
+    for step, temp, s1, s2 in SLICE_GOLDEN:
+        r = rows[step]
+        assert float(r["temp"]) == pytest.approx(temp, rel=1e-10)
+        assert float(r["c_s[1]"]) == pytest.approx(s1, rel=2e-7)
+        assert float(r["c_s[2]"]) == pytest.approx(s2, rel=2e-7)
+
+
+def test_property_local_golden(tmp_path):
+    """compute property/local patom*/ptype* through dump local: the
+    reference's half-list pair ORIENTATION is implementation-defined, so
+    the golden checks order-insensitive invariants (row count, id sums,
+    dist/eng sums) vs the rebuilt reference file."""
+    from lidp_tpu.io.script import LammpsScript
+
+    (tmp_path / "in.s").write_text("""units lj
+atom_style atomic
+boundary p p p
+lattice fcc 0.8442
+region box block 0 3 0 3 0 3
+create_box 1 box
+create_atoms 1 box
+mass 1 1.0
+pair_style lj/cut 2.5
+pair_coeff 1 1 1.0 1.0
+velocity all create 1.44 87287 loop geom
+fix 1 all nve
+compute pl all property/local patom1 patom2 ptype1 ptype2
+compute pr all pair/local dist eng
+dump d1 all local 2 plocal.dump index c_pl[1] c_pl[2] c_pl[3] c_pl[4] c_pr[1] c_pr[2]
+run 2
+""")
+    s = LammpsScript(dtype=jnp.float64)
+    s.file(str(tmp_path / "in.s"))
+    rows = []
+    take = False
+    for ln in open(tmp_path / "plocal.dump"):
+        if ln.startswith("ITEM: ENTRIES"):
+            take = True
+            continue
+        if ln.startswith("ITEM:"):
+            take = False
+            continue
+        if take:
+            rows.append([float(v) for v in ln.split()[1:]])
+    r = np.asarray(rows)
+    assert len(r) == 5832                      # reference row count
+    assert r[:, 0].sum() + r[:, 1].sum() == 635688.0   # sum patom1+patom2
+    assert (r[:, 2] == 1.0).all() and (r[:, 3] == 1.0).all()
+    assert r[:, 4].sum() == pytest.approx(11038.3946700000, rel=1e-6)
+    assert r[:, 5].sum() == pytest.approx(-1461.5998068000, rel=1e-6)

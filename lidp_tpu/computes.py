@@ -261,6 +261,139 @@ def centro_atom(sim, nnn, gmask):
     return out
 
 
+def _assoc_legendre(l, m, x):
+    """Associated Legendre P_l^m via the reference's upward recurrence
+    (compute_orientorder_atom.cpp:524-544); x is an array."""
+    x = np.asarray(x, float)
+    if l < m:
+        return np.zeros_like(x)
+    p = np.ones_like(x)
+    if m != 0:
+        sqx = np.sqrt(np.maximum(1.0 - x * x, 0.0))
+        for i in range(1, m + 1):
+            p = p * ((2 * i - 1) * sqx)
+    pm1 = np.zeros_like(x)
+    for i in range(m + 1, l + 1):
+        pm2 = pm1
+        pm1 = p
+        p = ((2 * i - 1) * x * pm1 - (i + m - 1) * pm2) / (i - m)
+    return p
+
+
+def _polar_prefactor(l, m, costheta):
+    """compute_orientorder_atom.cpp:504-521."""
+    import math
+
+    mabs = abs(m)
+    pref = 1.0
+    for i in range(l - mabs + 1, l + mabs + 1):
+        pref *= float(i)
+    pref = math.sqrt((2 * l + 1) / (4.0 * math.pi * pref))
+    out = pref * _assoc_legendre(l, mabs, costheta)
+    if m < 0 and m % 2:
+        out = -out
+    return out
+
+
+def orientorder_atom(sim, spec, gmask):
+    """compute orientorder/atom (compute_orientorder_atom.cpp): Steinhardt
+    bond-orientational order Q_l over the nnn nearest neighbors inside
+    the cutoff; one column per requested degree (default 4 6 8 10 12),
+    plus 2*(2*l+1) normalized qlm components when `components l` was
+    given."""
+    n = sim.natoms
+    gm = np.asarray(gmask)[:n]
+    nnn = spec.get("nnn", 12)
+    qlist = spec.get("degrees", [4, 6, 8, 10, 12])
+    comp_l = spec.get("components")
+    pair = sim.runner.ff.pair
+    cutoff = spec.get("cutoff") or float(
+        np.sqrt(np.max(np.asarray(pair.cutsq))))
+    nbrs, vecs = _neighbor_lists(sim, cutoff)
+    ncol = len(qlist) + (2 * (2 * comp_l + 1) if comp_l else 0)
+    out = np.zeros((n, ncol))
+    cutsq = cutoff * cutoff
+    for i in range(n):
+        if not gm[i] or not len(nbrs[i]):
+            continue
+        vv = np.asarray(vecs[i])
+        d2 = (vv * vv).sum(1)
+        sel = d2 < cutsq
+        vv, d2 = vv[sel], d2[sel]
+        if len(vv) < max(nnn, 1):
+            continue
+        if nnn > 0:
+            order = np.argsort(d2, kind="stable")[:nnn]
+            vv = vv[order]
+        rmag = np.sqrt((vv * vv).sum(1))
+        cth = vv[:, 2] / rmag
+        rxy = np.sqrt(vv[:, 0] ** 2 + vv[:, 1] ** 2)
+        safe = rxy > 1e-300
+        ephi = np.where(safe, (vv[:, 0] + 1j * vv[:, 1])
+                        / np.where(safe, rxy, 1.0), 1.0 + 0.0j)
+        nc = len(vv)
+        fac = np.sqrt(4.0 * np.pi) / nc
+        col = 0
+        for lq in qlist:
+            qlm = np.zeros(2 * lq + 1, complex)
+            qlm[lq] = _polar_prefactor(lq, 0, cth).sum()
+            ephim = ephi.copy()
+            for m in range(1, lq + 1):
+                c = _polar_prefactor(lq, m, cth) * ephim
+                qlm[m + lq] += c.sum()
+                # (-1)^m conjugate relation (calc_boop:447-455)
+                cc = c.sum()
+                if m & 1:
+                    qlm[-m + lq] += -cc.real + 1j * cc.imag
+                else:
+                    qlm[-m + lq] += cc.real - 1j * cc.imag
+                ephim = ephim * ephi
+            qm_sum = float((qlm.real ** 2 + qlm.imag ** 2).sum())
+            out[i, col] = fac * np.sqrt(qm_sum / (2 * lq + 1))
+            col += 1
+            if comp_l == lq:
+                normfac = 1.0 / np.sqrt(qm_sum) if qm_sum > 0 else 0.0
+                for m in range(2 * lq + 1):
+                    out[i, len(qlist) + 2 * m] = qlm[m].real * normfac
+                    out[i, len(qlist) + 2 * m + 1] = qlm[m].imag * normfac
+    return out
+
+
+def hexorder_atom(sim, spec, gmask):
+    """compute hexorder/atom (compute_hexorder_atom.cpp): 2-d q_n =
+    (1/nnn) sum_j exp(i n theta_ij) over the nnn nearest neighbors;
+    columns (Re, Im)."""
+    n = sim.natoms
+    gm = np.asarray(gmask)[:n]
+    nnn = spec.get("nnn", 6)
+    deg = spec.get("degree", 6)
+    pair = sim.runner.ff.pair
+    cutoff = spec.get("cutoff") or float(
+        np.sqrt(np.max(np.asarray(pair.cutsq))))
+    nbrs, vecs = _neighbor_lists(sim, cutoff)
+    out = np.zeros((n, 2))
+    cutsq = cutoff * cutoff
+    for i in range(n):
+        if not gm[i] or not len(nbrs[i]):
+            continue
+        vv = np.asarray(vecs[i])
+        d2 = (vv * vv).sum(1)
+        sel = d2 < cutsq
+        vv, d2 = vv[sel], d2[sel]
+        if len(vv) < max(nnn, 1):
+            continue
+        if nnn > 0:
+            order = np.argsort(d2, kind="stable")[:nnn]
+            vv = vv[order]
+        rinv = 1.0 / np.sqrt(vv[:, 0] ** 2 + vv[:, 1] ** 2)
+        z = (vv[:, 0] + 1j * vv[:, 1]) * rinv
+        zn = z ** deg
+        denom = nnn if nnn > 0 else len(vv)
+        out[i, 0] = zn.real.sum() / denom
+        out[i, 1] = zn.imag.sum() / denom
+    return out
+
+
 def cna_atom(sim, cutoff, gmask):
     """compute cna/atom cutoff (compute_cna_atom.cpp): common neighbor
     analysis.  Per-atom pattern code: 0 unknown (outside group), 1 fcc,
@@ -378,6 +511,11 @@ def eval_heat_flux(sim, cid):
 
 def eval_peratom(sim, cid):
     """Evaluate a registered per-atom compute -> (N,) or (N,K) array."""
+    if cid not in sim.peratom_computes and cid in getattr(
+            sim, "chunk_computes", {}):
+        # chunk/atom referenced as a per-atom input (its peratom output
+        # IS the 1..nchunk id, compute_chunk_atom.cpp)
+        return np.asarray(sim._chunk_ids(cid)[0], float)
     gmask, style, spec = sim.peratom_computes[cid]
     n = sim.natoms
     sys = sim.sys
@@ -447,6 +585,22 @@ def eval_peratom(sim, cid):
             np.add.at(out, jj, 1.0)
         out[~gm] = 0.0
         return out
+    if style == "global/atom":
+        # per-atom index (rounded down, 1-based) into global vectors
+        # (compute_global_atom.cpp:336-420); out-of-range -> 0
+        idx = np.floor(peratom_column(sim, spec["ref"])).astype(int) - 1
+        cols = []
+        for tok in spec["inputs"]:
+            vec = np.asarray(sim._global_array(tok), float).ravel()
+            col = np.where((idx >= 0) & (idx < len(vec)),
+                           vec[np.clip(idx, 0, len(vec) - 1)], 0.0)
+            col[~gm] = 0.0
+            cols.append(col)
+        return cols[0] if len(cols) == 1 else np.stack(cols, 1)
+    if style == "orientorder/atom":
+        return orientorder_atom(sim, spec["arg"], gmask)
+    if style == "hexorder/atom":
+        return hexorder_atom(sim, spec["arg"], gmask)
     if style == "fragment/atom":
         return fragment_aggregate_atom(sim, gmask)
     if style == "aggregate/atom":

@@ -33,6 +33,7 @@ class GranState:
     x_ref: Any        # (N,3) positions at last rebuild (dist check)
     last_build: Any   # () int32
     virial: Any       # (6,)
+    eta_dot: Any      # (tchain,) NH chain (fix nvt/sphere); zeros if NVE
 
 
 @dataclasses.dataclass
@@ -48,6 +49,10 @@ class GranRunner:
     rebuild_every: int = 1
     delay: int = 0
     check: bool = True
+    # fix nvt/sphere (fix_nvt_sphere.cpp = FixNHSphere): NVTParams with
+    # dof from compute temp/sphere (6/finite-radius atom in 3d); the NH
+    # scale applies to BOTH v and omega (FixNHSphere::nh_v_temp)
+    nvt: Optional[Any] = None
 
     def __post_init__(self):
         self._scan = jax.jit(self._chunk, static_argnames=("nsteps",))
@@ -87,12 +92,14 @@ class GranRunner:
                 sys.x, sys.mask, sys.box, self.shrink))
         nlist = build_cells(sys.x, sys.mask, sys.box, self.neighbor_cfg)
         shear0 = jnp.zeros(gran.shear_shape(nlist), sys.x.dtype)
+        nchain = self.nvt.t_chain if self.nvt is not None else 1
         st = GranState(omega=omega0, shear=shear0,
                        torque=jnp.zeros_like(sys.v), x_ref=sys.x,
                        last_build=sys.step.astype(jnp.int32)
                        if hasattr(sys.step, "astype")
                        else jnp.asarray(sys.step, jnp.int32),
-                       virial=jnp.zeros(6, sys.x.dtype))
+                       virial=jnp.zeros(6, sys.x.dtype),
+                       eta_dot=jnp.zeros(nchain, sys.x.dtype))
         # setup force eval: shearupdate = 0 (update->setupflag)
         f, tq, shear, vir = self._force(sys, nlist, st,
                                         shear_update=False, need_ev=True)
@@ -113,14 +120,36 @@ class GranRunner:
             scf_iters=jnp.zeros((), jnp.int32),
             scf_diverged=jnp.zeros((), bool))
 
-    def _chunk(self, sys, res, nlist, st, nsteps):
+    def _sphere_ke2(self, sys, omega, gm, p):
+        """2*KE (trans + rot) of the thermostat group in energy units —
+        compute_temp_sphere.cpp: sum m v^2 + INERTIA m r^2 w^2."""
+        r = self.gp.radius
+        ke2 = jnp.sum(jnp.where(
+            gm, self.gp.rmass[:, None] * sys.v * sys.v, 0.0))
+        ke2 += jnp.sum(jnp.where(
+            gm, (0.4 * self.gp.rmass * r * r)[:, None] * omega * omega,
+            0.0))
+        return ke2 * p.mvv2e
+
+    def _chunk(self, sys, res, nlist, st, nvt, nsteps):
         gm = (self.gmask & sys.mask)[:, None]
 
         def body(carry, _):
+            from lidp_tpu.integrate.nvt import _nhc
+
             sys, f, nlist, st = carry
+            omega = st.omega
+            if nvt is not None:
+                # FixNH::initial_integrate: chain update + scale BOTH v
+                # and omega (FixNHSphere::nh_v_temp), then the half kicks
+                ke2 = self._sphere_ke2(sys, omega, gm, nvt)
+                eta_dot, scale = _nhc(st.eta_dot, ke2, nvt, sys.step)
+                sys = sys.replace(v=jnp.where(gm, sys.v * scale, sys.v))
+                omega = jnp.where(gm, omega * scale, omega)
+                st = dataclasses.replace(st, eta_dot=eta_dot)
             v = jnp.where(gm, sys.v + self._accel(f), sys.v)
-            omega = jnp.where(gm, self._omega_kick(st.omega, st.torque),
-                              st.omega)
+            omega = jnp.where(gm, self._omega_kick(omega, st.torque),
+                              omega)
             x = jnp.where(gm, sys.x + self.dt * v, sys.x)
             sys = sys.replace(x=x, v=v, step=sys.step + 1)
             st = dataclasses.replace(st, omega=omega)
@@ -162,6 +191,13 @@ class GranRunner:
             omega = jnp.where(gm, self._omega_kick(st.omega, tq),
                               st.omega)
             sys = sys.replace(v=v)
+            if nvt is not None:
+                # FixNH::final_integrate: kicks, then chain update + scale
+                ke2 = self._sphere_ke2(sys, omega, gm, nvt)
+                eta_dot, scale = _nhc(st.eta_dot, ke2, nvt, sys.step)
+                sys = sys.replace(v=jnp.where(gm, sys.v * scale, sys.v))
+                omega = jnp.where(gm, omega * scale, omega)
+                st = dataclasses.replace(st, eta_dot=eta_dot)
             st = dataclasses.replace(st, omega=omega, torque=tq)
             return (sys, f, nlist, st), None
 
@@ -171,4 +207,6 @@ class GranRunner:
         return sys, res, nlist, st
 
     def run(self, sys, res, nlist, st, nsteps: int):
-        return self._scan(sys, res, nlist, st, nsteps=nsteps)
+        # nvt rides as a traced argument so ramp-window updates
+        # (Simulation.run) take effect without retracing
+        return self._scan(sys, res, nlist, st, self.nvt, nsteps=nsteps)

@@ -88,15 +88,18 @@ def write_dump_frame(spec, sys, script, gmask, f=None):
         vals = np.stack([np.asarray(colvec[c], np.float64)
                          for c in spec.columns], axis=1)
         flags = np.array([c in _INT_COLS for c in spec.columns], np.uint8)
+        ffmt = getattr(spec, "float_fmt", "%g")
         from lidp_tpu import native
 
-        blob = native.format_dump_rows(vals, flags)
+        blob = (native.format_dump_rows(vals, flags)
+                if ffmt == "%g" else None)
         if blob is not None:
             fh.write(blob.decode())
-        else:   # pure-Python fallback (no compiler)
+        else:   # custom float format (dump_modify format float) or no
+            # compiler: pure-Python row formatter
             for r in range(vals.shape[0]):
                 fh.write(" ".join(
-                    str(int(vals[r, c])) if flags[c] else "%g" % vals[r, c]
+                    str(int(vals[r, c])) if flags[c] else ffmt % vals[r, c]
                     for c in range(vals.shape[1])) + "\n")
     spec._started = True
 
@@ -626,3 +629,53 @@ def write_image_frame(spec, sys, script, gmask):
     with open(path, "wb") as fh:
         fh.write(b"P6\n%d %d\n255\n" % (W, H))
         fh.write((img * 255.0 + 0.5).astype(np.uint8).tobytes())
+
+
+def read_dump_frames(path):
+    """Parse a native text dump (the dump_custom.cpp format;
+    reader_native.cpp analog) into a list of frames
+    ``(step, lo, hi, tilt, colnames, data[n, ncol])``.
+
+    Triclinic frames carry BOX BOUNDS xy xz yz with the bound-extended
+    extents (domain.cpp:1600-1618); the true lo/hi are recovered by
+    subtracting the min/max tilt combinations."""
+    frames = []
+    with open(path) as fh:
+        lines = fh.read().splitlines()
+    i = 0
+    while i < len(lines):
+        if not lines[i].startswith("ITEM: TIMESTEP"):
+            i += 1
+            continue
+        step = int(lines[i + 1])
+        i += 2
+        if not lines[i].startswith("ITEM: NUMBER OF ATOMS"):
+            raise ValueError("malformed dump: expected NUMBER OF ATOMS")
+        n = int(lines[i + 1])
+        i += 2
+        hdr = lines[i]
+        if not hdr.startswith("ITEM: BOX BOUNDS"):
+            raise ValueError("malformed dump: expected BOX BOUNDS")
+        has_tilt = " xy " in hdr + " " or "xy xz yz" in hdr
+        lo = np.zeros(3)
+        hi = np.zeros(3)
+        tilt = np.zeros(3)
+        for d in range(3):
+            t = lines[i + 1 + d].split()
+            lo[d], hi[d] = float(t[0]), float(t[1])
+            if has_tilt:
+                tilt[d] = float(t[2])
+        if has_tilt:
+            xy, xz, yz = tilt
+            lo[0] -= min(0.0, xy, xz, xy + xz)
+            hi[0] -= max(0.0, xy, xz, xy + xz)
+            lo[1] -= min(0.0, yz)
+            hi[1] -= max(0.0, yz)
+        i += 4
+        cols = lines[i].split()[2:]
+        data = np.asarray(
+            [[float(v) for v in lines[i + 1 + k].split()]
+             for k in range(n)])
+        i += 1 + n
+        frames.append((step, lo, hi, tilt, cols, data))
+    return frames

@@ -123,6 +123,7 @@ class DumpSpec:
     path: str
     columns: list
     sort_id: bool = False
+    float_fmt: str = "%g"   # dump_modify format float
 
 
 class LammpsScript:
@@ -635,15 +636,66 @@ class LammpsScript:
         self.alpha_type = np.zeros(self.ntypes + 1)
 
     def cmd_create_atoms(self, a):
+        """create_atoms type box|region ID|single x y z|random N seed ID
+        (create_atoms.cpp styles BOX/REGION/SINGLE/RANDOM)."""
         ty = int(a[0])
-        assert a[1] == "box"
-        x = lattice_mod.create_atoms_bounds(
-            self.lattice_style, self._spacing3(), self.box_lo, self.box_hi)
-        if self.dimension == 2:
-            x = x[np.abs(x[:, 2]) < 1e-12]
-            x[:, 2] = 0.0   # 2d atoms live on the z=0 plane
+        if a[1] in ("box", "region"):
+            x = lattice_mod.create_atoms_bounds(
+                self.lattice_style, self._spacing3(), self.box_lo,
+                self.box_hi)
+            if a[1] == "region":
+                x = x[self._region_mask(a[2], x=x)]
+            if self.dimension == 2:
+                x = x[np.abs(x[:, 2]) < 1e-12]
+                x[:, 2] = 0.0   # 2d atoms live on the z=0 plane
+        elif a[1] == "single":
+            # units box|lattice (create_atoms.cpp:160: default lattice)
+            s3 = (np.ones(3) if "units" in a
+                  and a[a.index("units") + 1] == "box"
+                  else self._spacing3())
+            x = np.array([[float(a[2]) * s3[0], float(a[3]) * s3[1],
+                           float(a[4]) * s3[2]]])
+        elif a[1] == "random":
+            # uniform draws from one RanPark stream (create_atoms.cpp:436)
+            from lidp_tpu.rng import RanPark
+
+            nrand, seed = int(a[2]), int(a[3])
+            lo = self.box_lo.copy()
+            hi = self.box_hi.copy()
+            rng_ = RanPark(seed)
+            pts = []
+            while len(pts) < nrand:
+                p = np.array([lo[0] + rng_.uniform() * (hi[0] - lo[0]),
+                              lo[1] + rng_.uniform() * (hi[1] - lo[1]),
+                              lo[2] + rng_.uniform() * (hi[2] - lo[2])])
+                if self.dimension == 2:
+                    p[2] = 0.0
+                if a[4] != "NULL" and not self._region_mask(
+                        a[4], x=p[None, :])[0]:
+                    continue
+                pts.append(p)
+            x = np.asarray(pts)
+        else:
+            raise NotImplementedError(f"create_atoms {a[1]}")
         self.log(f"Created {x.shape[0]} atoms")
-        n = x.shape[0]
+        nnew = x.shape[0]
+        if self.x is not None and len(self.x) and a[1] != "box":
+            # append to the existing system (multiple create_atoms calls)
+            self.x = np.concatenate([self.x, x])
+            self.v = np.concatenate([self.v, np.zeros((nnew, 3))])
+            self.q = np.concatenate([self.q, np.zeros(nnew)])
+            self.type = np.concatenate(
+                [self.type, np.full(nnew, ty, np.int32)])
+            self.mol = np.concatenate(
+                [self.mol, np.zeros(nnew, np.int32)])
+            self.image = np.concatenate(
+                [self.image, np.zeros((nnew, 3), np.int32)])
+            n = len(self.x)
+            self.groups = {k: (np.concatenate(
+                [np.asarray(v), np.full(nnew, k == "all", bool)]))
+                for k, v in self.groups.items()}
+            return
+        n = nnew
         self.x = x
         self.v = np.zeros((n, 3))
         self.q = np.zeros(n)
@@ -1472,6 +1524,38 @@ class LammpsScript:
             # cna/atom cutoff (compute_cna_atom.cpp)
             self.computes[cid] = (group, style, {"arg": a[3]})
             return
+        if style == "global/atom":
+            # compute ID group global/atom ref input...
+            # (compute_global_atom.cpp): per-atom indices (1-based,
+            # rounded down) into global vectors/array columns
+            self.computes[cid] = (group, style, {"ref": a[3],
+                                                 "inputs": list(a[4:])})
+            return
+        if style in ("orientorder/atom", "hexorder/atom"):
+            # orientorder/atom [nnn N] [degrees nq l1..] [components l]
+            # [cutoff c] (compute_orientorder_atom.cpp);
+            # hexorder/atom [degree n] [nnn N] [cutoff c]
+            d = {}
+            i = 3
+            while i < len(a):
+                if a[i] == "nnn":
+                    d["nnn"] = (0 if a[i + 1] == "NULL"
+                                else int(a[i + 1]))
+                    i += 2
+                elif a[i] == "degrees":
+                    nq = int(a[i + 1])
+                    d["degrees"] = [int(v) for v in a[i + 2:i + 2 + nq]]
+                    i += 2 + nq
+                elif a[i] == "degree":
+                    d["degree"] = int(a[i + 1]); i += 2
+                elif a[i] == "components":
+                    d["components"] = int(a[i + 1]); i += 2
+                elif a[i] == "cutoff":
+                    d["cutoff"] = float(a[i + 1]); i += 2
+                else:
+                    raise ValueError(f"{style} keyword {a[i]}")
+            self.computes[cid] = (group, style, {"arg": d})
+            return
         if style in ("fragment/atom", "aggregate/atom"):
             spec = ({"cutoff": float(a[3])} if style == "aggregate/atom"
                     else {})
@@ -1652,8 +1736,15 @@ class LammpsScript:
                                    every=every, path=path, columns=cols)
 
     def cmd_dump_modify(self, a):
-        if a[0] in self.dumps and "sort" in a:
+        if a[0] not in self.dumps:
+            return
+        if "sort" in a:
             self.dumps[a[0]].sort_id = True
+        if "format" in a:
+            # dump_modify ID format float FMT (dump.cpp modify_params)
+            i = a.index("format")
+            if a[i + 1] == "float":
+                self.dumps[a[0]].float_fmt = a[i + 2]
 
     def cmd_undump(self, a):
         self.dumps.pop(a[0], None)
@@ -1782,7 +1873,8 @@ class LammpsScript:
                          "wall/lj93", "wall/lj126", "wall/lj1043",
                          "wall/harmonic", "planeforce", "lineforce",
                          "indent", "print", "ave/time", "ave/chunk",
-                         "gravity", "freeze", "nve/sphere", "nve/limit",
+                         "gravity", "freeze", "nve/sphere", "nvt/sphere",
+                         "nve/limit",
                          "nve/noforce", "spring", "spring/rg", "drag",
                          "move", "heat", "temp/csvr", "temp/csld",
                          "rigid/small", "rigid/nve/small",
@@ -1835,6 +1927,28 @@ class LammpsScript:
         nsteps = int(a[0])
         if len(a) > 1 and a[1] == "upto":
             nsteps = max(0, nsteps - int(self.step))
+        every = getattr(self, "_restart_every", 0)
+        if every > 0:
+            # restart N file: checkpoint on the N-step cadence
+            # (output.cpp write_restart), alternating between two names
+            k = getattr(self, "_restart_toggle", 0)
+            first_seg = True
+            while nsteps > 0:
+                seg = min(every - (self.step % every) or every, nsteps)
+                # segments after the first share the run: don't re-emit
+                # the boundary thermo row (the reference prints each step
+                # once per run)
+                self._suppress_start_row = not first_seg
+                self._run(seg)
+                first_seg = False
+                nsteps -= seg
+                if self.step % every == 0:
+                    files = self._restart_files
+                    self.cmd_write_restart([files[k % len(files)]])
+                    k += 1
+            self._suppress_start_row = False
+            self._restart_toggle = k
+            return
         self._run(nsteps)
 
     def cmd_pair_write(self, a):
@@ -2067,9 +2181,10 @@ class LammpsScript:
                 s_, compute, jnp.asarray(mass_atom, self.dtype),
                 etol=etol, ftol=ftol, maxiter=maxiter)
         else:
+            dmax = float(getattr(self, "_min_modify", {}).get("dmax", 0.1))
             run_min = lambda s_: cg_minimize(     # noqa: E731
                 s_, compute, etol=etol, ftol=ftol, maxiter=maxiter,
-                style=style)
+                style=style, dmax=dmax)
         run_min = jax.jit(run_min)
         br = next((f for f in self.fixes.values()
                    if f.style == "box/relax"), None)
@@ -2233,6 +2348,505 @@ class LammpsScript:
                 self._msm_cutoff_adjust = a[i + 1] == "yes"; i += 2
             else:
                 i += 2
+
+    # --------------------- misc top-level commands ------------------------
+
+    def cmd_displace_atoms(self, a):
+        """displace_atoms group move/ramp/random (displace_atoms.cpp:111-199)
+        with units box|lattice scaling (default lattice) and periodic-dim
+        remap of the results."""
+        self._invalidate()
+        gm = np.asarray(self.groups[a[0]], bool)
+        style = a[1]
+        scale = np.ones(3)
+        if "units" not in a or a[a.index("units") + 1] == "lattice":
+            scale = self._spacing3()
+        x = np.asarray(self.x, float)
+        if style == "move":
+            d = scale * np.array([float(a[2]), float(a[3]), float(a[4])])
+            x[gm] += d
+        elif style == "ramp":
+            ddim = "xyz".index(a[2])
+            dlo, dhi = scale[ddim] * float(a[3]), scale[ddim] * float(a[4])
+            cdim = "xyz".index(a[5])
+            clo, chi = scale[cdim] * float(a[6]), scale[cdim] * float(a[7])
+            frac = np.clip((x[:, cdim] - clo) / (chi - clo), 0.0, 1.0)
+            x[gm, ddim] += (dlo + frac * (dhi - dlo))[gm]
+        elif style == "random":
+            from lidp_tpu.rng import park_geom_streams
+
+            d = scale * np.array([float(a[2]), float(a[3]), float(a[4])])
+            # coordinate-seeded streams make the result owner-independent
+            # (displace_atoms.cpp:192 random->reset(seed,x[i]))
+            streams = park_geom_streams(int(a[5]), x)
+            disp = np.stack([d[k] * 2.0 * (streams.uniform() - 0.5)
+                             for k in range(3)], axis=1)
+            x[gm] += disp[gm]
+        else:
+            raise NotImplementedError(f"displace_atoms {style}")
+        # Domain::remap on periodic dims only
+        L = self.box_hi - self.box_lo
+        for dim in range(3):
+            if self.periodic[dim]:
+                shift = np.floor((x[:, dim] - self.box_lo[dim]) / L[dim])
+                x[:, dim] -= shift * L[dim]
+                self.image[:, dim] += shift.astype(self.image.dtype)
+        self.x = x
+
+    def _type_list(self, tok, tmax):
+        """force->bounds wildcard: N, *, N*, *M, N*M -> bool[tmax+1]."""
+        sel = np.zeros(tmax + 1, bool)
+        if "*" in tok:
+            lo, _, hi = tok.partition("*")
+            sel[int(lo) if lo else 1: (int(hi) if hi else tmax) + 1] = True
+        else:
+            sel[int(tok)] = True
+        return sel
+
+    def cmd_delete_bonds(self, a):
+        """delete_bonds group style [type] [any/undo/remove/special]
+        (delete_bonds.cpp): toggle interaction types negative (off) /
+        positive (undo) or compact them out (remove).  Turned-off rows
+        keep contributing to special-bond exclusions, matching the
+        reference's neighbor special lists."""
+        self._invalidate()
+        gm = np.asarray(self.groups[a[0]], bool)
+        style = a[1]
+        ia = 2
+        tsel = None
+        if style not in ("multi", "stats"):
+            ia = 3
+        any_flag = "any" in a[ia:]
+        undo = "undo" in a[ia:]
+        remove = "remove" in a[ia:]
+        stats = {}
+        for fam, idx_attr, typ_attr in (
+                ("bond", "_bonds", "_bond_types"),
+                ("angle", "_angles", "_angle_types"),
+                ("dihedral", "_dihedrals", "_dihedral_types"),
+                ("improper", "_impropers", "_improper_types")):
+            idx = getattr(self, idx_attr, None)
+            if idx is None or not len(idx):
+                continue
+            typ = np.asarray(getattr(self, typ_attr), np.int64).copy()
+            active = {"bond": ("bond", "multi", "atom"),
+                      "angle": ("angle", "multi", "atom"),
+                      "dihedral": ("dihedral", "multi", "atom"),
+                      "improper": ("improper", "multi", "atom")}[fam]
+            if style in active:
+                ingrp = gm[np.asarray(idx, np.int64) - 1]
+                consider = (ingrp.any(1) if any_flag else ingrp.all(1))
+                if style == "atom":
+                    tl = self._type_list(a[2], int(self.type.max()))
+                    consider &= tl[self.type[
+                        np.asarray(idx, np.int64) - 1]].any(1)
+                elif style == fam:
+                    tl = self._type_list(a[2], int(np.abs(typ).max()))
+                    consider &= tl[np.abs(typ)]
+                if undo:
+                    flip = consider & (typ < 0)
+                else:
+                    flip = consider & (typ > 0)
+                typ[flip] = -typ[flip]
+                setattr(self, typ_attr, typ)
+            if remove:
+                keep = typ > 0
+                setattr(self, idx_attr, np.asarray(idx)[keep])
+                setattr(self, typ_attr, typ[keep])
+                typ = typ[keep]
+            stats[fam] = (int((typ > 0).sum()), len(typ))
+        for fam, (on, tot) in stats.items():
+            self.log(f"  {tot} total {fam}s, {on} turned on, "
+                     f"{tot - on} turned off")
+
+    def cmd_create_bonds(self, a):
+        """create_bonds many group group btype rmin rmax |
+        single/bond btype a1 a2 | single/angle atype a1 a2 a3 |
+        single/dihedral dtype a1 a2 a3 a4 (create_bonds.cpp)."""
+        self._invalidate()
+        if getattr(self, "_bonds", None) is None:
+            self._bonds = np.zeros((0, 2), np.int64)
+        if getattr(self, "_bond_types", None) is None:
+            self._bond_types = np.zeros(len(self._bonds), np.int64)
+        if a[0] == "many":
+            g1 = np.asarray(self.groups[a[1]], bool)
+            g2 = np.asarray(self.groups[a[2]], bool)
+            btype, rmin, rmax = int(a[3]), float(a[4]), float(a[5])
+            x = np.asarray(self.x, float)
+            n = len(x)
+            L = self.box_hi - self.box_lo
+            d = x[:, None, :] - x[None, :, :]
+            for dim in range(3):
+                if self.periodic[dim]:
+                    d[..., dim] -= np.round(d[..., dim] / L[dim]) * L[dim]
+            rsq = (d * d).sum(-1)
+            hit = ((rsq >= rmin * rmin) & (rsq <= rmax * rmax)
+                   & (np.arange(n)[:, None] < np.arange(n)[None, :])
+                   & ((g1[:, None] & g2[None, :])
+                      | (g2[:, None] & g1[None, :])))
+            # skip already-bonded pairs (the reference excludes them via
+            # zeroed special-1-2 neighbor masking, create_bonds.cpp:193)
+            for b1, b2 in np.asarray(self._bonds, np.int64):
+                hit[b1 - 1, b2 - 1] = hit[b2 - 1, b1 - 1] = False
+            ii, jj = np.nonzero(hit)
+            new = np.stack([ii + 1, jj + 1], 1).astype(np.int64)
+            self._bonds = np.concatenate([self._bonds, new])
+            self._bond_types = np.concatenate(
+                [self._bond_types, np.full(len(new), btype, np.int64)])
+            self.log(f"Added {len(new)} bonds, new total = "
+                     f"{len(self._bonds)}")
+        elif a[0] == "single/bond":
+            self._bonds = np.concatenate(
+                [self._bonds, [[int(a[2]), int(a[3])]]]).astype(np.int64)
+            self._bond_types = np.concatenate(
+                [self._bond_types, [int(a[1])]]).astype(np.int64)
+        elif a[0] == "single/angle":
+            if getattr(self, "_angles", None) is None or not len(
+                    getattr(self, "_angles", [])):
+                self._angles = np.zeros((0, 3), np.int64)
+                self._angle_types = np.zeros(0, np.int64)
+            self._angles = np.concatenate(
+                [self._angles,
+                 [[int(a[2]), int(a[3]), int(a[4])]]]).astype(np.int64)
+            self._angle_types = np.concatenate(
+                [self._angle_types, [int(a[1])]]).astype(np.int64)
+        elif a[0] == "single/dihedral":
+            if getattr(self, "_dihedrals", None) is None or not len(
+                    getattr(self, "_dihedrals", [])):
+                self._dihedrals = np.zeros((0, 4), np.int64)
+                self._dihedral_types = np.zeros(0, np.int64)
+            self._dihedrals = np.concatenate(
+                [self._dihedrals,
+                 [[int(a[2]), int(a[3]), int(a[4]),
+                   int(a[5])]]]).astype(np.int64)
+            self._dihedral_types = np.concatenate(
+                [self._dihedral_types, [int(a[1])]]).astype(np.int64)
+        else:
+            raise NotImplementedError(f"create_bonds {a[0]}")
+
+    def _apply_dump_frame(self, frame, fields):
+        """Overwrite per-atom state from one dump frame's columns
+        (read_dump.cpp::atoms): atoms matched by the id column when
+        present, else file order; box updated from the frame bounds."""
+        step, lo, hi, tilt, cols, data = frame
+        # drop (and adopt) any live Simulation BEFORE overwriting the host
+        # arrays — _invalidate copies sim state back into them
+        self._invalidate()
+        self.box_lo, self.box_hi = lo, hi
+        if np.any(tilt != 0.0):
+            self.box_tilt = tilt
+        order = (np.argsort(data[:, cols.index("id")], kind="stable")
+                 if "id" in cols else np.arange(len(data)))
+        data = data[order]
+        x = np.asarray(self.x, float)
+        v = np.asarray(self.v, float)
+        L = hi - lo
+        for f_ in fields:
+            if f_ not in cols:
+                raise ValueError(f"read_dump field {f_} not in dump file")
+            col = data[:, cols.index(f_)]
+            if f_ in ("x", "y", "z"):
+                x[:, "xyz".index(f_)] = col
+            elif f_ in ("xs", "ys", "zs"):
+                d = "xyz".index(f_[0])
+                x[:, d] = lo[d] + col * L[d]
+            elif f_ in ("vx", "vy", "vz"):
+                v[:, "xyz".index(f_[1])] = col
+            elif f_ == "q":
+                self.q = col.copy()
+            elif f_ in ("ix", "iy", "iz"):
+                self.image[:, "xyz".index(f_[1])] = col.astype(
+                    self.image.dtype)
+            else:
+                raise NotImplementedError(f"read_dump field {f_}")
+        self.x, self.v = x, v
+        self.step = step
+
+    def cmd_read_dump(self, a):
+        """read_dump file Nstep field1 ... [box yes|no] (read_dump.cpp)."""
+        from lidp_tpu.io.dump import read_dump_frames
+
+        path = os.path.join(self.root, a[0])
+        want = int(a[1])
+        fields = []
+        for tok in a[2:]:
+            if tok in ("box", "replace", "purge", "add", "trim", "format",
+                       "wrapped", "scaled"):
+                break
+            fields.append(tok)
+        for fr in read_dump_frames(path):
+            if fr[0] == want:
+                self._apply_dump_frame(fr, fields)
+                return
+        raise ValueError(f"read_dump: timestep {want} not in {a[0]}")
+
+    def cmd_rerun(self, a):
+        """rerun file1 [file2 ...] [first N] [last M] [every E] [skip S]
+        dump field1 ... (rerun.cpp): re-evaluate forces/thermo on each
+        selected snapshot."""
+        from lidp_tpu.io.dump import read_dump_frames
+
+        ikw = next((k for k, tok in enumerate(a)
+                    if tok in ("first", "last", "every", "skip", "start",
+                               "stop", "dump")), len(a))
+        files = a[:ikw]
+        first, last, every, skip = 0, 2**62, 0, 1
+        i = ikw
+        fields = []
+        while i < len(a):
+            if a[i] == "first":
+                first = int(a[i + 1]); i += 2
+            elif a[i] == "last":
+                last = int(a[i + 1]); i += 2
+            elif a[i] == "every":
+                every = int(a[i + 1]); i += 2
+            elif a[i] == "skip":
+                skip = int(a[i + 1]); i += 2
+            elif a[i] in ("start", "stop"):
+                i += 2
+            elif a[i] == "dump":
+                fields = [t for t in a[i + 1:]
+                          if t not in ("box", "wrapped", "format",
+                                       "yes", "no", "native")]
+                break
+            else:
+                i += 1
+        nframe = 0
+        for fpath in files:
+            for fr in read_dump_frames(os.path.join(self.root, fpath)):
+                if fr[0] < first or fr[0] > last:
+                    continue
+                if every and fr[0] % every != 0:
+                    continue
+                if nframe % skip != 0:
+                    nframe += 1
+                    continue
+                nframe += 1
+                self._apply_dump_frame(fr, fields)
+                self._run(0)
+
+    def cmd_change_box(self, a):
+        """change_box group x/y/z|xy/xz/yz final/delta/scale ... boundary
+        ... ortho|triclinic remap [units box|lattice] (change_box.cpp):
+        ops applied in order; `remap` affinely maps group atoms from the
+        box state saved at the start (or the previous remap) to the
+        current one, then every atom re-wraps into the new periodic box."""
+        self._invalidate()
+        gm = np.asarray(self.groups[a[0]], bool)
+        scale = (self._spacing3() if "units" not in a
+                 or a[a.index("units") + 1] == "lattice" else np.ones(3))
+
+        def hmat(lo, hi, tilt):
+            L = hi - lo
+            return np.array([[L[0], tilt[0], tilt[1]],
+                             [0.0, L[1], tilt[2]],
+                             [0.0, 0.0, L[2]]])
+
+        lo = self.box_lo.astype(float).copy()
+        hi = self.box_hi.astype(float).copy()
+        tilt = np.asarray(getattr(self, "box_tilt", np.zeros(3)),
+                          float).copy()
+        saved = (lo.copy(), hi.copy(), tilt.copy())
+        i = 1
+        while i < len(a):
+            tok = a[i]
+            if tok in ("x", "y", "z"):
+                d = "xyz".index(tok)
+                fl = a[i + 1]
+                if fl == "final":
+                    lo[d] = scale[d] * float(a[i + 2])
+                    hi[d] = scale[d] * float(a[i + 3])
+                    i += 4
+                elif fl == "delta":
+                    lo[d] += scale[d] * float(a[i + 2])
+                    hi[d] += scale[d] * float(a[i + 3])
+                    i += 4
+                elif fl == "scale":
+                    s = float(a[i + 2])
+                    mid = 0.5 * (lo[d] + hi[d])
+                    lo[d] = mid + s * (lo[d] - mid)
+                    hi[d] = mid + s * (hi[d] - mid)
+                    i += 3
+                else:
+                    raise NotImplementedError(f"change_box {tok} {fl}")
+            elif tok in ("xy", "xz", "yz"):
+                d = ("xy", "xz", "yz").index(tok)
+                sdim = 0 if tok in ("xy", "xz") else 1
+                fl = a[i + 1]
+                if fl == "final":
+                    tilt[d] = scale[sdim] * float(a[i + 2])
+                elif fl == "delta":
+                    tilt[d] += scale[sdim] * float(a[i + 2])
+                else:
+                    raise NotImplementedError(f"change_box {tok} {fl}")
+                i += 3
+            elif tok == "boundary":
+                self.cmd_boundary(a[i + 1:i + 4])
+                i += 4
+            elif tok in ("ortho", "triclinic"):
+                if tok == "ortho" and np.any(tilt != 0.0):
+                    raise ValueError("cannot change to orthogonal "
+                                     "when tilt is non-zero")
+                i += 1
+            elif tok == "remap":
+                h_old = hmat(*saved)
+                h_new = hmat(lo, hi, tilt)
+                lam = np.linalg.solve(
+                    h_old, (np.asarray(self.x, float) - saved[0]).T).T
+                xg = lam @ h_new.T + lo
+                self.x = np.where(gm[:, None], xg, self.x)
+                saved = (lo.copy(), hi.copy(), tilt.copy())
+                i += 1
+            elif tok == "units":
+                i += 2
+            else:
+                raise NotImplementedError(f"change_box {tok}")
+        self.box_lo, self.box_hi = lo, hi
+        self.box_tilt = tilt
+        # Domain::remap wrap of every atom into the new periodic box
+        x = np.asarray(self.x, float)
+        h_new = hmat(lo, hi, tilt)
+        lam = np.linalg.solve(h_new, (x - lo).T).T
+        for d in range(3):
+            if self.periodic[d]:
+                shift = np.floor(lam[:, d])
+                lam[:, d] -= shift
+                self.image[:, d] += shift.astype(self.image.dtype)
+        self.x = lam @ h_new.T + lo
+
+    def cmd_balance(self, a):
+        """balance thresh style ... (balance.cpp): the GSPMD engine shards
+        the atom axis uniformly (block layout), so the atom-count
+        imbalance is 1.0 by construction; this reports it in the
+        reference's format and accepts (ignores) the repartition styles."""
+        ndev = max(1, self.n_shard_devices)
+        n = len(self.x) if self.x is not None else 0
+        per = [n // ndev + (1 if d < n % ndev else 0) for d in range(ndev)]
+        imb = (max(per) / (n / ndev)) if n else 1.0
+        self.log(f"  iteration count = 0")
+        self.log(f"  initial/final max load/proc = {max(per)} {max(per)}")
+        self.log(f"  initial/final imbalance factor = {imb:.6g} {imb:.6g}")
+
+    def cmd_uncompute(self, a):
+        self.computes.pop(a[0], None)
+        self._invalidate()
+
+    def cmd_compute_modify(self, a):
+        """compute_modify ID extra/dynamic (compute.cpp modify_params):
+        extra overrides the dof subtracted by temperature computes."""
+        if not hasattr(self, "_compute_modify"):
+            self._compute_modify = {}
+        d = self._compute_modify.setdefault(a[0], {})
+        i = 1
+        while i < len(a):
+            d[a[i]] = a[i + 1]
+            i += 2
+        self._invalidate()
+
+    def cmd_min_modify(self, a):
+        """min_modify dmax/line (min.cpp modify_params) — stored; the
+        CG/SD line search caps trial steps at dmax."""
+        if not hasattr(self, "_min_modify"):
+            self._min_modify = {}
+        i = 0
+        while i < len(a):
+            self._min_modify[a[i]] = a[i + 1]
+            i += 2
+
+    def cmd_clear(self, a):
+        """clear (input.cpp:629): wipe the system, keep log/echo state."""
+        self.__init__(root=self.root, dtype=self.dtype, log=self.log,
+                      thermo_callback=self.thermo_callback,
+                      speed_mode=self.speed_mode)
+
+    def cmd_quit(self, a):
+        raise SystemExit(0)
+
+    def cmd_shell(self, a):
+        """shell cd/mkdir/rm/putenv or an arbitrary command (input.cpp)."""
+        import subprocess
+
+        if a[0] == "cd":
+            self.root = os.path.abspath(os.path.join(self.root, a[1]))
+        elif a[0] == "mkdir":
+            for p in a[1:]:
+                os.makedirs(os.path.join(self.root, p), exist_ok=True)
+        elif a[0] == "putenv":
+            for kv in a[1:]:
+                k, _, v = kv.partition("=")
+                os.environ[k] = v
+        else:
+            subprocess.run(" ".join(a), shell=True, cwd=self.root)
+
+    def cmd_restart(self, a):
+        """restart N file [file2] (output.cpp): periodic checkpoints at
+        run-chunk boundaries (every N steps; * -> timestep)."""
+        self._restart_every = int(a[0])
+        self._restart_files = list(a[1:]) or ["restart.*"]
+
+    def cmd_dielectric(self, a):
+        """dielectric N (input.cpp/force.cpp): scales qqrd2e by 1/eps."""
+        self.dielectric = float(a[0])
+        self._invalidate()
+
+    def cmd_box(self, a):
+        # box tilt large|small (domain.cpp box_change): we never restrict
+        # tilt factors, so both settings are accepted
+        pass
+
+    def cmd_comm_style(self, a):
+        # brick/tiled choose the MPI decomposition; GSPMD sharding is the
+        # analog and is controlled by `processors`
+        pass
+
+    def cmd_suffix(self, a):
+        # accelerator-variant suffixes (suffix.h); XLA compiles the one
+        # TPU path — accepted as a no-op
+        pass
+
+    def cmd_package(self, a):
+        # package gpu/omp/intel runtime knobs — n/a on the XLA backend
+        pass
+
+    def cmd_partition(self, a):
+        """partition yes|no N command... (input.cpp:584): run a command on
+        a subset of partitions.  The vmapped replica axis is the universe
+        analog; world-variable scripts drive per-replica state instead, so
+        apply the command when partition 1 is in the selection."""
+        sel = a[1]
+        ok = ("*" in sel or "1" == sel or sel.startswith("1*")
+              or "*1" == sel)
+        if a[0] == "no":
+            ok = not ok
+        if ok:
+            self.one(" ".join(a[2:]))
+
+    def cmd_info(self, a):
+        """info categories (info.cpp) — system summary to the log."""
+        n = len(self.x) if self.x is not None else 0
+        b = getattr(self, "_bonds", None)
+        self.log(f"Info: {n} atoms, "
+                 f"{0 if b is None else len(b)} bonds, "
+                 f"units {self.units}, "
+                 f"{len(self.fixes)} fixes, {len(self.computes)} computes")
+        self.log(f"Info: box {self.box_lo} to {self.box_hi}")
+
+    def cmd_write_coeff(self, a):
+        """write_coeff file (write_coeff.cpp): dump the *_coeff settings
+        in input-script form."""
+        path = os.path.join(self.root, a[0])
+        with open(path, "w") as fh:
+            if self.pair.name:
+                fh.write(f"# pair_style {self.pair.name}\n")
+            for (i, j), co in sorted(self.pair_coeffs.items()):
+                fh.write("pair_coeff %d %d %s\n"
+                         % (i, j, " ".join("%.16g" % c if isinstance(
+                             c, float) else str(c) for c in co)))
+            for fam in ("bond", "angle", "dihedral", "improper"):
+                for t, co in sorted(getattr(self, f"{fam}_coeffs",
+                                            {}).items()):
+                    fh.write(f"{fam}_coeff %s %s\n"
+                             % (t, " ".join(map(str, co))))
 
     # ------------------------- simulation assembly -------------------------
 

@@ -36,10 +36,11 @@ def lattice_spacing3(style: str, scale: float, units: str = "lj",
     basis = _BASES[style]
     cell = _CELL.get(style, np.ones(3))
     if units == "lj":
-        # scale is the reduced density rho*:
-        # scale = (nbasis/(Vprimitive*rho))^(1/dim)  (lattice.cpp:258-264)
+        # scale is the reduced density rho*; the reference's exact
+        # division order (lattice.cpp:264 nbasis/volume/rho) matters for
+        # bit-exact coordinates -> geometry-hashed velocity streams
         vprim = float(np.prod(cell[:dim]))
-        a = (len(basis) / (vprim * scale)) ** (1.0 / dim)
+        a = (len(basis) / vprim / scale) ** (1.0 / dim)
     else:
         a = float(scale)
     return cell * a
@@ -81,6 +82,12 @@ def create_atoms_bounds(style: str, spacing, box_lo, box_hi):
     """
     basis = _BASES[style]
     s = np.broadcast_to(np.asarray(spacing, np.float64), (3,))
+    cell = _CELL.get(style, np.ones(3))
+    # Lattice::lattice2box (lattice.cpp:476-492) computes
+    # (primitive . lattice_coord) * scale; replicate that multiply order
+    # exactly — velocity `loop geom` streams hash the coordinate BITS.
+    # s == cell * a with cell[0] == 1 for every supported style.
+    a = s[0]
     lo = np.asarray(box_lo, np.float64)
     hi = np.asarray(box_hi, np.float64)
     eps = (hi - lo) * 1.0e-6
@@ -93,6 +100,6 @@ def create_atoms_bounds(style: str, spacing, box_lo, box_hi):
                           np.arange(ilo[0], ihi[0] + 1), indexing="ij")
     cells = np.stack([i, j, k], axis=-1).reshape(-1, 1, 3).astype(np.float64)
     pts = (cells + basis[None, None, :, :].reshape(1, len(basis), 3))
-    pts = pts.reshape(-1, 3) * s
+    pts = (pts.reshape(-1, 3) * cell) * a
     keep = np.all((pts >= ins_lo) & (pts < ins_hi), axis=1)
     return pts[keep]

@@ -368,6 +368,7 @@ def cell_pair_forces(x, q, type_, mask, cells: Cells, box: Box, p,
                 t = 1.0 / (1.0 + EWALD_P * grij)
                 erfc = (t * (A1 + t * (A2 + t * (A3 + t * (A4 + t * A5))))
                         * expm2)
+                erfc = jnp.where(p.g_ewald > 0, erfc, 1.0)  # exact coul/cut
                 forcecoul = jnp.where(
                     cm, prefactor * (erfc + EWALD_F * grij * expm2), 0.0)
                 if need_ev:

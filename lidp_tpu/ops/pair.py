@@ -632,6 +632,10 @@ def pair_single(rsq, itype, jtype, qi, qj, p: PairParams,
             t = 1.0 / (1.0 + EWALD_P * grij)
             erfc = (t * (A1 + t * (A2 + t * (A3 + t * (A4 + t * A5))))
                     * expm2)
+            # coul/cut styles ride this branch with g_ewald == 0: use the
+            # exact 1/r there (the A&S polynomial is only ~1e-9 at x=0,
+            # pair_lj_cut_coul_cut.cpp computes plain prefactor/r)
+            erfc = jnp.where(p.g_ewald > 0, erfc, 1.0)
             forcecoul = prefactor * (erfc + EWALD_F * grij * expm2) \
                 - (1.0 - factor_coul) * prefactor
             phicoul = prefactor * erfc - (1.0 - factor_coul) * prefactor
@@ -762,6 +766,7 @@ def _pair_terms(rsq, qi, qj, ti, tj, sp_code, p: PairParams, pair_mask):
             t = 1.0 / (1.0 + EWALD_P * grij)
             erfc = (t * (A1 + t * (A2 + t * (A3 + t * (A4 + t * A5))))
                     * expm2)
+            erfc = jnp.where(p.g_ewald > 0, erfc, 1.0)  # exact coul/cut
             forcecoul = prefactor * (erfc + EWALD_F * grij * expm2)
             forcecoul = forcecoul - (1.0 - factor_coul) * prefactor
             ecoul = prefactor * erfc - (1.0 - factor_coul) * prefactor

@@ -166,6 +166,7 @@ def build_sharded_polar_step(
             expm2 = jnp.exp(-grij * grij)
             t = 1.0 / (1.0 + EWALD_P * grij)
             erfc = t * (A1 + t * (A2 + t * (A3 + t * (A4 + t * A5)))) * expm2
+            erfc = jnp.where(pair.g_ewald > 0, erfc, 1.0)  # exact coul/cut
             prefactor = pair.qqrd2e * qi * qj / r
             forcecoul = jnp.where(
                 coul_mask, prefactor * (erfc + EWALD_F * grij * expm2), 0.0)

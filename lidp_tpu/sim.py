@@ -636,6 +636,7 @@ def _build_granular_sim(script, sys, u, dtype, n, npad, _padA, groups, dim_):
     frozen = np.zeros(npad, bool)
     active = np.ones(npad, bool)
     grav = np.zeros(3)
+    nvt_spec = None
     for spec in script.fixes.values():
         if spec.style == "freeze":
             frozen = np.asarray(groups[spec.group], bool)
@@ -651,8 +652,10 @@ def _build_granular_sim(script, sys, u, dtype, n, npad, _padA, groups, dim_):
             else:
                 raise NotImplementedError(
                     f"fix gravity style {spec.args[1]}")
-        elif spec.style == "nve/sphere":
+        elif spec.style in ("nve/sphere", "nvt/sphere"):
             active = np.asarray(groups[spec.group], bool)
+            if spec.style == "nvt/sphere":
+                nvt_spec = spec
         elif spec.style in ("print", "ave/time", "ave/chunk"):
             pass
         else:
@@ -690,12 +693,30 @@ def _build_granular_sim(script, sys, u, dtype, n, npad, _padA, groups, dim_):
                                 min_lo=tuple(script.box_lo),
                                 min_hi=tuple(script.box_hi))
 
+    nvt_params = None
+    if nvt_spec is not None:
+        # fix nvt/sphere group temp Tstart Tstop Tdamp (fix_nvt_sphere.cpp)
+        from lidp_tpu.integrate.nvt import NVTParams
+
+        a_nvt = list(nvt_spec.args)
+        it = a_nvt.index("temp")
+        t0, t1, tper = (float(a_nvt[it + 1]), float(a_nvt[it + 2]),
+                        float(a_nvt[it + 3]))
+        ng = int(np.count_nonzero(active[:n]))
+        nfin = int(np.count_nonzero(active[:n]
+                                    & (np.asarray(radius[:n]) > 0)))
+        # compute_temp_sphere.cpp dof: 2*dim per finite-radius atom in
+        # the ALL rotation mode, dim per point atom, minus extra dim
+        gdof = (2 * dim_ * nfin + dim_ * (ng - nfin)) - dim_
+        nvt_params = NVTParams.create(
+            script.dt, u.ftm2v, rmass, t0, tper, dof=gdof, boltz=u.boltz,
+            mvv2e=u.mvv2e, t_stop=t1, dtype=dtype)
     runner = GranRunner(
         gp=gp, neighbor_cfg=ncfg, dt=script.dt, ftm2v=u.ftm2v,
         gmask=jnp.asarray(active), grav=jnp.asarray(grav, dtype),
         skin=script.skin, shrink=shrink,
         rebuild_every=script.neigh_every, delay=script.neigh_delay,
-        check=script.neigh_check)
+        check=script.neigh_check, nvt=nvt_params)
     runner._omega0 = jnp.asarray(omega0, dtype)
 
     norm = getattr(script, "_thermo_norm", None)
@@ -768,6 +789,11 @@ class Simulation:
         import jax.numpy as jnp
 
         u = script.units
+        eps_diel = float(getattr(script, "dielectric", 1.0))
+        if eps_diel != 1.0:
+            # dielectric command (force.cpp: qqrd2e = qqr2e/dielectric)
+            import dataclasses as _dc
+            u = _dc.replace(u, qqr2e=u.qqr2e / eps_diel)
         dtype = script.dtype
         n = script.x.shape[0]
         dim_ = getattr(script, "dimension", 3)
@@ -1707,7 +1733,13 @@ class Simulation:
                         every_step_ev=has_baro or has_vdep_pf)
 
         # ---- thermo ----
-        dof = dim_ * n - dim_ - dof_removed
+        # compute_modify thermo_temp extra N (compute.cpp modify_params)
+        # overrides the default extra dof (= dim)
+        extra_dof = dim_
+        cmod = getattr(script, "_compute_modify", {})
+        if "extra" in cmod.get("thermo_temp", {}):
+            extra_dof = float(cmod["thermo_temp"]["extra"])
+        dof = dim_ * n - extra_dof - dof_removed
         norm_m = getattr(script, "_thermo_norm", None)
         tp = ThermoParams.create(mass_atom, dof=dof, units=u,
                                  norm=((u.name == "lj")
@@ -1754,7 +1786,8 @@ class Simulation:
                     "ke/atom", "pe/atom", "stress/atom", "coord/atom",
                     "cluster/atom", "displace/atom", "property/atom",
                     "centro/atom", "cna/atom", "fragment/atom",
-                    "aggregate/atom"):
+                    "aggregate/atom", "orientorder/atom",
+                    "hexorder/atom", "global/atom"):
                 peratom_computes[cid] = (script.groups[spec_c[0]].copy(),
                                          spec_c[1], spec_c[2])
                 continue
@@ -1789,6 +1822,8 @@ class Simulation:
             gmask = groups[gname]
             ng = int(gmask.sum())
             gdof = dim_ * ng - dim_
+            if "extra" in cmod.get(cid, {}):
+                gdof = dim_ * ng - float(cmod[cid]["extra"])
             vcomp = (True, True, True)
             com_bias = False
             if style == "temp/partial":
@@ -2544,6 +2579,13 @@ class Simulation:
                thermo_row(self.sys, self.res, self.thermo_params,
                           extra_virial=extra).items()}
         row["atoms"] = self.natoms
+        # topology counts (thermo.cpp compute_bonds etc.) — includes
+        # turned-off (negative-type) interactions like the reference
+        for kw_, attr_ in (("bonds", "_bonds"), ("angles", "_angles"),
+                           ("dihedrals", "_dihedrals"),
+                           ("impropers", "_impropers")):
+            t_ = getattr(self.script, attr_, None)
+            row[kw_] = 0 if t_ is None else len(t_)
         for cid, tp in self.group_thermo.items():
             row["c_" + cid] = float(temperature(self.sys, tp))
         for cid, gmask in getattr(self, "erotate_computes", {}).items():
@@ -2619,11 +2661,17 @@ class Simulation:
             from lidp_tpu.computes import eval_reduce
 
             out = eval_reduce(self, cid)
+            # reduce sum is extensive (compute_reduce.cpp extvector=1):
+            # thermo normalizes it by natoms under `norm yes`
+            nrm = (1.0 / self.thermo_params.natoms
+                   if (self.thermo_params.norm
+                       and self.reduce_computes[cid][1]["mode"] == "sum")
+                   else 1.0)
             if isinstance(out, list):
                 for k_, val in enumerate(out):
-                    row[f"c_{cid}[{k_ + 1}]"] = float(val)
+                    row[f"c_{cid}[{k_ + 1}]"] = float(val) * nrm
             else:
-                row[f"c_{cid}"] = float(out)
+                row[f"c_{cid}"] = float(out) * nrm
         for cid, (gmask, style, args) in getattr(self, "tempvar_computes",
                                                  {}).items():
             row[f"c_{cid}"] = float(self._temp_variant(gmask, style, args))
@@ -2816,7 +2864,9 @@ class Simulation:
                "atoms": "Atoms", "lx": "Lx", "ly": "Ly", "lz": "Lz",
                "xlo": "Xlo", "xhi": "Xhi", "ylo": "Ylo", "yhi": "Yhi",
                "zlo": "Zlo", "zhi": "Zhi", "xy": "Xy", "xz": "Xz",
-               "yz": "Yz", "dt": "Dt"}
+               "yz": "Yz", "dt": "Dt", "bonds": "Bonds",
+               "angles": "Angles", "dihedrals": "Diheds",
+               "impropers": "Impros"}
 
     def run(self, nsteps: int):
         import time
@@ -2834,6 +2884,16 @@ class Simulation:
                     integ.params,
                     ramp_begin=jnp.asarray(b, jnp.int32),
                     ramp_end=jnp.asarray(b + nsteps, jnp.int32)))
+        if getattr(self.runner, "nvt", None) is not None and hasattr(
+                self.runner, "gp"):
+            # fix nvt/sphere T ramp spans exactly this run (fix_nh.cpp
+            # compute_temp_target)
+            import jax.numpy as jnp
+            b = int(self.sys.step)
+            self.runner.nvt = dataclasses.replace(
+                self.runner.nvt,
+                ramp_begin=jnp.asarray(b, jnp.int32),
+                ramp_end=jnp.asarray(b + nsteps, jnp.int32))
         if getattr(getattr(self.runner, "ff", None), "adapt",
                    None) is not None:
             import jax.numpy as jnp
@@ -2963,7 +3023,9 @@ class Simulation:
                 cols = [peratom_column(self, t) for t in spec.args[1:]]
                 spec._peratom_store = (cols[0] if len(cols) == 1
                                        else np.stack(cols, axis=1))
-        self._emit()
+        if not getattr(self.script, "_suppress_start_row", False):
+            self._emit()
+        self.script._suppress_start_row = False
         self._dump()
         # FixAveTime::setup -> end_of_step fires at the setup step when
         # nrepeat == 1 and the step is a multiple of Nfreq (nextvalid()

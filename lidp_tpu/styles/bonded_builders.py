@@ -166,6 +166,9 @@ def build_bond_params(script, dtype, bond_keep=None, pair_tables=None):
     bidx = script._bonds - 1
     btyp = np.asarray(getattr(script, "_bond_types",
                               np.ones(len(script._bonds))))
+    # delete_bonds turns interactions off by negating the type
+    # (delete_bonds.cpp:173); type 0 rows hit the zeroed coeff slot
+    btyp = np.maximum(btyp, 0)
     if bond_keep is not None:
         bidx, btyp = bidx[bond_keep], btyp[bond_keep]
     if not len(bidx):
@@ -251,7 +254,7 @@ def _angle_params_one(style, coeffs, aidx, atyp, TA, dtype, root):
 
 def build_angle_params(script, dtype, angle_keep=None):
     aidx = script._angles - 1
-    atyp = np.asarray(script._angle_types)
+    atyp = np.maximum(np.asarray(script._angle_types), 0)
     if angle_keep is not None:
         aidx, atyp = aidx[angle_keep], atyp[angle_keep]
     if not len(aidx):
@@ -332,7 +335,7 @@ def _dihedral_params_one(style, coeffs, didx, dtyp, TD, dtype, script, u,
 
 def build_dihedral_params(script, dtype, u, eps, sig):
     didx = script._dihedrals - 1
-    dtyp = np.asarray(script._dihedral_types)
+    dtyp = np.maximum(np.asarray(script._dihedral_types), 0)
     if not len(didx):
         return ()
     TD = max(script.dihedral_coeffs.keys(), default=0)
@@ -384,7 +387,7 @@ def _improper_params_one(style, coeffs, iidx, ityp, TI, dtype):
 
 def build_improper_params(script, dtype):
     iidx = script._impropers - 1
-    ityp = np.asarray(script._improper_types)
+    ityp = np.maximum(np.asarray(script._improper_types), 0)
     if not len(iidx):
         return ()
     TI = max(script.improper_coeffs.keys(), default=0)

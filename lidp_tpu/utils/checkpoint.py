@@ -45,6 +45,12 @@ def save_checkpoint(path: str, sys, istate=None, extra: dict | None = None):
         for k, v in extra.items():
             out[f"extra.{k}"] = np.asarray(v)
     np.savez_compressed(path, **out)
+    if not str(path).endswith(".npz"):
+        # np.savez appends .npz; restore the user's exact filename
+        # (write_restart.cpp writes the literal name; np.load sniffs the
+        # zip magic, not the extension)
+        import os as _os
+        _os.replace(f"{path}.npz", path)
 
 
 def load_checkpoint(path: str, sys_template, istate_template=None):

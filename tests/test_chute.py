@@ -114,6 +114,39 @@ def test_sphere_computes_golden(tmp_path):
         assert float(r["c_re"]) == pytest.approx(cre, rel=1e-7), step
 
 
+NVT_SPHERE_GOLDEN = [
+    # rebuilt reference: in.chute with fix 3 active nvt/sphere temp 40 40
+    # 0.01, thermo 2, run 4 (step ke c_1 temp)
+    [0, 784139.13, 1601.1263, 16.336742],
+    [2, 784397.16, 1600.1005, 16.342118],
+    [4, 785142.54, 1597.61, 16.357648],
+]
+
+
+@pytest.mark.slow
+def test_nvt_sphere_golden(tmp_path):
+    """fix nvt/sphere (fix_nvt_sphere.cpp = FixNHSphere): NH chain scales
+    both v and omega; temperature includes rotational KE (temp/sphere
+    dof).  4-step golden vs the rebuilt reference on the chute system."""
+    os.symlink(os.path.join(BENCH, "data.chute"), tmp_path / "data.chute")
+    text = open(os.path.join(BENCH, "in.chute")).read()
+    text = text.replace("fix\t\t3 active nve/sphere",
+                        "fix\t\t3 active nvt/sphere temp 40.0 40.0 0.01")
+    text = re.sub(r"^thermo\t.*$", "thermo 2", text, flags=re.M)
+    text = re.sub(r"^thermo_style.*$",
+                  "thermo_style custom step ke c_1 temp", text, flags=re.M)
+    text = re.sub(r"^run.*$", "run 4", text, flags=re.M)
+    (tmp_path / "in.nvtsph").write_text(text)
+    s = LammpsScript(dtype=jnp.float64)
+    s.file(str(tmp_path / "in.nvtsph"))
+    rows = {int(r["step"]): r for r in s.thermo_rows}
+    for step, ke, c1, temp in NVT_SPHERE_GOLDEN:
+        r = rows[step]
+        assert float(r["ke"]) == pytest.approx(ke, rel=1e-7), step
+        assert float(r["c_1"]) == pytest.approx(c1, rel=1e-7), step
+        assert float(r["temp"]) == pytest.approx(temp, rel=1e-7), step
+
+
 CONTACT_DATA = """tiny sphere test
 
 6 atoms

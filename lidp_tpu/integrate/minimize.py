@@ -178,3 +178,153 @@ def cg_minimize(sys, compute, *, etol=0.0, ftol=1e-6, maxiter=1000,
     sys, f, h, e_prev, e, it, stalled = jax.lax.while_loop(cond, body, init)
     fnorm = jnp.sqrt(jnp.sum(f * f))
     return sys, e, it, (fnorm < ftol) | (it < maxiter)
+
+
+def quickmin_minimize(sys, compute, mass_atom, *, etol=0.0, ftol=1e-6,
+                      maxiter=1000, dt=0.005, dmax=0.1, ftm2v=1.0):
+    """min_style quickmin (min_quickmin.cpp::iterate): project velocity
+    onto the force (zeroing it when anti-parallel), limit the Euler step
+    so no component moves more than dmax, then advance x and v.
+
+    Returns (sys, energy, iterations, converged)."""
+    dtype = sys.x.dtype
+    minv = jnp.where(mass_atom > 0,
+                     1.0 / jnp.where(mass_atom > 0, mass_atom, 1.0),
+                     0.0)[:, None]
+    f0, e0 = compute(sys)
+
+    def cond(c):
+        sys, f, e_prev, e, v, it = c
+        fnorm = jnp.sqrt(jnp.sum(f * f))
+        de = jnp.abs(e - e_prev)
+        e_ok = (etol > 0.0) & (
+            de < etol * 0.5 * (jnp.abs(e) + jnp.abs(e_prev) + 1e-30))
+        f_ok = (ftol > 0.0) & (fnorm < ftol)
+        return (~(e_ok | f_ok)) & (it < maxiter)
+
+    def body(c):
+        sys, f, e_prev, e, v, it = c
+        vdotf = jnp.sum(v * f)
+        fdotf = jnp.sum(f * f)
+        scale = jnp.where(fdotf > 0, vdotf / jnp.where(fdotf > 0, fdotf,
+                                                       1.0), 0.0)
+        v = jnp.where(vdotf < 0, jnp.zeros_like(v), scale * f)
+        # dtv capped so max per-component move <= dmax
+        vmax = jnp.max(jnp.abs(v))
+        dtv = jnp.minimum(jnp.asarray(dt, dtype),
+                          jnp.where(vmax > 0, dmax / jnp.where(
+                              vmax > 0, vmax, 1.0), dt))
+        dtf = dtv * ftm2v
+        x = sys.x + dtv * v
+        v = v + dtf * minv * f
+        sys2 = sys.replace(x=x)
+        f2, e2 = compute(sys2)
+        return sys2, f2, e, e2, v, it + 1
+
+    init = (sys, f0, jnp.asarray(jnp.inf, dtype), e0,
+            jnp.zeros_like(sys.x), jnp.zeros((), jnp.int32))
+    sys, f, e_prev, e, v, it = jax.lax.while_loop(cond, body, init)
+    fnorm = jnp.sqrt(jnp.sum(f * f))
+    return sys, e, it, (fnorm < ftol) | (it < maxiter)
+
+
+def hftn_minimize(sys, compute, *, etol=0.0, ftol=1e-6, maxiter=100,
+                  dmax=0.1, cg_iters=20):
+    """min_style hftn (min_hftn.cpp): Hessian-free truncated Newton.
+
+    Each outer iteration solves H p = f approximately with CG, using
+    exact Hessian-vector products from forward-over-reverse autodiff of
+    the energy (the TPU-native analog of min_hftn.cpp's finite-difference
+    Hvp, evalDhd) inside a trust region of radius dmax*sqrt(N); negative
+    curvature directions terminate the inner solve at the region edge as
+    in the reference's CG_PR inner loop.  Returns
+    (sys, energy, iterations, converged)."""
+    dtype = sys.x.dtype
+
+    def energy(x):
+        _, e = compute(sys.replace(x=x))
+        return e
+
+    def grad_e(x):
+        f, _ = compute(sys.replace(x=x))
+        return -f      # dE/dx
+
+    def hvp(x, p):
+        return jax.jvp(grad_e, (x,), (p,))[1]
+
+    f0, e0 = compute(sys)
+    n3 = sys.x.size
+    radius = dmax * jnp.sqrt(jnp.asarray(float(n3), dtype))
+
+    def cg_solve(x, g):
+        # CG on H p = -g, truncated at negative curvature / trust radius
+        def body(c):
+            p, r, d, rho, k, done = c
+            hd = hvp(x, d)
+            dhd = jnp.sum(d * hd)
+            neg = dhd <= 0
+            alpha = jnp.where(neg, 0.0, rho / jnp.where(dhd == 0, 1.0,
+                                                        dhd))
+            p_new = p + alpha * d
+            over = jnp.sqrt(jnp.sum(p_new * p_new)) > radius
+            p_new = jnp.where(over | neg, p, p_new)
+            r_new = r - alpha * hd
+            rho_new = jnp.sum(r_new * r_new)
+            beta = rho_new / jnp.where(rho == 0, 1.0, rho)
+            d_new = r_new + beta * d
+            done = done | neg | over | (jnp.sqrt(rho_new)
+                                        < 1e-10 * jnp.sqrt(rho0))
+            return p_new, r_new, d_new, rho_new, k + 1, done
+
+        def cond(c):
+            *_, k, done = c
+            return (~done) & (k < cg_iters)
+
+        r0 = -g
+        rho0 = jnp.sum(r0 * r0)
+        init = (jnp.zeros_like(g), r0, r0, rho0,
+                jnp.zeros((), jnp.int32), jnp.zeros((), bool))
+        p, *_ = jax.lax.while_loop(cond, body, init)
+        # fall back to steepest descent when CG made no progress
+        pnorm = jnp.sqrt(jnp.sum(p * p))
+        return jnp.where(pnorm > 0, p, -g)
+
+    def outer_cond(c):
+        sys, f, e_prev, e, it = c
+        fnorm = jnp.sqrt(jnp.sum(f * f))
+        de = jnp.abs(e - e_prev)
+        e_ok = (etol > 0.0) & (
+            de < etol * 0.5 * (jnp.abs(e) + jnp.abs(e_prev) + 1e-30))
+        f_ok = (ftol > 0.0) & (fnorm < ftol)
+        return (~(e_ok | f_ok)) & (it < maxiter)
+
+    def outer_body(c):
+        sys, f, e_prev, e, it = c
+        g = -f
+        p = cg_solve(sys.x, g)
+        # backtracking on the Newton step (min_hftn.cpp's step-length
+        # safeguards collapse to this under exact Hvp)
+        def bt_body(c2):
+            step, _, k = c2
+            e_try = energy(sys.x + step * p)
+            ok = e_try <= e + 1e-4 * step * jnp.sum(g * p)
+            return jnp.where(ok, step, step * 0.5), ok, k + 1
+
+        def bt_cond(c2):
+            step, ok, k = c2
+            return (~ok) & (k < 20)
+
+        step, _, _ = jax.lax.while_loop(
+            bt_cond, bt_body,
+            (jnp.asarray(1.0, dtype), jnp.zeros((), bool),
+             jnp.zeros((), jnp.int32)))
+        sys2 = sys.replace(x=sys.x + step * p)
+        f2, e2 = compute(sys2)
+        return sys2, f2, e, e2, it + 1
+
+    init = (sys, f0, jnp.asarray(jnp.inf, dtype), e0,
+            jnp.zeros((), jnp.int32))
+    sys, f, e_prev, e, it = jax.lax.while_loop(outer_cond, outer_body,
+                                               init)
+    fnorm = jnp.sqrt(jnp.sum(f * f))
+    return sys, e, it, (fnorm < ftol) | (it < maxiter)

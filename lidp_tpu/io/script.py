@@ -1864,6 +1864,22 @@ class LammpsScript:
 
     def cmd_fix(self, a):
         fid, group, style = a[0], a[1], a[2]
+        if style.startswith("ave/spatial"):
+            # fix_deprecated.cpp: ave/spatial was replaced by
+            # ave/chunk + chunk/atom; the reference prints this NOTE and
+            # errors — exact behavioral parity
+            self.log(
+                "\nNOTE: The fix styles 'ave/spatial' and "
+                "'ave/spatial/sphere' have been replaced\nby the more "
+                "general fix ave/chunk and compute chunk/atom "
+                "commands.\n")
+            raise ValueError("This fix style is no longer available")
+        if style == "balance":
+            # fix balance Nevery thresh shift|rcb ... (fix_balance.cpp):
+            # the GSPMD atom-axis sharding is uniform by construction, so
+            # rebalancing is a no-op; accepted and reported
+            self.cmd_balance(a[3:])
+            return
         if style not in ("nve", "nvt", "npt", "nph", "rigid", "rigid/nve",
                          "rigid/nvt", "langevin", "shake", "rattle",
                          "temp/rescale", "temp/berendsen", "enforce2d",
@@ -1871,7 +1887,8 @@ class LammpsScript:
                          "viscous", "efield", "momentum", "recenter",
                          "halt", "neb", "adapt", "deform", "wall/reflect",
                          "wall/lj93", "wall/lj126", "wall/lj1043",
-                         "wall/harmonic", "planeforce", "lineforce",
+                         "wall/harmonic", "wall/region", "planeforce",
+                         "lineforce",
                          "indent", "print", "ave/time", "ave/chunk",
                          "gravity", "freeze", "nve/sphere", "nvt/sphere",
                          "nve/limit",
@@ -2149,7 +2166,7 @@ class LammpsScript:
         self._invalidate()
 
     def cmd_min_style(self, a):
-        if a[0] not in ("fire", "cg", "sd"):
+        if a[0] not in ("fire", "cg", "sd", "quickmin", "hftn"):
             raise ValueError(f"unsupported min_style {a[0]}")
         self._min_style = a[0]
 
@@ -2180,6 +2197,21 @@ class LammpsScript:
             run_min = lambda s_: fire_minimize(   # noqa: E731
                 s_, compute, jnp.asarray(mass_atom, self.dtype),
                 etol=etol, ftol=ftol, maxiter=maxiter)
+        elif style == "quickmin":
+            from lidp_tpu.integrate.minimize import quickmin_minimize
+
+            dmax = float(getattr(self, "_min_modify", {}).get("dmax", 0.1))
+            run_min = lambda s_: quickmin_minimize(   # noqa: E731
+                s_, compute, jnp.asarray(mass_atom, self.dtype),
+                etol=etol, ftol=ftol, maxiter=maxiter, dt=self.dt,
+                dmax=dmax, ftm2v=self.units.ftm2v)
+        elif style == "hftn":
+            from lidp_tpu.integrate.minimize import hftn_minimize
+
+            dmax = float(getattr(self, "_min_modify", {}).get("dmax", 0.1))
+            run_min = lambda s_: hftn_minimize(   # noqa: E731
+                s_, compute, etol=etol, ftol=ftol, maxiter=maxiter,
+                dmax=dmax)
         else:
             dmax = float(getattr(self, "_min_modify", {}).get("dmax", 0.1))
             run_min = lambda s_: cg_minimize(     # noqa: E731

@@ -380,6 +380,108 @@ def build_wall_flat(ctx, spec):
     ctx.pf_hooks_setup.append(_wall_pf)
 
 
+@fix_style("wall/region")
+def build_wall_region(ctx, spec):
+    """fix ID group wall/region region-ID lj93|lj126|lj1043|harmonic eps
+    sigma cutoff (fix_wall_region.cpp): wall forces from every region
+    surface within cutoff of an interior atom (side in).  Contact
+    distances/vectors mirror Region::surface_interior for block, sphere
+    and cylinder regions; fwall/eng use the same coeff precomputes."""
+    a = spec.args
+    rname, kind = a[0], a[1]
+    epsw, sigw, cutw = float(a[2]), float(a[3]), float(a[4])
+    script = ctx.script
+    reg = script.regions[rname]
+    kw = getattr(script, "_region_kw", {}).get(rname, {})
+    if kw.get("side", "in") != "in":
+        raise NotImplementedError("wall/region side out")
+    s3 = np.asarray(script._region_spacing(rname), float)
+    gm_wr = jnp.asarray(ctx.groups[spec.group])
+
+    def _fwall_eng(r):
+        # kernels + cutoff offsets, fix_wall_region.cpp:135-176,338-380
+        rinv = 1.0 / r
+        if kind == "lj93":
+            c1 = 6.0 / 5.0 * epsw * sigw**9
+            c2 = 3.0 * epsw * sigw**3
+            r4 = rinv**4
+            return c1 * r4 * r4 * rinv * rinv - c2 * r4
+        if kind == "lj126":
+            c1 = 48.0 * epsw * sigw**12
+            c2 = 24.0 * epsw * sigw**6
+            r6 = rinv**6
+            return r6 * (c1 * r6 - c2) * rinv
+        if kind == "lj1043":
+            c1 = 2.0 * np.pi * 0.4 * epsw * sigw**10
+            c2 = 2.0 * np.pi * epsw * sigw**4
+            c3 = 2.0 * np.pi * np.sqrt(2.0) / 3.0 * epsw * sigw**3
+            c4 = 0.61 / np.sqrt(2.0) * sigw
+            return (10.0 * c1 * rinv**10 * rinv - 4.0 * c2 * rinv**4
+                    * rinv - 3.0 * c3 * (r + c4) ** -4.0)
+        # harmonic
+        return 2.0 * epsw * (cutw - r)
+
+    # contact generators: x (N,3) -> list of (r (N,), del (N,3), active)
+    if isinstance(reg, tuple) and reg and reg[0] == "sphere":
+        c = np.asarray(reg[1:4], float) * s3
+        rad = float(reg[4]) * s3[0]
+
+        def _contacts(x):
+            d = x - c
+            dist = jnp.sqrt(jnp.sum(d * d, 1))
+            r = rad - dist
+            dl = d * (1.0 - rad / jnp.where(dist > 0, dist, 1.0))[:, None]
+            return [(r, dl, dist > 0)]
+    elif isinstance(reg, tuple) and reg and reg[0] == "cylinder":
+        axis = "xyz".index(reg[1])
+        o1, o2 = [d for d in range(3) if d != axis]
+        c1v, c2v = float(reg[2]) * s3[o1], float(reg[3]) * s3[o2]
+        rad = float(reg[4]) * s3[o1]
+        lo_a = float(reg[5]) * s3[axis]
+        hi_a = float(reg[6]) * s3[axis]
+
+        def _contacts(x):
+            d1 = x[:, o1] - c1v
+            d2 = x[:, o2] - c2v
+            dist = jnp.sqrt(d1 * d1 + d2 * d2)
+            rrad = rad - dist
+            scale = (1.0 - rad / jnp.where(dist > 0, dist, 1.0))
+            dl = jnp.zeros_like(x).at[:, o1].set(d1 * scale).at[
+                :, o2].set(d2 * scale)
+            out = [(rrad, dl, dist > 0)]
+            for coord, sgn in ((lo_a, +1.0), (hi_a, -1.0)):
+                rf = (x[:, axis] - coord) * sgn
+                dlf = jnp.zeros_like(x).at[:, axis].set(rf * sgn)
+                out.append((rf, dlf, jnp.ones_like(rf, bool)))
+            return out
+    else:
+        # block: legacy 6-tuple (INF faces -> no wall there)
+        b = np.asarray(reg, float) * np.repeat(s3, 2)
+
+        def _contacts(x):
+            out = []
+            for dim in range(3):
+                for coord, sgn in ((b[2 * dim], +1.0),
+                                   (b[2 * dim + 1], -1.0)):
+                    if not np.isfinite(coord):
+                        continue
+                    rf = (x[:, dim] - coord) * sgn
+                    dlf = jnp.zeros_like(x).at[:, dim].set(rf * sgn)
+                    out.append((rf, dlf, jnp.ones_like(rf, bool)))
+            return out
+
+    def _wallregion_pf(sys_, f_):
+        for r, dl, ok in _contacts(sys_.x):
+            act = gm_wr & sys_.mask & ok & (r > 0) & (r < cutw)
+            rsafe = jnp.where(act, r, 1.0)
+            fw = jnp.where(act, _fwall_eng(rsafe), 0.0)
+            f_ = f_ + fw[:, None] * dl / rsafe[:, None]
+        return f_, jnp.zeros(6, f_.dtype)
+
+    ctx.pf_hooks.append(_wallregion_pf)
+    ctx.pf_hooks_setup.append(_wallregion_pf)
+
+
 @fix_style("spring")
 def build_spring(ctx, spec):
     # fix spring tether K x y z R0 | couple group2 K x y z R0

@@ -96,6 +96,27 @@ class lammps:
         """lammps_get_natoms (python/lammps.py:237)."""
         return 0 if self.lmp.x is None else int(self.lmp.x.shape[0])
 
+    def set_fix_external_callback(self, fix_id: str, func, caller=None):
+        """lammps_set_fix_external_callback (library.cpp): register the
+        force-provider for a `fix ID group external pf/callback` fix.
+        The callback signature is func(caller, step, nlocal, ids, x,
+        fexternal) and must fill fexternal in place; it is invoked at
+        run-chunk setup (the XLA step is traced once, so per-step
+        callbacks are not possible — pf/array cadence)."""
+        spec = self.lmp.fixes[fix_id]
+        spec._callback = func
+        spec._caller = caller
+        self.lmp._invalidate()
+
+    def fix_external_set_force(self, fix_id: str, f):
+        """Set the per-atom force array of a `fix external pf/array` fix
+        (FixExternal::set_force analog); takes effect on the next run."""
+        import numpy as np
+
+        spec = self.lmp.fixes[fix_id]
+        spec._fexternal = np.asarray(f, float)
+        self.lmp._invalidate()
+
     def get_thermo(self, name: str) -> float:
         """Current value of a thermo keyword — lammps_get_thermo
         (library.cpp thermo branch; python/lammps.py:230).

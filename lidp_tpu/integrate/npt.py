@@ -62,6 +62,13 @@ class NPTParams:
     p_stop: jax.Array = None
     ramp_begin: jax.Array = None
     ramp_end: jax.Array = None
+    # fix npt/nph/nvt + /sphere suffix (fix_nh_sphere.cpp): central-force
+    # pair styles exert no torque, so omega evolves ONLY through the NH
+    # thermostat scale; its KE-tensor diagonal is the initial value times
+    # the cumulative scale^2 carried in NPTState.rot_scale2.  The
+    # temperature AND the pressure kinetic tensor include it
+    # (ComputeTempSphere::compute_vector feeds both in the reference).
+    rot_ke30: jax.Array = None    # (3,) sum 0.4 m r^2 w_d^2 at setup
 
     @staticmethod
     def create(dt, ftm2v, mass_atom, t_target, t_period, p_target, p_period,
@@ -100,6 +107,7 @@ class NPTState:
     omega: jax.Array        # (3,)
     omega_dot: jax.Array    # (3,)
     mtk_term2: jax.Array    # scalar carried into nh_v_press
+    rot_scale2: jax.Array = None   # cumulative thermostat scale^2 (sphere)
 
 
 def init_state(sys, f, p: NPTParams):
@@ -109,13 +117,18 @@ def init_state(sys, f, p: NPTParams):
         eta=z(p.tchain), eta_dot=z(p.tchain + 1), eta_dotdot=z(p.tchain),
         etap=z(max(p.pchain, 1)), etap_dot=z(max(p.pchain, 1) + 1),
         etap_dotdot=z(max(p.pchain, 1)),
-        omega=z(3), omega_dot=z(3), mtk_term2=jnp.zeros((), dtype))
+        omega=z(3), omega_dot=z(3), mtk_term2=jnp.zeros((), dtype),
+        rot_scale2=jnp.ones((), dtype))
 
 
-def _ke_tensor(sys, p):
-    """Per-dim sum(m v_d^2)*mvv2e over real atoms (compute_temp vector)."""
+def _ke_tensor(sys, p, st=None):
+    """Per-dim sum(m v_d^2)*mvv2e over real atoms (compute_temp vector),
+    plus the (scale-tracked) sphere rotational diagonal when present."""
     m = jnp.where(sys.mask, p.mass_atom, 0.0)
-    return p.mvv2e * jnp.sum(m[:, None] * sys.v * sys.v, axis=0)
+    ke3 = p.mvv2e * jnp.sum(m[:, None] * sys.v * sys.v, axis=0)
+    if p.rot_ke30 is not None and st is not None:
+        ke3 = ke3 + p.rot_ke30 * st.rot_scale2
+    return ke3
 
 
 def _t_current(ke3, p):
@@ -156,6 +169,10 @@ def _nhc_temp(v, mask, t_current, st: NPTState, p: NPTParams):
 
     factor_eta = jnp.exp(-dthalf * eta_dot[0])
     v = v * jnp.where(mask, factor_eta, 1.0)[:, None]
+    if p.rot_ke30 is not None:
+        # FixNHSphere::nh_v_temp scales omega by the same factor
+        st = dataclasses.replace(
+            st, rot_scale2=st.rot_scale2 * factor_eta * factor_eta)
 
     t_current = t_current * factor_eta * factor_eta
     kecurrent = p.dof * p.boltz * t_current
@@ -267,11 +284,11 @@ def _remap(sys: System, st: NPTState, p: NPTParams):
 def initial_integrate(sys: System, res, p: NPTParams, st: NPTState):
     v, mask = sys.v, sys.mask
     st = _nhc_press(st, p)
-    ke3 = _ke_tensor(sys.replace(v=v), p)
+    ke3 = _ke_tensor(sys.replace(v=v), p, st)
     t_cur = _t_current(ke3, p)
     if p.tstat:
         v, t_cur, st = _nhc_temp(v, mask, t_cur, st, p)
-        ke3 = _ke_tensor(sys.replace(v=v), p)
+        ke3 = _ke_tensor(sys.replace(v=v), p, st)
     p_cur = _p_current(sys, res, ke3, p)
     vol = jnp.prod(sys.box.lengths)
     st = _nh_omega_dot(t_cur, ke3, p_cur, vol, st, p)
@@ -293,7 +310,7 @@ def final_integrate(sys: System, res, p: NPTParams, st: NPTState):
     v = v + dtfm[:, None] * res.f
     v = jnp.where(mask[:, None], v, 0.0)
     v = _nh_v_press(v, mask, st, p)
-    ke3 = _ke_tensor(sys.replace(v=v), p)
+    ke3 = _ke_tensor(sys.replace(v=v), p, st)
     t_cur = _t_current(ke3, p)
     p_cur = _p_current(sys.replace(v=v), res, ke3, p)
     vol = jnp.prod(sys.box.lengths)

@@ -38,6 +38,10 @@ class NVTParams:
     # time from the fix deform schedule
     h_rate: jax.Array = None     # (6,)
     h_ratelo: jax.Array = None   # (3,)
+    # fix nvt/sphere on central-force pairs (fix_nh_sphere.cpp): omega
+    # has no torque source, so its KE is the setup value scaled by the
+    # cumulative thermostat factor^2 (NVTState.rot_scale2)
+    rot_ke20: jax.Array = None   # scalar sum 0.4 m r^2 w^2 at setup
     dof: float = dataclasses.field(metadata=dict(static=True), default=3.0)
     boltz: float = dataclasses.field(metadata=dict(static=True), default=1.0)
     mvv2e: float = dataclasses.field(metadata=dict(static=True), default=1.0)
@@ -74,6 +78,7 @@ def ramp_target(start, stop, begin, end, step):
 @dataclasses.dataclass(frozen=True)
 class NVTState:
     eta_dot: jax.Array  # (chain,)
+    rot_scale2: jax.Array = None  # cumulative scale^2 (nvt/sphere)
 
 
 def _ke2(sys, p):
@@ -150,19 +155,30 @@ def _nhc(eta_dot, ke2, p: NVTParams, step=None):
 
 
 def init_state(sys, f, p: NVTParams):
-    return sys, NVTState(eta_dot=jnp.zeros((p.t_chain,), sys.x.dtype))
+    return sys, NVTState(eta_dot=jnp.zeros((p.t_chain,), sys.x.dtype),
+                         rot_scale2=jnp.ones((), sys.x.dtype))
+
+
+def _ke2_tot(sys, p, st):
+    ke2 = _sllod_ke2(sys, p) if p.sllod else _ke2(sys, p)
+    if p.rot_ke20 is not None:
+        ke2 = ke2 + p.rot_ke20 * st.rot_scale2
+    return ke2
 
 
 def initial_integrate(sys: System, f, p: NVTParams, st: NVTState):
-    ke2 = _sllod_ke2(sys, p) if p.sllod else _ke2(sys, p)
+    ke2 = _ke2_tot(sys, p, st)
     eta_dot, scale = _nhc(st.eta_dot, ke2, p, sys.step)
+    rs2 = (st.rot_scale2 * scale * scale if st.rot_scale2 is not None
+           else None)
     v = _sllod_v_temp(sys, p, scale) if p.sllod else sys.v * scale
     minv = jnp.where(p.mass_atom > 0,
                      1.0 / jnp.where(p.mass_atom > 0, p.mass_atom, 1.0), 0.0)
     v = v + (p.dtf * minv)[:, None] * f
     v = jnp.where(sys.mask[:, None], v, 0.0)
     x = sys.x + p.dtv * v
-    return sys.replace(x=x, v=v), NVTState(eta_dot=eta_dot)
+    return sys.replace(x=x, v=v), NVTState(eta_dot=eta_dot,
+                                           rot_scale2=rs2)
 
 
 def final_integrate(sys: System, f, p: NVTParams, st: NVTState):
@@ -171,7 +187,9 @@ def final_integrate(sys: System, f, p: NVTParams, st: NVTState):
     v = sys.v + (p.dtf * minv)[:, None] * f
     v = jnp.where(sys.mask[:, None], v, 0.0)
     sys = sys.replace(v=v)
-    ke2 = _sllod_ke2(sys, p) if p.sllod else _ke2(sys, p)
+    ke2 = _ke2_tot(sys, p, st)
     eta_dot, scale = _nhc(st.eta_dot, ke2, p, sys.step)
+    rs2 = (st.rot_scale2 * scale * scale if st.rot_scale2 is not None
+           else None)
     v2 = _sllod_v_temp(sys, p, scale) if p.sllod else sys.v * scale
-    return sys.replace(v=v2), NVTState(eta_dot=eta_dot)
+    return sys.replace(v=v2), NVTState(eta_dot=eta_dot, rot_scale2=rs2)

@@ -360,6 +360,10 @@ class LammpsScript:
             self.variables[name] = repr(val) if val != int(val) else str(int(val))
         elif style == "string":
             self.variables[name] = a[2]
+        elif style == "internal":
+            # numeric value settable by code (variable.cpp INTERNAL;
+            # consumed by fix controller)
+            self.variables[name] = a[2]
         elif style == "world":
             # one value per partition (variable.cpp WORLD); single-process
             # emulation keeps the full list (used by `temper`) and
@@ -677,6 +681,12 @@ class LammpsScript:
             x = np.asarray(pts)
         else:
             raise NotImplementedError(f"create_atoms {a[1]}")
+        if "mol" in a:
+            # create_atoms N ... mol template-ID seed: one randomly
+            # rotated molecule per site (create_atoms.cpp:133-229)
+            im = a.index("mol")
+            self._insert_molecules(x, ty, a[im + 1], int(a[im + 2]))
+            return
         self.log(f"Created {x.shape[0]} atoms")
         nnew = x.shape[0]
         if self.x is not None and len(self.x) and a[1] != "box":
@@ -1891,7 +1901,7 @@ class LammpsScript:
                          "lineforce",
                          "indent", "print", "ave/time", "ave/chunk",
                          "gravity", "freeze", "nve/sphere", "nvt/sphere",
-                         "nve/limit",
+                         "npt/sphere", "nph/sphere", "nve/limit",
                          "nve/noforce", "spring", "spring/rg", "drag",
                          "move", "heat", "temp/csvr", "temp/csld",
                          "rigid/small", "rigid/nve/small",
@@ -1899,7 +1909,8 @@ class LammpsScript:
                          "ave/histo", "ave/correlate", "vector",
                          "press/berendsen", "nvt/sllod", "dt/reset",
                          "restrain", "spring/chunk", "store/force",
-                         "ave/histo/weight", "box/relax"):
+                         "ave/histo/weight", "box/relax", "controller",
+                         "external"):
             raise ValueError(f"unsupported fix style {style}")
         self.fixes[fid] = FixSpec(fid=fid, group=group, style=style, args=a[3:])
         self._invalidate()
@@ -2758,6 +2769,155 @@ class LammpsScript:
         self.log(f"  iteration count = 0")
         self.log(f"  initial/final max load/proc = {max(per)} {max(per)}")
         self.log(f"  initial/final imbalance factor = {imb:.6g} {imb:.6g}")
+
+    def cmd_molecule(self, a):
+        """molecule ID file (molecule.cpp): parse a molecule template —
+        header counts + Coords/Types/Charges/Bonds/Angles/Dihedrals/
+        Impropers sections; dx = coords relative to the mean center
+        (Molecule::compute_center)."""
+        mid = a[0]
+        path = os.path.join(self.root, a[1])
+        mol = {"x": [], "type": [], "q": [], "bonds": [], "angles": [],
+               "dihedrals": [], "impropers": []}
+        sec = None
+        counts = {}
+        with open(path) as fh:
+            lines = fh.readlines()
+        i = 1   # first line is a comment
+        secnames = {"Coords": "x", "Types": "type", "Charges": "q",
+                    "Bonds": "bonds", "Angles": "angles",
+                    "Dihedrals": "dihedrals", "Impropers": "impropers"}
+        while i < len(lines):
+            ln = lines[i].split("#")[0].strip()
+            i += 1
+            if not ln:
+                continue
+            toks = ln.split()
+            if toks[-1] in ("atoms", "bonds", "angles", "dihedrals",
+                            "impropers") and len(toks) == 2:
+                counts[toks[1]] = int(toks[0])
+                continue
+            if toks[0] in secnames:
+                sec = secnames[toks[0]]
+                continue
+            if ln in ("Special Bond Counts", "Special Bonds", "Masses",
+                      "Diameters", "Shake Flags", "Shake Atoms",
+                      "Shake Bond Types"):
+                sec = "skip"
+                continue
+            if sec == "skip" or sec is None:
+                continue
+            if sec == "x":
+                mol["x"].append([float(v) for v in toks[1:4]])
+            elif sec == "type":
+                mol["type"].append(int(toks[1]))
+            elif sec == "q":
+                mol["q"].append(float(toks[1]))
+            else:
+                mol[sec].append([int(v) for v in toks[1:]])
+        x = np.asarray(mol["x"], float)
+        center = x.mean(0)
+        mol["dx"] = x - center
+        mol["x"] = x
+        mol["type"] = np.asarray(mol["type"], np.int32)
+        mol["q"] = np.asarray(mol["q"] or [0.0] * len(x), float)
+        if not hasattr(self, "molecules"):
+            self.molecules = {}
+        self.molecules[mid] = mol
+        self.log(f"Read molecule {mid}: {len(x)} atoms, "
+                 f"{len(mol['bonds'])} bonds, {len(mol['angles'])} angles")
+
+    def _insert_molecules(self, centers, ntype, mid, seed):
+        """create_atoms ... mol ID seed (create_atoms.cpp add_molecule):
+        one randomly rotated copy per site, RanMars rotation stream
+        bit-exact (random axis + angle -> quaternion -> rotation)."""
+        from lidp_tpu.rng import RanMars
+
+        mol = self.molecules[mid]
+        rng_ = RanMars(seed)
+        nm = len(mol["dx"])
+        xs, tys, qs = [], [], []
+        bonds, btyps = [], []
+        angles, atyps = [], []
+        dihedrals, dtyps = [], []
+        impropers, ityps = [], []
+        n0 = 0 if self.x is None else len(self.x)
+        maxmol = (int(self.mol.max()) if self.mol is not None
+                  and len(self.mol) else 0)
+        dim3 = self.dimension == 3
+        for k, cen in enumerate(centers):
+            if dim3:
+                r = np.array([rng_.uniform() - 0.5, rng_.uniform() - 0.5,
+                              rng_.uniform() - 0.5])
+            else:
+                r = np.array([0.0, 0.0, 1.0])
+            r /= np.linalg.norm(r)
+            theta = rng_.uniform() * 2.0 * np.pi
+            # MathExtra::axisangle_to_quat + quat_to_mat
+            w = np.cos(0.5 * theta)
+            s = np.sin(0.5 * theta)
+            qv = r * s
+            w2, i2, j2, k2 = w * w, qv[0] ** 2, qv[1] ** 2, qv[2] ** 2
+            tij, tik, tjk = (2 * qv[0] * qv[1], 2 * qv[0] * qv[2],
+                             2 * qv[1] * qv[2])
+            twi, twj, twk = 2 * w * qv[0], 2 * w * qv[1], 2 * w * qv[2]
+            rot = np.array([
+                [w2 + i2 - j2 - k2, tij - twk, tik + twj],
+                [tij + twk, w2 - i2 + j2 - k2, tjk - twi],
+                [tik - twj, tjk + twi, w2 - i2 - j2 + k2]])
+            xs.append(mol["dx"] @ rot.T + cen)
+            tys.append(ntype + mol["type"])
+            qs.append(mol["q"])
+            off = n0 + k * nm
+            for row, tlist, sec in ((bonds, btyps, "bonds"),
+                                    (angles, atyps, "angles"),
+                                    (dihedrals, dtyps, "dihedrals"),
+                                    (impropers, ityps, "impropers")):
+                for b in mol[sec]:
+                    tlist.append(b[0])
+                    row.append([v + off for v in b[1:]])
+        nnew = len(centers) * nm
+        x = np.concatenate(xs)
+        molid = maxmol + 1 + np.repeat(np.arange(len(centers)), nm)
+        if self.x is None or not len(self.x):
+            self.x = x
+            self.v = np.zeros((nnew, 3))
+            self.q = np.concatenate(qs)
+            self.type = np.concatenate(tys).astype(np.int32)
+            self.mol = molid.astype(np.int32)
+            self.image = np.zeros((nnew, 3), np.int32)
+            self.groups = {"all": np.ones(nnew, bool)}
+        else:
+            self.x = np.concatenate([self.x, x])
+            self.v = np.concatenate([self.v, np.zeros((nnew, 3))])
+            self.q = np.concatenate([self.q, np.concatenate(qs)])
+            self.type = np.concatenate(
+                [self.type, np.concatenate(tys)]).astype(np.int32)
+            self.mol = np.concatenate([self.mol, molid]).astype(np.int32)
+            self.image = np.concatenate(
+                [self.image, np.zeros((nnew, 3), np.int32)])
+            self.groups = {kk: np.concatenate(
+                [np.asarray(vv), np.full(nnew, kk == "all", bool)])
+                for kk, vv in self.groups.items()}
+        for attr, tattr, rows, tl, w in (
+                ("_bonds", "_bond_types", bonds, btyps, 2),
+                ("_angles", "_angle_types", angles, atyps, 3),
+                ("_dihedrals", "_dihedral_types", dihedrals, dtyps, 4),
+                ("_impropers", "_improper_types", impropers, ityps, 5)):
+            if not rows:
+                continue
+            old = getattr(self, attr, None)
+            oldt = getattr(self, tattr, None)
+            new = np.asarray(rows, np.int64)
+            newt = np.asarray(tl, np.int64)
+            if old is None or not len(old):
+                setattr(self, attr, new)
+                setattr(self, tattr, newt)
+            else:
+                setattr(self, attr, np.concatenate([old, new]))
+                setattr(self, tattr, np.concatenate(
+                    [np.asarray(oldt, np.int64), newt]))
+        self.log(f"Created {nnew} atoms ({len(centers)} molecules)")
 
     def cmd_uncompute(self, a):
         self.computes.pop(a[0], None)

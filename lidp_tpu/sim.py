@@ -798,6 +798,10 @@ class Simulation:
         n = script.x.shape[0]
         dim_ = getattr(script, "dimension", 3)
         mass_atom = script.mass_type[script.type]
+        if getattr(script, "rmass", None) is not None:
+            # atom_style sphere: per-atom mass from diameter*density
+            # (atom_vec_sphere.cpp) overrides the per-type table
+            mass_atom = np.asarray(script.rmass, float)
         alpha = script.alpha_type[script.type]
 
         # ---- multi-chip sharding (GSPMD): pad the atom axis to a multiple
@@ -1341,7 +1345,8 @@ class Simulation:
         # energy re-tally runs after apply_deform, i.e. with NEXT step's
         # box — the reference tallies during the force call, before
         # FixDeform::end_of_step moves the box
-        has_baro = any(f_.style in ("npt", "nph", "press/berendsen",
+        has_baro = any(f_.style in ("npt", "nph", "npt/sphere",
+                                    "nph/sphere", "press/berendsen",
                                     "box/relax", "deform")
                        for f_ in script.fixes.values())
         has_vdep_pf = any(f_.style in ("shake", "rattle", "langevin",
@@ -1995,6 +2000,46 @@ class Simulation:
         averages of thermo/compute scalars), evaluated host-side at scan
         chunk boundaries — their periods fold into the chunk gcd."""
         for spec in self.script.fixes.values():
+            if spec.style == "controller":
+                # fix ID group controller Nevery alpha Kp Ki Kd pvar
+                # setpoint cvar (fix_controller.cpp::end_of_step):
+                # cv += -alpha(Kp tau err + Ki tau^2 sumerr + Kd deltaerr)
+                # evaluated at scan-chunk boundaries (the Nevery period
+                # folds into the chunk gcd); consumers re-read the
+                # internal variable when the next chunk re-composes
+                a_c = spec.args
+                nev = int(a_c[0])
+                if not nev or step % nev:
+                    continue
+                alpha, kp, ki, kd = (float(a_c[1]), float(a_c[2]),
+                                     float(a_c[3]), float(a_c[4]))
+                pvar, setpt, cvar = a_c[5], float(a_c[6]), a_c[7]
+                row = self._thermo_row()
+                if pvar.startswith("v_"):
+                    cur = float(self.script.variables[pvar[2:]])
+                else:
+                    cur = float(row[pvar.replace("C_", "c_")
+                                    if pvar.startswith("C_") else pvar])
+                st_c = getattr(spec, "_ctrl", None)
+                if st_c is None:
+                    st_c = {"control": float(
+                        self.script.variables.get(cvar, 0.0)),
+                        "sumerr": 0.0, "olderr": 0.0, "first": True}
+                err = cur - setpt
+                if st_c["first"]:
+                    st_c["first"] = False
+                    deltaerr = 0.0
+                else:
+                    deltaerr = err - st_c["olderr"]
+                    st_c["sumerr"] += err
+                tau = nev * self.script.dt
+                st_c["control"] += -kp * alpha * tau * err
+                st_c["control"] += -ki * alpha * tau * tau * st_c["sumerr"]
+                st_c["control"] += -kd * alpha * deltaerr
+                st_c["olderr"] = err
+                spec._ctrl = st_c
+                self.script.variables[cvar] = repr(st_c["control"])
+                continue
             if spec.style == "print":
                 nev = int(spec.args[0])
                 if nev and step % nev == 0:
@@ -2676,6 +2721,15 @@ class Simulation:
                                                  {}).items():
             row[f"c_{cid}"] = float(self._temp_variant(gmask, style, args))
         row["dt"] = float(self.script.dt)   # thermo.cpp compute_dt
+        # v_NAME thermo columns: current value of an equal/internal-style
+        # variable (thermo.cpp compute_variable)
+        for c_ in getattr(self.script, "thermo_columns", ()):
+            if c_.startswith("v_"):
+                try:
+                    row[c_] = float(
+                        self.script.variables[c_[2:]])
+                except (KeyError, ValueError):
+                    pass
         for cid in getattr(self, "slice_computes", {}):
             sl = self.eval_slice(cid)
             if sl.shape[1] == 1:
@@ -3055,7 +3109,7 @@ class Simulation:
             if spec.style in ("print", "ave/time", "ave/chunk",
                               "store/state", "ave/atom", "ave/histo",
                               "ave/histo/weight", "ave/correlate",
-                              "vector"):
+                              "vector", "controller"):
                 chunk_opts.append(max(1, int(spec.args[0])))
         chunk = int(np.gcd.reduce(chunk_opts)) if chunk_opts else nsteps
         # timer timeout: end the run cleanly when the wall clock budget is

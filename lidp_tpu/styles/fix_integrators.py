@@ -39,7 +39,26 @@ def build_nve(ctx, spec):
     # the nve/noforce golden in tests/test_fix_breadth.py pins this)
 
 
-@fix_style("nvt", "nvt/sllod", integrator=True)
+def _sphere_rot(ctx):
+    """(dof, rot_ke3 (3,)) for the */sphere NH fixes on the generic path
+    (fix_nh_sphere.cpp + compute_temp_sphere.cpp ALL mode): 2*dim dof per
+    finite-radius atom, dim per point atom, minus dim extra; rotational
+    KE-tensor diagonal sum 0.4 m r^2 w_d^2 from the setup omegas.
+    Central-force pair styles exert no torque, so omega only changes via
+    the thermostat scale (tracked as a scalar in the integrator state);
+    torque-producing (granular) systems use the GranRunner path instead."""
+    script, dim_, n = ctx.script, ctx.dim, ctx.n
+    r = np.asarray(script.radius, float)
+    m = np.asarray(script.rmass, float)
+    w = np.asarray(getattr(script, "omega", np.zeros((n, 3))), float)
+    nfin = int((r > 0).sum())
+    dof = (2 * dim_ * nfin + dim_ * (n - nfin)) - dim_
+    inert = 0.4 * m * r * r
+    rot_ke3 = (inert[:, None] * w * w).sum(0) * ctx.u.mvv2e
+    return dof, rot_ke3
+
+
+@fix_style("nvt", "nvt/sllod", "nvt/sphere", integrator=True)
 def build_nvt(ctx, spec):
     from lidp_tpu.integrate import nvt as nvt_mod
     from lidp_tpu.integrate.driver import Integrator
@@ -62,10 +81,17 @@ def build_nvt(ctx, spec):
             i += 1
     if not gmask_real.all():
         raise NotImplementedError("fix nvt on sub-group")
+    dof = ctx.dim * ctx.n - ctx.dim
+    rot_ke20 = None
+    if spec.style == "nvt/sphere":
+        dof, rot_ke3 = _sphere_rot(ctx)
+        rot_ke20 = jnp.asarray(rot_ke3.sum(), dtype)
     nvtp = nvt_mod.NVTParams.create(
         script.dt, u.ftm2v, ctx.mass_atom, t_start_, t_damp,
-        dof=ctx.dim * ctx.n - ctx.dim, boltz=u.boltz, mvv2e=u.mvv2e,
+        dof=dof, boltz=u.boltz, mvv2e=u.mvv2e,
         t_stop=t_stop_, dtype=dtype, **kw)
+    if rot_ke20 is not None:
+        nvtp = dataclasses.replace(nvtp, rot_ke20=rot_ke20)
     if sllod:
         # h_rate is replaced at run() time from the fix deform schedule
         # (fix_nvt_sllod.cpp requires a fix deform with remap v)
@@ -81,7 +107,7 @@ def build_nvt(ctx, spec):
         init_state=lambda s_, f_, p_: nvt_mod.init_state(s_, f_, p_))
 
 
-@fix_style("npt", "nph", integrator=True)
+@fix_style("npt", "nph", "npt/sphere", "nph/sphere", integrator=True)
 def build_npt(ctx, spec):
     from lidp_tpu.integrate import npt as npt_mod
     from lidp_tpu.integrate.driver import Integrator
@@ -130,6 +156,11 @@ def build_npt(ctx, spec):
     p_flag = tuple(v is not None for v in tgt["p"])
     if not any(p_flag):
         raise ValueError("fix npt needs a pressure keyword")
+    dof = dim_ * n - dim_
+    rot_ke30 = None
+    if spec.style.endswith("/sphere"):
+        dof, rot_ke3 = _sphere_rot(ctx)
+        rot_ke30 = jnp.asarray(rot_ke3, dtype)
     had_temp = tgt["t"] is not None
     if tgt["t"] is None:
         # nph: barostat masses use t_target = t0, the current temperature,
@@ -143,15 +174,17 @@ def build_npt(ctx, spec):
         tgt["t"],
         tgt["tdamp"] if tgt["tdamp"] is not None else 1.0,
         [v if v is not None else 0.0 for v in tgt["p"]],
-        tgt["pdamp"], natoms=n, dof=dim_ * n - dim_, boltz=u.boltz,
+        tgt["pdamp"], natoms=n, dof=dof, boltz=u.boltz,
         mvv2e=u.mvv2e, nktv2p=u.nktv2p, tchain=tgt["tchain"],
         pchain=tgt["pchain"], mtk=tgt["mtk"],
-        tstat=spec.style == "npt" and had_temp,
+        tstat=spec.style.startswith("npt") and had_temp,
         p_flag=p_flag, iso=tgt["iso"],
         t_stop=tgt["t_stop"],
         p_stop=[v if v is not None else 0.0 for v in tgt["p_stop"]]
         if any(v is not None for v in tgt["p_stop"]) else None,
         dtype=dtype)
+    if rot_ke30 is not None:
+        nptp = dataclasses.replace(nptp, rot_ke30=rot_ke30)
     ctx.integ = Integrator(
         initial=npt_mod.initial_integrate,
         final=npt_mod.final_integrate,

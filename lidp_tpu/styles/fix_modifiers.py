@@ -135,6 +135,42 @@ def build_addforce(ctx, spec):
     ctx.pf_hooks_setup.append(_addforce_pf)
 
 
+@fix_style("external")
+def build_external(ctx, spec):
+    """fix ID group external pf/callback ncall napply | pf/array napply
+    (fix_external.cpp): per-atom forces supplied by the caller through
+    the library API.  The force array lives on the script object
+    (`lammps.fix_external_set_force` / set via `spec._fexternal`); edits
+    invalidate the Simulation, so array updates take effect at the next
+    run — the pf/array contract.  pf/callback invokes the registered
+    Python callback once per run-chunk setup (not per step: XLA traces
+    the step once), passing (caller, step, nlocal, ids, x, fexternal)."""
+    gm_x = jnp.asarray(ctx.groups[spec.group])[:, None]
+    mode = spec.args[0]
+    if mode not in ("pf/callback", "pf/array"):
+        raise NotImplementedError(f"fix external {mode}")
+    fext = getattr(spec, "_fexternal", None)
+    cb = getattr(spec, "_callback", None)
+    if mode == "pf/callback" and cb is not None:
+        import numpy as _np
+
+        n = ctx.n
+        fext = _np.zeros((n, 3))
+        cb(getattr(spec, "_caller", None), int(ctx.script.step),
+           n, _np.arange(1, n + 1), _np.asarray(ctx.script.x), fext)
+        spec._fexternal = fext
+    fj = (jnp.zeros((ctx.npad, 3), ctx.dtype) if fext is None
+          else jnp.asarray(ctx.padA(np.asarray(fext, float), 0.0),
+                           ctx.dtype))
+
+    def _external_pf(sys_, f_, _g=gm_x, _fe=fj):
+        return f_ + jnp.where(_g & sys_.mask[:, None], _fe, 0.0), \
+            jnp.zeros(6, f_.dtype)
+
+    ctx.pf_hooks.append(_external_pf)
+    ctx.pf_hooks_setup.append(_external_pf)
+
+
 @fix_style("aveforce")
 def build_aveforce(ctx, spec):
     # fix aveforce (fix_aveforce.cpp): set each non-NULL component to the
@@ -630,7 +666,7 @@ def build_projection(ctx, spec):
 
 
 @fix_style("print", "ave/time", "ave/chunk", "store/state", "ave/atom",
-           "ave/histo", "ave/correlate", "vector")
+           "ave/histo", "ave/correlate", "vector", "controller")
 def build_host_side(ctx, spec):
     pass   # host-side, handled at chunk boundaries in run()
 

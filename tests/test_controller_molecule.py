@@ -1,0 +1,173 @@
+"""fix controller (fix_controller.cpp PID on an internal-style variable),
+molecule templates + create_atoms mol (molecule.cpp + create_atoms.cpp
+add_molecule with bit-exact RanMars rotation streams), and fix external
+pf/array (fix_external.cpp) — goldens vs the rebuilt reference."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from lidp_tpu.io.script import LammpsScript
+
+
+def _rows(tmp_path, text, name="in.t"):
+    (tmp_path / name).write_text(text)
+    s = LammpsScript(dtype=jnp.float64)
+    s.file(str(tmp_path / name))
+    return s, {int(r["step"]): r for r in s.thermo_rows}
+
+
+CTRL_GOLDEN = [
+    (0, 1.44, 0.0),
+    (2, 1.43094633109, -0.00115473165544),
+    (4, 1.40207301061, -0.000723451414781),
+    (6, 1.34788480347, 0.00124303534668),
+]
+
+
+def test_controller_golden(tmp_path):
+    _, rows = _rows(tmp_path, """units lj
+atom_style atomic
+boundary p p p
+lattice fcc 0.8442
+region box block 0 3 0 3 0 3
+create_box 1 box
+create_atoms 1 box
+mass 1 1.0
+velocity all create 1.44 87287 loop geom
+pair_style lj/cut 2.5
+pair_coeff 1 1 1.0 1.0
+fix 1 all nve
+variable tcv internal 0.0
+compute tt all temp
+fix pid all controller 2 1.0 0.5 0.1 0.05 c_tt 1.2 tcv
+thermo 2
+thermo_style custom step temp v_tcv
+run 6
+""")
+    for step, t, cv in CTRL_GOLDEN:
+        r = rows[step]
+        assert float(r["temp"]) == pytest.approx(t, rel=1e-10), step
+        assert float(r["v_tcv"]) == pytest.approx(cv, rel=1e-9,
+                                                  abs=1e-15), step
+
+
+WAT_MOL = """# simple water-like molecule
+
+3 atoms
+2 bonds
+1 angles
+
+Coords
+
+1 0.0 0.0 0.0
+2 0.9 0.0 0.0
+3 -0.25 0.87 0.0
+
+Types
+
+1 1
+2 2
+3 2
+
+Charges
+
+1 -0.8
+2 0.4
+3 0.4
+
+Bonds
+
+1 1 1 2
+2 1 1 3
+
+Angles
+
+1 1 2 1 3
+"""
+
+MOL_GOLDEN = [
+    (0, 0.0, -0.00703248296474, 0.000542290015933, 0.0125819278056,
+     -0.0150568746291),
+    (2, 0.000136423356773, -0.00723479082424, 0.000537246527902,
+     0.0123839161798, -0.0150098291177),
+    (4, 0.000537140043828, -0.00783167859765, 0.000522334666078,
+     0.0118023584169, -0.0148709318694),
+]
+
+
+def test_molecule_create_atoms_golden(tmp_path):
+    (tmp_path / "wat.mol").write_text(WAT_MOL)
+    s, rows = _rows(tmp_path, """units lj
+atom_style full
+boundary p p p
+lattice sc 0.05
+region box block 0 3 0 3 0 3
+create_box 2 box bond/types 1 angle/types 1 extra/bond/per/atom 4
+molecule wat wat.mol
+create_atoms 0 box mol wat 4523
+mass 1 15.0
+mass 2 1.0
+pair_style lj/cut 2.5
+pair_coeff 1 1 0.2 1.5
+pair_coeff 2 2 0.05 0.8
+bond_style harmonic
+bond_coeff 1 60.0 0.9
+angle_style harmonic
+angle_coeff 1 30.0 104.0
+special_bonds lj/coul 0.0 0.0 0.5
+fix 1 all nve
+thermo 2
+thermo_style custom step temp pe ebond eangle press atoms
+run 4
+""")
+    assert s.x.shape[0] == 81          # 27 molecules x 3 atoms
+    assert len(s._bonds) == 54
+    assert len(s._angles) == 27
+    for step, t, pe, eb, ea, pr in MOL_GOLDEN:
+        r = rows[step]
+        assert float(r["temp"]) == pytest.approx(t, rel=1e-10,
+                                                 abs=1e-15), step
+        assert float(r["pe"]) == pytest.approx(pe, rel=1e-10), step
+        assert float(r["ebond"]) == pytest.approx(eb, rel=1e-10), step
+        assert float(r["eangle"]) == pytest.approx(ea, rel=1e-10), step
+        assert float(r["press"]) == pytest.approx(pr, rel=1e-9), step
+
+
+def test_fix_external_pf_array(tmp_path):
+    """fix external pf/array adds the caller-supplied per-atom forces —
+    equivalent by construction to fix addforce for a uniform array."""
+    from lidp_tpu.api import lammps
+
+    base = """units lj
+atom_style atomic
+boundary p p p
+lattice fcc 0.8442
+region box block 0 2 0 2 0 2
+create_box 1 box
+create_atoms 1 box
+mass 1 1.0
+velocity all create 1.0 87287 loop geom
+pair_style lj/cut 2.5
+pair_coeff 1 1 1.0 1.0
+fix 1 all nve
+"""
+    grp = "region half block 0 1 INF INF INF INF\ngroup half region half\n"
+    lmp = lammps()
+    lmp.commands_string(base + grp + "fix e half external pf/array 1\n")
+    n = lmp.get_natoms()
+    lmp.fix_external_set_force(
+        "e", np.tile([0.3, -0.2, 0.1], (n, 1)))
+    lmp.command("run 4")
+    pe_ext = lmp.get_thermo("pe")
+
+    lmp2 = lammps()
+    lmp2.commands_string(base + grp + "fix e half addforce 0.3 -0.2 0.1\n")
+    lmp2.command("run 4")
+    assert pe_ext == pytest.approx(lmp2.get_thermo("pe"), rel=1e-12)
+    # and it is NOT a no-op
+    lmp3 = lammps()
+    lmp3.commands_string(base)
+    lmp3.command("run 4")
+    assert abs(pe_ext - lmp3.get_thermo("pe")) > 1e-10

@@ -103,6 +103,10 @@ class Runner:
     # fix deform: DeformParams replaced per run (traced arg); remap static
     deform: Optional[Any] = None
     deform_remap: bool = dataclasses.field(default=True)
+    # fix tmd (fix_tmd.cpp): holonomic rho-schedule constraint applied
+    # right after the integrator's position update; needs the PRE-update
+    # positions, so it gets its own hook (x_prev, image_prev, sys, res)
+    tmd_hook: Optional[Callable] = None
 
     def __post_init__(self):
         self._scan = jax.jit(
@@ -117,7 +121,8 @@ class Runner:
                               check=self.check, skin=self.skin,
                               delay=self.delay,
                               deform_remap=self.deform_remap,
-                              post_integrate=self.post_integrate),
+                              post_integrate=self.post_integrate,
+                              tmd_hook=self.tmd_hook),
             static_argnames=("nsteps",),
         )
         self._force = jax.jit(
@@ -247,11 +252,12 @@ def _run_chunk(sys, res, nlist, istate, ff, iparams, deform=None, *,
                initial, final, neighbor_cfg, rebuild_every, post_force=None,
                end_of_step=None, every_step_ev=True, shrink=None,
                check=False, skin=0.0, delay=0, deform_remap=True,
-               post_integrate=None):
+               post_integrate=None, tmd_hook=None):
     import jax.numpy as jnp
 
     def body(carry, _):
         sys, res, nlist, istate = carry
+        x_prev, image_prev = sys.x, sys.image
         ip = iparams
         if (getattr(ip, "p_target", None) is not None
                 and getattr(ip, "t_stop", None) is not None):
@@ -265,6 +271,8 @@ def _run_chunk(sys, res, nlist, istate, ff, iparams, deform=None, *,
                 p_target=ramp_target(ip.p_target, ip.p_stop,
                                      ip.ramp_begin, ip.ramp_end, sys.step))
         sys, istate = initial(sys, res, ip, istate)
+        if tmd_hook is not None:
+            sys = tmd_hook(x_prev, image_prev, sys, res)
         if post_integrate is not None:
             sys = post_integrate(sys)
         sys = sys.replace(step=sys.step + 1)

@@ -1740,6 +1740,13 @@ class LammpsScript:
             # dump_image.cpp: color attr, diameter attr, then keywords
             # (size/zoom/adiam/view supported by the PPM rasterizer)
             cols = a[5:]
+        elif style == "movie":
+            # dump_movie.cpp: image frames piped to ffmpeg.  Frames
+            # rasterize as numbered PPMs next to the output; they are
+            # assembled into the movie at undump/script end when ffmpeg
+            # exists on PATH (this image has none, so the frames stand —
+            # the reference built without LAMMPS_FFMPEG errors outright)
+            cols = a[5:]
         else:
             raise ValueError(f"unsupported dump style {style}")
         self.dumps[did] = DumpSpec(did=did, group=group, style=style,
@@ -1910,7 +1917,7 @@ class LammpsScript:
                          "press/berendsen", "nvt/sllod", "dt/reset",
                          "restrain", "spring/chunk", "store/force",
                          "ave/histo/weight", "box/relax", "controller",
-                         "external"):
+                         "external", "tmd"):
             raise ValueError(f"unsupported fix style {style}")
         self.fixes[fid] = FixSpec(fid=fid, group=group, style=style, args=a[3:])
         self._invalidate()

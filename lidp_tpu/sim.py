@@ -729,6 +729,7 @@ def _build_granular_sim(script, sys, u, dtype, n, npad, _padA, groups, dim_):
     sim_obj.halt_spec = None
     sim_obj.dtreset_cfg = None
     sim_obj._restrain_factory = None
+    sim_obj._tmd_factory = None
     sim_obj.deform_cfg = None
     sim_obj.gg_computes = {}
     sim_obj.msd_computes = {}
@@ -1446,6 +1447,7 @@ class Simulation:
         deform_fix = fctx.deform_fix
         dtreset_cfg = getattr(fctx, "dtreset_cfg", None)
         restrain_factory = getattr(fctx, "restrain_factory", None)
+        tmd_factory = getattr(fctx, "tmd_factory", None)
         spring_chunk_cfg = getattr(fctx, "spring_chunk_cfg", None)
         if spring_chunk_cfg is not None:
             # fix spring/chunk (fix_spring_chunk.cpp): chunk assignment is
@@ -1868,6 +1870,7 @@ class Simulation:
         sim_obj.halt_spec = halt_spec
         sim_obj.dtreset_cfg = dtreset_cfg
         sim_obj._restrain_factory = restrain_factory
+        sim_obj._tmd_factory = tmd_factory
         sim_obj._pf_hooks = pf_hooks
         sim_obj._compose_pf = _compose_pf
         sim_obj.deform_cfg = None
@@ -3039,6 +3042,23 @@ class Simulation:
                         integ2.params,
                         h_rate=jnp.asarray(h_rate, dt_),
                         h_ratelo=jnp.asarray(h_ratelo, dt_)))
+        if getattr(self, "_tmd_factory", None) is not None:
+            # fix tmd: rho schedule spans exactly this run; rho_start is
+            # the mass-weighted RMSD to the target at run start
+            # (FixTMD::init recomputes it per run)
+            from lidp_tpu.box import unwrap as _unw_t
+
+            make_hook, rho_stop_t, xf_t, gm_t, mass_t, mt_t = \
+                self._tmd_factory
+            b = int(self.sys.step)
+            nre = self.natoms
+            xu = np.asarray(_unw_t(self.sys.x, self.sys.box,
+                                   self.sys.image))[:nre]
+            d_t = (xu - xf_t)[gm_t]
+            rho0 = float(np.sqrt(
+                (mass_t[gm_t] * (d_t * d_t).sum(1)).sum() / mt_t))
+            self.runner.tmd_hook = make_hook((b, b + nsteps), rho0)
+            self.runner.__post_init__()
         if getattr(self, "_restrain_factory", None) is not None:
             # fix restrain K ramps span exactly this run
             # (fix_restrain.cpp: delta over beginstep..endstep); the ramp
@@ -3204,9 +3224,23 @@ class Simulation:
                                       pair=ffobj.pair,
                                       sp_code=ffobj.sp_code)
                     continue
-                if d.style == "image":
+                if d.style in ("image", "movie"):
                     from lidp_tpu.io.dump import write_image_frame
 
+                    if d.style == "movie":
+                        # dump_movie.cpp pipes frames to ffmpeg; we write
+                        # numbered PPM frames next to the target and
+                        # assemble at undump/script end if ffmpeg exists
+                        import dataclasses as _dc
+
+                        k = getattr(d, "_movie_frame", 0)
+                        d._movie_frame = k + 1
+                        frame = _dc.replace(
+                            d, path=f"{d.path}.{k:06d}.ppm")
+                        frame._movie_frame = None
+                        write_image_frame(frame, self.sys, self.script,
+                                          gmask)
+                        continue
                     write_image_frame(d, self.sys, self.script, gmask)
                     continue
                 if d.style == "cfg":

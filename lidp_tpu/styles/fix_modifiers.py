@@ -416,6 +416,78 @@ def build_wall_flat(ctx, spec):
     ctx.pf_hooks_setup.append(_wall_pf)
 
 
+@fix_style("tmd")
+def build_tmd(ctx, spec):
+    """fix ID group tmd rho_final target-file N [outfile]
+    (fix_tmd.cpp): holonomic constraint driving the mass-weighted RMSD
+    to the target structure linearly from rho_start (measured at run
+    start) to rho_final over each run.  The Lagrange multiplier solves
+    the same quadratic as FixTMD::initial_integrate; the correction
+    applies to x and v right after the position update (driver
+    tmd_hook).  Target file rows: id x y z (optionally + image flags)."""
+    import os as _os
+
+    script = ctx.script
+    rho_stop = float(spec.args[0])
+    path = _os.path.join(script.root, spec.args[1])
+    n = ctx.n
+    xf = np.zeros((n, 3))
+    seen = np.zeros(n, bool)
+    with open(path) as fh:
+        for ln in fh:
+            t = ln.split("#")[0].split()
+            if len(t) in (4, 7):
+                i = int(t[0]) - 1
+                xf[i] = [float(v) for v in t[1:4]]
+                seen[i] = True
+    gm_host = np.asarray(ctx.script.groups[spec.group], bool)
+    if not seen[gm_host].all():
+        raise ValueError("fix tmd target file missing group atoms")
+    mass = np.asarray(ctx.mass_atom[:n], float)
+    mt = float(mass[gm_host].sum())
+    xfj = jnp.asarray(ctx.padA(xf, 0.0), ctx.dtype)
+    gmj = jnp.asarray(ctx.groups[spec.group])[:, None]
+    mj = jnp.where(jnp.asarray(ctx.groups[spec.group]),
+                   jnp.asarray(ctx.padA(mass, 0.0), ctx.dtype), 0.0)
+    dtv = script.dt
+    dtf = 0.5 * script.dt * ctx.u.ftm2v
+
+    def make_hook(window, rho_start):
+        begin, end = window
+
+        def _tmd_hook(x_prev, image_prev, sys_, res_):
+            from lidp_tpu.box import unwrap
+
+            dtype = sys_.x.dtype
+            xold = unwrap(x_prev, sys_.box, image_prev)
+            xcur = unwrap(sys_.x, sys_.box, sys_.image)
+            dxold = jnp.where(gmj, xold - xfj, 0.0)
+            dx = jnp.where(gmj, xcur - xfj, 0.0)
+            a = jnp.sum(mj[:, None] * dxold * dxold) / mt
+            b = 2.0 * jnp.sum(mj[:, None] * dx * dxold) / mt
+            e = jnp.sum(mj[:, None] * dx * dx) / mt
+            # ntimestep inside initial_integrate = sys.step + 1 (the
+            # driver bumps step after the hooks)
+            tstep = (sys_.step + 1).astype(dtype)
+            denom = jnp.maximum(end - begin, 1).astype(dtype)
+            delta = jnp.clip((tstep - begin) / denom, 0.0, 1.0)
+            rho_t = rho_start + delta * (rho_stop - rho_start)
+            c = e - rho_t * rho_t
+            d = b * b - 4.0 * a * c
+            d = jnp.maximum(d, 0.0)
+            gmax = jnp.where(b >= 0, (-b - jnp.sqrt(d)),
+                             (-b + jnp.sqrt(d))) / (2.0 * a)
+            gfwd = jnp.where(a == 0.0, 0.0,
+                             c / (a * jnp.where(gmax == 0.0, 1.0, gmax)))
+            x2 = sys_.x + gfwd * dxold
+            v2 = sys_.v + (gfwd / dtv) * dxold
+            return sys_.replace(x=x2, v=v2)
+
+        return _tmd_hook
+
+    ctx.tmd_factory = (make_hook, rho_stop, xf, gm_host, mass, mt)
+
+
 @fix_style("wall/region")
 def build_wall_region(ctx, spec):
     """fix ID group wall/region region-ID lj93|lj126|lj1043|harmonic eps

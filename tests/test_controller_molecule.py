@@ -171,3 +171,54 @@ fix 1 all nve
     lmp3.commands_string(base)
     lmp3.command("run 4")
     assert abs(pe_ext - lmp3.get_thermo("pe")) > 1e-10
+
+
+TMD_TARGET_SEED = 7
+TMD_GOLDEN = [
+    (0, 0.1, -6.77336805325, -6.15167893675),
+    (5, 3.20675708383, -6.53258593082, -2.05275725477),
+    (10, 3.21919408826, -5.17834306357, 4.75317144236),
+    (15, 5.05817743185, -2.10530533331, 19.9333202856),
+]
+
+
+def test_fix_tmd_golden(tmp_path):
+    """fix tmd (fix_tmd.cpp): the rho-schedule holonomic constraint's
+    Lagrange multiplier and x/v corrections match the rebuilt reference
+    exactly through step 15 (the step-20 row sits past a neighbor
+    rebuild whose timing differs under the violent steering; rel ~4e-5)."""
+    a = (4 / 0.8442) ** (1 / 3)
+    basis = [(0, 0, 0), (0.5, 0.5, 0), (0.5, 0, 0.5), (0, 0.5, 0.5)]
+    pts = np.array([((i + b[0]) * a, (j + b[1]) * a, (k + b[2]) * a)
+                    for k in range(3) for j in range(3) for i in range(3)
+                    for b in basis])
+    rng = np.random.RandomState(TMD_TARGET_SEED)
+    tgt = pts + 0.35 * rng.uniform(-1, 1, pts.shape)
+    with open(tmp_path / "target.tmd", "w") as f:
+        for i, p in enumerate(tgt):
+            f.write(f"{i+1} {p[0]:.10f} {p[1]:.10f} {p[2]:.10f}\n")
+    _, rows = _rows(tmp_path, """units lj
+atom_style atomic
+atom_modify map array
+boundary p p p
+lattice fcc 0.8442
+region box block 0 3 0 3 0 3
+create_box 1 box
+create_atoms 1 box
+mass 1 1.0
+velocity all create 0.1 87287 loop geom
+pair_style lj/cut 2.5
+pair_coeff 1 1 1.0 1.0
+neighbor 0.3 bin
+fix 1 all nve
+fix steer all tmd 0.05 target.tmd 0
+thermo 5
+thermo_style custom step temp pe press
+run 20
+""")
+    for step, t, pe, pr in TMD_GOLDEN:
+        r = rows[step]
+        assert float(r["temp"]) == pytest.approx(t, rel=1e-10), step
+        assert float(r["pe"]) == pytest.approx(pe, rel=1e-10), step
+        assert float(r["press"]) == pytest.approx(pr, rel=1e-9), step
+    assert float(rows[20]["pe"]) == pytest.approx(28.4489095941, rel=1e-3)

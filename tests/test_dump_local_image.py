@@ -176,3 +176,30 @@ run 2
         assert got[key][0] == nc
         assert got[key][1] == pytest.approx(vx, rel=2e-5)
         assert got[key][2] == pytest.approx(dens, rel=1e-5)
+
+
+def test_dump_movie_frames(tmp_path):
+    """dump movie (dump_movie.cpp): numbered PPM frames rasterized per
+    cadence (assembled by ffmpeg when present; none in this image)."""
+    import jax.numpy as jnp
+
+    from lidp_tpu.io.script import LammpsScript
+
+    (tmp_path / "in.mv").write_text("""units lj
+atom_style atomic
+lattice fcc 0.8442
+region box block 0 2 0 2 0 2
+create_box 1 box
+create_atoms 1 box
+mass 1 1.0
+pair_style lj/cut 2.5
+pair_coeff 1 1 1.0 1.0
+fix 1 all nve
+dump mv all movie 2 out.mpg type type zoom 1.6
+run 4
+""")
+    s = LammpsScript(dtype=jnp.float64)
+    s.file(str(tmp_path / "in.mv"))
+    frames = sorted(tmp_path.glob("out.mpg.*.ppm"))
+    assert len(frames) == 3
+    assert frames[0].read_bytes()[:2] == b"P6"

@@ -1598,6 +1598,14 @@ class LammpsScript:
             # rotational KE of sphere atoms (compute_erotate_sphere.cpp)
             self.computes[cid] = (group, style, None)
             return
+        if style == "pressure":
+            # compute ID group pressure temp-ID [virial|ke|pair|...]
+            # (compute_pressure.cpp): scalar pressure using the named
+            # temperature compute's kinetic tensor (NULL -> virial only)
+            self.computes[cid] = (group, style, {
+                "temp": a[3] if len(a) > 3 else "NULL",
+                "kw": list(a[4:])})
+            return
         if style == "temp/sphere":
             # translational + rotational temperature of sphere atoms
             # (compute_temp_sphere.cpp; dof = 6/atom for finite radius)
@@ -3029,6 +3037,66 @@ class LammpsScript:
                  f"units {self.units}, "
                  f"{len(self.fixes)} fixes, {len(self.computes)} computes")
         self.log(f"Info: box {self.box_lo} to {self.box_hi}")
+
+    def cmd_bond_write(self, a):
+        """bond_write btype N inner outer file keyword [itype jtype]
+        (Bond::write_file, bond.cpp:223): tabulate (i, r, E, F) rows of
+        the current bond style in bond_style-table format."""
+        import jax
+        import jax.numpy as jnp
+
+        from lidp_tpu.ops.bonded import bond_forces
+        from lidp_tpu.styles.bonded_builders import _bond_params_one
+        from lidp_tpu.box import Box
+
+        btype, n_ = int(a[0]), int(a[1])
+        inner, outer = float(a[2]), float(a[3])
+        if inner <= 0.0 or inner >= outer:
+            raise ValueError("Invalid rlo/rhi values in bond_write")
+        path = os.path.join(self.root, a[4])
+        keyword = a[5]
+        TB = max(self.bond_coeffs.keys(), default=0)
+        p = _bond_params_one(
+            self.bond_style, self.bond_coeffs,
+            np.array([[0, 1]], np.int64), np.array([btype], np.int64),
+            TB, self.dtype, self, None, self.root)
+        big = 4.0 * outer
+        box = Box.create(np.zeros(3), np.full(3, big), dtype=self.dtype)
+
+        def efr(r):
+            x = jnp.zeros((2, 3), self.dtype).at[1, 0].set(r)
+            f, e, _ = bond_forces(x, box, p)
+            # table convention: F = fbond*r, positive = repulsive
+            # (bond.cpp:279 single() returns f/r along r_ij)
+            return e, f[1, 0]
+
+        rs = inner + (outer - inner) * np.arange(n_) / (n_ - 1)
+        es, fs = jax.vmap(efr)(jnp.asarray(rs, self.dtype))
+        es, fs = np.asarray(es), np.asarray(fs)
+        # equilibrium distance for the header (Bond::equilibrium_distance)
+        co = self.bond_coeffs[btype]
+        r0 = {"harmonic": lambda: float(co[1]),
+              "morse": lambda: float(co[2]),
+              "nonlinear": lambda: float(co[1]),
+              "gromos": lambda: float(co[1]),
+              "class2": lambda: float(co[0]),
+              "fene": lambda: 0.97 * float(co[3]),
+              "fene/expand": lambda: 0.97 * float(co[3]) + float(co[4]),
+              }.get(self.bond_style, lambda: rs[int(np.argmin(es))])()
+        with open(path, "a") as fh:
+            fh.write(f"# Bond potential {self.bond_style} for bond type "
+                     f"{btype}: i,r,energy,force\n")
+            fh.write(f"\n{keyword}\nN {n_} EQ {r0:.15g}\n\n")
+            for i in range(n_):
+                fh.write(f"{i+1} {rs[i]:.15g} {es[i]:.15g} {fs[i]:.15g}\n")
+
+    def cmd_python(self, a):
+        """python command (python.cpp): the reference embeds a Python
+        interpreter to define functions callable from variables; this
+        engine IS Python — use the lidp_tpu.api module instead."""
+        raise NotImplementedError(
+            "the python command is superseded by the native Python API "
+            "(lidp_tpu.api.lammps / PyLammps)")
 
     def cmd_write_coeff(self, a):
         """write_coeff file (write_coeff.cpp): dump the *_coeff settings

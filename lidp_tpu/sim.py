@@ -1762,6 +1762,7 @@ class Simulation:
         chunkagg_computes = {}
         hf_computes = {}
         slice_computes = {}
+        press_computes = {}
         vacf_computes = {}
         peratom_computes = {}
         reduce_computes = {}
@@ -1804,6 +1805,9 @@ class Simulation:
                 continue
             if len(spec_c) == 3 and spec_c[1] == "slice":
                 slice_computes[cid] = dict(spec_c[2])
+                continue
+            if len(spec_c) == 3 and spec_c[1] == "pressure":
+                press_computes[cid] = dict(spec_c[2])
                 continue
             if len(spec_c) == 3 and spec_c[1] == "reduce":
                 reduce_computes[cid] = (script.groups[spec_c[0]].copy(),
@@ -1960,6 +1964,7 @@ class Simulation:
         sim_obj.chunkagg_computes = chunkagg_computes
         sim_obj.hf_computes = hf_computes
         sim_obj.slice_computes = slice_computes
+        sim_obj.press_computes = press_computes
         sim_obj.mesh = mesh
         sim_obj.n_padded = npad
 
@@ -2733,6 +2738,24 @@ class Simulation:
                         self.script.variables[c_[2:]])
                 except (KeyError, ValueError):
                     pass
+        for cid, spec_p in getattr(self, "press_computes", {}).items():
+            # compute pressure (compute_pressure.cpp): (ke tensor from
+            # the named temperature compute + virial) / (dim V) * nktv2p
+            import dataclasses as _dc
+
+            from lidp_tpu.thermo import pressure as _press_fn
+
+            vir6 = np.asarray(self.res.virial)
+            ev = getattr(self.istate, "virial", None)
+            if ev is not None:
+                vir6 = vir6 + np.asarray(ev)
+            tcid = spec_p["temp"]
+            tp_p = self.group_thermo.get(tcid, self.thermo_params)
+            if tcid == "NULL" or "virial" in spec_p["kw"]:
+                tp_p = _dc.replace(
+                    tp_p,
+                    mass_atom=np.zeros_like(np.asarray(tp_p.mass_atom)))
+            row[f"c_{cid}"] = float(_press_fn(self.sys, tp_p, vir6))
         for cid in getattr(self, "slice_computes", {}):
             sl = self.eval_slice(cid)
             if sl.shape[1] == 1:

@@ -294,3 +294,72 @@ def test_clear_and_quit(tmp_path):
     assert s.x is None
     with pytest.raises(SystemExit):
         _run_script(tmp_path, "units lj\nquit\n", name="in.q")
+
+
+PRESSC_GOLDEN = [
+    (0, -5.03092527009, -5.03092527009, -6.23531727009),
+    (2, -4.94619235677, -4.94619235677, -6.14301201899),
+    (4, -4.68560074718, -4.68560074718, -5.85827124538),
+]
+
+
+def test_compute_pressure_golden(tmp_path):
+    """compute ID group pressure temp-ID [NULL virial]
+    (compute_pressure.cpp) as a named thermo column."""
+    s = _run_script(tmp_path, """units lj
+atom_style atomic
+boundary p p p
+lattice fcc 0.8442
+region box block 0 3 0 3 0 3
+create_box 1 box
+create_atoms 1 box
+mass 1 1.0
+velocity all create 1.44 87287 loop geom
+pair_style lj/cut 2.5
+pair_coeff 1 1 1.0 1.0
+fix 1 all nve
+compute myt all temp
+compute myp all pressure myt
+compute pv all pressure NULL virial
+thermo 2
+thermo_style custom step press c_myp c_pv
+run 4
+""")
+    rows = {int(r["step"]): r for r in s.thermo_rows}
+    for step, pr, myp, pv in PRESSC_GOLDEN:
+        r = rows[step]
+        assert float(r["press"]) == pytest.approx(pr, rel=1e-11)
+        assert float(r["c_myp"]) == pytest.approx(myp, rel=1e-11)
+        assert float(r["c_pv"]) == pytest.approx(pv, rel=1e-11)
+
+
+def test_bond_write_golden(tmp_path):
+    """bond_write (Bond::write_file, bond.cpp:223): tabulated rows match
+    the rebuilt reference's output exactly (1.8/7.2 at +-0.15/0.3 from
+    r0 = 1.1 for k = 80)."""
+    s = _run_script(tmp_path, """units lj
+atom_style bond
+boundary p p p
+region box block 0 10 0 10 0 10
+create_box 1 box bond/types 1 extra/bond/per/atom 2
+create_atoms 1 single 2.0 2.0 2.0
+create_atoms 1 single 3.0 2.0 2.0
+mass 1 1.0
+pair_style zero 2.0
+pair_coeff * *
+bond_style harmonic
+bond_coeff 1 80.0 1.1
+create_bonds single/bond 1 1 2
+bond_write 1 5 0.8 1.4 bw.table HARM
+""")
+    rows = []
+    for ln in open(tmp_path / "bw.table"):
+        t = ln.split()
+        if len(t) == 4 and t[0].isdigit():
+            rows.append([float(v) for v in t])
+    gold = [[1, 0.8, 7.2, 48.0], [2, 0.95, 1.8, 24.0],
+            [3, 1.1, 0.0, 0.0], [4, 1.25, 1.8, -24.0],
+            [5, 1.4, 7.2, -48.0]]
+    assert np.allclose(rows, gold, rtol=1e-12, atol=1e-12)
+    hdr = open(tmp_path / "bw.table").read()
+    assert "N 5 EQ 1.1" in hdr and "HARM" in hdr

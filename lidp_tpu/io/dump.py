@@ -475,7 +475,65 @@ def _improper_local_rows(script, sys, gmask, values):
     return out
 
 
-def write_local_frame(spec, sys, script, gmask, pair=None, sp_code=None):
+def _rigid_local_rows(values, rigid, sys, script):
+    """compute rigid/local (compute_rigid_local.cpp:61-96, pack columns
+    :150-260): one row per rigid body.  `rigid` = (RigidParams, RigidState)
+    from the live integrator.  id/mol use the body's lowest atom tag /
+    molecule id (the reference packs tag[ilocal]/molecule[ilocal] of the
+    rank-local owning atom, which is decomposition-dependent)."""
+    from lidp_tpu.integrate.rigid import q_to_matrix
+
+    p, st = rigid
+    nb = p.nbody
+    body = np.asarray(p.body)
+    xcm = np.asarray(st.xcm)[:nb]
+    vcm = np.asarray(st.vcm)[:nb]
+    fcm = np.asarray(st.fcm)[:nb]
+    tq = np.asarray(st.torque)[:nb]
+    L = np.asarray(st.angmom)[:nb]
+    quat = np.asarray(st.quat)[:nb]
+    inertia = np.asarray(p.inertia)[:nb]
+    R = np.asarray(q_to_matrix(st.quat))[:nb]
+    mbody = np.einsum("bij,bi->bj", R, L)
+    wbody = np.where(inertia > 0.0,
+                     mbody / np.where(inertia > 0.0, inertia, 1.0), 0.0)
+    omega = np.einsum("bij,bj->bi", R, wbody)
+    lo = np.asarray(sys.box.lo)
+    lens = np.asarray(sys.box.hi) - lo
+    img = np.floor((xcm - lo) / lens).astype(int)
+    xwrap = xcm - img * lens
+    first = np.full(nb, -1, int)
+    for i in range(len(body) - 1, -1, -1):
+        if body[i] < nb:
+            first[body[i]] = i
+    cols = {
+        "id": first + 1.0,
+        "mol": np.asarray(script.mol, float)[first] if getattr(
+            script, "mol", None) is not None else first + 1.0,
+        "mass": np.asarray(p.masstotal)[:nb],
+    }
+    for d, ax in enumerate("xyz"):
+        cols[ax] = xwrap[:, d]
+        cols[ax + "u"] = xcm[:, d]
+        cols["i" + ax] = img[:, d].astype(float)
+        cols["v" + ax] = vcm[:, d]
+        cols["f" + ax] = fcm[:, d]
+        cols["tq" + ax] = tq[:, d]
+        cols["omega" + ax] = omega[:, d]
+        cols["angmom" + ax] = L[:, d]
+        cols["inertia" + ax] = inertia[:, d]
+    for k, d in zip("wijk", range(4)):
+        cols["quat" + k] = quat[:, d]
+    out = []
+    for v in values:
+        if v not in cols:
+            raise ValueError(f"rigid/local value {v}")
+        out.append(cols[v])
+    return out
+
+
+def write_local_frame(spec, sys, script, gmask, pair=None, sp_code=None,
+                      rigid=None):
     """dump local (dump_local.cpp): per-entry rows from compute
     pair/local / bond/local references; columns are `index` or
     `c_ID[n]`/`c_ID` tokens and the ENTRIES header echoes them."""
@@ -499,6 +557,12 @@ def write_local_frame(spec, sys, script, gmask, pair=None, sp_code=None):
             elif style == "property/local":
                 cache[cid] = _property_local_rows(script, sys, cgm, vals,
                                                   pair, sp_code)
+            elif style == "rigid/local":
+                if rigid is None:
+                    raise ValueError(
+                        "compute rigid/local requires a rigid fix")
+                cache[cid] = _rigid_local_rows(vals["values"], rigid,
+                                               sys, script)
             else:
                 raise ValueError(f"dump local needs a local compute, "
                                  f"got {style}")

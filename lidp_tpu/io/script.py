@@ -1656,6 +1656,18 @@ class LammpsScript:
             self.computes[cid] = (group, style,
                                   {"chunk": a[3], "extra": list(a[4:])})
             return
+        if style in ("ke/rigid", "erotate/rigid"):
+            # compute ID group ke/rigid fix-ID (compute_ke_rigid.cpp:60-75)
+            # / erotate/rigid (compute_erotate_rigid.cpp:111-126): body
+            # translational / rotational KE of the named rigid fix
+            self.computes[cid] = (group, style, a[3])
+            return
+        if style == "rigid/local":
+            # compute ID group rigid/local fix-ID value1 ...
+            # (compute_rigid_local.cpp:61-96): one row per rigid body
+            self.computes[cid] = (group, style,
+                                  {"fix": a[3], "values": list(a[4:])})
+            return
         if style != "temp":
             raise ValueError(f"unsupported compute style {style}")
         self.computes[cid] = (group, style)

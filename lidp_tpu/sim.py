@@ -1755,6 +1755,7 @@ class Simulation:
                                  etail=etail, ptail=ptail)
         group_tp = {}
         gg_computes = {}
+        rigid_computes = {}
         msd_computes = {}
         rdf_computes = {}
         simple_computes = {}
@@ -1768,6 +1769,14 @@ class Simulation:
         reduce_computes = {}
         tempvar_computes = {}
         for cid, spec_c in script.computes.items():
+            if len(spec_c) == 3 and spec_c[1] in ("ke/rigid",
+                                                  "erotate/rigid"):
+                # body translational/rotational KE of the rigid fix
+                # (compute_ke_rigid.cpp:60-75 / compute_erotate_rigid.cpp)
+                rigid_computes[cid] = spec_c[1]
+                continue
+            if len(spec_c) == 3 and spec_c[1] == "rigid/local":
+                continue   # evaluated at dump-local time
             if len(spec_c) == 3 and spec_c[1] == "group/group":
                 gg_computes[cid] = (
                     jnp.asarray(groups[spec_c[0]]),
@@ -1953,6 +1962,7 @@ class Simulation:
                 runner.deform_remap = cfg["remap"]
                 runner.__post_init__()
         sim_obj.gg_computes = gg_computes
+        sim_obj.rigid_computes = rigid_computes
         sim_obj.msd_computes = msd_computes
         sim_obj.rdf_computes = rdf_computes
         sim_obj.simple_computes = simple_computes
@@ -2671,6 +2681,8 @@ class Simulation:
             row["c_" + cid] = t / (dof * tp.boltz) if dof > 0 else 0.0
         for cid, (ma, mb) in getattr(self, "gg_computes", {}).items():
             row["c_" + cid] = float(self._group_group_energy(ma, mb))
+        for cid, rstyle in getattr(self, "rigid_computes", {}).items():
+            row["c_" + cid] = self._rigid_scalar(rstyle)
         for cid, (gmask, style) in getattr(self, "simple_computes",
                                            {}).items():
             from lidp_tpu.box import unwrap as _unwrap
@@ -2881,6 +2893,34 @@ class Simulation:
         g = hist / (shell * npairs_density)
         coord = np.cumsum(hist) * 2.0 / len(x)
         return np.stack([rc, g, coord], axis=1)
+
+    def _rigid_scalar(self, rstyle):
+        """compute ke/rigid (compute_ke_rigid.cpp:60-75 + FixRigid::
+        extract_ke, fix_rigid.cpp:2650-2659): 0.5*mvv2e*sum M vcm^2;
+        erotate/rigid (compute_erotate_rigid.cpp + extract_erotational,
+        fix_rigid.cpp:2665-2687): 0.5*mvv2e*sum I_k wbody_k^2 with
+        zero-inertia components dropped."""
+        from lidp_tpu.integrate.rigid import q_to_matrix
+
+        p = self.runner.integ.params
+        st = self.istate
+        tp = self.thermo_params
+        # both computes are extensive (extscalar=1): thermo normalizes
+        # them per atom when norm is on (thermo.cpp lj-units default)
+        norm = float(tp.natoms) if tp.norm else 1.0
+        if rstyle == "ke/rigid":
+            m = np.asarray(p.masstotal)
+            vcm = np.asarray(st.vcm)
+            return float(
+                0.5 * tp.mvv2e * np.sum(m * np.sum(vcm * vcm, 1))) / norm
+        R = np.asarray(q_to_matrix(st.quat))        # columns = body axes
+        L = np.asarray(st.angmom)
+        inertia = np.asarray(p.inertia)
+        mbody = np.einsum("bij,bi->bj", R, L)       # R^T L
+        wbody = np.where(inertia > 0.0,
+                         mbody / np.where(inertia > 0.0, inertia, 1.0), 0.0)
+        return float(
+            0.5 * tp.mvv2e * np.sum(inertia * wbody * wbody)) / norm
 
     def _group_group_energy(self, maska, maskb):
         """compute group/group: pairwise LJ+coul energy between two groups
@@ -3243,9 +3283,14 @@ class Simulation:
                     from lidp_tpu.io.dump import write_local_frame
 
                     ffobj = self.runner.ff
+                    rigid = None
+                    p_ = getattr(self.runner.integ, "params", None)
+                    if hasattr(p_, "nbody") and hasattr(self.istate, "xcm"):
+                        rigid = (p_, self.istate)
                     write_local_frame(d, self.sys, self.script, gmask,
                                       pair=ffobj.pair,
-                                      sp_code=ffobj.sp_code)
+                                      sp_code=ffobj.sp_code,
+                                      rigid=rigid)
                     continue
                 if d.style in ("image", "movie"):
                     from lidp_tpu.io.dump import write_image_frame

@@ -104,6 +104,42 @@ run 0
     assert ((arr[:, :3] >= 0) & (arr[:, :3] < 1)).all()
 
 
+def test_rigid_computes(molec_files):
+    """compute ke/rigid + erotate/rigid (compute_ke_rigid.cpp,
+    compute_erotate_rigid.cpp) and compute rigid/local through dump local
+    (compute_rigid_local.cpp).  For pure rigid motion the atom KE must
+    split exactly into body translational + rotational KE."""
+    tmp = molec_files
+    s = _run(tmp, """
+velocity all create 0.3 4928459 loop geom
+fix 1 all rigid/nve molecule
+compute tke all ke/rigid 1
+compute ter all erotate/rigid 1
+compute rl all rigid/local 1 id mol mass xu omegax quatw inertiax
+dump 3 all local 2 rb.dump index c_rl[2] c_rl[3] c_rl[6]
+thermo_style custom step ke c_tke c_ter
+thermo 2
+run 4
+""")
+    for row in s.thermo_rows:
+        ke = float(row["ke"])
+        tke = float(row["c_tke"])
+        ter = float(row["c_ter"])
+        assert tke > 0 and ter > 0
+        np.testing.assert_allclose(tke + ter, ke, rtol=1e-9)
+    rows = [ln.split() for ln in open(tmp / "rb.dump").read().splitlines()]
+    hdr = max(i for i, r in enumerate(rows) if r[:2] == ["ITEM:", "ENTRIES"])
+    assert rows[hdr][2:] == ["index", "c_rl[2]", "c_rl[3]", "c_rl[6]"]
+    body = np.array([[float(v) for v in r] for r in rows[hdr + 1:]])
+    # data.bonded: 8 identical molecules -> 8 equal-mass bodies
+    assert body.shape[0] == 8
+    np.testing.assert_allclose(body[:, 2], body[0, 2])
+    assert body[0, 2] > 0
+    assert set(body[:, 1].astype(int)) == set(range(1, 9))
+    # quatw column stays a valid quaternion component
+    assert (np.abs(body[:, 3]) <= 1.0 + 1e-12).all()
+
+
 def test_rigid_small_alias(molec_files):
     tmp = molec_files
     s = _run(tmp, """

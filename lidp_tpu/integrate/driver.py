@@ -35,6 +35,9 @@ class Integrator:
     params: Any
     # setup-time hook (Modify::setup): may adjust sys (e.g. rigid set_v)
     init_state: Callable = lambda sys, f, params: (sys, ())
+    # variant receiving the full ForceResult (rigid/npt needs the setup
+    # virial for its initial nh_epsilon_dot); wins over init_state when set
+    init_state_res: Optional[Callable] = None
 
 
 def nve_integrator(nve_params, compensated: bool = False) -> Integrator:
@@ -61,6 +64,21 @@ def nve_integrator(nve_params, compensated: bool = False) -> Integrator:
 def rigid_nve_integrator(rigid_params, mass_atom) -> Integrator:
     from lidp_tpu.integrate import rigid
 
+    if rigid_params.pstat:
+        # rigid/npt + rigid/nph: the barostat needs the force virial each
+        # step AND a setup-time nh_epsilon_dot kick (FixRigidNH::setup tail)
+        def _init(s, res, p):
+            s, st = rigid.init_rigid_state(s, res.f, p, mass_atom)
+            return s, rigid.init_pstat(s, res.virial, p, st)
+
+        return Integrator(
+            initial=lambda s, r, p, st: rigid.initial_integrate(
+                s, r.f, p, st),
+            final=lambda s, r, p, st: rigid.final_integrate(
+                s, r.f, p, st, res_virial=r.virial),
+            params=rigid_params,
+            init_state_res=_init,
+        )
     return Integrator(
         initial=lambda s, r, p, st: rigid.initial_integrate(s, r.f, p, st),
         final=lambda s, r, p, st: rigid.final_integrate(s, r.f, p, st),
@@ -135,7 +153,12 @@ class Runner:
     def setup(self, sys: System):
         """Initial force evaluation (Verlet::setup). Returns (sys, res, nlist, istate)."""
         sys, res, nlist = self._force(sys, self.ff, neighbor_cfg=self.neighbor_cfg)
-        sys, istate = self.integ.init_state(sys, res.f, self.integ.params)
+        if self.integ.init_state_res is not None:
+            sys, istate = self.integ.init_state_res(sys, res,
+                                                    self.integ.params)
+        else:
+            sys, istate = self.integ.init_state(sys, res.f,
+                                                self.integ.params)
         return sys, res, nlist, istate
 
     def run(self, sys, res, nlist, istate, nsteps: int):
@@ -261,15 +284,20 @@ def _run_chunk(sys, res, nlist, istate, ff, iparams, deform=None, *,
         ip = iparams
         if (getattr(ip, "p_target", None) is not None
                 and getattr(ip, "t_stop", None) is not None):
-            # FixNH compute_temp_target/compute_press_target per-step ramps
+            # FixNH compute_temp_target/compute_press_target per-step ramps.
+            # Verlet::run pre-increments ntimestep before initial_integrate
+            # (verlet.cpp:243), so the step being PRODUCED sets the ramp
+            # fraction — sys.step here is still the previous step
             from lidp_tpu.integrate.nvt import ramp_target
 
             ip = dataclasses.replace(
                 ip,
                 t_target=ramp_target(ip.t_target, ip.t_stop,
-                                     ip.ramp_begin, ip.ramp_end, sys.step),
+                                     ip.ramp_begin, ip.ramp_end,
+                                     sys.step + 1),
                 p_target=ramp_target(ip.p_target, ip.p_stop,
-                                     ip.ramp_begin, ip.ramp_end, sys.step))
+                                     ip.ramp_begin, ip.ramp_end,
+                                     sys.step + 1))
         sys, istate = initial(sys, res, ip, istate)
         if tmd_hook is not None:
             sys = tmd_hook(x_prev, image_prev, sys, res)

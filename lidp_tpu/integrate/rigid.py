@@ -262,8 +262,25 @@ class RigidParams:
     t_start: jax.Array = None
     t_stop: jax.Array = None
     t_freq: jax.Array = None      # 1/Tdamp
+    # current ramped target (driver substitutes via ramp_target each step,
+    # FixRigidNH::compute_temp_target fix_rigid_nh.cpp:1107-1115)
+    t_target: jax.Array = None
+    # barostat (fix rigid/npt + rigid/nph, FixRigidNH pstat_flag path)
+    p_target: jax.Array = None    # (3,) current per-dim target
+    p_stop: jax.Array = None      # (3,)
+    p_freq: jax.Array = None      # (3,) 1/Pdamp
+    p_freq_max: jax.Array = None
+    ramp_begin: jax.Array = None
+    ramp_end: jax.Array = None
     nbody: int = dataclasses.field(metadata=dict(static=True), default=0)
     tstat: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    pstat: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    p_chain: int = dataclasses.field(metadata=dict(static=True), default=10)
+    p_flag: tuple = dataclasses.field(metadata=dict(static=True),
+                                      default=(False, False, False))
+    iso: bool = dataclasses.field(metadata=dict(static=True), default=True)
+    nktv2p: float = dataclasses.field(metadata=dict(static=True), default=1.0)
+    dim: int = dataclasses.field(metadata=dict(static=True), default=3)
     t_chain: int = dataclasses.field(metadata=dict(static=True), default=10)
     t_iter: int = dataclasses.field(metadata=dict(static=True), default=1)
     t_order: int = dataclasses.field(metadata=dict(static=True), default=3)
@@ -286,19 +303,29 @@ class RigidState:
     virial: jax.Array   # (6,) constraint virial of the current step
     eta_dot_t: jax.Array  # (chain,) thermostat velocities (translational)
     eta_dot_r: jax.Array  # (chain,) rotational
+    # barostat state (rigid/npt + rigid/nph); None when pstat is off
+    epsilon_dot: jax.Array = None  # (3,)
+    eta_dot_b: jax.Array = None    # (p_chain,) barostat thermostat chain
+    mtk_term2: jax.Array = None    # scalar, carried into the next initial
 
 
 def make_rigid_params(setup: RigidSetup, dt: float, ftm2v: float,
                       mass_atom=None, dtype=jnp.float64, *,
                       tstat=False, t_start=0.0, t_stop=0.0, t_period=1.0,
                       t_chain=10, t_iter=1, t_order=3,
-                      boltz=1.0, mvv2e=1.0) -> RigidParams:
+                      boltz=1.0, mvv2e=1.0,
+                      pstat=False, p_start=(0.0, 0.0, 0.0),
+                      p_stop=(0.0, 0.0, 0.0), p_period=(1.0, 1.0, 1.0),
+                      p_flag=(False, False, False), p_chain=10,
+                      iso=True, nktv2p=1.0, dim=3) -> RigidParams:
     body = np.where(setup.body_of_atom < 0, setup.nbody, setup.body_of_atom)
     if mass_atom is None:
         mass_atom = np.zeros(setup.body_of_atom.shape[0])
     # nf_t/nf_r per FixRigidNH::init (:225-237)
     nf_t = 3.0 * setup.nbody
     nf_r = 3.0 * setup.nbody - float(np.sum(np.abs(setup.inertia) < EPSILON))
+    p_freq = np.where(np.asarray(p_period) > 0.0,
+                      1.0 / np.maximum(np.asarray(p_period), 1e-300), 0.0)
     return RigidParams(
         dtv=jnp.asarray(dt, dtype),
         dtf=jnp.asarray(0.5 * dt * ftm2v, dtype),
@@ -313,7 +340,16 @@ def make_rigid_params(setup: RigidSetup, dt: float, ftm2v: float,
         t_start=jnp.asarray(t_start, dtype),
         t_stop=jnp.asarray(t_stop, dtype),
         t_freq=jnp.asarray(1.0 / t_period if t_period else 0.0, dtype),
-        nbody=setup.nbody, tstat=tstat,
+        t_target=jnp.asarray(t_start, dtype),
+        p_target=jnp.asarray(p_start, dtype),
+        p_stop=jnp.asarray(p_stop, dtype),
+        p_freq=jnp.asarray(p_freq, dtype),
+        p_freq_max=jnp.asarray(float(np.max(p_freq)), dtype),
+        ramp_begin=jnp.zeros((), jnp.int32),
+        ramp_end=jnp.zeros((), jnp.int32),
+        nbody=setup.nbody, tstat=tstat, pstat=pstat,
+        p_chain=p_chain, p_flag=tuple(bool(b) for b in p_flag), iso=iso,
+        nktv2p=nktv2p, dim=dim,
         t_chain=t_chain, t_iter=t_iter, t_order=t_order,
         nf_t=nf_t, nf_r=nf_r, boltz=boltz, mvv2e=mvv2e,
     )
@@ -338,7 +374,7 @@ def _maclaurin(x):
 def _nhc_integrate(eta_dot, akin, nf, p: RigidParams):
     """One nhc_temp_integrate chain update (fix_rigid_nh.cpp:829-917) for one
     sub-thermostat (translational or rotational). Returns new eta_dot."""
-    kt = p.boltz * p.t_start       # constant target (ramp not yet supported)
+    kt = p.boltz * p.t_target      # per-run ramped target (driver substitutes)
     gfkt = nf * kt
     t_mass = kt / (p.t_freq * p.t_freq)
     q = [nf * t_mass] + [t_mass] * (p.t_chain - 1)
@@ -375,6 +411,123 @@ def _nhc_integrate(eta_dot, akin, nf, p: RigidParams):
     return jnp.stack(eta)
 
 
+# --------------------------- barostat (npt/nph) ----------------------------
+
+def _press_current(sys, virial, p: RigidParams):
+    """Coupled current pressure (FixRigidNH couple, fix_rigid_nh.cpp:1019):
+    per-dim (sum m v_d^2 * mvv2e + virial_d)/V * nktv2p over the fix-group
+    atoms' velocities + the FULL system virial (pair/bonded/kspace res.virial
+    plus the rigid set_xv/set_v constraint tallies).  ISO averages dims."""
+    m = jnp.where(p.in_body, p.mass_atom, 0.0)
+    ke3 = p.mvv2e * jnp.sum(m[:, None] * sys.v * sys.v, axis=0)
+    vol = jnp.prod(sys.box.lengths[:p.dim])
+    ptens = (ke3 + virial[:3]) / vol * p.nktv2p
+    if p.iso:
+        ptens = jnp.full((3,), jnp.mean(ptens))
+    return ptens
+
+
+def _p_hydro(p: RigidParams):
+    """compute_press_target (:1121-1133): hydrostatic target over coupled
+    dims; the per-run p_target ramp itself is substituted by the driver."""
+    flags = jnp.asarray(p.p_flag)
+    pdim = sum(p.p_flag)
+    return jnp.sum(jnp.where(flags, p.p_target, 0.0)) / max(pdim, 1)
+
+
+def _nhc_press_rigid(eta_dot_b, epsilon_dot, p: RigidParams):
+    """nhc_press_integrate (fix_rigid_nh.cpp:891-965): barostat thermostat
+    chain.  NOTE the reference uses exp(-0.5*tmp) here where the temperature
+    chain uses exp(-tmp) — preserved bug-for-bug."""
+    kt = p.boltz * p.t_target
+    pdim = max(sum(p.p_flag), 1)
+    tb_mass = kt / (p.p_freq_max * p.p_freq_max)
+    q = [p.dim * p.dim * tb_mass] + [tb_mass] * (p.p_chain - 1)
+    flags = jnp.asarray(p.p_flag)
+    eps_mass = (p.nf_t + p.nf_r + p.dim) * kt / jnp.where(
+        p.p_freq > 0.0, p.p_freq * p.p_freq, 1.0)
+    kecurrent = jnp.sum(jnp.where(
+        flags, eps_mass * epsilon_dot * epsilon_dot, 0.0)) / pdim
+
+    eta = [eta_dot_b[i] for i in range(p.p_chain)]
+    f = [jnp.zeros((), eta_dot_b.dtype) for _ in range(p.p_chain)]
+    f[0] = (kecurrent - kt) / q[0]
+    for k in range(1, p.p_chain):
+        f[k] = (q[k - 1] * eta[k - 1] * eta[k - 1] - kt) / q[k]
+
+    w = _yoshida_w(p.t_order)
+    C = p.p_chain
+    for _ in range(p.t_iter):
+        for j in range(p.t_order):
+            wdti1 = w[j] * p.dtv / p.t_iter
+            wdti2 = wdti1 / 2.0
+            wdti4 = wdti1 / 4.0
+            eta[C - 1] = eta[C - 1] + wdti2 * f[C - 1]
+            for k in range(1, C):
+                tmp = wdti4 * eta[C - k]
+                s = jnp.exp(-0.5 * tmp)
+                eta[C - k - 1] = eta[C - k - 1] * s * s + \
+                    wdti2 * f[C - k - 1] * s * _maclaurin(tmp)
+            for k in range(1, C):
+                f[k] = (q[k - 1] * eta[k - 1] * eta[k - 1] - kt) / q[k]
+            for k in range(0, C - 1):
+                tmp = wdti4 * eta[k + 1]
+                s = jnp.exp(-0.5 * tmp)
+                eta[k] = eta[k] * s * s + wdti2 * f[k] * s * _maclaurin(tmp)
+                f[k + 1] = (q[k] * eta[k] * eta[k] - kt) / q[k + 1]
+            eta[C - 1] = eta[C - 1] + wdti2 * f[C - 1]
+    return jnp.stack(eta)
+
+
+def _nh_epsilon_dot(sys, akin_t, akin_r, p_current, st, p: RigidParams):
+    """nh_epsilon_dot (fix_rigid_nh.cpp:1139-1165): advance the barostat
+    strain rate with the MTK correction and the chain damping scale."""
+    g_f = p.nf_t + p.nf_r
+    vol = jnp.prod(sys.box.lengths[:p.dim])
+    mtk_term1 = (akin_t + akin_r) * p.mvv2e / g_f
+    scale = jnp.exp(-p.dtq * st.eta_dot_b[0])
+    kt = p.boltz * p.t_target
+    flags = jnp.asarray(p.p_flag)
+    eps_mass = (g_f + p.dim) * kt / jnp.where(
+        p.p_freq > 0.0, p.p_freq * p.p_freq, 1.0)
+    f_eps = ((p_current - _p_hydro(p)) * vol / p.nktv2p
+             + mtk_term1) / eps_mass
+    eps_dot = jnp.where(flags,
+                        (st.epsilon_dot + p.dtq * f_eps) * scale,
+                        st.epsilon_dot)
+    mtk_term2 = jnp.sum(jnp.where(flags, eps_dot, 0.0)) / g_f
+    return dataclasses.replace(st, epsilon_dot=eps_dot, mtk_term2=mtk_term2)
+
+
+def _remap_half(sys, st, p: RigidParams, xcm):
+    """remap() (fix_rigid_nh.cpp:1049-1103): half-step box dilation about the
+    box center; all atoms AND body centers of mass ride in lamda coords
+    (allremap default + FixRigid::deform's xcm remap)."""
+    flags = jnp.asarray(p.p_flag)
+    expfac = jnp.where(flags, jnp.exp(p.dtq * st.epsilon_dot), 1.0)
+    lo, hi = sys.box.lo, sys.box.hi
+    ctr = 0.5 * (lo + hi)
+    lo2 = (lo - ctr) * expfac + ctr
+    hi2 = (hi - ctr) * expfac + ctr
+    x2 = (sys.x - ctr) * expfac + ctr
+    xcm2 = (xcm - ctr) * expfac + ctr
+    box2 = dataclasses.replace(sys.box, lo=lo2.astype(lo.dtype),
+                               hi=hi2.astype(hi.dtype))
+    return sys.replace(x=x2.astype(sys.x.dtype), box=box2), xcm2
+
+
+def init_pstat(sys: System, virial, p: RigidParams, st: RigidState):
+    """FixRigidNH::setup tail (:420-422): initial compute_press_target +
+    nh_epsilon_dot so step 1 sees a non-zero strain rate.  Called by the
+    runner right after init_rigid_state (needs the setup force virial)."""
+    akin_t = jnp.sum(p.masstotal * jnp.sum(st.vcm * st.vcm, axis=1))
+    R = q_to_matrix(st.quat)
+    w = _omega_from_R(st.angmom, R, p.inertia)
+    akin_r = jnp.sum(jnp.sum(st.angmom * w, axis=1))
+    p_cur = _press_current(sys, virial + st.virial, p)
+    return _nh_epsilon_dot(sys, akin_t, akin_r, p_cur, st, p)
+
+
 def init_rigid_state(sys: System, f, p: RigidParams, mass_atom):
     """FixRigid::setup (:782) + FixRigidNH::setup (:323): vcm/angmom from atom
     velocities, fcm/torque from forces, conjqm = 2 q (x) (0, R^T L), then
@@ -407,6 +560,9 @@ def init_rigid_state(sys: System, f, p: RigidParams, mass_atom):
         fcm=fcm, torque=torque, virial=vir,
         eta_dot_t=jnp.zeros((p.t_chain,), dtype),
         eta_dot_r=jnp.zeros((p.t_chain,), dtype),
+        epsilon_dot=jnp.zeros((3,), dtype) if p.pstat else None,
+        eta_dot_b=jnp.zeros((p.p_chain,), dtype) if p.pstat else None,
+        mtk_term2=jnp.zeros((), dtype) if p.pstat else None,
     )
     return sys, st
 
@@ -436,24 +592,35 @@ def _force_torque(x, f, xcm, p: RigidParams):
 def initial_integrate(sys: System, f, p: RigidParams, st: RigidState):
     """FixRigidNH::initial_integrate (:430-589)."""
     dtf2 = p.dtf * 2.0
+    one = jnp.ones((), sys.x.dtype)
+    scale_t3 = jnp.ones((3,), sys.x.dtype)
+    scale_r = one
     if p.tstat:
-        scale_t = jnp.exp(-p.dtq * st.eta_dot_t[0])
-        scale_r = jnp.exp(-p.dtq * st.eta_dot_r[0])
-    else:
-        scale_t = scale_r = None
+        scale_t3 = scale_t3 * jnp.exp(-p.dtq * st.eta_dot_t[0])
+        scale_r = scale_r * jnp.exp(-p.dtq * st.eta_dot_r[0])
+    if p.pstat:
+        pdim = sum(p.p_flag)
+        scale_t3 = scale_t3 * jnp.exp(
+            -p.dtq * (st.epsilon_dot + st.mtk_term2))
+        scale_r = scale_r * jnp.exp(-p.dtq * (pdim * st.mtk_term2))
+        tmp = p.dtq * st.epsilon_dot
+        scale_v3 = p.dtv * jnp.exp(tmp) * _maclaurin(tmp)
 
     dtfm = (p.dtf / p.masstotal)[:, None]
     vcm = st.vcm + dtfm * st.fcm
-    if p.tstat:
-        vcm = vcm * scale_t
+    if p.tstat or p.pstat:
+        vcm = vcm * scale_t3[None, :]
         akin_t = jnp.sum(p.masstotal * jnp.sum(vcm * vcm, axis=1))
-    xcm = st.xcm + p.dtv * vcm
+    if p.pstat:
+        xcm = st.xcm + scale_v3[None, :] * vcm
+    else:
+        xcm = st.xcm + p.dtv * vcm
 
     R = q_to_matrix(st.quat)
     tbody = jnp.einsum("bij,bi->bj", R, st.torque)
     fquat = quatvec(st.quat, tbody)
     conjqm = st.conjqm + dtf2 * fquat
-    if p.tstat:
+    if p.tstat or p.pstat:
         conjqm = conjqm * scale_r
 
     q = st.quat
@@ -475,6 +642,13 @@ def initial_integrate(sys: System, f, p: RigidParams, st: RigidState):
         akin_r = jnp.sum(jnp.sum(angmom * w, axis=1))
         eta_dot_t = _nhc_integrate(eta_dot_t, akin_t, p.nf_t, p)
         eta_dot_r = _nhc_integrate(eta_dot_r, akin_r, p.nf_r, p)
+    st2 = dataclasses.replace(st, eta_dot_t=eta_dot_t, eta_dot_r=eta_dot_r)
+    if p.pstat:
+        # update_nhcb (nhc_press_integrate :891) then half-step box remap
+        st2 = dataclasses.replace(
+            st2, eta_dot_b=_nhc_press_rigid(st2.eta_dot_b,
+                                            st2.epsilon_dot, p))
+        sys, xcm = _remap_half(sys, st2, p, xcm)
 
     # set_xv (:1289): x = R d + xcm (unwrapped), v = vcm + omega x (R d)
     bidx = jnp.clip(p.body, 0, p.nbody - 1)
@@ -488,33 +662,52 @@ def initial_integrate(sys: System, f, p: RigidParams, st: RigidState):
         x=jnp.where(inb, x_new, sys.x),
         v=jnp.where(inb, v_new, sys.v),
     )
-    return sys, RigidState(
-        xcm=xcm, vcm=vcm, angmom=angmom, quat=quat, conjqm=conjqm,
-        fcm=st.fcm, torque=st.torque, virial=vir,
-        eta_dot_t=eta_dot_t, eta_dot_r=eta_dot_r)
+    if p.pstat:
+        # second half remap AFTER set_xv (atoms ride along, :582-586);
+        # kspace coefficients recompute in-jit from sys.box (the
+        # force->kspace->setup() analog is ForceField.kspace_dynamic)
+        sys, xcm = _remap_half(sys, st2, p, xcm)
+    return sys, dataclasses.replace(
+        st2, xcm=xcm, vcm=vcm, angmom=angmom, quat=quat, conjqm=conjqm,
+        virial=vir)
 
 
-def final_integrate(sys: System, f, p: RigidParams, st: RigidState):
-    """FixRigidNH::final_integrate (:592-790)."""
+def final_integrate(sys: System, f, p: RigidParams, st: RigidState,
+                    res_virial=None):
+    """FixRigidNH::final_integrate (:592-790).  res_virial: the step's force
+    virial (pair/bonded/kspace), consumed by the barostat pressure."""
     dtf2 = p.dtf * 2.0
+    scale_t3 = jnp.ones((3,), sys.x.dtype)
+    scale_r = jnp.ones((), sys.x.dtype)
+    if p.tstat:
+        scale_t3 = scale_t3 * jnp.exp(-p.dtq * st.eta_dot_t[0])
+        scale_r = scale_r * jnp.exp(-p.dtq * st.eta_dot_r[0])
+    if p.pstat:
+        pdim = sum(p.p_flag)
+        scale_t3 = scale_t3 * jnp.exp(
+            -p.dtq * (st.epsilon_dot + st.mtk_term2))
+        scale_r = scale_r * jnp.exp(-p.dtq * (pdim * st.mtk_term2))
+
     fcm, torque = _force_torque(sys.x, f, st.xcm, p)
     dtfm = (p.dtf / p.masstotal)[:, None]
     vcm = st.vcm
-    if p.tstat:
-        vcm = vcm * jnp.exp(-p.dtq * st.eta_dot_t[0])
+    if p.tstat or p.pstat:
+        vcm = vcm * scale_t3[None, :]
     vcm = vcm + dtfm * fcm
+    akin_t = jnp.sum(p.masstotal * jnp.sum(vcm * vcm, axis=1))
 
     R = q_to_matrix(st.quat)
     tbody = jnp.einsum("bij,bi->bj", R, torque)
     fquat = quatvec(st.quat, tbody)
-    if p.tstat:
-        conjqm = jnp.exp(-p.dtq * st.eta_dot_r[0]) * st.conjqm + dtf2 * fquat
+    if p.tstat or p.pstat:
+        conjqm = scale_r * st.conjqm + dtf2 * fquat
     else:
         conjqm = st.conjqm + dtf2 * fquat
 
     mbody = invquatvec(st.quat, conjqm)
     angmom = 0.5 * jnp.einsum("bij,bj->bi", R, mbody)
     w = _omega_from_R(angmom, R, p.inertia)
+    akin_r = jnp.sum(jnp.sum(angmom * w, axis=1))
 
     # set_v (:1465)
     bidx = jnp.clip(p.body, 0, p.nbody - 1)
@@ -523,7 +716,13 @@ def final_integrate(sys: System, f, p: RigidParams, st: RigidState):
     inb = p.in_body[:, None]
     vir = st.virial + _constraint_virial(sys.x, sys.v, v_new, f, p)
     sys = sys.replace(v=jnp.where(inb, v_new, sys.v))
-    return sys, RigidState(
-        xcm=st.xcm, vcm=vcm, angmom=angmom, quat=st.quat, conjqm=conjqm,
-        fcm=fcm, torque=torque, virial=vir,
-        eta_dot_t=st.eta_dot_t, eta_dot_r=st.eta_dot_r)
+    st2 = dataclasses.replace(
+        st, vcm=vcm, angmom=angmom, conjqm=conjqm,
+        fcm=fcm, torque=torque, virial=vir)
+    if p.pstat:
+        # current pressure -> nh_epsilon_dot (:775-790); the press target
+        # ramp was already substituted into p.p_target by the driver
+        total_vir = vir if res_virial is None else res_virial + vir
+        p_cur = _press_current(sys, total_vir, p)
+        st2 = _nh_epsilon_dot(sys, akin_t, akin_r, p_cur, st2, p)
+    return sys, st2

@@ -931,17 +931,22 @@ class LammpsScript:
         "gauss", "soft", "born", "born/coul/long", "born/coul/dsf",
         "born/coul/wolf", "born/coul/msm", "buck/coul/msm",
         "lj/expand", "mie/cut", "lj/gromacs",
-        "lj96/cut", "lj/smooth", "lj/smooth/linear", "beck", "ufm",
+        "lj96/cut", "lj/smooth", "lj/smooth/linear", "lj/sf", "beck", "ufm",
         "lj/cubic", "zbl", "zero", "dpd", "dpd/tstat",
         "coul/cut", "coul/long", "coul/debye", "coul/msm",
         "coul/dsf", "coul/wolf", "table", "eam", "eam/alloy", "eam/fs",
     ))
+
+    # registration aliases: PairStyle(name,Class) headers binding a second
+    # name to an existing class (pair_lj_smooth_linear.h:17 lj/sf)
+    PAIR_STYLE_ALIASES = {"lj/sf": "lj/smooth/linear"}
 
     def cmd_pair_style(self, a):
         # mid-script style changes (micelle's soft -> lj/cut) rebuild the
         # simulation from the evolved state
         self._invalidate()
         self.pair_coeffs = {}
+        a = [self.PAIR_STYLE_ALIASES.get(a[0], a[0])] + list(a[1:])
         p = PairStyleSpec(name=a[0])
         if a[0] in ("hybrid", "hybrid/overlay"):
             # pair_style hybrid[/overlay] s1 args1 s2 args2 ...
@@ -950,7 +955,7 @@ class LammpsScript:
             subs = []
             i = 1
             while i < len(a):
-                name = a[i]
+                name = self.PAIR_STYLE_ALIASES.get(a[i], a[i])
                 if name not in self.KNOWN_PAIR_STYLES:
                     raise ValueError(
                         f"unsupported hybrid sub-style {name}")
@@ -1932,7 +1937,9 @@ class LammpsScript:
                          "nve/noforce", "spring", "spring/rg", "drag",
                          "move", "heat", "temp/csvr", "temp/csld",
                          "rigid/small", "rigid/nve/small",
-                         "rigid/nvt/small", "store/state", "ave/atom",
+                         "rigid/nvt/small", "rigid/npt", "rigid/nph",
+                         "rigid/npt/small", "rigid/nph/small",
+                         "store/state", "ave/atom",
                          "ave/histo", "ave/correlate", "vector",
                          "press/berendsen", "nvt/sllod", "dt/reset",
                          "restrain", "spring/chunk", "store/force",

@@ -1348,7 +1348,9 @@ class Simulation:
         # FixDeform::end_of_step moves the box
         has_baro = any(f_.style in ("npt", "nph", "npt/sphere",
                                     "nph/sphere", "press/berendsen",
-                                    "box/relax", "deform")
+                                    "box/relax", "deform",
+                                    "rigid/npt", "rigid/nph",
+                                    "rigid/npt/small", "rigid/nph/small")
                        for f_ in script.fixes.values())
         has_vdep_pf = any(f_.style in ("shake", "rattle", "langevin",
                                        "viscous")

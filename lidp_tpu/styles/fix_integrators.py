@@ -192,7 +192,9 @@ def build_npt(ctx, spec):
 
 
 @fix_style("rigid", "rigid/nve", "rigid/nvt", "rigid/small",
-           "rigid/nve/small", "rigid/nvt/small", integrator=True)
+           "rigid/nve/small", "rigid/nvt/small",
+           "rigid/npt", "rigid/nph", "rigid/npt/small", "rigid/nph/small",
+           integrator=True)
 def build_rigid(ctx, spec):
     # the /small variants (fix_rigid_small.cpp) exist in the reference
     # for many-small-bodies scaling; our segment_sum-batched formulation
@@ -207,13 +209,21 @@ def build_rigid(ctx, spec):
     rsetup = rigid_mod.setup_bodies(x_unwrap, ctx.mass_atom,
                                     ctx.padA(script.mol, 0), gmask)
     kw = {}
-    if spec.style == "rigid/nvt":
+    if spec.style in ("rigid/nvt", "rigid/npt", "rigid/nph"):
+        # keyword grammar of FixRigid (fix_rigid.cpp:418-530): temp /
+        # iso / aniso / x|y|z / couple / tparam / pchain
         a = spec.args
         assert a[0] == "molecule"
-        kw = dict(tstat=True, boltz=u.boltz, mvv2e=u.mvv2e)
+        kw = dict(boltz=u.boltz, mvv2e=u.mvv2e)
+        p_start = [0.0, 0.0, 0.0]
+        p_stop = [0.0, 0.0, 0.0]
+        p_period = [1.0, 1.0, 1.0]
+        p_flag = [False, False, False]
+        pcouple_xyz = False
         i = 1
         while i < len(a):
             if a[i] == "temp":
+                kw["tstat"] = True
                 kw["t_start"] = float(a[i + 1])
                 kw["t_stop"] = float(a[i + 2])
                 kw["t_period"] = float(a[i + 3])
@@ -223,8 +233,75 @@ def build_rigid(ctx, spec):
                 kw["t_iter"] = int(a[i + 2])
                 kw["t_order"] = int(a[i + 3])
                 i += 4
+            elif a[i] in ("iso", "aniso"):
+                p_start = [float(a[i + 1])] * 3
+                p_stop = [float(a[i + 2])] * 3
+                p_period = [float(a[i + 3])] * 3
+                p_flag = [True, True, True]
+                pcouple_xyz = a[i] == "iso"
+                i += 4
+            elif a[i] in ("x", "y", "z"):
+                d = "xyz".index(a[i])
+                p_start[d] = float(a[i + 1])
+                p_stop[d] = float(a[i + 2])
+                p_period[d] = float(a[i + 3])
+                p_flag[d] = True
+                i += 4
+            elif a[i] == "couple":
+                pcouple_xyz = a[i + 1] == "xyz"
+                i += 2
+            elif a[i] == "pchain":
+                kw["p_chain"] = int(a[i + 1])
+                i += 2
             else:
                 i += 1
+        if spec.style in ("rigid/nvt", "rigid/npt") and not kw.get("tstat"):
+            raise ValueError(f"fix {spec.style} requires the temp keyword "
+                             "(fix_rigid_nvt.cpp:38/fix_rigid_npt.cpp:38)")
+        if spec.style in ("rigid/npt", "rigid/nph"):
+            if not any(p_flag):
+                raise ValueError(f"fix {spec.style} needs a pressure "
+                                 "keyword (fix_rigid_npt.cpp:47)")
+            if spec.style == "rigid/nph" or "t_start" not in kw:
+                # FixRigidNH::setup t0 fallback (:348-356): barostat masses
+                # use the group temperature AFTER the setup set_v projection
+                # onto rigid motion, i.e. body KE = sum M vcm^2 + L.omega
+                import numpy as np
+                v0 = np.asarray(script.v)
+                x0 = np.asarray(script.x)
+                m0 = np.asarray(ctx.mass_atom[:v0.shape[0]])
+                akin = 0.0
+                from lidp_tpu.integrate.rigid import q_to_matrix
+                for b in range(rsetup.nbody):
+                    idx = np.nonzero(
+                        rsetup.body_of_atom[:v0.shape[0]] == b)[0]
+                    M = rsetup.masstotal[b]
+                    vcm0 = (m0[idx, None] * v0[idx]).sum(0) / M
+                    akin += M * np.dot(vcm0, vcm0)
+                    xc = (m0[idx, None] * x0[idx]).sum(0) / M
+                    L0 = (m0[idx, None]
+                          * np.cross(x0[idx] - xc, v0[idx])).sum(0)
+                    R0 = np.asarray(q_to_matrix(
+                        jnp.asarray(rsetup.quat0[b])))
+                    mb = R0.T @ L0
+                    I0 = rsetup.inertia[b]
+                    akin += np.dot(mb, np.where(I0 > 0.0,
+                                                mb / np.where(I0 > 0.0,
+                                                              I0, 1.0),
+                                                0.0))
+                g0 = np.asarray(gmask)[:v0.shape[0]]
+                dof0 = max(3.0 * int(g0.sum()) - 3.0 - rsetup.dof_removed,
+                           1.0)
+                t0 = float(akin) * u.mvv2e / (dof0 * u.boltz)
+                if t0 <= 0.0:
+                    t0 = 1.0 if u.name == "lj" else 300.0
+                kw.setdefault("t_start", t0)
+                kw.setdefault("t_stop", t0)
+                kw.setdefault("t_period", 1.0)
+            kw.update(pstat=True, p_start=tuple(p_start),
+                      p_stop=tuple(p_stop), p_period=tuple(p_period),
+                      p_flag=tuple(p_flag),
+                      iso=pcouple_xyz, nktv2p=u.nktv2p)
     rp = rigid_mod.make_rigid_params(rsetup, script.dt, u.ftm2v,
                                      mass_atom=ctx.mass_atom,
                                      dtype=dtype, **kw)

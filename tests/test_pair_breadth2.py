@@ -530,3 +530,18 @@ run 5
         assert r["elong"] == pytest.approx(el, rel=2e-5), step
         assert r["pe"] == pytest.approx(pe, rel=2e-6), step
         assert r["press"] == pytest.approx(pr, rel=2e-4), step
+
+
+def test_lj_sf_alias(tmp_path):
+    """pair_style lj/sf is a registration alias for PairLJSmoothLinear
+    (pair_lj_smooth_linear.h:17 `PairStyle(lj/sf,...)`): identical rows."""
+    write_data(str(tmp_path / "data.breadth"))
+    text = make_input("ljsmoothlin").replace(
+        "read_data data.breadth", f"read_data {tmp_path}/data.breadth")
+    rows_canon = _run_case(text, tmp_path)
+    rows_alias = _run_case(
+        text.replace("pair_style lj/smooth/linear", "pair_style lj/sf"),
+        tmp_path)
+    for a, b in zip(rows_canon, rows_alias):
+        for k in ("temp", "pe", "evdwl", "press"):
+            assert float(a[k]) == float(b[k])

@@ -34,6 +34,90 @@ class GranState:
     last_build: Any   # () int32
     virial: Any       # (6,)
     eta_dot: Any      # (tchain,) NH chain (fix nvt/sphere); zeros if NVE
+    shear_w: Any = None   # (T,N,3) fix wall/gran[/region] contact history
+
+
+@dataclasses.dataclass(frozen=True)
+class WallGranFix:
+    """One fix wall/gran / wall/gran/region (fix_wall_gran.cpp grammar:
+    pairstyle kn kt gamman gammat xmu dampflag wallstyle args
+    [wiggle dim amp period | shear dim vshear]).  Host-static descriptor;
+    contacts() yields (d (N,3), rwall (N,)|None, active (N,)) sources —
+    one per wall face — evaluated inside the jitted step."""
+
+    kind: str                 # hooke | hooke/history | hertz/history
+    kn: float
+    kt: float
+    gamman: float
+    gammat: float
+    xmu: float
+    gmask: Any                # (N,) bool
+    wallstyle: str            # xplane|yplane|zplane|zcylinder|region
+    lo: float = -1.0e30       # NULL -> +-inf (the reference's BIG)
+    hi: float = 1.0e30
+    cylradius: float = 0.0
+    wiggle: bool = False
+    wshear: bool = False
+    axis: int = 0
+    amplitude: float = 0.0
+    omega_w: float = 0.0      # 2*pi/period
+    vshear: float = 0.0
+    time_origin: int = 0
+    region_contacts: Any = None   # callable x -> [(rdist, dl, ok, rwall)]
+
+    def n_contacts(self):
+        if self.wallstyle == "region":
+            import numpy as _np
+
+            return len(self.region_contacts(_np.zeros((1, 3))))
+        return 1
+
+    def contact_sources(self, x, radius, step, dt):
+        """Returns (vwall (3,) or (N,3), [(d, rwall, active), ...])."""
+        wlo, whi = self.lo, self.hi
+        vwall = jnp.zeros(3, x.dtype)
+        if self.wiggle:
+            arg = self.omega_w * (step - self.time_origin) * dt
+            daxis = "xyz".find(self.wallstyle[0])
+            if self.wallstyle != "zcylinder" and self.axis == daxis:
+                off = self.amplitude - self.amplitude * jnp.cos(arg)
+                wlo = self.lo + off
+                whi = self.hi + off
+            vwall = vwall.at[self.axis].set(
+                self.amplitude * self.omega_w * jnp.sin(arg))
+        elif self.wshear:
+            vwall = vwall.at[self.axis].set(self.vshear)
+
+        if self.wallstyle in ("xplane", "yplane", "zplane"):
+            dim = "xyz".index(self.wallstyle[0])
+            del1 = x[:, dim] - wlo
+            del2 = whi - x[:, dim]
+            dx = jnp.where(del1 < del2, del1, -del2)
+            d = jnp.zeros_like(x).at[:, dim].set(dx)
+            return vwall, [(d, None, jnp.ones(x.shape[0], bool))]
+        if self.wallstyle == "zcylinder":
+            delxy = jnp.sqrt(x[:, 0] ** 2 + x[:, 1] ** 2)
+            delxy_s = jnp.where(delxy > 0.0, delxy, 1.0)
+            delr = self.cylradius - delxy
+            inside = delr <= radius    # candidate contact (:392-404)
+            scale = jnp.where(inside, -delr / delxy_s, 0.0)
+            d = jnp.stack([scale * x[:, 0], scale * x[:, 1],
+                           jnp.where(inside, 0.0, self.cylradius)],
+                          axis=-1)
+            rwall = jnp.where(delxy < self.cylradius,
+                              -2.0 * self.cylradius,
+                              2.0 * self.cylradius)
+            if self.wshear and self.axis != 2:
+                vwall = (jnp.zeros_like(x)
+                         .at[:, 0].set(self.vshear * x[:, 1] / delxy_s)
+                         .at[:, 1].set(-self.vshear * x[:, 0] / delxy_s))
+            return vwall, [(d, rwall, jnp.ones(x.shape[0], bool))]
+        # region: generators give (rdist from face, del wall->atom, ok,
+        # rwall); the fix only sees contacts within the atom radius
+        out = []
+        for rdist, dl, ok, rw in self.region_contacts(x):
+            out.append((dl, rw, ok & (rdist > 0.0)))
+        return vwall, out
 
 
 @dataclasses.dataclass
@@ -53,6 +137,8 @@ class GranRunner:
     # dof from compute temp/sphere (6/finite-radius atom in 3d); the NH
     # scale applies to BOTH v and omega (FixNHSphere::nh_v_temp)
     nvt: Optional[Any] = None
+    # fix wall/gran + wall/gran/region descriptors (WallGranFix)
+    walls: tuple = ()
 
     def __post_init__(self):
         self._scan = jax.jit(self._chunk, static_argnames=("nsteps",))
@@ -78,11 +164,33 @@ class GranRunner:
             st.shear, shear_update=shear_update, need_ev=need_ev)
         # fix gravity (post_force): f += m * acc on all atoms
         f = f + self.gp.rmass[:, None] * jnp.asarray(self.grav, f.dtype)
+        # fix wall/gran[/region] (post_force): per-atom wall contacts with
+        # persistent per-contact shear history in st.shear_w
+        shear_w = st.shear_w
+        if self.walls:
+            slot = 0
+            sw_new = []
+            for wf in self.walls:
+                vwall, sources = wf.contact_sources(
+                    sys.x, self.gp.radius, sys.step, self.dt)
+                for d, rwall, ok in sources:
+                    act = ok & sys.mask & wf.gmask
+                    fw, tw, s_out = gran.wall_contact_force(
+                        d, sys.v, st.omega, self.gp.radius, self.gp.rmass,
+                        shear_w[slot], vwall, act,
+                        wf.kn, wf.kt, wf.gamman, wf.gammat, wf.xmu,
+                        self.dt, wf.kind, rwall=rwall,
+                        shear_update=shear_update)
+                    f = f + fw
+                    tq = tq + tw
+                    sw_new.append(s_out)
+                    slot += 1
+            shear_w = jnp.stack(sw_new)
         # fix freeze: zero force/torque on the frozen group
         fr = self.gp.frozen[:, None]
         f = jnp.where(fr, 0.0, f)
         tq = jnp.where(fr, 0.0, tq)
-        return f, tq, shear, vir
+        return f, tq, shear, shear_w, vir
 
     # ---- public ----
     def _setup_impl(self, sys, omega0):
@@ -93,17 +201,21 @@ class GranRunner:
         nlist = build_cells(sys.x, sys.mask, sys.box, self.neighbor_cfg)
         shear0 = jnp.zeros(gran.shear_shape(nlist), sys.x.dtype)
         nchain = self.nvt.t_chain if self.nvt is not None else 1
+        nwall = sum(wf.n_contacts() for wf in self.walls)
         st = GranState(omega=omega0, shear=shear0,
                        torque=jnp.zeros_like(sys.v), x_ref=sys.x,
                        last_build=sys.step.astype(jnp.int32)
                        if hasattr(sys.step, "astype")
                        else jnp.asarray(sys.step, jnp.int32),
                        virial=jnp.zeros(6, sys.x.dtype),
-                       eta_dot=jnp.zeros(nchain, sys.x.dtype))
+                       eta_dot=jnp.zeros(nchain, sys.x.dtype),
+                       shear_w=jnp.zeros((nwall,) + sys.x.shape,
+                                         sys.x.dtype))
         # setup force eval: shearupdate = 0 (update->setupflag)
-        f, tq, shear, vir = self._force(sys, nlist, st,
-                                        shear_update=False, need_ev=True)
-        st = dataclasses.replace(st, torque=tq, shear=shear, virial=vir)
+        f, tq, shear, shear_w, vir = self._force(
+            sys, nlist, st, shear_update=False, need_ev=True)
+        st = dataclasses.replace(st, torque=tq, shear=shear,
+                                 shear_w=shear_w, virial=vir)
         res = self._mk_res(sys, f, vir)
         return sys, res, nlist, st
 
@@ -183,10 +295,11 @@ class GranRunner:
             sys, nlist, st = jax.lax.cond(need, rebuild, keep,
                                           sys, nlist, st)
 
-            f, tq, shear, vir = self._force(sys, nlist, st,
-                                            shear_update=True,
-                                            need_ev=False)
-            st = dataclasses.replace(st, shear=shear, virial=vir)
+            f, tq, shear, shear_w, vir = self._force(sys, nlist, st,
+                                                     shear_update=True,
+                                                     need_ev=False)
+            st = dataclasses.replace(st, shear=shear, shear_w=shear_w,
+                                     virial=vir)
             v = jnp.where(gm, sys.v + self._accel(f), sys.v)
             omega = jnp.where(gm, self._omega_kick(st.omega, tq),
                               st.omega)

@@ -1932,7 +1932,9 @@ class LammpsScript:
                          "wall/harmonic", "wall/region", "planeforce",
                          "lineforce",
                          "indent", "print", "ave/time", "ave/chunk",
-                         "gravity", "freeze", "nve/sphere", "nvt/sphere",
+                         "gravity", "freeze", "wall/gran",
+                         "wall/gran/region",
+                         "nve/sphere", "nvt/sphere",
                          "npt/sphere", "nph/sphere", "nve/limit",
                          "nve/noforce", "spring", "spring/rg", "drag",
                          "move", "heat", "temp/csvr", "temp/csld",

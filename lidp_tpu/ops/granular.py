@@ -347,3 +347,104 @@ def erotate_sphere(omega, radius, rmass, mask, mvv2e=1.0):
     e = jnp.where(mask & (radius > 0.0),
                   rmass * radius * radius * w2, 0.0)
     return 0.5 * 0.4 * mvv2e * jnp.sum(e)
+
+
+def wall_contact_force(d, v, omega, radius, meff, shear, vwall, active,
+                       kn, kt, gamman, gammat, xmu, dt, kind,
+                       rwall=None, shear_update=True):
+    """One wall-contact source, vectorized over atoms — the sphere/wall
+    kernels of fix_wall_gran.cpp (hooke :459-535, hooke_history :539-654,
+    hertz_history :658-780).  d (N,3) = signed vector from the wall contact
+    point to the atom; active (N,) gates group + in-range; rwall (N,) = the
+    curved-wall term of hertz_history (0 for planes, +-2*cylradius for
+    zcylinder, region contact radius for wall/gran/region).
+
+    Returns (f_add (N,3), tq_add (N,3), shear' (N,3)).  fix wall/gran
+    tallies no virial in the reference (no v_tally in post_force) —
+    preserved."""
+    dtype = d.dtype
+    rsq = jnp.sum(d * d, axis=1)
+    touch = active & (rsq <= radius * radius) & (rsq > 0.0)
+    rsq_s = jnp.where(touch, rsq, 1.0)
+    r = jnp.sqrt(rsq_s)
+    rinv = 1.0 / r
+    rsqinv = 1.0 / rsq_s
+
+    vr = v - vwall
+    vnnr = jnp.sum(vr * d, axis=1)
+    vn = d * (vnnr * rsqinv)[:, None]
+    vt = vr - vn
+    wr = radius[:, None] * omega * rinv[:, None]
+
+    damp = meff * gamman * vnnr * rsqinv
+    ccel = jnp.where(touch, kn * (radius - r) * rinv - damp, 0.0)
+    if kind == "hertz/history":
+        rw = jnp.zeros_like(r) if rwall is None else rwall
+        red = jnp.where(rw == 0.0, radius,
+                        radius * rw / jnp.where(rw + radius != 0.0,
+                                                rw + radius, 1.0))
+        polyhertz = jnp.sqrt(jnp.maximum((radius - r) * red, 0.0))
+        polyhertz = jnp.where(touch, polyhertz, 0.0)
+        ccel = ccel * polyhertz
+    else:
+        polyhertz = jnp.ones_like(r)
+
+    # vtr = vt - d x wr (component form of :499-501)
+    vtr1 = vt[:, 0] - (d[:, 2] * wr[:, 1] - d[:, 1] * wr[:, 2])
+    vtr2 = vt[:, 1] - (d[:, 0] * wr[:, 2] - d[:, 2] * wr[:, 0])
+    vtr3 = vt[:, 2] - (d[:, 1] * wr[:, 0] - d[:, 0] * wr[:, 1])
+
+    if kind == "hooke":
+        vrel = jnp.sqrt(vtr1 * vtr1 + vtr2 * vtr2 + vtr3 * vtr3)
+        fn = xmu * jnp.abs(ccel * r)
+        fsd = meff * gammat * vrel
+        ft = jnp.where(vrel != 0.0,
+                       jnp.minimum(fn, fsd) / jnp.where(vrel > 0.0,
+                                                        vrel, 1.0), 0.0)
+        fs1 = jnp.where(touch, -ft * vtr1, 0.0)
+        fs2 = jnp.where(touch, -ft * vtr2, 0.0)
+        fs3 = jnp.where(touch, -ft * vtr3, 0.0)
+        shear_out = shear
+    else:
+        s1, s2, s3 = shear[:, 0], shear[:, 1], shear[:, 2]
+        if shear_update:
+            s1 = s1 + vtr1 * dt
+            s2 = s2 + vtr2 * dt
+            s3 = s3 + vtr3 * dt
+        shrmag = jnp.sqrt(s1 * s1 + s2 * s2 + s3 * s3)
+        rsht = (s1 * d[:, 0] + s2 * d[:, 1] + s3 * d[:, 2]) * rsqinv
+        if shear_update:
+            s1 = s1 - rsht * d[:, 0]
+            s2 = s2 - rsht * d[:, 1]
+            s3 = s3 - rsht * d[:, 2]
+        fs1 = -polyhertz * (kt * s1 + meff * gammat * vtr1)
+        fs2 = -polyhertz * (kt * s2 + meff * gammat * vtr2)
+        fs3 = -polyhertz * (kt * s3 + meff * gammat * vtr3)
+        fs = jnp.sqrt(fs1 * fs1 + fs2 * fs2 + fs3 * fs3)
+        fn = xmu * jnp.abs(ccel * r)
+        over = touch & (fs > fn)
+        scale = jnp.where(over & (shrmag != 0.0),
+                          fn / jnp.where(fs > 0.0, fs, 1.0), 1.0)
+        gt_kt = meff * gammat / jnp.where(kt != 0.0, kt, 1.0)
+        if shear_update:
+            def resc(s, vtr):
+                return jnp.where(over & (shrmag != 0.0),
+                                 scale * (s + gt_kt * vtr) - gt_kt * vtr,
+                                 s)
+            s1, s2, s3 = resc(s1, vtr1), resc(s2, vtr2), resc(s3, vtr3)
+        zero_fs = over & (shrmag == 0.0)
+        fs1 = jnp.where(touch, jnp.where(zero_fs, 0.0, fs1 * scale), 0.0)
+        fs2 = jnp.where(touch, jnp.where(zero_fs, 0.0, fs2 * scale), 0.0)
+        fs3 = jnp.where(touch, jnp.where(zero_fs, 0.0, fs3 * scale), 0.0)
+        # non-touching atoms lose their wall history (:353-356)
+        s1 = jnp.where(touch, s1, 0.0)
+        s2 = jnp.where(touch, s2, 0.0)
+        s3 = jnp.where(touch, s3, 0.0)
+        shear_out = jnp.stack([s1, s2, s3], axis=-1).astype(dtype)
+
+    fsv = jnp.stack([fs1, fs2, fs3], axis=-1)
+    f_add = d * ccel[:, None] + fsv
+    # torque -= radius * rinv * (d x fs)  (:529-534)
+    tor = jnp.cross(d, fsv) * rinv[:, None]
+    tq_add = -radius[:, None] * tor
+    return f_add, tq_add, shear_out

@@ -617,6 +617,142 @@ def _mix_pair_tables(script):
     return eps, sig, cut
 
 
+def _parse_wall_gran(script, spec, groups, u, npad):
+    """fix ID group wall/gran pairstyle kn kt gamman gammat xmu dampflag
+    wallstyle args [wiggle dim amp period | shear dim vshear]
+    (fix_wall_gran.cpp:49-190) and fix wall/gran/region ... region ID
+    (fix_wall_gran_region.cpp) — granular wall contacts with per-contact
+    shear history."""
+    import jax.numpy as jnp
+
+    from lidp_tpu.integrate.gran_runner import WallGranFix
+
+    a = list(spec.args)
+    kind = a[0]
+    if kind not in ("hooke", "hooke/history", "hertz/history"):
+        raise ValueError(f"fix wall/gran interaction style {kind}")
+    kn = float(a[1])
+    kt = kn * 2.0 / 7.0 if a[2] == "NULL" else float(a[2])
+    gamman = float(a[3])
+    gammat = 0.5 * gamman if a[4] == "NULL" else float(a[4])
+    xmu = float(a[5])
+    if int(a[6]) == 0:
+        gammat = 0.0
+    if kind == "hertz/history":
+        kn /= u.nktv2p
+        kt /= u.nktv2p
+    gm = jnp.asarray(groups[spec.group])
+    kw = dict(kind=kind, kn=kn, kt=kt, gamman=gamman, gammat=gammat,
+              xmu=xmu, gmask=gm, time_origin=int(script.step))
+    i = 7
+    style = a[i]
+    if style in ("xplane", "yplane", "zplane"):
+        kw["wallstyle"] = style
+        kw["lo"] = -1.0e30 if a[i + 1] == "NULL" else float(a[i + 1])
+        kw["hi"] = 1.0e30 if a[i + 2] == "NULL" else float(a[i + 2])
+        i += 3
+    elif style == "zcylinder":
+        kw["wallstyle"] = style
+        kw["cylradius"] = float(a[i + 1])
+        i += 2
+    elif style == "region":
+        kw["wallstyle"] = "region"
+        kw["region_contacts"] = _region_gran_contacts(script, a[i + 1])
+        i += 2
+    else:
+        raise ValueError(f"fix wall/gran wallstyle {style}")
+    while i < len(a):
+        if a[i] == "wiggle":
+            kw["wiggle"] = True
+            kw["axis"] = "xyz".index(a[i + 1])
+            kw["amplitude"] = float(a[i + 2])
+            kw["omega_w"] = 2.0 * np.pi / float(a[i + 3])
+            i += 4
+        elif a[i] == "shear":
+            kw["wshear"] = True
+            kw["axis"] = "xyz".index(a[i + 1])
+            kw["vshear"] = float(a[i + 2])
+            i += 3
+        else:
+            raise ValueError(f"fix wall/gran keyword {a[i]}")
+    return WallGranFix(**kw)
+
+
+def _region_gran_contacts(script, rname):
+    """Contact generators for fix wall/gran/region: x (N,3) ->
+    [(rdist, del wall->atom, ok, rwall)], one per region face, mirroring
+    Region::surface_interior (region_block.cpp / region_sphere.cpp:115 /
+    region_cylinder.cpp:223; flat faces rwall=0, sphere -R, cylinder
+    shell -2R).  Static regions only (no velocity_contact)."""
+    import jax.numpy as jnp
+
+    reg = script.regions[rname]
+    s3 = np.asarray(script._region_spacing(rname), float)
+    if isinstance(reg, tuple) and reg and reg[0] == "sphere":
+        c = np.asarray(reg[1:4], float) * s3
+        rad = float(reg[4]) * s3[0]
+
+        def gen(x):
+            d = x - c
+            dist = jnp.sqrt(jnp.sum(d * d, 1))
+            inside = (dist <= rad) & (dist > 0.0)
+            rdist = rad - dist
+            dl = d * (1.0 - rad / jnp.where(dist > 0, dist, 1.0))[:, None]
+            rw = jnp.full(x.shape[0], -rad, x.dtype)
+            return [(jnp.where(inside, rdist, -1.0), dl, inside, rw)]
+        return gen
+    if isinstance(reg, tuple) and reg and reg[0] == "cylinder":
+        axis = "xyz".index(reg[1])
+        o1, o2 = [d for d in range(3) if d != axis]
+        c1v, c2v = float(reg[2]) * s3[o1], float(reg[3]) * s3[o2]
+        rad = float(reg[4]) * s3[o1]
+        lo_a = float(reg[5]) * s3[axis]
+        hi_a = float(reg[6]) * s3[axis]
+
+        def gen(x):
+            d1 = x[:, o1] - c1v
+            d2 = x[:, o2] - c2v
+            dist = jnp.sqrt(d1 * d1 + d2 * d2)
+            inside = ((dist <= rad) & (x[:, axis] >= lo_a)
+                      & (x[:, axis] <= hi_a))
+            out = []
+            shell_ok = inside & (dist > 0.0)
+            scale = 1.0 - rad / jnp.where(dist > 0, dist, 1.0)
+            dl = (jnp.zeros_like(x).at[:, o1].set(d1 * scale)
+                  .at[:, o2].set(d2 * scale))
+            rw = jnp.full(x.shape[0], -2.0 * rad, x.dtype)
+            out.append((jnp.where(shell_ok, rad - dist, -1.0), dl,
+                        shell_ok, rw))
+            for coord, sgn in ((lo_a, 1.0), (hi_a, -1.0)):
+                rf = (x[:, axis] - coord) * sgn
+                dlf = jnp.zeros_like(x).at[:, axis].set(rf * sgn)
+                out.append((jnp.where(inside, rf, -1.0), dlf, inside,
+                            None))
+            return out
+        return gen
+    # block: legacy 6-tuple (INF faces contribute no wall)
+    b = np.asarray(reg, float) * np.repeat(s3, 2)
+
+    def gen(x):
+        inside = jnp.ones(x.shape[0], bool)
+        for dim in range(3):
+            if np.isfinite(b[2 * dim]):
+                inside &= x[:, dim] >= b[2 * dim]
+            if np.isfinite(b[2 * dim + 1]):
+                inside &= x[:, dim] <= b[2 * dim + 1]
+        out = []
+        for dim in range(3):
+            for coord, sgn in ((b[2 * dim], 1.0), (b[2 * dim + 1], -1.0)):
+                if not np.isfinite(coord):
+                    continue
+                rf = (x[:, dim] - coord) * sgn
+                dlf = jnp.zeros_like(x).at[:, dim].set(rf * sgn)
+                out.append((jnp.where(inside, rf, -1.0), dlf, inside,
+                            None))
+        return out
+    return gen
+
+
 def _build_granular_sim(script, sys, u, dtype, n, npad, _padA, groups, dim_):
     """Granular (atom_style sphere + pair gran/*) simulation assembly:
     bench/in.chute's stack — gran/hooke/history contacts, fix gravity
@@ -637,9 +773,12 @@ def _build_granular_sim(script, sys, u, dtype, n, npad, _padA, groups, dim_):
     active = np.ones(npad, bool)
     grav = np.zeros(3)
     nvt_spec = None
+    walls = []
     for spec in script.fixes.values():
         if spec.style == "freeze":
             frozen = np.asarray(groups[spec.group], bool)
+        elif spec.style in ("wall/gran", "wall/gran/region"):
+            walls.append(_parse_wall_gran(script, spec, groups, u, npad))
         elif spec.style == "gravity":
             mag = float(spec.args[0])
             if spec.args[1] == "chute":
@@ -716,7 +855,7 @@ def _build_granular_sim(script, sys, u, dtype, n, npad, _padA, groups, dim_):
         gmask=jnp.asarray(active), grav=jnp.asarray(grav, dtype),
         skin=script.skin, shrink=shrink,
         rebuild_every=script.neigh_every, delay=script.neigh_delay,
-        check=script.neigh_check, nvt=nvt_params)
+        check=script.neigh_check, nvt=nvt_params, walls=tuple(walls))
     runner._omega0 = jnp.asarray(omega0, dtype)
 
     norm = getattr(script, "_thermo_norm", None)

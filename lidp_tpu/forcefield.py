@@ -82,6 +82,10 @@ class ForceField:
     extra_pairs: tuple = ()                 # tuple[PairParams, ...]
     # dissipative particle dynamics (pair dpd / dpd/tstat; ops/dpd.py)
     dpd: Optional[object] = None            # ops.dpd.DPDParams
+    # DREIDING hydrogen bonds (pair hbond/dreiding/lj + /morse;
+    # ops/hbond.py) — a 3-body donor-hydrogen-acceptor term added on top
+    # of the pair kernels (usually via pair_style hybrid/overlay)
+    hbond: tuple = ()                       # tuple[ops.hbond.HbondParams]
 
 
 @jax.tree_util.register_dataclass
@@ -261,6 +265,16 @@ def compute_forces(sys: System, ff: ForceField,
                 from lidp_tpu.ops.pair import dsf_wolf_self_energy
 
                 ecoul = ecoul + dsf_wolf_self_energy(pex, sys.q, sys.mask)
+
+    if ff.hbond and _on("pair"):
+        from lidp_tpu.ops.hbond import hbond_forces
+
+        for hbp_ in ff.hbond:
+            fh, evh, virh = hbond_forces(sys.x, sys.mask, sys.box, hbp_,
+                                         need_ev=need_ev)
+            f = f + fh
+            evdwl = evdwl + evh
+            virial = virial + virh
 
     if ff.dpd is not None and _on("pair"):
         from lidp_tpu.ops.dpd import dpd_forces

@@ -933,6 +933,7 @@ class LammpsScript:
         "lj/expand", "mie/cut", "lj/gromacs",
         "lj96/cut", "lj/smooth", "lj/smooth/linear", "lj/sf", "beck", "ufm",
         "lj/cubic", "zbl", "zero", "dpd", "dpd/tstat",
+        "hbond/dreiding/lj", "hbond/dreiding/morse",
         "coul/cut", "coul/long", "coul/debye", "coul/msm",
         "coul/dsf", "coul/wolf", "table", "eam", "eam/alloy", "eam/fs",
     ))
@@ -1062,6 +1063,13 @@ class LammpsScript:
                       "lj/expand", "mie/cut", "lj96/cut",
                       "lj/smooth/linear", "beck", "ufm", "zero"):
             p.cut_lj_global = float(a[1])
+        elif a[0].startswith("hbond/dreiding"):
+            # pair_style hbond/dreiding/lj|morse ap cut_inner cut_outer
+            # angle (pair_hbond_dreiding_lj.cpp::settings :303-311)
+            self._hbond_settings = (int(a[1]), float(a[2]), float(a[3]),
+                                    float(a[4]))
+            self.hbond_coeffs = []
+            p.cut_lj_global = float(a[3])
         elif a[0] == "lj/cubic":
             pass   # no settings: cutoffs derive from sigma (lj_cubic.cpp)
         elif a[0] == "dpd":
@@ -1177,6 +1185,12 @@ class LammpsScript:
 
     def cmd_pair_coeff(self, a):
         self._invalidate()
+        if self.pair.name.startswith("hbond/dreiding"):
+            # pair_coeff i j k i|j eps sigma [ap [inner outer [angle]]]
+            # (PairHbondDreidingLJ::coeff :317-384) — raw rows, resolved
+            # in ops.hbond.make_hbond_params
+            self.hbond_coeffs.append(list(a))
+            return
         if self.pair.name in ("hybrid", "hybrid/overlay"):
             # pair_coeff I J sub-style [M] coeffs... (PairHybrid::coeff);
             # "none" removes the pair from every sub-style.  Tokens are

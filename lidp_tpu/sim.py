@@ -1050,6 +1050,31 @@ class Simulation:
         extra_coul_long = ()
         dpdp = None
         disp_b_peratom = None   # set by the */long/* dispersion styles
+        # DREIDING hydrogen bonds ride beside the 2-body kernels: pull
+        # hbond/dreiding/* sub-styles out of the hybrid list (3-body term,
+        # ops/hbond.py) and remember their settings + raw coeff rows
+        hbond_specs = []
+        _hyb_saved = None
+        if pname in ("hybrid", "hybrid/overlay") and any(
+                nm.startswith("hbond/dreiding")
+                for nm, _ in script.pair_hybrid):
+            keep_h, keep_raw_h = [], []
+            for k_h, (nm_h, args_h) in enumerate(script.pair_hybrid):
+                if nm_h.startswith("hbond/dreiding"):
+                    rows = [[it_, jt_] + list(tk_) for (it_, jt_, tk_)
+                            in script.hybrid_raw_coeffs[k_h]
+                            if tk_ is not None]
+                    hbond_specs.append((nm_h, list(args_h), rows))
+                else:
+                    keep_h.append(script.pair_hybrid[k_h])
+                    keep_raw_h.append(script.hybrid_raw_coeffs[k_h])
+            _hyb_saved = (script.pair_hybrid, script.hybrid_raw_coeffs)
+            script.pair_hybrid = keep_h
+            script.hybrid_raw_coeffs = keep_raw_h
+        elif pname.startswith("hbond/dreiding"):
+            hbond_specs.append((pname,
+                                list(script._hbond_settings),
+                                [list(r) for r in script.hbond_coeffs]))
         if pname == "table":
             pair, cut = _build_table_pair(script, excl_types, dtype)
         elif pname in ("dpd", "dpd/tstat"):
@@ -1062,8 +1087,23 @@ class Simulation:
             pair = make_generic_pair_params(
                 "none", z0, z0, cut_lj=z0, qqrd2e=u.qqr2e, dtype=dtype)
         elif pname in ("hybrid", "hybrid/overlay"):
-            pair, extra_pairs, extra_coul_long, cut = _build_hybrid_pair(
-                script, u, excl_types, dtype)
+            try:
+                pair, extra_pairs, extra_coul_long, cut = \
+                    _build_hybrid_pair(script, u, excl_types, dtype)
+            finally:
+                if _hyb_saved is not None:
+                    script.pair_hybrid, script.hybrid_raw_coeffs = \
+                        _hyb_saved
+        elif pname.startswith("hbond/dreiding"):
+            # standalone hbond: a zero 2-body base, the 3-body term added
+            # in compute_forces
+            from lidp_tpu.ops.pair import make_generic_pair_params
+
+            z0 = np.zeros((script.ntypes + 1, script.ntypes + 1))
+            pair = make_generic_pair_params(
+                "none", z0, z0, cut_lj=z0, qqrd2e=u.qqr2e, dtype=dtype)
+            cut = np.full((script.ntypes + 1, script.ntypes + 1),
+                          float(script._hbond_settings[2]))
         elif pname in _GENERIC_PAIR_KINDS:
             pair, cut = _build_generic_pair(script, u, excl_types, dtype)
         elif pname in ("lj/long/coul/long", "buck/long/coul/long") or (
@@ -1393,6 +1433,22 @@ class Simulation:
             sp_idx = jnp.asarray(si)
             sp_lvl = jnp.asarray(sl, jnp.int32)
 
+        hbp = ()
+        if hbond_specs:
+            from lidp_tpu.ops.hbond import make_hbond_params
+
+            if not has_bonds:
+                raise ValueError("pair hbond/dreiding requires a "
+                                 "molecular system (init_style :393)")
+            code_h = topo_mod.special_codes_dense(n, script._bonds)
+            for nm_h, args_h, rows_h in hbond_specs:
+                hbp += (make_hbond_params(
+                    rows_h, script.ntypes, int(args_h[0]),
+                    float(args_h[1]), float(args_h[2]), float(args_h[3]),
+                    np.asarray(script._bonds), n, npad, script.type,
+                    list(script.special_lj), special_code=code_h,
+                    dtype=dtype, morse=nm_h.endswith("morse")),)
+
         # ---- fix shake pre-pass: find clusters and disable the constrained
         # bonds/angles from the bonded force terms (find_clusters negates
         # their types in the reference, fix_shake.cpp:681)
@@ -1536,7 +1592,7 @@ class Simulation:
                         bond=bondp, angle=anglep, dihedral=dihedralp,
                         improper=improperp,
                         pppm=pppmp, eam=eamp, sp_idx=sp_idx, sp_lvl=sp_lvl,
-                        qqrd2e=u.qqr2e,
+                        qqrd2e=u.qqr2e, hbond=hbp,
                         adapt=adapt_cfg,
                         adapt_window=(jnp.zeros(2, jnp.int32)
                                       if adapt_cfg is not None else None),

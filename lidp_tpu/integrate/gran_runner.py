@@ -145,25 +145,25 @@ class GranRunner:
         self._setup = jax.jit(self._setup_impl)
 
     # ---- mechanics ----
-    def _accel(self, f):
+    def _accel(self, f, gp):
         return (0.5 * self.dt * self.ftm2v
-                / jnp.maximum(self.gp.rmass, 1e-300))[:, None] * f
+                / jnp.maximum(gp.rmass, 1e-300))[:, None] * f
 
-    def _omega_kick(self, omega, torque):
+    def _omega_kick(self, omega, torque, gp):
         # d omega/dt = torque / (0.4 m r^2)  (fix_nve_sphere.cpp:135)
-        r = self.gp.radius
-        inert = 0.4 * self.gp.rmass * r * r
+        r = gp.radius
+        inert = 0.4 * gp.rmass * r * r
         dti = jnp.where(inert > 0,
                         0.5 * self.dt * self.ftm2v
                         / jnp.where(inert > 0, inert, 1.0), 0.0)
         return omega + dti[:, None] * torque
 
-    def _force(self, sys, nlist, st, shear_update, need_ev):
+    def _force(self, sys, nlist, st, gp, shear_update, need_ev):
         f, tq, shear, vir = gran.gran_cell_forces(
-            sys.x, sys.v, st.omega, sys.mask, nlist, sys.box, self.gp,
+            sys.x, sys.v, st.omega, sys.mask, nlist, sys.box, gp,
             st.shear, shear_update=shear_update, need_ev=need_ev)
         # fix gravity (post_force): f += m * acc on all atoms
-        f = f + self.gp.rmass[:, None] * jnp.asarray(self.grav, f.dtype)
+        f = f + gp.rmass[:, None] * jnp.asarray(self.grav, f.dtype)
         # fix wall/gran[/region] (post_force): per-atom wall contacts with
         # persistent per-contact shear history in st.shear_w
         shear_w = st.shear_w
@@ -172,11 +172,11 @@ class GranRunner:
             sw_new = []
             for wf in self.walls:
                 vwall, sources = wf.contact_sources(
-                    sys.x, self.gp.radius, sys.step, self.dt)
+                    sys.x, gp.radius, sys.step, self.dt)
                 for d, rwall, ok in sources:
                     act = ok & sys.mask & wf.gmask
                     fw, tw, s_out = gran.wall_contact_force(
-                        d, sys.v, st.omega, self.gp.radius, self.gp.rmass,
+                        d, sys.v, st.omega, gp.radius, gp.rmass,
                         shear_w[slot], vwall, act,
                         wf.kn, wf.kt, wf.gamman, wf.gammat, wf.xmu,
                         self.dt, wf.kind, rwall=rwall,
@@ -187,13 +187,13 @@ class GranRunner:
                     slot += 1
             shear_w = jnp.stack(sw_new)
         # fix freeze: zero force/torque on the frozen group
-        fr = self.gp.frozen[:, None]
+        fr = gp.frozen[:, None]
         f = jnp.where(fr, 0.0, f)
         tq = jnp.where(fr, 0.0, tq)
         return f, tq, shear, shear_w, vir
 
     # ---- public ----
-    def _setup_impl(self, sys, omega0):
+    def _setup_impl(self, sys, omega0, gp):
         if self.shrink is not None:
             # Domain::reset_box at setup (Verlet::setup -> domain->reset_box)
             sys = sys.replace(box=box_mod.reset_box(
@@ -213,16 +213,17 @@ class GranRunner:
                                          sys.x.dtype))
         # setup force eval: shearupdate = 0 (update->setupflag)
         f, tq, shear, shear_w, vir = self._force(
-            sys, nlist, st, shear_update=False, need_ev=True)
+            sys, nlist, st, gp, shear_update=False, need_ev=True)
         st = dataclasses.replace(st, torque=tq, shear=shear,
                                  shear_w=shear_w, virial=vir)
         res = self._mk_res(sys, f, vir)
         return sys, res, nlist, st
 
     def setup(self, sys):
-        return self._setup(sys, jnp.zeros_like(sys.v)) \
-            if not hasattr(self, "_omega0") else \
-            self._setup(sys, self._omega0)
+        omega0 = getattr(self, "_omega0", None)
+        if omega0 is None:
+            omega0 = jnp.zeros_like(sys.v)
+        return self._setup(sys, omega0, self.gp)
 
     def _mk_res(self, sys, f, vir):
         zero = jnp.zeros((), sys.x.dtype)
@@ -232,18 +233,18 @@ class GranRunner:
             scf_iters=jnp.zeros((), jnp.int32),
             scf_diverged=jnp.zeros((), bool))
 
-    def _sphere_ke2(self, sys, omega, gm, p):
+    def _sphere_ke2(self, sys, omega, gm, p, gp):
         """2*KE (trans + rot) of the thermostat group in energy units —
         compute_temp_sphere.cpp: sum m v^2 + INERTIA m r^2 w^2."""
-        r = self.gp.radius
+        r = gp.radius
         ke2 = jnp.sum(jnp.where(
-            gm, self.gp.rmass[:, None] * sys.v * sys.v, 0.0))
+            gm, gp.rmass[:, None] * sys.v * sys.v, 0.0))
         ke2 += jnp.sum(jnp.where(
-            gm, (0.4 * self.gp.rmass * r * r)[:, None] * omega * omega,
+            gm, (0.4 * gp.rmass * r * r)[:, None] * omega * omega,
             0.0))
         return ke2 * p.mvv2e
 
-    def _chunk(self, sys, res, nlist, st, nvt, nsteps):
+    def _chunk(self, sys, res, nlist, st, nvt, gp, nsteps):
         gm = (self.gmask & sys.mask)[:, None]
 
         def body(carry, _):
@@ -254,13 +255,13 @@ class GranRunner:
             if nvt is not None:
                 # FixNH::initial_integrate: chain update + scale BOTH v
                 # and omega (FixNHSphere::nh_v_temp), then the half kicks
-                ke2 = self._sphere_ke2(sys, omega, gm, nvt)
+                ke2 = self._sphere_ke2(sys, omega, gm, nvt, gp)
                 eta_dot, scale = _nhc(st.eta_dot, ke2, nvt, sys.step)
                 sys = sys.replace(v=jnp.where(gm, sys.v * scale, sys.v))
                 omega = jnp.where(gm, omega * scale, omega)
                 st = dataclasses.replace(st, eta_dot=eta_dot)
-            v = jnp.where(gm, sys.v + self._accel(f), sys.v)
-            omega = jnp.where(gm, self._omega_kick(omega, st.torque),
+            v = jnp.where(gm, sys.v + self._accel(f, gp), sys.v)
+            omega = jnp.where(gm, self._omega_kick(omega, st.torque, gp),
                               omega)
             x = jnp.where(gm, sys.x + self.dt * v, sys.x)
             sys = sys.replace(x=x, v=v, step=sys.step + 1)
@@ -295,18 +296,18 @@ class GranRunner:
             sys, nlist, st = jax.lax.cond(need, rebuild, keep,
                                           sys, nlist, st)
 
-            f, tq, shear, shear_w, vir = self._force(sys, nlist, st,
+            f, tq, shear, shear_w, vir = self._force(sys, nlist, st, gp,
                                                      shear_update=True,
                                                      need_ev=False)
             st = dataclasses.replace(st, shear=shear, shear_w=shear_w,
                                      virial=vir)
-            v = jnp.where(gm, sys.v + self._accel(f), sys.v)
-            omega = jnp.where(gm, self._omega_kick(st.omega, tq),
+            v = jnp.where(gm, sys.v + self._accel(f, gp), sys.v)
+            omega = jnp.where(gm, self._omega_kick(st.omega, tq, gp),
                               st.omega)
             sys = sys.replace(v=v)
             if nvt is not None:
                 # FixNH::final_integrate: kicks, then chain update + scale
-                ke2 = self._sphere_ke2(sys, omega, gm, nvt)
+                ke2 = self._sphere_ke2(sys, omega, gm, nvt, gp)
                 eta_dot, scale = _nhc(st.eta_dot, ke2, nvt, sys.step)
                 sys = sys.replace(v=jnp.where(gm, sys.v * scale, sys.v))
                 omega = jnp.where(gm, omega * scale, omega)
@@ -320,6 +321,8 @@ class GranRunner:
         return sys, res, nlist, st
 
     def run(self, sys, res, nlist, st, nsteps: int):
-        # nvt rides as a traced argument so ramp-window updates
-        # (Simulation.run) take effect without retracing
-        return self._scan(sys, res, nlist, st, self.nvt, nsteps=nsteps)
+        # nvt + gp ride as traced arguments so ramp-window updates and
+        # fix pour insertions (new radii/masses) take effect without
+        # retracing
+        return self._scan(sys, res, nlist, st, self.nvt, self.gp,
+                          nsteps=nsteps)

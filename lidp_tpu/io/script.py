@@ -1947,7 +1947,7 @@ class LammpsScript:
                          "lineforce",
                          "indent", "print", "ave/time", "ave/chunk",
                          "gravity", "freeze", "wall/gran",
-                         "wall/gran/region",
+                         "wall/gran/region", "pour",
                          "nve/sphere", "nvt/sphere",
                          "npt/sphere", "nph/sphere", "nve/limit",
                          "nve/noforce", "spring", "spring/rg", "drag",

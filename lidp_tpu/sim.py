@@ -769,18 +769,28 @@ def _build_granular_sim(script, sys, u, dtype, n, npad, _padA, groups, dim_):
     rmass = _padA(script.rmass, 1.0)
     omega0 = _padA(script.omega, 0.0)
 
+    # fix pour atoms join "all" at insertion: the all-group mask must
+    # cover the padded slots (sys.mask gates the real atom set everywhere)
+    groups = dict(groups)
+    groups["all"] = np.ones(npad, bool)
+
     frozen = np.zeros(npad, bool)
     active = np.ones(npad, bool)
     grav = np.zeros(3)
+    grav_mag = 0.0
     nvt_spec = None
     walls = []
+    pour_specs = []
     for spec in script.fixes.values():
         if spec.style == "freeze":
             frozen = np.asarray(groups[spec.group], bool)
         elif spec.style in ("wall/gran", "wall/gran/region"):
             walls.append(_parse_wall_gran(script, spec, groups, u, npad))
+        elif spec.style == "pour":
+            pour_specs.append(spec)
         elif spec.style == "gravity":
             mag = float(spec.args[0])
+            grav_mag = mag
             if spec.args[1] == "chute":
                 # fix_gravity.cpp:313: theta = 180 - angle, phi = 0
                 th = np.deg2rad(180.0 - float(spec.args[2]))
@@ -813,9 +823,24 @@ def _build_granular_sim(script, sys, u, dtype, n, npad, _padA, groups, dim_):
         script.gran_args, radius, rmass, frozen, excl=excl,
         dt=script.dt, dtype=dtype, kind=kind)
 
+    pours = []
+    if pour_specs:
+        from lidp_tpu.pour import parse_pour
+
+        if grav_mag <= 0.0:
+            raise ValueError("No fix gravity defined for fix pour")
+        for spec in pour_specs:
+            pours.append(parse_pour(spec, script, None, grav_mag,
+                                    u.ftm2v))
+
     L = script.box_hi - script.box_lo
-    cutneigh = 2.0 * float(np.max(script.radius)) + script.skin
-    ncfg = CellConfig.for_box(L, cutneigh, density=n / float(np.prod(L)),
+    rad_max = float(np.max(script.radius)) if n else 0.0
+    for pf_ in pours:
+        rad_max = max(rad_max, pf_.radius_one, pf_.radius_hi)
+    cutneigh = 2.0 * rad_max + script.skin
+    n_eff = npad if pours else n
+    ncfg = CellConfig.for_box(L, cutneigh,
+                              density=n_eff / float(np.prod(L)),
                               cap_slack=5.0)
 
     shrink = None
@@ -865,6 +890,7 @@ def _build_granular_sim(script, sys, u, dtype, n, npad, _padA, groups, dim_):
         natoms=n, dim=dim_)
     sim_obj = Simulation(script=script, sys=sys, runner=runner,
                          thermo_params=tp, group_thermo={}, natoms=n)
+    sim_obj.pour_fixes = pours
     sim_obj.halt_spec = None
     sim_obj.dtreset_cfg = None
     sim_obj._restrain_factory = None
@@ -952,6 +978,11 @@ class Simulation:
         ndev = int(getattr(script, "n_shard_devices", 0) or 0)
         mesh = None
         npad = n
+        # fix pour: pre-allocate padded slots for the full insertion
+        # budget (atoms appear by unmasking, the capacity never grows)
+        pour_extra = sum(int(f_.args[0]) for f_ in script.fixes.values()
+                         if f_.style == "pour")
+        npad = n + pour_extra
         if ndev > 1:
             import jax as _jax
 
@@ -962,7 +993,7 @@ class Simulation:
                 raise ValueError(
                     f"processors/{ndev=} exceeds available devices ({avail})")
             mesh = make_mesh(ndev)
-            npad = -(-n // ndev) * ndev
+            npad = -(-(n + pour_extra) // ndev) * ndev
 
         def _padA(a, fill=0.0):
             if a is None:
@@ -3091,6 +3122,67 @@ class Simulation:
         coord = np.cumsum(hist) * 2.0 / len(x)
         return np.stack([rc, g, coord], axis=1)
 
+    def _pour_events(self, ev_step):
+        """Run every fix pour whose next insertion lands on ev_step
+        (FixPour::pre_exchange).  Mutates sys/gp/res host-side, pre-winding
+        new atoms one initial_integrate backward so the scan's own first
+        half-kick + drift reproduces the reference's mid-step insertion
+        state exactly (see lidp_tpu/pour.py module doc)."""
+        import jax.numpy as jnp
+
+        from lidp_tpu.ops.cells import build_cells
+        from lidp_tpu.ops.granular import migrate_shear
+
+        runner = self.runner
+        gp = runner.gp
+        dtype = self.sys.x.dtype
+        x = np.asarray(self.sys.x).copy()
+        v = np.asarray(self.sys.v).copy()
+        radius = np.asarray(gp.radius).copy()
+        rmass = np.asarray(gp.rmass).copy()
+        mask = np.asarray(self.sys.mask).copy()
+        f = np.asarray(self.res.f).copy()
+        grav_vec = np.asarray(runner.grav, float)
+        all_rows = []
+        for pf in self.pour_fixes:
+            if pf.next_event() == ev_step:
+                all_rows += pf.insert(ev_step, x, v, radius, rmass, mask,
+                                      self.natoms)
+        if not all_rows:
+            return
+        dtf2 = 0.5 * runner.dt * runner.ftm2v
+        for s in all_rows:
+            # pre-wind: the scan's initial kick adds dtf2*grav and drifts
+            # by dt*v; invert so the atom lands at its insertion state
+            x[s] = x[s] - runner.dt * v[s]
+            v[s] = v[s] - dtf2 * grav_vec
+            f[s] = rmass[s] * grav_vec
+        sys2 = self.sys.replace(
+            x=jnp.asarray(x, dtype), v=jnp.asarray(v, dtype),
+            mask=jnp.asarray(mask))
+        runner.gp = dataclasses.replace(
+            gp, radius=jnp.asarray(radius, dtype),
+            rmass=jnp.asarray(rmass, dtype))
+        new_nlist = build_cells(sys2.x, sys2.mask, sys2.box,
+                                runner.neighbor_cfg)
+        st = self.istate
+        shear = migrate_shear(st.shear, self.nlist, new_nlist)
+        self.istate = dataclasses.replace(
+            st, shear=shear, x_ref=sys2.x,
+            last_build=jnp.asarray(int(sys2.step), jnp.int32))
+        self.nlist = new_nlist
+        self.sys = sys2
+        self.res = dataclasses.replace(self.res, f=jnp.asarray(f, dtype))
+        self.natoms += len(all_rows)
+        self.thermo_params = dataclasses.replace(
+            self.thermo_params,
+            mass_atom=jnp.asarray(rmass, dtype),
+            natoms=self.natoms,
+            dof=3 * self.natoms - 3)
+        # the sphere computes read these snapshots (erotate/temp/sphere)
+        self.gran_radius = runner.gp.radius
+        self.gran_rmass = runner.gp.rmass
+
     def _rigid_scalar(self, rstyle):
         """compute ke/rigid (compute_ke_rigid.cpp:60-75 + FixRigid::
         extract_ke, fix_rigid.cpp:2650-2659): 0.5*mvv2e*sum M vcm^2;
@@ -3397,12 +3489,28 @@ class Simulation:
         # scan-chunk boundaries rather than every step)
         _tt = getattr(self.script, "_timer_timeout", None)
         deadline = (time.perf_counter() + _tt) if _tt is not None else None
+        pour_fixes = getattr(self, "pour_fixes", None) or []
         while remaining > 0:
             if deadline is not None and time.perf_counter() > deadline:
                 self.script.log(
                     "Walltime reached, timer timeout — ending run early")
                 break
             todo = min(chunk, remaining)
+            if pour_fixes:
+                step_now = int(self.sys.step)
+                evs = [p.next_event() for p in pour_fixes]
+                evs = [e for e in evs if e is not None]
+                if evs and min(evs) == step_now + 1:
+                    self._pour_events(step_now + 1)
+                    evs = [p.next_event() for p in pour_fixes]
+                    evs = [e for e in evs if e is not None]
+                # keep chunk boundaries on the absolute thermo grid
+                # (thermo.cpp next_thermo is in absolute multiples), then
+                # stop the scan just before the next insertion step
+                if step_now % chunk:
+                    todo = min(todo, chunk - step_now % chunk)
+                if evs:
+                    todo = min(todo, max(1, min(evs) - 1 - step_now))
             self.sys, self.res, self.nlist, self.istate = self.runner.run(
                 self.sys, self.res, self.nlist, self.istate, todo)
             remaining -= todo

@@ -86,6 +86,8 @@ class ForceField:
     # ops/hbond.py) — a 3-body donor-hydrogen-acceptor term added on top
     # of the pair kernels (usually via pair_style hybrid/overlay)
     hbond: tuple = ()                       # tuple[ops.hbond.HbondParams]
+    # CHARMM CMAP crossterms (fix cmap; ops/cmap.py)
+    cmap: Optional[object] = None           # ops.cmap.CMAPParams
 
 
 @jax.tree_util.register_dataclass
@@ -104,6 +106,10 @@ class ForceResult:
     eangle: jax.Array = 0.0
     edihed: jax.Array = 0.0
     eimp: jax.Array = 0.0
+    # fix cmap crossterm energy (always reported via the f_ID thermo
+    # column; folded into efix -> PE only under fix_modify energy yes)
+    ecmap: jax.Array = 0.0
+    efix: jax.Array = 0.0
 
     @property
     def epair(self):
@@ -117,8 +123,9 @@ class ForceResult:
 
     @property
     def pe(self):
-        """Total potential: E_pair + E_mol (compute_pe.cpp)."""
-        return self.epair + self.emol
+        """Total potential: E_pair + E_mol + fix energies
+        (compute_pe.cpp; fix contributions gated by fix_modify energy)."""
+        return self.epair + self.emol + self.efix
 
 
 def _pallas_ok(ff, sys) -> bool:
@@ -449,8 +456,19 @@ def compute_forces(sys: System, ff: ForceField,
         epol = epol + upol
         virial = virial + vpol
 
+    ecmap = jnp.zeros((), sys.x.dtype)
+    efix = jnp.zeros((), sys.x.dtype)
+    if ff.cmap is not None and _on("bond"):
+        from lidp_tpu.ops.cmap import cmap_forces
+
+        fcm, ecmap, vircm = cmap_forces(sys.x, ff.cmap, need_ev=need_ev)
+        f = f + fcm
+        virial = virial + vircm
+        if ff.cmap.energy:
+            efix = efix + ecmap
+
     return ForceResult(
         f=f, evdwl=evdwl, ecoul=ecoul, elong=elong, epol=epol, ebond=ebond,
         virial=virial, mu=mu, scf_iters=scf_iters, scf_diverged=scf_diverged,
-        eangle=eangle, edihed=edihed, eimp=eimp,
+        eangle=eangle, edihed=edihed, eimp=eimp, ecmap=ecmap, efix=efix,
     )

@@ -42,6 +42,9 @@ class DataFile:
     dihedrals: np.ndarray = None    # (ND,4) atom ids
     dihedral_types: np.ndarray = None
     impropers: np.ndarray = None
+    # fix cmap crossterm rows [type a1..a5] (read_data ... fix cmap
+    # crossterm CMAP; FixCMAP::read_data_section fix_cmap.cpp:1065)
+    crossterms: np.ndarray = None
     improper_types: np.ndarray = None
     # coeff sections embedded in the data file (read_data.cpp coeff blocks):
     # type -> [values...]
@@ -54,6 +57,7 @@ class DataFile:
 
 _HEADER_KEYS = (
     "atoms", "bonds", "angles", "dihedrals", "impropers",
+    "crossterms",
     "atom types", "bond types", "angle types", "dihedral types",
     "improper types",
 )
@@ -61,7 +65,7 @@ _HEADER_KEYS = (
 _SECTIONS = {
     "Masses", "Atoms", "Velocities", "Bonds", "Angles", "Dihedrals",
     "Impropers", "Pair Coeffs", "Bond Coeffs", "Angle Coeffs",
-    "PairIJ Coeffs",
+    "PairIJ Coeffs", "CMAP",
 }
 
 
@@ -127,6 +131,7 @@ def read_data(path: str, atom_style: str = "full") -> DataFile:
     radius = np.zeros(n) if atom_style == "sphere" else None
     rmass = np.zeros(n) if atom_style == "sphere" else None
     omega = np.zeros((n, 3)) if atom_style == "sphere" else None
+    crossterms = None
     bonds = np.zeros((counts["bonds"], 2), np.int64)
     bond_types = np.zeros(counts["bonds"], np.int32)
     angles = np.zeros((counts["angles"], 3), np.int64)
@@ -257,6 +262,12 @@ def read_data(path: str, atom_style: str = "full") -> DataFile:
                 k = int(r[0]) - 1
                 improper_types[k] = int(r[1])
                 impropers[k] = [int(r[2]), int(r[3]), int(r[4]), int(r[5])]
+        elif name == "CMAP":
+            rows, i = read_section(i + 1, counts["crossterms"])
+            crossterms = np.zeros((len(rows), 6), np.int64)
+            for r in rows:
+                k = int(r[0]) - 1
+                crossterms[k] = [int(v) for v in r[1:7]]
         elif name.endswith("Coeffs") and not name.startswith("PairIJ"):
             nrow = {"Pair Coeffs": ntypes,
                     "Bond Coeffs": counts.get("bond types", 0),
@@ -285,6 +296,7 @@ def read_data(path: str, atom_style: str = "full") -> DataFile:
         angles=angles, angle_types=angle_types,
         dihedrals=dihedrals, dihedral_types=dihedral_types,
         impropers=impropers, improper_types=improper_types,
+        crossterms=crossterms,
         pair_coeffs=coeff_sections.get("Pair Coeffs"),
         bond_coeffs=coeff_sections.get("Bond Coeffs"),
         angle_coeffs=coeff_sections.get("Angle Coeffs"),

@@ -717,7 +717,12 @@ class LammpsScript:
 
     def cmd_read_data(self, a):
         path = os.path.join(self.root, a[0])
+        # trailing `fix ID header-keyword section-keyword` tokens
+        # (read_data.cpp fix option) route extra sections to a fix; the
+        # reader auto-detects the CMAP section, so they need no action
         d = read_data(path, atom_style=self.atom_style)
+        if d.crossterms is not None:
+            self._crossterms = d.crossterms
         self.data = d
         self.ntypes = d.ntypes
         self.box_lo, self.box_hi = d.box_lo, d.box_hi
@@ -1960,7 +1965,7 @@ class LammpsScript:
                          "press/berendsen", "nvt/sllod", "dt/reset",
                          "restrain", "spring/chunk", "store/force",
                          "ave/histo/weight", "box/relax", "controller",
-                         "external", "tmd"):
+                         "external", "tmd", "cmap"):
             raise ValueError(f"unsupported fix style {style}")
         self.fixes[fid] = FixSpec(fid=fid, group=group, style=style, args=a[3:])
         self._invalidate()

@@ -11,6 +11,7 @@ dump writers.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 
 import numpy as np
@@ -960,6 +961,16 @@ class Simulation:
             # dielectric command (force.cpp: qqrd2e = qqr2e/dielectric)
             import dataclasses as _dc
             u = _dc.replace(u, qqr2e=u.qqr2e / eps_diel)
+        # the charmmfsw/charmmfsh pair styles switch qqr2e to the CHARMM
+        # constant under units real (pair_lj_charmmfsw_coul_charmmfsh.cpp
+        # :50-58, force.cpp:56-57 qqr2e_charmm_real = 332.0716)
+        _names_q = [script.pair.name] + [nm for nm, _ in
+                                         getattr(script, "pair_hybrid",
+                                                 None) or []]
+        if u.name == "real" and any("charmmfsw" in nm or "charmmfsh" in nm
+                                    for nm in _names_q):
+            import dataclasses as _dc
+            u = _dc.replace(u, qqr2e=332.0716 / eps_diel)
         dtype = script.dtype
         n = script.x.shape[0]
         dim_ = getattr(script, "dimension", 3)
@@ -1464,6 +1475,23 @@ class Simulation:
             sp_idx = jnp.asarray(si)
             sp_lvl = jnp.asarray(sl, jnp.int32)
 
+        cmapp = None
+        for fid_c, spec_c0 in script.fixes.items():
+            if spec_c0.style == "cmap":
+                from lidp_tpu.ops.cmap import make_cmap_params
+
+                ct = getattr(script, "_crossterms", None)
+                if ct is None:
+                    raise ValueError(
+                        "fix cmap requires read_data ... fix ID "
+                        "crossterm CMAP")
+                fm = getattr(script, "_fix_modify", {}).get(fid_c, {})
+                cmapp = make_cmap_params(
+                    os.path.join(script.root, spec_c0.args[0]),
+                    np.asarray(ct), dtype=dtype,
+                    energy=fm.get("energy") == "yes")
+                sim_cmap_fid = fid_c
+
         hbp = ()
         if hbond_specs:
             from lidp_tpu.ops.hbond import make_hbond_params
@@ -1623,7 +1651,7 @@ class Simulation:
                         bond=bondp, angle=anglep, dihedral=dihedralp,
                         improper=improperp,
                         pppm=pppmp, eam=eamp, sp_idx=sp_idx, sp_lvl=sp_lvl,
-                        qqrd2e=u.qqr2e, hbond=hbp,
+                        qqrd2e=u.qqr2e, hbond=hbp, cmap=cmapp,
                         adapt=adapt_cfg,
                         adapt_window=(jnp.zeros(2, jnp.int32)
                                       if adapt_cfg is not None else None),
@@ -2191,6 +2219,7 @@ class Simulation:
                 runner.__post_init__()
         sim_obj.gg_computes = gg_computes
         sim_obj.rigid_computes = rigid_computes
+        sim_obj.cmap_fid = (sim_cmap_fid if cmapp is not None else None)
         sim_obj.msd_computes = msd_computes
         sim_obj.rdf_computes = rdf_computes
         sim_obj.simple_computes = simple_computes
@@ -2911,6 +2940,12 @@ class Simulation:
             row["c_" + cid] = float(self._group_group_energy(ma, mb))
         for cid, rstyle in getattr(self, "rigid_computes", {}).items():
             row["c_" + cid] = self._rigid_scalar(rstyle)
+        if getattr(self, "cmap_fid", None) is not None:
+            # f_ID thermo column: the fix cmap crossterm energy
+            # (compute_scalar, fix_cmap.cpp:623; extensive)
+            tp_c = self.thermo_params
+            nrm = float(tp_c.natoms) if tp_c.norm else 1.0
+            row["f_" + self.cmap_fid] = float(self.res.ecmap) / nrm
         for cid, (gmask, style) in getattr(self, "simple_computes",
                                            {}).items():
             from lidp_tpu.box import unwrap as _unwrap

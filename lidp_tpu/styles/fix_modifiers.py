@@ -1125,3 +1125,10 @@ def build_box_relax(ctx, spec):
     # no per-timestep hooks — fix_box_relax.cpp only participates in
     # minimization (min_energy/min_step extra-dof protocol)
     pass
+
+
+@fix_style("cmap")
+def build_cmap(ctx, spec):
+    """fix cmap CMAPFILE (fix_cmap.cpp): the crossterm force term is
+    assembled into the ForceField (sim.from_script -> ops/cmap.py); the
+    fix itself needs no integrator hooks."""

@@ -1987,13 +1987,18 @@ class LammpsScript:
         self._invalidate()
 
     def cmd_delete_atoms(self, a):
-        """delete_atoms region ID | group ID (delete_atoms.cpp) — compacts
-        every per-atom host array."""
+        """delete_atoms region ID | group ID | overlap cut g1 g2 |
+        porosity region frac seed (delete_atoms.cpp) — compacts every
+        per-atom host array."""
         self._invalidate()
         if a[0] == "region":
             kill = self._region_mask(a[1])
         elif a[0] == "group":
             kill = self.groups[a[1]].copy()
+        elif a[0] == "overlap":
+            kill = self._delete_overlap(float(a[1]), a[2], a[3])
+        elif a[0] == "porosity":
+            kill = self._delete_porosity(a[1], float(a[2]), int(a[3]))
         else:
             raise NotImplementedError(f"delete_atoms {a[0]}")
         keep = ~kill
@@ -2005,6 +2010,62 @@ class LammpsScript:
                        for k, v in self.groups.items()}
         self.log(f"Deleted {int(kill.sum())} atoms, "
                  f"new total = {self.x.shape[0]}")
+
+    def _delete_overlap(self, cut, g1, g2):
+        """delete_atoms overlap cut group1 group2
+        (delete_atoms.cpp:260 DeleteAtoms::delete_overlap, serial
+        semantics): scan atoms in index order; delete atom i (in group1)
+        when some not-yet-deleted atom j (in group2) lies within cut.
+        Pairs whose special_lj AND special_coul factors are both zero are
+        skipped — with no topology present every pair qualifies."""
+        x = np.asarray(self.x, np.float64)
+        n = x.shape[0]
+        if getattr(self, "_bonds", None) is not None and len(self._bonds):
+            # special-factor exclusion needs the 1-2/1-3/1-4 maps; the
+            # supported use-case (post create_atoms cleanup) has none
+            raise NotImplementedError("delete_atoms overlap with bonds")
+        in1 = np.asarray(self.groups[g1], bool)
+        in2 = np.asarray(self.groups[g2], bool)
+        L = (self.box_hi - self.box_lo).astype(np.float64)
+        per = np.asarray(self.periodic, bool)
+        cutsq = cut * cut
+        # adjacency in chunks (O(N^2) candidate pass, then the reference's
+        # sequential "j not already deleted" sweep on the short lists)
+        neigh = [[] for _ in range(n)]
+        chunk = max(1, min(n, 4_000_000 // max(n, 1) + 1))
+        for s in range(0, n, chunk):
+            e = min(n, s + chunk)
+            d = x[s:e, None, :] - x[None, :, :]
+            for k in range(3):
+                if per[k]:
+                    d[:, :, k] -= L[k] * np.round(d[:, :, k] / L[k])
+            rsq = (d * d).sum(-1)
+            ii, jj = np.nonzero(
+                (rsq < cutsq) & in1[s:e, None] & in2[None, :])
+            ii += s
+            keep_pair = ii != jj
+            for i, j in zip(ii[keep_pair], jj[keep_pair]):
+                neigh[i].append(j)
+        dlist = np.zeros(n, bool)
+        for i in range(n):
+            for j in neigh[i]:
+                if not dlist[j]:
+                    dlist[i] = True
+                    break
+        return dlist
+
+    def _delete_porosity(self, region, frac, seed):
+        """delete_atoms porosity region frac seed
+        (delete_atoms.cpp:420): one RanMars uniform draw per atom inside
+        the region, in atom order; delete when uniform() <= frac."""
+        from lidp_tpu.rng import RanMars
+        rng = RanMars(seed)
+        inside = np.asarray(self._region_mask(region), bool)
+        dlist = np.zeros(inside.shape[0], bool)
+        for i in np.nonzero(inside)[0]:
+            if rng.uniform() <= frac:
+                dlist[i] = True
+        return dlist
 
     def cmd_run(self, a):
         nsteps = int(a[0])

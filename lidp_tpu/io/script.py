@@ -1956,7 +1956,7 @@ class LammpsScript:
                          "nve/sphere", "nvt/sphere",
                          "npt/sphere", "nph/sphere", "nve/limit",
                          "nve/noforce", "spring", "spring/rg", "drag",
-                         "move", "heat", "temp/csvr", "temp/csld",
+                         "move", "heat", "ehex", "temp/csvr", "temp/csld",
                          "rigid/small", "rigid/nve/small",
                          "rigid/nvt/small", "rigid/npt", "rigid/nph",
                          "rigid/npt/small", "rigid/nph/small",

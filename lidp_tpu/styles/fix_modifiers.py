@@ -855,6 +855,112 @@ def build_heat(ctx, spec):
     ctx.eos_hooks.append(_heat_eos)
 
 
+def _traced_region_match(ctx, rname):
+    """Build a traced Region::match analog for a static region: wraps a
+    copy of x on periodic dims (Domain::remap, fix_ehex.cpp
+    rescale_atom) then tests membership.  block + sphere supported."""
+    script = ctx.script
+    r = script.regions[rname]
+    s3 = np.asarray(script._region_spacing(rname), float)
+    lo_b = jnp.asarray(script.box_lo, ctx.dtype)
+    L = jnp.asarray(script.box_hi - script.box_lo, ctx.dtype)
+    per = jnp.asarray(np.asarray(script.periodic, bool))
+
+    def _remap(x):
+        w = lo_b[None, :] + jnp.mod(x - lo_b[None, :], L[None, :])
+        return jnp.where(per[None, :], w, x)
+
+    if not isinstance(r[0], str):
+        lo_hi = np.asarray(r, float) * np.repeat(s3, 2)
+        lo = jnp.asarray(lo_hi[0::2], ctx.dtype)
+        hi = jnp.asarray(lo_hi[1::2], ctx.dtype)
+
+        def match(x):
+            xw = _remap(x)
+            return jnp.all((xw >= lo[None, :]) & (xw <= hi[None, :]),
+                           axis=1)
+    elif r[0] == "sphere":
+        c = jnp.asarray(np.array(r[1:4]) * s3, ctx.dtype)
+        rad2 = float(r[4] * s3[0]) ** 2
+
+        def match(x):
+            d = _remap(x) - c[None, :]
+            return jnp.sum(d * d, axis=1) <= rad2
+    else:
+        raise NotImplementedError(f"traced region style {r[0]}")
+    return match
+
+
+@fix_style("ehex")
+def build_ehex(ctx, spec):
+    # fix ehex nevery F [region R] [hex] (RIGID/fix_ehex.cpp, the eHEX/a
+    # asymmetric enhanced heat exchange of Wirnsberger et al.,
+    # arXiv:1507.07081): every nevery steps rescale the reservoir's
+    # velocities about its COM by sqrt(1 + F*dt/Kr) (Kr = thermal KE in
+    # the COM frame, F = heat*ftm2v*nevery) and — unless 'hex' — apply
+    # the third-order coordinate correction x -= dt^3 * epsr (Eq. 20,
+    # fix_ehex.cpp:283-300) that removes plain HEX's O(dt^3) energy
+    # drift.  'constrain'/'com' (SHAKE-cluster post-correction via
+    # shake_end_of_step) unsupported: constraints here run inside the
+    # scan, the post-hoc re-projection path doesn't exist.
+    a = list(spec.args)
+    nevery = int(a[0])
+    heat = float(a[1])
+    rname, hex_only = None, False
+    i = 2
+    while i < len(a):
+        if a[i] == "region":
+            rname = a[i + 1]
+            i += 2
+        elif a[i] == "hex":
+            hex_only = True
+            i += 1
+        elif a[i] in ("constrain", "com"):
+            raise NotImplementedError("fix ehex constrain/com")
+        else:
+            raise ValueError(f"Illegal fix ehex keyword {a[i]}")
+    gm = jnp.asarray(ctx.groups[spec.group])
+    mass_j = jnp.asarray(ctx.mass_atom, ctx.dtype)
+    F = heat * ctx.u.ftm2v * nevery
+    dt = ctx.script.dt
+    match = _traced_region_match(ctx, rname) if rname else None
+
+    def _ehex_eos(sys_, res_=None):
+        on = (sys_.step % nevery) == 0
+        sel = gm & sys_.mask
+        if match is not None:
+            sel = sel & match(sys_.x)
+        m = jnp.where(sel, mass_j, 0.0)
+        mr = jnp.sum(m)
+        vcm = jnp.sum(m[:, None] * sys_.v, axis=0) / mr
+        ke = 0.5 * jnp.sum(m[:, None] * sys_.v ** 2)
+        kr = ke - 0.5 * mr * jnp.sum(vcm * vcm)
+        f_ = res_.f if res_ is not None else jnp.zeros_like(sys_.v)
+        fsel = jnp.where(sel[:, None], f_, 0.0)
+        sfr = jnp.sum(fsel, axis=0)
+        sfvr = jnp.sum(fsel * sys_.v) - jnp.dot(vcm, sfr)
+        escale = 1.0 + F * dt / kr
+        scale = jnp.where(on, jnp.sqrt(escale), 1.0)
+        vnew = scale * sys_.v - (scale - 1.0) * vcm[None, :]
+        vnew = jnp.where(sel[:, None], vnew, sys_.v)
+        if hex_only:
+            xnew = sys_.x
+        else:
+            # epsr_ik, fix_ehex.cpp:283-300 (uses pre-rescale v)
+            ftm2v = ctx.u.ftm2v
+            eta = (mass_j[:, None] * F / (2.0 * kr)
+                   * (sys_.v - vcm[None, :]))
+            epsr = (eta / (mass_j[:, None] * kr)
+                    * (F / 48.0 + sfvr / 6.0 * ftm2v)
+                    - F / (12.0 * kr)
+                    * (f_ / mass_j[:, None] - sfr[None, :] / mr) * ftm2v)
+            corr = jnp.where(sel[:, None] & on, dt ** 3 * epsr, 0.0)
+            xnew = sys_.x - corr
+        return sys_.replace(x=xnew, v=vnew)
+
+    ctx.eos_hooks.append(_ehex_eos)
+
+
 @fix_style("temp/csvr", "temp/csld")
 def build_temp_cs(ctx, spec):
     # fix temp/csvr (Bussi-Donadio-Parrinello stochastic velocity

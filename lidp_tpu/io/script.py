@@ -2030,28 +2030,48 @@ class LammpsScript:
         per = np.asarray(self.periodic, bool)
         cutsq = cut * cut
         # adjacency in chunks (O(N^2) candidate pass, then the reference's
-        # sequential "j not already deleted" sweep on the short lists)
+        # sequential sweep on the short lists).  Each neighbor entry also
+        # records whether the minimum image crossed a periodic boundary:
+        # in a serial reference run that pair's j is a GHOST, and
+        # delete_atoms.cpp:404-407 applies a different rule there —
+        # mutual candidate pairs (i in g2 && j in g1) tie-break on tags
+        # (skip iff tag[i] > tag[j], so only the lower-tag atom dies);
+        # non-mutual pairs delete i REGARDLESS of dlist[j].
         neigh = [[] for _ in range(n)]
         chunk = max(1, min(n, 4_000_000 // max(n, 1) + 1))
         for s in range(0, n, chunk):
             e = min(n, s + chunk)
             d = x[s:e, None, :] - x[None, :, :]
+            crossed = np.zeros(d.shape[:2], bool)
             for k in range(3):
                 if per[k]:
-                    d[:, :, k] -= L[k] * np.round(d[:, :, k] / L[k])
+                    shift = np.round(d[:, :, k] / L[k])
+                    d[:, :, k] -= L[k] * shift
+                    crossed |= shift != 0
             rsq = (d * d).sum(-1)
             ii, jj = np.nonzero(
                 (rsq < cutsq) & in1[s:e, None] & in2[None, :])
+            ghost = crossed[ii, jj]
             ii += s
             keep_pair = ii != jj
-            for i, j in zip(ii[keep_pair], jj[keep_pair]):
-                neigh[i].append(j)
+            for i, j, g in zip(ii[keep_pair], jj[keep_pair],
+                               ghost[keep_pair]):
+                neigh[i].append((j, bool(g)))
         dlist = np.zeros(n, bool)
         for i in range(n):
-            for j in neigh[i]:
-                if not dlist[j]:
-                    dlist[i] = True
-                    break
+            for j, ghost in neigh[i]:
+                if not ghost:
+                    # local j: skip if j already deleted
+                    if dlist[j]:
+                        continue
+                elif in2[i] and in1[j]:
+                    # ghost j, mutual candidate: tag tie-break (tags are
+                    # index+1 here, so compare indices)
+                    if i > j:
+                        continue
+                # ghost j, non-mutual: delete i unconditionally
+                dlist[i] = True
+                break
         return dlist
 
     def _delete_porosity(self, region, frac, seed):

@@ -858,34 +858,51 @@ def build_heat(ctx, spec):
 def _traced_region_match(ctx, rname):
     """Build a traced Region::match analog for a static region: wraps a
     copy of x on periodic dims (Domain::remap, fix_ehex.cpp
-    rescale_atom) then tests membership.  block + sphere supported."""
+    rescale_atom) then tests membership.  block + sphere supported.
+
+    Honors the region's ``side out`` keyword and the INF lo-bound
+    convention (a +inf lo bound means unbounded below, exactly as the
+    host-side ``_region_mask`` treats it).  The box is read from the
+    traced system each call (Domain::remap uses the CURRENT domain), so
+    box-changing fixes (npt / fix deform) stay correct.
+    """
     script = ctx.script
     r = script.regions[rname]
     s3 = np.asarray(script._region_spacing(rname), float)
-    lo_b = jnp.asarray(script.box_lo, ctx.dtype)
-    L = jnp.asarray(script.box_hi - script.box_lo, ctx.dtype)
     per = jnp.asarray(np.asarray(script.periodic, bool))
+    kw = getattr(script, "_region_kw", {}).get(rname, {})
+    side_out = kw.get("side", "in") == "out"
 
-    def _remap(x):
+    def _remap(x, sys_):
+        lo_b = sys_.box.lo.astype(x.dtype)
+        L = (sys_.box.hi - sys_.box.lo).astype(x.dtype)
         w = lo_b[None, :] + jnp.mod(x - lo_b[None, :], L[None, :])
         return jnp.where(per[None, :], w, x)
 
     if not isinstance(r[0], str):
         lo_hi = np.asarray(r, float) * np.repeat(s3, 2)
-        lo = jnp.asarray(lo_hi[0::2], ctx.dtype)
-        hi = jnp.asarray(lo_hi[1::2], ctx.dtype)
+        lo_np = lo_hi[0::2].copy()
+        # INF keyword parses to +inf regardless of which bound it sits
+        # on; a lo bound of +inf means "unbounded below" (_region_mask)
+        lo_np[np.isinf(lo_np)] = -np.inf
+        # keep the bounds finite inside the trace (inf*0 NaN hazards):
+        # clamp to +-1e30, far outside any box
+        lo = jnp.asarray(np.clip(lo_np, -1e30, 1e30), ctx.dtype)
+        hi = jnp.asarray(np.clip(lo_hi[1::2], -1e30, 1e30), ctx.dtype)
 
-        def match(x):
-            xw = _remap(x)
-            return jnp.all((xw >= lo[None, :]) & (xw <= hi[None, :]),
-                           axis=1)
+        def match(x, sys_):
+            xw = _remap(x, sys_)
+            m = jnp.all((xw >= lo[None, :]) & (xw <= hi[None, :]),
+                        axis=1)
+            return ~m if side_out else m
     elif r[0] == "sphere":
         c = jnp.asarray(np.array(r[1:4]) * s3, ctx.dtype)
         rad2 = float(r[4] * s3[0]) ** 2
 
-        def match(x):
-            d = _remap(x) - c[None, :]
-            return jnp.sum(d * d, axis=1) <= rad2
+        def match(x, sys_):
+            d = _remap(x, sys_) - c[None, :]
+            m = jnp.sum(d * d, axis=1) <= rad2
+            return ~m if side_out else m
     else:
         raise NotImplementedError(f"traced region style {r[0]}")
     return match
@@ -924,22 +941,41 @@ def build_ehex(ctx, spec):
     F = heat * ctx.u.ftm2v * nevery
     dt = ctx.script.dt
     match = _traced_region_match(ctx, rname) if rname else None
+    if rname is not None:
+        # fix_ehex.cpp:269 errors when the reservoir has no atoms
+        # (masstotal_region < 1e-14); catch the static-geometry case at
+        # build time so an empty selection fails loudly, not as NaNs
+        init_sel = (np.asarray(ctx.groups[spec.group], bool)
+                    & np.asarray(ctx.script._region_mask(rname), bool))
+        if not init_sel.any():
+            raise ValueError(
+                f"fix ehex: region {rname} selects no atoms of group "
+                f"{spec.group} at setup")
 
     def _ehex_eos(sys_, res_=None):
         on = (sys_.step % nevery) == 0
         sel = gm & sys_.mask
         if match is not None:
-            sel = sel & match(sys_.x)
+            sel = sel & match(sys_.x, sys_)
         m = jnp.where(sel, mass_j, 0.0)
         mr = jnp.sum(m)
-        vcm = jnp.sum(m[:, None] * sys_.v, axis=0) / mr
+        # guard mr: if the reservoir empties mid-run (atoms drift out of
+        # the region) skip the update instead of dividing by zero — the
+        # reference errors out here (fix_ehex.cpp:269)
+        on = on & (mr > 1e-14)
+        mr_s = jnp.maximum(mr, 1e-300)
+        vcm = jnp.sum(m[:, None] * sys_.v, axis=0) / mr_s
         ke = 0.5 * jnp.sum(m[:, None] * sys_.v ** 2)
-        kr = ke - 0.5 * mr * jnp.sum(vcm * vcm)
+        kr = jnp.maximum(ke - 0.5 * mr * jnp.sum(vcm * vcm), 1e-300)
         f_ = res_.f if res_ is not None else jnp.zeros_like(sys_.v)
         fsel = jnp.where(sel[:, None], f_, 0.0)
         sfr = jnp.sum(fsel, axis=0)
         sfvr = jnp.sum(fsel * sys_.v) - jnp.dot(vcm, sfr)
-        escale = 1.0 + F * dt / kr
+        # fix_ehex.cpp:274 errors when 1 + F*dt/Kr < 0 ("kinetic energy
+        # went negative"): an over-cooled reservoir would give sqrt(<0).
+        # Clamp to 0 (reservoir KE fully removed) so the failure mode is
+        # a frozen reservoir, not NaN propagation.
+        escale = jnp.maximum(1.0 + F * dt / kr, 0.0)
         scale = jnp.where(on, jnp.sqrt(escale), 1.0)
         vnew = scale * sys_.v - (scale - 1.0) * vcm[None, :]
         vnew = jnp.where(sel[:, None], vnew, sys_.v)

@@ -62,6 +62,34 @@ def _fingerprint(x):
     return hashlib.sha256(s.encode()).hexdigest()
 
 
+def test_delete_overlap_cross_boundary_ghost_rule(tmp_path):
+    """Asymmetric group pair whose only contacts cross the periodic
+    boundary: delete_atoms.cpp:404-407 treats the (serial) ghost-j case
+    specially — mutual candidate pairs tie-break on tags, non-mutual
+    pairs delete i regardless of dlist[j].  Golden: the rebuilt
+    reference deletes 32 atoms leaving exactly this surviving
+    coordinate set (same sorted-%.8f sha as the other cases)."""
+    import jax.numpy as jnp
+
+    from lidp_tpu.io.script import LammpsScript
+
+    head = (HEAD.replace("region half block 0 2 0 4 0 4\n"
+                         "group left region half\n"
+                         "set group left type 2\n", "")
+            + "region rL block 0 0.6 0 4 0 4\n"
+              "region rR block 3.4 4 0 4 0 4\n"
+              "group edgeL region rL\n"
+              "group edgeR region rR\n"
+              "delete_atoms overlap 1.2 edgeL edgeR\n")
+    path = tmp_path / "in.case"
+    path.write_text(head)
+    s = LammpsScript(dtype=jnp.float64)
+    s.file(str(path))
+    assert s.x.shape[0] == 224
+    assert _fingerprint(s.x) == (
+        "28173ca644ebb91c39010fbfbde47abdbe47a5730d6b39ebf434004443329c3d")
+
+
 @pytest.mark.parametrize("case", sorted(CASES))
 def test_delete_atoms_golden(case, tmp_path):
     import jax.numpy as jnp

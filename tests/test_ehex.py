@@ -43,6 +43,13 @@ CASES = {
              "fix cold all ehex 1 -1.0 region cold\n"),
     "hex": ("fix hot all ehex 2 1.5 region hot hex\n"
             "fix cold all ehex 2 -1.5 region cold hex\n"),
+    # INF bounds + side out in the traced Region::match (region_block
+    # interior flag + BIG bound handling): 'hot2' is unbounded below,
+    # 'notcold' is everything OUTSIDE z<2
+    "sideout": ("region hot2 block INF 1 INF INF INF INF\n"
+                "region notcold block INF INF INF INF INF 2 side out\n"
+                "fix hot all ehex 1 1.0 region hot2\n"
+                "fix cold all ehex 1 -1.0 region notcold\n"),
 }
 
 GOLDEN = {
@@ -59,6 +66,13 @@ GOLDEN = {
         [4, 1.40164126140064, -1719.37322659985, 536.127782485745, -1183.2454441141, -4.67881403482406],
         [6, 1.34670283471138, -1698.31924666489, 515.113834277102, -1183.20541238779, -4.21816296696953],
         [8, 1.25806897175533, -1664.16448614985, 481.211381696415, -1182.95310445344, -3.52901739298158],
+    ],
+    "sideout": [
+        [0, 1.44, -1733.98222163279, 550.8, -1183.18222163279, -5.02441789508558],
+        [2, 1.4308863879974, -1730.5120120139, 547.314043409005, -1183.1979686049, -4.93997773072133],
+        [4, 1.40164126182212, -1719.37322657845, 536.127782646962, -1183.24544393149, -4.67881403811119],
+        [6, 1.34670290610332, -1698.31927224899, 515.113861584518, -1183.20541066448, -4.21816333902306],
+        [8, 1.25806948318791, -1664.16467675887, 481.211577319374, -1182.9530994395, -3.5290198351915],
     ],
 }
 

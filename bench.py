@@ -5,17 +5,21 @@ NVE, neighbor skin 0.3 rebuilt every 20 steps `check no` — timesteps/s against
 the committed single-core baseline of 44.212 steps/s
 (bench/log.6Oct16.lj.fixed.icc.1:55).
 
-Secondary: the polarizable MOF workload (BASELINE configs 4/5) in two regimes:
-the f32 production fast path (precision 1e-6) and the reference's own
-precision regime (f64, polar_precision 1e-11 — MOF5+Methane/*.input), plus a
-measured f32-vs-f64 force/dipole error budget justifying the fast path.
+Secondary stages, ordered by importance (the driver may kill this process at
+its wall cap, so the cumulative JSON line is (re)printed after EVERY stage —
+the LAST line wins): polar 10k f32 -> polar 10k f64/1e-11 -> EAM -> polar
+100k f32 -> chute -> error budget -> scaled-size LJ sweep -> rhodo-class ->
+polar 100k f64/1e-11.  A global wall budget (BENCH_BUDGET_S, default 1500 s)
+gates each stage: stages that don't fit emit "skipped: budget" instead of
+running past the driver cap.
 
 Energy-conservation note: in.lj with `neigh_modify every 20 check no` drifts
 BY CONSTRUCTION (stale lists miss fast atoms): the reference's own f64 log
 drifts 1.93e-3 over its 100 steps (TotEng -4.6134356 -> -4.6223613).  We
 report our 400-step f32 drift next to that anchor.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Prints the cumulative JSON line {"metric", "value", "unit", "vs_baseline",
+...} after every stage; parse the LAST JSON line of stdout.
 """
 
 import json
@@ -25,11 +29,24 @@ import subprocess
 import sys
 import time
 
-import jax
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", CACHE_DIR)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+import jax  # noqa: E402
 
 BASELINE_STEPS_PER_S = 44.212   # bench/log.6Oct16.lj.fixed.icc.1
 REF_DRIFT_PER_100 = 1.93e-3     # the reference f64 log's own TotEng drift
 NSTEPS = 400
+
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+_T0 = time.monotonic()
+
+
+def _remaining():
+    return BUDGET_S - (time.monotonic() - _T0)
+
 
 # v5e VPU f32 peak: 8x128 lanes x 4 ALUs x ~0.94 GHz ~= 3.9 TFLOP/s.  The
 # cell kernel is elementwise (VPU-bound); MXU peak is not the right anchor.
@@ -53,7 +70,7 @@ def _lj_flops_per_step(melt):
     return kernel, useful
 
 
-def main():
+def _stage_lj(out):
     import jax.numpy as jnp
 
     from lidp_tpu.models import lj_melt
@@ -62,14 +79,14 @@ def main():
     melt = lj_melt.build(scale=1, dtype=jnp.float32, neighbor="slots")
     sys_, res, nlist, istate = melt.runner.setup(melt.system)
     if bool(nlist.overflow):
-        print(json.dumps({"error": "neighbor overflow"}))
-        return 1
+        out["lj_note"] = "neighbor overflow"
+        return
 
     # warmup with the SAME static scan length (scan length is a compile-time
     # constant; a different warmup length would leave compilation in the
     # timed region).  Timed runs CHAIN the state: the axon runtime can serve
     # a repeat invocation with identical arguments from cache, which would
-    # fake multi-thousand-x numbers.  Take the best of two chained runs.
+    # fake multi-thousand-x numbers.  Take the best of three chained runs.
     s2, r2, n2, i2 = melt.runner.run(sys_, res, nlist, istate, NSTEPS)
     jax.block_until_ready(s2.x)
     # f32 energy conservation over the first 400 steps (the reference's own
@@ -87,8 +104,8 @@ def main():
             best_dt = dt if best_dt is None else min(best_dt, dt)
     steps_per_s = NSTEPS / best_dt
     if bool(n2.overflow):
-        print(json.dumps({"error": "cell capacity overflow during run"}))
-        return 1
+        out["lj_note"] = "cell capacity overflow during run"
+        return
 
     # step-100 golden parity vs the committed log's TotEng -4.6223613
     s1, r1, nl1, i1 = melt.runner.run(sys_, res, nlist, istate, 100)
@@ -97,7 +114,7 @@ def main():
     step100_err = abs(row100["etotal"] - (-4.6223613)) / 4.6223613
 
     kernel_flops, useful_flops = _lj_flops_per_step(melt)
-    out = {
+    out.update({
         "metric": "lj_32k_timesteps_per_s",
         "value": round(steps_per_s, 3),
         "unit": "steps/s",
@@ -111,23 +128,15 @@ def main():
         "vpu_util_pct": round(100 * kernel_flops * steps_per_s
                               / VPU_PEAK_FLOPS, 1),
         "device": str(jax.devices()[0]),
-    }
-
-    out.update(_try_polar_bench(timeout_s=480))
-    out.update(_try_polar_1e11(timeout_s=480))
-    out.update(_try_error_budget(timeout_s=560))
-    out.update(_try_polar_100k(timeout_s=540))
-    out.update(_try_eam(timeout_s=560))
-    out.update(_try_chute(timeout_s=480))
-    out.update(_try_polar_100k_1e11(timeout_s=2700))
-    print(json.dumps(out))
-    return 0
+    })
 
 
 def _env():
     env = dict(os.environ)
     env["PYTHONPATH"] = ("/root/.axon_site:/root/repo:"
                          + env.get("PYTHONPATH", ""))
+    env["JAX_COMPILATION_CACHE_DIR"] = CACHE_DIR
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
     return env
 
 
@@ -158,12 +167,17 @@ def _try_polar_bench(timeout_s: int):
         return {"polar_mof_10k_steps_per_s": None,
                 "polar_note": "SCF did not converge (scf=%g)" % scf}
     lammps_extrapolated = 0.91 / (10592 / 1324.0) ** 2
-    return {
+    res = {
         "polar_mof_10k_steps_per_s": v,
         "polar_mof_10k_n_atoms": 10592,
         "polar_mof_10k_scf_iters": scf,
         "polar_vs_reference_extrapolated": round(v / lammps_extrapolated, 1),
     }
+    m2 = re.search(r"panel_gflops ([0-9.]+) mxu_util_pct ([0-9.]+)", r.stdout)
+    if m2:
+        res["polar_panel_gflops_per_s"] = float(m2.group(1))
+        res["polar_mxu_util_pct"] = float(m2.group(2))
+    return res
 
 
 def _try_eam(timeout_s: int):
@@ -226,33 +240,29 @@ def _try_chute(timeout_s: int):
 
 
 def _try_polar_100k_1e11(timeout_s: int):
-    """The north-star regime at the north-star size: 105,920 atoms, f64,
-    polar_precision 1e-11 (BASELINE.md: "100k ... SCF converged to 1e-11").
+    """The north-star regime at the north-star size: 105,920 atoms,
+    polar_precision 1e-11 (BASELINE.md: "100k ... SCF converged to 1e-11"),
+    mixed-precision CG (f32 panel matvecs + f64 iterative refinement).
     The O(N^2)-serial reference extrapolates to 1.42e-4 steps/s here."""
     try:
         # host-driven CG: the axon tunnel kills any single dispatch over
-        # ~1-2 min and the fused 100k f64 step exceeds that (one O(N^2)
-        # panel pass ~30 s x ~20 CG iterations), so each phase dispatches
-        # separately (models/polar_bench.py host_cg_step; parity proven in
-        # tests/test_host_cg.py)
-        # measured cold: compile+first step 680 s, steady 402 s/step
-        # (0.0025 steps/s, scf 16) — chunk 512 + 8 row strips keep every
-        # dispatch under the deadline and the programs inside HBM
+        # ~1-2 min, so each phase dispatches separately
+        # (models/polar_bench.py host_cg_step; parity in tests/test_host_cg.py)
         r = _run_script(["scripts/bench_polar.py", "100000", "run", "512",
                          "--f64", "--precision", "1e-11", "--steps", "1",
-                         "--host-cg", "--host-strips", "8"],
+                         "--host-cg", "--host-strips", "8", "--mixed"],
                         timeout_s)
     except subprocess.TimeoutExpired:
-        return {"polar_100k_1e11_f64_steps_per_s": None,
+        return {"polar_100k_1e11_steps_per_s": None,
                 "polar_100k_1e11_note": "timeout"}
     m = re.search(r"steps/s ([0-9.]+) scf ([0-9.]+)", r.stdout)
     if not m:
-        return {"polar_100k_1e11_f64_steps_per_s": None,
+        return {"polar_100k_1e11_steps_per_s": None,
                 "polar_100k_1e11_note": "failed: "
                 + (r.stdout + r.stderr)[-200:].replace("\n", " ")}
     v = float(m.group(1))
     return {
-        "polar_100k_1e11_f64_steps_per_s": v,
+        "polar_100k_1e11_steps_per_s": v,
         "polar_100k_1e11_scf_iters": float(m.group(2)),
         "polar_100k_1e11_vs_reference_extrapolated": round(v / 1.42e-4, 1),
     }
@@ -297,6 +307,87 @@ def _try_error_budget(timeout_s: int):
         "f32_force_max_rel_err": float(m.group(2)),
         "f32_mu_rms_rel_err": float(m.group(3)),
     }
+
+
+def _try_lj_scaled(timeout_s: int):
+    """Scaled-size LJ sweep (bench/README:23-39): 32k -> 1M atoms on one
+    chip via the slot path; steps/s + HBM behavior at each size."""
+    try:
+        r = _run_script(["scripts/bench_lj_scaled.py"], timeout_s)
+    except subprocess.TimeoutExpired:
+        return {"lj_scaled_note": "timeout"}
+    res = {}
+    for m in re.finditer(r"ljscale n=(\d+) steps/s ([0-9.]+)", r.stdout):
+        res[f"lj_{int(m.group(1))//1000}k_steps_per_s"] = float(m.group(2))
+    m = re.search(r"ljscale_note (.*)", r.stdout)
+    if m:
+        res["lj_scaled_note"] = m.group(1).strip()
+    if not res:
+        res["lj_scaled_note"] = ("failed: "
+                                 + (r.stdout + r.stderr)[-200:]
+                                 .replace("\n", " "))
+    return res
+
+
+def _try_rhodo_class(timeout_s: int):
+    """Rhodo-class workload (CHARMM + long-range + SHAKE + NPT at ~32k
+    atoms; data.rhodo itself is absent from the reference checkout, so
+    examples/peptide replicated to 8 images = 32,160 atoms stands in).
+    Anchor: bench/in.rhodo = 2.855 steps/s on one core
+    (log.6Oct16.rhodo.fixed.icc.1:95)."""
+    try:
+        r = _run_script(["scripts/bench_rhodo_class.py"], timeout_s)
+    except subprocess.TimeoutExpired:
+        return {"rhodo_class_steps_per_s": None,
+                "rhodo_note": "timeout"}
+    m = re.search(r"rhodo_class steps/s ([0-9.]+)", r.stdout)
+    if not m:
+        return {"rhodo_class_steps_per_s": None,
+                "rhodo_note": "failed: "
+                + (r.stdout + r.stderr)[-200:].replace("\n", " ")}
+    v = float(m.group(1))
+    return {"rhodo_class_steps_per_s": v,
+            "rhodo_class_n_atoms": 32160,
+            "rhodo_class_vs_baseline": round(v / 2.855, 2)}
+
+
+def main():
+    out = {}
+
+    def emit():
+        print(json.dumps(out), flush=True)
+
+    # stage table: (min seconds a stage needs to be worth starting, callable)
+    try:
+        _stage_lj(out)
+    except Exception as e:  # noqa: BLE001 — always emit something
+        out["lj_note"] = f"failed: {type(e).__name__}: {e}"[:200]
+    emit()
+
+    stages = [
+        ("polar10k", 60, lambda t: _try_polar_bench(t)),
+        ("polar1e11", 60, lambda t: _try_polar_1e11(t)),
+        ("eam", 90, lambda t: _try_eam(t)),
+        ("polar100k", 90, lambda t: _try_polar_100k(t)),
+        ("chute", 60, lambda t: _try_chute(t)),
+        ("errbudget", 60, lambda t: _try_error_budget(t)),
+        ("lj_scaled", 90, lambda t: _try_lj_scaled(t)),
+        ("rhodo", 90, lambda t: _try_rhodo_class(t)),
+        ("polar100k_1e11", 240, lambda t: _try_polar_100k_1e11(t)),
+    ]
+    for name, min_s, fn in stages:
+        rem = _remaining()
+        if rem < min_s:
+            out[f"{name}_note"] = f"skipped: budget ({rem:.0f}s left)"
+            emit()
+            continue
+        try:
+            out.update(fn(int(rem)))
+        except Exception as e:  # noqa: BLE001
+            out[f"{name}_note"] = f"failed: {type(e).__name__}: {e}"[:200]
+        out["bench_elapsed_s"] = round(time.monotonic() - _T0, 1)
+        emit()
+    return 0
 
 
 if __name__ == "__main__":

@@ -247,14 +247,14 @@ class lammps:
 
     # ---- variables / computes --------------------------------------------
     def extract_variable(self, name: str, group=None, _type=None):
-        """python/lammps.py:207 extract_variable (equal-style)."""
-        v = self.lmp.variables.get(name)
-        if v is None:
-            raise KeyError(f"no variable {name!r}")
+        """python/lammps.py:207 extract_variable (equal-style evaluates
+        its expression now; index/loop/string return the string)."""
         try:
-            return float(v)
-        except (TypeError, ValueError):
-            return v
+            return float(self.lmp.var_value(name))
+        except KeyError:
+            raise KeyError(f"no variable {name!r}")
+        except ValueError:
+            return self.lmp.variables.get(name)
 
     def set_variable(self, name: str, value) -> int:
         """python/lammps.py:252 set_variable."""

@@ -27,13 +27,11 @@ from lidp_tpu import velocity as velocity_mod
 from lidp_tpu import lattice as lattice_mod
 from lidp_tpu.io.data_reader import read_data
 
+_RAMP_RE = re.compile(
+    r"^ramp\(\s*([0-9.eE+-]+)\s*,\s*([0-9.eE+-]+)\s*\)$")
+# bare-number detector for optional positional args (e.g. the pair_style
+# polarization grammar's optional cut_coul before keywords)
 _NUM_RE = re.compile(r"^[\d eE+\-*/().]+$")
-
-
-def _evaluate(expr: str) -> float:
-    if not _NUM_RE.match(expr):
-        raise ValueError(f"unsupported expression: {expr!r}")
-    return float(eval(expr, {"__builtins__": {}}, {}))  # noqa: S307
 
 
 def _read_pair_table(path: str, keyword: str):
@@ -141,6 +139,18 @@ class LammpsScript:
 
         self.variables: dict[str, str] = {}
         self._index_values: dict[str, list] = {}
+        # equal/atom-style variable EXPRESSIONS (lazy evaluation through
+        # lidp_tpu.io.expr — the variable.cpp Variable::evaluate analog)
+        self._equal_exprs: dict[str, str] = {}
+        self._atom_exprs: dict[str, str] = {}
+        self._internal_vars: dict[str, float] = {}
+        self._eval_in_progress: set = set()
+        self._rng_equal = None       # persistent random() streams
+        self._rng_atom = None        # (variable.cpp randomequal/randomatom)
+        self._kw_row = None          # current thermo row for keyword eval
+        self._run_begin = 0          # update->beginstep/endstep analogs
+        self._run_end = 0
+        self._in_run = False
         self._skip_next_jump = False
         self.units = units_mod.LJ
         self.dt: float = self.units.dt
@@ -283,11 +293,20 @@ class LammpsScript:
         handler(args)
 
     def _substitute(self, line: str) -> str:
+        from lidp_tpu.io import expr as expr_mod
+
         out = []
         i = 0
         while i < len(line):
             c = line[i]
             if c == "$":
+                if line[i + 1] == "(":
+                    # $(expr) immediate evaluation (Input::substitute)
+                    j = expr_mod._find_matching_paren(line, i + 1)
+                    text = line[i + 2:j]
+                    i = j + 1
+                    out.append("%.20g" % self.evaluate_expr(text))
+                    continue
                 if line[i + 1] == "{":
                     j = line.index("}", i)
                     name = line[i + 2:j]
@@ -295,8 +314,9 @@ class LammpsScript:
                 else:
                     name = line[i + 1]
                     i += 2
-                if name in self.variables:
-                    out.append(self.variables[name])
+                s = self.var_str(name)
+                if s is not None:
+                    out.append(s)
                 else:
                     # leave unknown ${name} for runtime substitution
                     # (fix print messages reference thermo keywords)
@@ -306,6 +326,117 @@ class LammpsScript:
                 out.append(c)
                 i += 1
         return "".join(out)
+
+    # ------------------------- variable engine --------------------------
+
+    def var_str(self, name) -> Optional[str]:
+        """Variable::retrieve analog: the substitution string for $name —
+        equal/internal styles evaluate NOW and format %.15g
+        (variable.cpp:856)."""
+        if name in self._equal_exprs:
+            return "%.15g" % self.var_value(name)
+        if name in self._internal_vars:
+            return "%.15g" % self._internal_vars[name]
+        if name in self.variables:
+            return self.variables[name]
+        return None
+
+    def var_value(self, name) -> float:
+        """Numeric value of a variable (equal/internal evaluated lazily;
+        index/loop/string parsed as numbers)."""
+        if name in self._internal_vars:
+            return self._internal_vars[name]
+        if name in self._equal_exprs:
+            if name in self._eval_in_progress:
+                raise ValueError(
+                    f"variable {name} has a circular dependency")
+            self._eval_in_progress.add(name)
+            try:
+                return self.evaluate_expr(self._equal_exprs[name])
+            finally:
+                self._eval_in_progress.discard(name)
+        if name in self.variables:
+            return float(self.variables[name])
+        raise KeyError(f"variable {name} is not defined")
+
+    def evaluate_expr(self, text: str) -> float:
+        from lidp_tpu.io import expr as expr_mod
+
+        return expr_mod.evaluate(_ExprCtx(self), text)
+
+    def evaluate_atom_expr(self, text: str) -> np.ndarray:
+        from lidp_tpu.io import expr as expr_mod
+
+        return expr_mod.evaluate_atom(_ExprCtx(self), text)
+
+    def _thermo_keyword(self, word):
+        """Thermo::evaluate_keyword analog for expressions.  State
+        keywords come from the live Simulation's thermo row (cached in
+        _kw_row while one is being assembled); geometry/config keywords
+        are served directly."""
+        if self._kw_row is not None and word in self._kw_row:
+            v = self._kw_row[word]
+            if isinstance(v, (int, float)):
+                return float(v)
+        if word == "step":
+            return float(self.step)
+        if word == "dt":
+            return float(self.dt)
+        if word == "time":
+            return float(self.step) * float(self.dt)
+        if word == "elapsed" or word == "elaplong":
+            return float(self.step - self._run_begin)
+        if word == "atoms":
+            return float(len(self.x) if self.x is not None else 0)
+        if word in ("cpu", "tpcpu", "spcpu", "cpuremain", "part",
+                    "timeremain"):
+            return 0.0
+        if self.box_lo is not None:
+            lo, hi = self.box_lo, self.box_hi
+            L = hi - lo
+            geom = {"lx": L[0], "ly": L[1], "lz": L[2],
+                    "xlo": lo[0], "xhi": hi[0], "ylo": lo[1],
+                    "yhi": hi[1], "zlo": lo[2], "zhi": hi[2],
+                    "vol": L[0] * L[1] * L[2],
+                    "cella": L[0], "cellb": L[1], "cellc": L[2],
+                    "cellalpha": 90.0, "cellbeta": 90.0,
+                    "cellgamma": 90.0}
+            tilt = getattr(self, "box_tilt", None)
+            geom["xy"] = tilt[0] if tilt is not None else 0.0
+            geom["xz"] = tilt[1] if tilt is not None else 0.0
+            geom["yz"] = tilt[2] if tilt is not None else 0.0
+            if word in geom:
+                return float(geom[word])
+            if word == "density":
+                mass = float(self.mass_type[self.type].sum())
+                vol = float(L[0] * L[1] * L[2])
+                u = self.units
+                return u.mv2d * mass / vol if hasattr(u, "mv2d") \
+                    else mass / vol
+        if word in ("xlat", "ylat", "zlat"):
+            s3 = self._spacing3()
+            return float(s3["xyz".index(word[0])])
+        if word in ("bonds", "angles", "dihedrals", "impropers"):
+            t_ = getattr(self, "_" + word, None)
+            return 0.0 if t_ is None else float(len(t_))
+        # state keywords (temp/press/pe/...) need a force evaluation:
+        # build a thermo row from the live Simulation
+        row = self._current_thermo_row()
+        if row is not None and word in row:
+            v = row[word]
+            if isinstance(v, (int, float)):
+                return float(v)
+        return None
+
+    def _current_thermo_row(self):
+        """Thermo row for the CURRENT state (between runs this is the
+        last force evaluation — same staleness as the reference)."""
+        if self._kw_row is not None:
+            return self._kw_row
+        if self._sim is not None and self._sim.res is not None:
+            row = self._sim._thermo_row()
+            return row
+        return None
 
     # ----------------------------- commands ------------------------------
 
@@ -318,18 +449,41 @@ class LammpsScript:
             self.execute(fh.readlines())
 
     def cmd_if(self, a):
-        """if "expr" then "cmd" [else "cmd"] (numeric/boolean expressions)."""
+        """if "cond" then "cmd"... [elif "cond" "cmd"...]* [else "cmd"...]
+        (input.cpp:905-1010; conditions through the Boolean evaluator,
+        variable.cpp:4629 — no Python eval)."""
         import shlex
 
+        from lidp_tpu.io import expr as expr_mod
+
         toks = shlex.split(" ".join(a))
-        cond = toks[0].replace("&&", " and ").replace("||", " or ")
-        if not re.match(r"^[\d eE+\-*/().<>=!androt]+$", cond):
-            raise ValueError(f"unsupported if expression: {toks[0]!r}")
-        ok = bool(eval(cond, {"__builtins__": {}}, {}))  # noqa: S307
-        then_i = toks.index("then")
-        else_i = toks.index("else") if "else" in toks else len(toks)
-        for c in (toks[then_i + 1:else_i] if ok else toks[else_i + 1:]):
-            self.one(c)
+        # split into branches: [(cond, [cmds]), ...], else = cond None
+        if "then" not in toks:
+            raise ValueError("if command needs 'then'")
+        branches = []
+        cond = toks[0]
+        cmds = []
+        i = toks.index("then") + 1
+        while i < len(toks):
+            t = toks[i]
+            if t == "elif":
+                branches.append((cond, cmds))
+                cond, cmds = toks[i + 1], []
+                i += 2
+                continue
+            if t == "else":
+                branches.append((cond, cmds))
+                cond, cmds = None, []
+                i += 1
+                continue
+            cmds.append(t)
+            i += 1
+        branches.append((cond, cmds))
+        for cond, cmds in branches:
+            if cond is None or expr_mod.evaluate_boolean(cond) != 0.0:
+                for c in cmds:
+                    self.one(c)
+                return
 
     def cmd_variable(self, a):
         name, style = a[0], a[1]
@@ -344,26 +498,43 @@ class LammpsScript:
                 vals = [str(i) for i in range(1, int(a[2]) + 1)]
                 self.variables[name] = vals[0]
                 self._index_values[name] = vals
+        elif style == "delete":
+            # variable NAME delete (variable.cpp:314)
+            for d in (self.variables, self._index_values,
+                      self._equal_exprs, self._atom_exprs,
+                      self._internal_vars):
+                d.pop(name, None)
         elif style == "equal":
-            expr = " ".join(a[2:])
-            m_ramp = re.match(r"ramp\(([^,]+),([^)]+)\)", expr.strip())
+            # store the EXPRESSION; evaluation is lazy (Variable::retrieve
+            # / compute_equal) so thermo keywords and v_/c_/f_ refs see
+            # the state at USE time.  Redefinition replaces (variable.cpp
+            # :259-264).
+            expr = " ".join(a[2:]).strip()
+            if (expr.startswith('"') and expr.endswith('"')) or (
+                    expr.startswith("'") and expr.endswith("'")):
+                expr = expr[1:-1]
+            self._equal_exprs[name] = expr
+            self.variables.pop(name, None)
+            m_ramp = _RAMP_RE.match(expr)
             if m_ramp:
-                # variable X equal ramp(lo,hi): spans each run
-                # (variable.cpp ramp() thermo function)
+                # constant-arg ramp(lo,hi) also feeds the traced fix
+                # adapt path (which needs the bounds at build time)
                 if not hasattr(self, "_ramp_vars"):
                     self._ramp_vars = {}
                 self._ramp_vars[name] = (float(m_ramp.group(1)),
                                          float(m_ramp.group(2)))
-                self.variables[name] = m_ramp.group(1)
-                return
-            val = _evaluate(expr)
-            self.variables[name] = repr(val) if val != int(val) else str(int(val))
+        elif style == "atom":
+            expr = " ".join(a[2:]).strip()
+            if (expr.startswith('"') and expr.endswith('"')) or (
+                    expr.startswith("'") and expr.endswith("'")):
+                expr = expr[1:-1]
+            self._atom_exprs[name] = expr
         elif style == "string":
             self.variables[name] = a[2]
         elif style == "internal":
             # numeric value settable by code (variable.cpp INTERNAL;
             # consumed by fix controller)
-            self.variables[name] = a[2]
+            self._internal_vars[name] = float(a[2])
         elif style == "world":
             # one value per partition (variable.cpp WORLD); single-process
             # emulation keeps the full list (used by `temper`) and
@@ -852,7 +1023,17 @@ class LammpsScript:
         return np.asarray(s3, float)
 
     def cmd_mass(self, a):
-        self.mass_type[int(a[0])] = float(a[1])
+        # mass {type|wildcard} value (mass.cpp via utils::bounds:
+        # *, n*, *n, n*m all select type ranges)
+        tok = str(a[0])
+        if "*" in tok:
+            lo, _, hi = tok.partition("*")
+            lo = int(lo) if lo else 1
+            hi = int(hi) if hi else self.ntypes
+            for t in range(lo, hi + 1):
+                self.mass_type[t] = float(a[1])
+        else:
+            self.mass_type[int(tok)] = float(a[1])
 
     def cmd_set(self, a):
         self._invalidate()
@@ -2094,7 +2275,11 @@ class LammpsScript:
         every = getattr(self, "_restart_every", 0)
         if every > 0:
             # restart N file: checkpoint on the N-step cadence
-            # (output.cpp write_restart), alternating between two names
+            # (output.cpp write_restart), alternating between two names.
+            # ramp()/elapsed span the WHOLE run, not each segment.
+            self._run_begin = int(self.step)
+            self._run_end = int(self.step) + int(nsteps)
+            self._in_run = True
             k = getattr(self, "_restart_toggle", 0)
             first_seg = True
             while nsteps > 0:
@@ -2112,6 +2297,7 @@ class LammpsScript:
                     k += 1
             self._suppress_start_row = False
             self._restart_toggle = k
+            self._in_run = False
             return
         self._run(nsteps)
 
@@ -3243,4 +3429,285 @@ class LammpsScript:
 
         if self._sim is None:
             self._sim = Simulation.from_script(self)
-        self._sim.run(nsteps)
+        # update->beginstep/endstep for the time-family variable functions
+        # (ramp/vdisplace/swiggle/elapsed — run.cpp sets these before
+        # integrating; `run N` spans [step, step+N]).  A restart-segmented
+        # run (cmd_run) pre-sets the FULL span; don't shrink it here.
+        if not self._in_run:
+            self._run_begin = int(self.step)
+            self._run_end = int(self.step) + int(nsteps)
+        self._in_run = True
+        try:
+            self._sim.run(nsteps)
+        finally:
+            self._in_run = False
+
+
+class _ExprCtx:
+    """Evaluation context adapter: lidp_tpu.io.expr <-> LammpsScript.
+    Implements the callbacks the expression engine needs (thermo
+    keywords, variable refs, group/special functions, atom vectors,
+    persistent random streams) against the script's host state —
+    the Variable::evaluate environment (variable.cpp:1168)."""
+
+    def __init__(self, script):
+        self.s = script
+
+    # --- run/time context ---
+    @property
+    def natoms(self):
+        return 0 if self.s.x is None else len(self.s.x)
+
+    @property
+    def step(self):
+        row = self.s._kw_row
+        if row is not None and "step" in row:
+            return int(row["step"])
+        return int(self.s.step)
+
+    @property
+    def dt(self):
+        return float(self.s.dt)
+
+    @property
+    def in_run(self):
+        return bool(self.s._in_run)
+
+    @property
+    def run_begin(self):
+        return int(self.s._run_begin)
+
+    @property
+    def run_end(self):
+        return int(self.s._run_end)
+
+    # --- scalar sources ---
+    def thermo(self, word):
+        return self.s._thermo_keyword(word)
+
+    def var_ref(self, name, mode):
+        s = self.s
+        if name in s._atom_exprs:
+            if mode is None:
+                raise ValueError(
+                    f"atom-style variable {name} in equal-style formula")
+            arr = s.evaluate_atom_expr(s._atom_exprs[name])
+            return arr if mode == "vec" else float(arr[mode])
+        return s.var_value(name)
+
+    def compute_ref(self, cid, i1, i2, mode):
+        key = f"c_{cid}"
+        if i1 is not None:
+            key += f"[{i1}]"
+        if i2 is not None:
+            key += f"[{i2}]"
+        row = self.s._current_thermo_row()
+        if row is not None and key in row:
+            return float(row[key])
+        raise ValueError(f"compute reference {key} not available in "
+                         "variable formula (no live value)")
+
+    def fix_ref(self, fid, i1, i2, mode):
+        key = f"f_{fid}"
+        if i1 is not None:
+            key += f"[{i1}]"
+        row = self.s._current_thermo_row()
+        if row is not None and key in row:
+            return float(row[key])
+        raise ValueError(f"fix reference {key} not available in "
+                         "variable formula (no live value)")
+
+    # --- atom data ---
+    def atom_vec(self, word):
+        s = self.s
+        n = self.natoms
+        if word == "id":
+            return np.arange(1, n + 1, dtype=float)
+        if word == "mass":
+            return s.mass_type[s.type].astype(float)
+        if word == "type":
+            return np.asarray(s.type, float)
+        if word == "mol":
+            return np.asarray(s.mol, float)
+        if word == "q":
+            return np.asarray(s.q, float)
+        if word in ("x", "y", "z"):
+            return np.asarray(s.x, float)[:, "xyz".index(word)]
+        if word in ("vx", "vy", "vz"):
+            return np.asarray(s.v, float)[:, "xyz".index(word[1])]
+        if word in ("fx", "fy", "fz"):
+            sim = s._sim
+            if sim is not None and sim.res is not None:
+                return np.asarray(sim.res.f, float)[:n, "xyz".index(word[1])]
+            return np.zeros(n)
+        raise ValueError(f"unknown atom vector {word!r}")
+
+    def group_mask(self, name):
+        return np.asarray(self.s.groups[name], bool)
+
+    def region_mask(self, name):
+        return np.asarray(self.s._region_mask(name), bool)
+
+    # --- group functions (variable.cpp:3669-3911) ---
+    def group_func(self, word, raw):
+        s = self.s
+        gm = self.group_mask(raw[0])
+        if len(raw) > 2 and raw[1].startswith("region"):
+            raise NotImplementedError("group function region arg")
+        m = s.mass_type[s.type].astype(float)[gm]
+        x = np.asarray(s.x, float)[gm]
+        v = np.asarray(s.v, float)[gm]
+        if word == "count":
+            return float(gm.sum())
+        if word == "mass":
+            return float(m.sum())
+        if word == "charge":
+            return float(np.asarray(s.q, float)[gm].sum())
+        if word == "ke":
+            u = s.units
+            return float(0.5 * u.mvv2e * (m[:, None] * v * v).sum())
+        # unwrapped coordinates for xcm/gyration/angmom/... (group.cpp
+        # uses image-corrected positions)
+        img = getattr(s, "image", None)
+        if img is not None and s.box_lo is not None:
+            L = (s.box_hi - s.box_lo).astype(float)
+            x = x + np.asarray(img, float)[gm] * L[None, :]
+        M = m.sum()
+        xcm = (m[:, None] * x).sum(0) / M
+        dim = {"x": 0, "y": 1, "z": 2}
+        if word == "xcm":
+            return float(xcm[dim[raw[1]]])
+        if word == "vcm":
+            vcm = (m[:, None] * v).sum(0) / M
+            return float(vcm[dim[raw[1]]])
+        if word == "fcm":
+            f = self._forces()[gm]
+            return float(f.sum(0)[dim[raw[1]]])
+        if word == "bound":
+            # bound(group,xmin|xmax|ymin|...) on WRAPPED coords
+            col = np.asarray(s.x, float)[gm][:, dim[raw[1][0]]]
+            return float(col.min() if raw[1].endswith("min")
+                         else col.max())
+        if word == "gyration":
+            d2 = ((x - xcm) ** 2).sum(1)
+            return float(np.sqrt((m * d2).sum() / M))
+        if word == "angmom":
+            dx = x - xcm
+            vcm = (m[:, None] * v).sum(0) / M
+            dv = v - vcm
+            lmom = (m[:, None] * np.cross(dx, dv)).sum(0)
+            return float(lmom[dim[raw[1]]])
+        if word == "torque":
+            dx = x - xcm
+            f = self._forces()[gm]
+            tq = np.cross(dx, f).sum(0)
+            return float(tq[dim[raw[1]]])
+        if word == "inertia":
+            dx = x - xcm
+            comp = raw[1]
+            pairs = {"xx": (1, 2), "yy": (0, 2), "zz": (0, 1)}
+            if comp in pairs:
+                a, b = pairs[comp]
+                return float((m * (dx[:, a] ** 2 + dx[:, b] ** 2)).sum())
+            off = {"xy": (0, 1), "yz": (1, 2), "xz": (0, 2)}[comp]
+            return float(-(m * dx[:, off[0]] * dx[:, off[1]]).sum())
+        if word == "omega":
+            # omega = I^-1 L about the COM (group.cpp omega)
+            dx = x - xcm
+            vcm = (m[:, None] * v).sum(0) / M
+            lmom = (m[:, None] * np.cross(dx, v - vcm)).sum(0)
+            ione = np.zeros((3, 3))
+            for a in range(3):
+                for b in range(3):
+                    if a == b:
+                        o1, o2 = (a + 1) % 3, (a + 2) % 3
+                        ione[a, a] = (m * (dx[:, o1] ** 2
+                                           + dx[:, o2] ** 2)).sum()
+                    else:
+                        ione[a, b] = -(m * dx[:, a] * dx[:, b]).sum()
+            w = np.linalg.solve(ione, lmom)
+            return float(w[dim[raw[1]]])
+        raise NotImplementedError(f"group function {word!r}")
+
+    def _forces(self):
+        sim = self.s._sim
+        n = self.natoms
+        if sim is not None and sim.res is not None:
+            return np.asarray(sim.res.f, float)[:n]
+        return np.zeros((n, 3))
+
+    # --- special functions ---
+    def special_vector(self, tok):
+        m = re.match(r"^([cfv])_(\w+)$", tok)
+        if not m:
+            raise ValueError(f"invalid vector reference {tok!r}")
+        # fix vector: the growing time series IS the global vector
+        # (fix_vector.cpp compute_vector; in.msd.2d's slope(f_9))
+        if m.group(1) == "f":
+            spec = self.s.fixes.get(m.group(2))
+            if spec is not None and spec.style == "vector":
+                buf = getattr(spec, "_series", None)
+                if not buf:
+                    raise ValueError(
+                        f"fix vector {m.group(2)} has no values yet")
+                return np.asarray(buf, float)
+        row = self.s._current_thermo_row()
+        if row is None:
+            raise ValueError("no live values for vector special function")
+        prefix = {"c": "c_", "f": "f_", "v": "v_"}[m.group(1)]
+        key = prefix + m.group(2)
+        vals = []
+        i = 1
+        while f"{key}[{i}]" in row:
+            vals.append(float(row[f"{key}[{i}]"]))
+            i += 1
+        if not vals:
+            raise ValueError(f"vector reference {tok!r} has no values")
+        return np.asarray(vals)
+
+    def random_source(self, seed, atom):
+        s = self.s
+        if atom:
+            if s._rng_atom is None:
+                from lidp_tpu.rng import RanMars
+                s._rng_atom = RanMars(seed)
+            return s._rng_atom
+        if s._rng_equal is None:
+            from lidp_tpu.rng import RanMars
+            s._rng_equal = RanMars(seed)
+        return s._rng_equal
+
+    def var_next(self, names):
+        # next(v): return current value, then advance (variable.cpp
+        # special next); advancing deletes exhausted variables
+        s = self.s
+        vals = [s.var_value(n) for n in names]
+        for n in names:
+            seq = s._index_values.get(n)
+            if seq is not None and s.variables.get(n) in seq[:-1]:
+                i = seq.index(s.variables[n])
+                s.variables[n] = seq[i + 1]
+            else:
+                s.variables.pop(n, None)
+                s._index_values.pop(n, None)
+        return vals[0]
+
+    def is_defined(self, raw):
+        if len(raw) != 2:
+            raise ValueError("is_defined(category,id) needs 2 args")
+        cat, ident = raw
+        s = self.s
+        if cat == "variable":
+            return float(ident in s.variables or ident in s._equal_exprs
+                         or ident in s._atom_exprs
+                         or ident in s._internal_vars)
+        if cat == "compute":
+            return float(ident in getattr(s, "computes", {}))
+        if cat == "fix":
+            return float(ident in s.fixes)
+        if cat == "dump":
+            return float(ident in s.dumps)
+        return 0.0
+
+    def is_active(self, name, raw):
+        raise NotImplementedError(f"{name}() special function")

@@ -32,14 +32,14 @@ class LJMelt:
     natoms: int
 
 
-def build(scale: int = 1, dtype=jnp.float64, *,
+def build(scale: float = 1, dtype=jnp.float64, *,
           neighbor: str = "list",
           max_neighbors: int = 96, bin_cap: int = 40,
           compensated: bool = False) -> LJMelt:
     """neighbor: 'list' (LAMMPS-stale-list parity), 'cells' (TPU roll kernel),
     or 'none' (dense all-pairs)."""
     u = units.LJ
-    rho, nx = 0.8442, 20 * scale
+    rho, nx = 0.8442, int(round(20 * scale))
     a = lattice.lattice_spacing("fcc", rho)
     x_np, hi = lattice.create_atoms_box("fcc", a, nx, nx, nx)
     n = x_np.shape[0]

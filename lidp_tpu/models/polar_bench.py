@@ -77,7 +77,8 @@ def enable_compile_cache():
 def build(target_atoms: int = 100_000, n_devices: int = 1,
           precision: float = 1e-6, col_chunk: int = 4096,
           fixed_iterations: int | None = None, dt: float = 0.1,
-          dtype=None, cg_static_trips: int = 0, host_strips: int = 1):
+          dtype=None, cg_static_trips: int = 0, host_strips: int = 1,
+          panel: str = "auto"):
     """fixed_iterations: use the static-trip-count Jacobi mode instead of the
     CG while_loop (dynamic trip counts sync through the axon tunnel).
 
@@ -133,7 +134,7 @@ def build(target_atoms: int = 100_000, n_devices: int = 1,
     mesh = pshard.make_mesh(n_devices)
     make, bind_box, npad, bind_special = pshard.build_sharded_polar_step(
         mesh, ff, s, n=n, dt=dt, ftm2v=u.ftm2v, col_chunk=col_chunk,
-        dtype=dtype)
+        dtype=dtype, panel=panel)
     bind_box(script.box_hi - script.box_lo)
     if getattr(script, "_bonds", None) is not None and len(script._bonds):
         from lidp_tpu import topology
@@ -245,7 +246,8 @@ def run_step(bench: PolarBench, zero_init: bool = False):
     return f, energies
 
 
-def host_cg_step(bench: PolarBench, zero_init: bool = False):
+def host_cg_step(bench: PolarBench, zero_init: bool = False,
+                 mixed: bool = False):
     """One velocity-Verlet step with every expensive phase dispatched
     SEPARATELY and the CG loop driven from the host.
 
@@ -256,6 +258,20 @@ def host_cg_step(bench: PolarBench, zero_init: bool = False):
     iterations + dipole forces in ONE program) cannot finish in time.  Here
     each dispatch is one panel pass.  Cross-checked against the fused step
     in tests/test_host_cg.py.
+
+    mixed=True: mixed-precision iterative refinement for the f64/1e-11
+    north-star regime.  B = I + sqrt(a) T sqrt(a) is symmetric positive
+    definite and strongly diagonally dominant (Thole-damped dipole
+    interaction tensor scaled by polarizabilities), so classic iterative
+    refinement converges in 2-3 outer passes: the expensive O(N^2) panel
+    matvecs run in f32 inside an inner CG (TPU-native speed), only the
+    outer residuals r = b - B y run in emulated f64.  Each outer
+    correction d shrinks by ~the f32 roundoff factor (~1e-7), so the
+    reference's per-sweep dipole-change criterion
+    (pair_lj_cut_coul_long_polarization.cpp:1194-1210, change/(3N) <=
+    precision^2 with precision 1e-11) is met after the refinement
+    correction itself satisfies it — measured on the SAME metric, no
+    relaxation of the convergence semantics.
 
     Returns (f, energies) like run_step.
     """
@@ -346,29 +362,73 @@ def host_cg_step(bench: PolarBench, zero_init: bool = False):
         y = jnp.where(sa > 0, a["mu"] / jnp.where(sa > 0, sa, 1.0), 0.0)
     else:
         y = s.polar_gamma * sa * e0
-    r = b - B(y)
-    p = r
-    rs = float(jnp.sum(r * r))
-    rs0 = float(jnp.sum(b * b)) + 1e-30
     prec2 = float(s.polar_precision) ** 2
     n3 = 3.0 * bench.natoms
-    change = float("inf")
-    it = 0
-    while not (change <= prec2) and it < s.iterations_max:
-        Bp = B(p)
-        denom = float(jnp.sum(p * Bp))
-        alpha_cg = rs / (denom if denom != 0 else 1.0)
-        y = y + alpha_cg * p
-        r = r - alpha_cg * Bp
-        rs2 = float(jnp.sum(r * r))
-        beta = rs2 / (rs if rs != 0 else 1.0)
-        # change measures the step just taken (OLD direction p), matching
-        # scf_solve_cg's body ordering
-        change = float(jnp.sum((alpha_cg * p * sa) ** 2)) / n3
-        p = r + beta * p
-        rs = rs2
-        it += 1
-    converged = (change <= prec2) or (rs <= 1e-5 * rs0)
+    if mixed and "eind32_full" in ph:
+        eind32 = ph["eind32_full"]
+
+        def B32(y_):
+            # f32 full-row panel matvec in ONE dispatch (the Pallas panel
+            # fits the tunnel deadline even at 100k; inputs cast inside)
+            out = eind32(x, alpha, mask, sa * y_)
+            return y_ + sa * (-out.astype(x.dtype))
+
+        def inner_cg(r0):
+            """Solve B d = r0 with f32 matvecs down to the f32 floor."""
+            d = jnp.zeros_like(r0)
+            rr = r0
+            pp = rr
+            rs_ = float(jnp.sum(rr * rr))
+            rs_in = rs_ + 1e-300
+            k = 0
+            while k < 60 and rs_ > 1e-12 * rs_in:
+                Bp = B32(pp)
+                den = float(jnp.sum(pp * Bp))
+                al = rs_ / (den if den != 0 else 1.0)
+                d = d + al * pp
+                rr = rr - al * Bp
+                rs2_ = float(jnp.sum(rr * rr))
+                if not np.isfinite(rs2_) or rs2_ >= 0.999 * rs_:
+                    break            # f32 floor reached
+                pp = rr + (rs2_ / rs_) * pp
+                rs_ = rs2_
+                k += 1
+            return d, k + 1
+
+        it = 0
+        change = float("inf")
+        outer = 0
+        while outer < 8 and not (change <= prec2):
+            r = b - B(y)           # ONE f64 panel pass per refinement
+            outer += 1
+            it += 1
+            d, k = inner_cg(r)
+            it += k
+            change = float(jnp.sum((d * sa) ** 2)) / n3
+            y = y + d
+        converged = change <= prec2
+    else:
+        r = b - B(y)
+        p = r
+        rs = float(jnp.sum(r * r))
+        rs0 = float(jnp.sum(b * b)) + 1e-30
+        change = float("inf")
+        it = 0
+        while not (change <= prec2) and it < s.iterations_max:
+            Bp = B(p)
+            denom = float(jnp.sum(p * Bp))
+            alpha_cg = rs / (denom if denom != 0 else 1.0)
+            y = y + alpha_cg * p
+            r = r - alpha_cg * Bp
+            rs2 = float(jnp.sum(r * r))
+            beta = rs2 / (rs if rs != 0 else 1.0)
+            # change measures the step just taken (OLD direction p),
+            # matching scf_solve_cg's body ordering
+            change = float(jnp.sum((alpha_cg * p * sa) ** 2)) / n3
+            p = r + beta * p
+            rs = rs2
+            it += 1
+        converged = (change <= prec2) or (rs <= 1e-5 * rs0)
     mu = sa * y
     if not converged:
         mu = alpha[:, None] * e0

@@ -71,17 +71,32 @@ class ShardedMD:
 def build_sharded_polar_step(
     mesh: Mesh, ff: ForceField, s: Optional[PolarizationSettings],
     *, n: int, dt: float, ftm2v: float, col_chunk: int = 4096,
-    dtype=jnp.float32,
+    dtype=jnp.float32, panel: str = "auto",
 ):
     """Build a jitted, sharded velocity-Verlet step for the polarizable
     LJ+coul/long system.  Returns (step_fn, pad_to) where step_fn maps
     (x, v, q, type, mol, alpha, mu, mass, mask, box_lo, box_hi) ->
     (x, v, mu, f, energies_dict); all (N,*) arrays sharded over AXIS.
+
+    panel: O(N^2) polar-panel implementation — "auto" uses the Pallas
+    VMEM-tiled kernels (ops/pallas_panel.py) on a single f32 device and
+    the XLA column-chunk scan elsewhere; "scan"/"pallas" force a choice.
     """
     single = mesh is None or mesh.shape[AXIS] == 1
     ndev = 1 if single else mesh.shape[AXIS]
     npad, csz, nchunks = _pad_and_chunk(n, ndev, col_chunk)
     nloc = npad // ndev
+    if panel == "auto":
+        pallas_ok = bool(single)            # kernels are single-device f32
+        use_panels = pallas_ok and dtype == jnp.float32
+    elif panel == "pallas":
+        pallas_ok = use_panels = True
+    else:
+        pallas_ok = use_panels = False
+    if pallas_ok:
+        from lidp_tpu.ops import pallas_panel
+    else:
+        pallas_panel = None
 
     # collective layer: identity on a single chip (plain jit, no shard_map —
     # collectives through the axon tunnel backend cost seconds per step)
@@ -381,15 +396,28 @@ def build_sharded_polar_step(
             qf, tf, mf = gather(q), gather(type_), gather(mask)
 
             # pair LJ + coul
-            zero6 = jnp.zeros((6,), dtype)
-            f0 = jnp.zeros((nrows, 3), dtype)
-            facc = _scan_cols(
-                lambda acc, cols, arrs: _pair_chunk(
-                    xr, qr, tr, rows, arrs[0], arrs[1], arrs[2], arrs[3],
-                    cols, L, acc),
-                (f0, jnp.zeros((), dtype), jnp.zeros((), dtype), zero6),
-                (xf, qf, tf, mf))
-            f, evdwl, ecoul, vir = facc
+            if use_panels and strip is None:
+                tabs = jnp.stack([
+                    pair.lj3.astype(jnp.float32),
+                    pair.lj4.astype(jnp.float32),
+                    pair.offset.astype(jnp.float32),
+                    pair.cut_ljsq.astype(jnp.float32),
+                    pair.cutsq.astype(jnp.float32)])
+                f, evdwl, ecoul, vir = pallas_panel.pair_panel(
+                    x, q, type_.astype(dtype), mask.astype(dtype), tabs,
+                    L, pair.cut_coulsq, pair.qqrd2e, pair.g_ewald,
+                    coul=bool(pair.coul))
+            else:
+                zero6 = jnp.zeros((6,), dtype)
+                f0 = jnp.zeros((nrows, 3), dtype)
+                facc = _scan_cols(
+                    lambda acc, cols, arrs: _pair_chunk(
+                        xr, qr, tr, rows, arrs[0], arrs[1], arrs[2],
+                        arrs[3], cols, L, acc),
+                    (f0, jnp.zeros((), dtype), jnp.zeros((), dtype),
+                     zero6),
+                    (xf, qf, tf, mf))
+                f, evdwl, ecoul, vir = facc
 
             # sparse special-bond correction pass: the dense main pass treats
             # every pair as factor 1.0; subtract the over-count for the
@@ -515,6 +543,11 @@ def build_sharded_polar_step(
 
     def _wolf_field(x, q, mol, mask, strip=None):
         """Shifted-force (Wolf) static field E0 (unit-folded)."""
+        if use_panels and strip is None:
+            e0 = pallas_panel.wolf_panel(
+                x, q, mol.astype(dtype), mask.astype(dtype),
+                box_lengths, pair.cut_coulsq)
+            return e0 * jnp.sqrt(qqrd2e)
         rows, xr, molr = _rows_of(strip, x, mol)
         L = box_lengths
         xf, qf, molf, mf = (_gather(x), _gather(q), _gather(mol),
@@ -526,21 +559,62 @@ def build_sharded_polar_step(
             jnp.zeros((xr.shape[0], 3), dtype), (xf, qf, molf, mf))
         return e0 * jnp.sqrt(qqrd2e)
 
-    def _e_ind_of(x, alpha, mask, mu_l, strip=None):
-        """E_ind = -T.mu (matrix-free blockwise contraction)."""
+    def _e_ind_of(x, alpha, mask, mu_l, strip=None, compute_dtype=None):
+        """E_ind = -T.mu (matrix-free blockwise contraction).
+
+        compute_dtype overrides the panel arithmetic precision: the
+        mixed-precision iterative-refinement solver (models/polar_bench.py
+        host_cg_step mixed=True) runs its inner CG matvecs in f32 while
+        the residuals stay f64 — the TPU has no native f64 (XLA emulates
+        it), so this is where the 100k/1e-11 north-star speedup comes
+        from."""
+        cd = dtype if compute_dtype is None else compute_dtype
+        if strip is None and ((use_panels and cd == dtype)
+                              or (pallas_ok and cd == jnp.float32)):
+            # Pallas VMEM-tiled panel (f32); under an f64 build this is
+            # the mixed-precision inner-CG matvec (host_cg_step mixed)
+            f32 = jnp.float32
+            return pallas_panel.eind_panel(
+                x.astype(f32),
+                jnp.where(mask, alpha, 0.0).astype(f32),
+                mu_l.astype(f32), box_lengths.astype(f32),
+                s.polar_damp, damping_type=s.damping_type)
         rows, xr, ar = _rows_of(strip, x, alpha)
         L = box_lengths
+        if cd != dtype:
+            xr, ar, mu_l = xr.astype(cd), ar.astype(cd), mu_l.astype(cd)
+            x, alpha, L = x.astype(cd), alpha.astype(cd), L.astype(cd)
         xf, af, mf, muf = (_gather(x), _gather(alpha), _gather(mask),
                            _gather(mu_l))
         return _scan_cols(
             lambda acc, cols, arrs: _tensor_apply_chunk(
                 xr, ar, rows, arrs[0], arrs[1], arrs[2], cols,
                 arrs[3], L, acc),
-            jnp.zeros((xr.shape[0], 3), dtype), (xf, af, mf, muf))
+            jnp.zeros((xr.shape[0], 3), cd), (xf, af, mf, muf))
 
     def _dipole_forces(x, q, mol, alpha, mu_new, mask, strip=None):
         """Charge-dipole + dipole-dipole forces, epol, fdotr virial rows.
         Returns (fpol, epol_psummed, vir_pol_local)."""
+        if use_panels and strip is None:
+            fpol, u_ef, u_dd, _vp = pallas_panel.dipole_panel(
+                x, q, mol.astype(dtype), jnp.where(mask, alpha, 0.0),
+                mu_new, mask.astype(dtype), box_lengths, s.polar_damp,
+                pair.cut_coulsq, qqrd2e, damping_type=s.damping_type)
+            L_ = box_lengths
+            xw_ = x - jnp.floor(x / L_) * L_
+            vir_pol = jnp.stack([
+                jnp.sum(xw_[:, 0] * fpol[:, 0]),
+                jnp.sum(xw_[:, 1] * fpol[:, 1]),
+                jnp.sum(xw_[:, 2] * fpol[:, 2]),
+                jnp.sum(xw_[:, 0] * fpol[:, 1]),
+                jnp.sum(xw_[:, 0] * fpol[:, 2]),
+                jnp.sum(xw_[:, 1] * fpol[:, 2]),
+            ])
+            u_self = 0.5 * jnp.sum(jnp.where(
+                alpha != 0.0,
+                jnp.sum(mu_new * mu_new, axis=1)
+                / jnp.where(alpha != 0.0, alpha, 1.0), 0.0))
+            return fpol, u_self + u_ef + u_dd, vir_pol
         rows, xr, qr, molr, ar, mur = _rows_of(strip, x, q, mol, alpha,
                                                mu_new)
         L = box_lengths
@@ -710,6 +784,10 @@ def build_sharded_polar_step(
                                                     with_kspace=False)),
                 wolf=jax.jit(_wolf_field),
                 eind=jax.jit(_e_ind_of),
+                eind32=jax.jit(functools.partial(
+                    _e_ind_of, compute_dtype=jnp.float32)),
+                eind32_full=jax.jit(functools.partial(
+                    _e_ind_of, compute_dtype=jnp.float32)),
                 dipole=jax.jit(_dipole_forces),
             )
         else:
@@ -724,6 +802,13 @@ def build_sharded_polar_step(
                     x, q, mol, m, strip=(i0, ns_))),
                 eind=jax.jit(lambda i0, x, a, m, mu: _e_ind_of(
                     x, a, m, mu, strip=(i0, ns_))),
+                eind32=jax.jit(lambda i0, x, a, m, mu: _e_ind_of(
+                    x, a, m, mu, strip=(i0, ns_),
+                    compute_dtype=jnp.float32)),
+                # full-row f32 matvec in ONE dispatch (the Pallas panel is
+                # fast enough to fit the tunnel deadline even at 100k)
+                eind32_full=jax.jit(functools.partial(
+                    _e_ind_of, compute_dtype=jnp.float32)),
                 dipole=jax.jit(lambda i0, x, q, mol, a, mu, m:
                                _dipole_forces(x, q, mol, a, mu, m,
                                               strip=(i0, ns_))),

@@ -2269,6 +2269,28 @@ class Simulation:
 
     # ------------------------------- running -------------------------------
 
+    def _fix_vector_sample(self, spec, step):
+        """fix vector Nevery value... (fix_vector.cpp): append the sampled
+        global values to a growing time series on the Nevery grid.  Also
+        invoked at run setup (FixVector::setup -> end_of_step samples when
+        ntimestep == nextstep, fix_vector.cpp:242-253); _last_step guards
+        double-sampling when a run boundary lands on the grid."""
+        nev = int(spec.args[0])
+        if not nev or step % nev != 0:
+            return
+        if getattr(spec, "_last_step", None) == step:
+            return
+        spec._last_step = step
+        row = self._thermo_row()
+        vals = []
+        for t in spec.args[1:]:
+            key = t[2:] if t.startswith("c_") else t.lower()
+            v = row.get("c_" + key, row.get(key))
+            vals.append(float(v) if v is not None else 0.0)
+        buf = getattr(spec, "_series", [])
+        buf.append(vals[0] if len(vals) == 1 else vals)
+        spec._series = buf
+
     def _host_fixes(self, step):
         """fix print (fix_print.cpp: $-substituted message every N) and
         fix ave/time (fix_ave_time.cpp: Nevery/Nrepeat/Nfreq running
@@ -2291,15 +2313,18 @@ class Simulation:
                 pvar, setpt, cvar = a_c[5], float(a_c[6]), a_c[7]
                 row = self._thermo_row()
                 if pvar.startswith("v_"):
-                    cur = float(self.script.variables[pvar[2:]])
+                    cur = float(self.script.var_value(pvar[2:]))
                 else:
                     cur = float(row[pvar.replace("C_", "c_")
                                     if pvar.startswith("C_") else pvar])
                 st_c = getattr(spec, "_ctrl", None)
                 if st_c is None:
-                    st_c = {"control": float(
-                        self.script.variables.get(cvar, 0.0)),
-                        "sumerr": 0.0, "olderr": 0.0, "first": True}
+                    try:
+                        cv0 = float(self.script.var_value(cvar))
+                    except (KeyError, ValueError):
+                        cv0 = 0.0
+                    st_c = {"control": cv0,
+                            "sumerr": 0.0, "olderr": 0.0, "first": True}
                 err = cur - setpt
                 if st_c["first"]:
                     st_c["first"] = False
@@ -2313,7 +2338,7 @@ class Simulation:
                 st_c["control"] += -kd * alpha * deltaerr
                 st_c["olderr"] = err
                 spec._ctrl = st_c
-                self.script.variables[cvar] = repr(st_c["control"])
+                self.script._internal_vars[cvar] = float(st_c["control"])
                 continue
             if spec.style == "print":
                 nev = int(spec.args[0])
@@ -2334,7 +2359,9 @@ class Simulation:
                         k = m.group(1)
                         v = row.get(k.lower())
                         if v is None:
-                            v = self.script.variables.get(k, "")
+                            v = self.script.var_str(k)
+                            if v is None:
+                                v = ""
                         return f"{v:.8g}" if isinstance(v, float) else str(v)
 
                     out = _re.sub(r"\$\{(\w+)\}", _sub, msg)
@@ -2392,19 +2419,7 @@ class Simulation:
             elif spec.style == "ave/correlate":
                 self._ave_correlate(spec, step)
             elif spec.style == "vector":
-                # fix vector Nevery value... (fix_vector.cpp): append the
-                # sampled global values to a growing time series
-                nev = int(spec.args[0])
-                if nev and step % nev == 0:
-                    row = self._thermo_row()
-                    vals = []
-                    for t in spec.args[1:]:
-                        key = t[2:] if t.startswith("c_") else t.lower()
-                        v = row.get("c_" + key, row.get(key))
-                        vals.append(float(v) if v is not None else 0.0)
-                    buf = getattr(spec, "_series", [])
-                    buf.append(vals[0] if len(vals) == 1 else vals)
-                    spec._series = buf
+                self._fix_vector_sample(spec, step)
             elif spec.style == "ave/time":
                 self._ave_time(spec, step)
 
@@ -3004,15 +3019,21 @@ class Simulation:
                                                  {}).items():
             row[f"c_{cid}"] = float(self._temp_variant(gmask, style, args))
         row["dt"] = float(self.script.dt)   # thermo.cpp compute_dt
-        # v_NAME thermo columns: current value of an equal/internal-style
-        # variable (thermo.cpp compute_variable)
-        for c_ in getattr(self.script, "thermo_columns", ()):
-            if c_.startswith("v_"):
-                try:
-                    row[c_] = float(
-                        self.script.variables[c_[2:]])
-                except (KeyError, ValueError):
-                    pass
+        # v_NAME thermo columns: evaluate the equal-style expression NOW
+        # (thermo.cpp compute_variable -> Variable::compute_equal); the
+        # base row above is published as the keyword context so thermo
+        # keywords inside the expression see THIS row, not a recursion
+        prev_kw = self.script._kw_row
+        self.script._kw_row = row
+        try:
+            for c_ in getattr(self.script, "thermo_columns", ()):
+                if c_.startswith("v_"):
+                    try:
+                        row[c_] = float(self.script.var_value(c_[2:]))
+                    except (KeyError, ValueError):
+                        pass
+        finally:
+            self.script._kw_row = prev_kw
         for cid, spec_p in getattr(self, "press_computes", {}).items():
             # compute pressure (compute_pressure.cpp): (ke tensor from
             # the named temperature compute + virial) / (dim V) * nktv2p
@@ -3465,6 +3486,11 @@ class Simulation:
         # the step-0 thermo row (fix_dt_reset.cpp:125)
         if getattr(self, "dtreset_cfg", None):
             self._dt_reset(self.dtreset_cfg)
+        # FixVector::setup samples at run start when the step lands on the
+        # Nevery grid (fix_vector.cpp:242-253)
+        for spec_v in self.script.fixes.values():
+            if spec_v.style == "vector":
+                self._fix_vector_sample(spec_v, int(self.sys.step))
         # msd/chunk captures its reference per-chunk COM at run setup
         # (ComputeMSDChunk::setup)
         for cid_, spec_ in getattr(self, "chunkagg_computes", {}).items():
@@ -3565,7 +3591,10 @@ class Simulation:
                 row = self._thermo_row()
                 cur = row.get(attr)
                 if cur is None and attr.startswith("v_"):
-                    cur = float(self.script.variables.get(attr[2:], "nan"))
+                    try:
+                        cur = float(self.script.var_value(attr[2:]))
+                    except (KeyError, ValueError):
+                        cur = None
                 if cur is not None:
                     hit = {"<": cur < val, "<=": cur <= val,
                            ">": cur > val, ">=": cur >= val,

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -143,8 +144,13 @@ def build_external(ctx, spec):
     (`lammps.fix_external_set_force` / set via `spec._fexternal`); edits
     invalidate the Simulation, so array updates take effect at the next
     run — the pf/array contract.  pf/callback invokes the registered
-    Python callback once per run-chunk setup (not per step: XLA traces
-    the step once), passing (caller, step, nlocal, ids, x, fexternal)."""
+    Python callback (caller, step, nlocal, ids, x, fexternal) EVERY
+    step on which ntimestep % ncall == 0, from inside the traced scan
+    via an ordered io_callback (fix_external.cpp:150-156: callback
+    refresh on the ncall grid, force applied on the napply grid;
+    fexternal persists between refreshes)."""
+    import numpy as _np
+
     gm_x = jnp.asarray(ctx.groups[spec.group])[:, None]
     mode = spec.args[0]
     if mode not in ("pf/callback", "pf/array"):
@@ -152,13 +158,40 @@ def build_external(ctx, spec):
     fext = getattr(spec, "_fexternal", None)
     cb = getattr(spec, "_callback", None)
     if mode == "pf/callback" and cb is not None:
-        import numpy as _np
-
         n = ctx.n
-        fext = _np.zeros((n, 3))
-        cb(getattr(spec, "_caller", None), int(ctx.script.step),
-           n, _np.arange(1, n + 1), _np.asarray(ctx.script.x), fext)
-        spec._fexternal = fext
+        npad, dtype = ctx.npad, ctx.dtype
+        ncall = int(spec.args[1])
+        napply = int(spec.args[2])
+        caller = getattr(spec, "_caller", None)
+        state = {"fe": _np.zeros((n, 3))
+                 if fext is None else _np.asarray(fext, float)}
+
+        def _refresh(step, x_now):
+            step = int(step)
+            if step % ncall == 0:
+                fe = _np.zeros((n, 3))
+                cb(caller, step, n, _np.arange(1, n + 1),
+                   _np.asarray(x_now[:n], float), fe)
+                state["fe"] = fe
+                spec._fexternal = fe
+            out = _np.zeros((npad, 3))
+            out[:n] = state["fe"]
+            return out.astype(dtype)
+
+        def _external_cb_pf(sys_, f_, _g=gm_x):
+            from jax.experimental import io_callback
+
+            fe = io_callback(
+                _refresh, jax.ShapeDtypeStruct((npad, 3), dtype),
+                sys_.step, sys_.x, ordered=True)
+            on = (sys_.step % napply == 0)
+            add = jnp.where(_g & sys_.mask[:, None], fe, 0.0)
+            return f_ + jnp.where(on, add, 0.0), jnp.zeros(6, f_.dtype)
+
+        ctx.pf_hooks.append(_external_cb_pf)
+        ctx.pf_hooks_setup.append(_external_cb_pf)
+        return
+
     fj = (jnp.zeros((ctx.npad, 3), ctx.dtype) if fext is None
           else jnp.asarray(ctx.padA(np.asarray(fext, float), 0.0),
                            ctx.dtype))
@@ -452,6 +485,44 @@ def build_tmd(ctx, spec):
     dtv = script.dt
     dtf = 0.5 * script.dt * ctx.u.ftm2v
 
+    # fix ID group tmd rho_final target_file N [outfile]
+    # (fix_tmd.cpp:48,72-84): N>0 opens the statistics file and writes a
+    # row every N steps; work terms accumulate EVERY step.  The per-step
+    # scalars leave the traced scan through an ordered io_callback.
+    nfileevery = int(spec.args[2]) if len(spec.args) > 2 else 0
+    stat = None
+    if nfileevery:
+        if len(spec.args) < 4:
+            raise ValueError("Illegal fix tmd command")
+        outpath = _os.path.join(script.root, spec.args[3])
+        fh = open(outpath, "w")
+        fh.write("# Step rho_target rho_old gamma_back "
+                 "gamma_forward lambda work_lambda work_analytical\n")
+        # dtv/dtf for the stats use the UNHALVED dtf (fix_tmd.cpp:166-167)
+        stat = {"fh": fh, "work_lambda": 0.0, "work_analytical": 0.0,
+                "previous_stat": 0, "dtv": dtv,
+                "dtf": script.dt * ctx.u.ftm2v}
+        ctx.script._tmd_stat = stat     # tests introspect/close via this
+
+        def _stat_cb(step, rho_target, rho_old, gb, gf, fr, kt):
+            step = int(step)
+            rho_target, rho_old = float(rho_target), float(rho_old)
+            gb, gf, fr, kt = float(gb), float(gf), float(fr), float(kt)
+            d_, f_ = stat["dtv"], stat["dtf"]
+            stat["work_analytical"] += (
+                (-fr - kt / d_ / f_) * (rho_target - rho_old)
+                / (rho_old if rho_old != 0.0 else 1.0))
+            lam = gb * rho_old * mt / d_ / f_
+            stat["work_lambda"] += lam * (rho_target - rho_old)
+            if (step % nfileevery == 0
+                    and stat["previous_stat"] != step):
+                stat["fh"].write(
+                    "%d %g %g %g %g %g %g %g\n"
+                    % (step, rho_target, rho_old, gb, gf, lam,
+                       stat["work_lambda"], stat["work_analytical"]))
+                stat["fh"].flush()
+                stat["previous_stat"] = step
+
     def make_hook(window, rho_start):
         begin, end = window
 
@@ -472,13 +543,33 @@ def build_tmd(ctx, spec):
             denom = jnp.maximum(end - begin, 1).astype(dtype)
             delta = jnp.clip((tstep - begin) / denom, 0.0, 1.0)
             rho_t = rho_start + delta * (rho_stop - rho_start)
-            c = e - rho_t * rho_t
-            d = b * b - 4.0 * a * c
-            d = jnp.maximum(d, 0.0)
-            gmax = jnp.where(b >= 0, (-b - jnp.sqrt(d)),
-                             (-b + jnp.sqrt(d))) / (2.0 * a)
-            gfwd = jnp.where(a == 0.0, 0.0,
-                             c / (a * jnp.where(gmax == 0.0, 1.0, gmax)))
+            def _gamma(rho):
+                c = e - rho * rho
+                d = b * b - 4.0 * a * c
+                d = jnp.maximum(d, 0.0)
+                gmax = jnp.where(b >= 0, (-b - jnp.sqrt(d)),
+                                 (-b + jnp.sqrt(d))) / (2.0 * a)
+                return jnp.where(
+                    a == 0.0, 0.0,
+                    c / (a * jnp.where(gmax == 0.0, 1.0, gmax)))
+
+            gfwd = _gamma(rho_t)
+            if stat is not None:
+                # statistics row scalars (fix_tmd.cpp:226-273): gamma_back
+                # solves against LAST step's target rho_old; fr/kt feed the
+                # work accumulators on the host via an ordered callback
+                from jax.experimental import io_callback
+
+                delta_o = jnp.clip((tstep - 1.0 - begin) / denom, 0.0, 1.0)
+                rho_old = rho_start + delta_o * (rho_stop - rho_start)
+                gback = _gamma(rho_old)
+                xback = xcur + gback * dxold
+                dxkt = xback - xold
+                kt = jnp.sum(mj[:, None] * dxkt * dxkt)
+                f_ = res_.f if res_ is not None else jnp.zeros_like(xcur)
+                fr = jnp.sum(jnp.where(gmj, f_, 0.0) * dxold)
+                io_callback(_stat_cb, None, sys_.step + 1, rho_t, rho_old,
+                            gback, gfwd, fr, kt, ordered=True)
             x2 = sys_.x + gfwd * dxold
             v2 = sys_.v + (gfwd / dtv) * dxold
             return sys_.replace(x=x2, v=v2)

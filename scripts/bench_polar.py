@@ -25,6 +25,9 @@ ap.add_argument("--host-cg", action="store_true",
                 help="per-phase dispatches + host-driven CG: the axon "
                      "per-dispatch execution deadline (~1-2 min) kills the "
                      "fused step at 100k-atom f64 (one O(N^2) panel ~30 s)")
+ap.add_argument("--mixed", action="store_true",
+                help="mixed-precision iterative refinement: f32 inner-CG "
+                     "panel matvecs, f64 outer residuals (host-cg mode)")
 args = ap.parse_args()
 
 import jax
@@ -45,8 +48,12 @@ b = polar_bench.build(target_atoms=args.natoms, n_devices=1,
                       host_strips=args.host_strips)
 print("natoms", b.natoms, "npad", b.npad, "precision", precision,
       "dtype", str(dtype.__name__), flush=True)
-step_once = (polar_bench.host_cg_step if args.host_cg
-             else polar_bench.run_step)
+if args.host_cg:
+    import functools
+    step_once = functools.partial(polar_bench.host_cg_step,
+                                  mixed=args.mixed)
+else:
+    step_once = polar_bench.run_step
 t0 = time.perf_counter()
 f, en = step_once(b, zero_init=True)
 jax.block_until_ready(f)
@@ -59,7 +66,7 @@ if args.host_cg:
     K = args.steps or 2
     t0 = time.perf_counter()
     for _ in range(K):
-        f, en = polar_bench.host_cg_step(b)
+        f, en = step_once(b)
     jax.block_until_ready(f)
     dt_step = (time.perf_counter() - t0) / K
     print("steady ms/step", round(dt_step * 1000, 1), "steps/s",

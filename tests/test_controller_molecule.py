@@ -173,6 +173,54 @@ fix 1 all nve
     assert abs(pe_ext - lmp3.get_thermo("pe")) > 1e-10
 
 
+def test_fix_external_pf_callback_per_step(tmp_path):
+    """fix external pf/callback fires the registered callback on the
+    ncall grid EVERY step (fix_external.cpp:150-156, via an ordered
+    io_callback inside the scan), with current positions, and the
+    position-dependent force shapes the dynamics (equivalent to
+    fix spring/self for a k(x-x0) callback)."""
+    from lidp_tpu.api import lammps
+
+    base = """units lj
+atom_style atomic
+boundary p p p
+lattice fcc 0.8442
+region box block 0 2 0 2 0 2
+create_box 1 box
+create_atoms 1 box
+mass 1 1.0
+velocity all create 1.0 87287 loop geom
+pair_style lj/cut 2.5
+pair_coeff 1 1 1.0 1.0
+fix 1 all nve
+"""
+    lmp = lammps()
+    lmp.commands_string(base + "fix e all external pf/callback 1 1\n")
+    x0 = np.array(lmp.lmp.x, float)
+    calls = []
+
+    def cb(caller, step, nlocal, ids, x, fext):
+        calls.append((int(step), np.array(x)))
+        fext[:] = -0.5 * (x - x0)       # spring/self with K=0.5
+
+    lmp.set_fix_external_callback("e", cb)
+    lmp.command("run 6")
+    pe_cb = lmp.get_thermo("pe")
+
+    # fired on EVERY step 0..6 (setup + 6 scan steps)
+    steps = [s for s, _ in calls]
+    assert set(range(0, 7)).issubset(set(steps)), steps
+    # positions the callback saw CHANGE between steps (not a frozen
+    # run-chunk snapshot)
+    by_step = {s: x for s, x in calls}
+    assert np.abs(by_step[6] - by_step[1]).max() > 1e-6
+
+    lmp2 = lammps()
+    lmp2.commands_string(base + "fix e all spring/self 0.5\n")
+    lmp2.command("run 6")
+    assert pe_cb == pytest.approx(lmp2.get_thermo("pe"), rel=1e-9)
+
+
 TMD_TARGET_SEED = 7
 TMD_GOLDEN = [
     (0, 0.1, -6.77336805325, -6.15167893675),
@@ -222,3 +270,68 @@ run 20
         assert float(r["pe"]) == pytest.approx(pe, rel=1e-10), step
         assert float(r["press"]) == pytest.approx(pr, rel=1e-9), step
     assert float(rows[20]["pe"]) == pytest.approx(28.4489095941, rel=1e-3)
+
+
+# fix tmd statistics file rows from the rebuilt reference (16Mar18,
+# /tmp/lmpsrc/lmp_serial) on the same steering run with
+# `fix steer all tmd 0.05 target.tmd 5 tmd_ref.out`:
+# step -> (rho_target, rho_old, gamma_back, gamma_forward, lambda,
+#          work_lambda, work_analytical)
+TMD_STAT_GOLDEN = {
+    5: (0.277552, 0.292722, 0.0512666, -0.000561087, 64829.6,
+        -3948.49, 28.104),
+    10: (0.201701, 0.216871, 0.0664696, -0.0034958, 62274.3,
+         -8770.78, 177.365),
+    15: (0.125851, 0.141021, 0.0862944, -0.0217203, 52571.4,
+         -13128.0, 812.693),
+    20: (0.05, 0.0651701, -0.103906, -0.374926, -29253.1,
+         -14670.9, 4380.48),
+}
+
+
+def test_fix_tmd_stats_file_golden(tmp_path):
+    """fix tmd N>0 statistics file (fix_tmd.cpp:263-275): per-step work
+    accumulators leave the scan via an ordered io_callback; rows golden
+    vs the rebuilt reference.  The step-20 row sits past the
+    neighbor-rebuild divergence of the trajectory itself (see
+    test_fix_tmd_golden) so it gets a loose tolerance."""
+    a = (4 / 0.8442) ** (1 / 3)
+    basis = [(0, 0, 0), (0.5, 0.5, 0), (0.5, 0, 0.5), (0, 0.5, 0.5)]
+    pts = np.array([((i + b[0]) * a, (j + b[1]) * a, (k + b[2]) * a)
+                    for k in range(3) for j in range(3) for i in range(3)
+                    for b in basis])
+    rng = np.random.RandomState(TMD_TARGET_SEED)
+    tgt = pts + 0.35 * rng.uniform(-1, 1, pts.shape)
+    with open(tmp_path / "target.tmd", "w") as f:
+        for i, p in enumerate(tgt):
+            f.write(f"{i+1} {p[0]:.10f} {p[1]:.10f} {p[2]:.10f}\n")
+    _rows(tmp_path, """units lj
+atom_style atomic
+atom_modify map array
+boundary p p p
+lattice fcc 0.8442
+region box block 0 3 0 3 0 3
+create_box 1 box
+create_atoms 1 box
+mass 1 1.0
+velocity all create 0.1 87287 loop geom
+pair_style lj/cut 2.5
+pair_coeff 1 1 1.0 1.0
+neighbor 0.3 bin
+fix 1 all nve
+fix steer all tmd 0.05 target.tmd 5 tmd.out
+thermo 5
+thermo_style custom step temp pe press
+run 20
+""")
+    lines = (tmp_path / "tmd.out").read_text().splitlines()
+    assert lines[0].startswith("# Step rho_target rho_old gamma_back")
+    got = {}
+    for ln in lines[1:]:
+        t = ln.split()
+        got[int(t[0])] = [float(v) for v in t[1:]]
+    assert sorted(got) == [5, 10, 15, 20]
+    for step, ref in TMD_STAT_GOLDEN.items():
+        rel = 1e-4 if step < 20 else 2e-2
+        for v, r in zip(got[step], ref):
+            assert v == pytest.approx(r, rel=rel, abs=1e-6), (step, ref)

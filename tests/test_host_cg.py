@@ -40,6 +40,40 @@ def test_host_cg_matches_fused_step():
 
 
 @pytest.mark.slow
+def test_host_cg_mixed_precision_matches_f64():
+    """Mixed-precision iterative refinement (f32 inner-CG panel matvecs +
+    f64 outer residuals) must land on the SAME dipoles/forces as the pure
+    f64 CG at the same 1e-11 convergence (VERDICT r3 #2: 1e-8 force parity
+    vs the pure-f64 path, genuine convergence on the replicated MOF)."""
+    from lidp_tpu.models import polar_bench
+
+    kw = dict(target_atoms=1324, n_devices=1, col_chunk=512,
+              precision=1e-11, dtype=jnp.float64, dt=0.1)
+    b1 = polar_bench.build(**kw)
+    b2 = polar_bench.build(**kw)
+
+    f1, e1 = polar_bench.host_cg_step(b1, zero_init=True)
+    f2, e2 = polar_bench.host_cg_step(b2, zero_init=True, mixed=True)
+    for k in ("evdwl", "ecoul", "elong"):
+        assert float(e2[k]) == pytest.approx(float(e1[k]), rel=1e-12), k
+    # both solves converge the dipoles to 1e-11; epol/forces then agree to
+    # far better than 1e-8 relative
+    assert float(e2["epol"]) == pytest.approx(float(e1["epol"]), rel=1e-9)
+    fs = np.abs(np.asarray(f1)).max()
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f1),
+                               rtol=1e-8, atol=1e-8 * fs)
+    mu1, mu2 = np.asarray(b1.arrays["mu"]), np.asarray(b2.arrays["mu"])
+    ms = np.abs(mu1).max()
+    np.testing.assert_allclose(mu2, mu1, rtol=1e-8, atol=1e-8 * ms)
+
+    # warm-started second step tracks too
+    f1, e1 = polar_bench.host_cg_step(b1)
+    f2, e2 = polar_bench.host_cg_step(b2, mixed=True)
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f1),
+                               rtol=1e-8, atol=1e-8 * fs)
+
+
+@pytest.mark.slow
 def test_host_cg_strips_match_unstriped():
     """Row-strip mode (each phase as S separate dispatches) must equal the
     single-dispatch host path bit-for-bit up to reduction order."""

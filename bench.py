@@ -173,10 +173,10 @@ def _try_polar_bench(timeout_s: int):
         "polar_mof_10k_scf_iters": scf,
         "polar_vs_reference_extrapolated": round(v / lammps_extrapolated, 1),
     }
-    m2 = re.search(r"panel_gflops ([0-9.]+) mxu_util_pct ([0-9.]+)", r.stdout)
+    m2 = re.search(r"panel_gflops ([0-9.]+) vpu_util_pct ([0-9.]+)", r.stdout)
     if m2:
         res["polar_panel_gflops_per_s"] = float(m2.group(1))
-        res["polar_mxu_util_pct"] = float(m2.group(2))
+        res["polar_vpu_util_pct"] = float(m2.group(2))
     return res
 
 
@@ -347,7 +347,7 @@ def _try_rhodo_class(timeout_s: int):
                 + (r.stdout + r.stderr)[-200:].replace("\n", " ")}
     v = float(m.group(1))
     return {"rhodo_class_steps_per_s": v,
-            "rhodo_class_n_atoms": 32160,
+            "rhodo_class_n_atoms": 32064,
             "rhodo_class_vs_baseline": round(v / 2.855, 2)}
 
 

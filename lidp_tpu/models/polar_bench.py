@@ -194,22 +194,46 @@ def setup_forces(bench: PolarBench):
     return f, energies
 
 
-def make_scan_runner(bench: PolarBench, k: int):
+# dipole history extrapolation coefficients for the SCF initial guess
+# (Lagrange extrapolation through the last p converged dipole sets; each
+# row sums to 1 so a replicated cold history reduces to plain warm-start).
+# CG still iterates to the UNCHANGED convergence criterion — the predictor
+# only moves the starting point closer, cutting iterations (the standard
+# polarizable-MD trick; cf. Kolafa ASPC, J Comput Chem 25:335 (2004)).
+_PREDICT_COEF = {
+    1: (1.0,),
+    2: (2.0, -1.0),
+    3: (3.0, -3.0, 1.0),
+    4: (4.0, -6.0, 4.0, -1.0),
+}
+
+
+def make_scan_runner(bench: PolarBench, k: int, predict: int = 1):
     """K MD steps inside one dispatch (lax.scan over the jitted step) — the
     per-call tunnel/dispatch overhead (~40 ms via axon) otherwise dominates:
     89.7 -> 47.5 ms/step at 10.6k atoms.  Mirrors the production driver,
-    which also scans between thermo outputs (integrate/driver.py)."""
+    which also scans between thermo outputs (integrate/driver.py).
+
+    predict: SCF initial-guess extrapolation order (1 = plain warm start =
+    the reference's use_previous; 2/3/4 = linear/quadratic/cubic dipole
+    history extrapolation, fewer CG iterations at the same tolerance)."""
     import jax
 
     step = bench.step
+    coef = _PREDICT_COEF[predict]
 
     def scan_steps(x, v, f, q, t, mol, al, mu, mass, mask):
         def body(c, _):
-            x, v, mu, f = c
-            x2, v2, mu2, f2, en = step(x, v, f, q, t, mol, al, mu, mass, mask)
-            return (x2, v2, mu2, f2), en["scf_iters"]
-        (x, v, mu, f), scf = jax.lax.scan(body, (x, v, mu, f), None, length=k)
-        return x, v, mu, f, scf
+            x, v, f, hist = c
+            guess = sum(cj * hist[j] for j, cj in enumerate(coef))
+            x2, v2, mu2, f2, en = step(x, v, f, q, t, mol, al, guess,
+                                       mass, mask)
+            hist2 = (mu2,) + hist[:-1]
+            return (x2, v2, f2, hist2), en["scf_iters"]
+        hist0 = (mu,) * len(coef)
+        (x, v, f, hist), scf = jax.lax.scan(
+            body, (x, v, f, hist0), None, length=k)
+        return x, v, hist[0], f, scf
 
     js = jax.jit(scan_steps)
 
@@ -367,33 +391,54 @@ def host_cg_step(bench: PolarBench, zero_init: bool = False,
     if mixed and "eind32_full" in ph:
         eind32 = ph["eind32_full"]
 
-        def B32(y_):
-            # f32 full-row panel matvec in ONE dispatch (the Pallas panel
-            # fits the tunnel deadline even at 100k; inputs cast inside)
-            out = eind32(x, alpha, mask, sa * y_)
-            return y_ + sa * (-out.astype(x.dtype))
+        # the WHOLE inner f32 CG runs on-device as ONE dispatch
+        # (lax.while_loop around the Pallas panel matvec): 60 host-driven
+        # iterations would cost 60 tunnel round-trips plus 4 blocking
+        # scalar syncs each — at 100k atoms that alone is ~60-90 s/step
+        import functools as _ft
+
+        @_ft.partial(jax.jit, static_argnames=())
+        def inner_cg_device(r064, x32, alpha32, mask_, sa32):
+            r0 = r064.astype(jnp.float32)
+
+            def B32j(y_):
+                out = eind32(x32, alpha32, mask_, sa32 * y_)
+                return y_ + sa32 * (-out)
+
+            rs0 = jnp.sum(r0 * r0)
+
+            def cond(c):
+                _, rr, _, rs_, k, alive = c
+                return alive & (k < 60) & (rs_ > 1e-12 * (rs0 + 1e-30))
+
+            def body(c):
+                d, rr, pp, rs_, k, alive = c
+                Bp = B32j(pp)
+                den = jnp.sum(pp * Bp)
+                al = rs_ / jnp.where(den != 0, den, 1.0)
+                d2 = d + al * pp
+                rr2 = rr - al * Bp
+                rs2_ = jnp.sum(rr2 * rr2)
+                # f32 floor: stagnated or non-finite -> freeze (keep d2)
+                ok = jnp.isfinite(rs2_) & (rs2_ < 0.999 * rs_)
+                pp2 = rr2 + (rs2_ / jnp.where(rs_ != 0, rs_, 1.0)) * pp
+                return (d2, rr2, pp2, jnp.where(ok, rs2_, rs_),
+                        k + 1, alive & ok)
+
+            d, rr, pp, rs_, k, alive = jax.lax.while_loop(
+                cond, body,
+                (jnp.zeros_like(r0), r0, r0, rs0,
+                 jnp.zeros((), jnp.int32), jnp.asarray(True)))
+            return d.astype(r064.dtype), k
+
+        x32 = x.astype(jnp.float32)
+        alpha32 = alpha.astype(jnp.float32)
+        sa32 = sa.astype(jnp.float32)
 
         def inner_cg(r0):
             """Solve B d = r0 with f32 matvecs down to the f32 floor."""
-            d = jnp.zeros_like(r0)
-            rr = r0
-            pp = rr
-            rs_ = float(jnp.sum(rr * rr))
-            rs_in = rs_ + 1e-300
-            k = 0
-            while k < 60 and rs_ > 1e-12 * rs_in:
-                Bp = B32(pp)
-                den = float(jnp.sum(pp * Bp))
-                al = rs_ / (den if den != 0 else 1.0)
-                d = d + al * pp
-                rr = rr - al * Bp
-                rs2_ = float(jnp.sum(rr * rr))
-                if not np.isfinite(rs2_) or rs2_ >= 0.999 * rs_:
-                    break            # f32 floor reached
-                pp = rr + (rs2_ / rs_) * pp
-                rs_ = rs2_
-                k += 1
-            return d, k + 1
+            d, k = inner_cg_device(r0, x32, alpha32, mask, sa32)
+            return d, int(k) + 1
 
         it = 0
         change = float("inf")

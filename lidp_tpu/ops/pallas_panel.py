@@ -159,7 +159,17 @@ def eind_panel(x, alpha_eff, mu, L, pd, *, damping_type=_DAMP_EXP):
     col = _pack_rows(x, [alpha_eff, mu[:, 0], mu[:, 1], mu[:, 2]]).T
     par = _params_row(L, pd)
     grid = (npad // _br, npad // _bc)
-    out = pl.pallas_call(
+    # under jax_enable_x64 the index-map/iota scalars trace as i64, which
+    # Mosaic refuses to legalize; the kernels are pure f32, so lower them
+    # with x64 disabled (the mixed-precision host CG calls these from an
+    # f64 build)
+    with jax.enable_x64(False):
+        out = _eind_call(npad, _br, _bc, damping_type, grid)(par, row, col)
+    return out[:, :3]
+
+
+def _eind_call(npad, _br, _bc, damping_type, grid):
+    return pl.pallas_call(
         functools.partial(_eind_kernel, br=_br, bc=_bc,
                           damping_type=damping_type),
         grid=grid,
@@ -180,8 +190,7 @@ def eind_panel(x, alpha_eff, mu, L, pd, *, damping_type=_DAMP_EXP):
             transcendentals=npad * npad,
         ),
         interpret=_interpret(),
-    )(par, row, col)
-    return out[:, :3]
+    )
 
 
 # ------------------------------- wolf ---------------------------------
@@ -405,22 +414,26 @@ def dipole_panel(x, q, mol, alpha_eff, mu, maskf, L, pd, cut_coulsq,
 
 # ------------------------------- pair ---------------------------------
 
-def _pair_kernel(par_ref, tabs_ref, xr_ref, xc_ref, out_ref, acc_ref,
+def _pair_kernel(par_ref, rowt_ref, xr_ref, xc_ref, out_ref, acc_ref,
                  *, br, bc, t1, coul):
     """Dense LJ(+coul/long) pair panel (parallel/shard.py _pair_chunk).
 
-    tabs: (5, T1, T1) type tables [lj3, lj4, offset, cut_ljsq, cutsq];
-    per-pair values via one-hot MXU matmuls (scalar gathers are ~1e9/step
-    at 10k atoms; see shard.py _type_tables_mm)."""
+    rowt: (npad, 4, T1) per-ROW-atom table slices [lj3, lj4, offset,
+    cut_ljsq][ti] gathered OUTSIDE the kernel; per-pair values then need
+    only ONE (BR,T1)@(T1,BC) one-hot matmul each (scalar gathers are
+    ~1e9/step at 10k atoms; see shard.py _type_tables_mm).  cutsq is
+    uniform across live type pairs for this force field (coulomb cutoff
+    dominates) and rides the params row."""
     from lidp_tpu.ops.pair import A1, A2, A3, A4, A5, EWALD_F, EWALD_P
 
     cut_coulsq = par_ref[0, 7]
     qqrd2e = par_ref[0, 8]
     g_ewald = par_ref[0, 9]
+    cutsq_u = par_ref[0, 10]
     xr = xr_ref[...]                     # (BR, 8): x y z type q mask
     xc = xc_ref[...]                     # (8, BC)
+    rt = rowt_ref[...]                   # (BR, 4, T1)
     dx, dy, dz, rsq = _geom_block(xr, xc, par_ref)
-    ti = xr[:, 3:4]
     tj = xc[3:4, :]
     qi = xr[:, 4:5]
     qj = xc[4:5, :]
@@ -429,23 +442,17 @@ def _pair_kernel(par_ref, tabs_ref, xr_ref, xc_ref, out_ref, acc_ref,
 
     hp = jax.lax.Precision.HIGHEST
     # Mosaic requires integer iota; cast to f32 for the comparison
-    ohr = (ti == jax.lax.broadcasted_iota(
-        jnp.int32, (br, t1), 1).astype(jnp.float32)
-           ).astype(jnp.float32)                             # (BR, T1)
     ohc = (tj == jax.lax.broadcasted_iota(
         jnp.int32, (t1, bc), 0).astype(jnp.float32)
            ).astype(jnp.float32)                             # (T1, BC)
 
     def tab(k):
-        rt = jnp.dot(ohr, tabs_ref[k], precision=hp,
-                     preferred_element_type=jnp.float32)      # (BR, T1)
-        return jnp.dot(rt, ohc, precision=hp,
+        return jnp.dot(rt[:, k, :], ohc, precision=hp,
                        preferred_element_type=jnp.float32)    # (BR, BC)
 
-    lj3p, lj4p, offp, cut_ljsq_p, cutsq_p = (tab(0), tab(1), tab(2),
-                                             tab(3), tab(4))
+    lj3p, lj4p, offp, cut_ljsq_p = tab(0), tab(1), tab(2), tab(3)
     rsq = jnp.where(pm, rsq, 1.0)
-    in_range = (rsq < cutsq_p) & pm
+    in_range = (rsq < cutsq_u) & pm
     lj_mask = in_range & (rsq < cut_ljsq_p)
     r2inv = 1.0 / rsq
     r6inv = r2inv * r2inv * r2inv
@@ -490,6 +497,143 @@ def _pair_kernel(par_ref, tabs_ref, xr_ref, xc_ref, out_ref, acc_ref,
     acc_ref[0, :] += jnp.pad(acc, (0, 120))
 
 
+def _pair_wolf_kernel(par_ref, rowt_ref, xr_ref, xc_ref, out_ref, acc_ref,
+                      *, br, bc, t1):
+    """Fused LJ+coul/long pair panel + Wolf static field: ONE geometry
+    pass serves both pre-SCF O(N^2) phases (the separate wolf_panel
+    repeats minimum-image + rsqrt over the full panel).  Row layout
+    [x y z type q mask mol]; out rows pack [fx fy fz e0x e0y e0z]."""
+    from lidp_tpu.ops.pair import A1, A2, A3, A4, A5, EWALD_F, EWALD_P
+
+    cut_coulsq = par_ref[0, 7]
+    qqrd2e = par_ref[0, 8]
+    g_ewald = par_ref[0, 9]
+    cutsq_u = par_ref[0, 10]
+    xr = xr_ref[...]
+    xc = xc_ref[...]
+    rt = rowt_ref[...]
+    dx, dy, dz, rsq = _geom_block(xr, xc, par_ref)
+    tj = xc[3:4, :]
+    qi = xr[:, 4:5]
+    qj = xc[4:5, :]
+    mask_j = xc[5:6, :]
+    mi_ = xr[:, 6:7]
+    mj = xc[6:7, :]
+    pm = _self_mask(br, bc) & (mask_j != 0.0)
+
+    hp = jax.lax.Precision.HIGHEST
+    ohc = (tj == jax.lax.broadcasted_iota(
+        jnp.int32, (t1, bc), 0).astype(jnp.float32)
+           ).astype(jnp.float32)
+
+    def tab(k):
+        return jnp.dot(rt[:, k, :], ohc, precision=hp,
+                       preferred_element_type=jnp.float32)
+
+    lj3p, lj4p, offp, cut_ljsq_p = tab(0), tab(1), tab(2), tab(3)
+    rsq = jnp.where(pm, rsq, 1.0)
+    in_range = (rsq < cutsq_u) & pm
+    lj_mask = in_range & (rsq < cut_ljsq_p)
+    r2inv = 1.0 / rsq
+    r6inv = r2inv * r2inv * r2inv
+    forcelj = jnp.where(lj_mask,
+                        r6inv * (12.0 * lj3p * r6inv - 6.0 * lj4p), 0.0)
+    evdwl = jnp.where(lj_mask, r6inv * (lj3p * r6inv - lj4p) - offp, 0.0)
+    coul_mask = in_range & (rsq < cut_coulsq)
+    rinv = jax.lax.rsqrt(rsq)
+    r = rsq * rinv
+    grij = g_ewald * r
+    expm2 = jnp.exp(-grij * grij)
+    t = 1.0 / (1.0 + EWALD_P * grij)
+    erfc = t * (A1 + t * (A2 + t * (A3 + t * (A4 + t * A5)))) * expm2
+    prefactor = qqrd2e * qi * qj * rinv
+    forcecoul = jnp.where(
+        coul_mask, prefactor * (erfc + EWALD_F * grij * expm2), 0.0)
+    ecoul = jnp.where(coul_mask, prefactor * erfc, 0.0)
+    fpair = (forcecoul + forcelj) * r2inv
+    px, py, pz = fpair * dx, fpair * dy, fpair * dz
+
+    # Wolf damped-shifted static field (wolf_panel math, same geometry):
+    # intermolecular only, <= cutoff (...polarization.cpp:327-380)
+    f_shift = -1.0 / cut_coulsq
+    winc = pm & (rsq <= cut_coulsq) & ((mi_ != mj) | (mi_ == 0.0))
+    efq = jnp.where(winc, (r2inv + f_shift) * rinv, 0.0) * qj
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[:, 0] += jnp.sum(px, axis=1)
+    out_ref[:, 1] += jnp.sum(py, axis=1)
+    out_ref[:, 2] += jnp.sum(pz, axis=1)
+    out_ref[:, 3] += jnp.sum(efq * dx, axis=1)
+    out_ref[:, 4] += jnp.sum(efq * dy, axis=1)
+    out_ref[:, 5] += jnp.sum(efq * dz, axis=1)
+
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    acc = jnp.stack([
+        0.5 * jnp.sum(evdwl), 0.5 * jnp.sum(ecoul),
+        0.5 * jnp.sum(px * dx), 0.5 * jnp.sum(py * dy),
+        0.5 * jnp.sum(pz * dz), 0.5 * jnp.sum(px * dy),
+        0.5 * jnp.sum(px * dz), 0.5 * jnp.sum(py * dz)])
+    acc_ref[0, :] += jnp.pad(acc, (0, 120))
+
+
+@jax.jit
+def pair_wolf_panel(x, q, typef, mol, maskf, tabs, L, cut_coulsq, qqrd2e,
+                    g_ewald):
+    """Fused dense LJ+coul/long pair panel + Wolf static field.
+
+    Returns (f (npad,3), evdwl, ecoul, vir6, e0 (npad,3) UNSCALED — the
+    caller multiplies by sqrt(qqrd2e)).  Same table contract as
+    pair_panel (uniform outer cutoff)."""
+    npad = x.shape[0]
+    _br, _bc = _blocks(npad)
+    t1 = tabs.shape[1]
+    row = _pack_rows(x, [typef, q, maskf, mol])
+    col = row.T
+    ti = typef.astype(jnp.int32)
+    rowt = jnp.transpose(jnp.take(tabs[:4], ti, axis=1), (1, 0, 2))
+    cutsq_u = jnp.max(tabs[4])
+    par = _params_row(L, 0.0, cut_coulsq, qqrd2e, g_ewald, cutsq_u)
+    grid = (npad // _br, npad // _bc)
+    out, acc = pl.pallas_call(
+        functools.partial(_pair_wolf_kernel, br=_br, bc=_bc, t1=t1),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 16), lambda r, c: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((_br, 4, t1), lambda r, c: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_br, 8), lambda r, c: (r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, _bc), lambda r, c: (0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_br, 8), lambda r, c: (r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda r, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((npad, 8), jnp.float32),
+            jax.ShapeDtypeStruct((1, 128), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=npad * npad * 100,
+            bytes_accessed=npad * 8 * 4 * 4,
+            transcendentals=npad * npad,
+        ),
+        interpret=_interpret(),
+    )(par, rowt, row, col)
+    a = acc[0]
+    return out[:, :3], a[0], a[1], a[2:8], out[:, 3:6]
+
+
 @functools.partial(jax.jit, static_argnames=("coul",))
 def pair_panel(x, q, typef, maskf, tabs, L, cut_coulsq, qqrd2e, g_ewald,
                *, coul=True):
@@ -497,13 +641,20 @@ def pair_panel(x, q, typef, maskf, tabs, L, cut_coulsq, qqrd2e, g_ewald,
     vir6) with LAMMPS half-weight tallies (factor 0.5 both sides).
 
     typef: atom types as f32; tabs: (5, T1, T1) f32 [lj3 lj4 offset
-    cut_ljsq cutsq]."""
+    cut_ljsq cutsq].  cutsq must be uniform over live pairs (asserted at
+    the shard.py build site); the other four tables are gathered per ROW
+    atom here so the kernel needs one one-hot matmul per table instead of
+    two."""
     npad = x.shape[0]
     _br, _bc = _blocks(npad)
     t1 = tabs.shape[1]
     row = _pack_rows(x, [typef, q, maskf])
     col = row.T
-    par = _params_row(L, 0.0, cut_coulsq, qqrd2e, g_ewald)
+    ti = typef.astype(jnp.int32)
+    rowt = jnp.transpose(jnp.take(tabs[:4], ti, axis=1),
+                         (1, 0, 2))                         # (npad, 4, T1)
+    cutsq_u = jnp.max(tabs[4])
+    par = _params_row(L, 0.0, cut_coulsq, qqrd2e, g_ewald, cutsq_u)
     grid = (npad // _br, npad // _bc)
     out, acc = pl.pallas_call(
         functools.partial(_pair_kernel, br=_br, bc=_bc, t1=t1, coul=coul),
@@ -511,7 +662,7 @@ def pair_panel(x, q, typef, maskf, tabs, L, cut_coulsq, qqrd2e, g_ewald,
         in_specs=[
             pl.BlockSpec((1, 16), lambda r, c: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((5, t1, t1), lambda r, c: (0, 0, 0),
+            pl.BlockSpec((_br, 4, t1), lambda r, c: (r, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_br, 8), lambda r, c: (r, 0),
                          memory_space=pltpu.VMEM),
@@ -534,6 +685,6 @@ def pair_panel(x, q, typef, maskf, tabs, L, cut_coulsq, qqrd2e, g_ewald,
             transcendentals=npad * npad,
         ),
         interpret=_interpret(),
-    )(par, tabs, row, col)
+    )(par, rowt, row, col)
     a = acc[0]
     return out[:, :3], a[0], a[1], a[2:8]

@@ -378,13 +378,18 @@ def build_sharded_polar_step(
         return (rows,) + tuple(
             jax.lax.dynamic_slice_in_dim(a, i0, ns_) for a in arrays)
 
-    def _nonpolar_forces(x, q, type_, mask, with_kspace=True, strip=None):
+    def _nonpolar_forces(x, q, type_, mask, with_kspace=True, strip=None,
+                         wolf_mol=None):
         """Pair LJ+coul + sparse special correction + reciprocal Ewald.
         Returns (f, evdwl, ecoul, elong, vir) — vir NOT yet psummed.
 
         with_kspace=False (host-phase mode) skips the Ewald sum so it can
         run as separate k-block dispatches (the f64-emulated [N,K] matmul
-        is the longest-running part of the step at 100k atoms)."""
+        is the longest-running part of the step at 100k atoms).
+
+        wolf_mol (Pallas-panel path only): fuse the Wolf static-field
+        panel into the pair panel — one geometry pass serves both
+        pre-SCF O(N^2) phases — and return (..., e0) as a 6th output."""
         rows, xr, qr, tr = _rows_of(strip, x, q, type_)
         nrows = xr.shape[0]
         L = box_lengths  # closed over (static per build; box is NVE-constant)
@@ -396,17 +401,33 @@ def build_sharded_polar_step(
             qf, tf, mf = gather(q), gather(type_), gather(mask)
 
             # pair LJ + coul
+            e0_fused = None
             if use_panels and strip is None:
+                # the Pallas kernel assumes ONE uniform outer cutoff
+                # (params-row scalar): every live type pair must share
+                # cutsq (true when coulomb dominates the pair cutoffs)
+                import numpy as _np
+                _cq = _np.asarray(pair.cutsq)[1:, 1:]
+                assert _np.all((_cq == _cq.max()) | (_cq == 0.0)), \
+                    "pallas pair panel requires a uniform outer cutoff"
                 tabs = jnp.stack([
                     pair.lj3.astype(jnp.float32),
                     pair.lj4.astype(jnp.float32),
                     pair.offset.astype(jnp.float32),
                     pair.cut_ljsq.astype(jnp.float32),
                     pair.cutsq.astype(jnp.float32)])
-                f, evdwl, ecoul, vir = pallas_panel.pair_panel(
-                    x, q, type_.astype(dtype), mask.astype(dtype), tabs,
-                    L, pair.cut_coulsq, pair.qqrd2e, pair.g_ewald,
-                    coul=bool(pair.coul))
+                if wolf_mol is not None and bool(pair.coul):
+                    f, evdwl, ecoul, vir, e0_fused = \
+                        pallas_panel.pair_wolf_panel(
+                            x, q, type_.astype(dtype),
+                            wolf_mol.astype(dtype), mask.astype(dtype),
+                            tabs, L, pair.cut_coulsq, pair.qqrd2e,
+                            pair.g_ewald)
+                else:
+                    f, evdwl, ecoul, vir = pallas_panel.pair_panel(
+                        x, q, type_.astype(dtype), mask.astype(dtype),
+                        tabs, L, pair.cut_coulsq, pair.qqrd2e,
+                        pair.g_ewald, coul=bool(pair.coul))
             else:
                 zero6 = jnp.zeros((6,), dtype)
                 f0 = jnp.zeros((nrows, 3), dtype)
@@ -539,6 +560,10 @@ def build_sharded_polar_step(
                 # psum counts it once
                 vir = vir + jnp.where(_axidx() == 0, vk, 0.0)
 
+        if wolf_mol is not None:
+            e0 = (e0_fused * jnp.sqrt(qqrd2e) if e0_fused is not None
+                  else _wolf_field(x, q, wolf_mol, mask))
+            return f, evdwl, ecoul, elong, vir, e0
         return f, evdwl, ecoul, elong, vir
 
     def _wolf_field(x, q, mol, mask, strip=None):
@@ -653,13 +678,20 @@ def build_sharded_polar_step(
 
     def _forces(x, q, type_, mol, alpha, mu_init, mask):
         """One full force/SCF evaluation on local row blocks (nloc, ...)."""
-        f, evdwl, ecoul, elong, vir = _nonpolar_forces(x, q, type_, mask)
+        e0 = None
+        if has_polar:
+            # fused pair+wolf: one geometry pass serves both pre-SCF
+            # O(N^2) phases (Pallas path; falls back to separate passes)
+            f, evdwl, ecoul, elong, vir, e0 = _nonpolar_forces(
+                x, q, type_, mask, wolf_mol=mol)
+        else:
+            f, evdwl, ecoul, elong, vir = _nonpolar_forces(x, q, type_,
+                                                           mask)
 
         epol = jnp.zeros((), dtype)
         mu_new = mu_init
         scf_iters = jnp.zeros((), jnp.int32)
         if has_polar:
-            e0 = _wolf_field(x, q, mol, mask)
             a = alpha[:, None]
             mu0 = (mu_init if s.use_previous
                    else s.polar_gamma * a * e0)

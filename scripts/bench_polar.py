@@ -28,6 +28,9 @@ ap.add_argument("--host-cg", action="store_true",
 ap.add_argument("--mixed", action="store_true",
                 help="mixed-precision iterative refinement: f32 inner-CG "
                      "panel matvecs, f64 outer residuals (host-cg mode)")
+ap.add_argument("--predict", type=int, default=1, choices=(1, 2, 3, 4),
+                help="SCF initial-guess dipole extrapolation order "
+                     "(1 = plain warm start)")
 args = ap.parse_args()
 
 import jax
@@ -92,12 +95,24 @@ else:
     K = 20 if args.natoms <= 20000 else 4
     if args.f64:
         K = max(2, K // 4)
-run = polar_bench.make_scan_runner(b, K)
+run = polar_bench.make_scan_runner(b, K, predict=args.predict)
 f, scf = run(b)          # warmup dispatch (compile; first window has cold SCF)
 jax.block_until_ready(f)
 t0 = time.perf_counter()
 f, scf = run(b)
 jax.block_until_ready(f)
 dt = (time.perf_counter() - t0) / K
+import numpy as np  # noqa: E402
+scf_avg = float(np.mean(np.asarray(scf)))
 print("steady ms/step", round(dt * 1000, 1), "steps/s", round(1 / dt, 3),
       "scf", float(scf[-1]), flush=True)
+# kernel-FLOPs accounting for the O(N^2) polar panels (flops/pair from
+# ops/pallas_panel.py cost estimates; eind runs once per CG iteration
+# + once for the initial residual): the panels are elementwise VPU work,
+# so utilization is against the v5e VPU f32 peak (~3.9 TFLOP/s)
+pairs = float(b.npad) ** 2
+flops_step = pairs * (45.0 * (scf_avg + 1.0) + 30.0 + 140.0 + 70.0)
+gfps = flops_step / dt / 1e9
+print("panel_gflops", round(gfps, 1), "vpu_util_pct",
+      round(100 * gfps / 3900.0, 1), "scf_avg", round(scf_avg, 2),
+      flush=True)

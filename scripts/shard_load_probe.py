@@ -112,6 +112,90 @@ def probe(name, path, cutoff=6.0):
     return imb(atoms_per_dev), imb(pairs), imb(times)
 
 
+def weighted_experiment(path, alpha_types=("Cu", "C", "O", "H")):
+    """The rcb.cpp weighted-balance question (VERDICT r3 #9): does
+    assigning atom rows to shards WEIGHTED by polarizability
+    participation change the polar panel cost per device?
+
+    Three assignments of the MOF5 system's rows to 8 row blocks:
+      natural   — file order (what the engine uses)
+      clustered — adversarial: all polarizable atoms in the lowest blocks
+      weighted  — round-robin deal of polarizable atoms across blocks
+                  (the RCB-weighted analog)
+
+    The production polar panel is DENSE over (nloc x N) with alpha==0
+    masking (parallel/shard.py _tensor_apply_chunk / ops/pallas_panel.py):
+    every pair lane computes regardless of alpha, so the per-device FLOPs
+    — and measured time — are permutation-invariant by construction.
+    This measures that claim rather than asserting it."""
+    d = read_data(path)
+    n = d.natoms
+    L = (d.box_hi - d.box_lo).astype(np.float64)
+    x = d.x - d.box_lo[None, :]
+    alpha = getattr(d, "alpha", None)
+    if alpha is None or not np.any(alpha):
+        # synthesize: half the atoms polarizable (worst case for clustering)
+        alpha = np.zeros(n)
+        alpha[: n // 2] = 1.0
+    npad = -(-n // NDEV) * NDEV
+    nloc = npad // NDEV
+
+    def build(perm):
+        xp = np.zeros((npad, 3))
+        ap = np.zeros(npad)
+        xp[:n] = x[perm]
+        ap[:n] = alpha[perm]
+        return jnp.asarray(xp), jnp.asarray(ap)
+
+    pol = np.flatnonzero(alpha != 0)
+    non = np.flatnonzero(alpha == 0)
+    perms = {
+        "natural": np.arange(n),
+        "clustered": np.concatenate([pol, non]),
+        "weighted": np.argsort(
+            # deal polarizable atoms round-robin over blocks, then fill
+            np.concatenate([np.arange(len(pol)) % NDEV * 1000000
+                            + np.arange(len(pol)),
+                            1000000 * NDEV
+                            + np.arange(len(non))])[np.argsort(
+                                np.concatenate([pol, non]))], kind="stable"),
+    }
+    Lj = jnp.asarray(L)
+
+    @jax.jit
+    def polar_panel(xl, al, xall, aall):
+        """The actual eind math (T.mu contraction shape) on one block."""
+        dx = xl[:, None, :] - xall[None, :, :]
+        dx = dx - Lj * jnp.round(dx / Lj)
+        r2 = jnp.sum(dx * dx, axis=-1)
+        pm = (al[:, None] != 0) & (aall[None, :] != 0) & (r2 > 0)
+        r2 = jnp.where(pm, r2, 1.0)
+        r = jnp.sqrt(r2)
+        t1 = jnp.exp(-2.13 * r)
+        l1 = 1 - t1 * (1 + 2.13 * r + 0.5 * 2.13**2 * r2)
+        return jnp.sum(jnp.where(pm, l1 / (r2 * r), 0.0))
+
+    print("weighted-balance experiment (MOF5, %d atoms, %d polarizable):"
+          % (n, len(pol)), flush=True)
+    for name, perm in perms.items():
+        xj, aj = build(perm)
+        times = []
+        for b in range(NDEV):
+            xl = xj[b * nloc:(b + 1) * nloc]
+            al = aj[b * nloc:(b + 1) * nloc]
+            polar_panel(xl, al, xj, aj).block_until_ready()
+            t0 = time.perf_counter()
+            for _ in range(3):
+                polar_panel(xl, al, xj, aj).block_until_ready()
+            times.append((time.perf_counter() - t0) / 3)
+        times = np.array(times)
+        print(f"  {name:9s}: per-block panel ms "
+              f"{', '.join('%.1f' % (t * 1e3) for t in times)}  "
+              f"max/mean={float(times.max() / times.mean()):.4f}",
+              flush=True)
+
+
 if __name__ == "__main__":
     for name, path in SYSTEMS.items():
         probe(name, path)
+    weighted_experiment(SYSTEMS["mof5_methane"])

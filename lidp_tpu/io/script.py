@@ -944,6 +944,14 @@ class LammpsScript:
         L = self.box_hi - self.box_lo
         n0 = self.x.shape[0]
         maxmol = int(self.mol.max()) if self.mol.size else 0
+        # replicate.cpp:189-225: each atom is UNMAPPED through its image
+        # flags before shifting, then remapped into the NEW box — bonded
+        # pairs wrapped across an old-box face would otherwise land a
+        # full old-box length apart in the enlarged box (min-image over
+        # the new box no longer folds them together)
+        xu = self.x + self.image * L
+        new_lo = self.box_lo
+        new_L = L * np.array([nx, ny, nz])
         xs, vs, qs, ts, ms, ims = [], [], [], [], [], []
         bonds = []
         rep = 0
@@ -951,12 +959,15 @@ class LammpsScript:
             for iy in range(ny):
                 for ix in range(nx):
                     shift = np.array([ix, iy, iz]) * L
-                    xs.append(self.x + shift)
+                    xr = xu + shift
+                    imr = np.floor((xr - new_lo) / new_L).astype(
+                        self.image.dtype)
+                    xs.append(xr - imr * new_L)
                     vs.append(self.v)
                     qs.append(self.q)
                     ts.append(self.type)
                     ms.append(np.where(self.mol > 0, self.mol + rep * maxmol, 0))
-                    ims.append(self.image)
+                    ims.append(imr)
                     if getattr(self, "_bonds", None) is not None and len(self._bonds):
                         bonds.append(self._bonds + rep * n0)
                     rep += 1

@@ -311,6 +311,21 @@ def host_cg_step(bench: PolarBench, zero_init: bool = False,
         if not zero_init:
             pass   # first call computes forces at current x below anyway
 
+    import os
+    import time as _time
+
+    _timing = bool(int(os.environ.get("LIDP_PHASE_TIMING", "0")))
+    _t = {"last": _time.perf_counter()}
+
+    def _tick(label, *sync):
+        if not _timing:
+            return
+        for o in sync:
+            jax.block_until_ready(o)
+        now = _time.perf_counter()
+        print(f"  phase {label:12s} {now - _t['last']:7.2f} s", flush=True)
+        _t["last"] = now
+
     mass, mask = a["mass"], a["mask"]
     minv = jnp.where(mass > 0, 1.0 / jnp.where(mass > 0, mass, 1.0), 0.0)
     v = a["v"] + (dtf * minv)[:, None] * a["f"]
@@ -348,6 +363,7 @@ def host_cg_step(bench: PolarBench, zero_init: bool = False,
         # single program of the step and must stay under the deadline
         f, evdwl, ecoul, elong, vir = striped(ph["pair_real"],
                                               x, q, typ, mask)
+        _tick("pair_real", f)
         hv, kc, kv = ph["ewald_tables"]
         Kk = hv.shape[0]
         # ~13M f64 matmul cells per dispatch (~5-10 s at 100k atoms)
@@ -369,10 +385,13 @@ def host_cg_step(bench: PolarBench, zero_init: bool = False,
             vk = vk + vb
         elong = e_k - ph["ewald_eself"]()
         vir = vir + vk
+        _tick("ewald_k", f)
     else:
         assert S == 1, "strip mode requires the split-Ewald path"
         f, evdwl, ecoul, elong, vir = ph["nonpolar"](x, q, typ, mask)
+        _tick("nonpolar", f)
     e0 = striped(ph["wolf"], x, q, mol, mask)
+    _tick("wolf", e0)
 
     # --- host-driven CG (scf_solve_cg math, one eind dispatch per B()) ---
     sa = jnp.sqrt(alpha)[:, None]
@@ -445,9 +464,11 @@ def host_cg_step(bench: PolarBench, zero_init: bool = False,
         outer = 0
         while outer < 8 and not (change <= prec2):
             r = b - B(y)           # ONE f64 panel pass per refinement
+            _tick("eind_f64", r)
             outer += 1
             it += 1
             d, k = inner_cg(r)
+            _tick(f"inner_cg({k})", d)
             it += k
             change = float(jnp.sum((d * sa) ** 2)) / n3
             y = y + d
@@ -477,8 +498,10 @@ def host_cg_step(bench: PolarBench, zero_init: bool = False,
     mu = sa * y
     if not converged:
         mu = alpha[:, None] * e0
+    _tick("cg_rest", mu)
     fpol, epol, vir_pol = striped(ph["dipole"], x, q, mol, alpha, mu,
                                   mask)
+    _tick("dipole", fpol)
     f = f + fpol
     v = v + (dtf * minv)[:, None] * f
     v = jnp.where(mask[:, None], v, 0.0)

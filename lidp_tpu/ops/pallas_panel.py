@@ -51,9 +51,15 @@ _DAMP_EXP = 1
 def _blocks(npad: int):
     """Row/column block sizes: npad is always a multiple of 256
     (parallel/shard.py _pad_and_chunk); prefer 512-wide columns
-    (~0.5 MB per (BR, BC) f32 intermediate) when they divide npad."""
-    br = 256
-    bc = 512 if npad % 512 == 0 else 256
+    (~0.5 MB per (BR, BC) f32 intermediate) when they divide npad.
+    LIDP_PANEL_BR/BC override for tuning sweeps."""
+    import os
+    br = int(os.environ.get("LIDP_PANEL_BR", "256"))
+    bc = int(os.environ.get("LIDP_PANEL_BC", "512"))
+    while npad % br:
+        br //= 2
+    while npad % bc:
+        bc //= 2
     return br, bc
 
 
@@ -191,6 +197,176 @@ def _eind_call(npad, _br, _bc, damping_type, grid):
         ),
         interpret=_interpret(),
     )
+
+
+# --------------------------- df32 (f64-grade) --------------------------
+#
+# Mosaic has no f64; XLA's f64 emulation of these panels runs HBM-bound
+# column-chunk scans (measured at 100k atoms: pair 78 s, dipole 51 s,
+# eind 15 s PER PASS).  These kernels redo the same math in double-f32
+# arithmetic (ops/df32.py, ~1e-13 relative) entirely in VMEM.
+#
+# Cross-lane reductions need df32 accuracy too: a plain f32 lane-sum of
+# 512 terms costs ~1e-6 relative, far above the 1e-11 SCF regime.  The
+# recursive-halving roll tree below keeps a compensation limb through
+# every level (the limb's own f32 accumulation error is second-order,
+# ~2^-48 of the total).
+
+def _lane_dfsum(h, l, bc):
+    """df32 sum across the lane axis: every lane ends holding the total."""
+    s = bc // 2
+    while s >= 1:
+        hr = jnp.roll(h, s, axis=1)
+        lr = jnp.roll(l, s, axis=1)
+        sh, e = _d_two_sum(h, hr)
+        h = sh
+        l = l + lr + e
+        s //= 2
+    return h, l
+
+
+def _d_two_sum(a, b):
+    # optimization barriers: the HLO simplifier rewrites EFT patterns
+    # (see ops/df32.py); Mosaic doesn't, but interpret/CPU runs do
+    from lidp_tpu.ops.df32 import _B as _b
+    s = _b(a + b)
+    bb = _b(s - a)
+    return s, (a - _b(s - bb)) + (b - bb)
+
+
+def _df_const_pair(ref, i):
+    """Read a df32 scalar (hi, lo) from adjacent SMEM params cells."""
+    return ref[0, i], ref[0, i + 1]
+
+
+def _eind_df_kernel(par_ref, xr_ref, xc_ref, out_ref, *, br, bc,
+                    damping_type):
+    """E_ind = -T.mu in df32 (f64-grade).  Row operand (BR, 8):
+    [xh yh zh xl yl zl gate .]; column operand (16, BC):
+    [xh yh zh xl yl zl gate muxh muyh muzh muxl muyl muzl . . .];
+    out (BR, 8): [Exh Eyh Ezh Exl Eyl Ezl . .]."""
+    from lidp_tpu.ops import df32 as dd
+
+    xr = xr_ref[...]
+    xc = xc_ref[...]
+    Ld = [_df_const_pair(par_ref, 2 * k) for k in range(3)]
+    Linv = [par_ref[0, 6 + k] for k in range(3)]
+    pdd = _df_const_pair(par_ref, 9)
+
+    gate_i = xr[:, 6:7]
+    gate_j = xc[6:7, :]
+    pm = _self_mask(br, bc) & (gate_i != 0.0) & (gate_j != 0.0)
+
+    d = []
+    for k in range(3):
+        dk = dd.add((xr[:, k:k + 1], xr[:, 3 + k:4 + k]),
+                    (-xc[k:k + 1, :], -xc[3 + k:4 + k, :]))
+        n = jnp.round(dk[0] * Linv[k])
+        dk = dd.sub(dk, dd.mul_f32(Ld[k], n))
+        d.append(dk)
+    rsq = dd.add(dd.add(dd.sq(d[0]), dd.sq(d[1])), dd.sq(d[2]))
+    rsq = (jnp.where(pm, rsq[0], 1.0), jnp.where(pm, rsq[1], 0.0))
+    rinv = dd.rsqrt(rsq)
+    r2inv = dd.sq(rinv)
+    r3inv = dd.mul(r2inv, rinv)
+    r5inv = dd.mul(r3inv, r2inv)
+    if damping_type == _DAMP_EXP:
+        r = dd.mul(rsq, rinv)
+        pr = dd.mul(pdd, r)
+        pr2 = dd.sq(pr)
+        pr3 = dd.mul(pr2, pr)
+        t1 = dd.exp(dd.neg(pr))
+        t2 = dd.add(dd.add(dd.const(1.0), pr),
+                    dd.mul(dd.const(0.5), pr2))
+        t3 = dd.add(t2, dd.mul(dd.const(1.0 / 6.0), pr3))
+        l1 = dd.sub(dd.const(1.0), dd.mul(t1, t2))
+        l2 = dd.sub(dd.const(1.0), dd.mul(t1, t3))
+    else:
+        l1 = l2 = dd.const(1.0)
+    mu = [(xc[7 + k:8 + k, :], xc[10 + k:11 + k, :]) for k in range(3)]
+    mdotd = dd.add(dd.add(dd.mul(mu[0], d[0]), dd.mul(mu[1], d[1])),
+                   dd.mul(mu[2], d[2]))
+    a1 = dd.mul(dd.mul(dd.mul(dd.const(-3.0), l2), r5inv), mdotd)
+    a2 = dd.mul(l1, r3inv)
+    a1 = (jnp.where(pm, a1[0], 0.0), jnp.where(pm, a1[1], 0.0))
+    a2 = (jnp.where(pm, a2[0], 0.0), jnp.where(pm, a2[1], 0.0))
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    for k in range(3):
+        tk = dd.add(dd.mul(a1, d[k]), dd.mul(a2, mu[k]))
+        sh, sl = _lane_dfsum(tk[0], tk[1], bc)
+        # df32 accumulate into the output row block (E -= sum)
+        cur = (out_ref[:, k], out_ref[:, 3 + k])
+        s0, e0 = _d_two_sum(cur[0], -sh[:, 0])
+        out_ref[:, k] = s0
+        out_ref[:, 3 + k] = cur[1] + e0 - sl[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("damping_type",))
+def eind_panel_df(x, alpha_eff, mu, L, pd, *, damping_type=_DAMP_EXP):
+    """f64-grade E_ind = -T.mu (df32 Pallas).  x/mu/L f64 in, f64 out.
+
+    Matches the XLA-f64 scan path (_tensor_apply_chunk) to ~1e-13 rel —
+    the outer-residual accuracy the 1e-11 SCF refinement needs."""
+    npad = x.shape[0]
+    _br, _bc = 256, 256          # df32 live set ~2x the f32 kernels'
+    while npad % _br:
+        _br //= 2
+    while npad % _bc:
+        _bc //= 2
+    f64 = x.dtype
+
+    def split(a):
+        hi = a.astype(jnp.float32)
+        lo = (a - hi.astype(f64)).astype(jnp.float32)
+        return hi, lo
+
+    xh, xl = split(x)
+    muh, mul_ = split(mu)
+    gate = (alpha_eff != 0).astype(jnp.float32)
+    row = jnp.concatenate([xh, xl, gate[:, None],
+                           jnp.zeros((npad, 1), jnp.float32)], axis=1)
+    col = jnp.concatenate([xh, xl, gate[:, None], muh, mul_,
+                           jnp.zeros((npad, 3), jnp.float32)], axis=1).T
+    Lh, Ll = split(L.astype(f64))
+    vals = []
+    for k in range(3):
+        vals += [Lh[k], Ll[k]]
+    vals += list((1.0 / L.astype(f64)).astype(jnp.float32))
+    pd64 = jnp.asarray(pd, f64)
+    pdh = pd64.astype(jnp.float32)
+    vals += [pdh, (pd64 - pdh.astype(f64)).astype(jnp.float32)]
+    par = jnp.zeros((1, 16), jnp.float32)
+    for i, v in enumerate(vals):
+        par = par.at[0, i].set(v)
+    grid = (npad // _br, npad // _bc)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            functools.partial(_eind_df_kernel, br=_br, bc=_bc,
+                              damping_type=damping_type),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 16), lambda r, c: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((_br, 8), lambda r, c: (r, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((16, _bc), lambda r, c: (0, c),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((_br, 8), lambda r, c: (r, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((npad, 8), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=npad * npad * 1000,
+                bytes_accessed=npad * 24 * 4 * 3,
+                transcendentals=npad * npad,
+            ),
+            interpret=_interpret(),
+        )(par, row, col)
+    return out[:, :3].astype(f64) + out[:, 3:6].astype(f64)
 
 
 # ------------------------------- wolf ---------------------------------

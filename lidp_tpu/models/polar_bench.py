@@ -357,12 +357,26 @@ def host_cg_step(bench: PolarBench, zero_init: bool = False,
                 merged.append(sum(leaf[1:], leaf[0]))
         return tuple(merged)
 
+    # f64-grade df32 Pallas phases (shard.py make_host_phases): the
+    # XLA-emulated-f64 scan panels are the step's dominant cost; the df32
+    # kernels hold ~1e-13 vs f64 on the Mosaic path (real TPU) but NOT on
+    # CPU interpret (XLA's algebraic simplifier breaks the error-free
+    # transforms there — see ops/df32.py), so gate on the backend
+    import jax as _jax
+
+    use_df = (_jax.default_backend() in ("tpu", "axon")
+              and "pair_df" in ph
+              and not int(os.environ.get("LIDP_NO_DF", "0")))
+
     if "ewald_kblock" in ph:
         # pair real-space without kspace, then the Ewald sum as bounded
         # k-block dispatches: the f64-emulated [N,K] matmul is the longest
         # single program of the step and must stay under the deadline
-        f, evdwl, ecoul, elong, vir = striped(ph["pair_real"],
-                                              x, q, typ, mask)
+        if use_df:
+            f, evdwl, ecoul, elong, vir = ph["pair_df"](x, q, typ, mask)
+        else:
+            f, evdwl, ecoul, elong, vir = striped(ph["pair_real"],
+                                                  x, q, typ, mask)
         _tick("pair_real", f)
         hv, kc, kv = ph["ewald_tables"]
         Kk = hv.shape[0]
@@ -397,8 +411,12 @@ def host_cg_step(bench: PolarBench, zero_init: bool = False,
     sa = jnp.sqrt(alpha)[:, None]
     eind = ph["eind"]
 
-    def B(y):
-        return y + sa * (-striped(eind, x, alpha, mask, sa * y))
+    if use_df and "eind_df" in ph:
+        def B(y):
+            return y + sa * (-ph["eind_df"](x, alpha, mask, sa * y))
+    else:
+        def B(y):
+            return y + sa * (-striped(eind, x, alpha, mask, sa * y))
 
     b = sa * e0
     if s.use_previous:
@@ -499,8 +517,11 @@ def host_cg_step(bench: PolarBench, zero_init: bool = False,
     if not converged:
         mu = alpha[:, None] * e0
     _tick("cg_rest", mu)
-    fpol, epol, vir_pol = striped(ph["dipole"], x, q, mol, alpha, mu,
-                                  mask)
+    if use_df and "dipole_df" in ph:
+        fpol, epol, vir_pol = ph["dipole_df"](x, q, mol, alpha, mu, mask)
+    else:
+        fpol, epol, vir_pol = striped(ph["dipole"], x, q, mol, alpha, mu,
+                                      mask)
     _tick("dipole", fpol)
     f = f + fpol
     v = v + (dtf * minv)[:, None] * f

@@ -369,6 +369,491 @@ def eind_panel_df(x, alpha_eff, mu, L, pd, *, damping_type=_DAMP_EXP):
     return out[:, :3].astype(f64) + out[:, 3:6].astype(f64)
 
 
+def _sublane_dfsum(h, l, br):
+    """df32 sum across the sublane axis (axis 0)."""
+    s = br // 2
+    while s >= 1:
+        hr = jnp.roll(h, s, axis=0)
+        lr = jnp.roll(l, s, axis=0)
+        sh, e = _d_two_sum(h, hr)
+        h = sh
+        l = l + lr + e
+        s //= 2
+    return h, l
+
+
+def _df_lt(a, c):
+    """df32 a < c (c a df32 pair of scalars or arrays)."""
+    return (a[0] < c[0]) | ((a[0] == c[0]) & (a[1] < c[1]))
+
+
+def _df_where(m, a, z=0.0):
+    return jnp.where(m, a[0], z), jnp.where(m, a[1], 0.0)
+
+
+def _df_geometry(xr, xc, Ld, Linv):
+    """Minimum-image d[3] and rsq in df32 from hi/lo packed operands
+    (rows [0:3]=hi, [3:6]=lo; columns likewise)."""
+    from lidp_tpu.ops import df32 as dd
+
+    d = []
+    for k in range(3):
+        dk = dd.add((xr[:, k:k + 1], xr[:, 3 + k:4 + k]),
+                    (-xc[k:k + 1, :], -xc[3 + k:4 + k, :]))
+        n = jnp.round(dk[0] * Linv[k])
+        dk = dd.sub(dk, dd.mul_f32(Ld[k], n))
+        d.append(dk)
+    rsq = dd.add(dd.add(dd.sq(d[0]), dd.sq(d[1])), dd.sq(d[2]))
+    return d, rsq
+
+
+def _df_out_accum(out_ref, col, hval, lval, bc):
+    """Lane-dfsum (BR,BC) df32 terms and df-accumulate into out_ref
+    columns (col: hi index, col+3: lo index)."""
+    sh, sl = _lane_dfsum(hval, lval, bc)
+    cur_h, cur_l = out_ref[:, col], out_ref[:, col + 3]
+    s0, e0 = _d_two_sum(cur_h, sh[:, 0])
+    out_ref[:, col] = s0
+    out_ref[:, col + 3] = cur_l + e0 + sl[:, 0]
+
+
+def _df_scalar_accum(acc_ref, idx, hval, lval, br, bc):
+    """Full-block df32 reduction of (BR,BC) terms into acc_ref lanes
+    (idx: hi lane, idx+8: lo lane).  (1,1) slices throughout — Mosaic
+    cannot store 0-d scalars to VMEM."""
+    sh, sl = _lane_dfsum(hval, lval, bc)
+    th, tl = _sublane_dfsum(sh[:, 0:1], sl[:, 0:1], br)
+    cur_h = acc_ref[0:1, idx:idx + 1]
+    cur_l = acc_ref[0:1, idx + 8:idx + 9]
+    s0, e0 = _d_two_sum(cur_h, th[0:1, 0:1])
+    acc_ref[0:1, idx:idx + 1] = s0
+    acc_ref[0:1, idx + 8:idx + 9] = cur_l + e0 + tl[0:1, 0:1]
+
+
+def _pair_df_kernel(par_ref, rowt_ref, xr_ref, xc_ref, out_ref, acc_ref,
+                    *, br, bc, t1):
+    """f64-grade LJ + coul/long pair panel in df32 (mirrors
+    _pair_terms_chunk / _pair_chunk, parallel/shard.py).
+
+    Row/col operands (BR,16)/(16,BC): [xh(3) xl(3) type mask qh ql ...];
+    rowt (BR, 8, T1): [lj3 lj4 off cut_ljsq] x (hi, lo) per ROW type;
+    out (BR, 8): [fx fy fz]h + [fx fy fz]l; acc lanes: [evdwl ecoul
+    vir6]h at 0..7, lo at 8..15."""
+    from lidp_tpu.ops import df32 as dd
+    from lidp_tpu.ops.pair import A1, A2, A3, A4, A5, EWALD_F, EWALD_P
+
+    xr = xr_ref[...]
+    xc = xc_ref[...]
+    rt = rowt_ref[...]
+    Ld = [_df_const_pair(par_ref, 2 * k) for k in range(3)]
+    Linv = [par_ref[0, 6 + k] for k in range(3)]
+    ccsq = _df_const_pair(par_ref, 9)      # cut_coulsq
+    qq = _df_const_pair(par_ref, 11)       # qqrd2e
+    gew = _df_const_pair(par_ref, 13)      # g_ewald
+    # cutsq_u rides par[0,15] hi-only? need pair: use lanes 15 + ... the
+    # params row is (1, 32) for the df kernels
+    cutsq_u = (par_ref[0, 15], par_ref[0, 16])
+
+    tj = xc[6:7, :]
+    mask_j = xc[7:8, :]
+    qi = (xr[:, 8:9], xr[:, 9:10])
+    qj = (xc[8:9, :], xc[9:10, :])
+    pm = _self_mask(br, bc) & (mask_j != 0.0)
+
+    hp = jax.lax.Precision.HIGHEST
+    ohc = (tj == jax.lax.broadcasted_iota(
+        jnp.int32, (t1, bc), 0).astype(jnp.float32)).astype(jnp.float32)
+
+    def tab(k):
+        """One-hot column select is EXACT per limb."""
+        return (jnp.dot(rt[:, 2 * k, :], ohc, precision=hp,
+                        preferred_element_type=jnp.float32),
+                jnp.dot(rt[:, 2 * k + 1, :], ohc, precision=hp,
+                        preferred_element_type=jnp.float32))
+
+    lj3p, lj4p, offp, clj_p = tab(0), tab(1), tab(2), tab(3)
+
+    d, rsq = _df_geometry(xr, xc, Ld, Linv)
+    rsq = (jnp.where(pm, rsq[0], 1.0), jnp.where(pm, rsq[1], 0.0))
+    in_range = _df_lt(rsq, cutsq_u) & pm
+    lj_mask = in_range & _df_lt(rsq, clj_p)
+    coul_mask = in_range & _df_lt(rsq, ccsq)
+
+    r2inv = dd.recip(rsq)
+    r6inv = dd.mul(dd.mul(r2inv, r2inv), r2inv)
+    forcelj = dd.mul(r6inv, dd.sub(
+        dd.mul(dd.mul(dd.const(12.0), lj3p), r6inv),
+        dd.mul(dd.const(6.0), lj4p)))
+    evdwl = dd.sub(dd.mul(r6inv, dd.sub(dd.mul(lj3p, r6inv), lj4p)), offp)
+    forcelj = _df_where(lj_mask, forcelj)
+    evdwl = _df_where(lj_mask, evdwl)
+
+    rinv = dd.rsqrt(rsq)
+    r = dd.mul(rsq, rinv)
+    grij = dd.mul(gew, r)
+    expm2 = dd.exp(dd.neg(dd.sq(grij)))
+    t = dd.recip(dd.add(dd.const(1.0), dd.mul(dd.const(EWALD_P), grij)))
+    poly = dd.const(A5)
+    for c in (A4, A3, A2, A1):
+        poly = dd.add(dd.mul(poly, t), dd.const(c))
+    erfc = dd.mul(dd.mul(t, poly), expm2)
+    pref = dd.mul(dd.mul(dd.mul(qq, qi), qj), rinv)
+    forcecoul = dd.mul(pref, dd.add(
+        erfc, dd.mul(dd.mul(dd.const(EWALD_F), grij), expm2)))
+    forcecoul = _df_where(coul_mask, forcecoul)
+    ecoul = _df_where(coul_mask, dd.mul(pref, erfc))
+
+    fpair = dd.mul(dd.add(forcecoul, forcelj), r2inv)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    p3 = []
+    for k in range(3):
+        pk = dd.mul(fpair, d[k])
+        p3.append(pk)
+        _df_out_accum(out_ref, k, pk[0], pk[1], bc)
+
+    half = dd.const(0.5)
+    _df_scalar_accum(acc_ref, 0, *dd.mul(half, evdwl), br, bc)
+    _df_scalar_accum(acc_ref, 1, *dd.mul(half, ecoul), br, bc)
+    w = dd.mul(half, fpair)
+    vpairs = [(0, 0), (1, 1), (2, 2), (0, 1), (0, 2), (1, 2)]
+    for i, (ka, kb) in enumerate(vpairs):
+        vt = dd.mul(dd.mul(w, d[ka]), d[kb])
+        _df_scalar_accum(acc_ref, 2 + i, vt[0], vt[1], br, bc)
+
+
+def _df_params(L, f64, *extras):
+    """(1, 32) SMEM params: L as hi/lo pairs (0..5), 1/L f32 (6..8),
+    then extras as hi/lo pairs from index 9."""
+    Lf = L.astype(f64)
+    Lh = Lf.astype(jnp.float32)
+    Ll = (Lf - Lh.astype(f64)).astype(jnp.float32)
+    vals = []
+    for k in range(3):
+        vals += [Lh[k], Ll[k]]
+    vals += list((1.0 / Lf).astype(jnp.float32))
+    for e in extras:
+        e = jnp.asarray(e, f64)
+        eh = e.astype(jnp.float32)
+        vals += [eh, (e - eh.astype(f64)).astype(jnp.float32)]
+    par = jnp.zeros((1, 32), jnp.float32)
+    for i, v in enumerate(vals):
+        par = par.at[0, i].set(v)
+    return par
+
+
+def _df_split(a, f64):
+    hi = a.astype(jnp.float32)
+    lo = (a - hi.astype(f64)).astype(jnp.float32)
+    return hi, lo
+
+
+@jax.jit
+def pair_panel_df(x, q, typef, maskf, tabs64, L, cut_coulsq, qqrd2e,
+                  g_ewald):
+    """f64-grade dense LJ+coul/long panel (df32 Pallas).  x/q/tabs f64.
+
+    Returns (f (npad,3) f64, evdwl, ecoul, vir6) matching the XLA-f64
+    scan path to ~1e-13.  tabs64: (5, T1, T1) f64 [lj3 lj4 offset
+    cut_ljsq cutsq]; cutsq must be uniform over live pairs."""
+    npad = x.shape[0]
+    _br, _bc = 128, 256
+    while npad % _br:
+        _br //= 2
+    while npad % _bc:
+        _bc //= 2
+    f64 = x.dtype
+    t1 = tabs64.shape[1]
+    xh, xl = _df_split(x, f64)
+    qh, ql = _df_split(q, f64)
+    tf = typef.astype(jnp.float32)
+    mf = maskf.astype(jnp.float32)
+    zero = jnp.zeros((npad, 1), jnp.float32)
+    row = jnp.concatenate(
+        [xh, xl, tf[:, None], mf[:, None], qh[:, None], ql[:, None],
+         zero, zero, zero, zero, zero, zero], axis=1)
+    col = row.T
+    ti = typef.astype(jnp.int32)
+    th_, tl_ = _df_split(tabs64[:4], f64)
+    rowt = jnp.stack([th_[0], tl_[0], th_[1], tl_[1], th_[2], tl_[2],
+                      th_[3], tl_[3]])                      # (8, T1, T1)
+    rowt = jnp.transpose(jnp.take(rowt, ti, axis=1), (1, 0, 2))
+    cutsq_u = jnp.max(tabs64[4])
+    par = _df_params(L, f64, cut_coulsq, qqrd2e, g_ewald, cutsq_u)
+    grid = (npad // _br, npad // _bc)
+    with jax.enable_x64(False):
+        out, acc = pl.pallas_call(
+            functools.partial(_pair_df_kernel, br=_br, bc=_bc, t1=t1),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 32), lambda r, c: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((_br, 8, t1), lambda r, c: (r, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_br, 16), lambda r, c: (r, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((16, _bc), lambda r, c: (0, c),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((_br, 8), lambda r, c: (r, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 128), lambda r, c: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((npad, 8), jnp.float32),
+                jax.ShapeDtypeStruct((1, 128), jnp.float32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=npad * npad * 1600,
+                bytes_accessed=npad * 48 * 4 * 3,
+                transcendentals=npad * npad,
+            ),
+            interpret=_interpret(),
+        )(par, rowt, row, col)
+    f = out[:, :3].astype(f64) + out[:, 3:6].astype(f64)
+    a = acc[0, :8].astype(f64) + acc[0, 8:16].astype(f64)
+    return f, a[0], a[1], a[2:8]
+
+
+def _dipole_df_kernel(par_ref, xr_ref, mur_ref, xc_ref, muc_ref,
+                      out_ref, acc_ref, *, br, bc, damping_type):
+    """f64-grade charge-dipole + dipole-dipole force panel in df32
+    (mirrors _dipole_chunk, parallel/shard.py).
+
+    Row/col (BR,16)/(16,BC): [xh(3) xl(3) alpha q_h mol q_l mask ...];
+    mur/muc (BR,8)/(8,BC): [muh(3) mul(3) . .]; out (BR,8) f hi/lo;
+    acc lanes [u_ef u_dd vir6]h 0..7, lo 8..15."""
+    from lidp_tpu.ops import df32 as dd
+
+    xr = xr_ref[...]
+    xc = xc_ref[...]
+    mur = mur_ref[...]
+    muc = muc_ref[...]
+    Ld = [_df_const_pair(par_ref, 2 * k) for k in range(3)]
+    Linv = [par_ref[0, 6 + k] for k in range(3)]
+    ccsq = _df_const_pair(par_ref, 9)
+    sqrt_q = _df_const_pair(par_ref, 11)   # sqrt(qqrd2e) as df32
+    pdd = _df_const_pair(par_ref, 13)
+    f_shift = _df_const_pair(par_ref, 15)  # -1/cut_coulsq
+
+    ai = xr[:, 6:7]
+    aj = xc[6:7, :]
+    qi = (xr[:, 7:8], xr[:, 9:10])
+    qj = (xc[7:8, :], xc[9:10, :])
+    mi_ = xr[:, 8:9]
+    mj = xc[8:9, :]
+    mask_j = xc[10:11, :]
+    pm = _self_mask(br, bc) & (mask_j != 0.0)
+
+    d, rsq = _df_geometry(xr, xc, Ld, Linv)
+    rsq = (jnp.where(pm, rsq[0], 1.0), jnp.where(pm, rsq[1], 0.0))
+    r2inv = dd.recip(rsq)
+    rinv = dd.rsqrt(rsq)
+    r = dd.mul(rsq, rinv)
+    r3inv = dd.mul(r2inv, rinv)
+
+    cd_mask = pm & _df_lt(rsq, ccsq) & ((mi_ != mj) | (mi_ == 0.0))
+    xsq = [dd.sq(d[k]) for k in range(3)]
+
+    def mdiag(k):
+        o1, o2 = [(1, 2), (0, 2), (0, 1)][k]
+        s = dd.add(xsq[o1], xsq[o2])
+        return dd.add(dd.mul(dd.sub(s, dd.mul(dd.const(2.0), xsq[k])),
+                             r2inv), dd.mul(f_shift, s))
+
+    mxx, myy, mzz = mdiag(0), mdiag(1), mdiag(2)
+
+    def moff(ka, kb):
+        p = dd.mul(d[ka], d[kb])
+        return dd.sub(dd.mul(dd.mul(dd.const(-3.0), p), r2inv),
+                      dd.mul(f_shift, p))
+
+    mxy, mxz, myz = moff(0, 1), moff(0, 2), moff(1, 2)
+    M = [[mxx, mxy, mxz], [mxy, myy, myz], [mxz, myz, mzz]]
+
+    ml = [(mur[:, k:k + 1], mur[:, 3 + k:4 + k]) for k in range(3)]
+    mc = [(muc[k:k + 1, :], muc[3 + k:4 + k, :]) for k in range(3)]
+    cf_j = _df_where(cd_mask, dd.mul(dd.mul(qj, sqrt_q), r3inv))
+    cf_i = _df_where(cd_mask, dd.mul(dd.mul(qi, sqrt_q), r3inv))
+    fcd = []
+    for k in range(3):
+        Mml = dd.add(dd.add(dd.mul(M[k][0], ml[0]),
+                            dd.mul(M[k][1], ml[1])),
+                     dd.mul(M[k][2], ml[2]))
+        Mmc = dd.add(dd.add(dd.mul(M[k][0], mc[0]),
+                            dd.mul(M[k][1], mc[1])),
+                     dd.mul(M[k][2], mc[2]))
+        fcd.append(dd.sub(dd.mul(cf_j, Mml), dd.mul(cf_i, Mmc)))
+
+    ef_t = dd.mul(_df_where(
+        cd_mask, dd.mul(dd.mul(dd.add(r2inv, f_shift), rinv), sqrt_q)), qj)
+    u_ef_pair = dd.neg(dd.add(dd.add(
+        dd.mul(dd.mul(ml[0], ef_t), d[0]),
+        dd.mul(dd.mul(ml[1], ef_t), d[1])),
+        dd.mul(dd.mul(ml[2], ef_t), d[2])))
+
+    dd_mask = pm & (ai != 0.0) & (aj != 0.0)
+    r5inv = dd.mul(r3inv, r2inv)
+    r7inv = dd.mul(r5inv, r2inv)
+    pdotp = dd.add(dd.add(dd.mul(ml[0], mc[0]), dd.mul(ml[1], mc[1])),
+                   dd.mul(ml[2], mc[2]))
+    pidotr = dd.add(dd.add(dd.mul(ml[0], d[0]), dd.mul(ml[1], d[1])),
+                    dd.mul(ml[2], d[2]))
+    pjdotr = dd.add(dd.add(dd.mul(mc[0], d[0]), dd.mul(mc[1], d[1])),
+                    dd.mul(mc[2], d[2]))
+    if damping_type == _DAMP_EXP:
+        pr = dd.mul(pdd, r)
+        pr2 = dd.sq(pr)
+        t1 = dd.exp(dd.neg(pr))
+        t2 = dd.add(dd.add(dd.const(1.0), pr),
+                    dd.mul(dd.const(0.5), pr2))
+        t3 = dd.add(t2, dd.mul(dd.const(1.0 / 6.0), dd.mul(pr2, pr)))
+        om_t2 = dd.sub(dd.const(1.0), dd.mul(t1, t2))   # 1 - t1*t2
+        om_t3 = dd.sub(dd.const(1.0), dd.mul(t1, t3))
+        pre1 = dd.sub(
+            dd.mul(dd.mul(dd.mul(dd.const(3.0), r5inv), pdotp), om_t2),
+            dd.mul(dd.mul(dd.mul(dd.mul(dd.const(15.0), r7inv), pidotr),
+                          pjdotr), om_t3))
+        pre2 = dd.mul(dd.mul(dd.mul(dd.const(3.0), r5inv), pjdotr), om_t3)
+        pre3 = dd.mul(dd.mul(dd.mul(dd.const(3.0), r5inv), pidotr), om_t3)
+        # pre4 = -pdotp*r3inv*(-t1*(pd*rinv + pd^2) + t1*pd*t2*rinv)
+        pdrinv = dd.mul(pdd, rinv)
+        inner4 = dd.add(dd.neg(dd.mul(t1, dd.add(pdrinv, dd.sq(pdd)))),
+                        dd.mul(dd.mul(dd.mul(t1, pdd), t2), rinv))
+        pre4 = dd.neg(dd.mul(dd.mul(pdotp, r3inv), inner4))
+        # pre5 = 3*pidotr*pjdotr*r5inv*(-t1*(pd*rinv+pd^2+0.5*r*pd^3)
+        #                               + t1*pd*t3*rinv)
+        inner5 = dd.add(
+            dd.neg(dd.mul(t1, dd.add(dd.add(pdrinv, dd.sq(pdd)),
+                                     dd.mul(dd.mul(dd.const(0.5), r),
+                                            dd.mul(dd.sq(pdd), pdd))))),
+            dd.mul(dd.mul(dd.mul(t1, pdd), t3), rinv))
+        pre5 = dd.mul(dd.mul(dd.mul(dd.mul(dd.const(3.0), pidotr),
+                                    pjdotr), r5inv), inner5)
+        u_dd_pair = dd.sub(
+            dd.mul(dd.mul(r3inv, pdotp), om_t2),
+            dd.mul(dd.mul(dd.mul(dd.mul(dd.const(3.0), r5inv), pidotr),
+                          pjdotr), om_t3))
+        extra = dd.add(pre4, pre5)
+    else:
+        pre1 = dd.sub(
+            dd.mul(dd.mul(dd.const(3.0), r5inv), pdotp),
+            dd.mul(dd.mul(dd.mul(dd.const(15.0), r7inv), pidotr), pjdotr))
+        pre2 = dd.mul(dd.mul(dd.const(3.0), r5inv), pjdotr)
+        pre3 = dd.mul(dd.mul(dd.const(3.0), r5inv), pidotr)
+        u_dd_pair = dd.sub(
+            dd.mul(r3inv, pdotp),
+            dd.mul(dd.mul(dd.mul(dd.const(3.0), r5inv), pidotr), pjdotr))
+        extra = dd.const(0.0)
+    pre1 = _df_where(dd_mask, dd.add(pre1, extra))
+    pre2 = _df_where(dd_mask, pre2)
+    pre3 = _df_where(dd_mask, pre3)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    fp = []
+    for k in range(3):
+        fk = dd.add(fcd[k],
+                    dd.add(dd.add(dd.mul(pre1, d[k]), dd.mul(pre2, ml[k])),
+                           dd.mul(pre3, mc[k])))
+        fp.append(fk)
+        _df_out_accum(out_ref, k, fk[0], fk[1], bc)
+
+    half = dd.const(0.5)
+    _df_scalar_accum(acc_ref, 0, *u_ef_pair, br, bc)
+    _df_scalar_accum(acc_ref, 1,
+                     *dd.mul(half, _df_where(dd_mask, u_dd_pair)), br, bc)
+    vpairs = [(0, 0), (1, 1), (2, 2), (0, 1), (0, 2), (1, 2)]
+    for i, (ka, kb) in enumerate(vpairs):
+        vt = dd.mul(half, dd.mul(d[ka], fp[kb]))
+        _df_scalar_accum(acc_ref, 2 + i, vt[0], vt[1], br, bc)
+
+
+@functools.partial(jax.jit, static_argnames=("damping_type",))
+def dipole_panel_df(x, q, mol, alpha_eff, mu, maskf, L, pd, cut_coulsq,
+                    qqrd2e, *, damping_type=_DAMP_EXP):
+    """f64-grade charge-dipole + dipole-dipole force panel (df32).
+
+    Returns (fpol (npad,3) f64, u_ef, u_dd, vir6) matching the XLA-f64
+    _dipole_chunk path to ~1e-13."""
+    npad = x.shape[0]
+    _br, _bc = 128, 256
+    while npad % _br:
+        _br //= 2
+    while npad % _bc:
+        _bc //= 2
+    f64 = x.dtype
+    xh, xl = _df_split(x, f64)
+    qh, ql = _df_split(q, f64)
+    muh, mul_ = _df_split(mu, f64)
+    gate = (alpha_eff != 0).astype(jnp.float32)
+    mf = maskf.astype(jnp.float32)
+    molf = mol.astype(jnp.float32)
+    zero = jnp.zeros((npad, 1), jnp.float32)
+    row = jnp.concatenate(
+        [xh, xl, gate[:, None], qh[:, None], molf[:, None], ql[:, None],
+         mf[:, None], zero, zero, zero, zero, zero], axis=1)
+    col = row.T
+    murow = jnp.concatenate([muh, mul_, zero, zero], axis=1)
+    mucol = murow.T
+    cc64 = jnp.asarray(cut_coulsq, f64)
+    par = _df_params(L, f64, cc64, jnp.sqrt(jnp.asarray(qqrd2e, f64)),
+                     jnp.asarray(pd, f64), -1.0 / cc64)
+    grid = (npad // _br, npad // _bc)
+    with jax.enable_x64(False):
+        out, acc = pl.pallas_call(
+            functools.partial(_dipole_df_kernel, br=_br, bc=_bc,
+                              damping_type=damping_type),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 32), lambda r, c: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((_br, 16), lambda r, c: (r, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((_br, 8), lambda r, c: (r, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((16, _bc), lambda r, c: (0, c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, _bc), lambda r, c: (0, c),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((_br, 8), lambda r, c: (r, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 128), lambda r, c: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((npad, 8), jnp.float32),
+                jax.ShapeDtypeStruct((1, 128), jnp.float32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=npad * npad * 3000,
+                bytes_accessed=npad * 48 * 4 * 4,
+                transcendentals=npad * npad,
+            ),
+            interpret=_interpret(),
+        )(par, row, murow, col, mucol)
+    f = out[:, :3].astype(f64) + out[:, 3:6].astype(f64)
+    a = acc[0, :8].astype(f64) + acc[0, 8:16].astype(f64)
+    return f, a[0], a[1], a[2:8]
+
+
 # ------------------------------- wolf ---------------------------------
 
 def _wolf_kernel(par_ref, xr_ref, xc_ref, out_ref, *, br, bc):

@@ -378,6 +378,77 @@ def build_sharded_polar_step(
         return (rows,) + tuple(
             jax.lax.dynamic_slice_in_dim(a, i0, ns_) for a in arrays)
 
+    def _special_correction(x, q, type_, strip=None):
+        """Sparse special-bond correction contributions (ADDED to the
+        dense factor-1.0 pass): factor_lj scaling and the kspace-present
+        coulomb convention forcecoul -= (1-factor)*prefactor
+        (...polarization.cpp:262-278).  O(N*S); returns (df, dev, dec,
+        dvir) for the local row block / strip."""
+        rows, xr, qr, tr = _rows_of(strip, x, q, type_)
+        L = box_lengths
+        xf, qf, tf = _gather(x), _gather(q), _gather(type_)
+        sp_idx_g, sp_lvl_g = special
+        if strip is None:
+            sp_base = _axidx() * nloc
+            ns_rows = nloc
+        else:
+            sp_base, ns_rows = strip
+        sp_idx = jax.lax.dynamic_slice_in_dim(sp_idx_g, sp_base,
+                                              ns_rows, 0)
+        sp_lvl = jax.lax.dynamic_slice_in_dim(sp_lvl_g, sp_base,
+                                              ns_rows, 0)
+        jvalid = sp_idx < n
+        jc = jnp.minimum(sp_idx, npad - 1)
+        sdx = minimum_image(xr[:, 0:1] - xf[:, 0][jc], L[0])
+        sdy = minimum_image(xr[:, 1:2] - xf[:, 1][jc], L[1])
+        sdz = minimum_image(xr[:, 2:3] - xf[:, 2][jc], L[2])
+        srsq = sdx * sdx + sdy * sdy + sdz * sdz
+        srsq = jnp.where(jvalid, srsq, 1.0)
+        sr2inv = 1.0 / srsq
+        tj = tf[jc]
+        # per-pair tables via row-gather + one-hot einsum (avoids
+        # (nloc,S) scalar table gathers)
+        ohS = (tj[..., None]
+               == jnp.arange(ntypes1)[None, None, :]).astype(x.dtype)
+
+        def stab(M, _oh=ohS):
+            return jnp.einsum("nt,nst->ns",
+                              M.astype(x.dtype)[tr], _oh,
+                              precision=jax.lax.Precision.HIGHEST)
+
+        def lvl_factor(tbl, lvl=sp_lvl):
+            return jnp.where(lvl == 1, tbl[1],
+                             jnp.where(lvl == 2, tbl[2],
+                                       jnp.where(lvl == 3, tbl[3],
+                                                 tbl[0])))
+
+        flj = lvl_factor(pair.special_lj)
+        fcl = lvl_factor(pair.special_coul)
+        in_rng = jvalid & (srsq < stab(pair.cutsq))
+        lj_m = in_rng & (srsq < stab(pair.cut_ljsq))
+        r6inv = sr2inv * sr2inv * sr2inv
+        lj3s, lj4s = stab(pair.lj3), stab(pair.lj4)
+        forcelj = r6inv * (12.0 * lj3s * r6inv - 6.0 * lj4s)
+        evdwl_full = (r6inv * (lj3s * r6inv - lj4s)
+                      - stab(pair.offset))
+        dflj = jnp.where(lj_m, (flj - 1.0) * forcelj, 0.0)
+        devd = jnp.where(lj_m, (flj - 1.0) * evdwl_full, 0.0)
+        cm = in_rng & (srsq < pair.cut_coulsq)
+        sr = jnp.sqrt(srsq)
+        prefac = pair.qqrd2e * qr[:, None] * qf[jc] / sr
+        dfc = jnp.where(cm, -(1.0 - fcl) * prefac, 0.0)
+        dec = jnp.where(cm, -(1.0 - fcl) * prefac, 0.0)
+        fpair_c = (dflj + dfc) * sr2inv
+        df_ = jnp.stack([jnp.sum(fpair_c * sdx, axis=1),
+                         jnp.sum(fpair_c * sdy, axis=1),
+                         jnp.sum(fpair_c * sdz, axis=1)], axis=-1)
+        wks = 0.5 * fpair_c
+        dvir = jnp.stack([
+            jnp.sum(wks * sdx * sdx), jnp.sum(wks * sdy * sdy),
+            jnp.sum(wks * sdz * sdz), jnp.sum(wks * sdx * sdy),
+            jnp.sum(wks * sdx * sdz), jnp.sum(wks * sdy * sdz)])
+        return df_, 0.5 * jnp.sum(devd), 0.5 * jnp.sum(dec), dvir
+
     def _nonpolar_forces(x, q, type_, mask, with_kspace=True, strip=None,
                          wolf_mol=None):
         """Pair LJ+coul + sparse special correction + reciprocal Ewald.
@@ -446,69 +517,12 @@ def build_sharded_polar_step(
             # coulomb convention forcecoul -= (1-factor)*prefactor,
             # ...polarization.cpp:262-278)
             if special is not None:
-                sp_idx_g, sp_lvl_g = special
-                if strip is None:
-                    sp_base = _axidx() * nloc
-                    ns_rows = nloc
-                else:
-                    sp_base, ns_rows = strip
-                sp_idx = jax.lax.dynamic_slice_in_dim(sp_idx_g, sp_base,
-                                                      ns_rows, 0)
-                sp_lvl = jax.lax.dynamic_slice_in_dim(sp_lvl_g, sp_base,
-                                                      ns_rows, 0)
-                jvalid = sp_idx < n
-                jc = jnp.minimum(sp_idx, npad - 1)
-                sdx = minimum_image(xr[:, 0:1] - xf[:, 0][jc], L[0])
-                sdy = minimum_image(xr[:, 1:2] - xf[:, 1][jc], L[1])
-                sdz = minimum_image(xr[:, 2:3] - xf[:, 2][jc], L[2])
-                srsq = sdx * sdx + sdy * sdy + sdz * sdz
-                srsq = jnp.where(jvalid, srsq, 1.0)
-                sr2inv = 1.0 / srsq
-                tj = tf[jc]
-                # per-pair tables via row-gather + one-hot einsum (avoids
-                # (nloc,S) scalar table gathers)
-                ohS = (tj[..., None]
-                       == jnp.arange(ntypes1)[None, None, :]).astype(dtype)
-
-                def stab(M, _oh=ohS):
-                    return jnp.einsum("nt,nst->ns",
-                                      M.astype(dtype)[tr], _oh,
-                                      precision=jax.lax.Precision.HIGHEST)
-
-                def lvl_factor(tbl, lvl=sp_lvl):
-                    return jnp.where(lvl == 1, tbl[1],
-                                     jnp.where(lvl == 2, tbl[2],
-                                               jnp.where(lvl == 3, tbl[3],
-                                                         tbl[0])))
-
-                flj = lvl_factor(pair.special_lj)
-                fcl = lvl_factor(pair.special_coul)
-                in_rng = jvalid & (srsq < stab(pair.cutsq))
-                lj_m = in_rng & (srsq < stab(pair.cut_ljsq))
-                r6inv = sr2inv * sr2inv * sr2inv
-                lj3s, lj4s = stab(pair.lj3), stab(pair.lj4)
-                forcelj = r6inv * (12.0 * lj3s * r6inv - 6.0 * lj4s)
-                evdwl_full = (r6inv * (lj3s * r6inv - lj4s)
-                              - stab(pair.offset))
-                dflj = jnp.where(lj_m, (flj - 1.0) * forcelj, 0.0)
-                devd = jnp.where(lj_m, (flj - 1.0) * evdwl_full, 0.0)
-                cm = in_rng & (srsq < pair.cut_coulsq)
-                sr = jnp.sqrt(srsq)
-                prefac = pair.qqrd2e * qr[:, None] * qf[jc] / sr
-                dfc = jnp.where(cm, -(1.0 - fcl) * prefac, 0.0)
-                dec = jnp.where(cm, -(1.0 - fcl) * prefac, 0.0)
-                fpair_c = (dflj + dfc) * sr2inv
-                f = f + jnp.stack([jnp.sum(fpair_c * sdx, axis=1),
-                                   jnp.sum(fpair_c * sdy, axis=1),
-                                   jnp.sum(fpair_c * sdz, axis=1)], axis=-1)
-                evdwl = evdwl + 0.5 * jnp.sum(devd)
-                ecoul = ecoul + 0.5 * jnp.sum(dec)
-                wks = 0.5 * fpair_c
-                vir = vir + jnp.stack([
-                    jnp.sum(wks * sdx * sdx), jnp.sum(wks * sdy * sdy),
-                    jnp.sum(wks * sdz * sdz), jnp.sum(wks * sdx * sdy),
-                    jnp.sum(wks * sdx * sdz), jnp.sum(wks * sdy * sdz)])
-
+                df_, dev_, dec_, dvir_ = _special_correction(
+                    x, q, type_, strip=strip)
+                f = f + df_
+                evdwl = evdwl + dev_
+                ecoul = ecoul + dec_
+                vir = vir + dvir_
             evdwl = _preduce(evdwl)
             ecoul = _preduce(ecoul)
 
@@ -853,6 +867,71 @@ def build_sharded_polar_step(
             phases["ewald_tables"] = (
                 _np.asarray(ew.hvecs), _np.asarray(ew.kcoeff),
                 _np.asarray(ew.kvirial))
+
+        # f64-grade df32 Pallas phases (ops/pallas_panel.py *_df): the
+        # XLA-emulated-f64 scan panels dominate the 100k step (measured:
+        # pair 78 s, dipole 51 s, eind 15 s per pass); the df32 kernels
+        # run the same math at native f32 VPU speed (~1e-13 rel, verified
+        # vs f64 on the chip).  Only meaningful for f64 builds on real
+        # TPU — the host driver checks the backend before using them.
+        if pallas_ok and dtype == jnp.float64 and pair.coul:
+            import numpy as _np2
+
+            from lidp_tpu.ops import pallas_panel as _pp
+
+            _cq = _np2.asarray(pair.cutsq)[1:, 1:]
+            if bool(_np2.all((_cq == _cq.max()) | (_cq == 0.0))):
+                tabs64 = jnp.stack([pair.lj3, pair.lj4, pair.offset,
+                                    pair.cut_ljsq, pair.cutsq])
+
+                def _pair_df(x, q, type_, mask):
+                    f, ev, ec, vir = _pp.pair_panel_df(
+                        x, q, type_.astype(dtype), mask.astype(dtype),
+                        tabs64, box_lengths, pair.cut_coulsq,
+                        pair.qqrd2e, pair.g_ewald)
+                    if special is not None:
+                        df_, dev_, dec_, dvir_ = _special_correction(
+                            x, q, type_)
+                        f = f + df_
+                        ev = ev + dev_
+                        ec = ec + dec_
+                        vir = vir + dvir_
+                    return f, ev, ec, jnp.zeros((), dtype), vir
+
+                phases["pair_df"] = jax.jit(_pair_df)
+
+                def _eind_df(x, alpha, mask, mu_l):
+                    ae = jnp.where(mask, alpha, 0.0)
+                    return _pp.eind_panel_df(x, ae, mu_l, box_lengths,
+                                             s.polar_damp,
+                                             damping_type=s.damping_type)
+
+                phases["eind_df"] = jax.jit(_eind_df)
+
+                def _dipole_df(x, q, mol, alpha, mu_new, mask):
+                    ae = jnp.where(mask, alpha, 0.0)
+                    fpol, u_ef, u_dd, _vp = _pp.dipole_panel_df(
+                        x, q, mol.astype(dtype), ae, mu_new,
+                        mask.astype(dtype), box_lengths, s.polar_damp,
+                        pair.cut_coulsq, qqrd2e,
+                        damping_type=s.damping_type)
+                    L_ = box_lengths
+                    xw = x - jnp.floor(x / L_) * L_
+                    vir_pol = jnp.stack([
+                        jnp.sum(xw[:, 0] * fpol[:, 0]),
+                        jnp.sum(xw[:, 1] * fpol[:, 1]),
+                        jnp.sum(xw[:, 2] * fpol[:, 2]),
+                        jnp.sum(xw[:, 0] * fpol[:, 1]),
+                        jnp.sum(xw[:, 0] * fpol[:, 2]),
+                        jnp.sum(xw[:, 1] * fpol[:, 2]),
+                    ])
+                    u_self = 0.5 * jnp.sum(jnp.where(
+                        alpha != 0.0,
+                        jnp.sum(mu_new * mu_new, axis=1)
+                        / jnp.where(alpha != 0.0, alpha, 1.0), 0.0))
+                    return fpol, u_self + u_ef + u_dd, vir_pol
+
+                phases["dipole_df"] = jax.jit(_dipole_df)
         return phases
 
     make.host_phases = make_host_phases

@@ -319,9 +319,10 @@ def _try_lj_scaled(timeout_s: int):
     res = {}
     for m in re.finditer(r"ljscale n=(\d+) steps/s ([0-9.]+)", r.stdout):
         res[f"lj_{int(m.group(1))//1000}k_steps_per_s"] = float(m.group(2))
-    m = re.search(r"ljscale_note (.*)", r.stdout)
-    if m:
-        res["lj_scaled_note"] = m.group(1).strip()
+    notes = [m.group(1).strip()
+             for m in re.finditer(r"ljscale_note (.*)", r.stdout)]
+    if notes:
+        res["lj_scaled_note"] = "; ".join(notes)
     if not res:
         res["lj_scaled_note"] = ("failed: "
                                  + (r.stdout + r.stderr)[-200:]
@@ -364,16 +365,19 @@ def main():
         out["lj_note"] = f"failed: {type(e).__name__}: {e}"[:200]
     emit()
 
+    # the north-star regime (100k/1e-11) runs THIRD so a cold cache or slow
+    # chip can't push it past the driver's wall cap again (it was the one
+    # stage skipped in the r4 dry run)
     stages = [
         ("polar10k", 60, lambda t: _try_polar_bench(t)),
         ("polar1e11", 60, lambda t: _try_polar_1e11(t)),
+        ("polar100k_1e11", 240, lambda t: _try_polar_100k_1e11(t)),
         ("eam", 90, lambda t: _try_eam(t)),
         ("polar100k", 90, lambda t: _try_polar_100k(t)),
-        ("chute", 60, lambda t: _try_chute(t)),
-        ("errbudget", 60, lambda t: _try_error_budget(t)),
         ("lj_scaled", 90, lambda t: _try_lj_scaled(t)),
         ("rhodo", 90, lambda t: _try_rhodo_class(t)),
-        ("polar100k_1e11", 240, lambda t: _try_polar_100k_1e11(t)),
+        ("chute", 60, lambda t: _try_chute(t)),
+        ("errbudget", 60, lambda t: _try_error_budget(t)),
     ]
     for name, min_s, fn in stages:
         rem = _remaining()

@@ -216,6 +216,8 @@ class LammpsScript:
         # `processors` analog: shard the engine over this many devices
         # (GSPMD atom-axis sharding; 0/1 = single-device fast path)
         self.n_shard_devices = 0
+        # weighted-balance row permutation (cmd_balance), or None
+        self.shard_perm = None
 
     # ------------------------------ parsing ------------------------------
 
@@ -3091,17 +3093,153 @@ class LammpsScript:
         self.x = lam @ h_new.T + lo
 
     def cmd_balance(self, a):
-        """balance thresh style ... (balance.cpp): the GSPMD engine shards
-        the atom axis uniformly (block layout), so the atom-count
-        imbalance is 1.0 by construction; this reports it in the
-        reference's format and accepts (ignores) the repartition styles."""
+        """balance thresh style ... [weight ...] (balance.cpp, rcb.cpp,
+        imbalance_*.cpp): composes per-atom weights (group/neigh/var/
+        store, reference multiply-into-1.0 semantics) and repartitions.
+
+        The GSPMD engine shards the atom axis in equal index blocks (a
+        hard SPMD requirement), so the repartition degree of freedom is
+        the ROW PERMUTATION: a weighted LPT assignment
+        (parallel/balance.balanced_permutation) reorders atoms so every
+        block carries near-equal weight; `rcb` additionally computes the
+        reference's recursive-coordinate-bisection assignment for the
+        reported cut quality.  The permutation is stored on
+        `self.shard_perm` (consumed by the shard-load probe; the padded
+        dense panels are permutation-invariant in wall clock, measured in
+        scripts/shard_load_probe.py)."""
+        import numpy as _np
+
+        from lidp_tpu.parallel import balance as _bal
+
         ndev = max(1, self.n_shard_devices)
         n = len(self.x) if self.x is not None else 0
-        per = [n // ndev + (1 if d < n % ndev else 0) for d in range(ndev)]
-        imb = (max(per) / (n / ndev)) if n else 1.0
-        self.log(f"  iteration count = 0")
-        self.log(f"  initial/final max load/proc = {max(per)} {max(per)}")
-        self.log(f"  initial/final imbalance factor = {imb:.6g} {imb:.6g}")
+        if n == 0:
+            self.log("  iteration count = 0")
+            self.log("  initial/final imbalance factor = 1 1")
+            return
+        # grammar: thresh, then style tokens, then keyword sections;
+        # fix balance prepends Nevery, so strip up to two leading numbers
+        toks = list(a)
+        for _ in range(2):
+            try:
+                float(toks[0])
+                toks = toks[1:]
+            except (ValueError, IndexError):
+                break
+        style = "shift"
+        weights = _np.ones(n)
+        niter = 0
+        group_msg = None
+        i = 0
+        while i < len(toks):
+            t = toks[i]
+            if t in ("x", "y", "z"):
+                # x uniform | x N c1 c2 ... — explicit brick cuts; the
+                # index-blocked layout has no brick cuts, accepted
+                i += 1
+                if i < len(toks) and toks[i] == "uniform":
+                    i += 1
+                else:
+                    while i < len(toks):
+                        try:
+                            float(toks[i])
+                            i += 1
+                        except ValueError:
+                            break
+            elif t == "shift":
+                style = "shift"
+                niter = int(toks[i + 2])
+                i += 4   # shift dimstr Niter stopthresh
+            elif t == "rcb":
+                style = "rcb"
+                i += 1
+            elif t == "weight":
+                w_style, i = toks[i + 1], i + 2
+                if w_style == "group":
+                    num = int(toks[i]); i += 1
+                    parts = []
+                    for _ in range(num):
+                        g, f = toks[i], float(toks[i + 1]); i += 2
+                        if g not in self.groups:
+                            raise ValueError(
+                                "Unknown group in balance weight command")
+                        if f <= 0:
+                            raise ValueError(
+                                "Illegal balance weight command")
+                        weights = weights * _np.where(
+                            _np.asarray(self.groups[g], bool), f, 1.0)
+                        parts.append(f"{g}={f:g}")
+                    group_msg = "  group weights: " + " ".join(parts)
+                elif w_style == "neigh":
+                    factor = float(toks[i]); i += 1
+                    cutmax = self._max_pair_cutoff() + self.skin
+                    counts = _bal.neigh_counts(
+                        self.x, self.box_lo, self.box_hi, cutmax)
+                    w = _bal.apply_factor(counts.astype(float), factor)
+                    if (w <= 0).any():
+                        w = _np.maximum(w, 1e-12)
+                    weights = weights * w
+                elif w_style == "time":
+                    i += 1   # factor: no per-atom timing data — uniform
+                    self.log("  balance weight time: uniform "
+                             "(per-atom timers n/a on the fused TPU step)")
+                elif w_style == "var":
+                    name = toks[i]; i += 1
+                    if name not in getattr(self, "_atom_exprs", {}):
+                        raise ValueError("Variable name for balance "
+                                         "weight does not exist")
+                    vals = self.evaluate_atom_expr(self._atom_exprs[name])
+                    vals = _np.broadcast_to(
+                        _np.asarray(vals, float), (n,)).copy()
+                    if (vals <= 0).any():
+                        raise ValueError("Balance weight <= 0.0")
+                    weights = weights * vals
+                elif w_style == "store":
+                    name = toks[i]; i += 1
+                    if not hasattr(self, "balance_store"):
+                        self.balance_store = {}
+                    self.balance_store[name] = weights
+                else:
+                    raise ValueError(
+                        "Unknown (fix) balance weight method")
+            elif t == "out":
+                i += 2   # out filename: brick-cut grid file, n/a
+            else:
+                i += 1
+        imb0 = _bal.imbalance_factor(
+            weights, _bal.block_assignment(n, ndev), ndev)
+        perm = _bal.balanced_permutation(weights, ndev)
+        assign = _bal.block_assignment(n, ndev, perm)
+        if style == "rcb":
+            # the reference's spatial bisection, reported for parity; the
+            # executed layout is the index-blocked permutation
+            rcb = _bal.rcb_assign(self.x, weights, ndev,
+                                  self.box_lo, self.box_hi)
+            imb_rcb = _bal.imbalance_factor(weights, rcb, ndev)
+            self.log(f"  rcb imbalance factor = {imb_rcb:.6g}")
+        imb1 = _bal.imbalance_factor(weights, assign, ndev)
+        self.shard_perm = perm if ndev > 1 else None
+        cost = _np.bincount(assign, weights=weights, minlength=ndev)
+        cost0 = _np.bincount(_bal.block_assignment(n, ndev),
+                             weights=weights, minlength=ndev)
+        self.log(f"  iteration count = {niter if style == 'shift' else 1}")
+        if group_msg:
+            self.log(group_msg)
+        self.log(f"  initial/final max load/proc = "
+                 f"{cost0.max():g} {cost.max():g}")
+        self.log(f"  initial/final imbalance factor = "
+                 f"{imb0:.6g} {imb1:.6g}")
+
+    def _max_pair_cutoff(self) -> float:
+        cut = 0.0
+        if getattr(self, "pair", None) is not None:
+            cut = float(getattr(self.pair, "cut_lj_global", 0.0) or 0.0)
+            cut = max(cut, float(getattr(self.pair, "cut_coul", 0.0) or 0.0))
+        for v in getattr(self, "pair_coeffs", {}).values():
+            for x in v[2:]:
+                if isinstance(x, (int, float)):
+                    cut = max(cut, float(x))
+        return cut or 2.5
 
     def cmd_molecule(self, a):
         """molecule ID file (molecule.cpp): parse a molecule template —

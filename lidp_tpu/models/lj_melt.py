@@ -35,7 +35,7 @@ class LJMelt:
 def build(scale: float = 1, dtype=jnp.float64, *,
           neighbor: str = "list",
           max_neighbors: int = 96, bin_cap: int = 40,
-          compensated: bool = False) -> LJMelt:
+          compensated: bool = False, cap_slack: float | None = None) -> LJMelt:
     """neighbor: 'list' (LAMMPS-stale-list parity), 'cells' (TPU roll kernel),
     or 'none' (dense all-pairs)."""
     u = units.LJ
@@ -66,9 +66,14 @@ def build(scale: float = 1, dtype=jnp.float64, *,
         # slack 1.5 (cap 40 at this density) measured 1.2x faster than the
         # default 2.0 (cap 56); slack 1.25 (cap 32) overflows under the
         # melt's density fluctuations.  Overflow is carried sticky through
-        # the scan and checked at chunk boundaries.
+        # the scan and checked at chunk boundaries.  The max cell occupancy
+        # is an extreme-value statistic over ncells draws, so bigger boxes
+        # need more slack: 1.5 measured safe at <=108k, 256k+ overflowed
+        # during the scaled sweep and gets 1.75 (cap 48).
+        if cap_slack is None:
+            cap_slack = 1.5 if n <= 110_000 else 1.75
         ncfg = CellConfig.for_box(hi, 2.5 + u.skin, density=rho,
-                                  cap_slack=1.5)
+                                  cap_slack=cap_slack)
 
     tp = ThermoParams.create(np.ones(n), dof=3 * n - 3, units=u, norm=True, natoms=n)
     if neighbor == "slots":

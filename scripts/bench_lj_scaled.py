@@ -20,30 +20,43 @@ enable_compile_cache()
 # nx = 20*scale cells per dim, N = 4*nx^3: 32k, 108k, 256k, 1,048,576
 SIZES = [(1.0, 100), (1.5, 100), (2.0, 100), (3.2, 50)]
 
+
+def run_size(scale, nsteps, cap_slack):
+    """Returns steps/s, or None on cell-capacity overflow (retryable)."""
+    n = 4 * int(round(20 * scale)) ** 3
+    melt = lj_melt.build(scale=scale, dtype=jnp.float32,
+                         neighbor="slots", cap_slack=cap_slack)
+    sys_, res, nlist, istate = melt.runner.setup(melt.system)
+    if bool(nlist.overflow):
+        print(f"ljscale_note n={n} cell overflow at setup"
+              f" (slack {cap_slack})", flush=True)
+        return None
+    out = melt.runner.run(sys_, res, nlist, istate, nsteps)
+    jax.block_until_ready(out[0].x)
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = melt.runner.run(*out, nsteps)
+        jax.block_until_ready(out[0].x)
+        dt = time.perf_counter() - t0
+        if dt > 0.05:
+            best = dt if best is None else min(best, dt)
+    if bool(out[2].overflow):
+        print(f"ljscale_note n={n} cell overflow during run"
+              f" (slack {cap_slack})", flush=True)
+        return None
+    return nsteps / best
+
+
 for scale, nsteps in SIZES:
     n = 4 * int(round(20 * scale)) ** 3
     try:
-        melt = lj_melt.build(scale=scale, dtype=jnp.float32,
-                             neighbor="slots")
-        sys_, res, nlist, istate = melt.runner.setup(melt.system)
-        if bool(nlist.overflow):
-            print(f"ljscale_note n={n} neighbor overflow at setup",
-                  flush=True)
-            continue
-        out = melt.runner.run(sys_, res, nlist, istate, nsteps)
-        jax.block_until_ready(out[0].x)
-        best = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            out = melt.runner.run(*out, nsteps)
-            jax.block_until_ready(out[0].x)
-            dt = time.perf_counter() - t0
-            if dt > 0.05:
-                best = dt if best is None else min(best, dt)
-        if bool(out[2].overflow):
-            print(f"ljscale_note n={n} cell overflow during run", flush=True)
-            continue
-        print(f"ljscale n={n} steps/s {round(nsteps / best, 3)}", flush=True)
+        # extreme-value cell occupancy: retry the size on a slack ladder
+        for cap_slack in (1.5 if n <= 110_000 else 1.75, 2.0):
+            v = run_size(scale, nsteps, cap_slack)
+            if v is not None:
+                print(f"ljscale n={n} steps/s {round(v, 3)}", flush=True)
+                break
     except Exception as e:  # noqa: BLE001 — report the capacity wall
         print(f"ljscale_note n={n} {type(e).__name__}: {e}"[:300],
               flush=True)

@@ -23,19 +23,24 @@ from lidp_tpu.models.polar_bench import enable_compile_cache
 
 enable_compile_cache()
 
-SCRIPT = """units real
+_KS = os.environ.get("RHODO_KSPACE", "1") == "1"
+_SHAKE = os.environ.get("RHODO_SHAKE", "1") == "1"
+_NPT = os.environ.get("RHODO_NPT", "1") == "1"
+_REP = os.environ.get("RHODO_REP", "2 2 4")
+
+SCRIPT = f"""units real
 atom_style full
 
-pair_style lj/charmm/coul/long 8.0 10.0
+pair_style lj/charmm/coul/{'long' if _KS else 'charmm'} 8.0 10.0
 pair_modify mix arithmetic
 bond_style harmonic
 angle_style charmm
 dihedral_style charmm
 improper_style harmonic
-kspace_style pppm 1e-4
+{'kspace_style pppm 1e-4' if _KS else ''}
 
 read_data data.peptide
-replicate 2 2 4
+replicate {_REP}
 
 special_bonds charmm
 neighbor 2.0 bin
@@ -44,8 +49,9 @@ neigh_modify delay 5
 timestep 2.0
 thermo 50
 
-fix 1 all npt temp 275.0 275.0 100.0 iso 1.0 1.0 1000.0 mtk no pchain 0 tchain 1
-fix 2 all shake 0.0001 10 100 b 4 6 8 10 12 14 18 a 31
+fix 1 all {'npt temp 275.0 275.0 100.0 iso 1.0 1.0 1000.0 mtk no pchain 0 tchain 1'
+           if _NPT else 'nvt temp 275.0 275.0 100.0'}
+{'fix 2 all shake 0.0001 10 100 b 4 6 8 10 12 14 18 a 31' if _SHAKE else ''}
 
 run 0
 """
@@ -55,7 +61,8 @@ shutil.copy("/root/reference/examples/peptide/data.peptide", tmp)
 path = os.path.join(tmp, "in.rhodo_class")
 open(path, "w").write(SCRIPT)
 
-s = LammpsScript(dtype=jnp.float32, speed_mode=True)
+s = LammpsScript(dtype=jnp.float32,
+                 speed_mode=os.environ.get("RHODO_SPEED", "1") == "1")
 cwd = os.getcwd()
 os.chdir(tmp)
 try:
@@ -64,7 +71,7 @@ finally:
     os.chdir(cwd)
 sim = s._sim
 print("natoms", s.x.shape[0], flush=True)
-NS = 20
+NS = int(os.environ.get("RHODO_NS", "20"))
 out = (sim.sys, sim.res, sim.nlist, sim.istate)
 out = sim.runner.run(*out, NS)
 jax.block_until_ready(out[0].x)

@@ -210,6 +210,22 @@ def cell_pair_forces(x, q, type_, mask, cells: Cells, box: Box, p,
     multi_type = ntypes > 1 or p.excl is not None
     if multi_type:
         ts = slotify(type_, jnp.zeros((), jnp.int32))
+        # Per-pair type tables via MXU one-hot contraction instead of
+        # (cells,cap,K)-shaped 2D gathers: W[ti,tj] == sum_t W[ti][t] *
+        # onehot(tj)[t], EXACT (one 1.0 per row — no rounding), and a
+        # batched matmul instead of ~8 giant gathers.  The gather lowering
+        # was the entire cost of the 32k CHARMM (rhodo-class) step on TPU:
+        # ~20 s/step vs ~50 ms for the same arithmetic through the MXU.
+        T1 = p.lj1.shape[0]
+        tabs = [p.lj1, p.lj2, p.lj3, p.lj4]
+        if p.lj5 is not None:
+            tabs.append(p.lj5)
+        tabs += [p.offset, p.cut_ljsq, p.cutsq]
+        if p.excl is not None:
+            tabs.append(p.excl.astype(dtype))
+        Wstack = jnp.stack([t.astype(dtype) for t in tabs], axis=-1)
+        Rall = Wstack[ts]                       # (...,cap,T1,NT) slot rows
+        ohs = jax.nn.one_hot(ts, T1, dtype=dtype)   # (...,cap,T1)
     excl_mol = p.excl_mol and mol is not None
     if excl_mol:
         ms = slotify(mol, jnp.full((), -1, jnp.int32))
@@ -229,8 +245,6 @@ def cell_pair_forces(x, q, type_, mask, cells: Cells, box: Box, p,
     vir = [jnp.zeros((), dtype) for _ in range(6)]
 
     if multi_type:
-        lj1t, lj2t, lj3t, lj4t = p.lj1, p.lj2, p.lj3, p.lj4
-        offt, cljsqt, cutsqt = p.offset, p.cut_ljsq, p.cutsq
         lj5 = None
     else:
         lj1 = p.lj1[1, 1]; lj2 = p.lj2[1, 1]
@@ -284,16 +298,24 @@ def cell_pair_forces(x, q, type_, mask, cells: Cells, box: Box, p,
         r2inv = 1.0 / rsq
 
         if multi_type:
-            ti = ctr(ts); tj = nbr_group(ts, offs)
-            lj1 = lj1t[ti, tj]; lj2 = lj2t[ti, tj]
-            lj3 = lj3t[ti, tj]; lj4 = lj4t[ti, tj]
-            lj5 = p.lj5[ti, tj] if p.lj5 is not None else None
-            off11 = offt[ti, tj]
-            cut_ljsq = cljsqt[ti, tj]; cutsq = cutsqt[ti, tj]
+            ohj = jnp.concatenate([_roll(ohs, o, -1) for o in offs],
+                                  axis=-2)          # (...,G*cap,T1)
+            val = jnp.einsum("...itn,...jt->...ijn", Rall, ohj)
+            k = 0
+            lj1 = val[..., 0]; lj2 = val[..., 1]
+            lj3 = val[..., 2]; lj4 = val[..., 3]
+            k = 4
+            lj5 = None
+            if p.lj5 is not None:
+                lj5 = val[..., k]; k += 1
+            off11 = val[..., k]
+            cut_ljsq = val[..., k + 1]; cutsq = val[..., k + 2]
+            excl_pair = (val[..., k + 3] > 0.5) if p.excl is not None \
+                else None
 
         in_rng = rsq < cutsq
         if p.excl is not None:
-            in_rng &= ~p.excl[ti, tj]
+            in_rng &= ~excl_pair
         lj_m = in_rng & (rsq < cut_ljsq)
         if p.kind == "lj":
             r6inv = r2inv * r2inv * r2inv

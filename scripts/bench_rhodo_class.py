@@ -71,7 +71,7 @@ finally:
     os.chdir(cwd)
 sim = s._sim
 print("natoms", s.x.shape[0], flush=True)
-NS = int(os.environ.get("RHODO_NS", "20"))
+NS = int(os.environ.get("RHODO_NS", "50"))
 out = (sim.sys, sim.res, sim.nlist, sim.istate)
 out = sim.runner.run(*out, NS)
 jax.block_until_ready(out[0].x)

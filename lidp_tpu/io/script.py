@@ -3174,7 +3174,8 @@ class LammpsScript:
                     factor = float(toks[i]); i += 1
                     cutmax = self._max_pair_cutoff() + self.skin
                     counts = _bal.neigh_counts(
-                        self.x, self.box_lo, self.box_hi, cutmax)
+                        self.x, self.box_lo, self.box_hi, cutmax,
+                        tilt=getattr(self, "box_tilt", None))
                     w = _bal.apply_factor(counts.astype(float), factor)
                     if (w <= 0).any():
                         w = _np.maximum(w, 1e-12)
@@ -3229,16 +3230,27 @@ class LammpsScript:
                  f"{cost0.max():g} {cost.max():g}")
         self.log(f"  initial/final imbalance factor = "
                  f"{imb0:.6g} {imb1:.6g}")
+        if ndev > 1:
+            # the executed GSPMD layout keeps index blocks; the permuted
+            # layout is realized only by consumers of shard_perm (the
+            # shard-load probe) — the masked-dense panels are
+            # permutation-invariant in wall clock, so the engine does not
+            # reorder live per-atom state (and topology index remaps)
+            self.log("  (final factor is the projected shard_perm layout; "
+                     "executed dense panels are permutation-invariant)")
 
     def _max_pair_cutoff(self) -> float:
         cut = 0.0
         if getattr(self, "pair", None) is not None:
             cut = float(getattr(self.pair, "cut_lj_global", 0.0) or 0.0)
             cut = max(cut, float(getattr(self.pair, "cut_coul", 0.0) or 0.0))
+        # every cmd_pair_coeff storage path normalizes the tuple so the
+        # LAST element is the per-pair cutoff (global cut_lj when the style
+        # takes none, e.g. charmm) — scanning all numeric tails would treat
+        # eps14/sigma14 or large sigmas as cutoffs
         for v in getattr(self, "pair_coeffs", {}).values():
-            for x in v[2:]:
-                if isinstance(x, (int, float)):
-                    cut = max(cut, float(x))
+            if v and isinstance(v[-1], (int, float)):
+                cut = max(cut, float(v[-1]))
         return cut or 2.5
 
     def cmd_molecule(self, a):

@@ -300,7 +300,12 @@ def cell_pair_forces(x, q, type_, mask, cells: Cells, box: Box, p,
         if multi_type:
             ohj = jnp.concatenate([_roll(ohs, o, -1) for o in offs],
                                   axis=-2)          # (...,G*cap,T1)
-            val = jnp.einsum("...itn,...jt->...ijn", Rall, ohj)
+            # HIGHEST: the default TPU contraction rounds operands to bf16,
+            # truncating lj1-lj4/offset/cutsq to an 8-bit mantissa (~0.4%
+            # coefficient error + cutoff-boundary misclassification)
+            val = jnp.einsum("...itn,...jt->...ijn", Rall, ohj,
+                             precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=Rall.dtype)
             k = 0
             lj1 = val[..., 0]; lj2 = val[..., 1]
             lj3 = val[..., 2]; lj4 = val[..., 3]

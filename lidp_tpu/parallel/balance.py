@@ -136,19 +136,39 @@ def rcb_assign(x: np.ndarray, weights: np.ndarray, nshards: int,
 
 
 def neigh_counts(x: np.ndarray, box_lo, box_hi, cutoff: float,
-                 chunk: int = 4096) -> np.ndarray:
+                 chunk: int | None = None, tilt=None,
+                 budget_bytes: int = 1 << 30) -> np.ndarray:
     """Half-neighbor counts within `cutoff` under periodic minimum image —
     the per-atom analog of imbalance_neigh.cpp's numneigh sum (the
     reference only has per-RANK granularity, weight = neighsum/nlocal;
     per-atom counts are strictly finer and reduce to the same rank totals).
-    Chunked O(N^2) on host: fine for balance-time use."""
+    Chunked O(N^2) on host: fine for balance-time use.
+
+    chunk defaults to budget_bytes of (chunk, N, 3) f64 intermediates so
+    large N (256k-1M, where `balance weight neigh` matters most) stays
+    within host RAM instead of OOMing.  tilt = (xy, xz, yz) routes
+    triclinic boxes through the lamda-space fold (domain.cpp x2lamda)."""
     x = np.asarray(x, float)
     L = np.asarray(box_hi, float) - np.asarray(box_lo, float)
     n = x.shape[0]
+    if chunk is None:
+        # ~8 arrays of (chunk, n) f64 live at once in the hot expression
+        chunk = int(max(64, budget_bytes // (64 * max(n, 1))))
+    tri = tilt is not None and np.any(np.asarray(tilt) != 0.0)
+    if tri:
+        xy, xz, yz = (float(t) for t in tilt)
+        h = np.array([[L[0], xy, xz], [0.0, L[1], yz], [0.0, 0.0, L[2]]])
+        hinv = np.linalg.inv(h)
+        lam = (x - np.asarray(box_lo, float)) @ hinv.T
     counts = np.zeros(n, np.int64)
     for s in range(0, n, chunk):
-        d = x[s:s + chunk, None, :] - x[None, :, :]
-        d -= np.round(d / L) * L
+        if tri:
+            dl = lam[s:s + chunk, None, :] - lam[None, :, :]
+            dl -= np.round(dl)
+            d = dl @ h.T
+        else:
+            d = x[s:s + chunk, None, :] - x[None, :, :]
+            d -= np.round(d / L) * L
         within = (d ** 2).sum(-1) <= cutoff * cutoff
         ii = np.arange(s, min(s + chunk, n))
         within[np.arange(ii.size), ii] = False

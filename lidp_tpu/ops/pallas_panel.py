@@ -95,6 +95,24 @@ def _self_mask(br, bc):
     return gi != gj
 
 
+def _excl_mask(spr, br, bc):
+    """Special-pair exclusion over GLOBAL column indices.
+
+    spr: (BR, S) f32 — each row atom's special-neighbor global indices
+    (exact in f32 up to 2^24 atoms; invalid slots hold an index of a
+    masked padded atom, whose pairs contribute nothing anyway).  The LJ
+    term must exclude these pairs IN-PASS: the factor-1.0-then-correct
+    scheme is a catastrophic cancellation when bonded sites sit at
+    sub-sigma separations (intramolecular r ~ 0.37 A gives ~1e11 kcal/mol
+    pair terms; eps_f32 * 1e11 swamps the real answer)."""
+    gj = (pl.program_id(1) * bc + jax.lax.broadcasted_iota(
+        jnp.int32, (br, bc), 1)).astype(jnp.float32)
+    excl = jnp.zeros((br, bc), jnp.bool_)
+    for s in range(spr.shape[1]):
+        excl |= spr[:, s:s + 1] == gj
+    return excl
+
+
 def _damping(r, rsq, pd, damping_type):
     """Thole damping l1, l2 (ops/polarization.py _damping_terms)."""
     if damping_type == _DAMP_EXP:
@@ -430,18 +448,21 @@ def _df_scalar_accum(acc_ref, idx, hval, lval, br, bc):
     acc_ref[0:1, idx + 8:idx + 9] = cur_l + e0 + tl[0:1, 0:1]
 
 
-def _pair_df_kernel(par_ref, rowt_ref, xr_ref, xc_ref, out_ref, acc_ref,
-                    *, br, bc, t1):
+def _pair_df_kernel(par_ref, rowt_ref, *refs, br, bc, t1, has_sp=False):
     """f64-grade LJ + coul/long pair panel in df32 (mirrors
     _pair_terms_chunk / _pair_chunk, parallel/shard.py).
 
     Row/col operands (BR,16)/(16,BC): [xh(3) xl(3) type mask qh ql ...];
     rowt (BR, 8, T1): [lj3 lj4 off cut_ljsq] x (hi, lo) per ROW type;
     out (BR, 8): [fx fy fz]h + [fx fy fz]l; acc lanes: [evdwl ecoul
-    vir6]h at 0..7, lo at 8..15."""
+    vir6]h at 0..7, lo at 8..15.  has_sp: see _pair_kernel."""
     from lidp_tpu.ops import df32 as dd
     from lidp_tpu.ops.pair import A1, A2, A3, A4, A5, EWALD_F, EWALD_P
 
+    if has_sp:
+        spr_ref, xr_ref, xc_ref, out_ref, acc_ref = refs
+    else:
+        xr_ref, xc_ref, out_ref, acc_ref = refs
     xr = xr_ref[...]
     xc = xc_ref[...]
     rt = rowt_ref[...]
@@ -477,6 +498,8 @@ def _pair_df_kernel(par_ref, rowt_ref, xr_ref, xc_ref, out_ref, acc_ref,
     rsq = (jnp.where(pm, rsq[0], 1.0), jnp.where(pm, rsq[1], 0.0))
     in_range = _df_lt(rsq, cutsq_u) & pm
     lj_mask = in_range & _df_lt(rsq, clj_p)
+    if has_sp:
+        lj_mask &= ~_excl_mask(spr_ref[...], br, bc)
     coul_mask = in_range & _df_lt(rsq, ccsq)
 
     r2inv = dd.recip(rsq)
@@ -557,7 +580,7 @@ def _df_split(a, f64):
 
 @jax.jit
 def pair_panel_df(x, q, typef, maskf, tabs64, L, cut_coulsq, qqrd2e,
-                  g_ewald):
+                  g_ewald, sp=None):
     """f64-grade dense LJ+coul/long panel (df32 Pallas).  x/q/tabs f64.
 
     Returns (f (npad,3) f64, evdwl, ecoul, vir6) matching the XLA-f64
@@ -588,15 +611,25 @@ def pair_panel_df(x, q, typef, maskf, tabs64, L, cut_coulsq, qqrd2e,
     cutsq_u = jnp.max(tabs64[4])
     par = _df_params(L, f64, cut_coulsq, qqrd2e, g_ewald, cutsq_u)
     grid = (npad // _br, npad // _bc)
+    has_sp = sp is not None
+    sp_ops = []
+    sp_specs = []
+    if has_sp:
+        S_ = sp.shape[1]
+        sp_ops = [sp.astype(jnp.float32)]
+        sp_specs = [pl.BlockSpec((_br, S_), lambda r, c: (r, 0),
+                                 memory_space=pltpu.VMEM)]
     with jax.enable_x64(False):
         out, acc = pl.pallas_call(
-            functools.partial(_pair_df_kernel, br=_br, bc=_bc, t1=t1),
+            functools.partial(_pair_df_kernel, br=_br, bc=_bc, t1=t1,
+                              has_sp=has_sp),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, 32), lambda r, c: (0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((_br, 8, t1), lambda r, c: (r, 0, 0),
                              memory_space=pltpu.VMEM),
+            ] + sp_specs + [
                 pl.BlockSpec((_br, 16), lambda r, c: (r, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((16, _bc), lambda r, c: (0, c),
@@ -618,7 +651,7 @@ def pair_panel_df(x, q, typef, maskf, tabs64, L, cut_coulsq, qqrd2e,
                 transcendentals=npad * npad,
             ),
             interpret=_interpret(),
-        )(par, rowt, row, col)
+        )(par, rowt, *sp_ops, row, col)
     f = out[:, :3].astype(f64) + out[:, 3:6].astype(f64)
     a = acc[0, :8].astype(f64) + acc[0, 8:16].astype(f64)
     return f, a[0], a[1], a[2:8]
@@ -1075,8 +1108,8 @@ def dipole_panel(x, q, mol, alpha_eff, mu, maskf, L, pd, cut_coulsq,
 
 # ------------------------------- pair ---------------------------------
 
-def _pair_kernel(par_ref, rowt_ref, xr_ref, xc_ref, out_ref, acc_ref,
-                 *, br, bc, t1, coul):
+def _pair_kernel(par_ref, rowt_ref, *refs, br, bc, t1, coul,
+                 has_sp=False):
     """Dense LJ(+coul/long) pair panel (parallel/shard.py _pair_chunk).
 
     rowt: (npad, 4, T1) per-ROW-atom table slices [lj3, lj4, offset,
@@ -1084,9 +1117,17 @@ def _pair_kernel(par_ref, rowt_ref, xr_ref, xc_ref, out_ref, acc_ref,
     only ONE (BR,T1)@(T1,BC) one-hot matmul each (scalar gathers are
     ~1e9/step at 10k atoms; see shard.py _type_tables_mm).  cutsq is
     uniform across live type pairs for this force field (coulomb cutoff
-    dominates) and rides the params row."""
+    dominates) and rides the params row.
+
+    has_sp: a (BR, S) special-neighbor-index operand follows rowt; those
+    pairs are excluded from the LJ term in-pass (see _excl_mask) and the
+    sparse host-side pass adds back factor*E exactly."""
     from lidp_tpu.ops.pair import A1, A2, A3, A4, A5, EWALD_F, EWALD_P
 
+    if has_sp:
+        spr_ref, xr_ref, xc_ref, out_ref, acc_ref = refs
+    else:
+        xr_ref, xc_ref, out_ref, acc_ref = refs
     cut_coulsq = par_ref[0, 7]
     qqrd2e = par_ref[0, 8]
     g_ewald = par_ref[0, 9]
@@ -1115,6 +1156,8 @@ def _pair_kernel(par_ref, rowt_ref, xr_ref, xc_ref, out_ref, acc_ref,
     rsq = jnp.where(pm, rsq, 1.0)
     in_range = (rsq < cutsq_u) & pm
     lj_mask = in_range & (rsq < cut_ljsq_p)
+    if has_sp:
+        lj_mask &= ~_excl_mask(spr_ref[...], br, bc)
     r2inv = 1.0 / rsq
     r6inv = r2inv * r2inv * r2inv
     forcelj = jnp.where(lj_mask,
@@ -1158,14 +1201,19 @@ def _pair_kernel(par_ref, rowt_ref, xr_ref, xc_ref, out_ref, acc_ref,
     acc_ref[0, :] += jnp.pad(acc, (0, 120))
 
 
-def _pair_wolf_kernel(par_ref, rowt_ref, xr_ref, xc_ref, out_ref, acc_ref,
-                      *, br, bc, t1):
+def _pair_wolf_kernel(par_ref, rowt_ref, *refs, br, bc, t1,
+                      has_sp=False):
     """Fused LJ+coul/long pair panel + Wolf static field: ONE geometry
     pass serves both pre-SCF O(N^2) phases (the separate wolf_panel
     repeats minimum-image + rsqrt over the full panel).  Row layout
-    [x y z type q mask mol]; out rows pack [fx fy fz e0x e0y e0z]."""
+    [x y z type q mask mol]; out rows pack [fx fy fz e0x e0y e0z].
+    has_sp: see _pair_kernel."""
     from lidp_tpu.ops.pair import A1, A2, A3, A4, A5, EWALD_F, EWALD_P
 
+    if has_sp:
+        spr_ref, xr_ref, xc_ref, out_ref, acc_ref = refs
+    else:
+        xr_ref, xc_ref, out_ref, acc_ref = refs
     cut_coulsq = par_ref[0, 7]
     qqrd2e = par_ref[0, 8]
     g_ewald = par_ref[0, 9]
@@ -1195,6 +1243,8 @@ def _pair_wolf_kernel(par_ref, rowt_ref, xr_ref, xc_ref, out_ref, acc_ref,
     rsq = jnp.where(pm, rsq, 1.0)
     in_range = (rsq < cutsq_u) & pm
     lj_mask = in_range & (rsq < cut_ljsq_p)
+    if has_sp:
+        lj_mask &= ~_excl_mask(spr_ref[...], br, bc)
     r2inv = 1.0 / rsq
     r6inv = r2inv * r2inv * r2inv
     forcelj = jnp.where(lj_mask,
@@ -1245,12 +1295,13 @@ def _pair_wolf_kernel(par_ref, rowt_ref, xr_ref, xc_ref, out_ref, acc_ref,
 
 @jax.jit
 def pair_wolf_panel(x, q, typef, mol, maskf, tabs, L, cut_coulsq, qqrd2e,
-                    g_ewald):
+                    g_ewald, sp=None):
     """Fused dense LJ+coul/long pair panel + Wolf static field.
 
     Returns (f (npad,3), evdwl, ecoul, vir6, e0 (npad,3) UNSCALED — the
     caller multiplies by sqrt(qqrd2e)).  Same table contract as
-    pair_panel (uniform outer cutoff)."""
+    pair_panel (uniform outer cutoff).  sp (npad, S) f32: special
+    neighbor global indices to exclude from the LJ term in-pass."""
     npad = x.shape[0]
     _br, _bc = _blocks(npad)
     t1 = tabs.shape[1]
@@ -1261,14 +1312,24 @@ def pair_wolf_panel(x, q, typef, mol, maskf, tabs, L, cut_coulsq, qqrd2e,
     cutsq_u = jnp.max(tabs[4])
     par = _params_row(L, 0.0, cut_coulsq, qqrd2e, g_ewald, cutsq_u)
     grid = (npad // _br, npad // _bc)
+    has_sp = sp is not None
+    sp_ops = []
+    sp_specs = []
+    if has_sp:
+        S_ = sp.shape[1]
+        sp_ops = [sp.astype(jnp.float32)]
+        sp_specs = [pl.BlockSpec((_br, S_), lambda r, c: (r, 0),
+                                 memory_space=pltpu.VMEM)]
     out, acc = pl.pallas_call(
-        functools.partial(_pair_wolf_kernel, br=_br, bc=_bc, t1=t1),
+        functools.partial(_pair_wolf_kernel, br=_br, bc=_bc, t1=t1,
+                          has_sp=has_sp),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 16), lambda r, c: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((_br, 4, t1), lambda r, c: (r, 0, 0),
                          memory_space=pltpu.VMEM),
+        ] + sp_specs + [
             pl.BlockSpec((_br, 8), lambda r, c: (r, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, _bc), lambda r, c: (0, c),
@@ -1290,14 +1351,14 @@ def pair_wolf_panel(x, q, typef, mol, maskf, tabs, L, cut_coulsq, qqrd2e,
             transcendentals=npad * npad,
         ),
         interpret=_interpret(),
-    )(par, rowt, row, col)
+    )(par, rowt, *sp_ops, row, col)
     a = acc[0]
     return out[:, :3], a[0], a[1], a[2:8], out[:, 3:6]
 
 
 @functools.partial(jax.jit, static_argnames=("coul",))
 def pair_panel(x, q, typef, maskf, tabs, L, cut_coulsq, qqrd2e, g_ewald,
-               *, coul=True):
+               sp=None, *, coul=True):
     """Dense LJ(+coul/long) panel.  Returns (f (npad,3), evdwl, ecoul,
     vir6) with LAMMPS half-weight tallies (factor 0.5 both sides).
 
@@ -1317,14 +1378,24 @@ def pair_panel(x, q, typef, maskf, tabs, L, cut_coulsq, qqrd2e, g_ewald,
     cutsq_u = jnp.max(tabs[4])
     par = _params_row(L, 0.0, cut_coulsq, qqrd2e, g_ewald, cutsq_u)
     grid = (npad // _br, npad // _bc)
+    has_sp = sp is not None
+    sp_ops = []
+    sp_specs = []
+    if has_sp:
+        S_ = sp.shape[1]
+        sp_ops = [sp.astype(jnp.float32)]
+        sp_specs = [pl.BlockSpec((_br, S_), lambda r, c: (r, 0),
+                                 memory_space=pltpu.VMEM)]
     out, acc = pl.pallas_call(
-        functools.partial(_pair_kernel, br=_br, bc=_bc, t1=t1, coul=coul),
+        functools.partial(_pair_kernel, br=_br, bc=_bc, t1=t1, coul=coul,
+                          has_sp=has_sp),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 16), lambda r, c: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((_br, 4, t1), lambda r, c: (r, 0, 0),
                          memory_space=pltpu.VMEM),
+        ] + sp_specs + [
             pl.BlockSpec((_br, 8), lambda r, c: (r, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, _bc), lambda r, c: (0, c),
@@ -1346,6 +1417,6 @@ def pair_panel(x, q, typef, maskf, tabs, L, cut_coulsq, qqrd2e, g_ewald,
             transcendentals=npad * npad,
         ),
         interpret=_interpret(),
-    )(par, rowt, row, col)
+    )(par, rowt, *sp_ops, row, col)
     a = acc[0]
     return out[:, :3], a[0], a[1], a[2:8]

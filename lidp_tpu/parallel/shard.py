@@ -159,13 +159,19 @@ def build_sharded_polar_step(
         return (tab(pair.lj3), tab(pair.lj4), tab(pair.offset),
                 tab(pair.cut_ljsq), tab(pair.cutsq))
 
-    def _pair_terms_chunk(rsq, qi, qj, tl, tc, pm):
+    def _pair_terms_chunk(rsq, qi, qj, tl, tc, pm, lj_excl=None):
         """LJ + coulomb per-pair terms with matmul-derived type tables
-        (numerically identical to ops.pair._pair_terms with factor 1)."""
+        (numerically identical to ops.pair._pair_terms with factor 1,
+        except special pairs are excluded from the LJ term IN-PASS:
+        bonded sites at sub-sigma separations produce ~1e11 kcal/mol pair
+        terms, and summing then sparsely subtracting them is a
+        catastrophic cancellation — eps*1e11 >> the net evdwl)."""
         lj3, lj4, off, cut_ljsq_ij, cutsq_ij = _type_tables_mm(tl, tc)
         r2inv = 1.0 / rsq
         in_range = (rsq < cutsq_ij) & pm
         lj_mask = in_range & (rsq < cut_ljsq_ij)
+        if lj_excl is not None:
+            lj_mask = lj_mask & ~lj_excl
         r6inv = r2inv * r2inv * r2inv
         forcelj = r6inv * (12.0 * lj3 * r6inv - 6.0 * lj4)
         evdwl = r6inv * (lj3 * r6inv - lj4) - off
@@ -191,13 +197,21 @@ def build_sharded_polar_step(
             ecoul = jnp.zeros_like(evdwl)
         return (forcecoul + forcelj) * r2inv, evdwl, ecoul
 
-    def _pair_chunk(xl, ql, tl, rows, xc, qc, tc, mc, cols, L, acc):
+    def _pair_chunk(xl, ql, tl, rows, xc, qc, tc, mc, cols, L, acc,
+                    sp_rows=None):
         f, ev, ec, vir = acc
         dx, dy, dz, rsq, ns = _geom(xl, rows, xc, cols, L)
         pm = ns & mc[None, :]
         rsq = jnp.where(pm, rsq, 1.0)
+        lj_excl = None
+        if sp_rows is not None:
+            # special-pair LJ exclusion in-pass (see _pair_terms_chunk)
+            lj_excl = jnp.zeros(rsq.shape, bool)
+            for s_i in range(sp_rows.shape[1]):
+                lj_excl = lj_excl | (sp_rows[:, s_i:s_i + 1]
+                                     == cols[None, :])
         fpair, evdwl, ecoul = _pair_terms_chunk(
-            rsq, ql[:, None], qc[None, :], tl, tc, pm)
+            rsq, ql[:, None], qc[None, :], tl, tc, pm, lj_excl)
         f = f + jnp.stack([jnp.sum(fpair * dx, axis=1),
                            jnp.sum(fpair * dy, axis=1),
                            jnp.sum(fpair * dz, axis=1)], axis=-1)
@@ -379,11 +393,17 @@ def build_sharded_polar_step(
             jax.lax.dynamic_slice_in_dim(a, i0, ns_) for a in arrays)
 
     def _special_correction(x, q, type_, strip=None):
-        """Sparse special-bond correction contributions (ADDED to the
-        dense factor-1.0 pass): factor_lj scaling and the kspace-present
-        coulomb convention forcecoul -= (1-factor)*prefactor
-        (...polarization.cpp:262-278).  O(N*S); returns (df, dev, dec,
-        dvir) for the local row block / strip."""
+        """Sparse special-bond contributions, O(N*S).
+
+        LJ: the dense pass EXCLUDES special pairs in-pass (see
+        _pair_terms_chunk — summing then subtracting the huge sub-sigma
+        intramolecular terms is a catastrophic cancellation), so this
+        pass ADDS the full factor_lj * E contribution.
+        Coulomb: the dense pass keeps the full erfc term and this pass
+        applies the kspace-present convention forcecoul -=
+        (1-factor)*prefactor (...polarization.cpp:262-278) — no
+        cancellation there (plain 1/r magnitudes).
+        Returns (df, dev, dec, dvir) for the local row block / strip."""
         rows, xr, qr, tr = _rows_of(strip, x, q, type_)
         L = box_lengths
         xf, qf, tf = _gather(x), _gather(q), _gather(type_)
@@ -431,8 +451,8 @@ def build_sharded_polar_step(
         forcelj = r6inv * (12.0 * lj3s * r6inv - 6.0 * lj4s)
         evdwl_full = (r6inv * (lj3s * r6inv - lj4s)
                       - stab(pair.offset))
-        dflj = jnp.where(lj_m, (flj - 1.0) * forcelj, 0.0)
-        devd = jnp.where(lj_m, (flj - 1.0) * evdwl_full, 0.0)
+        dflj = jnp.where(lj_m, flj * forcelj, 0.0)
+        devd = jnp.where(lj_m, flj * evdwl_full, 0.0)
         cm = in_rng & (srsq < pair.cut_coulsq)
         sr = jnp.sqrt(srsq)
         prefac = pair.qqrd2e * qr[:, None] * qf[jc] / sr
@@ -473,6 +493,14 @@ def build_sharded_polar_step(
 
             # pair LJ + coul
             e0_fused = None
+            sp_rows = None
+            if special is not None:
+                if strip is None:
+                    sp_base_r, nrows_r = _axidx() * nloc, nloc
+                else:
+                    sp_base_r, nrows_r = strip
+                sp_rows = jax.lax.dynamic_slice_in_dim(
+                    special[0], sp_base_r, nrows_r, 0)
             if use_panels and strip is None:
                 # the Pallas kernel assumes ONE uniform outer cutoff
                 # (params-row scalar): every live type pair must share
@@ -493,19 +521,19 @@ def build_sharded_polar_step(
                             x, q, type_.astype(dtype),
                             wolf_mol.astype(dtype), mask.astype(dtype),
                             tabs, L, pair.cut_coulsq, pair.qqrd2e,
-                            pair.g_ewald)
+                            pair.g_ewald, sp=sp_rows)
                 else:
                     f, evdwl, ecoul, vir = pallas_panel.pair_panel(
                         x, q, type_.astype(dtype), mask.astype(dtype),
                         tabs, L, pair.cut_coulsq, pair.qqrd2e,
-                        pair.g_ewald, coul=bool(pair.coul))
+                        pair.g_ewald, sp=sp_rows, coul=bool(pair.coul))
             else:
                 zero6 = jnp.zeros((6,), dtype)
                 f0 = jnp.zeros((nrows, 3), dtype)
                 facc = _scan_cols(
                     lambda acc, cols, arrs: _pair_chunk(
                         xr, qr, tr, rows, arrs[0], arrs[1], arrs[2],
-                        arrs[3], cols, L, acc),
+                        arrs[3], cols, L, acc, sp_rows=sp_rows),
                     (f0, jnp.zeros((), dtype), jnp.zeros((), dtype),
                      zero6),
                     (xf, qf, tf, mf))
@@ -639,8 +667,7 @@ def build_sharded_polar_step(
                 x, q, mol.astype(dtype), jnp.where(mask, alpha, 0.0),
                 mu_new, mask.astype(dtype), box_lengths, s.polar_damp,
                 pair.cut_coulsq, qqrd2e, damping_type=s.damping_type)
-            L_ = box_lengths
-            xw_ = x - jnp.floor(x / L_) * L_
+            xw_ = _vir_wrap(x)
             vir_pol = jnp.stack([
                 jnp.sum(xw_[:, 0] * fpol[:, 0]),
                 jnp.sum(xw_[:, 1] * fpol[:, 1]),
@@ -674,7 +701,7 @@ def build_sharded_polar_step(
         # ops/polarization.py dipole_forces_energy): sum of the
         # local row-block's x_wrapped (x) f_polar, psummed by the caller.
         # Boxes here are origin-based (bind_box passes lengths only).
-        xw = xr - jnp.floor(xr / L) * L
+        xw = _vir_wrap(xr, rows)
         vir_pol = jnp.stack([
             jnp.sum(xw[:, 0] * fpol[:, 0]),
             jnp.sum(xw[:, 1] * fpol[:, 1]),
@@ -756,11 +783,27 @@ def build_sharded_polar_step(
     box_lengths = None
     volume = None
     special = None
+    vir_xshift = None
 
-    def bind_box(L):
-        nonlocal box_lengths, volume
+    def bind_box(L, xshift=None):
+        """xshift (npad,3), optional: frozen stored-coordinate wrap offset
+        for the polar fdotr virial (the reference wraps at read_data and
+        then only at reneighbor — pair.cpp:810-816 virial_fdotr_compute
+        over stored coords; see sim.py polar_xshift).  Default: re-wrap
+        every step."""
+        nonlocal box_lengths, volume, vir_xshift
         box_lengths = jnp.asarray(L, dtype)
         volume = box_lengths[0] * box_lengths[1] * box_lengths[2]
+        vir_xshift = (None if xshift is None
+                      else jnp.asarray(xshift, dtype))
+
+    def _vir_wrap(x, rows=None):
+        if vir_xshift is not None:
+            sh = (vir_xshift if rows is None
+                  else jnp.take(vir_xshift, rows, axis=0))
+            return x + sh
+        L_ = box_lengths
+        return x - jnp.floor(x / L_) * L_
 
     def bind_special(idx, lvl):
         """(npad, S) padded special lists (topology.special_lists), replicated."""
@@ -888,7 +931,8 @@ def build_sharded_polar_step(
                     f, ev, ec, vir = _pp.pair_panel_df(
                         x, q, type_.astype(dtype), mask.astype(dtype),
                         tabs64, box_lengths, pair.cut_coulsq,
-                        pair.qqrd2e, pair.g_ewald)
+                        pair.qqrd2e, pair.g_ewald,
+                        sp=(special[0] if special is not None else None))
                     if special is not None:
                         df_, dev_, dec_, dvir_ = _special_correction(
                             x, q, type_)
@@ -915,8 +959,7 @@ def build_sharded_polar_step(
                         mask.astype(dtype), box_lengths, s.polar_damp,
                         pair.cut_coulsq, qqrd2e,
                         damping_type=s.damping_type)
-                    L_ = box_lengths
-                    xw = x - jnp.floor(x / L_) * L_
+                    xw = _vir_wrap(x)
                     vir_pol = jnp.stack([
                         jnp.sum(xw[:, 0] * fpol[:, 0]),
                         jnp.sum(xw[:, 1] * fpol[:, 1]),
@@ -935,4 +978,8 @@ def build_sharded_polar_step(
         return phases
 
     make.host_phases = make_host_phases
+    # raw (unjitted) full force+SCF evaluation — composed into larger jitted
+    # programs by the production fast-polar engine (parallel/fast_polar.py):
+    # (x, q, type, mol, alpha, mu_init, mask) -> (f, mu, energies dict)
+    make.forces = local_init
     return make, bind_box, npad, bind_special

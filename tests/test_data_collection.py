@@ -108,8 +108,11 @@ run 8
     spec = s.fixes["v1"]
     series = np.asarray(spec._series)
     temps = np.array([float(r["temp"]) for r in s.thermo_rows])
-    # fix vector samples at steps 2,4,6,8 = thermo rows 1..4
-    np.testing.assert_allclose(series, temps[1:], rtol=1e-12)
+    # fix vector samples at steps 0,2,4,6,8: FixVector's constructor sets
+    # nextstep = (ntimestep/nevery)*nevery = 0 at creation on step 0, so
+    # FixVector::setup -> end_of_step samples the setup step too
+    # (fix_vector.cpp:163-169,242-253) = all five thermo rows
+    np.testing.assert_allclose(series, temps, rtol=1e-12)
 
 
 def test_ave_correlate_auto(tmp_path):

@@ -241,51 +241,75 @@ def _try_chute(timeout_s: int):
 
 def _try_polar_100k_1e11(timeout_s: int):
     """The north-star regime at the north-star size: 105,920 atoms,
-    polar_precision 1e-11 (BASELINE.md: "100k ... SCF converged to 1e-11"),
-    mixed-precision CG (f32 panel matvecs + f64 iterative refinement).
+    polar_precision 1e-11, through the PRODUCT path — the script engine
+    runs the replicated MOF5+Methane input (`fix rigid/nve molecule`,
+    thermo every step) and routes forces through the fast-polar engine's
+    host-phase/df32 mode automatically (parallel/fast_polar.py).
     The O(N^2)-serial reference extrapolates to 1.42e-4 steps/s here."""
     try:
-        # host-driven CG: the axon tunnel kills any single dispatch over
-        # ~1-2 min, so each phase dispatches separately
-        # (models/polar_bench.py host_cg_step; parity in tests/test_host_cg.py)
-        r = _run_script(["scripts/bench_polar.py", "100000", "run", "512",
-                         "--f64", "--precision", "1e-11", "--steps", "1",
-                         "--host-cg", "--host-strips", "8", "--mixed"],
+        r = _run_script(["scripts/bench_polar_script.py", "100000",
+                         "--f64", "--precision", "1e-11", "--steps", "2"],
                         timeout_s)
     except subprocess.TimeoutExpired:
         return {"polar_100k_1e11_steps_per_s": None,
                 "polar_100k_1e11_note": "timeout"}
-    m = re.search(r"steps/s ([0-9.]+) scf ([0-9.]+)", r.stdout)
+    m = re.search(r"script n (\d+) steps/s ([0-9.eE+-]+) scf ([0-9.-]+) "
+                  r"setup ([0-9.]+) compile_s ([0-9.]+)", r.stdout)
     if not m:
         return {"polar_100k_1e11_steps_per_s": None,
                 "polar_100k_1e11_note": "failed: "
                 + (r.stdout + r.stderr)[-200:].replace("\n", " ")}
-    v = float(m.group(1))
+    v = float(m.group(2))
     return {
         "polar_100k_1e11_steps_per_s": v,
-        "polar_100k_1e11_scf_iters": float(m.group(2)),
+        "polar_100k_1e11_scf_iters": float(m.group(3)),
+        "polar_100k_1e11_compile_s": float(m.group(5)),
         "polar_100k_1e11_vs_reference_extrapolated": round(v / 1.42e-4, 1),
+        "polar_100k_1e11_engine": "script+fix rigid/nve (fast-polar host)",
     }
 
 
 def _try_polar_1e11(timeout_s: int):
-    """The reference's own precision regime on TPU: f64, precision 1e-11."""
+    """The reference's own precision regime on TPU: f64, precision 1e-11,
+    through the product script path (fast-polar host mode: df32 Pallas
+    panels + mixed-precision host CG)."""
     try:
-        r = _run_script(["scripts/bench_polar.py", "10000", "--f64",
-                         "--precision", "1e-11"], timeout_s)
+        r = _run_script(["scripts/bench_polar_script.py", "10000",
+                         "--f64", "--precision", "1e-11", "--steps", "3"],
+                        timeout_s)
     except subprocess.TimeoutExpired:
         return {"polar_1e11_f64_steps_per_s": None,
                 "polar_1e11_note": "compile timeout (cold cache)"}
-    m = re.search(r"steps/s ([0-9.]+) scf ([0-9.]+)", r.stdout)
+    m = re.search(r"script n (\d+) steps/s ([0-9.eE+-]+) scf ([0-9.-]+) "
+                  r"setup ([0-9.]+) compile_s ([0-9.]+)", r.stdout)
     if not m:
         return {"polar_1e11_f64_steps_per_s": None,
                 "polar_1e11_note": "failed: "
                 + (r.stdout + r.stderr)[-200:].replace("\n", " ")}
     return {
-        "polar_1e11_f64_steps_per_s": float(m.group(1)),
-        "polar_1e11_f64_scf_iters": float(m.group(2)),
-        "polar_1e11_n_atoms": 10592,
+        "polar_1e11_f64_steps_per_s": float(m.group(2)),
+        "polar_1e11_f64_scf_iters": float(m.group(3)),
+        "polar_1e11_compile_s": float(m.group(5)),
+        "polar_1e11_n_atoms": int(m.group(1)),
     }
+
+
+def _try_polar_script_100k_f32(timeout_s: int):
+    """Product-path 100k f32 (fused scan engine from the script)."""
+    try:
+        r = _run_script(["scripts/bench_polar_script.py", "100000",
+                         "--steps", "3"], timeout_s)
+    except subprocess.TimeoutExpired:
+        return {"polar_script_100k_f32_note": "timeout"}
+    m = re.search(r"script n (\d+) steps/s ([0-9.eE+-]+) scf ([0-9.-]+) "
+                  r"setup ([0-9.]+) compile_s ([0-9.]+)", r.stdout)
+    if not m:
+        return {"polar_script_100k_f32_note": "failed: "
+                + (r.stdout + r.stderr)[-200:].replace("\n", " ")}
+    v = float(m.group(2))
+    return {"polar_script_100k_f32_steps_per_s": v,
+            "polar_script_100k_f32_compile_s": float(m.group(5)),
+            "polar_script_100k_f32_vs_ref": round(v / 1.42e-4, 1)}
 
 
 def _try_error_budget(timeout_s: int):
@@ -368,27 +392,34 @@ def main():
     # the north-star regime (100k/1e-11) runs THIRD so a cold cache or slow
     # chip can't push it past the driver's wall cap again (it was the one
     # stage skipped in the r4 dry run)
+    # (name, min seconds worth starting, per-stage cap, callable) — the cap
+    # stops one slow stage from starving the rest (r4: five stages read
+    # "skipped: budget"); with the compile cache warm every stage is fast
     stages = [
-        ("polar10k", 60, lambda t: _try_polar_bench(t)),
-        ("polar1e11", 60, lambda t: _try_polar_1e11(t)),
-        ("polar100k_1e11", 240, lambda t: _try_polar_100k_1e11(t)),
-        ("eam", 90, lambda t: _try_eam(t)),
-        ("polar100k", 90, lambda t: _try_polar_100k(t)),
-        ("lj_scaled", 90, lambda t: _try_lj_scaled(t)),
-        ("rhodo", 90, lambda t: _try_rhodo_class(t)),
-        ("chute", 60, lambda t: _try_chute(t)),
-        ("errbudget", 60, lambda t: _try_error_budget(t)),
+        ("polar10k", 60, 240, lambda t: _try_polar_bench(t)),
+        ("polar1e11", 60, 300, lambda t: _try_polar_1e11(t)),
+        ("polar100k_1e11", 240, 600, lambda t: _try_polar_100k_1e11(t)),
+        ("eam", 60, 240, lambda t: _try_eam(t)),
+        ("polar100k_script", 60, 300,
+         lambda t: _try_polar_script_100k_f32(t)),
+        ("lj_scaled", 60, 300, lambda t: _try_lj_scaled(t)),
+        ("rhodo", 60, 300, lambda t: _try_rhodo_class(t)),
+        ("chute", 45, 180, lambda t: _try_chute(t)),
+        ("errbudget", 45, 180, lambda t: _try_error_budget(t)),
+        ("polar100k", 60, 240, lambda t: _try_polar_100k(t)),
     ]
-    for name, min_s, fn in stages:
+    for name, min_s, cap_s, fn in stages:
         rem = _remaining()
         if rem < min_s:
             out[f"{name}_note"] = f"skipped: budget ({rem:.0f}s left)"
             emit()
             continue
+        t_stage = time.monotonic()
         try:
-            out.update(fn(int(rem)))
+            out.update(fn(int(min(rem, cap_s))))
         except Exception as e:  # noqa: BLE001
             out[f"{name}_note"] = f"failed: {type(e).__name__}: {e}"[:200]
+        out[f"{name}_elapsed_s"] = round(time.monotonic() - t_stage, 1)
         out["bench_elapsed_s"] = round(time.monotonic() - _T0, 1)
         emit()
     return 0

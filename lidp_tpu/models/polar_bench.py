@@ -277,11 +277,12 @@ def host_cg_step(bench: PolarBench, zero_init: bool = False,
 
     Same math as parallel/shard.py local_step + ops/polarization
     scf_solve_cg, restructured because the axon tunnel enforces a
-    per-dispatch execution deadline (~1-2 min): at 100k atoms in emulated
-    f64 a single O(N^2) panel pass is ~30 s, so the fused step (e0 + ~20 CG
-    iterations + dipole forces in ONE program) cannot finish in time.  Here
-    each dispatch is one panel pass.  Cross-checked against the fused step
-    in tests/test_host_cg.py.
+    per-dispatch execution deadline (~1-2 min).  The force + SCF
+    evaluation itself is the shared productized engine
+    (parallel/fast_polar.py HostPolarForces, which also hoists the
+    inner-CG jit to build time); this wrapper adds the bench harness's
+    velocity-Verlet kicks.  Cross-checked against the fused step in
+    tests/test_host_cg.py.
 
     mixed=True: mixed-precision iterative refinement for the f64/1e-11
     north-star regime.  B = I + sqrt(a) T sqrt(a) is symmetric positive
@@ -299,236 +300,33 @@ def host_cg_step(bench: PolarBench, zero_init: bool = False,
 
     Returns (f, energies) like run_step.
     """
-    import jax
     import jax.numpy as jnp
 
+    from lidp_tpu.parallel.fast_polar import HostPolarForces
+
     a = bench.arrays
-    ph = bench.phases
-    s = bench.settings
-    dtf = 0.5 * bench.dt * bench.ftm2v
     if "f" not in a:
         a["f"] = jnp.zeros_like(a["x"])
-        if not zero_init:
-            pass   # first call computes forces at current x below anyway
+    hpf = getattr(bench, "_hpf", None)
+    if hpf is None or hpf.mixed != mixed:
+        hpf = HostPolarForces(bench.phases, bench.settings, bench.natoms,
+                              mixed=mixed)
+        bench._hpf = hpf
 
-    import os
-    import time as _time
-
-    _timing = bool(int(os.environ.get("LIDP_PHASE_TIMING", "0")))
-    _t = {"last": _time.perf_counter()}
-
-    def _tick(label, *sync):
-        if not _timing:
-            return
-        for o in sync:
-            jax.block_until_ready(o)
-        now = _time.perf_counter()
-        print(f"  phase {label:12s} {now - _t['last']:7.2f} s", flush=True)
-        _t["last"] = now
-
+    dtf = 0.5 * bench.dt * bench.ftm2v
     mass, mask = a["mass"], a["mask"]
     minv = jnp.where(mass > 0, 1.0 / jnp.where(mass > 0, mass, 1.0), 0.0)
     v = a["v"] + (dtf * minv)[:, None] * a["f"]
     v = jnp.where(mask[:, None], v, 0.0)
     x = a["x"] + bench.dt * v
 
-    q, typ, mol, alpha = a["q"], a["type"], a["mol"], a["alpha"]
-    S = ph.get("strips", 1)
-    npad = int(x.shape[0])
-    ns = npad // S
-
-    def striped(fn, *args):
-        """Run a phase as S row-strip dispatches; concat row-shaped leaves
-        (leading dim ns), sum scalar/(6,) reductions."""
-        if S == 1:
-            return fn(*args)
-        outs = []
-        for si in range(S):
-            o = fn(jnp.asarray(si * ns, jnp.int32), *args)
-            jax.block_until_ready(o)    # one strip per dispatch
-            outs.append(o)
-        if not isinstance(outs[0], tuple):
-            return jnp.concatenate(outs, axis=0)
-        merged = []
-        for leaf in zip(*outs):
-            if leaf[0].ndim and leaf[0].shape[0] == ns:
-                merged.append(jnp.concatenate(leaf, axis=0))
-            else:
-                merged.append(sum(leaf[1:], leaf[0]))
-        return tuple(merged)
-
-    # f64-grade df32 Pallas phases (shard.py make_host_phases): the
-    # XLA-emulated-f64 scan panels are the step's dominant cost; the df32
-    # kernels hold ~1e-13 vs f64 on the Mosaic path (real TPU) but NOT on
-    # CPU interpret (XLA's algebraic simplifier breaks the error-free
-    # transforms there — see ops/df32.py), so gate on the backend
-    import jax as _jax
-
-    use_df = (_jax.default_backend() in ("tpu", "axon")
-              and "pair_df" in ph
-              and not int(os.environ.get("LIDP_NO_DF", "0")))
-
-    if "ewald_kblock" in ph:
-        # pair real-space without kspace, then the Ewald sum as bounded
-        # k-block dispatches: the f64-emulated [N,K] matmul is the longest
-        # single program of the step and must stay under the deadline
-        if use_df:
-            f, evdwl, ecoul, elong, vir = ph["pair_df"](x, q, typ, mask)
-        else:
-            f, evdwl, ecoul, elong, vir = striped(ph["pair_real"],
-                                                  x, q, typ, mask)
-        _tick("pair_real", f)
-        hv, kc, kv = ph["ewald_tables"]
-        Kk = hv.shape[0]
-        # ~13M f64 matmul cells per dispatch (~5-10 s at 100k atoms)
-        kb = max(128, min(Kk, 13_000_000 // max(int(x.shape[0]), 1)))
-        kb = -(-kb // 128) * 128
-        e_k = jnp.zeros((), x.dtype)
-        vk = jnp.zeros((6,), x.dtype)
-        for k0 in range(0, Kk, kb):
-            blk = slice(k0, min(k0 + kb, Kk))
-            hvb = np.zeros((kb, 3)); hvb[:blk.stop - k0] = hv[blk]
-            kcb = np.zeros((kb,)); kcb[:blk.stop - k0] = kc[blk]
-            kvb = np.zeros((kb, 6)); kvb[:blk.stop - k0] = kv[blk]
-            fb, eb, vb = ph["ewald_kblock"](
-                x, q, jnp.asarray(hvb, x.dtype), jnp.asarray(kcb, x.dtype),
-                jnp.asarray(kvb, x.dtype))
-            jax.block_until_ready(fb)   # serialize: one k-block per dispatch
-            f = f + fb
-            e_k = e_k + eb
-            vk = vk + vb
-        elong = e_k - ph["ewald_eself"]()
-        vir = vir + vk
-        _tick("ewald_k", f)
-    else:
-        assert S == 1, "strip mode requires the split-Ewald path"
-        f, evdwl, ecoul, elong, vir = ph["nonpolar"](x, q, typ, mask)
-        _tick("nonpolar", f)
-    e0 = striped(ph["wolf"], x, q, mol, mask)
-    _tick("wolf", e0)
-
-    # --- host-driven CG (scf_solve_cg math, one eind dispatch per B()) ---
-    sa = jnp.sqrt(alpha)[:, None]
-    eind = ph["eind"]
-
-    if use_df and "eind_df" in ph:
-        def B(y):
-            return y + sa * (-ph["eind_df"](x, alpha, mask, sa * y))
-    else:
-        def B(y):
-            return y + sa * (-striped(eind, x, alpha, mask, sa * y))
-
-    b = sa * e0
-    if s.use_previous:
-        y = jnp.where(sa > 0, a["mu"] / jnp.where(sa > 0, sa, 1.0), 0.0)
-    else:
-        y = s.polar_gamma * sa * e0
-    prec2 = float(s.polar_precision) ** 2
-    n3 = 3.0 * bench.natoms
-    if mixed and "eind32_full" in ph:
-        eind32 = ph["eind32_full"]
-
-        # the WHOLE inner f32 CG runs on-device as ONE dispatch
-        # (lax.while_loop around the Pallas panel matvec): 60 host-driven
-        # iterations would cost 60 tunnel round-trips plus 4 blocking
-        # scalar syncs each — at 100k atoms that alone is ~60-90 s/step
-        import functools as _ft
-
-        @_ft.partial(jax.jit, static_argnames=())
-        def inner_cg_device(r064, x32, alpha32, mask_, sa32):
-            r0 = r064.astype(jnp.float32)
-
-            def B32j(y_):
-                out = eind32(x32, alpha32, mask_, sa32 * y_)
-                return y_ + sa32 * (-out)
-
-            rs0 = jnp.sum(r0 * r0)
-
-            def cond(c):
-                _, rr, _, rs_, k, alive = c
-                return alive & (k < 60) & (rs_ > 1e-12 * (rs0 + 1e-30))
-
-            def body(c):
-                d, rr, pp, rs_, k, alive = c
-                Bp = B32j(pp)
-                den = jnp.sum(pp * Bp)
-                al = rs_ / jnp.where(den != 0, den, 1.0)
-                d2 = d + al * pp
-                rr2 = rr - al * Bp
-                rs2_ = jnp.sum(rr2 * rr2)
-                # f32 floor: stagnated or non-finite -> freeze (keep d2)
-                ok = jnp.isfinite(rs2_) & (rs2_ < 0.999 * rs_)
-                pp2 = rr2 + (rs2_ / jnp.where(rs_ != 0, rs_, 1.0)) * pp
-                return (d2, rr2, pp2, jnp.where(ok, rs2_, rs_),
-                        k + 1, alive & ok)
-
-            d, rr, pp, rs_, k, alive = jax.lax.while_loop(
-                cond, body,
-                (jnp.zeros_like(r0), r0, r0, rs0,
-                 jnp.zeros((), jnp.int32), jnp.asarray(True)))
-            return d.astype(r064.dtype), k
-
-        x32 = x.astype(jnp.float32)
-        alpha32 = alpha.astype(jnp.float32)
-        sa32 = sa.astype(jnp.float32)
-
-        def inner_cg(r0):
-            """Solve B d = r0 with f32 matvecs down to the f32 floor."""
-            d, k = inner_cg_device(r0, x32, alpha32, mask, sa32)
-            return d, int(k) + 1
-
-        it = 0
-        change = float("inf")
-        outer = 0
-        while outer < 8 and not (change <= prec2):
-            r = b - B(y)           # ONE f64 panel pass per refinement
-            _tick("eind_f64", r)
-            outer += 1
-            it += 1
-            d, k = inner_cg(r)
-            _tick(f"inner_cg({k})", d)
-            it += k
-            change = float(jnp.sum((d * sa) ** 2)) / n3
-            y = y + d
-        converged = change <= prec2
-    else:
-        r = b - B(y)
-        p = r
-        rs = float(jnp.sum(r * r))
-        rs0 = float(jnp.sum(b * b)) + 1e-30
-        change = float("inf")
-        it = 0
-        while not (change <= prec2) and it < s.iterations_max:
-            Bp = B(p)
-            denom = float(jnp.sum(p * Bp))
-            alpha_cg = rs / (denom if denom != 0 else 1.0)
-            y = y + alpha_cg * p
-            r = r - alpha_cg * Bp
-            rs2 = float(jnp.sum(r * r))
-            beta = rs2 / (rs if rs != 0 else 1.0)
-            # change measures the step just taken (OLD direction p),
-            # matching scf_solve_cg's body ordering
-            change = float(jnp.sum((alpha_cg * p * sa) ** 2)) / n3
-            p = r + beta * p
-            rs = rs2
-            it += 1
-        converged = (change <= prec2) or (rs <= 1e-5 * rs0)
-    mu = sa * y
-    if not converged:
-        mu = alpha[:, None] * e0
-    _tick("cg_rest", mu)
-    if use_df and "dipole_df" in ph:
-        fpol, epol, vir_pol = ph["dipole_df"](x, q, mol, alpha, mu, mask)
-    else:
-        fpol, epol, vir_pol = striped(ph["dipole"], x, q, mol, alpha, mu,
-                                      mask)
-    _tick("dipole", fpol)
-    f = f + fpol
+    f, mu, en = hpf(x, a["q"], a["type"], a["mol"], a["alpha"], a["mu"],
+                    mask)
     v = v + (dtf * minv)[:, None] * f
     v = jnp.where(mask[:, None], v, 0.0)
 
     a["x"], a["v"], a["mu"], a["f"] = x, v, mu, f
-    en = dict(evdwl=evdwl, ecoul=ecoul, elong=elong, epol=epol,
-              virial=vir + vir_pol,
-              scf_iters=jnp.asarray(it, jnp.int32))
+    en = dict(en)
+    en.pop("scf_converged", None)
+    en["scf_iters"] = jnp.asarray(en["scf_iters"], jnp.int32)
     return f, en

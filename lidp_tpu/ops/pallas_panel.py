@@ -86,13 +86,21 @@ def _geom_block(xr, xc, par_ref):
     return dx, dy, dz, dx * dx + dy * dy + dz * dz
 
 
-def _self_mask(br, bc):
-    """not_self over GLOBAL indices for the current (BR, BC) block."""
+def _self_mask(br, bc, row0=None):
+    """not_self over GLOBAL indices for the current (BR, BC) block.
+
+    row0 (traced f32 scalar, usually par_ref[0, 15]): global index of the
+    kernel's first ROW — nonzero when the row operand is one device's
+    strip of the atom axis while columns span the full (gathered) axis
+    (the multi-chip sharded panel path, parallel/shard.py).  Exact in f32
+    up to 2^24 atoms."""
     gi = pl.program_id(0) * br + jax.lax.broadcasted_iota(
         jnp.int32, (br, bc), 0)
     gj = pl.program_id(1) * bc + jax.lax.broadcasted_iota(
         jnp.int32, (br, bc), 1)
-    return gi != gj
+    if row0 is None:
+        return gi != gj
+    return gi.astype(jnp.float32) + row0 != gj.astype(jnp.float32)
 
 
 def _excl_mask(spr, br, bc):
@@ -135,7 +143,7 @@ def _eind_kernel(par_ref, xr_ref, xc_ref, out_ref, *, br, bc, damping_type):
     ai = xr[:, 3:4]
     aj = xc[3:4, :]
     mjx, mjy, mjz = xc[4:5, :], xc[5:6, :], xc[6:7, :]
-    pm = _self_mask(br, bc) & (aj != 0.0) & (ai != 0.0)
+    pm = _self_mask(br, bc, par_ref[0, 15]) & (aj != 0.0) & (ai != 0.0)
     rsq = jnp.where(pm, rsq, 1.0)
     rinv = jax.lax.rsqrt(rsq)
     r = rsq * rinv
@@ -164,35 +172,53 @@ def _pack_rows(x, extra):
     return jnp.stack(cols, axis=1)
 
 
-def _params_row(L, pd, *extra):
+def _params_row(L, pd, *extra, row0=0):
+    """Slot 15 always carries row0, the global index of the first row
+    (0 for full-square panels; the device strip offset when sharded)."""
     vals = [L[0], L[1], L[2], 1.0 / L[0], 1.0 / L[1], 1.0 / L[2], pd]
     vals += list(extra)
-    while len(vals) < 16:
+    assert len(vals) <= 15
+    while len(vals) < 15:
         vals.append(0.0)
+    vals.append(jnp.asarray(row0, jnp.float32))
     return jnp.asarray(vals, jnp.float32).reshape(1, 16)
 
 
 @functools.partial(jax.jit, static_argnames=("damping_type",))
-def eind_panel(x, alpha_eff, mu, L, pd, *, damping_type=_DAMP_EXP):
-    """E_ind = -T.mu over the full (npad, npad) panel; (npad, 3) out.
+def eind_panel(x, alpha_eff, mu, L, pd, *, damping_type=_DAMP_EXP,
+               cols=None, row0=0):
+    """E_ind = -T.mu; (nrows, 3) out.
 
-    alpha_eff must already fold the atom mask (alpha * mask)."""
-    npad = x.shape[0]
-    _br, _bc = _blocks(npad)
+    alpha_eff must already fold the atom mask (alpha * mask).
+
+    Single-device: x/alpha_eff/mu span the full padded axis and the panel
+    is the full square.  Sharded (parallel/shard.py): x/alpha_eff are one
+    device's row strip, cols=(x_full, alpha_full, mu_full) the gathered
+    column arrays, row0 the strip's global offset; mu for the ROWS is
+    never read (the contraction consumes column dipoles only)."""
+    nrows = x.shape[0]
+    if cols is None:
+        xc_, ac_, muc_ = x, alpha_eff, mu
+    else:
+        xc_, ac_, muc_ = cols
+    npad = xc_.shape[0]
+    _br, _ = _blocks(nrows)
+    _, _bc = _blocks(npad)
     row = _pack_rows(x, [alpha_eff])
-    col = _pack_rows(x, [alpha_eff, mu[:, 0], mu[:, 1], mu[:, 2]]).T
-    par = _params_row(L, pd)
-    grid = (npad // _br, npad // _bc)
+    col = _pack_rows(xc_, [ac_, muc_[:, 0], muc_[:, 1], muc_[:, 2]]).T
+    par = _params_row(L, pd, row0=row0)
+    grid = (nrows // _br, npad // _bc)
     # under jax_enable_x64 the index-map/iota scalars trace as i64, which
     # Mosaic refuses to legalize; the kernels are pure f32, so lower them
     # with x64 disabled (the mixed-precision host CG calls these from an
     # f64 build)
     with jax.enable_x64(False):
-        out = _eind_call(npad, _br, _bc, damping_type, grid)(par, row, col)
+        out = _eind_call(nrows, npad, _br, _bc, damping_type,
+                         grid)(par, row, col)
     return out[:, :3]
 
 
-def _eind_call(npad, _br, _bc, damping_type, grid):
+def _eind_call(nrows, npad, _br, _bc, damping_type, grid):
     return pl.pallas_call(
         functools.partial(_eind_kernel, br=_br, bc=_bc,
                           damping_type=damping_type),
@@ -207,11 +233,11 @@ def _eind_call(npad, _br, _bc, damping_type, grid):
         ],
         out_specs=pl.BlockSpec((_br, 8), lambda r, c: (r, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((npad, 8), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nrows, 8), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=npad * npad * 45,
+            flops=nrows * npad * 45,
             bytes_accessed=npad * 8 * 4 * (2 + len(range(grid[1]))),
-            transcendentals=npad * npad,
+            transcendentals=nrows * npad,
         ),
         interpret=_interpret(),
     )
@@ -898,7 +924,7 @@ def _wolf_kernel(par_ref, xr_ref, xc_ref, out_ref, *, br, bc):
     mj = xc[5:6, :]
     qj = xc[4:5, :]
     mask_j = xc[3:4, :]                  # 1.0 live, 0.0 padded/masked
-    include = (_self_mask(br, bc) & (mask_j != 0.0)
+    include = (_self_mask(br, bc, par_ref[0, 15]) & (mask_j != 0.0)
                & (rsq <= cut_coulsq)
                & ((mi_ != mj) | (mi_ == 0.0)))
     rsq = jnp.where(include, rsq, 1.0)
@@ -917,16 +943,24 @@ def _wolf_kernel(par_ref, xr_ref, xc_ref, out_ref, *, br, bc):
 
 
 @jax.jit
-def wolf_panel(x, q, mol, maskf, L, cut_coulsq):
-    """Damped-shifted static field E_0 (wolf sum); (npad, 3) out.
+def wolf_panel(x, q, mol, maskf, L, cut_coulsq, cols=None, row0=0):
+    """Damped-shifted static field E_0 (wolf sum); (nrows, 3) out.
 
-    maskf: 1.0 for live atoms, 0.0 for padding (column gating)."""
-    npad = x.shape[0]
-    _br, _bc = _blocks(npad)
+    maskf: 1.0 for live atoms, 0.0 for padding (column gating).
+    cols=(x, q, mol, maskf) full arrays + row0 for the sharded strip
+    variant (see eind_panel)."""
+    nrows = x.shape[0]
+    if cols is None:
+        xc_, qc_, molc_, mc_ = x, q, mol, maskf
+    else:
+        xc_, qc_, molc_, mc_ = cols
+    npad = xc_.shape[0]
+    _br, _ = _blocks(nrows)
+    _, _bc = _blocks(npad)
     row = _pack_rows(x, [maskf, q, mol])
-    col = _pack_rows(x, [maskf, q, mol]).T
-    par = _params_row(L, 0.0, cut_coulsq)
-    grid = (npad // _br, npad // _bc)
+    col = _pack_rows(xc_, [mc_, qc_, molc_]).T
+    par = _params_row(L, 0.0, cut_coulsq, row0=row0)
+    grid = (nrows // _br, npad // _bc)
     out = pl.pallas_call(
         functools.partial(_wolf_kernel, br=_br, bc=_bc),
         grid=grid,
@@ -940,11 +974,11 @@ def wolf_panel(x, q, mol, maskf, L, cut_coulsq):
         ],
         out_specs=pl.BlockSpec((_br, 8), lambda r, c: (r, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((npad, 8), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nrows, 8), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=npad * npad * 30,
+            flops=nrows * npad * 30,
             bytes_accessed=npad * 8 * 4 * 3,
-            transcendentals=npad * npad // 4,
+            transcendentals=nrows * npad // 4,
         ),
         interpret=_interpret(),
     )(par, row, col)
@@ -966,7 +1000,7 @@ def _dipole_kernel(par_ref, xr_ref, mur_ref, xc_ref, muc_ref,
     ai, qi, mi_ = xr[:, 3:4], xr[:, 4:5], xr[:, 5:6]
     aj, qj, mj = xc[3:4, :], xc[4:5, :], xc[5:6, :]
     mask_j = xc[6:7, :]
-    pm = _self_mask(br, bc) & (mask_j != 0.0)
+    pm = _self_mask(br, bc, par_ref[0, 15]) & (mask_j != 0.0)
     rsq = jnp.where(pm, rsq, 1.0)
     rinv = jax.lax.rsqrt(rsq)
     r = rsq * rinv
@@ -1057,18 +1091,26 @@ def _dipole_kernel(par_ref, xr_ref, mur_ref, xc_ref, muc_ref,
 
 @functools.partial(jax.jit, static_argnames=("damping_type",))
 def dipole_panel(x, q, mol, alpha_eff, mu, maskf, L, pd, cut_coulsq,
-                 qqrd2e, *, damping_type=_DAMP_EXP):
+                 qqrd2e, *, damping_type=_DAMP_EXP, cols=None, row0=0):
     """Charge-dipole + dipole-dipole forces.
 
-    Returns (fpol (npad,3), u_ef, u_dd, vir6_pairwise)."""
-    npad = x.shape[0]
-    _br, _bc = _blocks(npad)
+    Returns (fpol (nrows,3), u_ef, u_dd, vir6_pairwise).
+    cols=(x, q, mol, alpha_eff, mu, maskf) full arrays + row0 for the
+    sharded strip variant (see eind_panel)."""
+    nrows = x.shape[0]
+    if cols is None:
+        xc_, qc_, molc_, ac_, muc_, mc_ = x, q, mol, alpha_eff, mu, maskf
+    else:
+        xc_, qc_, molc_, ac_, muc_, mc_ = cols
+    npad = xc_.shape[0]
+    _br, _ = _blocks(nrows)
+    _, _bc = _blocks(npad)
     row = _pack_rows(x, [alpha_eff, q, mol, maskf])
-    col = row.T
+    col = _pack_rows(xc_, [ac_, qc_, molc_, mc_]).T
     murow = _pack_rows(mu, [])
-    mucol = murow.T
-    par = _params_row(L, pd, cut_coulsq, jnp.sqrt(qqrd2e))
-    grid = (npad // _br, npad // _bc)
+    mucol = _pack_rows(muc_, []).T
+    par = _params_row(L, pd, cut_coulsq, jnp.sqrt(qqrd2e), row0=row0)
+    grid = (nrows // _br, npad // _bc)
     out, acc = pl.pallas_call(
         functools.partial(_dipole_kernel, br=_br, bc=_bc,
                           damping_type=damping_type),
@@ -1092,13 +1134,13 @@ def dipole_panel(x, q, mol, alpha_eff, mu, maskf, L, pd, cut_coulsq,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((npad, 8), jnp.float32),
+            jax.ShapeDtypeStruct((nrows, 8), jnp.float32),
             jax.ShapeDtypeStruct((1, 128), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=npad * npad * 140,
+            flops=nrows * npad * 140,
             bytes_accessed=npad * 8 * 4 * 5,
-            transcendentals=npad * npad,
+            transcendentals=nrows * npad,
         ),
         interpret=_interpret(),
     )(par, row, murow, col, mucol)
@@ -1140,7 +1182,7 @@ def _pair_kernel(par_ref, rowt_ref, *refs, br, bc, t1, coul,
     qi = xr[:, 4:5]
     qj = xc[4:5, :]
     mask_j = xc[5:6, :]
-    pm = _self_mask(br, bc) & (mask_j != 0.0)
+    pm = _self_mask(br, bc, par_ref[0, 15]) & (mask_j != 0.0)
 
     hp = jax.lax.Precision.HIGHEST
     # Mosaic requires integer iota; cast to f32 for the comparison
@@ -1228,7 +1270,7 @@ def _pair_wolf_kernel(par_ref, rowt_ref, *refs, br, bc, t1,
     mask_j = xc[5:6, :]
     mi_ = xr[:, 6:7]
     mj = xc[6:7, :]
-    pm = _self_mask(br, bc) & (mask_j != 0.0)
+    pm = _self_mask(br, bc, par_ref[0, 15]) & (mask_j != 0.0)
 
     hp = jax.lax.Precision.HIGHEST
     ohc = (tj == jax.lax.broadcasted_iota(
@@ -1295,23 +1337,32 @@ def _pair_wolf_kernel(par_ref, rowt_ref, *refs, br, bc, t1,
 
 @jax.jit
 def pair_wolf_panel(x, q, typef, mol, maskf, tabs, L, cut_coulsq, qqrd2e,
-                    g_ewald, sp=None):
+                    g_ewald, sp=None, cols=None, row0=0):
     """Fused dense LJ+coul/long pair panel + Wolf static field.
 
-    Returns (f (npad,3), evdwl, ecoul, vir6, e0 (npad,3) UNSCALED — the
+    Returns (f (nrows,3), evdwl, ecoul, vir6, e0 (nrows,3) UNSCALED — the
     caller multiplies by sqrt(qqrd2e)).  Same table contract as
-    pair_panel (uniform outer cutoff).  sp (npad, S) f32: special
-    neighbor global indices to exclude from the LJ term in-pass."""
-    npad = x.shape[0]
-    _br, _bc = _blocks(npad)
+    pair_panel (uniform outer cutoff).  sp (nrows, S) f32: special
+    neighbor global indices to exclude from the LJ term in-pass.
+    cols=(x, q, typef, mol, maskf) full arrays + row0 for the sharded
+    strip variant (see eind_panel)."""
+    nrows = x.shape[0]
+    if cols is None:
+        xc_, qc_, tc_, molc_, mc_ = x, q, typef, mol, maskf
+    else:
+        xc_, qc_, tc_, molc_, mc_ = cols
+    npad = xc_.shape[0]
+    _br, _ = _blocks(nrows)
+    _, _bc = _blocks(npad)
     t1 = tabs.shape[1]
     row = _pack_rows(x, [typef, q, maskf, mol])
-    col = row.T
+    col = _pack_rows(xc_, [tc_, qc_, mc_, molc_]).T
     ti = typef.astype(jnp.int32)
     rowt = jnp.transpose(jnp.take(tabs[:4], ti, axis=1), (1, 0, 2))
     cutsq_u = jnp.max(tabs[4])
-    par = _params_row(L, 0.0, cut_coulsq, qqrd2e, g_ewald, cutsq_u)
-    grid = (npad // _br, npad // _bc)
+    par = _params_row(L, 0.0, cut_coulsq, qqrd2e, g_ewald, cutsq_u,
+                      row0=row0)
+    grid = (nrows // _br, npad // _bc)
     has_sp = sp is not None
     sp_ops = []
     sp_specs = []
@@ -1342,13 +1393,13 @@ def pair_wolf_panel(x, q, typef, mol, maskf, tabs, L, cut_coulsq, qqrd2e,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((npad, 8), jnp.float32),
+            jax.ShapeDtypeStruct((nrows, 8), jnp.float32),
             jax.ShapeDtypeStruct((1, 128), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=npad * npad * 100,
+            flops=nrows * npad * 100,
             bytes_accessed=npad * 8 * 4 * 4,
-            transcendentals=npad * npad,
+            transcendentals=nrows * npad,
         ),
         interpret=_interpret(),
     )(par, rowt, *sp_ops, row, col)
@@ -1358,26 +1409,34 @@ def pair_wolf_panel(x, q, typef, mol, maskf, tabs, L, cut_coulsq, qqrd2e,
 
 @functools.partial(jax.jit, static_argnames=("coul",))
 def pair_panel(x, q, typef, maskf, tabs, L, cut_coulsq, qqrd2e, g_ewald,
-               sp=None, *, coul=True):
-    """Dense LJ(+coul/long) panel.  Returns (f (npad,3), evdwl, ecoul,
+               sp=None, cols=None, row0=0, *, coul=True):
+    """Dense LJ(+coul/long) panel.  Returns (f (nrows,3), evdwl, ecoul,
     vir6) with LAMMPS half-weight tallies (factor 0.5 both sides).
 
     typef: atom types as f32; tabs: (5, T1, T1) f32 [lj3 lj4 offset
     cut_ljsq cutsq].  cutsq must be uniform over live pairs (asserted at
     the shard.py build site); the other four tables are gathered per ROW
     atom here so the kernel needs one one-hot matmul per table instead of
-    two."""
-    npad = x.shape[0]
-    _br, _bc = _blocks(npad)
+    two.  cols=(x, q, typef, maskf) full arrays + row0 for the sharded
+    strip variant (see eind_panel)."""
+    nrows = x.shape[0]
+    if cols is None:
+        xc_, qc_, tc_, mc_ = x, q, typef, maskf
+    else:
+        xc_, qc_, tc_, mc_ = cols
+    npad = xc_.shape[0]
+    _br, _ = _blocks(nrows)
+    _, _bc = _blocks(npad)
     t1 = tabs.shape[1]
     row = _pack_rows(x, [typef, q, maskf])
-    col = row.T
+    col = _pack_rows(xc_, [tc_, qc_, mc_]).T
     ti = typef.astype(jnp.int32)
     rowt = jnp.transpose(jnp.take(tabs[:4], ti, axis=1),
-                         (1, 0, 2))                         # (npad, 4, T1)
+                         (1, 0, 2))                         # (nrows, 4, T1)
     cutsq_u = jnp.max(tabs[4])
-    par = _params_row(L, 0.0, cut_coulsq, qqrd2e, g_ewald, cutsq_u)
-    grid = (npad // _br, npad // _bc)
+    par = _params_row(L, 0.0, cut_coulsq, qqrd2e, g_ewald, cutsq_u,
+                      row0=row0)
+    grid = (nrows // _br, npad // _bc)
     has_sp = sp is not None
     sp_ops = []
     sp_specs = []
@@ -1408,13 +1467,13 @@ def pair_panel(x, q, typef, maskf, tabs, L, cut_coulsq, qqrd2e, g_ewald,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((npad, 8), jnp.float32),
+            jax.ShapeDtypeStruct((nrows, 8), jnp.float32),
             jax.ShapeDtypeStruct((1, 128), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=npad * npad * 70,
+            flops=nrows * npad * 70,
             bytes_accessed=npad * 8 * 4 * 3,
-            transcendentals=npad * npad,
+            transcendentals=nrows * npad,
         ),
         interpret=_interpret(),
     )(par, rowt, *sp_ops, row, col)

@@ -87,8 +87,12 @@ def build_sharded_polar_step(
     npad, csz, nchunks = _pad_and_chunk(n, ndev, col_chunk)
     nloc = npad // ndev
     if panel == "auto":
-        pallas_ok = bool(single)            # kernels are single-device f32
-        use_panels = pallas_ok and dtype == jnp.float32
+        # the f32 kernels run on any device count: each device computes its
+        # row strip against all-gathered columns (row0 rides the params
+        # row, ops/pallas_panel.py _self_mask); the df32 f64 kernels stay
+        # single-device (host-phase mode is host-driven per chip)
+        pallas_ok = True
+        use_panels = dtype == jnp.float32
     elif panel == "pallas":
         pallas_ok = use_panels = True
     else:
@@ -515,18 +519,31 @@ def build_sharded_polar_step(
                     pair.offset.astype(jnp.float32),
                     pair.cut_ljsq.astype(jnp.float32),
                     pair.cutsq.astype(jnp.float32)])
+                if single:
+                    pcols = pwcols = None
+                    row0 = 0
+                else:
+                    # sharded: local rows vs all-gathered columns
+                    pcols = (xf, qf, tf.astype(dtype), mf.astype(dtype))
+                    row0 = _axidx() * nloc
                 if wolf_mol is not None and bool(pair.coul):
+                    if not single:
+                        molf_w = _gather(wolf_mol).astype(dtype)
+                        pwcols = (xf, qf, tf.astype(dtype), molf_w,
+                                  mf.astype(dtype))
                     f, evdwl, ecoul, vir, e0_fused = \
                         pallas_panel.pair_wolf_panel(
                             x, q, type_.astype(dtype),
                             wolf_mol.astype(dtype), mask.astype(dtype),
                             tabs, L, pair.cut_coulsq, pair.qqrd2e,
-                            pair.g_ewald, sp=sp_rows)
+                            pair.g_ewald, sp=sp_rows, cols=pwcols,
+                            row0=row0)
                 else:
                     f, evdwl, ecoul, vir = pallas_panel.pair_panel(
                         x, q, type_.astype(dtype), mask.astype(dtype),
                         tabs, L, pair.cut_coulsq, pair.qqrd2e,
-                        pair.g_ewald, sp=sp_rows, coul=bool(pair.coul))
+                        pair.g_ewald, sp=sp_rows, cols=pcols, row0=row0,
+                        coul=bool(pair.coul))
             else:
                 zero6 = jnp.zeros((6,), dtype)
                 f0 = jnp.zeros((nrows, 3), dtype)
@@ -611,9 +628,16 @@ def build_sharded_polar_step(
     def _wolf_field(x, q, mol, mask, strip=None):
         """Shifted-force (Wolf) static field E0 (unit-folded)."""
         if use_panels and strip is None:
+            if single:
+                wcols, row0 = None, 0
+            else:
+                wcols = (_gather(x), _gather(q),
+                         _gather(mol).astype(dtype),
+                         _gather(mask).astype(dtype))
+                row0 = _axidx() * nloc
             e0 = pallas_panel.wolf_panel(
                 x, q, mol.astype(dtype), mask.astype(dtype),
-                box_lengths, pair.cut_coulsq)
+                box_lengths, pair.cut_coulsq, cols=wcols, row0=row0)
             return e0 * jnp.sqrt(qqrd2e)
         rows, xr, molr = _rows_of(strip, x, mol)
         L = box_lengths
@@ -637,15 +661,24 @@ def build_sharded_polar_step(
         from."""
         cd = dtype if compute_dtype is None else compute_dtype
         if strip is None and ((use_panels and cd == dtype)
-                              or (pallas_ok and cd == jnp.float32)):
+                              or (pallas_ok and single
+                                  and cd == jnp.float32)):
             # Pallas VMEM-tiled panel (f32); under an f64 build this is
             # the mixed-precision inner-CG matvec (host_cg_step mixed)
             f32 = jnp.float32
+            ae = jnp.where(mask, alpha, 0.0)
+            if single:
+                ecols, row0 = None, 0
+            else:
+                ecols = (_gather(x).astype(f32),
+                         _gather(ae).astype(f32),
+                         _gather(mu_l).astype(f32))
+                row0 = _axidx() * nloc
             return pallas_panel.eind_panel(
-                x.astype(f32),
-                jnp.where(mask, alpha, 0.0).astype(f32),
+                x.astype(f32), ae.astype(f32),
                 mu_l.astype(f32), box_lengths.astype(f32),
-                s.polar_damp, damping_type=s.damping_type)
+                s.polar_damp, damping_type=s.damping_type,
+                cols=ecols, row0=row0)
         rows, xr, ar = _rows_of(strip, x, alpha)
         L = box_lengths
         if cd != dtype:
@@ -663,11 +696,21 @@ def build_sharded_polar_step(
         """Charge-dipole + dipole-dipole forces, epol, fdotr virial rows.
         Returns (fpol, epol_psummed, vir_pol_local)."""
         if use_panels and strip is None:
+            ae = jnp.where(mask, alpha, 0.0)
+            if single:
+                dcols, row0, rows_d = None, 0, None
+            else:
+                dcols = (_gather(x), _gather(q),
+                         _gather(mol).astype(dtype), _gather(ae),
+                         _gather(mu_new), _gather(mask).astype(dtype))
+                row0 = _axidx() * nloc
+                rows_d = row0 + jnp.arange(nloc)
             fpol, u_ef, u_dd, _vp = pallas_panel.dipole_panel(
-                x, q, mol.astype(dtype), jnp.where(mask, alpha, 0.0),
+                x, q, mol.astype(dtype), ae,
                 mu_new, mask.astype(dtype), box_lengths, s.polar_damp,
-                pair.cut_coulsq, qqrd2e, damping_type=s.damping_type)
-            xw_ = _vir_wrap(x)
+                pair.cut_coulsq, qqrd2e, damping_type=s.damping_type,
+                cols=dcols, row0=row0)
+            xw_ = _vir_wrap(x, rows_d)
             vir_pol = jnp.stack([
                 jnp.sum(xw_[:, 0] * fpol[:, 0]),
                 jnp.sum(xw_[:, 1] * fpol[:, 1]),
@@ -680,7 +723,7 @@ def build_sharded_polar_step(
                 alpha != 0.0,
                 jnp.sum(mu_new * mu_new, axis=1)
                 / jnp.where(alpha != 0.0, alpha, 1.0), 0.0))
-            return fpol, u_self + u_ef + u_dd, vir_pol
+            return fpol, _preduce(u_self + u_ef + u_dd), vir_pol
         rows, xr, qr, molr, ar, mur = _rows_of(strip, x, q, mol, alpha,
                                                mu_new)
         L = box_lengths

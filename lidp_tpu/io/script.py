@@ -952,7 +952,6 @@ class LammpsScript:
         # full old-box length apart in the enlarged box (min-image over
         # the new box no longer folds them together)
         xu = self.x + self.image * L
-        new_lo = self.box_lo
         new_L = L * np.array([nx, ny, nz])
         xs, vs, qs, ts, ms, ims = [], [], [], [], [], []
         bonds = []
@@ -962,14 +961,23 @@ class LammpsScript:
                 for ix in range(nx):
                     shift = np.array([ix, iy, iz]) * L
                     xr = xu + shift
-                    imr = np.floor((xr - new_lo) / new_L).astype(
-                        self.image.dtype)
-                    xs.append(xr - imr * new_L)
+                    # keep positions UNWRAPPED (image 0): the engine's
+                    # convention everywhere is raw coordinates (read_data
+                    # keeps atoms outside the box as-is; rigid-body COM
+                    # and SHAKE clusters rely on molecule contiguity;
+                    # pair/kspace paths fold by minimum image or wrap at
+                    # neighbor setup).  Rewrapping into the enlarged box
+                    # here split molecules that stick out of the data's
+                    # box — a sorbate at z < zlo landed a full old-box
+                    # length away from its body, and fix rigid/nve then
+                    # snapped it across the cell on the first set_xv
+                    # (found via the replicated MOF5+Methane benchmark).
+                    xs.append(xr)
                     vs.append(self.v)
                     qs.append(self.q)
                     ts.append(self.type)
                     ms.append(np.where(self.mol > 0, self.mol + rep * maxmol, 0))
-                    ims.append(imr)
+                    ims.append(np.zeros_like(self.image))
                     if getattr(self, "_bonds", None) is not None and len(self._bonds):
                         bonds.append(self._bonds + rep * n0)
                     rep += 1

@@ -99,7 +99,7 @@ def special_codes_dense(natoms: int, bonds: np.ndarray) -> np.ndarray:
     return code
 
 
-def infer_image_flags(x, bonds, box_lo, box_hi):
+def infer_image_flags(x, bonds, box_lo, box_hi, mol=None):
     """Derive periodic image flags from the bond graph.
 
     Molecular data files written without image flags (e.g. the
@@ -144,4 +144,23 @@ def infer_image_flags(x, bonds, box_lo, box_hi):
                 seen[j] = True
                 img[j] = np.round((xu_i - x[j]) / L).astype(np.int32)
                 dq.append(j)
+    if mol is not None:
+        # bond-less members of a bonded molecule (e.g. the massless MOV
+        # charge sites of the polarizable CH4 model — present in the data's
+        # molecules but absent from its Bonds section) anchor to their
+        # molecule's bonded component by minimum image.  Molecules with NO
+        # bonds at all (the MOF framework, which spans the whole cell) are
+        # left alone — min-image anchoring is only valid for compact
+        # molecules, and wrapped positions are already equivalent for them.
+        mol = np.asarray(mol)
+        has_bonds_mol = set(np.unique(mol[seen])) - {0}
+        anchor = {}
+        for i in np.nonzero(seen)[0]:
+            anchor.setdefault(int(mol[i]), i)
+        for j in np.nonzero(~seen)[0]:
+            m = int(mol[j])
+            if m in has_bonds_mol:
+                i = anchor[m]
+                xu_i = x[i] + img[i] * L
+                img[j] = np.round((xu_i - x[j]) / L).astype(np.int32)
     return img

@@ -138,7 +138,8 @@ def main():
             from lidp_tpu import topology
 
             s.image = topology.infer_image_flags(
-                s.x, getattr(s, "_bonds", None), s.box_lo, s.box_hi)
+                s.x, getattr(s, "_bonds", None), s.box_lo, s.box_hi,
+                mol=s.mol)
     n = s.x.shape[0]
     t_parse = time.perf_counter() - t0
 

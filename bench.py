@@ -32,7 +32,7 @@ import time
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".jax_cache")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", CACHE_DIR)
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 import jax  # noqa: E402
 
@@ -136,7 +136,7 @@ def _env():
     env["PYTHONPATH"] = ("/root/.axon_site:/root/repo:"
                          + env.get("PYTHONPATH", ""))
     env["JAX_COMPILATION_CACHE_DIR"] = CACHE_DIR
-    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
     return env
 
 

@@ -69,7 +69,10 @@ def enable_compile_cache():
 
     try:
         jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # persist even tiny eager-op programs: each compile is an RPC
+        # through the axon tunnel (~1.5 s); ~90 of them dominated the
+        # script-bench "compile" time once the big programs were cached
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass
 

@@ -2936,12 +2936,29 @@ class Simulation:
             spec._chunkbuf = None
 
     def _thermo_row(self):
+        import jax.numpy as jnp
+
         from lidp_tpu.thermo import thermo_row
 
         extra = getattr(self.istate, "virial", None)
-        row = {k: float(v) for k, v in
-               thermo_row(self.sys, self.res, self.thermo_params,
-                          extra_virial=extra).items()}
+        raw = thermo_row(self.sys, self.res, self.thermo_params,
+                         extra_virial=extra)
+        raw = dict(raw)
+        # group temperature computes join the same batched transfer
+        # (each is an async jitted dispatch; only the transfer blocks)
+        for cid, tp in self.group_thermo.items():
+            raw["c_" + cid] = temperature(self.sys, tp)
+        # ONE device->host transfer for all scalars: per-scalar float()
+        # costs one RPC each through the axon tunnel (~30 ms x ~25
+        # columns ~= 0.75 s per thermo row — measured dominating the
+        # script-driven polar bench at thermo 1)
+        import jax as _jax
+
+        wide = (jnp.float64 if _jax.config.jax_enable_x64
+                else jnp.float32)
+        stacked = np.asarray(jnp.stack(
+            [jnp.asarray(v).astype(wide) for v in raw.values()]))
+        row = {k: float(x) for k, x in zip(raw, stacked)}
         row["atoms"] = self.natoms
         # topology counts (thermo.cpp compute_bonds etc.) — includes
         # turned-off (negative-type) interactions like the reference
@@ -2950,8 +2967,6 @@ class Simulation:
                            ("impropers", "_impropers")):
             t_ = getattr(self.script, attr_, None)
             row[kw_] = 0 if t_ is None else len(t_)
-        for cid, tp in self.group_thermo.items():
-            row["c_" + cid] = float(temperature(self.sys, tp))
         for cid, gmask in getattr(self, "erotate_computes", {}).items():
             from lidp_tpu.ops.granular import erotate_sphere
 

@@ -49,6 +49,10 @@ def make_input(tmpdir: str, target_atoms: int, precision: float,
         if t.startswith("variable") and "nstep" in t:
             out.append(f"variable nstep equal {nsteps}")
             continue
+        if t.startswith("variable") and "freq" in t:
+            out.append(f"variable freq equal "
+                       f"{os.environ.get('LIDP_BENCH_THERMO', '1')}")
+            continue
         if t.startswith("pair_style") and precision is not None:
             toks = t.split()
             i = toks.index("precision")
@@ -104,7 +108,7 @@ def main():
         jax.config.update("jax_compilation_cache_dir",
                           "/root/repo/.jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                          1.0)
+                          0.0)
     except Exception:
         pass
     if not args.f64:

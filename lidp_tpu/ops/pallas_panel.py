@@ -426,6 +426,11 @@ def _sublane_dfsum(h, l, br):
     return h, l
 
 
+def _df_le(a, c):
+    """a <= c lexicographically (== not (c < a))."""
+    return ~_df_lt(c, a)
+
+
 def _df_lt(a, c):
     """df32 a < c (c a df32 pair of scalars or arrays)."""
     return (a[0] < c[0]) | ((a[0] == c[0]) & (a[1] < c[1]))
@@ -474,14 +479,21 @@ def _df_scalar_accum(acc_ref, idx, hval, lval, br, bc):
     acc_ref[0:1, idx + 8:idx + 9] = cur_l + e0 + tl[0:1, 0:1]
 
 
-def _pair_df_kernel(par_ref, rowt_ref, *refs, br, bc, t1, has_sp=False):
+def _pair_df_kernel(par_ref, rowt_ref, *refs, br, bc, t1, has_sp=False,
+                    has_wolf=False):
     """f64-grade LJ + coul/long pair panel in df32 (mirrors
     _pair_terms_chunk / _pair_chunk, parallel/shard.py).
 
-    Row/col operands (BR,16)/(16,BC): [xh(3) xl(3) type mask qh ql ...];
+    Row/col operands (BR,16)/(16,BC): [xh(3) xl(3) type mask qh ql mol];
     rowt (BR, 8, T1): [lj3 lj4 off cut_ljsq] x (hi, lo) per ROW type;
     out (BR, 8): [fx fy fz]h + [fx fy fz]l; acc lanes: [evdwl ecoul
-    vir6]h at 0..7, lo at 8..15.  has_sp: see _pair_kernel."""
+    vir6]h at 0..7, lo at 8..15.  has_sp: see _pair_kernel.
+
+    has_wolf: fuse the damped-shifted Wolf static field into the same
+    geometry pass (the f32 twin is _pair_wolf_kernel; the separate
+    XLA-emulated-f64 wolf pass was ~30 s at 100k atoms).  mol rides row
+    slot 10 / col row 10; out widens to (BR, 16) with the UNSCALED df32
+    field at [e0x e0y e0z]h = cols 6..8, lo at 9..11."""
     from lidp_tpu.ops import df32 as dd
     from lidp_tpu.ops.pair import A1, A2, A3, A4, A5, EWALD_F, EWALD_P
 
@@ -568,6 +580,17 @@ def _pair_df_kernel(par_ref, rowt_ref, *refs, br, bc, t1, has_sp=False):
         p3.append(pk)
         _df_out_accum(out_ref, k, pk[0], pk[1], bc)
 
+    if has_wolf:
+        mi_ = xr[:, 10:11]
+        mj = xc[10:11, :]
+        winc = pm & _df_le(rsq, ccsq) & ((mi_ != mj) | (mi_ == 0.0))
+        f_shift = dd.neg(dd.recip(ccsq))
+        efq = dd.mul(dd.mul(dd.add(r2inv, f_shift), rinv), qj)
+        efq = _df_where(winc, efq)
+        for k in range(3):
+            ek = dd.mul(efq, d[k])
+            _df_out_accum(out_ref, 6 + k, ek[0], ek[1], bc)
+
     half = dd.const(0.5)
     _df_scalar_accum(acc_ref, 0, *dd.mul(half, evdwl), br, bc)
     _df_scalar_accum(acc_ref, 1, *dd.mul(half, ecoul), br, bc)
@@ -606,12 +629,17 @@ def _df_split(a, f64):
 
 @jax.jit
 def pair_panel_df(x, q, typef, maskf, tabs64, L, cut_coulsq, qqrd2e,
-                  g_ewald, sp=None):
+                  g_ewald, sp=None, mol=None):
     """f64-grade dense LJ+coul/long panel (df32 Pallas).  x/q/tabs f64.
 
     Returns (f (npad,3) f64, evdwl, ecoul, vir6) matching the XLA-f64
     scan path to ~1e-13.  tabs64: (5, T1, T1) f64 [lj3 lj4 offset
-    cut_ljsq cutsq]; cutsq must be uniform over live pairs."""
+    cut_ljsq cutsq]; cutsq must be uniform over live pairs.
+
+    mol (npad,) enables the fused Wolf static field (intermolecular
+    damped-shifted sum, same geometry pass): the return gains a 5th
+    element e0 (npad, 3) f64, UNSCALED (caller multiplies by
+    sqrt(qqrd2e))."""
     npad = x.shape[0]
     _br, _bc = 128, 256
     while npad % _br:
@@ -620,14 +648,16 @@ def pair_panel_df(x, q, typef, maskf, tabs64, L, cut_coulsq, qqrd2e,
         _bc //= 2
     f64 = x.dtype
     t1 = tabs64.shape[1]
+    has_wolf = mol is not None
     xh, xl = _df_split(x, f64)
     qh, ql = _df_split(q, f64)
     tf = typef.astype(jnp.float32)
     mf = maskf.astype(jnp.float32)
     zero = jnp.zeros((npad, 1), jnp.float32)
+    molf = (mol.astype(jnp.float32)[:, None] if has_wolf else zero)
     row = jnp.concatenate(
         [xh, xl, tf[:, None], mf[:, None], qh[:, None], ql[:, None],
-         zero, zero, zero, zero, zero, zero], axis=1)
+         molf, zero, zero, zero, zero, zero], axis=1)
     col = row.T
     ti = typef.astype(jnp.int32)
     th_, tl_ = _df_split(tabs64[:4], f64)
@@ -645,10 +675,11 @@ def pair_panel_df(x, q, typef, maskf, tabs64, L, cut_coulsq, qqrd2e,
         sp_ops = [sp.astype(jnp.float32)]
         sp_specs = [pl.BlockSpec((_br, S_), lambda r, c: (r, 0),
                                  memory_space=pltpu.VMEM)]
+    owid = 16 if has_wolf else 8
     with jax.enable_x64(False):
         out, acc = pl.pallas_call(
             functools.partial(_pair_df_kernel, br=_br, bc=_bc, t1=t1,
-                              has_sp=has_sp),
+                              has_sp=has_sp, has_wolf=has_wolf),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, 32), lambda r, c: (0, 0),
@@ -662,17 +693,17 @@ def pair_panel_df(x, q, typef, maskf, tabs64, L, cut_coulsq, qqrd2e,
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((_br, 8), lambda r, c: (r, 0),
+                pl.BlockSpec((_br, owid), lambda r, c: (r, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 128), lambda r, c: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((npad, 8), jnp.float32),
+                jax.ShapeDtypeStruct((npad, owid), jnp.float32),
                 jax.ShapeDtypeStruct((1, 128), jnp.float32),
             ],
             cost_estimate=pl.CostEstimate(
-                flops=npad * npad * 1600,
+                flops=npad * npad * (1900 if has_wolf else 1600),
                 bytes_accessed=npad * 48 * 4 * 3,
                 transcendentals=npad * npad,
             ),
@@ -680,6 +711,9 @@ def pair_panel_df(x, q, typef, maskf, tabs64, L, cut_coulsq, qqrd2e,
         )(par, rowt, *sp_ops, row, col)
     f = out[:, :3].astype(f64) + out[:, 3:6].astype(f64)
     a = acc[0, :8].astype(f64) + acc[0, 8:16].astype(f64)
+    if has_wolf:
+        e0 = out[:, 6:9].astype(f64) + out[:, 9:12].astype(f64)
+        return f, a[0], a[1], a[2:8], e0
     return f, a[0], a[1], a[2:8]
 
 

@@ -227,8 +227,14 @@ class HostPolarForces:
         use_df = self.use_df
         _tick = self._tick_factory()
 
+        e0 = None
         if "ewald_kblock" in ph:
-            if use_df:
+            if use_df and "pair_wolf_df" in ph:
+                # fused pair + Wolf field: one df32 geometry pass serves
+                # both pre-SCF O(N^2) phases
+                f, evdwl, ecoul, elong, vir, e0 = ph["pair_wolf_df"](
+                    x, q, typ, mol, mask)
+            elif use_df:
                 f, evdwl, ecoul, elong, vir = ph["pair_df"](x, q, typ, mask)
             else:
                 f, evdwl, ecoul, elong, vir = self._striped(
@@ -258,8 +264,9 @@ class HostPolarForces:
         else:
             f, evdwl, ecoul, elong, vir = ph["nonpolar"](x, q, typ, mask)
             _tick("nonpolar", f)
-        e0 = self._striped(ph["wolf"], x, q, mol, mask)
-        _tick("wolf", e0)
+        if e0 is None:
+            e0 = self._striped(ph["wolf"], x, q, mol, mask)
+            _tick("wolf", e0)
 
         # --- host-driven CG (ops/polarization.py scf_solve_cg math) ---
         sa = jnp.sqrt(alpha)[:, None]
@@ -491,13 +498,30 @@ class FastPolarRunner:
     def _setup_impl(self, sys):
         return self._fast_res(sys)
 
+    # dipole-history extrapolation coefficients for the SCF initial guess
+    # (Lagrange through the last p converged dipole sets; rows sum to 1 so
+    # a cold replicated history reduces to plain warm start).  CG still
+    # iterates to the UNCHANGED convergence criterion — the predictor only
+    # moves the starting point (cf. Kolafa ASPC, J Comput Chem 25:335).
+    _PREDICT_COEF = {1: (1.0,), 2: (2.0, -1.0), 3: (3.0, -3.0, 1.0)}
+
     def run(self, sys, res, nlist, istate, nsteps: int):
         ip = self._inner.integ.params
         if self.mode == "host":
+            order = int(os.environ.get("LIDP_PREDICT", "2"))
+            coef = self._PREDICT_COEF.get(order, (1.0,))
+            hist = getattr(self, "_mu_hist", None)
             for _ in range(nsteps):
                 sys, istate = self._pre(sys, res, ip, istate)
+                if hist is not None and len(hist) == len(coef):
+                    guess = sum(c * h for c, h in zip(coef, hist))
+                    sys = sys.replace(mu=guess)
                 res = self._host_res(sys)
+                sys = sys.replace(mu=res.mu)
+                hist = ([res.mu] + (hist or [res.mu] * len(coef)))[
+                    :len(coef)]
                 sys, istate = self._post(sys, res, ip, istate)
+            self._mu_hist = hist
             return sys, res, None, istate
         sys, res, istate = self._scan(sys, res, istate, ip, nsteps=nsteps)
         return sys, res, None, istate

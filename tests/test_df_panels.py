@@ -293,3 +293,63 @@ def test_no_df_ab_energies_match(monkeypatch):
         v_ref = rows["1"][k]
         assert abs(v_df - v_ref) / max(1.0, abs(v_ref)) < 1e-10, (
             k, v_df, v_ref)
+
+
+def test_pair_wolf_df_fused_interpret_structure():
+    """Fused wolf field in pair_panel_df (mol=...): plumbing check on CPU
+    interpret at f32 grade vs the scan-path wolf math."""
+    from lidp_tpu.ops.pallas_panel import pair_panel_df
+
+    x, q, typ, mask, tabs, L, ccsq, qq, gew = _pair_case()
+    rng = np.random.RandomState(7)
+    mol = np.zeros(512)
+    mol[:300] = np.arange(300) // 5 + 1
+    f, ev, ec, vir, e0 = pair_panel_df(
+        jnp.asarray(x), jnp.asarray(q), jnp.asarray(typ, jnp.float64),
+        jnp.asarray(mask, jnp.float64), jnp.asarray(tabs),
+        jnp.asarray(L), ccsq, qq, gew, mol=jnp.asarray(mol, jnp.float64))
+    # reference wolf field (unscaled)
+    n = 300
+    d = x[:n, None, :] - x[None, :n, :]
+    d -= L * np.round(d / L)
+    rsq = (d * d).sum(-1)
+    pm = ~np.eye(n, dtype=bool)
+    inc = pm & (rsq <= ccsq) & (
+        (mol[:n][:, None] != mol[:n][None, :]) | (mol[:n][:, None] == 0))
+    rsq = np.where(inc, rsq, 1.0)
+    r = np.sqrt(rsq)
+    efq = np.where(inc, (1.0 / rsq - 1.0 / ccsq) / r, 0.0) * q[:n][None, :]
+    ref_e0 = (efq[..., None] * d).sum(1)
+    sc = np.abs(ref_e0).max()
+    np.testing.assert_allclose(np.asarray(e0)[:n], ref_e0,
+                               rtol=5e-5, atol=5e-6 * sc)
+
+
+@pytest.mark.skipif(jax.default_backend() not in ("tpu", "axon"),
+                    reason="Mosaic-path precision only holds on real TPU")
+def test_pair_wolf_df_fused_tpu_full_precision():
+    from lidp_tpu.ops.pallas_panel import pair_panel_df
+
+    x, q, typ, mask, tabs, L, ccsq, qq, gew = _pair_case()
+    mol = np.zeros(512)
+    mol[:300] = np.arange(300) // 5 + 1
+    f, ev, ec, vir, e0 = pair_panel_df(
+        jnp.asarray(x), jnp.asarray(q), jnp.asarray(typ, jnp.float64),
+        jnp.asarray(mask, jnp.float64), jnp.asarray(tabs),
+        jnp.asarray(L), ccsq, qq, gew, mol=jnp.asarray(mol, jnp.float64))
+    n = 300
+    d = x[:n, None, :] - x[None, :n, :]
+    d -= L * np.round(d / L)
+    rsq = (d * d).sum(-1)
+    pm = ~np.eye(n, dtype=bool)
+    inc = pm & (rsq <= ccsq) & (
+        (mol[:n][:, None] != mol[:n][None, :]) | (mol[:n][:, None] == 0))
+    rsq = np.where(inc, rsq, 1.0)
+    r = np.sqrt(rsq)
+    efq = np.where(inc, (1.0 / rsq - 1.0 / ccsq) / r, 0.0) * q[:n][None, :]
+    ref_e0 = (efq[..., None] * d).sum(1)
+    sc = np.abs(ref_e0).max()
+    assert np.abs(np.asarray(e0)[:n] - ref_e0).max() / sc < 1e-12
+    # the pair outputs must be unchanged by the fusion
+    rf, rev, rec = _ref_pair(x, q, typ, mask, tabs, L, ccsq, qq, gew, n)
+    assert np.abs(np.asarray(f)[:n] - rf).max() / np.abs(rf).max() < 1e-12

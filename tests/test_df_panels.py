@@ -150,7 +150,12 @@ def _pair_case(npad=512, n=300, ntypes=3):
     rng = np.random.RandomState(11)
     L = np.array([21.0, 23.0, 25.0])
     x = np.zeros((npad, 3))
-    x[:n] = rng.uniform(0, 21, (n, 3))
+    # jittered lattice: uniform-random placement creates near-overlap
+    # pairs with ~1e14 LJ forces, which turn the relative-error criterion
+    # into a comparison against an unphysical global scale
+    g = np.stack(np.meshgrid(*[np.arange(7)] * 3, indexing="ij"),
+                 -1).reshape(-1, 3)[:n]
+    x[:n] = g * (L / 7.2) + rng.uniform(0.2, 0.9, (n, 3))
     q = np.zeros(npad)
     q[:n] = rng.normal(0, 0.4, n)
     q[:n] -= q[:n].mean()
@@ -255,12 +260,16 @@ def test_dipole_df_kernel_tpu_full_precision():
         jnp.asarray(alpha), jnp.asarray(mu), jnp.asarray(mask),
         jnp.asarray(L), pd, ccsq, qq)
     # dense f64 reference (golden-pinned by the Bulk H2/MOF5 suites);
-    # it also adds the mu^2/2alpha self-energy, subtracted here
-    box = Box.create([0.0, 0.0, 0.0], L, dtype=jnp.float64)
-    rf, ru, _rv = pol.dipole_forces_energy(
-        jnp.asarray(x[:n]), jnp.asarray(q[:n]),
-        jnp.asarray(mol[:n].astype(np.int32)), jnp.asarray(alpha[:n]),
-        jnp.asarray(mu[:n]), jnp.ones(n, bool), box, ccsq, qq, s)
+    # it also adds the mu^2/2alpha self-energy, subtracted here.
+    # Evaluated on the host CPU backend: the dense pairwise math in
+    # emulated f64 through the axon tunnel compiles for tens of minutes
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        box = Box.create([0.0, 0.0, 0.0], L, dtype=jnp.float64)
+        rf, ru, _rv = pol.dipole_forces_energy(
+            jnp.asarray(x[:n]), jnp.asarray(q[:n]),
+            jnp.asarray(mol[:n].astype(np.int32)), jnp.asarray(alpha[:n]),
+            jnp.asarray(mu[:n]), jnp.ones(n, bool), box, ccsq, qq, s)
     a = alpha[:n]
     u_self = 0.5 * float(np.sum(np.where(
         a != 0, (mu[:n] ** 2).sum(1) / np.where(a != 0, a, 1.0), 0.0)))

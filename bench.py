@@ -404,7 +404,7 @@ def main():
          lambda t: _try_polar_script_100k_f32(t)),
         ("lj_scaled", 60, 300, lambda t: _try_lj_scaled(t)),
         ("rhodo", 60, 300, lambda t: _try_rhodo_class(t)),
-        ("chute", 45, 180, lambda t: _try_chute(t)),
+        ("chute", 60, 480, lambda t: _try_chute(t)),
         ("errbudget", 45, 180, lambda t: _try_error_budget(t)),
         ("polar100k", 60, 240, lambda t: _try_polar_100k(t)),
     ]

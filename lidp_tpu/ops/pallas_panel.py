@@ -48,14 +48,20 @@ from jax.experimental.pallas import tpu as pltpu
 _DAMP_NONE = 0
 _DAMP_EXP = 1
 
-def _blocks(npad: int):
+def _blocks(npad: int, kind: str = ""):
     """Row/column block sizes: npad is always a multiple of 256
     (parallel/shard.py _pad_and_chunk); prefer 512-wide columns
     (~0.5 MB per (BR, BC) f32 intermediate) when they divide npad.
-    LIDP_PANEL_BR/BC override for tuning sweeps."""
+    LIDP_PANEL_BR/BC override for tuning sweeps; per-kernel variants
+    (e.g. LIDP_PANEL_BC_EIND) win over the global ones — the kernels'
+    VMEM footprints differ a lot (the dipole kernel holds ~30 (BR,BC)
+    intermediates and OOMs scoped vmem above 256x512; eind holds ~12)."""
     import os
-    br = int(os.environ.get("LIDP_PANEL_BR", "256"))
-    bc = int(os.environ.get("LIDP_PANEL_BC", "512"))
+    suf = f"_{kind.upper()}" if kind else ""
+    br = int(os.environ.get(f"LIDP_PANEL_BR{suf}",
+                            os.environ.get("LIDP_PANEL_BR", "256")))
+    bc = int(os.environ.get(f"LIDP_PANEL_BC{suf}",
+                            os.environ.get("LIDP_PANEL_BC", "512")))
     while npad % br:
         br //= 2
     while npad % bc:
@@ -202,8 +208,8 @@ def eind_panel(x, alpha_eff, mu, L, pd, *, damping_type=_DAMP_EXP,
     else:
         xc_, ac_, muc_ = cols
     npad = xc_.shape[0]
-    _br, _ = _blocks(nrows)
-    _, _bc = _blocks(npad)
+    _br, _ = _blocks(nrows, "eind")
+    _, _bc = _blocks(npad, "eind")
     row = _pack_rows(x, [alpha_eff])
     col = _pack_rows(xc_, [ac_, muc_[:, 0], muc_[:, 1], muc_[:, 2]]).T
     par = _params_row(L, pd, row0=row0)

@@ -362,7 +362,10 @@ def eind_panel_df(x, alpha_eff, mu, L, pd, *, damping_type=_DAMP_EXP):
     Matches the XLA-f64 scan path (_tensor_apply_chunk) to ~1e-13 rel —
     the outer-residual accuracy the 1e-11 SCF refinement needs."""
     npad = x.shape[0]
-    _br, _bc = 256, 256          # df32 live set ~2x the f32 kernels'
+    import os as _os
+    _br = int(_os.environ.get("LIDP_PANEL_BR_EINDDF", "256"))
+    _bc = int(_os.environ.get("LIDP_PANEL_BC_EINDDF", "256"))
+    # df32 live set ~2x the f32 kernels'
     while npad % _br:
         _br //= 2
     while npad % _bc:
@@ -647,7 +650,9 @@ def pair_panel_df(x, q, typef, maskf, tabs64, L, cut_coulsq, qqrd2e,
     element e0 (npad, 3) f64, UNSCALED (caller multiplies by
     sqrt(qqrd2e))."""
     npad = x.shape[0]
-    _br, _bc = 128, 256
+    import os as _os
+    _br = int(_os.environ.get("LIDP_PANEL_BR_PAIRDF", "128"))
+    _bc = int(_os.environ.get("LIDP_PANEL_BC_PAIRDF", "256"))
     while npad % _br:
         _br //= 2
     while npad % _bc:
@@ -891,7 +896,9 @@ def dipole_panel_df(x, q, mol, alpha_eff, mu, maskf, L, pd, cut_coulsq,
     Returns (fpol (npad,3) f64, u_ef, u_dd, vir6) matching the XLA-f64
     _dipole_chunk path to ~1e-13."""
     npad = x.shape[0]
-    _br, _bc = 128, 256
+    import os as _os
+    _br = int(_os.environ.get("LIDP_PANEL_BR_DIPDF", "128"))
+    _bc = int(_os.environ.get("LIDP_PANEL_BC_DIPDF", "256"))
     while npad % _br:
         _br //= 2
     while npad % _bc:

@@ -31,10 +31,8 @@ replacement.
 
 from __future__ import annotations
 
-import dataclasses
-import functools
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import numpy as np
 

@@ -21,11 +21,11 @@ enable_compile_cache()
 SIZES = [(1.0, 100), (1.5, 100), (2.0, 100), (3.2, 50)]
 
 
-def run_size(scale, nsteps, cap_slack):
+def run_size(scale, nsteps, cap_slack, neighbor="slots"):
     """Returns steps/s, or None on cell-capacity overflow (retryable)."""
     n = 4 * int(round(20 * scale)) ** 3
     melt = lj_melt.build(scale=scale, dtype=jnp.float32,
-                         neighbor="slots", cap_slack=cap_slack)
+                         neighbor=neighbor, cap_slack=cap_slack)
     sys_, res, nlist, istate = melt.runner.setup(melt.system)
     if bool(nlist.overflow):
         print(f"ljscale_note n={n} cell overflow at setup"
@@ -57,7 +57,18 @@ for scale, nsteps in SIZES:
             if v is not None:
                 print(f"ljscale n={n} steps/s {round(v, 3)}", flush=True)
                 break
-    except Exception as e:  # noqa: BLE001 — report the capacity wall
+    except Exception as e:  # noqa: BLE001 — report the wall, then try the
+        # XLA roll-cell path: the 256k+ Pallas slot program crashes the
+        # axon remote compile helper (HTTP 500), the plain-XLA kernel
+        # compiles fine (slower per step, but a real measurement)
         print(f"ljscale_note n={n} {type(e).__name__}: {e}"[:300],
               flush=True)
-        break
+        try:
+            v = run_size(scale, nsteps, 2.0, neighbor="cells")
+            if v is not None:
+                print(f"ljscale n={n} steps/s {round(v, 3)} (cells path)",
+                      flush=True)
+        except Exception as e2:  # noqa: BLE001
+            print(f"ljscale_note n={n} cells {type(e2).__name__}: "
+                  f"{e2}"[:300], flush=True)
+        continue
